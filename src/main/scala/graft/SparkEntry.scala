@@ -1,13 +1,320 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cleaning
+import graft.operators.Loads
+
+/** Driver contract — the query catalog for the correctness gate.
+  *
+  * Every entry in `queries` is one operator from SURVEY.md §2, expressed
+  * Spark-first (declarative DataFrame plans; broadcast hints on dims; no
+  * UDFs in hot paths). Each has a DuckDB-equivalent `oracleSql` with
+  * IDENTICAL output column names; floating-point aggregates are rounded
+  * on both sides so accumulation-order differences can't flip the hash.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qAggSummary(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- C. relational core
+
+  /** C2: multi-measure hash aggregate (TPC-H Q1 shape). Partial (map-side)
+    * aggregation + 2-key shuffle; the scan reads only 6 of 11 columns.
+    */
+  private def qAggSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** C1: filter + projection — both must reach the parquet scan
+    * (PushedFilters / 4-column ReadSchema in explain).
+    */
+  private def qFilterScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1999-01-01").cast("timestamp") &&
+        $"l_quantity" > 45)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+  }
+
+  /** C3: fact⋈dim join + aggregate. `customer` is the small side →
+    * explicit broadcast, so the fact table never shuffles.
+    */
+  private def qJoinEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = table(s, dir, "orders")
+    val cust = table(s, dir, "customer")
+    orders.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+  }
+
+  /** C4: star join orders⋈customer⋈nation⋈region, dims broadcast; one
+    * shuffle total (the final 1-key aggregate).
+    */
+  private def qMultiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(table(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(table(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+  }
+
+  /** C5: running balance per user (the reference's `balance_after`
+    * column, rebuilt as a window). Single shuffle on user_id.
+    */
+  private def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "events")
+      .select($"event_id", $"user_id",
+        round(sum($"value").over(w), 2).as("running_balance"))
+  }
+
+  /** C6: top-3 orders per priority via row_number window. */
+  private def qTopnPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    table(s, dir, "orders")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        row_number().over(w).as("rn"))
+      .filter($"rn" <= 3)
+  }
+
+  /** C7: rollup report (the reference test.py health-report analog). */
+  private def qRollupReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+  }
+
+  // ---------------------------------------------------------------- B. cleaning / enrichment
+
+  /** B1+B8: safe_val null-normalization/trim/case + gender map, driven by
+    * deterministically dirtied inputs (same CASE on the oracle side).
+    */
+  private def qCleanValues(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer")
+    val dirtyName =
+      when($"c_custkey" % 7 === 0, lit(null).cast("string"))
+        .when($"c_custkey" % 7 === 1, lit(""))
+        .when($"c_custkey" % 7 === 2, lit("None"))
+        .when($"c_custkey" % 7 === 3, concat(lit("  "), $"c_name", lit("  ")))
+        .when($"c_custkey" % 7 === 4, lower($"c_name"))
+        .when($"c_custkey" % 7 === 5, lit("NaN"))
+        .otherwise($"c_name")
+    val dirtyGender =
+      when($"c_custkey" % 5 === 0, lit("m"))
+        .when($"c_custkey" % 5 === 1, lit("F"))
+        .when($"c_custkey" % 5 === 2, lit("male"))
+        .when($"c_custkey" % 5 === 3, lit("FEMALE"))
+        .otherwise(lit("x"))
+    c.select($"c_custkey",
+      Cleaning.cleanTextTitle(dirtyName).as("clean_name"),
+      Cleaning.cleanTextTitle($"c_mktsegment").as("clean_segment"),
+      Cleaning.normalizeGender(dirtyGender).as("gender"))
+  }
+
+  /** B2: multi-format date parsing incl. 2-digit-year pivot + d/m swap. */
+  private def qSafeDate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val raw =
+      when($"o_orderkey" % 5 === 0, date_format($"o_orderdate", "dd-MM-yyyy"))
+        .when($"o_orderkey" % 5 === 1, date_format($"o_orderdate", "yyyy-MM-dd"))
+        .when($"o_orderkey" % 5 === 2, date_format($"o_orderdate", "dd.MM.yy"))
+        .when($"o_orderkey" % 5 === 3, date_format($"o_orderdate", "MM-dd-yy"))
+        .otherwise(lit("not-a-date"))
+    // ISO string output: both engines render dates identically as text,
+    // so the driver's value hash can't trip over date-vs-timestamp reprs.
+    o.select($"o_orderkey", raw.as("raw_str"),
+      Cleaning.parseDateMulti(raw).cast("string").as("parsed"))
+  }
+
+  /** B3: currency/separator-stripping numeric parse. */
+  private def qSafeNum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val formatted = format_number($"o_totalprice", 2)
+    val raw =
+      when($"o_orderkey" % 5 === 0, concat(lit("₹"), formatted))
+        .when($"o_orderkey" % 5 === 1, concat(lit("$ "), formatted))
+        .when($"o_orderkey" % 5 === 2, formatted)
+        .when($"o_orderkey" % 5 === 3, lit("garbage"))
+        .otherwise(lit(null).cast("string"))
+    o.select($"o_orderkey", Cleaning.parseNumber(raw).as("amount"))
+  }
+
+  /** B4: age / tenure-days / segment bucketing at the pinned batch date. */
+  private def qAgeSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ref = lit(BatchDate).cast("date")
+    val o = table(s, dir, "orders")
+    val d = $"o_orderdate".cast("date")
+    val tenure = Cleaning.tenureDays(d, ref)
+    o.select($"o_orderkey",
+      Cleaning.ageAt(d, ref).as("age"),
+      tenure.as("tenure_days"),
+      Cleaning.customerSegment(tenure).as("segment"))
+  }
+
+  /** B5: keyword → region mapping over synthesized state names. */
+  private def qRegionMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = table(s, dir, "nation")
+    val state = element_at(
+      lit(Array("Delhi", "Punjab", "UP", "Maharashtra", "Gujarat",
+        "Karnataka", "Tamil Nadu", "West Bengal", "Bihar", "Goa")),
+      ($"n_nationkey" % 10 + 1).cast("int"))
+    n.select($"n_nationkey", state.as("state"),
+      Cleaning.regionOf(state).as("region"))
+  }
+
+  /** B6a: loan-risk bucketing + per-bucket aggregate. */
+  private def qRiskCategory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    o.select($"o_orderkey", ($"o_totalprice" * 3).as("amount"))
+      .withColumn("risk", Cleaning.riskCategory($"amount"))
+      .groupBy($"risk")
+      .agg(count(lit(1)).as("n"), round(sum($"amount"), 2).as("total"))
+  }
+
+  /** B6b: transaction-size bucketing on the events stream table. */
+  private def qTxnCategory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events")
+    e.select(($"value" * 100).as("amount"))
+      .withColumn("category", Cleaning.txnCategory($"amount"))
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n"), round(sum($"amount"), 2).as("total"))
+  }
+
+  /** B7: string → boolean flag parsing (fraud_flag semantics). */
+  private def qBoolParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events")
+    val raw = element_at(
+      lit(Array("true", "YES", "y", "1", "false", "no", "0", "")),
+      ($"event_id" % 8 + 1).cast("int"))
+    e.select($"event_id", raw.as("raw_flag"),
+      Cleaning.parseBool(raw).as("flag"))
+  }
+
+  /** B9: whole-month period difference (loan_duration_months). */
+  private def qDurationMonths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+    val o = table(s, dir, "orders")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber",
+        Cleaning.monthsBetweenWhole($"o_orderdate".cast("date"),
+          $"l_shipdate".cast("date")).as("duration_months"))
+  }
+
+  // ---------------------------------------------------------------- D. load semantics
+
+  /** D1: incremental append — only keys absent from `existing` survive.
+    * Existing set = orders with o_orderkey % 3 != 0 (deterministic).
+    */
+  private def qIncrementalAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val existing = o.filter($"o_orderkey" % 3 =!= 0)
+    Loads.incrementalNew(o, existing, Seq("o_orderkey"))
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice", 2).as("price"))
+  }
+
+  /** D2: SCD1 upsert — updates (version 1) overwrite base (version 0). */
+  private def qUpsertMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val base = o.select($"o_orderkey", $"o_totalprice".as("price"),
+      lit(0).as("version"))
+    // additive delta (not a multiplier): keeps prices at whole cents, so
+    // round() can't hit a half-cent boundary where Spark (HALF_UP) and
+    // DuckDB (HALF_EVEN) disagree
+    val updates = o.filter($"o_orderkey" % 4 === 0)
+      .select($"o_orderkey", ($"o_totalprice" + 100000).as("price"),
+        lit(1).as("version"))
+    Loads.upsert(base, updates, Seq("o_orderkey"), "version")
+      .select($"o_orderkey", round($"price", 2).as("price"), $"version")
+  }
+
+  /** D3: row-count reconciliation report. */
+  private def qCountVerify(s: SparkSession, dir: String): DataFrame =
+    Loads.countReport(Map(
+      "customer" -> table(s, dir, "customer"),
+      "orders" -> table(s, dir, "orders"),
+      "lineitem" -> table(s, dir, "lineitem"),
+      "events" -> table(s, dir, "events"),
+      "documents" -> table(s, dir, "documents")))
+
+  // ---------------------------------------------------------------- A. staging
+
+  /** A1: raw-string staging semantics — every column as text, trimmed,
+    * plus the numeric-digits sort key the reference derives
+    * (extract.py:272 _extract_numeric_id). Kept as a COLUMN, not a
+    * driver-side sort — a global order is meaningless at 100 TB.
+    */
+  private def qStageRaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "customer").select(
+      $"c_custkey".cast("string").as("customer_id"),
+      trim($"c_name").as("name"),
+      $"c_nationkey".cast("string").as("nation_id"),
+      trim($"c_mktsegment").as("segment"),
+      regexp_replace($"c_name", "[^0-9]", "").cast("long").as("numeric_sort_key"))
+  }
+
+  // ---------------------------------------------------------------- catalog
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_summary" -> (qAggSummary _),
+    "q_filter_scan" -> (qFilterScan _),
+    "q_join_enrich" -> (qJoinEnrich _),
+    "q_multi_join" -> (qMultiJoin _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_topn_per_group" -> (qTopnPerGroup _),
+    "q_rollup_report" -> (qRollupReport _),
+    "q_clean_values" -> (qCleanValues _),
+    "q_safe_date" -> (qSafeDate _),
+    "q_safe_num" -> (qSafeNum _),
+    "q_age_segment" -> (qAgeSegment _),
+    "q_region_map" -> (qRegionMap _),
+    "q_risk_category" -> (qRiskCategory _),
+    "q_txn_category" -> (qTxnCategory _),
+    "q_bool_parse" -> (qBoolParse _),
+    "q_duration_months" -> (qDurationMonths _),
+    "q_incremental_append" -> (qIncrementalAppend _),
+    "q_upsert_merge" -> (qUpsertMerge _),
+    "q_count_verify" -> (qCountVerify _),
+    "q_stage_raw" -> (qStageRaw _))
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }
