@@ -22,6 +22,66 @@ object OracleSql {
     s"""CASE WHEN $e IS NULL OR trim($e) IN ('','None','NaN','nan','NULL','null','N/A','n/a')
        |  OR lower(trim($e)) = 'nan' THEN 'NA' ELSE ${title(s"trim($e)")} END""".stripMargin
 
+  // ---- shared fragments for the text / dedup / similarity oracles ----
+
+  /** Normalized text (mirror of TextFunctions.normalizeText). */
+  private def normOf(c: String): String =
+    s"trim(regexp_replace(lower($c), '[^a-z0-9]+', ' ', 'g'))"
+
+  private def langScoreSql(w: String, words: Seq[String]): String =
+    s"len(list_filter($w, x -> x IN (${words.map(x => s"'$x'").mkString(",")})))"
+
+  private val enW = Seq("the", "and", "of", "to")
+  private val esW = Seq("el", "la", "de", "los")
+  private val deW = Seq("der", "die", "und", "das")
+  private val frW = Seq("le", "les", "des", "et")
+
+  /** Dup-seeded corpus (mirror of SparkEntry.dupCorpus). */
+  private val corpusCte: String =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000,
+       |    regexp_replace(${normOf("text")}, ' [a-z0-9]+$$', '')
+       |    FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 2000000, text
+       |    FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Distinct word-5-gram shingles per doc (mirror of Dedup.docShingles). */
+  private val shCte: String =
+    s"""sh AS (
+       |  SELECT DISTINCT id,
+       |    w[u.i]||' '||w[u.i+1]||' '||w[u.i+2]||' '||w[u.i+3]||' '||w[u.i+4] AS sh
+       |  FROM (SELECT doc_id AS id, string_split(${normOf("text")}, ' ') AS w
+       |        FROM corpus) t,
+       |       unnest(generate_series(1, len(w) - 4)) AS u(i))""".stripMargin
+
+  /** Left-fold dot/norm/cosine over double arrays (mirror of
+    * Similarity.dot/l2Norm/cosine — list_reduce is a left fold, and
+    * 0.0+x ≡ x, so the IEEE operation sequence is identical).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> x[1]*x[2]), (p,q) -> p+q)"
+
+  private def vnormSql(a: String): String =
+    s"sqrt(list_reduce(list_transform($a, x -> x*x), (p,q) -> p+q))"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (${vnormSql(a)} * ${vnormSql(b)}))"
+
+  /** SRP bucket (mirror of Similarity.srpBucket): literal ±1 weights from
+    * the same integer mix, same left-to-right accumulation.
+    */
+  private def srpSql(vec: String, planes: Int, dims: Int): String = {
+    val projs = (0 until planes).map { p =>
+      val terms = (0 until dims).map { d =>
+        val sign = if ((d * 31 + p * 17) % 7 < 3) "+" else "-"
+        s"$sign $vec[${d + 1}]"
+      }.mkString(" ")
+      s"CASE WHEN (0.0 $terms) > 0 THEN ${1L << p} ELSE 0 END"
+    }
+    projs.mkString("(", "\n + ", ")")
+  }
+
   val all: Map[String, String] = Map(
     "q_agg_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -259,5 +319,167 @@ object OracleSql {
         |  CAST(c_nationkey AS VARCHAR) AS nation_id,
         |  trim(c_mktsegment) AS segment,
         |  TRY_CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT) AS numeric_sort_key
-        |FROM customer""".stripMargin)
+        |FROM customer""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens
+        |FROM documents""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH w AS (SELECT doc_id, string_split(${normOf("text")}, ' ') AS w FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ${langScoreSql("w", enW)} AS s_en,
+         |  ${langScoreSql("w", esW)} AS s_es,
+         |  ${langScoreSql("w", deW)} AS s_de,
+         |  ${langScoreSql("w", frW)} AS s_fr
+         |FROM w)
+         |SELECT doc_id, s_en, s_es,
+         |  CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+         |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_pred
+         |FROM sc""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         |    length(text) AS n_chars,
+         |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         |    ${langScoreSql(s"string_split(${normOf("text")}, ' ')", enW)} AS s_en
+         |  FROM documents)
+         |SELECT doc_id, floor((
+         |  least(n_tok / 100.0, 1.0) * 0.4
+         |  + (CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END) * 0.3
+         |  + (CASE WHEN n_tok > 0 THEN s_en / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 0.3
+         |  ) * 10000.0 + 0.5) / 10000.0 AS quality
+         |FROM t""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(${normOf("text")}) AS fingerprint,
+         |  CAST(length(${normOf("text")}) AS BIGINT) AS norm_len
+         |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""WITH $corpusCte
+         |SELECT md5(${normOf("text")}) AS fingerprint,
+         |  min(doc_id) AS keeper, count(*) AS n_docs
+         |FROM corpus GROUP BY 1""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ic
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 4) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON sa.id = id_a
+         |  JOIN sizes sb ON sb.id = id_b)
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin,
+
+    "q_dedup_minhash" -> {
+      val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(",\n    ")
+      val bandRows = (0 until 3).map { b =>
+        val cat = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
+        s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sig AS (SELECT id,
+         |    $mins
+         |  FROM sh GROUP BY id),
+         |banded AS (
+         |  $bandRows)
+         |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "q_embed_dup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  UNION ALL SELECT vec_id + 1000000, embedding, label
+         |    FROM embeddings WHERE vec_id % 20 = 0),
+         |v AS (SELECT vec_id AS id, label AS blk,
+         |        CAST(embedding AS DOUBLE[]) AS v FROM e),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, ${cosSql("a.v", "b.v")} AS c
+         |  FROM v a JOIN v b ON a.blk = b.blk AND a.id < b.id)
+         |SELECT id_a, id_b, round(c, 3) AS cos FROM p WHERE c >= 0.99""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH c AS (SELECT vec_id AS nn_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id % 1000 = 0),
+         |scored AS (
+         |  SELECT q_id, nn_id, ${cosSql("qv", "cv")} AS c
+         |  FROM c, q WHERE q_id <> nn_id),
+         |r AS (SELECT q_id, nn_id, c,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, nn_id) AS "rank"
+         |  FROM scored)
+         |SELECT q_id, nn_id, "rank", round(c, 4) AS cos FROM r WHERE "rank" <= 5""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH c AS (SELECT vec_id AS nn_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |cb AS (SELECT nn_id, cv, ${srpSql("cv", 8, 64)} AS bucket FROM c),
+         |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id % 1000 = 0),
+         |qb AS (SELECT q_id, qv, ${srpSql("qv", 8, 64)} AS bucket FROM q),
+         |scored AS (
+         |  SELECT q_id, nn_id, ${cosSql("qv", "cv")} AS c
+         |  FROM cb JOIN qb USING (bucket) WHERE q_id <> nn_id),
+         |r AS (SELECT q_id, nn_id, c,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, nn_id) AS "rank"
+         |  FROM scored)
+         |SELECT q_id, nn_id, "rank", round(c, 4) AS cos FROM r WHERE "rank" <= 5""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |    THEN from_hex('89504E47') || encode(text)
+        |    ELSE encode(text) END AS payload
+        |  FROM documents),
+        |m AS (SELECT doc_id AS media_id,
+        |    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        |    lower(substr(hex(payload), 1, 8)) AS magic
+        |  FROM b)
+        |SELECT media_id, n_bytes, magic,
+        |  CASE WHEN magic LIKE '89504e47%' THEN 'png'
+        |       WHEN magic LIKE 'ffd8ff%' THEN 'jpeg'
+        |       WHEN magic LIKE '47494638%' THEN 'gif'
+        |       WHEN magic LIKE '52494646%' THEN 'riff'
+        |       WHEN magic LIKE '664c6143%' THEN 'flac'
+        |       WHEN magic LIKE '1a45dfa3%' THEN 'mkv'
+        |       ELSE 'unknown' END AS kind
+        |FROM m""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, us, value,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, us, value,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM y)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+        |  round(sum(value), 2) AS total_value
+        |FROM z GROUP BY 1, 2""".stripMargin,
+
+    "q_windowed_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Cleaning
-import graft.operators.Loads
+import graft.functions.{Cleaning, TextFunctions}
+import graft.operators.{Dedup, Loads, Multimodal, Sessions, Similarity}
 
 /** Driver contract — the query catalog for the correctness gate.
   *
@@ -96,7 +96,7 @@ object SparkEntry {
       .orderBy($"o_totalprice".desc, $"o_orderkey")
     table(s, dir, "orders")
       .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
-        row_number().over(w).as("rn"))
+        row_number().over(w).cast("long").as("rn"))
       .filter($"rn" <= 3)
   }
 
@@ -177,8 +177,8 @@ object SparkEntry {
     val d = $"o_orderdate".cast("date")
     val tenure = Cleaning.tenureDays(d, ref)
     o.select($"o_orderkey",
-      Cleaning.ageAt(d, ref).as("age"),
-      tenure.as("tenure_days"),
+      Cleaning.ageAt(d, ref).cast("long").as("age"),
+      tenure.cast("long").as("tenure_days"),
       Cleaning.customerSegment(tenure).as("segment"))
   }
 
@@ -233,7 +233,7 @@ object SparkEntry {
     li.join(o, $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey", $"l_linenumber",
         Cleaning.monthsBetweenWhole($"o_orderdate".cast("date"),
-          $"l_shipdate".cast("date")).as("duration_months"))
+          $"l_shipdate".cast("date")).cast("long").as("duration_months"))
   }
 
   // ---------------------------------------------------------------- D. load semantics
@@ -292,6 +292,136 @@ object SparkEntry {
       regexp_replace($"c_name", "[^0-9]", "").cast("long").as("numeric_sort_key"))
   }
 
+  // ---------------------------------------------------------------- E. text analysis
+
+  /** E10: whitespace + BPE-ish regex token counts. */
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select($"doc_id",
+      TextFunctions.wsTokenCount($"text").cast("long").as("ws_tokens"),
+      TextFunctions.regexTokenCount($"text").cast("long").as("regex_tokens"))
+  }
+
+  /** E8: heuristic language ID + per-language marker scores. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select($"doc_id",
+      TextFunctions.langScore($"text", "en").cast("long").as("s_en"),
+      TextFunctions.langScore($"text", "es").cast("long").as("s_es"),
+      TextFunctions.langId($"text").as("lang_pred"))
+  }
+
+  /** E9: document quality score. */
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select($"doc_id",
+      TextFunctions.qualityScore($"text").as("quality"))
+  }
+
+  /** E11: content fingerprint of normalized text. */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select($"doc_id",
+      TextFunctions.fingerprint($"text").as("fingerprint"),
+      length(TextFunctions.normalizeText($"text")).cast("long").as("norm_len"))
+  }
+
+  // ---------------------------------------------------------------- E. dedup
+
+  /** Documents + deterministic duplicates: near-dups (normalized text
+    * minus last word, doc_id+1e6 for doc_id%10=0) and exact dups
+    * (doc_id+2e6 for doc_id%7=0) — so dedup operators provably fire.
+    */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents").select($"doc_id", $"text")
+    val norm = TextFunctions.normalizeText($"text")
+    val near = d.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"),
+        regexp_replace(norm, " [a-z0-9]+$", "").as("text"))
+    val exact = d.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 2000000).as("doc_id"), $"text")
+    d.unionByName(near).unionByName(exact)
+  }
+
+  /** E1: exact dedup groups over the dup-seeded corpus. */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(dupCorpus(s, dir), "text", "doc_id")
+
+  /** E2: word-5-gram Jaccard near-dup pairs (threshold 0.6). */
+  private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(dupCorpus(s, dir), "text", "doc_id", 5, 0.6)
+
+  /** E3: MinHash LSH candidates (3 bands × 3 rows, 5-gram shingles). */
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshCandidates(dupCorpus(s, dir), "text", "doc_id", 5, 3, 3)
+
+  /** E4: SimHash near-dup pairs (xxhash64 tokens — no DuckDB
+    * equivalent, so this is a rows-only gate + SimhashSpec).
+    */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearPairs(dupCorpus(s, dir), "text", "doc_id", 3)
+
+  // ---------------------------------------------------------------- E. similarity
+
+  /** Embeddings + exact copies (vec_id%20=0 → +1e6) so near-dup pairs
+    * exist at cosine 1.0.
+    */
+  private def dupEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "embeddings")
+    e.unionByName(e.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 1000000).as("vec_id"), $"embedding", $"label"))
+  }
+
+  /** E5: embedding near-dup pairs (cosine ≥ 0.99), label-blocked. */
+  private def qEmbedDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(dupEmbeddings(s, dir), "vec_id",
+      "embedding", "label", 0.99)
+
+  /** E6: brute-force cosine top-5 for query vectors (vec_id%1000=0). */
+  private def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter($"vec_id" % 1000 === 0),
+      "vec_id", "embedding", 5)
+  }
+
+  /** E7: SRP-LSH bucketed ANN top-5 (8 planes over 64 dims). */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter($"vec_id" % 1000 === 0),
+      "vec_id", "embedding", 5, 8, 64)
+  }
+
+  // ---------------------------------------------------------------- E12. multimodal
+
+  /** E12: binary media columns — payload synthesized from text bytes
+    * (every 4th doc gets a PNG magic header), metadata via pure exprs.
+    * The batched decode path is exercised in MultimodalSpec.
+    */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val bin = when($"doc_id" % 4 === 0,
+      concat(unhex(lit("89504E47")), $"text".cast("binary")))
+      .otherwise($"text".cast("binary"))
+    Multimodal.metadata(d.select($"doc_id", bin.as("payload")),
+      "doc_id", "payload")
+  }
+
+  // ---------------------------------------------------------------- F. events
+
+  /** F1: gap-based sessionization (30-min gap) with per-session rollup. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Sessions.sessionSummary(table(s, dir, "events"), "user_id", "ts",
+      "value", 1800L)
+
+  /** F2: tumbling hourly aggregate per event type. */
+  private def qWindowedAgg(s: SparkSession, dir: String): DataFrame =
+    Sessions.hourlyAgg(table(s, dir, "events"), "ts", "event_type", "value")
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -314,7 +444,27 @@ object SparkEntry {
     "q_incremental_append" -> (qIncrementalAppend _),
     "q_upsert_merge" -> (qUpsertMerge _),
     "q_count_verify" -> (qCountVerify _),
-    "q_stage_raw" -> (qStageRaw _))
+    "q_stage_raw" -> (qStageRaw _),
+    "q_token_count" -> (qTokenCount _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_embed_dup" -> (qEmbedDup _),
+    "q_ann_topk" -> (qAnnTopk _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_sessionize" -> (qSessionize _),
+    "q_windowed_agg" -> (qWindowedAgg _))
+
+  /** Queries whose semantics aren't DuckDB-expressible (engine-native
+    * hashes); the driver records the weaker rows-only check, and a
+    * ScalaTest spec covers the semantics instead.
+    */
+  val rowsOnly: Set[String] = Set("q_dedup_simhash")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column expressions for the LLM-data-pipeline surface
+  * (SURVEY.md §2.E8-E11): language ID, quality scoring, token counting,
+  * shingling, fingerprinting.
+  *
+  * All pure `Column` expressions (higher-order array functions, regexes)
+  * — codegen-eligible, shuffle-free, and exactly mirrorable in the
+  * DuckDB oracle. At 100 TB these run as map-side work inside the scan
+  * stage: no operator here introduces a shuffle.
+  */
+object TextFunctions {
+
+  /** Canonical normalization used by every dedup/fingerprint operator:
+    * lowercase, collapse every non-alphanumeric run to one space, trim.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Normalized word array. */
+  def words(c: Column): Column = split(normalizeText(c), " ")
+
+  /** Whitespace token count (reference-style quick count). */
+  def wsTokenCount(c: Column): Column = size(split(trim(c), "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token — a deterministic proxy
+    * for subword tokenizers, cheap enough for a 100 TB pass.
+    */
+  def regexTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles over the normalized text (distinct not applied
+    * here; dedup operators decide). Empty array when fewer than n words.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val w = words(c)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "les", "des", "et"))
+
+  /** Count of marker stopwords for one language in the word array. */
+  def langScore(c: Column, lang: String): Column = {
+    val set = markers.toMap.apply(lang)
+    size(filter(words(c), w => set.map(w === _).reduce(_ || _)))
+  }
+
+  /** Heuristic language ID over marker-stopword counts with a fixed
+    * priority order (en > es > de > fr) on ties — deterministic, fully
+    * SQL-mirrorable. A production deployment would swap in a trained
+    * n-gram model behind the same column contract.
+    */
+  def langId(c: Column): Column = {
+    val en = langScore(c, "en"); val es = langScore(c, "es")
+    val de = langScore(c, "de"); val fr = langScore(c, "fr")
+    when(en >= greatest(es, de, fr), "en")
+      .when(es >= greatest(de, fr), "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Document quality score in [0,1]: token volume (saturating at 100),
+    * alphabetic density, and stopword density, weighted 0.4/0.3/0.3.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = wsTokenCount(c).cast("double")
+    val nChars = length(c).cast("double")
+    val alphaRatio = when(nChars > 0,
+      length(regexp_replace(c, "[^A-Za-z]", "")) / nChars).otherwise(0.0)
+    val stopRatio = when(nTok > 0,
+      langScore(c, "en").cast("double") / nTok).otherwise(0.0)
+    val score = least(nTok / 100.0, lit(1.0)) * 0.4 + alphaRatio * 0.3 +
+      stopRatio * 0.3
+    // explicit half-up rounding — engine-independent (Spark round is
+    // HALF_UP, DuckDB's HALF_EVEN; floor is identical everywhere)
+    floor(score * 10000.0 + 0.5) / 10000.0
+  }
+
+  /** Content fingerprint of the normalized text (md5 — stable across
+    * engines; see also plans.RollingHash for the codegen'd rolling hash).
+    */
+  def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Document-deduplication operators (SURVEY.md §2.E1-E4).
+  *
+  * Scale design: every variant generates candidate pairs through an
+  * EQUI-JOIN on some derived key (fingerprint, shingle, LSH band) —
+  * never an O(n²) cross join — so candidate generation is a plain
+  * hash-partitioned shuffle that scales out linearly with executors.
+  * Only within-candidate pairs get exact similarity evaluation.
+  */
+object Dedup {
+
+  /** E1: exact dedup — group by content fingerprint of the normalized
+    * text; keeper = min id. One shuffle on the 128-bit fingerprint.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
+
+  /** Distinct (id, shingle) pairs — the exploded form every
+    * similarity-based dedup builds on. Cardinality ≈ docs × words, and
+    * it stays partitioned by shingle for the subsequent self-join.
+    */
+  def docShingles(df: DataFrame, textCol: String, idCol: String,
+                  n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .distinct()
+
+  /** E2: n-gram Jaccard near-dup pairs with similarity ≥ `threshold`.
+    * Self-join on the shingle produces intersection counts; set sizes
+    * come from a broadcast-joined per-doc aggregate. All shuffles are
+    * keyed (shingle, then pair) — no cross join at any scale.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = docShingles(df, textCol, idCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature column for one seed: lexicographic min of
+    * md5(seed | shingle) over the doc's shingles. Hex-string min is
+    * engine-portable (no 64-bit hash parity issues with the oracle).
+    */
+  private def minhashAgg(seed: Int): Column =
+    min(md5(concat(lit(s"$seed|"), col("sh")).cast("binary"))).as(s"mh$seed")
+
+  /** E3: MinHash signatures (k = bands × rowsPerBand mins per doc),
+    * computed in ONE aggregation pass over the exploded shingles.
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    docShingles(df, textCol, idCol, n)
+      .groupBy(col("id"))
+      .agg(minhashAgg(0), (1 until k).map(minhashAgg): _*)
+  }
+
+  /** E3: LSH candidate pairs — docs agreeing on at least one band
+    * (all rowsPerBand minhashes in that band equal). The per-band
+    * bucket key is an equi-join key; output is (id_a, id_b, n_bands).
+    */
+  def minhashLshCandidates(df: DataFrame, textCol: String, idCol: String,
+                           n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignatures(df, textCol, idCol, n, bands, rowsPerBand)
+    val banded = sig.select(col("id"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+          .cast("binary")).as("bh"))
+    }: _*)).as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** E4: 64-bit SimHash over normalized words: bit b of the signature is
+    * set when the weighted sum of bit b across token hashes is positive.
+    * Token hash = xxhash64 (Spark-native, codegen'd). Pure expression —
+    * no shuffle; pair generation goes through [[simhashNearPairs]].
+    */
+  def simhash(c: Column): Column = {
+    val tokens = TextFunctions.words(c)
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val mask = lit(1L << b)
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
+      when(votes > 0, mask).otherwise(lit(0L))
+    }
+    bits.reduce((a, x) => a.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** E4: near-dup pairs with hamming ≤ maxDist, candidate-generated by
+    * banding the signature into four 16-bit chunks (pigeonhole: any pair
+    * within distance ≤ 3 shares at least one exact chunk — an equi-join,
+    * not a cross join).
+    */
+  def simhashNearPairs(df: DataFrame, textCol: String, idCol: String,
+                       maxDist: Int): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array((0 until 4).map { i =>
+          struct(lit(i).as("chunk"),
+            col("sig").bitwiseAND(lit(0xFFFFL << (i * 16))).as("ck"))
+        }: _*)).as("bd"))
+      .select(col("id"), col("sig"), col("bd.chunk").as("chunk"),
+        col("bd.ck").as("ck"))
+    banded.as("a").join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling (SURVEY.md §2.E12).
+  *
+  * Media are opaque `binary` columns + typed metadata. Metadata
+  * extraction (size, magic bytes, container kind) is pure expressions.
+  * Decode / feature extraction runs via `mapPartitions` in BATCHES —
+  * the Scala analog of `mapInPandas`: per-partition, we pull fixed-size
+  * batches so a real decoder (JNI/FFI) would amortize setup per batch,
+  * never per row, and memory stays bounded by batchSize × mediaSize.
+  *
+  * The byte-level decoder itself is STUBBED (no media libs in this
+  * environment): [[FakeDecoder]] is a clearly-marked deterministic
+  * stand-in keyed on content bytes, so the plumbing (schema, encoder,
+  * batch shape, partitioning) is real and testable.
+  */
+object Multimodal {
+
+  /** Raw media record: id + opaque payload. */
+  case class MediaRow(media_id: Long, payload: Array[Byte])
+
+  /** Decoded features: fixed-shape output schema a downstream training
+    * pipeline would consume.
+    */
+  case class MediaFeatures(media_id: Long, kind: String, width: Int,
+                           height: Int, n_bytes: Int,
+                           features: Array[Float])
+
+  /** Magic-byte sniffing table (public file signatures). */
+  private val magicTable: Seq[(String, String)] = Seq(
+    "89504e47" -> "png", "ffd8ff" -> "jpeg", "47494638" -> "gif",
+    "52494646" -> "riff", "664c6143" -> "flac", "1a45dfa3" -> "mkv")
+
+  /** Pure-expression metadata over a binary column: byte length, leading
+    * magic bytes (lower hex), container kind. Runs inside the scan
+    * stage — no shuffle, no UDF.
+    */
+  def metadata(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val magic = lower(substring(hex(col(binCol)), 1, 8))
+    val kind = magicTable.foldRight(lit("unknown")) { case ((sig, k), acc) =>
+      when(magic.startsWith(sig), k).otherwise(acc)
+    }
+    df.select(col(idCol).as("media_id"),
+      length(col(binCol)).cast("long").as("n_bytes"),
+      magic.as("magic"), kind.as("kind"))
+  }
+
+  /** STUB decoder — deterministic fake. A production build replaces this
+    * object behind the same (bytes → features) signature with an FFI
+    * decoder; nothing else changes.
+    */
+  object FakeDecoder {
+    def decode(payload: Array[Byte], dims: Int): (Int, Int, Array[Float]) = {
+      var h = 1125899906842597L // deterministic FNV-ish fold over bytes
+      payload.foreach(b => h = h * 31 + (b & 0xff))
+      val width = 16 + math.abs(h % 1024).toInt
+      val height = 16 + math.abs((h >> 10) % 1024).toInt
+      val feats = Array.tabulate(dims) { i =>
+        val x = h * (i * 2 + 1)
+        ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      }
+      (width, height, feats)
+    }
+  }
+
+  /** Batched decode: pulls `batchSize` rows at a time per partition
+    * (mapInPandas-equivalent batch shape) and emits fixed-dim features.
+    */
+  def decodeFeatures(spark: SparkSession, media: Dataset[MediaRow],
+                     dims: Int = 8,
+                     batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch decoder setup would happen here (amortized cost)
+        batch.iterator.map { row =>
+          val (w, h, f) = FakeDecoder.decode(row.payload, dims)
+          val magic = row.payload.take(4).map(b => f"${b & 0xff}%02x").mkString
+          val kind = magicTable.collectFirst {
+            case (sig, k) if magic.startsWith(sig) => k
+          }.getOrElse("unknown")
+          MediaFeatures(row.media_id, kind, w, h, row.payload.length, f)
+        }
+      }
+    }
+  }
+}

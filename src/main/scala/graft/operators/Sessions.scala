@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event sessionization + windowed aggregation (SURVEY.md §2.F1-F2) —
+  * the batch form; streaming equivalents live in graft.streaming.
+  */
+object Sessions {
+
+  /** F1: gap-based sessionization. Two windows over one shuffle on the
+    * user key: a lag to flag gaps > `gapSeconds`, then a running count
+    * of flags as the per-user session index. Timestamps are exposed as
+    * epoch micros (engine-portable integers).
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val us = unix_micros(col(tsCol))
+    val prevUs = lag(us, 1).over(byUser)
+    val newSession = when(prevUs.isNull ||
+      us - prevUs > gapSeconds * 1000000L, 1L).otherwise(0L)
+    events
+      .withColumn("__new", newSession)
+      .withColumn("session_idx",
+        sum(col("__new")).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("__new")
+  }
+
+  /** F1 rollup: one row per session with span + volume. */
+  def sessionSummary(events: DataFrame, userCol: String, tsCol: String,
+                     valueCol: String, gapSeconds: Long): DataFrame =
+    sessionize(events, userCol, tsCol, gapSeconds)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"),
+        round(sum(col(valueCol)), 2).as("total_value"))
+
+  /** F2: tumbling-window aggregate (batch form of the streaming windowed
+    * agg); hour bucket exposed as epoch micros.
+    */
+  def hourlyAgg(events: DataFrame, tsCol: String, typeCol: String,
+                valueCol: String): DataFrame =
+    events.groupBy(
+        unix_micros(date_trunc("hour", col(tsCol))).as("hour_us"),
+        col(typeCol))
+      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("total"))
+}

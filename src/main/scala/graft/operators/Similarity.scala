@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2.E5-E7).
+  *
+  * Scale design: the corpus side is NEVER shuffled or collected — it is
+  * scanned once per search. The (small) query side is broadcast. The
+  * LSH variant replaces the full scan with an equi-join on bucket
+  * signatures, turning top-k search into a partitioned hash join that
+  * scales to billions of vectors.
+  */
+object Similarity {
+
+  /** Cast a float embedding to double once; all arithmetic then runs in
+    * double on both the Spark and oracle side (bit-identical folds).
+    */
+  def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Left-fold dot product via zip_with + aggregate — codegen-eligible
+    * higher-order expressions, no UDF.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(c: Column): Column =
+    sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** E6: brute-force cosine top-k. `queries` is broadcast (it must be
+    * the small side); corpus norms are computed inline in the single
+    * scan. Ranking is deterministic: cosine desc, then neighbor id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"),
+      toDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("q_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("nn_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nn_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Sign-random-projection bucket signature: one bit per hyperplane.
+    * Hyperplane p's weight at dimension d is ±1 from a deterministic
+    * integer mix ((d*31 + p*17) mod 7 < 3) — reproducible everywhere,
+    * no RNG state to ship to executors.
+    */
+  def srpBucket(vec: Column, planes: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = (0 until dims).map { d =>
+        val w = if ((d * 31 + p * 17) % 7 < 3) 1.0 else -1.0
+        element_at(vec, d + 1) * w
+      }.reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, x) => a.bitwiseOR(x))
+  }
+
+  /** E7: LSH-bucketed ANN — candidates share the SRP bucket (equi-join),
+    * then exact cosine rerank + top-k within candidates. Recall is
+    * traded for never scanning the corpus per query; multi-probe can be
+    * layered by unioning query buckets.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int, dims: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"),
+      toDouble(col(vecCol)).as("cv"))
+      .withColumn("bucket", srpBucket(col("cv"), planes, dims))
+    val q = queries.select(col(idCol).as("q_id"),
+      toDouble(col(vecCol)).as("qv"))
+      .withColumn("bucket", srpBucket(col("qv"), planes, dims))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nn_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** E5: embedding near-duplicate pairs above a cosine threshold,
+    * blocked by an equi-join key (here: a label / cluster id) so the
+    * pair space is per-block, not global.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         blockCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      toDouble(col(vecCol)).as("v"))
+    v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos"), 3).as("cos"))
+  }
+}

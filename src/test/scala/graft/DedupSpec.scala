@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"),         // near dup of 1
+    (4L, "completely different content about spark query engines here"),
+    (5L, "The QUICK  brown fox... jumps over the lazy dog tonight!") // normalizes to 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized-identical docs") {
+    val g = Dedup.exact(docs, "text", "doc_id").collect()
+    val big = g.filter(_.getAs[Long]("n_docs") == 3L)
+    assert(big.length == 1 && big.head.getAs[Long]("keeper") == 1L)
+    assert(g.map(_.getAs[Long]("n_docs")).sum == 5L)
+  }
+
+  test("ngram jaccard finds near-dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH surfaces exact dups in all bands") {
+    val cand = Dedup.minhashLshCandidates(docs, "text", "doc_id", 3, 3, 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("n_bands")).toMap
+    assert(cand((1L, 2L)) == 3L) // identical shingle sets agree everywhere
+    assert(cand.contains((1L, 3L)))
+    assert(!cand.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical texts distance 0, near texts close, far texts far") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1, 2) == 0 && ham(1, 5) == 0)
+    assert(ham(1, 3) < ham(1, 4))
+    val pairs = Dedup.simhashNearPairs(docs, "text", "doc_id", 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("brute-force topK ranks an identical vector first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs,
+      vecs.filter($"vec_id" === 1), "vec_id", "embedding", 2).collect()
+    assert(top.map(_.getAs[Long]("nn_id")).toSeq == Seq(2L, 3L))
+    assert(top.head.getAs[Double]("cos") == 1.0)
+  }
+
+  test("multimodal: batched stub decode preserves ids, emits fixed dims") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2)),
+      Multimodal.MediaRow(2L, "plain text".getBytes("UTF-8"))).toDS()
+    val out = Multimodal.decodeFeatures(spark, media, dims = 8, batchSize = 1)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L, 2L))
+    assert(out.head.kind == "png" && out(1).kind == "unknown")
+    assert(out.forall(_.features.length == 8))
+    // deterministic: same payload → same features
+    val again = Multimodal.decodeFeatures(spark, media, 8, 64)
+      .collect().sortBy(_.media_id)
+    assert(again.head.features.toSeq == out.head.features.toSeq)
+  }
+}
