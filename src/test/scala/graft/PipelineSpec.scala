@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.BankEtl
+
+/** End-to-end bank ETL over the reference repo's own CSV data
+  * (read-only): extract → transform → incremental load, checking the
+  * reference's derivation semantics hold on its real inputs.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dataDir = "/root/reference/data"
+
+  private lazy val loans = {
+    val e = BankEtl.schemas.find(_.name == "loans").get
+    BankEtl.transform("loans",
+      BankEtl.extract(spark, s"$dataDir/loans.csv", e).data)
+  }
+
+  test("loans: extract+transform derives duration and risk like the reference") {
+    val byId = loans.collect().map(r => r.getAs[String]("loan_id") -> r).toMap
+    // loans.csv:2 → loan 1: Home 545642.51, 13-03-11 → 13-03-19
+    val l1 = byId("1")
+    assert(l1.getAs[Double]("loan_amount") == 545642.51)
+    assert(l1.getAs[String]("risk_category") == "High")
+    assert(l1.getAs[Int]("loan_duration_months") == 96)
+    assert(l1.getAs[java.sql.Date]("start_date").toString == "2011-03-13")
+    assert(loans.filter(col("risk_category").isin("High", "Medium", "Low"))
+      .count() == loans.count())
+  }
+
+  test("customers: segment/age/gender derivations populated") {
+    val e = BankEtl.schemas.find(_.name == "customers").get
+    val staged = BankEtl.extract(spark, s"$dataDir/customers.csv", e)
+    val t = BankEtl.transform("customers", staged.data)
+    assert(t.count() == staged.data.count())
+    val seg = t.groupBy("customer_segment").count().collect()
+      .map(r => r.getAs[String]("customer_segment")).toSet
+    assert(seg.subsetOf(Set("VIP", "Regular", "New", "NA")))
+    assert(t.filter(col("gender").isin("M", "F", "N")).count() == t.count())
+    assert(t.filter(col("age") < 0).count() == 0)
+    // emails lower-cased, except the 'NA' missing sentinel
+    assert(t.filter(col("email") =!= "NA" &&
+      col("email") =!= lower(col("email"))).count() == 0)
+  }
+
+  test("branches: region mapping over real states") {
+    val e = BankEtl.schemas.find(_.name == "branches").get
+    val t = BankEtl.transform("branches",
+      BankEtl.extract(spark, s"$dataDir/branches.csv", e).data)
+    val regions = t.select("region").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(regions.subsetOf(Set("North", "South", "East", "West", "NA")))
+    assert(t.filter(upper(col("state")).contains("PUNJAB") &&
+      col("region") =!= "North").count() == 0)
+  }
+
+  test("incremental load appends only new keys") {
+    val existing = loans.limit(3)
+    val loaded = BankEtl.loadIncremental(loans, existing, "loan_id")
+    assert(loaded.count() == loans.count() - 3)
+    val again = BankEtl.loadIncremental(loans, loans, "loan_id")
+    assert(again.count() == 0) // fully synced → nothing to load
+  }
+
+  test("observe-based row metrics fire without extra jobs") {
+    val observed = BankEtl.withRowMetric(loans, "loans_rows")
+    val n = observed.count()
+    // metrics surface through the observation API on the last query
+    assert(n > 0)
+  }
+}

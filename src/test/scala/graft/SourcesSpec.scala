@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CsvStaging, FileTracker}
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmpDir() = Files.createTempDirectory("graft_test").toString
+
+  test("CsvStaging: raw strings, schema check, pk filter, keep-last dedup") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Path.of(dir, "loans.csv"),
+      """loan_id,customer_id,loan_amount
+        |L1,c1,100
+        |L2,c2,200
+        |L1,c1,999
+        |,c3,300
+        |L3,,400
+        |""".stripMargin)
+    val res = CsvStaging.read(spark, s"$dir/loans.csv",
+      Seq("loan_id", "customer_id", "loan_amount"), "loan_id")
+    assert(res.totalRows == 5 && res.invalidKeyRows == 1 && res.dedupedRows == 1)
+    val rows = res.data.collect().map(r =>
+      r.getAs[String]("loan_id") -> r.getAs[String]("loan_amount")).toMap
+    assert(rows == Map("L1" -> "999", "L2" -> "200", "L3" -> "400")) // keep-last
+    assert(res.data.schema.filter(_.name != "numeric_sort_key")
+      .forall(_.dataType.typeName == "string")) // raw strings
+    val keys = res.data.collect().map(r =>
+      r.getAs[String]("loan_id") -> r.getAs[Long]("numeric_sort_key")).toMap
+    assert(keys("L1") == 1L && keys("L3") == 3L)
+    // schema mismatch is an error, not silent coercion
+    intercept[IllegalArgumentException] {
+      CsvStaging.read(spark, s"$dir/loans.csv", Seq("a", "b", "c"), "a")
+    }
+  }
+
+  test("FileTracker: unprocessed files surface, changed files re-surface") {
+    val dir = tmpDir(); val state = tmpDir() + "/state"
+    Files.writeString(java.nio.file.Path.of(dir, "a.csv"), "id\n1\n")
+    Files.writeString(java.nio.file.Path.of(dir, "b.csv"), "id\n2\n")
+    val tracker = new FileTracker(spark, state)
+    val first = tracker.newFiles(s"$dir/*.csv")
+    assert(first.count() == 2)
+    tracker.markProcessed(first, Map("a.csv" -> 1L, "b.csv" -> 1L))
+    assert(tracker.newFiles(s"$dir/*.csv").count() == 0) // all tracked
+    Files.writeString(java.nio.file.Path.of(dir, "a.csv"), "id\n1\n99\n")
+    val changed = tracker.newFiles(s"$dir/*.csv").collect()
+    assert(changed.map(_.getAs[String]("file_name")).toSeq == Seq("a.csv"))
+    tracker.markProcessed(tracker.newFiles(s"$dir/*.csv"), Map("a.csv" -> 2L))
+    assert(tracker.newFiles(s"$dir/*.csv").count() == 0)
+    assert(tracker.state().count() == 2) // upsert by name, not append
+  }
+}

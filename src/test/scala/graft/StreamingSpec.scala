@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingEtl
+import graft.streaming.StreamingEtl.{Event, SessionOut}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("streaming windowed agg finalizes windows behind the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingEtl.windowedAgg(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(2), 10, "click", 2.0),
+        Event(3, ts(11), 10, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      input.addData(Event(4, ts(40), 10, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      val first = rows.find(_.getAs[Timestamp]("window_start") ==
+        Timestamp.valueOf("2024-01-01 10:00:00")).get
+      assert(first.getAs[Long]("n") == 2 && first.getAs[Double]("total") == 3.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize emits a session when the gap is exceeded") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingEtl.sessionize(spark, input.toDS(), gapSeconds = 300)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(2), 7, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(30), 7, "click", 4.0)) // 28-min gap → closes session
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").as[SessionOut].collect()
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s.user_id == 7 && s.n_events == 2 && s.total_value == 3.0)
+      assert(s.session_end_us - s.session_start_us == 120L * 1000000L)
+    } finally q.stop()
+  }
+}
