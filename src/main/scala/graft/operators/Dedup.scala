@@ -96,10 +96,15 @@ object Dedup {
 
   /** E4: 64-bit SimHash over normalized words: bit b of the signature is
     * set when the weighted sum of bit b across token hashes is positive.
-    * Token hash = xxhash64 (Spark-native, codegen'd). Pure expression —
-    * no shuffle; pair generation goes through [[simhashNearPairs]].
+    * Hot path: [[simhash]] — the one-pass native Catalyst expression
+    * (plans.SimHash64). [[simhashComposed]] is the same signature built
+    * from 64 composed higher-order aggregates, kept as the executable
+    * specification (NativeExprSpec asserts bit-equality).
     */
-  def simhash(c: Column): Column = {
+  def simhash(c: Column): Column =
+    graft.plans.NativeFunctions.simhash64(TextFunctions.words(c))
+
+  def simhashComposed(c: Column): Column = {
     val tokens = TextFunctions.words(c)
     val hashes = transform(tokens, t => xxhash64(t))
     val bits = (0 until 64).map { b =>

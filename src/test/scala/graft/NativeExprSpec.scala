@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.plans.NativeFunctions
+
+class NativeExprSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"),
+    (3L, "the quick brown fox jumps over the lazy cat"),
+    (4L, ""),
+    (5L, "sphinx of black quartz judge my vow")).toDF("id", "text")
+
+  test("native simhash64 ≡ composed-expression simhash, bit for bit") {
+    val both = docs.select($"id",
+      Dedup.simhash($"text").as("fast"),
+      Dedup.simhashComposed($"text").as("slow")).collect()
+    both.foreach { r =>
+      assert(r.getAs[Long]("fast") == r.getAs[Long]("slow"),
+        s"mismatch for id=${r.getAs[Long]("id")}")
+    }
+  }
+
+  test("simhash64 survives whole-stage codegen and interpreted eval") {
+    val fast = docs.select(Dedup.simhash($"text")).collect().map(_.getLong(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = docs.select(Dedup.simhash($"text")).collect().map(_.getLong(0))
+      assert(fast.toSeq == interp.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("rolling_hash: deterministic, content-sensitive, null-safe") {
+    val h = docs.select($"id", NativeFunctions.rollingHash($"text").as("h"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("h")).toMap
+    assert(h(1) != h(3)) // one word differs
+    assert(h.values.toSet.size == 5)
+    val withNull = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(NativeFunctions.rollingHash($"text").as("h")).collect()
+    assert(withNull.head.isNullAt(0))
+  }
+
+  test("SQL registration exposes both functions") {
+    NativeFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT simhash64(array('a','b')) AS s, rolling_hash('abc') AS rh")
+      .collect().head
+    assert(r.getLong(0) != 0L && r.getLong(1) != 0L)
+  }
+}
