@@ -481,5 +481,87 @@ object OracleSql {
     "q_windowed_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT key, 'with_orders' AS tag FROM
+        |  (SELECT c_custkey AS key FROM customer
+        |   INTERSECT SELECT o_custkey FROM orders) t
+        |UNION ALL
+        |SELECT key, 'no_orders' AS tag FROM
+        |  (SELECT c_custkey AS key FROM customer
+        |   EXCEPT SELECT o_custkey FROM orders) t""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+        |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_collect_agg" ->
+      """WITH d AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders),
+        |s AS (SELECT o_orderpriority,
+        |    string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |  FROM d GROUP BY o_orderpriority)
+        |SELECT s.o_orderpriority, s.statuses, c.n
+        |FROM s JOIN (SELECT o_orderpriority, count(*) AS n FROM orders
+        |             GROUP BY o_orderpriority) c USING (o_orderpriority)""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT event_id, user_id,
+        |  round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
+        |  round(lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS next_value,
+        |  rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank
+        |FROM events""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  reverse(c_name) AS reversed,
+        |  substr(c_name, 10, 5) AS sub,
+        |  regexp_replace(c_mktsegment, 'A', '@', 'g') AS replaced,
+        |  levenshtein(c_mktsegment, reverse(c_mktsegment)) AS edit_dist
+        |FROM customer""".stripMargin,
+
+    "q_date_funcs" ->
+      // NB: on TIMESTAMP_NS-derived dates duckdb's `+ INTERVAL 1 MONTH`
+      // silently degrades to +30 days — month arithmetic is therefore
+      // spelled out via make_date with end-of-month clamping (the exact
+      // semantics of Spark's add_months)
+      """WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |f AS (SELECT *, make_date(
+        |    year(d) + CASE WHEN month(d) = 12 THEN 1 ELSE 0 END,
+        |    CASE WHEN month(d) = 12 THEN 1 ELSE month(d) + 1 END, 1) AS m1
+        |  FROM t)
+        |SELECT o_orderkey,
+        |  CAST(CAST(d + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus_30d,
+        |  CAST(make_date(year(m1), month(m1),
+        |    least(day(d), day(last_day(m1)))) AS VARCHAR) AS plus_1m,
+        |  CAST(CAST(date_trunc('month', d) AS DATE) AS VARCHAR) AS month_start,
+        |  CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        |  CAST(quarter(d) AS BIGINT) AS qtr
+        |FROM f""".stripMargin)
 }

@@ -292,6 +292,108 @@ object SparkEntry {
       regexp_replace($"c_name", "[^0-9]", "").cast("long").as("numeric_sort_key"))
   }
 
+  // ---------------------------------------------------------------- C. relational core (cont.)
+
+  /** C8: distinct-count aggregates (expand + two-phase agg in Spark). */
+  private def qDistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** C9: exact interpolated percentiles per group. */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(round(percentile($"o_totalprice", lit(0.5)), 2).as("p50"),
+        round(percentile($"o_totalprice", lit(0.95)), 2).as("p95"))
+  }
+
+  /** C10: set operations — key sets with/without matching orders. */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer").select($"c_custkey".as("key"))
+    val o = table(s, dir, "orders").select($"o_custkey".as("key"))
+    c.intersect(o).withColumn("tag", lit("with_orders"))
+      .unionByName(c.except(o).withColumn("tag", lit("no_orders")))
+  }
+
+  /** C11: semi join (EXISTS). */
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_mktsegment")
+  }
+
+  /** C12: pivot (count matrix status × priority). */
+  private def qPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .pivot($"o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
+  /** C13: ordered collect → delimited string (deterministic repr). */
+  private def qCollectAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(array_join(sort_array(collect_set($"o_orderstatus")), ",")
+        .as("statuses"), count(lit(1)).as("n"))
+  }
+
+  /** C14: window function suite — lag/lead/rank over a per-user order. */
+  private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byTs = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val byVal = Window.partitionBy($"user_id")
+      .orderBy($"value".desc, $"event_id")
+    table(s, dir, "events").select($"event_id", $"user_id",
+      round(lag($"value", 1).over(byTs), 2).as("prev_value"),
+      round(lead($"value", 1).over(byTs), 2).as("next_value"),
+      rank().over(byVal).cast("long").as("value_rank"))
+  }
+
+  /** B10: JSON property extraction from the events props column. */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "events").select($"event_id",
+      get_json_object($"props", "$.k").cast("long").as("k"))
+  }
+
+  /** B11: string function suite (pad/reverse/substr/replace/edit-dist). */
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "customer").select($"c_custkey",
+      lpad($"c_custkey".cast("string"), 8, "0").as("padded"),
+      reverse($"c_name").as("reversed"),
+      substring($"c_name", 10, 5).as("sub"),
+      regexp_replace($"c_mktsegment", "A", "@").as("replaced"),
+      levenshtein($"c_mktsegment", reverse($"c_mktsegment")).cast("long")
+        .as("edit_dist"))
+  }
+
+  /** B12: date function suite (offsets, month arithmetic, trunc, parts). */
+  private def qDateFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = $"o_orderdate".cast("date")
+    table(s, dir, "orders").select($"o_orderkey",
+      date_add(d, 30).cast("string").as("plus_30d"),
+      add_months(d, 1).cast("string").as("plus_1m"),
+      trunc(d, "month").cast("string").as("month_start"),
+      dayofweek(d).cast("long").as("dow"),
+      quarter(d).cast("long").as("qtr"))
+  }
+
   // ---------------------------------------------------------------- E. text analysis
 
   /** E10: whitespace + BPE-ish regex token counts. */
@@ -458,7 +560,17 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_sessionize" -> (qSessionize _),
-    "q_windowed_agg" -> (qWindowedAgg _))
+    "q_windowed_agg" -> (qWindowedAgg _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_set_ops" -> (qSetOps _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_pivot" -> (qPivot _),
+    "q_collect_agg" -> (qCollectAgg _),
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -39,7 +39,12 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double): DataFrame = {
+    // the exploded shingle set feeds three consumers (sizes + both join
+    // sides) — materialize it once instead of re-running the explode;
+    // at cluster scale this is the "persist the shingle table" step of
+    // any LSH pipeline, spilling to disk when bigger than memory
     val sh = docShingles(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
       .filter(col("a.id") < col("b.id"))
@@ -80,6 +85,7 @@ object Dedup {
   def minhashLshCandidates(df: DataFrame, textCol: String, idCol: String,
                            n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val sig = minhashSignatures(df, textCol, idCol, n, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",

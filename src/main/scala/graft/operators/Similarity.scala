@@ -36,12 +36,16 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    // norms are computed ONCE per vector (not per pair): at 1e9 corpus ×
+    // 1e3 queries that is the difference between 64e12 and 64e9 mults
     val c = corpus.select(col(idCol).as("nn_id"),
       toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
     val q = queries.select(col(idCol).as("q_id"),
       toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
     val scored = c.join(broadcast(q), col("q_id") =!= col("nn_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -76,12 +80,14 @@ object Similarity {
     val c = corpus.select(col(idCol).as("nn_id"),
       toDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", srpBucket(col("cv"), planes, dims))
+      .withColumn("cn", l2Norm(col("cv")))
     val q = queries.select(col(idCol).as("q_id"),
       toDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", srpBucket(col("qv"), planes, dims))
+      .withColumn("qn", l2Norm(col("qv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("nn_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -98,9 +104,10 @@ object Similarity {
                          blockCol: String, threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cos"), 3).as("cos"))

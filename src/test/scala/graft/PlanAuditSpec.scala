@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit — the "is this the plan you'd want at 100 TB"
+  * checks from SURVEY.md §4: pushdown reaches the scan, dims broadcast,
+  * no cartesian products anywhere, window/agg shuffles keyed.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("filter + projection are pushed to the parquet scan") {
+    val p = plan("q_filter_scan")
+    // (plan toString truncates long fields — match the untruncated prefix)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_shipdate"), p.take(2000))
+    // projection pruned to the 5 needed columns (4 output + filter col)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_extendedprice,") || !read.contains("l_tax"))
+  }
+
+  test("dim joins broadcast; fact side never shuffles for the join") {
+    assert(plan("q_join_enrich").contains("BroadcastHashJoin"))
+    val multi = plan("q_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(multi).size == 3)
+    assert(!multi.contains("SortMergeJoin"))
+  }
+
+  test("no cartesian products in any gate query") {
+    for ((name, _) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("dedup/LSH candidate generation is an equi-join (shuffle keyed)") {
+    val p = plan("q_dedup_minhash")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("incremental append plans as an anti join") {
+    val p = plan("q_incremental_append")
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
+  test("whole-stage codegen covers the aggregate pipeline") {
+    // AQE finalizes the plan only on execution; codegen stages then
+    // render as "*(n)"
+    val df = SparkEntry.queries("q_agg_summary")(spark, dir)
+    df.collect() // count() would wrap a new plan; collect finalizes THIS one
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+}
