@@ -50,7 +50,20 @@ object EtlMain {
         val newRows = BankEtl.loadIncremental(transformed, existing,
           entity.primaryKey)
         val loaded = newRows.cache().count()
-        if (loaded > 0) newRows.write.mode(SaveMode.Append).parquet(target)
+        // production tables are directory-partitioned on their analysis
+        // dimension so downstream predicates prune (see Writers)
+        val partCols = entity.name match {
+          case "customers" => Seq("customer_segment")
+          case "loans" => Seq("risk_category")
+          case "transactions" => Seq("transaction_category")
+          case _ => Nil
+        }
+        if (loaded > 0) {
+          if (partCols.nonEmpty)
+            graft.sources.Writers.writePartitioned(newRows, target, partCols,
+              mode = SaveMode.Append)
+          else newRows.write.mode(SaveMode.Append).parquet(target)
+        }
         newRows.unpersist()
         tracker.markProcessed(pending,
           Map.empty ++ pending.collect().map(r =>

@@ -79,6 +79,16 @@ object StreamingEtl {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** F5: streaming exact dedup — drop events whose key was already seen
+    * within the watermark horizon. State is bounded by the watermark
+    * (keys older than it are evicted), which is the only way dedup
+    * state stays finite on an unbounded 100 TB/day stream.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** F3 source side: treat a directory as an unbounded stream of parquet
     * drops — the engine tracks processed files (replacing
     * extract.py:115 etl_file_tracker).

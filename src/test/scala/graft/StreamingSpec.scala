@@ -37,6 +37,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingEtl.dedupStream(input.toDF(), Seq("event_id"), "ts",
+        "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // dup key within watermark
+        Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits a session when the gap is exceeded") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

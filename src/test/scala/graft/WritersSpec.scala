@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Writers
+
+class WritersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("partitioned write enables partition pruning on read") {
+    val out = Files.createTempDirectory("graft_part").toString + "/orders"
+    val orders = table(spark, "/root/testdata/sf0.001", "orders")
+    Writers.writePartitioned(orders, out, Seq("o_orderstatus"),
+      sortCols = Seq("o_orderdate"))
+    // hive-style layout
+    val dirs = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("o_orderstatus=")).sorted
+    assert(dirs.toSeq == Seq("o_orderstatus=F", "o_orderstatus=O",
+      "o_orderstatus=P"))
+    // predicate on the partition column becomes a PartitionFilter —
+    // non-matching directories are never opened
+    val pruned = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      scan.take(1500))
+    assert(pruned.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("bucketed table joins without a shuffle on the bucket key") {
+    val orders = table(spark, "/root/testdata/sf0.001", "orders")
+    Writers.writeBucketed(orders, "orders_bkt", "o_custkey", 4)
+    val cust = table(spark, "/root/testdata/sf0.001", "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val bkt = spark.table("orders_bkt")
+    // aggregate on the bucket key: no Exchange below the aggregate
+    val agg = bkt.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    agg.collect()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"), aggPlan.take(1500))
+    assert(agg.count() > 0)
+  }
+}
