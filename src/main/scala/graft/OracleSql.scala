@@ -68,6 +68,10 @@ object OracleSql {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (${vnormSql(a)} * ${vnormSql(b)}))"
 
+  /** Squared L2 (mirror of Similarity.sqDist — same left fold). */
+  private def sqDistSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> (x[1]-x[2])*(x[1]-x[2])), (p,q) -> p+q)"
+
   /** SRP bucket (mirror of Similarity.srpBucket): literal ±1 weights from
     * the same integer mix, same left-to-right accumulation.
     */
@@ -563,5 +567,41 @@ object OracleSql {
         |  CAST(CAST(date_trunc('month', d) AS DATE) AS VARCHAR) AS month_start,
         |  CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
         |  CAST(quarter(d) AS BIGINT) AS qtr
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS centv
+         |      FROM embeddings WHERE vec_id % 250 = 0),
+         |corp AS (SELECT vec_id AS nn_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |qry AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id % 1000 = 0),
+         |asg AS (SELECT nn_id, arg_min(cid, ${sqDistSql("cv", "centv")}) AS cell
+         |      FROM corp, cent GROUP BY nn_id),
+         |pr AS (SELECT q_id, cell FROM (
+         |    SELECT q_id, cid AS cell,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${sqDistSql("qv", "centv")}, cid) AS prn
+         |    FROM qry, cent) t WHERE prn <= 2),
+         |scored AS (
+         |  SELECT p.q_id, a.nn_id, ${cosSql("q.qv", "c2.cv")} AS c
+         |  FROM pr p JOIN asg a ON a.cell = p.cell
+         |  JOIN qry q ON q.q_id = p.q_id
+         |  JOIN corp c2 ON c2.nn_id = a.nn_id
+         |  WHERE p.q_id <> a.nn_id),
+         |r AS (SELECT q_id, nn_id, c,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, nn_id) AS "rank"
+         |  FROM scored)
+         |SELECT q_id, nn_id, "rank", round(c, 4) AS cos FROM r WHERE "rank" <= 5""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, value, ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  (SELECT arg_max(c.event_id, c.ts) FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id,
+        |  (SELECT round(arg_max(c.value, c.ts), 2) FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_value
+        |FROM p""".stripMargin)
 }

@@ -497,6 +497,31 @@ object SparkEntry {
       "vec_id", "embedding", 5, 8, 64)
   }
 
+  /** E7b: IVF ANN — centroids = every 250th vector, 2-cell probe. */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter($"vec_id" % 1000 === 0),
+      e.filter($"vec_id" % 250 === 0), "vec_id", "embedding", 5, 2)
+  }
+
+  /** C15: as-of join — each purchase gets the user's latest prior click
+    * (point-in-time correctness, the operator Spark lacks natively).
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    graft.operators.AsOf.asOfJoin(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("event_id", "value"))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"asof_event_id".as("click_id"),
+        round($"asof_value", 2).as("click_value"))
+  }
+
   // ---------------------------------------------------------------- E12. multimodal
 
   /** E12: binary media columns — payload synthesized from text bytes
@@ -570,7 +595,9 @@ object SparkEntry {
     "q_window_funcs" -> (qWindowFuncs _),
     "q_json_extract" -> (qJsonExtract _),
     "q_string_funcs" -> (qStringFuncs _),
-    "q_date_funcs" -> (qDateFuncs _))
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_asof_join" -> (qAsofJoin _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

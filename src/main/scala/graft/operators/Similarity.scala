@@ -96,6 +96,57 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** Squared L2 distance (left fold, oracle-mirrorable). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, x) => acc + x)
+
+  /** E7b: IVF (inverted-file) ANN — the other classic scale path.
+    * Corpus vectors are assigned once to their nearest centroid (an
+    * inverted index, partitioned by cell); each query probes only its
+    * `nprobe` nearest cells and reranks exactly within them. Centroids
+    * are broadcast both times; the corpus is scanned once for
+    * assignment and once per search — never pairwise against queries.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nprobe: Int): DataFrame = {
+    val cent = centroids.select(col(idCol).as("cid"),
+      toDouble(col(vecCol)).as("centv"))
+    val c = corpus.select(col(idCol).as("nn_id"),
+      toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val q = queries.select(col(idCol).as("q_id"),
+      toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+
+    // inverted index: corpus row → nearest centroid (one pass, k small)
+    val assigned = c.join(broadcast(cent), lit(true))
+      .withColumn("dist", sqDist(col("cv"), col("centv")))
+      .groupBy(col("nn_id"))
+      .agg(min_by(col("cid"), col("dist")).as("cell"),
+        first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+
+    // query → its nprobe nearest cells
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("dist"), col("cid"))
+    val probes = q.join(broadcast(cent), lit(true))
+      .withColumn("dist", sqDist(col("qv"), col("centv")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nn_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** E5: embedding near-duplicate pairs above a cosine threshold,
     * blocked by an equi-join key (here: a label / cluster id) so the
     * pair space is per-block, not global.

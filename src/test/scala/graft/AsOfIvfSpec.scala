@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOf, Similarity}
+
+class AsOfIvfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin picks the latest right row at-or-before each left row") {
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:05")),
+      (2L, 100L, ts("2024-01-01 10:00:00")), // exactly at quote q1
+      (3L, 100L, ts("2024-01-01 09:59:00")), // before any quote
+      (4L, 200L, ts("2024-01-01 10:00:10"))
+    ).toDF("trade_id", "acct", "t_ts")
+    val quotes = Seq(
+      (10L, 100L, ts("2024-01-01 10:00:00"), 1.5),
+      (11L, 100L, ts("2024-01-01 10:00:04"), 2.5),
+      (12L, 100L, ts("2024-01-01 10:00:06"), 3.5), // after trade 1
+      (13L, 300L, ts("2024-01-01 09:00:00"), 9.9)  // other key
+    ).toDF("quote_id", "acct", "q_ts", "px")
+    val out = AsOf.asOfJoin(trades, quotes, Seq("acct"), "t_ts", "q_ts",
+        Seq("quote_id", "px"))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        Option(r.getAs[java.lang.Long]("asof_quote_id")).map(_.toLong)).toMap
+    assert(out(1L) == Some(11L)) // latest ≤ 10:00:05
+    assert(out(2L) == Some(10L)) // tie: at-or-before is inclusive
+    assert(out(3L) == None)      // nothing before → null
+    assert(out(4L) == None)      // key 200 has no quotes
+  }
+
+  test("IVF probes recover most of brute-force top-k (recall)") {
+    val e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" % 100 === 0) // 5 queries
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nn_id"))).toSet
+    val ivf = Similarity.ivfTopK(e, queries,
+        e.filter($"vec_id" % 100 === 50), // 5 centroids
+        "vec_id", "embedding", 5, 2)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nn_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall implausibly low for 2/5 cells")
+    assert(ivf.nonEmpty)
+  }
+}
