@@ -12,4 +12,15 @@ object GraftBridge {
 
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions module to an existing session's
+    * function registry (for tests / already-built sessions; at build
+    * time use `.withExtensions` / `spark.sql.extensions`).
+    */
+  def registerExtensionFunctions(ext: SparkSessionExtensions => Unit,
+                                 spark: SparkSession): Unit = {
+    val e = new SparkSessionExtensions
+    ext(e)
+    e.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }

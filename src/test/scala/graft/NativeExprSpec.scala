@@ -46,6 +46,18 @@ class NativeExprSpec extends AnyFunSuite {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("GraftExtensions wires functions through the extension registry") {
+    // the shared test session already exists, so builder-time injection
+    // can't be observed here; drive the same machinery Spark runs at
+    // session build: apply the extensions, register into the session's
+    // function registry, then resolve through real SQL
+    org.apache.spark.sql.GraftBridge.registerExtensionFunctions(
+      new graft.plans.GraftExtensions(), spark)
+    val r = spark.sql("SELECT simhash64(array('x')) AS a, rolling_hash('x') AS b")
+      .collect().head
+    assert(r.getLong(0) != 0L && r.getLong(1) != 0L)
+  }
+
   test("SQL registration exposes both functions") {
     NativeFunctions.register(spark)
     val r = spark.sql(
