@@ -481,11 +481,14 @@ object SparkEntry {
     Similarity.cosineNearDupPairs(dupEmbeddings(s, dir), "vec_id",
       "embedding", "label", 0.99)
 
-  /** E6: brute-force cosine top-5 for query vectors (vec_id%1000=0). */
+  /** E6: brute-force cosine top-5 for query vectors (vec_id%1000=0),
+    * ranked by the custom bounded-heap aggregate (map-side partial
+    * top-k — see plans.TopKBy).
+    */
   private def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = table(s, dir, "embeddings")
-    Similarity.bruteForceTopK(e, e.filter($"vec_id" % 1000 === 0),
+    Similarity.bruteForceTopKAgg(e, e.filter($"vec_id" % 1000 === 0),
       "vec_id", "embedding", 5)
   }
 

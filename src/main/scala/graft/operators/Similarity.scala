@@ -96,6 +96,30 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** E6 via the custom bounded-heap aggregate (plans.TopKBy): identical
+    * output to [[bruteForceTopK]], but ranking needs no per-group sort
+    * and PARTIALLY aggregates map-side — each map task ships ≤ k
+    * candidates per query across the shuffle instead of the whole
+    * scored corpus partition.
+    */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"),
+      toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val q = queries.select(col(idCol).as("q_id"),
+      toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("nn_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    scored.groupBy(col("q_id"))
+      .agg(graft.plans.TopKBy.topkBy(col("cos"), col("nn_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("nn_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.score"), 4).as("cos"))
+  }
+
   /** Squared L2 distance (left fold, oracle-mirrorable). */
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),

@@ -35,6 +35,26 @@ class AsOfIvfSpec extends AnyFunSuite {
     assert(out(4L) == None)      // key 200 has no quotes
   }
 
+  test("TopKBy aggregate ≡ window ranking, including tie-breaks") {
+    val e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" % 100 === 0)
+    val win = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nn_id"), r.getAs[Double]("cos"))).toSet
+    val agg = Similarity.bruteForceTopKAgg(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nn_id"), r.getAs[Double]("cos"))).toSet
+    assert(win == agg)
+    // explicit tie-break: equal scores keep the smaller id first
+    val tied = Seq((1L, 1.0, 10L), (1L, 1.0, 7L), (1L, 0.5, 3L))
+      .toDF("g", "score", "id")
+      .groupBy($"g")
+      .agg(graft.plans.TopKBy.topkBy($"score", $"id", 2).as("top"))
+      .select(explode($"top").as("t")).select($"t.id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(tied == Seq(7L, 10L))
+  }
+
   test("IVF probes recover most of brute-force top-k (recall)") {
     val e = table(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter($"vec_id" % 100 === 0) // 5 queries
