@@ -603,5 +603,40 @@ object OracleSql {
         |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id,
         |  (SELECT round(arg_max(c.value, c.ts), 2) FROM c
         |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_value
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin,
+
+    "q_range_window" ->
+      """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+        |SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS trailing_1h
+        |FROM t""".stripMargin,
+
+    "q_cube_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_split_assign" ->
+      """WITH t AS (SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+        |  FROM documents)
+        |SELECT CASE WHEN h IN ('c','d') THEN 'val'
+        |            WHEN h IN ('e','f') THEN 'test'
+        |            ELSE 'train' END AS split, count(*) AS n
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "q_validate" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |    count(CASE WHEN NOT (o_totalprice > 0) THEN 1 END) AS v1,
+        |    count(CASE WHEN NOT (o_orderstatus IN ('F','O','P')) THEN 1 END) AS v2,
+        |    count(CASE WHEN NOT (o_custkey IS NOT NULL) THEN 1 END) AS v3,
+        |    count(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1990-01-01') THEN 1 END) AS v4
+        |  FROM orders)
+        |SELECT 'totalprice_positive' AS rule, n_rows, v1 AS n_violations, v1 = 0 AS pass FROM a
+        |UNION ALL SELECT 'status_known', n_rows, v2, v2 = 0 FROM a
+        |UNION ALL SELECT 'custkey_not_null', n_rows, v3, v3 = 0 FROM a
+        |UNION ALL SELECT 'date_in_range', n_rows, v4, v4 = 0 FROM a""".stripMargin)
 }

@@ -525,6 +525,55 @@ object SparkEntry {
         round($"asof_value", 2).as("click_value"))
   }
 
+  /** C16: range-frame window — 1-hour trailing sum per user (RANGE, not
+    * ROWS: frames defined by value distance, the other window frame
+    * class).
+    */
+  private def qRangeWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-3600000000L, 0L)
+    table(s, dir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"), $"value")
+      .select($"event_id", $"user_id",
+        round(sum($"value").over(w), 2).as("trailing_1h"))
+  }
+
+  /** C17: CUBE — all grouping-set combinations. */
+  private def qCubeAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n", $"total")
+  }
+
+  /** E13: reproducible train/val/test split by content hash — the
+    * training-pipeline split must not depend on RNG state or
+    * partitioning (operators.Validate.splitAssign).
+    */
+  private def qSplitAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id",
+        graft.operators.Validate.splitAssign($"doc_id").as("split"))
+      .groupBy($"split").agg(count(lit(1)).as("n"))
+  }
+
+  /** G3: data-quality report — N rules, one scan (operators.Validate). */
+  private def qValidate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Validate
+    Validate.report(table(s, dir, "orders"), Seq(
+      Validate.Rule("totalprice_positive", $"o_totalprice" > 0),
+      Validate.Rule("status_known", $"o_orderstatus".isin("F", "O", "P")),
+      Validate.Rule("custkey_not_null", $"o_custkey".isNotNull),
+      Validate.Rule("date_in_range",
+        $"o_orderdate" >= lit("1990-01-01").cast("timestamp"))))
+  }
+
   // ---------------------------------------------------------------- E12. multimodal
 
   /** E12: binary media columns — payload synthesized from text bytes
@@ -600,7 +649,11 @@ object SparkEntry {
     "q_string_funcs" -> (qStringFuncs _),
     "q_date_funcs" -> (qDateFuncs _),
     "q_ann_ivf" -> (qAnnIvf _),
-    "q_asof_join" -> (qAsofJoin _))
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_window" -> (qRangeWindow _),
+    "q_cube_agg" -> (qCubeAgg _),
+    "q_split_assign" -> (qSplitAssign _),
+    "q_validate" -> (qValidate _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

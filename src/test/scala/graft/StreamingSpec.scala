@@ -37,6 +37,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AvailableNow file stream processes a batch then resumes from checkpoint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sout").toString
+    def writeBatch(ids: Range): Unit =
+      ids.map(i => Event(i, ts(i % 60), 1, "click", 1.0)).toDF()
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq.empty[Event].toDF().schema).parquet(dir)
+      val q = stream.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    writeBatch(0 until 10)
+    runOnce() // "scheduled run" #1
+    assert(spark.read.parquet(out).count() == 10)
+    writeBatch(10 until 15)
+    runOnce() // run #2: checkpoint ensures ONLY the new file is read
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 15)
+    assert(rows.select("event_id").distinct().count() == 15) // no reprocessing
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
