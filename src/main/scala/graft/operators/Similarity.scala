@@ -18,13 +18,21 @@ object Similarity {
     */
   def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Left-fold dot product via zip_with + aggregate — codegen-eligible
-    * higher-order expressions, no UDF.
+  /** Dot product — native one-pass codegen expression (plans.DotProduct).
+    * [[dotComposed]] is the same fold via zip_with + aggregate, kept as
+    * the executable spec: higher-order functions evaluate interpreted
+    * with a per-pair array allocation, which IS the runtime for
+    * pairwise similarity (NativeExprSpec asserts bit-equality).
     */
   def dot(a: Column, b: Column): Column =
+    graft.plans.VectorFunctions.dotProduct(a, b)
+
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def l2Norm(c: Column): Column =
+  def l2Norm(c: Column): Column = sqrt(dot(c, c))
+
+  def l2NormComposed(c: Column): Column =
     sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
 
   def cosine(a: Column, b: Column): Column =
@@ -120,8 +128,11 @@ object Similarity {
         round(col("col.score"), 4).as("cos"))
   }
 
-  /** Squared L2 distance (left fold, oracle-mirrorable). */
+  /** Squared L2 distance — native (plans.SqDist), same left fold. */
   def sqDist(a: Column, b: Column): Column =
+    graft.plans.VectorFunctions.sqDist(a, b)
+
+  def sqDistComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
       (acc, x) => acc + x)
 

@@ -27,5 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(string) - 64-bit polynomial content hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(array<double>, array<double>) - inner product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("sq_dist"),
+      info("sq_dist", "sq_dist(array<double>, array<double>) - squared L2 distance"),
+      (exprs: Seq[Expression]) => SqDist(exprs(0), exprs(1))))
   }
 }

@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native vector arithmetic (SURVEY.md §2.E5-E7 hot path).
+  *
+  * Spark's higher-order functions (`zip_with`, `aggregate`) evaluate
+  * INTERPRETED — per-row closure dispatch plus an intermediate array
+  * allocation per pair. For pairwise similarity that's the entire
+  * runtime. These expressions do one allocation-free pass inside
+  * whole-stage codegen, with the SAME left-fold IEEE operation order
+  * as the higher-order formulation (and the DuckDB `list_reduce`
+  * oracle), so results are bit-identical — asserted in NativeExprSpec.
+  */
+object NativeVec {
+
+  /** Σ a(i)·b(i), index order; null if any touched element is null. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Σ (a(i)−b(i))², index order; null if any touched element is null. */
+  def sqDist(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+abstract class VecBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two array<double>, got $other")
+    }
+}
+
+/** dot_product(array<double>, array<double>) → double. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VecBinaryExpression {
+  override def prettyName: String = "dot_product"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeVec.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.plans.NativeVec.dot($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
+    res
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** sq_dist(array<double>, array<double>) → double. */
+case class SqDist(left: Expression, right: Expression)
+    extends VecBinaryExpression {
+  override def prettyName: String = "sq_dist"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeVec.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.plans.NativeVec.sqDist($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+  def dotProduct(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
+
+  def sqDist(a: Column, b: Column): Column =
+    GraftBridge.column(SqDist(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
+}

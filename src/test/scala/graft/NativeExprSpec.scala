@@ -36,6 +36,27 @@ class NativeExprSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("native dot/sqDist ≡ composed higher-order folds, bit for bit") {
+    import graft.operators.Similarity._
+    val e = table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", toDouble($"embedding").as("v"))
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.vec_id") + 1 === col("b.vec_id"))
+    val rows = pairs.select(
+      dot(col("a.v"), col("b.v")).as("nd"),
+      dotComposed(col("a.v"), col("b.v")).as("cd"),
+      sqDist(col("a.v"), col("b.v")).as("ns"),
+      sqDistComposed(col("a.v"), col("b.v")).as("cs"),
+      l2Norm(col("a.v")).as("nn"),
+      l2NormComposed(col("a.v")).as("cn")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+      assert(r.getDouble(4) == r.getDouble(5))
+    }
+    assert(rows.length > 100)
+  }
+
   test("rolling_hash: deterministic, content-sensitive, null-safe") {
     val h = docs.select($"id", NativeFunctions.rollingHash($"text").as("h"))
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("h")).toMap
