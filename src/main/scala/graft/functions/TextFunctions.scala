@@ -35,8 +35,14 @@ object TextFunctions {
 
   /** Word n-gram shingles over the normalized text (distinct not applied
     * here; dedup operators decide). Empty array when fewer than n words.
+    * Hot path is the native one-pass expression (plans.WordShingles);
+    * [[shinglesComposed]] is the higher-order executable spec
+    * (equality asserted in NativeExprSpec).
     */
-  def shingles(c: Column, n: Int): Column = {
+  def shingles(c: Column, n: Int): Column =
+    graft.plans.TextNativeFunctions.wordShingles(words(c), n)
+
+  def shinglesComposed(c: Column, n: Int): Column = {
     val w = words(c)
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)),

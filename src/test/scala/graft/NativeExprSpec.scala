@@ -57,6 +57,21 @@ class NativeExprSpec extends AnyFunSuite {
     assert(rows.length > 100)
   }
 
+  test("native word_shingles ≡ composed shingles on real documents") {
+    import graft.functions.TextFunctions
+    val d = table(spark, "/root/testdata/sf0.001", "documents")
+    val rows = d.select(
+      TextFunctions.shingles($"text", 5).as("nat"),
+      TextFunctions.shinglesComposed($"text", 5).as("cmp")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    // short input → empty, not null
+    val short = Seq("one two").toDF("text")
+      .select(TextFunctions.shingles($"text", 5)).collect()
+    assert(short.head.getSeq[String](0).isEmpty)
+  }
+
   test("rolling_hash: deterministic, content-sensitive, null-safe") {
     val h = docs.select($"id", NativeFunctions.rollingHash($"text").as("h"))
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("h")).toMap
