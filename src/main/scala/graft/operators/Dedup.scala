@@ -43,16 +43,24 @@ object Dedup {
     // sides) — materialize it once instead of re-running the explode;
     // at cluster scale this is the "persist the shingle table" step of
     // any LSH pipeline, spilling to disk when bigger than memory
-    val sh = docShingles(df, textCol, idCol, n)
+    val sh0 = docShingles(df, textCol, idCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
-      .filter(col("a.id") < col("b.id"))
+    val sizes = sh0.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // length filter (prefix-filtering literature): J(A,B) ≤ min/max of
+    // the set sizes, so J ≥ t implies max ≤ min/t. Carrying the set
+    // size on each exploded row (one broadcast join against the
+    // doc-level sizes) lets the SELF-JOIN discard impossible pairs
+    // before they are ever counted — at 100 TB this prunes the
+    // quadratic hot-shingle buckets, not just the final result.
+    val sh = sh0.join(broadcast(sizes), "id")
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          col("a.sz") <= col("b.sz") / threshold &&
+          col("b.sz") <= col("a.sz") / threshold)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
     inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 4))

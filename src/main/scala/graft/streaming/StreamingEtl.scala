@@ -89,6 +89,23 @@ object StreamingEtl {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** F6: stream-stream interval join — e.g. attribute each purchase to
+    * a click by the same user within the preceding `windowSeconds`.
+    * Both sides carry watermarks; the time-bound join condition lets
+    * the engine evict state once the interval can no longer match —
+    * unbounded-state joins are a non-starter at stream scale.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, watermark: String,
+                   windowSeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) <= l(leftTs) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** F3 source side: treat a directory as an unbounded stream of parquet
     * drops — the engine tracks processed files (replacing
     * extract.py:115 etl_file_tracker).

@@ -66,6 +66,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.select("event_id").distinct().count() == 15) // no reprocessing
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamingEtl.intervalJoin(
+      purchases.toDF().select($"event_id".as("p_id"), $"user_id", $"ts".as("p_ts")),
+      clicks.toDF().select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+        .withColumnRenamed("c_user", "user_id"),
+      "user_id", "p_ts", "c_ts", "30 minutes", 600L)
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Event(1, ts(0), 5, "click", 1.0),
+        Event(2, ts(14), 5, "click", 1.0))
+      purchases.addData(Event(100, ts(5), 5, "purchase", 9.0)) // within 10m of click 1
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select("p_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((100L, 1L))) // click 2 is AFTER the purchase
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
