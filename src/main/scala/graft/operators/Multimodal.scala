@@ -66,6 +66,52 @@ object Multimodal {
     }
   }
 
+  /** Resized-image record (stub dims; payload untouched — a real
+    * resizer would transcode).
+    */
+  case class ResizedMedia(media_id: Long, width: Int, height: Int,
+                          payload: Array[Byte])
+
+  /** Sampled video frame: one row per kept frame. */
+  case class Frame(media_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Batched resize — same mapPartitions batch shape as decode; the
+    * pixel work is stubbed (deterministic target box), the plumbing
+    * (schema, batching, per-batch setup point) is real.
+    */
+  def resize(spark: SparkSession, media: Dataset[MediaRow],
+             maxSide: Int, batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val (w, h, _) = FakeDecoder.decode(row.payload, 0)
+          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+          ResizedMedia(row.media_id,
+            math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt),
+            row.payload)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling: emit every `stride`-th frame of an opaque video
+    * payload (frame boundaries stubbed as fixed-size chunks). One input
+    * row fans out to ≤ maxFrames rows — the flatMap shape a real
+    * demuxer needs.
+    */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+                   chunkBytes: Int, stride: Int,
+                   maxFrames: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.flatMap { row =>
+      row.payload.grouped(chunkBytes).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .take(maxFrames)
+        .map { case (chunk, i) => Frame(row.media_id, i, chunk) }
+    }
+  }
+
   /** Batched decode: pulls `batchSize` rows at a time per partition
     * (mapInPandas-equivalent batch shape) and emits fixed-dim features.
     */

@@ -30,6 +30,17 @@ object Writers {
       .parquet(path)
   }
 
+  /** CSV export (the reference's transform-phase `export_csv`,
+    * transform.py:493): header + configurable null sentinel. One file
+    * per partition; `coalesce` upstream if a single file is required.
+    */
+  def writeCsv(df: DataFrame, path: String, nullValue: String = "NA",
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("header", "true")
+      .option("nullValue", nullValue)
+      .csv(path)
+
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
                     numBuckets: Int,
                     mode: SaveMode = SaveMode.Overwrite): Unit =

@@ -63,6 +63,31 @@ class DedupSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("multimodal: resize caps the longest side, frame sampling strides") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array.fill[Byte](100)(7)),
+      Multimodal.MediaRow(2L, Array.fill[Byte](10)(3))).toDS()
+    val resized = Multimodal.resize(spark, media, maxSide = 64)
+      .collect().sortBy(_.media_id)
+    assert(resized.forall(r => r.width <= 64 && r.height <= 64))
+    assert(resized.forall(r => r.width >= 1 && r.height >= 1))
+    val frames = Multimodal.sampleFrames(spark, media, chunkBytes = 10,
+      stride = 2, maxFrames = 3).collect()
+    val byId = frames.groupBy(_.media_id)
+    assert(byId(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4)) // stride 2, capped
+    assert(byId(2L).map(_.frame_idx).toSeq == Seq(0))
+    assert(frames.forall(_.payload.length <= 10))
+  }
+
+  test("csv export round-trips with NA nulls") {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/x"
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("id", "s")
+    graft.sources.Writers.writeCsv(df.coalesce(1), out)
+    val back = spark.read.option("header", "true").csv(out).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back("2") == "NA")
+  }
+
   test("multimodal: batched stub decode preserves ids, emits fixed dims") {
     val media = Seq(
       Multimodal.MediaRow(1L, Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2)),
