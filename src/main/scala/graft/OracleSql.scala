@@ -638,5 +638,62 @@ object OracleSql {
         |SELECT 'totalprice_positive' AS rule, n_rows, v1 AS n_violations, v1 = 0 AS pass FROM a
         |UNION ALL SELECT 'status_known', n_rows, v2, v2 = 0 FROM a
         |UNION ALL SELECT 'custkey_not_null', n_rows, v3, v3 = 0 FROM a
-        |UNION ALL SELECT 'date_in_range', n_rows, v4, v4 = 0 FROM a""".stripMargin)
+        |UNION ALL SELECT 'date_in_range', n_rows, v4, v4 = 0 FROM a""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_pii_mask" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || ' contact: user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS wp
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(wp,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+?\d[\d-]{7,}\d', '[PHONE]', 'g') AS masked
+        |FROM t""".stripMargin,
+
+    "q_curate_corpus" ->
+      s"""WITH $corpusCte,
+         |enr AS (
+         |  SELECT doc_id, text,
+         |    floor((
+         |      least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) * 0.4
+         |      + (CASE WHEN length(text) > 0
+         |           THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         |             / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.3
+         |      + (CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+         |           THEN ${langScoreSql(s"string_split(${normOf("text")}, ' ')", enW)}
+         |             / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+         |           ELSE 0.0 END) * 0.3
+         |      ) * 10000.0 + 0.5) / 10000.0 AS quality,
+         |    ${langScoreSql(s"string_split(${normOf("text")}, ' ')", enW)} AS s_en,
+         |    ${langScoreSql(s"string_split(${normOf("text")}, ' ')", esW)} AS s_es,
+         |    ${langScoreSql(s"string_split(${normOf("text")}, ' ')", deW)} AS s_de,
+         |    ${langScoreSql(s"string_split(${normOf("text")}, ' ')", frW)} AS s_fr
+         |  FROM corpus),
+         |filt AS (
+         |  SELECT doc_id, text, quality FROM enr
+         |  WHERE quality >= 0.3 AND s_en >= greatest(s_es, s_de, s_fr)),
+         |dedup AS (
+         |  SELECT doc_id, quality, row_number() OVER (
+         |    PARTITION BY md5(${normOf("text")}) ORDER BY doc_id) AS rn
+         |  FROM filt),
+         |assigned AS (
+         |  SELECT doc_id, quality,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+         |  FROM dedup WHERE rn = 1)
+         |SELECT CASE WHEN h IN ('c','d') THEN 'val'
+         |            WHEN h IN ('e','f') THEN 'test'
+         |            ELSE 'train' END AS split,
+         |  count(*) AS n_docs, round(avg(quality), 4) AS avg_quality
+         |FROM assigned GROUP BY 1""".stripMargin)
 }

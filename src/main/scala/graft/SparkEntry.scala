@@ -574,6 +574,55 @@ object SparkEntry {
         $"o_orderdate" >= lit("1990-01-01").cast("timestamp"))))
   }
 
+  /** C18: statistical aggregates (stddev/variance/corr/covar). */
+  private def qStatsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qp"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("covar_qp"))
+  }
+
+  /** E14: PII masking — a curation pass every training corpus needs.
+    * PII synthesized deterministically so the masking provably fires.
+    */
+  private def qPiiMask(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withPii = concat($"text", lit(" contact: user"), $"doc_id",
+      lit("@example.com or +1-555-"),
+      lpad(($"doc_id" % 10000).cast("string"), 4, "0"))
+    table(s, dir, "documents").select($"doc_id",
+      regexp_replace(
+        regexp_replace(withPii,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+        "\\+?\\d[\\d-]{7,}\\d", "[PHONE]").as("masked"))
+  }
+
+  /** E15 flagship composition: corpus curation — quality + language
+    * filter → exact-dedup (keep min id per content) → reproducible
+    * split assignment → per-split stats. Every stage is one of the
+    * library's operators; this is the end-to-end a training-data
+    * pipeline runs.
+    */
+  private def qCurateCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = dupCorpus(s, dir)
+      .withColumn("quality", TextFunctions.qualityScore($"text"))
+      .withColumn("lang", TextFunctions.langId($"text"))
+      .filter($"quality" >= 0.3 && $"lang" === "en")
+    val w = Window.partitionBy(TextFunctions.fingerprint($"text"))
+      .orderBy($"doc_id")
+    corpus.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1)
+      .select($"doc_id", $"quality",
+        graft.operators.Validate.splitAssign($"doc_id").as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"quality"), 4).as("avg_quality"))
+  }
+
   // ---------------------------------------------------------------- E12. multimodal
 
   /** E12: binary media columns — payload synthesized from text bytes
@@ -653,7 +702,10 @@ object SparkEntry {
     "q_range_window" -> (qRangeWindow _),
     "q_cube_agg" -> (qCubeAgg _),
     "q_split_assign" -> (qSplitAssign _),
-    "q_validate" -> (qValidate _))
+    "q_validate" -> (qValidate _),
+    "q_stats_agg" -> (qStatsAgg _),
+    "q_pii_mask" -> (qPiiMask _),
+    "q_curate_corpus" -> (qCurateCorpus _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
