@@ -17,9 +17,12 @@ import graft.operators.{Dedup, Loads, Multimodal, Sessions, Similarity}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The corpus-curation composition exercises text quality,
+    * language ID, dedup, and reproducible splitting in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    qAggSummary(spark, "/root/testdata/sf0.001")
+    qCurateCorpus(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------- C. relational core
 
