@@ -695,5 +695,19 @@ object OracleSql {
          |            WHEN h IN ('e','f') THEN 'test'
          |            ELSE 'train' END AS split,
          |  count(*) AS n_docs, round(avg(quality), 4) AS avg_quality
-         |FROM assigned GROUP BY 1""".stripMargin)
+         |FROM assigned GROUP BY 1""".stripMargin,
+
+    // identical semantics to q_asof_join — same oracle, different
+    // physical implementation on the Spark side (native custom exec)
+    "q_asof_native" ->
+      """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id, value, ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  (SELECT arg_max(c.event_id, c.ts) FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id,
+        |  (SELECT round(arg_max(c.value, c.ts), 2) FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_value
+        |FROM p""".stripMargin)
 }

@@ -626,6 +626,25 @@ object SparkEntry {
         round(avg($"quality"), 4).as("avg_quality"))
   }
 
+  /** C15b: the SAME as-of semantics through the native custom operator
+    * (LogicalPlan + Strategy + SparkPlan, plans.AsOfJoinExec) — graded
+    * against the identical DuckDB oracle as q_asof_join.
+    */
+  private def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+        $"event_id".as("c_event_id"), $"value".as("c_value"))
+    graft.plans.AsOfNative.asOfJoin(purchases, clicks,
+        "user_id", "c_user", "ts", "c_ts")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"c_event_id".as("click_id"),
+        round($"c_value", 2).as("click_value"))
+  }
+
   // ---------------------------------------------------------------- E12. multimodal
 
   /** E12: binary media columns — payload synthesized from text bytes
@@ -708,7 +727,8 @@ object SparkEntry {
     "q_validate" -> (qValidate _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_pii_mask" -> (qPiiMask _),
-    "q_curate_corpus" -> (qCurateCorpus _))
+    "q_curate_corpus" -> (qCurateCorpus _),
+    "q_asof_native" -> (qAsofNative _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -33,5 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sq_dist"),
       info("sq_dist", "sq_dist(array<double>, array<double>) - squared L2 distance"),
       (exprs: Seq[Expression]) => SqDist(exprs(0), exprs(1))))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

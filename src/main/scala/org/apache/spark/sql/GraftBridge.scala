@@ -13,6 +13,12 @@ object GraftBridge {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a raw LogicalPlan (classic Dataset.ofRows). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Apply a SparkSessionExtensions module to an existing session's
     * function registry (for tests / already-built sessions; at build
     * time use `.withExtensions` / `spark.sql.extensions`).

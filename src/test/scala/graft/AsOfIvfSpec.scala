@@ -35,6 +35,35 @@ class AsOfIvfSpec extends AnyFunSuite {
     assert(out(4L) == None)      // key 200 has no quotes
   }
 
+  test("native AsOfJoinExec ≡ declarative union+window as-of join") {
+    val ev = table(spark, "/root/testdata/sf0.001", "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicksDecl = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    val clicksNat = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+        $"event_id".as("c_event_id"), $"value".as("c_value"))
+
+    val decl = graft.operators.AsOf.asOfJoin(purchases, clicksDecl,
+        Seq("user_id"), "ts", "ts", Seq("event_id", "value"))
+      .select($"event_id", $"asof_event_id".as("m"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("m"))).toMap
+    val nat = graft.plans.AsOfNative.asOfJoin(purchases, clicksNat,
+        "user_id", "c_user", "ts", "c_ts")
+      .select($"event_id", $"c_event_id".as("m"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("m"))).toMap
+    assert(nat == decl)
+    assert(nat.values.exists(_.isEmpty)) // some purchases precede any click
+    assert(nat.values.exists(_.nonEmpty))
+    // the physical plan is the custom exec, not a window rewrite
+    val plan = graft.plans.AsOfNative.asOfJoin(purchases, clicksNat,
+      "user_id", "c_user", "ts", "c_ts").queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(800))
+  }
+
   test("TopKBy aggregate ≡ window ranking, including tie-breaks") {
     val e = table(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter($"vec_id" % 100 === 0)
