@@ -709,5 +709,16 @@ object OracleSql {
         |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id,
         |  (SELECT round(arg_max(c.value, c.ts), 2) FROM c
         |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_value
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin,
+
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS c_us, value AS c_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.p_id, p.user_id, count(*) AS n_nearby_clicks,
+        |  round(sum(c.c_value), 2) AS nearby_value
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND abs(p.p_us - c.c_us) <= 1800000000
+        |GROUP BY p.p_id, p.user_id""".stripMargin)
 }

@@ -645,6 +645,26 @@ object SparkEntry {
         round($"c_value", 2).as("click_value"))
   }
 
+  /** C19: range (band) join — clicks within ±30 min of each purchase by
+    * the same user, via the bucketed equi-join form (operators.AsOf.
+    * rangeJoin) — no nested-loop join at any scale.
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id",
+        unix_micros($"ts").as("p_us"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("c_us"),
+        $"value".as("c_value"))
+    graft.operators.AsOf.rangeJoin(purchases, clicks, Seq("user_id"),
+        "p_us", "c_us", 1800000000L)
+      .groupBy($"p_id", $"user_id")
+      .agg(count(lit(1)).as("n_nearby_clicks"),
+        round(sum($"c_value"), 2).as("nearby_value"))
+  }
+
   // ---------------------------------------------------------------- E12. multimodal
 
   /** E12: binary media columns — payload synthesized from text bytes
@@ -728,7 +748,8 @@ object SparkEntry {
     "q_stats_agg" -> (qStatsAgg _),
     "q_pii_mask" -> (qPiiMask _),
     "q_curate_corpus" -> (qCurateCorpus _),
-    "q_asof_native" -> (qAsofNative _))
+    "q_asof_native" -> (qAsofNative _),
+    "q_range_join" -> (qRangeJoin _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

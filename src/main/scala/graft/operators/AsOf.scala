@@ -61,4 +61,30 @@ object AsOf {
     org.apache.spark.sql.types.StructType(
       cols.map(c => org.apache.spark.sql.types.StructField(c,
         df.schema(c).dataType, nullable = true)))
+
+  /** Range (band) join: pair left and right rows with the same key whose
+    * timestamps lie within ±`windowUs` of each other.
+    *
+    * The naive formulation is a non-equi join — Catalyst can only plan
+    * it as a nested-loop, O(|l|×|r|) per key. This version buckets both
+    * sides by `windowUs`-wide epochs and EXPLODES the right side into
+    * its bucket and both neighbors: every qualifying pair now shares an
+    * exact (key, bucket) — an equi-join — and the precise band predicate
+    * filters the ≤3× candidates. Shuffle is hash-partitioned on
+    * (key, bucket); cost is linear in matches, not in |l|×|r|.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTsUs: String, rightTsUs: String,
+                windowUs: Long): DataFrame = {
+    val keyCols = keys.map(col)
+    val l = left.withColumn("__bucket", floor(col(leftTsUs) / windowUs))
+    val r = right
+      .withColumn("__boff", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__bucket",
+        floor(col(rightTsUs) / windowUs) + col("__boff"))
+      .drop("__boff")
+    l.join(r, keys :+ "__bucket")
+      .filter(abs(col(leftTsUs) - col(rightTsUs)) <= windowUs)
+      .drop("__bucket")
+  }
 }
