@@ -91,23 +91,33 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       lIt.map { lRow =>
         val k = lk.eval(lRow)
         val ts = lt.eval(lRow)
+        if (k == null || ts == null) {
+          // null key/ts never matches (SQL null-join semantics)
+          resultProj(joined(lRow, nullRight))
+        } else {
         // advance the right side past everything at-or-before (k, ts)
         var advancing = true
         while (advancing && rBuf.hasNext) {
           val head = rBuf.head
           val hk = rk.eval(head)
-          val c = keyOrd.compare(hk, k)
-          if (c < 0 || (c == 0 && tsOrd.compare(rt.eval(head), ts) <= 0)) {
-            val r = rBuf.next()
-            if (c == 0) {
-              lastMatch = r.copy()
-              lastMatchKey = InternalRow.copyValue(hk)
-            }
-          } else advancing = false
+          if (hk == null) { rBuf.next() } // null right key never matches
+          else {
+            val c = keyOrd.compare(hk, k)
+            val hts = if (c == 0) rt.eval(head) else null
+            if (c < 0 || (c == 0 && hts != null && tsOrd.compare(hts, ts) <= 0)) {
+              val r = rBuf.next()
+              if (c == 0) {
+                lastMatch = r.copy()
+                lastMatchKey = InternalRow.copyValue(hk)
+              }
+            } else if (c == 0 && hts == null) rBuf.next() // null ts: skip
+            else advancing = false
+          }
         }
         val matched = lastMatch != null && lastMatchKey != null &&
           keyOrd.compare(lastMatchKey, k) == 0
         resultProj(joined(lRow, if (matched) lastMatch else nullRight))
+        }
       }
     }
   }

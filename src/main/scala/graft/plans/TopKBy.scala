@@ -14,6 +14,7 @@ import org.apache.spark.sql.types._
   * deterministic ordering — score DESC, id ASC on ties.
   */
 final class TopKBuffer(val k: Int) {
+  require(k >= 1, "topk_by needs k >= 1")
   // min-heap on (score asc, id desc) so the root is the weakest element
   private val ord: Ordering[(Double, Long)] = Ordering.by {
     case (s, id) => (-s, id)

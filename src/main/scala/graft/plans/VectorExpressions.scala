@@ -20,9 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   */
 object NativeVec {
 
-  /** Σ a(i)·b(i), index order; null if any touched element is null. */
+  /** Σ a(i)·b(i), index order; null if any element is null or lengths
+    * differ (matching zip_with's null-padding → null-result semantics).
+    */
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -33,9 +36,10 @@ object NativeVec {
     acc
   }
 
-  /** Σ (a(i)−b(i))², index order; null if any touched element is null. */
+  /** Σ (a(i)−b(i))², index order; null semantics as [[dot]]. */
   def sqDist(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
