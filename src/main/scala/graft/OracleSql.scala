@@ -711,6 +711,20 @@ object OracleSql {
         |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_value
         |FROM p""".stripMargin,
 
+    "q_simhash_portable" -> {
+      val votes = (0 until 60).map { b =>
+        s"list_sum(list_transform(w, x -> CASE WHEN ((('0x' || substr(md5(x), 1, 15))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END)) AS v$b"
+      }.mkString(",\n    ")
+      val sig = (0 until 60).map { b =>
+        s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("(", "\n + ", ")")
+      s"""WITH w AS (SELECT doc_id, string_split(${normOf("text")}, ' ') AS w FROM documents),
+         |v AS (SELECT doc_id,
+         |    $votes
+         |  FROM w)
+         |SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM v""".stripMargin
+    },
+
     "q_range_join" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
         |      FROM events WHERE event_type = 'purchase'),

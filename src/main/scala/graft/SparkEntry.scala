@@ -467,6 +467,30 @@ object SparkEntry {
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearPairs(dupCorpus(s, dir), "text", "doc_id", 3)
 
+  /** E4b: PORTABLE simhash — 60-bit signature with md5-derived token
+    * hashes, so the full signature is oracle-checkable bit-for-bit in
+    * DuckDB (integer vote sums are order-independent). The xxhash64
+    * native expression (q_dedup_simhash) stays the production fast
+    * path; this query proves the simhash construction itself.
+    */
+  private def qSimhashPortable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val tok = d.select($"doc_id",
+        explode(TextFunctions.words($"text")).as("w"))
+      .withColumn("h", conv(substring(md5($"w".cast("binary")), 1, 15),
+        16, 10).cast("long"))
+    val votes = (0 until 60).map { b =>
+      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val sig = (0 until 60).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+      .select($"doc_id", sig.as("sig"))
+  }
+
   // ---------------------------------------------------------------- E. similarity
 
   /** Embeddings + exact copies (vec_id%20=0 → +1e6) so near-dup pairs
@@ -749,7 +773,8 @@ object SparkEntry {
     "q_pii_mask" -> (qPiiMask _),
     "q_curate_corpus" -> (qCurateCorpus _),
     "q_asof_native" -> (qAsofNative _),
-    "q_range_join" -> (qRangeJoin _))
+    "q_range_join" -> (qRangeJoin _),
+    "q_simhash_portable" -> (qSimhashPortable _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
