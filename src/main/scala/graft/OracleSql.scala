@@ -711,6 +711,47 @@ object OracleSql {
         |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_value
         |FROM p""".stripMargin,
 
+    "q_repetition" ->
+      s"""WITH shd AS (
+         |  SELECT doc_id AS id, w[u.i] || ' ' || w[u.i+1] AS sh
+         |  FROM (SELECT doc_id, string_split(${normOf("text")}, ' ') AS w
+         |        FROM documents) t,
+         |       unnest(generate_series(1, len(w) - 1)) AS u(i)),
+         |bi AS (
+         |  SELECT id AS doc_id, sh AS bg, count(*) AS c
+         |  FROM shd GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, max(c) AS max_bg, sum(c) AS n_bg FROM bi GROUP BY doc_id),
+         |wl AS (
+         |  SELECT doc_id, round(avg(length(u.w)), 4) AS mean_word_len
+         |  FROM (SELECT doc_id, string_split(${normOf("text")}, ' ') AS w FROM documents) t,
+         |       unnest(w) AS u(w)
+         |  GROUP BY doc_id)
+         |SELECT agg.doc_id, CAST(max_bg AS BIGINT) AS max_bg,
+         |  CAST(n_bg AS BIGINT) AS n_bg,
+         |  round(max_bg / CAST(n_bg AS DOUBLE), 4) AS top_bigram_frac,
+         |  mean_word_len
+         |FROM agg JOIN wl ON agg.doc_id = wl.doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS seq_id
+        |FROM c""".stripMargin,
+
+    "q_sql_api" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+
     "q_simhash_portable" -> {
       val votes = (0 until 60).map { b =>
         s"list_sum(list_transform(w, x -> CASE WHEN ((('0x' || substr(md5(x), 1, 15))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END)) AS v$b"

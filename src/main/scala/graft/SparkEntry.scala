@@ -491,6 +491,60 @@ object SparkEntry {
       .select($"doc_id", sig.as("sig"))
   }
 
+  /** E16: repetition-based quality (Gopher/C4-style): fraction of all
+    * word bigrams taken by the most frequent one, plus mean word length.
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val bi = d.select($"doc_id",
+        explode(TextFunctions.shingles($"text", 2)).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("max_bg"), sum($"c").as("n_bg"))
+    val words = d.select($"doc_id",
+        explode(TextFunctions.words($"text")).as("w"))
+      .groupBy($"doc_id")
+      .agg(round(avg(length($"w")), 4).as("mean_word_len"))
+    bi.join(words, "doc_id")
+      .select($"doc_id", $"max_bg", $"n_bg",
+        round($"max_bg" / $"n_bg".cast("double"), 4).as("top_bigram_frac"),
+        $"mean_word_len")
+  }
+
+  /** E17: sequence packing — assign documents to fixed-token-budget
+    * training sequences by running token count (greedy in doc_id
+    * order). The packing itself is one window cumsum: no driver loop,
+    * partitionable by adding a shard key at scale.
+    */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 512L
+    val w = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "documents")
+      .select($"doc_id",
+        TextFunctions.wsTokenCount($"text").cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"n_tokens",
+        floor(($"cum" - $"n_tokens") / budget).cast("long").as("seq_id"))
+  }
+
+  /** SQL-API surface: the same engine through `spark.sql` over temp
+    * views — a reference user can bring plain SQL instead of the
+    * DataFrame API.
+    */
+  private def qSqlApi(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "orders").createOrReplaceTempView("orders_v")
+    table(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT c_mktsegment, o_orderpriority,
+             count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+      FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+      WHERE o_orderstatus = 'O'
+      GROUP BY c_mktsegment, o_orderpriority""")
+  }
+
   // ---------------------------------------------------------------- E. similarity
 
   /** Embeddings + exact copies (vec_id%20=0 → +1e6) so near-dup pairs
@@ -774,7 +828,10 @@ object SparkEntry {
     "q_curate_corpus" -> (qCurateCorpus _),
     "q_asof_native" -> (qAsofNative _),
     "q_range_join" -> (qRangeJoin _),
-    "q_simhash_portable" -> (qSimhashPortable _))
+    "q_simhash_portable" -> (qSimhashPortable _),
+    "q_repetition" -> (qRepetition _),
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_sql_api" -> (qSqlApi _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
