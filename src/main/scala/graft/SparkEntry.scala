@@ -519,15 +519,13 @@ object SparkEntry {
     */
   private def qPackSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val budget = 512L
-    val w = Window.orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    table(s, dir, "documents")
-      .select($"doc_id",
-        TextFunctions.wsTokenCount($"text").cast("long").as("n_tokens"))
-      .withColumn("cum", sum($"n_tokens").over(w))
-      .select($"doc_id", $"n_tokens",
-        floor(($"cum" - $"n_tokens") / budget).cast("long").as("seq_id"))
+    // shards=1 here so the oracle is a plain global cumsum; the operator
+    // shards at scale (see operators.Packing scaladoc + PackingSpec)
+    graft.operators.Packing.packSequences(
+        table(s, dir, "documents").select($"doc_id",
+          TextFunctions.wsTokenCount($"text").cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", 512L, shards = 1)
+      .select($"doc_id", $"n_tokens", $"seq_id")
   }
 
   /** SQL-API surface: the same engine through `spark.sql` over temp

@@ -106,6 +106,39 @@ object StreamingEtl {
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $windowSeconds SECONDS"))
   }
 
+  /** F7: streaming upsert sink — per micro-batch SCD1 merge into a
+    * parquet target via foreachBatch (the streaming form of the
+    * reference's ON DUPLICATE KEY UPDATE load). Each batch: read
+    * current state, upsert (operators.Loads.upsert, batch rows win),
+    * atomically swap. At warehouse scale the same foreachBatch body
+    * targets a transactional table format; the merge semantics are
+    * identical.
+    */
+  def upsertSink(df: DataFrame, keys: Seq[String], targetPath: String,
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          try Some(spark.read.parquet(targetPath))
+          catch { case _: Throwable => None }
+        val merged = existing match {
+          case Some(cur) =>
+            graft.operators.Loads.upsert(
+              cur.withColumn("__v", org.apache.spark.sql.functions.lit(0)),
+              batch.withColumn("__v", org.apache.spark.sql.functions.lit(1)),
+              keys, "__v").drop("__v")
+          case None => batch
+        }
+        val tmp = targetPath + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(targetPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** F3 source side: treat a directory as an unbounded stream of parquet
     * drops — the engine tracks processed files (replacing
     * extract.py:115 etl_file_tracker).
