@@ -37,6 +37,25 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("JsonlSource: good rows parse, malformed lines quarantine") {
+    val dir = tmpDir()
+    java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "docs.jsonl"),
+      """{"doc_id": 1, "text": "hello world"}
+        |{"doc_id": 2, "text": "second doc"}
+        |{not valid json at all
+        |{"doc_id": "not-a-number", "text": "bad type"}
+        |{"doc_id": 3, "text": "third"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    val res = graft.sources.JsonlSource.read(spark, s"$dir/docs.jsonl", schema)
+    val good = res.good.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(good == Set(1L, 2L, 3L))
+    val bad = res.corrupt.collect().map(_.getString(0))
+    assert(bad.length == 2)
+    assert(bad.exists(_.contains("not valid json")))
+  }
+
   test("FileTracker: unprocessed files surface, changed files re-surface") {
     val dir = tmpDir(); val state = tmpDir() + "/state"
     Files.writeString(java.nio.file.Path.of(dir, "a.csv"), "id\n1\n")
