@@ -752,6 +752,46 @@ object OracleSql {
         |WHERE o_orderstatus = 'O'
         |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
 
+    "q_minmax_by" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, o_totalprice * 1000000000.0 + o_orderkey) AS key_of_max_price,
+        |  arg_min(o_orderkey, o_totalprice * 1000000000.0 + o_orderkey) AS key_of_min_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderstatus,
+        |    count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+        |    count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+        |    count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+        |    count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+        |    count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus AS status, priority, n
+        |FROM wide UNPIVOT (n FOR priority IN
+        |  ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))""".stripMargin,
+
+    "q_explode_embeddings" ->
+      """SELECT vec_id, CAST(u.i AS BIGINT) AS idx,
+        |  round(CAST(embedding[u.i] AS DOUBLE), 6) AS value
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH t AS (SELECT c_custkey, c_mktsegment,
+        |    CASE CAST(c_custkey % 3 AS INT)
+        |      WHEN 0 THEN NULL WHEN 1 THEN 'x' ELSE '' END AS v
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  coalesce(v, 'dflt') AS coalesced,
+        |  nullif(v, 'x') AS nullified,
+        |  ifnull(nullif(c_mktsegment, 'FURNITURE'), 'was-furniture') AS ifnulled
+        |FROM t""".stripMargin,
+
     "q_simhash_portable" -> {
       val votes = (0 until 60).map { b =>
         s"list_sum(list_transform(w, x -> CASE WHEN ((('0x' || substr(md5(x), 1, 15))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END)) AS v$b"

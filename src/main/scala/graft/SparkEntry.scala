@@ -543,6 +543,74 @@ object SparkEntry {
       GROUP BY c_mktsegment, o_orderpriority""")
   }
 
+  /** C20: arg-min/arg-max aggregates with deterministic composite
+    * tie-break (struct ordering).
+    */
+  private def qMinmaxBy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // composite ordering key: price*1e9 + key is integer-exact in a
+    // double (cents*1e7 ≤ 5e14 < 2^53) and strictly lexicographic, so
+    // ties on price break deterministically by key on BOTH engines
+    // (duckdb's arg_max can't order by a struct)
+    val comp = $"o_totalprice" * 1000000000.0 + $"o_orderkey"
+    table(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        max_by($"o_orderkey", comp).as("key_of_max_price"),
+        min_by($"o_orderkey", comp).as("key_of_min_price"))
+  }
+
+  /** C21: fixed-bound histogram (manual bucket arithmetic — portable
+    * across engines, unlike width_bucket).
+    */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = least(floor($"o_totalprice" / 50000.0), lit(9.0))
+      .cast("long")
+    table(s, dir, "orders")
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+  }
+
+  /** C22: unpivot (melt) — the pivot matrix folded back to long form. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    table(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .pivot($"o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .unpivot(Array($"o_orderstatus"), prios.map(col).toArray,
+        "priority", "n")
+      .select($"o_orderstatus".as("status"), $"priority", $"n")
+  }
+
+  /** E18: embedding explode to long form (vec_id, idx, value) — the
+    * layout feature stores and matrix pipelines exchange.
+    */
+  private def qExplodeEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "embeddings")
+      .select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", ($"pos" + 1).cast("long").as("idx"),
+        round($"col".cast("double"), 6).as("value"))
+  }
+
+  /** B13: null-handling semantics (coalesce / nullif / ifnull). */
+  private def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = when($"c_custkey" % 3 === 0, lit(null).cast("string"))
+      .when($"c_custkey" % 3 === 1, lit("x"))
+      .otherwise(lit(""))
+    table(s, dir, "customer").select($"c_custkey",
+      coalesce(v, lit("dflt")).as("coalesced"),
+      nullif(v, lit("x")).as("nullified"),
+      expr("ifnull(nullif(c_mktsegment, 'FURNITURE'), 'was-furniture')")
+        .as("ifnulled"))
+  }
+
   // ---------------------------------------------------------------- E. similarity
 
   /** Embeddings + exact copies (vec_id%20=0 → +1e6) so near-dup pairs
@@ -829,7 +897,12 @@ object SparkEntry {
     "q_simhash_portable" -> (qSimhashPortable _),
     "q_repetition" -> (qRepetition _),
     "q_pack_sequences" -> (qPackSequences _),
-    "q_sql_api" -> (qSqlApi _))
+    "q_sql_api" -> (qSqlApi _),
+    "q_minmax_by" -> (qMinmaxBy _),
+    "q_histogram" -> (qHistogram _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_explode_embeddings" -> (qExplodeEmbeddings _),
+    "q_null_semantics" -> (qNullSemantics _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
