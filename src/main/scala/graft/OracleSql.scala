@@ -792,6 +792,15 @@ object OracleSql {
         |  ifnull(nullif(c_mktsegment, 'FURNITURE'), 'was-furniture') AS ifnulled
         |FROM t""".stripMargin,
 
+    "q_rank_suite" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
     "q_simhash_portable" -> {
       val votes = (0 until 60).map { b =>
         s"list_sum(list_transform(w, x -> CASE WHEN ((('0x' || substr(md5(x), 1, 15))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END)) AS v$b"

@@ -611,6 +611,19 @@ object SparkEntry {
         .as("ifnulled"))
   }
 
+  /** C23: distribution window functions — percent_rank / cume_dist /
+    * ntile over a deterministic (value, id) order.
+    */
+  private def qRankSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    table(s, dir, "orders").select($"o_orderpriority", $"o_orderkey",
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
   // ---------------------------------------------------------------- E. similarity
 
   /** Embeddings + exact copies (vec_id%20=0 → +1e6) so near-dup pairs
@@ -902,7 +915,8 @@ object SparkEntry {
     "q_histogram" -> (qHistogram _),
     "q_unpivot" -> (qUnpivot _),
     "q_explode_embeddings" -> (qExplodeEmbeddings _),
-    "q_null_semantics" -> (qNullSemantics _))
+    "q_null_semantics" -> (qNullSemantics _),
+    "q_rank_suite" -> (qRankSuite _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

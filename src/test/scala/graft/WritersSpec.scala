@@ -29,6 +29,19 @@ class WritersSpec extends AnyFunSuite {
       orders.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("schema evolution: appended files with new columns merge on read") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_evo").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(out)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(out)
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val byId = merged.collect().map(r => r.getAs[Long]("id") ->
+      Option(r.getAs[java.lang.Double]("score"))).toMap
+    assert(byId(1L).isEmpty && byId(2L).contains(9.5)) // old rows → null
+  }
+
   test("bucketed table joins without a shuffle on the bucket key") {
     val orders = table(spark, "/root/testdata/sf0.001", "orders")
     Writers.writeBucketed(orders, "orders_bkt", "o_custkey", 4)
