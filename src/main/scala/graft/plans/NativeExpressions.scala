@@ -48,14 +48,19 @@ object NativeHash {
     sig
   }
 
-  /** 64-bit polynomial rolling hash (base 31, wrapping) over UTF-8
-    * bytes — deterministic, endianness-free, allocation-free.
+  /** 64-bit running content hash over UTF-8 bytes (FNV-1a) —
+    * deterministic, endianness-free, allocation-free. NOT base-31
+    * polynomial: that has trivial two-byte collisions ("Aa" ≡ "BB"),
+    * caught by PropertySpec's collision sweep.
     */
   def rollingHash(s: UTF8String): Long = {
     val bytes = s.getBytes
-    var h = 1125899906842597L
+    var h = 0xcbf29ce484222325L
     var i = 0
-    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xff); i += 1 }
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
     h
   }
 }

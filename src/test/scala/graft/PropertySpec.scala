@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.TopKBuffer
+
+/** Randomized (seeded, deterministic) property checks for the
+  * hand-written data structures — the pieces a wrong-by-one heap
+  * comparison would break silently.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def rng = new scala.util.Random(42)
+
+  test("TopKBuffer ≡ sort-take-k for arbitrary inputs, orders, and k") {
+    val r = rng
+    for (_ <- 1 to 300) {
+      val k = 1 + r.nextInt(8)
+      val n = r.nextInt(60)
+      // quantized scores force plenty of exact ties
+      val xs = List.fill(n)((math.rint(r.nextDouble() * 20) / 4,
+        r.nextInt(30).toLong))
+      val buf = new TopKBuffer(k)
+      xs.foreach { case (s, id) => buf.add(s, id) }
+      val expected = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(buf.sorted.toSeq == expected,
+        s"k=$k xs=$xs got=${buf.sorted.toSeq}")
+    }
+  }
+
+  test("TopKBuffer merge ≡ single buffer over the concatenation") {
+    val r = rng
+    for (_ <- 1 to 200) {
+      val mk = () => List.fill(r.nextInt(40))(
+        (math.rint(r.nextDouble() * 12) / 2, r.nextInt(20).toLong))
+      val a = mk(); val b = mk()
+      val left = new TopKBuffer(5); val right = new TopKBuffer(5)
+      val merged = new TopKBuffer(5)
+      a.foreach { case (s, id) => left.add(s, id) }
+      b.foreach { case (s, id) => right.add(s, id) }
+      left.merge(right)
+      (a ++ b).foreach { case (s, id) => merged.add(s, id) }
+      assert(left.sorted.toSeq == merged.sorted.toSeq)
+    }
+  }
+
+  test("TopKBuffer serialize/deserialize round-trips through the agg path") {
+    val r = rng
+    for (_ <- 1 to 100) {
+      val agg = graft.plans.TopKBy(null, null, 4)
+      val buf = new TopKBuffer(4)
+      List.fill(r.nextInt(30))((r.nextDouble(), r.nextInt(50).toLong))
+        .foreach { case (s, id) => buf.add(s, id) }
+      val back = agg.deserialize(agg.serialize(buf))
+      assert(back.sorted.toSeq == buf.sorted.toSeq && back.k == buf.k)
+    }
+  }
+
+  test("rollingHash: no collisions across distinct short strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val r = rng
+    val strings = (1 to 2000).map(_ =>
+      r.alphanumeric.take(1 + r.nextInt(12)).mkString).distinct
+    val hashes = strings.map(s =>
+      graft.plans.NativeHash.rollingHash(UTF8String.fromString(s)))
+    assert(hashes.toSet.size == strings.size)
+  }
+}
