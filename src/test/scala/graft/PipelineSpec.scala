@@ -57,6 +57,20 @@ class PipelineSpec extends AnyFunSuite {
       col("region") =!= "North").count() == 0)
   }
 
+  test("extract counts match the reference's own logged runs") {
+    // the reference's historical logs record its extraction counts
+    // (logs/etl_pipeline_20250916.log:load_csv_to_staging — branches
+    // 26 rows, loans 2007 rows); our staging read reproduces them on
+    // the same CSVs. (customers.csv grew 5014→5024 after that run, so
+    // only the unchanged files are comparable.)
+    val branches = BankEtl.extract(spark, s"$dataDir/branches.csv",
+      BankEtl.schemas.find(_.name == "branches").get)
+    assert(branches.totalRows == 26)
+    val loansStaged = BankEtl.extract(spark, s"$dataDir/loans.csv",
+      BankEtl.schemas.find(_.name == "loans").get)
+    assert(loansStaged.totalRows == 2007)
+  }
+
   test("incremental load appends only new keys") {
     val existing = loans.limit(3)
     val loaded = BankEtl.loadIncremental(loans, existing, "loan_id")
