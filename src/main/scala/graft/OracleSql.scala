@@ -792,6 +792,39 @@ object OracleSql {
         |  ifnull(nullif(c_mktsegment, 'FURNITURE'), 'was-furniture') AS ifnulled
         |FROM t""".stripMargin,
 
+    "q_curate_neardup" -> {
+      val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(",\n    ")
+      val bandRows = (0 until 3).map { b =>
+        val cat = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
+        s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $corpusCte,
+         |surv AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, row_number() OVER (
+         |      PARTITION BY md5(${normOf("text")}) ORDER BY doc_id) AS rn
+         |    FROM corpus) t WHERE rn = 1),
+         |sh AS (
+         |  SELECT DISTINCT id,
+         |    w[u.i]||' '||w[u.i+1]||' '||w[u.i+2]||' '||w[u.i+3]||' '||w[u.i+4] AS sh
+         |  FROM (SELECT doc_id AS id, string_split(${normOf("text")}, ' ') AS w
+         |        FROM surv) t,
+         |       unnest(generate_series(1, len(w) - 4)) AS u(i)),
+         |sig AS (SELECT id,
+         |    $mins
+         |  FROM sh GROUP BY id),
+         |banded AS (
+         |  $bandRows),
+         |dropped AS (
+         |  SELECT DISTINCT b.id AS doc_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+         |SELECT (SELECT count(*) FROM corpus) AS n_input,
+         |  (SELECT count(*) FROM surv) AS n_after_exact,
+         |  (SELECT count(*) FROM surv WHERE doc_id NOT IN
+         |     (SELECT doc_id FROM dropped)) AS n_after_near""".stripMargin
+    },
+
     "q_rank_suite" ->
       """SELECT o_orderpriority, o_orderkey,
         |  round(percent_rank() OVER w, 6) AS pct_rank,

@@ -822,6 +822,28 @@ object SparkEntry {
         round(sum($"c_value"), 2).as("nearby_value"))
   }
 
+  /** E19: the FULL dedup funnel — exact dedup, then MinHash-LSH
+    * near-dup pruning (greedy keep-lowest-id) over the survivors; one
+    * row out with the funnel counts. This is the shape of a production
+    * corpus-dedup run: each stage is one of the library's operators,
+    * every shuffle keyed.
+    */
+  private def qCurateNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = dupCorpus(s, dir)
+    val w = Window.partitionBy(TextFunctions.fingerprint($"text"))
+      .orderBy($"doc_id")
+    val survivors = corpus.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1).drop("__rn")
+    val dropIds = Dedup.minhashLshCandidates(survivors, "text", "doc_id",
+        5, 3, 3)
+      .select($"id_b".as("doc_id")).distinct()
+    val finalDocs = survivors.join(dropIds, Seq("doc_id"), "left_anti")
+    corpus.agg(count(lit(1)).as("n_input"))
+      .crossJoin(survivors.agg(count(lit(1)).as("n_after_exact")))
+      .crossJoin(finalDocs.agg(count(lit(1)).as("n_after_near")))
+  }
+
   // ---------------------------------------------------------------- E12. multimodal
 
   /** E12: binary media columns — payload synthesized from text bytes
@@ -916,7 +938,8 @@ object SparkEntry {
     "q_unpivot" -> (qUnpivot _),
     "q_explode_embeddings" -> (qExplodeEmbeddings _),
     "q_null_semantics" -> (qNullSemantics _),
-    "q_rank_suite" -> (qRankSuite _))
+    "q_rank_suite" -> (qRankSuite _),
+    "q_curate_neardup" -> (qCurateNeardup _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
