@@ -44,9 +44,9 @@ object EtlMain {
         val staged = BankEtl.extract(spark, glob, entity)
         val transformed = BankEtl.transform(entity.name, staged.data, batchDate)
         val target = s"$outDir/${entity.name}"
-        val existing =
-          try spark.read.parquet(target).select(entity.primaryKey)
-          catch { case _: Throwable => transformed.limit(0).select(entity.primaryKey) }
+        val existing = sources.ParquetIo.readIfExists(spark, target)
+          .map(_.select(entity.primaryKey))
+          .getOrElse(transformed.limit(0).select(entity.primaryKey))
         val newRows = BankEtl.loadIncremental(transformed, existing,
           entity.primaryKey)
         val loaded = newRows.cache().count()
@@ -65,9 +65,8 @@ object EtlMain {
           else newRows.write.mode(SaveMode.Append).parquet(target)
         }
         newRows.unpersist()
-        tracker.markProcessed(pending,
-          Map.empty ++ pending.collect().map(r =>
-            r.getAs[String]("file_name") -> staged.totalRows))
+        // per-FILE raw counts (not the glob total against every file)
+        tracker.markProcessed(pending, staged.perFileRows)
         println(s"[etl] ${entity.name}: csv_rows=${staged.totalRows} " +
           s"invalid_pk=${staged.invalidKeyRows} deduped=${staged.dedupedRows} " +
           s"new_loaded=$loaded")
@@ -76,8 +75,7 @@ object EtlMain {
 
     // health report (reference test.py): per-table row counts
     val tables = BankEtl.schemas.flatMap { e =>
-      try Some(e.name -> spark.read.parquet(s"$outDir/${e.name}"))
-      catch { case _: Throwable => None }
+      sources.ParquetIo.readIfExists(spark, s"$outDir/${e.name}").map(e.name -> _)
     }.toMap
     if (tables.nonEmpty)
       operators.Loads.countReport(tables).collect().foreach { r =>

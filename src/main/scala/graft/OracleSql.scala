@@ -120,7 +120,7 @@ object OracleSql {
 
     "q_window_running" ->
       """SELECT event_id, user_id,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_balance
         |FROM events""".stripMargin,
 
@@ -375,8 +375,16 @@ object OracleSql {
          |$shCte,
          |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
          |inter AS (
+         |  -- size-ratio prune mirrors the Spark self-join predicate
+         |  -- (Dedup.ngramJaccardPairs): J >= t implies max_sz <= min_sz/t,
+         |  -- in IEEE double arithmetic on BOTH engines
          |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ic
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  FROM sh a
+         |  JOIN sizes sa ON sa.id = a.id
+         |  JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  JOIN sizes sb ON sb.id = b.id
+         |  WHERE CAST(sa.sz AS DOUBLE) <= sb.sz / CAST(0.6 AS DOUBLE)
+         |    AND CAST(sb.sz AS DOUBLE) <= sa.sz / CAST(0.6 AS DOUBLE)
          |  GROUP BY 1, 2),
          |j AS (
          |  SELECT id_a, id_b,
@@ -466,7 +474,7 @@ object OracleSql {
     "q_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, epoch_us(ts) AS us, value,
-        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
         |  FROM events),
         |y AS (
         |  SELECT user_id, us, value,
@@ -531,8 +539,8 @@ object OracleSql {
 
     "q_window_funcs" ->
       """SELECT event_id, user_id,
-        |  round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
-        |  round(lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS next_value,
+        |  round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 2) AS prev_value,
+        |  round(lead(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 2) AS next_value,
         |  rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank
         |FROM events""".stripMargin,
 
@@ -594,15 +602,15 @@ object OracleSql {
          |SELECT q_id, nn_id, "rank", round(c, 4) AS cos FROM r WHERE "rank" <= 5""".stripMargin,
 
     "q_asof_join" ->
-      """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |      FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, event_id, value, ts
+        |c AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
         |      FROM events WHERE event_type = 'click')
         |SELECT p.event_id, p.user_id, p.ts_us,
-        |  (SELECT arg_max(c.event_id, c.ts) FROM c
-        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id,
-        |  (SELECT round(arg_max(c.value, c.ts), 2) FROM c
-        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_value
+        |  (SELECT arg_max(c.event_id, c.ts_us) FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us) AS click_id,
+        |  (SELECT round(arg_max(c.value, c.ts_us), 2) FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us) AS click_value
         |FROM p""".stripMargin,
 
     "q_range_window" ->
@@ -700,15 +708,15 @@ object OracleSql {
     // identical semantics to q_asof_join — same oracle, different
     // physical implementation on the Spark side (native custom exec)
     "q_asof_native" ->
-      """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |      FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, event_id, value, ts
+        |c AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
         |      FROM events WHERE event_type = 'click')
         |SELECT p.event_id, p.user_id, p.ts_us,
-        |  (SELECT arg_max(c.event_id, c.ts) FROM c
-        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_id,
-        |  (SELECT round(arg_max(c.value, c.ts), 2) FROM c
-        |   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_value
+        |  (SELECT arg_max(c.event_id, c.ts_us) FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us) AS click_id,
+        |  (SELECT round(arg_max(c.value, c.ts_us), 2) FROM c
+        |   WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us) AS click_value
         |FROM p""".stripMargin,
 
     "q_repetition" ->

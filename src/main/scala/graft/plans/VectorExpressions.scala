@@ -54,6 +54,10 @@ object NativeVec {
 
 abstract class VecBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // Null is produced even on non-null inputs (length mismatch, null
+  // element) — without this, non-nullable children would let codegen
+  // elide ev.isNull and the optimizer fold IsNull(this) to false.
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>

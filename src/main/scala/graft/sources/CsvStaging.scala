@@ -29,8 +29,14 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object CsvStaging {
 
+  /** `perFileRows`: raw row count per source FILE (the tracker's
+    * record_count must be per file, not the glob total — a multi-file
+    * glob would otherwise record the sum against every file). Small by
+    * construction: O(#files).
+    */
   final case class StagingResult(data: DataFrame, totalRows: Long,
-                                 invalidKeyRows: Long, dedupedRows: Long)
+                                 invalidKeyRows: Long, dedupedRows: Long,
+                                 perFileRows: Map[String, Long] = Map.empty)
 
   def schemaFor(columns: Seq[String]): StructType =
     StructType(columns.map(c => StructField(c, StringType, nullable = true)))
@@ -64,10 +70,16 @@ object CsvStaging {
       .drop("__rn", "__file_order")
       .withColumn("numeric_sort_key", numericSortKey(col(primaryKey)))
 
-    val total = ordered.count()
+    val perFile = ordered
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file_name"))
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val total = perFile.valuesIterator.sum
     val valid = keyed.count()
     val kept = deduped.count()
-    StagingResult(deduped, total, total - valid, valid - kept)
+    StagingResult(deduped, total, total - valid, valid - kept, perFile)
   }
 
   /** The reference's `_extract_numeric_id`: all digits of the id glued

@@ -19,13 +19,16 @@ class FileTracker(spark: SparkSession, statePath: String) {
   private val stateSchema = "file_name STRING, file_hash STRING, " +
     "record_count LONG, processed_at TIMESTAMP"
 
+  /** Absent state (first run) → empty frame; a read FAILURE on existing
+    * state propagates — swallowing it would make every processed file
+    * look new and re-ingest the world.
+    */
   def state(): DataFrame =
-    try spark.read.schema(stateSchema).parquet(statePath)
-    catch {
-      case _: Throwable =>
+    ParquetIo.readIfExists(spark, statePath)
+      .map(_.select("file_name", "file_hash", "record_count", "processed_at"))
+      .getOrElse(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(stateSchema))
-    }
+          org.apache.spark.sql.types.StructType.fromDDL(stateSchema)))
 
   /** (file_name, file_hash, length) for every file under `glob`,
     * hashed on executors. A glob matching nothing yields an empty frame
@@ -66,10 +69,8 @@ class FileTracker(spark: SparkSession, statePath: String) {
       state().withColumn("__v", lit(0)),
       incoming.withColumn("__v", lit(1)),
       Seq("file_name"), "__v").drop("__v")
-    // small state table: a single rewrite is the scalable pattern
-    // (state is O(#files), not O(rows))
-    val tmp = statePath + "_tmp"
-    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(statePath)
+    // small state table (O(#files), not O(rows)): single-file rewrite
+    // through ParquetIo's rename swap — crash-safe, self-healing
+    ParquetIo.replace(merged, statePath, coalesceTo = 1)
   }
 }

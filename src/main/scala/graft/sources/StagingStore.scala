@@ -29,17 +29,18 @@ final class ParquetStagingStore(root: String) extends StagingStore {
 
   override def upsert(df: DataFrame, table: String, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
-    val merged =
-      try {
-        val cur = read(spark, table)
+    // absence is an explicit existence check — a failing read of an
+    // EXISTING table must abort the upsert, not degrade it into an
+    // overwrite with only the incoming batch
+    val merged = ParquetIo.readIfExists(spark, path(table)) match {
+      case Some(cur) =>
         graft.operators.Loads.upsert(
           cur.withColumn("__v", org.apache.spark.sql.functions.lit(0)),
           df.withColumn("__v", org.apache.spark.sql.functions.lit(1)),
           keys, "__v").drop("__v")
-      } catch { case _: Throwable => df }
-    val tmp = path(table) + "_tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(table))
+      case None => df
+    }
+    ParquetIo.replace(merged, path(table))
   }
 }
 
@@ -58,16 +59,38 @@ final class JdbcStagingStore(url: String, props: Properties)
   override def write(df: DataFrame, table: String, mode: SaveMode): Unit =
     df.write.mode(mode).jdbc(url, table, props)
 
+  /** Missing-table is decided via JDBC metadata (DatabaseMetaData
+    * .getTables), not by catching the read failure — a transient
+    * connection error must abort, not silently drop the current rows.
+    */
+  private def tableExists(table: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, table, null)
+      try rs.next() finally rs.close()
+    } finally conn.close()
+  }
+
   override def upsert(df: DataFrame, table: String, keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     val merged =
-      try {
+      if (tableExists(table)) {
         val cur = read(spark, table)
         graft.operators.Loads.upsert(
           cur.withColumn("__v", org.apache.spark.sql.functions.lit(0)),
           df.withColumn("__v", org.apache.spark.sql.functions.lit(1)),
           keys, "__v").drop("__v")
-      } catch { case _: Throwable => df }
-    merged.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+      } else df
+    // merged lazily reads the table being overwritten — materialize it
+    // BEFORE the truncate or the write would see its own destruction
+    val out = merged.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    out.count()
+    try {
+      // plain JDBC has no cross-engine MERGE: Overwrite truncates and
+      // rewrites; stronger atomicity needs a warehouse-side staging
+      // table + MERGE, outside portable-JDBC scope
+      out.write.mode(SaveMode.Overwrite).option("truncate", "true")
+        .jdbc(url, table, props)
+    } finally out.unpersist()
   }
 }

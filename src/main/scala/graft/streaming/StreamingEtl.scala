@@ -120,10 +120,10 @@ object StreamingEtl {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val existing =
-          try Some(spark.read.parquet(targetPath))
-          catch { case _: Throwable => None }
-        val merged = existing match {
+        // absence decided by existence check, swap done by rename —
+        // a read failure aborts the batch (checkpoint retries it)
+        // instead of silently re-initializing the target
+        val merged = graft.sources.ParquetIo.readIfExists(spark, targetPath) match {
           case Some(cur) =>
             graft.operators.Loads.upsert(
               cur.withColumn("__v", org.apache.spark.sql.functions.lit(0)),
@@ -131,9 +131,7 @@ object StreamingEtl {
               keys, "__v").drop("__v")
           case None => batch
         }
-        val tmp = targetPath + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(targetPath)
+        graft.sources.ParquetIo.replace(merged, targetPath)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -72,6 +72,28 @@ class NativeExprSpec extends AnyFunSuite {
     assert(short.head.getSeq[String](0).isEmpty)
   }
 
+  test("dot/sqDist: null on length mismatch even for non-nullable inputs") {
+    import graft.plans.VectorFunctions
+    // array(lit…) children are non-nullable — without the nullable
+    // override, codegen would assign an undeclared ev.isNull and the
+    // optimizer could fold IsNull(expr) to false (ADVICE r1)
+    val base = spark.range(1).select(
+      VectorFunctions.dotProduct(
+        array(lit(1.0), lit(2.0)), array(lit(3.0))).as("d"),
+      VectorFunctions.sqDist(
+        array(lit(1.0), lit(2.0)), array(lit(3.0))).as("s"))
+    val r = base.collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val folded = base.select(isnull($"d").as("dn"), isnull($"s").as("sn"))
+      .collect()(0)
+    assert(folded.getBoolean(0) && folded.getBoolean(1))
+    // matched lengths still compute
+    val ok = spark.range(1).select(VectorFunctions.dotProduct(
+      array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("d"))
+      .collect()(0)
+    assert(ok.getDouble(0) == 11.0)
+  }
+
   test("rolling_hash: deterministic, content-sensitive, null-safe") {
     val h = docs.select($"id", NativeFunctions.rollingHash($"text").as("h"))
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("h")).toMap

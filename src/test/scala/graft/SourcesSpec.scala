@@ -37,6 +37,18 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("CsvStaging: per-file raw counts on a multi-file glob") {
+    val dir = tmpDir()
+    Files.writeString(java.nio.file.Path.of(dir, "tx_1.csv"),
+      "id,v\nT1,1\nT2,2\n")
+    Files.writeString(java.nio.file.Path.of(dir, "tx_2.csv"),
+      "id,v\nT3,3\nT4,4\nT5,5\n")
+    val res = CsvStaging.read(spark, s"$dir/tx_*.csv", Seq("id", "v"), "id")
+    // record_count must be per FILE, not the glob total (ADVICE r1)
+    assert(res.perFileRows == Map("tx_1.csv" -> 2L, "tx_2.csv" -> 3L))
+    assert(res.totalRows == 5)
+  }
+
   test("JsonlSource: good rows parse, malformed lines quarantine") {
     val dir = tmpDir()
     java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "docs.jsonl"),
