@@ -11,9 +11,16 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb one-time session cost (codegen infra, parquet reader init)
-    // so the first measured query isn't billed for JVM warmup
-    SparkEntry.entry(spark).count()
+    // absorb one-time cost (codegen compilation, JIT, parquet reader
+    // init) so it isn't billed to whichever queries happen to run first:
+    // run EVERY query once at the smallest SF — same generated code,
+    // negligible data. Measured numbers then reflect steady state, which
+    // is what matters for the 100 TB design point.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    }
     // best-of-N per query: local-mode timings are scheduling-noise-bound
     // at small SF; min is the standard stable estimator
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt

@@ -56,8 +56,18 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "das"),
     "fr" -> Seq("le", "les", "des", "et"))
 
-  /** Count of marker stopwords for one language in the word array. */
-  def langScore(c: Column, lang: String): Column = {
+  /** Count of marker stopwords for one language in the word array.
+    * Hot path: the native one-pass `marker_count` expression (the
+    * composed higher-order `filter` is interpreted AND fences off
+    * whole-stage codegen for the whole projection — langScore runs 5×
+    * per row in the curation flagship). [[langScoreComposed]] is the
+    * executable spec (equality asserted in NativeExprSpec).
+    */
+  def langScore(c: Column, lang: String): Column =
+    graft.plans.TextNativeFunctions.markerCount(words(c),
+      markers.toMap.apply(lang))
+
+  def langScoreComposed(c: Column, lang: String): Column = {
     val set = markers.toMap.apply(lang)
     size(filter(words(c), w => set.map(w === _).reduce(_ || _)))
   }

@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sq_dist"),
       info("sq_dist", "sq_dist(array<double>, array<double>) - squared L2 distance"),
       (exprs: Seq[Expression]) => SqDist(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("marker_count"),
+      info("marker_count",
+        "marker_count(array<string>, marker, ...) - occurrences of any marker"),
+      (exprs: Seq[Expression]) => MarkerCount(exprs.head,
+        exprs.tail.map(e => e.eval(null).toString))))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

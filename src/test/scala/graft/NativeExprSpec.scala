@@ -72,6 +72,35 @@ class NativeExprSpec extends AnyFunSuite {
     assert(short.head.getSeq[String](0).isEmpty)
   }
 
+  test("native marker_count ≡ composed filter langScore on real documents") {
+    import graft.functions.TextFunctions
+    val d = table(spark, "/root/testdata/sf0.001", "documents")
+    for (lang <- Seq("en", "es", "de", "fr")) {
+      val rows = d.select(
+        TextFunctions.langScore($"text", lang).as("nat"),
+        TextFunctions.langScoreComposed($"text", lang).as("cmp")).collect()
+      rows.foreach(r => assert(r.getInt(0) == r.getInt(1), s"lang=$lang"))
+    }
+    // duplicates counted, null element skipped, null array → null
+    val arr = Seq(Tuple1(Seq("the", "the", null, "and", "x"))).toDF("w")
+      .select(graft.plans.TextNativeFunctions.markerCount($"w",
+        Seq("the", "and")).as("c")).collect()
+    assert(arr.head.getInt(0) == 3)
+    val nul = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("w")
+      .select(graft.plans.TextNativeFunctions.markerCount($"w",
+        Seq("the")).as("c")).collect()
+    assert(nul.head.isNullAt(0))
+    // interpreted path agrees with codegen
+    val fast = d.select(TextFunctions.langScore($"text", "en"))
+      .collect().map(_.getInt(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = d.select(TextFunctions.langScore($"text", "en"))
+        .collect().map(_.getInt(0))
+      assert(fast.toSeq == interp.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("dot/sqDist: null on length mismatch even for non-nullable inputs") {
     import graft.plans.VectorFunctions
     // array(lit…) children are non-nullable — without the nullable
