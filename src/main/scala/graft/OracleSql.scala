@@ -865,5 +865,77 @@ object OracleSql {
         |  round(sum(c.c_value), 2) AS nearby_value
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND abs(p.p_us - c.c_us) <= 1800000000
-        |GROUP BY p.p_id, p.user_id""".stripMargin)
+        |GROUP BY p.p_id, p.user_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, price, cust_orders FROM (
+        |  SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price,
+        |    (SELECT count(*) FROM orders o2
+        |     WHERE o2.o_custkey = o.o_custkey) AS cust_orders
+        |  FROM orders o) t
+        |WHERE cust_orders >= 8""".stripMargin,
+
+    "q_window_frames" ->
+      """SELECT event_id, user_id,
+        |  round(first_value(value) OVER w, 2) AS first_in_frame,
+        |  round(last_value(value) OVER w, 2) AS last_in_frame,
+        |  round(nth_value(value, 2) OVER w, 2) AS second_in_frame
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                 THEN o_totalprice ELSE 0 END), 2) AS urgent_total,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_totalprice > 400000) AS any_huge
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH b AS (SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS mn,
+        |    CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS mx FROM events),
+        |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |  FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |agg AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT epoch_us(s.h) AS hour_us, t.event_type,
+        |  coalesce(a.cnt, 0) AS n, coalesce(a.sum_v, 0.0) AS total
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type""".stripMargin,
+
+    "q_gopher_quality" -> {
+      val norm = normOf("text")
+      s"""WITH x AS (SELECT doc_id,
+         |    len(string_split($norm, ' ')) AS nw,
+         |    length($norm) AS nl,
+         |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS nsym,
+         |    length(text) AS nc,
+         |    ${langScoreSql(s"string_split($norm, ' ')", enW)} AS stops
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(nw AS BIGINT) AS n_words,
+         |  round((nl - (nw - 1)) / CAST(nw AS DOUBLE), 4) AS mean_word_len,
+         |  round(CASE WHEN nc > 0 THEN nsym / CAST(nc AS DOUBLE)
+         |             ELSE 0.0 END, 4) AS symbol_ratio,
+         |  CAST(stops AS BIGINT) AS n_stopwords,
+         |  (nw >= 50 AND nw <= 100000
+         |   AND (nl - (nw - 1)) / CAST(nw AS DOUBLE) >= 3.0
+         |   AND (nl - (nw - 1)) / CAST(nw AS DOUBLE) <= 10.0
+         |   AND (CASE WHEN nc > 0 THEN nsym / CAST(nc AS DOUBLE)
+         |             ELSE 0.0 END) <= 0.1
+         |   AND stops >= 2) AS keep
+         |FROM x""".stripMargin
+    })
 }

@@ -844,6 +844,112 @@ object SparkEntry {
       .crossJoin(finalDocs.agg(count(lit(1)).as("n_after_near")))
   }
 
+  /** C24: GROUPING SETS — the explicit grouping-set form next to
+    * rollup (C7) and cube (C17); exercised through the SQL surface
+    * (there is no DataFrame-API equivalent).
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority))""")
+  }
+
+  /** C25: correlated scalar subquery — Catalyst rewrites it to an
+    * aggregate + left join, the scale-correct plan. Integer count
+    * semantics so no float-boundary can flip rows between engines.
+    */
+  private def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "orders").createOrReplaceTempView("orders_sq")
+    s.sql("""
+      SELECT o_orderkey, price, cust_orders FROM (
+        SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price,
+          (SELECT count(*) FROM orders_sq o2
+           WHERE o2.o_custkey = o.o_custkey) AS cust_orders
+        FROM orders_sq o) t
+      WHERE cust_orders >= 8""")
+  }
+
+  /** C26: value-position window frame suite — first/last/nth value over
+    * a sliding 4-row frame (ROWS, bounded preceding).
+    */
+  private def qWindowFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-3, Window.currentRow)
+    table(s, dir, "events").select($"event_id", $"user_id",
+      round(first($"value").over(w), 2).as("first_in_frame"),
+      round(last($"value").over(w), 2).as("last_in_frame"),
+      round(nth_value($"value", 2).over(w), 2).as("second_in_frame"))
+  }
+
+  /** C27: conditional aggregates — count_if / filtered sum / bool_and /
+    * bool_or (all map-side-combinable single-pass aggregates).
+    */
+  private def qConditionalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count_if($"o_totalprice" > 200000).as("n_big"),
+        round(sum(when($"o_orderpriority" === "1-URGENT", $"o_totalprice")
+          .otherwise(0.0)), 2).as("urgent_total"),
+        bool_and($"o_totalprice" > 0).as("all_positive"),
+        bool_or($"o_totalprice" > 400000).as("any_huge"))
+  }
+
+  /** F5: time-series gap-fill — a dense hourly spine (generated
+    * distributed from one sequence(), never a driver loop) cross the
+    * type dimension, left-joined to the hourly totals, zero-filled.
+    * The spine side is tiny at any data scale (hours × types), so both
+    * joins broadcast; the only real shuffle is the hourly aggregate.
+    */
+  private def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+    val hourly = ev
+      .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 2).as("sum_v"))
+    val spine = ev
+      .agg(date_trunc("hour", min($"ts")).as("mn"),
+        date_trunc("hour", max($"ts")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+    val types = ev.select($"event_type").distinct()
+    spine.crossJoin(types)
+      .join(hourly, Seq("h", "event_type"), "left")
+      .select(unix_micros($"h").as("hour_us"), $"event_type",
+        coalesce($"cnt", lit(0L)).as("n"),
+        coalesce($"sum_v", lit(0.0)).as("total"))
+  }
+
+  /** E20: Gopher-style quality-rule bundle — word count, mean word
+    * length (exact from the normalized text: chars minus separators
+    * over words — no per-word explode), symbol ratio, stopword floor,
+    * and the combined keep decision. One scan, all codegen'd exprs.
+    */
+  private def qGopherQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = TextFunctions.normalizeText($"text")
+    val nw = size(TextFunctions.words($"text"))
+    val meanLen = (length(norm) - (nw - 1)).cast("double") / nw
+    val nChars = length($"text")
+    val symRatio = when(nChars > 0,
+      length(regexp_replace($"text", "[A-Za-z0-9\\s]", "")).cast("double")
+        / nChars).otherwise(lit(0.0))
+    val stops = TextFunctions.langScore($"text", "en")
+    table(s, dir, "documents").select($"doc_id",
+      nw.cast("long").as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symRatio, 4).as("symbol_ratio"),
+      stops.cast("long").as("n_stopwords"),
+      (nw >= 50 && nw <= 100000 && meanLen >= 3.0 && meanLen <= 10.0 &&
+        symRatio <= 0.1 && stops >= 2).as("keep"))
+  }
+
   // ---------------------------------------------------------------- E12. multimodal
 
   /** E12: binary media columns — payload synthesized from text bytes
@@ -939,7 +1045,13 @@ object SparkEntry {
     "q_explode_embeddings" -> (qExplodeEmbeddings _),
     "q_null_semantics" -> (qNullSemantics _),
     "q_rank_suite" -> (qRankSuite _),
-    "q_curate_neardup" -> (qCurateNeardup _))
+    "q_curate_neardup" -> (qCurateNeardup _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_window_frames" -> (qWindowFrames _),
+    "q_conditional_agg" -> (qConditionalAgg _),
+    "q_gapfill" -> (qGapfill _),
+    "q_gopher_quality" -> (qGopherQuality _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
