@@ -42,6 +42,98 @@ object NativeText {
     c
   }
 
+  /** One-pass text statistics (SURVEY §2.E8/E9 hot path): the curation
+    * flagship needs whitespace-token count, char/alpha counts and the
+    * four per-language marker counts for EVERY document, and the
+    * composed form costs ~10 regex/split passes per row (filter and
+    * project each re-evaluate, and `words(c)` appears 5×). This computes
+    * all of them in two scans of the string (original + lowercased)
+    * with zero regex work, preserving the composed semantics exactly:
+    *
+    *  - out(0): `size(split(trim(c), "\\s+"))` — trim removes ASCII
+    *    spaces only (Spark `trim`), split keeps leading/trailing empty
+    *    segments produced by non-space whitespace (Java split, limit -1);
+    *  - out(1): `length(c)` (code points);
+    *  - out(2): `length(regexp_replace(c, "[^A-Za-z]", ""))`;
+    *  - out(3+i): markerCount over the normalized words — runs of
+    *    [a-z0-9] in `lower(c)` (UTF8String.toLowerCase, so e.g. Kelvin
+    *    K lowercases to ASCII k exactly as Spark's `lower`).
+    */
+  def textStats(t: UTF8String, markerSets: Array[Array[UTF8String]]): ArrayData = {
+    val out = new Array[Int](3 + markerSets.length)
+    // --- whitespace tokens over the space-trimmed original
+    val trimmed = t.trim()
+    val nb = trimmed.numBytes()
+    if (nb == 0) out(0) = 1
+    else {
+      def isWs(b: Byte): Boolean =
+        b == 0x20 || (b >= 0x09 && b <= 0x0d)
+      var runs = 0
+      var inRun = false
+      var i = 0
+      while (i < nb) {
+        val ws = isWs(trimmed.getByte(i))
+        if (!ws && !inRun) { runs += 1; inRun = true }
+        else if (ws) inRun = false
+        i += 1
+      }
+      out(0) = runs +
+        (if (isWs(trimmed.getByte(0))) 1 else 0) +
+        (if (isWs(trimmed.getByte(nb - 1))) 1 else 0)
+    }
+    // --- code points + ASCII-alpha count over the original
+    out(1) = t.numChars()
+    var alpha = 0
+    var i = 0
+    val tn = t.numBytes()
+    while (i < tn) {
+      val b = t.getByte(i)
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) alpha += 1
+      i += 1
+    }
+    out(2) = alpha
+    // --- marker counts over [a-z0-9] runs of the lowercased string
+    val lower = t.toLowerCase
+    val ln = lower.numBytes()
+    var runStart = -1
+    i = 0
+    while (i <= ln) {
+      val alnum = i < ln && {
+        val b = lower.getByte(i)
+        (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      }
+      if (alnum && runStart < 0) runStart = i
+      else if (!alnum && runStart >= 0) {
+        val runLen = i - runStart
+        var s = 0
+        while (s < markerSets.length) {
+          val set = markerSets(s)
+          var j = 0
+          var matched = false
+          while (j < set.length && !matched) {
+            val m = set(j)
+            if (m.numBytes() == runLen) {
+              var k = 0
+              var eq = true
+              while (k < runLen && eq) {
+                if (m.getByte(k) != lower.getByte(runStart + k)) eq = false
+                k += 1
+              }
+              matched = eq
+            }
+            j += 1
+          }
+          if (matched) out(3 + s) += 1
+          s += 1
+        }
+        runStart = -1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   def shingles(words: ArrayData, n: Int): ArrayData = {
     val len = words.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
@@ -122,10 +214,49 @@ case class MarkerCount(child: Expression, markers: Seq[String])
     copy(child = newChild)
 }
 
+/** text_stats(string) → array<int> of [ws_tokens, n_chars, n_alpha,
+  * marker_count(set_0), …]. One fused pass replacing the ~10 regex /
+  * split evaluations the composed quality-score + language-ID pipeline
+  * costs per row (filter AND project each re-evaluate; no cross-stage
+  * CSE). qualityScore/langId derive from this array; the composed
+  * forms remain as executable specs (equality asserted in
+  * NativeExprSpec).
+  */
+case class TextStats(child: Expression, markerSets: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "text_stats"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"text_stats needs string, got ${other.catalogString}")
+    }
+
+  @transient private lazy val utf8Sets: Array[Array[UTF8String]] =
+    markerSets.map(_.map(UTF8String.fromString).toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.textStats(input.asInstanceOf[UTF8String], utf8Sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markerSets", utf8Sets,
+      "org.apache.spark.unsafe.types.UTF8String[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.NativeText.textStats($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
 object TextNativeFunctions {
   def wordShingles(words: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(words), n))
 
   def markerCount(words: Column, markers: Seq[String]): Column =
     GraftBridge.column(MarkerCount(GraftBridge.expression(words), markers))
+
+  def textStats(text: Column, markerSets: Seq[Seq[String]]): Column =
+    GraftBridge.column(TextStats(GraftBridge.expression(text), markerSets))
 }

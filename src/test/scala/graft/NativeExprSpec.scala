@@ -152,4 +152,80 @@ class NativeExprSpec extends AnyFunSuite {
       .collect().head
     assert(r.getLong(0) != 0L && r.getLong(1) != 0L)
   }
+
+  // whitespace/unicode torture cases for the one-pass text_stats path:
+  // non-space whitespace survives Spark trim (spaces only) and produces
+  // empty split segments; Kelvin sign lowercases to ASCII 'k'; emoji /
+  // multi-byte chars must count as one code point and never as alpha
+  private val statsEdgeCases = Seq(
+    "the quick brown fox", "", " ", "\t", "\tthe and of\t", "a  b",
+    "the and", "café the", "Kelvin the", "éthe",
+    "123 456", "THE AND OF TO", "el la de los und das le les des et",
+    "x\ny\tz ", "  the  ", "🦊 the 🦊", "żółć the żółć", null)
+
+  test("native qualityScore/langId ≡ composed forms on real documents") {
+    import graft.functions.TextFunctions
+    val d = table(spark, "/root/testdata/sf0.001", "documents")
+    val rows = d.select(
+      TextFunctions.qualityScore($"text").as("qn"),
+      TextFunctions.qualityScoreComposed($"text").as("qc"),
+      TextFunctions.langId($"text").as("ln"),
+      TextFunctions.langIdComposed($"text").as("lc")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getString(2) == r.getString(3))
+    }
+    assert(rows.length > 100)
+  }
+
+  test("text_stats ≡ composed token/char/alpha/marker counts on edges") {
+    import graft.functions.TextFunctions
+    val df = statsEdgeCases.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select($"id",
+      TextFunctions.textStats($"text").as("st"),
+      TextFunctions.wsTokenCount($"text").as("tok"),
+      length($"text").as("nch"),
+      length(regexp_replace($"text", "[^A-Za-z]", "")).as("nal"),
+      TextFunctions.langScoreComposed($"text", "en").as("men"),
+      TextFunctions.langScoreComposed($"text", "fr").as("mfr"),
+      TextFunctions.qualityScore($"text").as("qn"),
+      TextFunctions.qualityScoreComposed($"text").as("qc"),
+      TextFunctions.langId($"text").as("ln"),
+      TextFunctions.langIdComposed($"text").as("lc")).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (r.isNullAt(1)) {
+        assert(statsEdgeCases(id.toInt) == null)
+        // null text: least() ignores nulls, so both paths yield 0.4
+        assert(r.isNullAt(7) == r.isNullAt(8), s"id=$id quality nullness")
+        if (!r.isNullAt(7))
+          assert(r.getDouble(7) == r.getDouble(8), s"id=$id quality")
+        assert(r.getString(9) == r.getString(10), s"id=$id lang")
+      } else {
+        val st = r.getSeq[Int](1)
+        assert(st(0) == r.getInt(2), s"id=$id ws tokens")
+        assert(st(1) == r.getInt(3), s"id=$id chars")
+        assert(st(2) == r.getInt(4), s"id=$id alpha")
+        assert(st(3) == r.getInt(5), s"id=$id en markers")
+        assert(st(6) == r.getInt(6), s"id=$id fr markers")
+        assert(r.getDouble(7) == r.getDouble(8), s"id=$id quality")
+        assert(r.getString(9) == r.getString(10), s"id=$id lang")
+      }
+    }
+  }
+
+  test("text_stats interpreted path agrees with codegen") {
+    import graft.functions.TextFunctions
+    val df = statsEdgeCases.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val fast = df.select(TextFunctions.textStats($"text")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Int](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(TextFunctions.textStats($"text")).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getSeq[Int](0))
+      assert(fast.toSeq == interp.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }
