@@ -915,6 +915,152 @@ object OracleSql {
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type""".stripMargin,
 
+    "q_dedup_cluster" -> {
+      // same corpus/shingle/pair fragments as q_dedup_ngram, then the
+      // transitive closure: min reachable id over symmetrized pairs ≡
+      // the Spark hash-to-min fixpoint label
+      s"""WITH RECURSIVE $corpusCte,
+         |$shCte,
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ic
+         |  FROM sh a
+         |  JOIN sizes sa ON sa.id = a.id
+         |  JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  JOIN sizes sb ON sb.id = b.id
+         |  WHERE CAST(sa.sz AS DOUBLE) <= sb.sz / CAST(0.6 AS DOUBLE)
+         |    AND CAST(sb.sz AS DOUBLE) <= sa.sz / CAST(0.6 AS DOUBLE)
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 4) AS jaccard
+         |    FROM inter
+         |    JOIN sizes sa ON sa.id = id_a
+         |    JOIN sizes sb ON sb.id = id_b) j
+         |  WHERE jaccard >= 0.6),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin
+    },
+
+    "q_decontaminate" -> {
+      val gram8 = (0 until 8).map(k => s"w[u.i+$k]").mkString("||' '||")
+      s"""WITH $corpusCte,
+         |bench AS (SELECT doc_id, text FROM corpus
+         |          WHERE doc_id % 10 = 0 AND doc_id < 1000000),
+         |corp AS (SELECT doc_id, text FROM corpus
+         |         WHERE NOT (doc_id % 10 = 0 AND doc_id < 1000000)),
+         |cs AS (SELECT DISTINCT id, $gram8 AS sh
+         |  FROM (SELECT doc_id AS id, string_split(${normOf("text")}, ' ') AS w
+         |        FROM corp) t,
+         |       unnest(generate_series(1, len(w) - 7)) AS u(i)),
+         |bs AS (SELECT DISTINCT $gram8 AS sh
+         |  FROM (SELECT string_split(${normOf("text")}, ' ') AS w
+         |        FROM bench) t,
+         |       unnest(generate_series(1, len(w) - 7)) AS u(i))
+         |SELECT cs.id AS doc_id, count(*) AS n_shared
+         |FROM cs JOIN bs ON cs.sh = bs.sh
+         |GROUP BY cs.id""".stripMargin
+    },
+
+    "q_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT c_mktsegment, md5(CAST(c_custkey AS VARCHAR)) AS hx
+        |  FROM customer),
+        |tot AS (SELECT c_mktsegment, count(*) AS n_total
+        |        FROM customer GROUP BY 1),
+        |kept AS (
+        |  SELECT c_mktsegment, count(*) AS n_sampled FROM h
+        |  WHERE (c_mktsegment = 'BUILDING'   AND substr(hx,1,4) < '8000')
+        |     OR (c_mktsegment = 'AUTOMOBILE' AND substr(hx,1,4) < '4000')
+        |     OR (c_mktsegment = 'MACHINERY'  AND substr(hx,1,4) < '2000')
+        |     OR (c_mktsegment = 'HOUSEHOLD'  AND substr(hx,1,4) < '1000')
+        |     OR  c_mktsegment = 'FURNITURE'
+        |  GROUP BY 1)
+        |SELECT t.c_mktsegment AS segment, t.n_total, k.n_sampled
+        |FROM tot t JOIN kept k ON t.c_mktsegment = k.c_mktsegment""".stripMargin,
+
+    "q_weighted_mix" ->
+      """WITH counts AS (
+        |  SELECT o_orderpriority, count(*) AS n_avail,
+        |    CAST(CASE o_orderpriority
+        |      WHEN '1-URGENT' THEN 0.4 WHEN '2-HIGH' THEN 0.3
+        |      WHEN '3-MEDIUM' THEN 0.15 WHEN '4-NOT SPECIFIED' THEN 0.1
+        |      WHEN '5-LOW' THEN 0.05 END AS DOUBLE) AS weight
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT min(floor(CAST(n_avail AS DOUBLE) / weight)) AS m_total
+        |      FROM counts)
+        |SELECT o_orderpriority AS priority, n_avail, weight,
+        |  CAST(floor(weight * m_total) AS BIGINT) AS n_take
+        |FROM counts, m""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS aw FROM events),
+        |coh AS (SELECT user_id, min(aw) AS cw FROM ev GROUP BY 1)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST((e.aw - c.cw) / 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN coh c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+        |  FROM events GROUP BY 1)
+        |SELECT count(*) AS n_users, count(v) AS n_view,
+        |  count(CASE WHEN c > v THEN 1 END) AS n_click_after_view,
+        |  count(CASE WHEN p > c AND c > v THEN 1 END)
+        |    AS n_purchase_after_click
+        |FROM u""".stripMargin,
+
+    "q_quantile_bucket" -> {
+      val cases = (1 to 9).map(i =>
+        s"(CASE WHEN o_totalprice > bs[$i] THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT quantile_cont(o_totalprice,
+         |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM orders)
+         |SELECT CAST($cases + 1 AS BIGINT) AS bucket,
+         |  count(*) AS n,
+         |  round(min(o_totalprice), 2) AS lo,
+         |  round(max(o_totalprice), 2) AS hi
+         |FROM orders, b GROUP BY 1""".stripMargin
+    },
+
+    "q_corr_stats" -> {
+      val cents = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+      val qty = "CAST(l_quantity AS BIGINT)"
+      s"""WITH m AS (
+         |  SELECT l_returnflag, count(*) AS n,
+         |    sum($qty) AS sx, sum($cents) AS sy,
+         |    sum($qty * $qty) AS sxx, sum($cents * $cents) AS syy,
+         |    sum($qty * $cents) AS sxy
+         |  FROM lineitem GROUP BY 1),
+         |d AS (
+         |  SELECT l_returnflag, n,
+         |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+         |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+         |  FROM m)
+         |SELECT l_returnflag, n,
+         |  round(sxd / nd, 6) AS mean_qty,
+         |  round((nd * sxyd - sxd * syd) /
+         |    sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+         |    AS corr_qty_price,
+         |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6)
+         |    AS slope_cents_per_unit
+         |FROM d""".stripMargin
+    },
+
     "q_gopher_quality" -> {
       val norm = normOf("text")
       s"""WITH x AS (SELECT doc_id,

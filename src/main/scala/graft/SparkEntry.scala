@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, TextFunctions}
-import graft.operators.{Dedup, Loads, Multimodal, Sessions, Similarity}
+import graft.operators.{Dedup, Graph, Loads, Multimodal, Sampling, Sessions, Similarity}
 
 /** Driver contract — the query catalog for the correctness gate.
   *
@@ -950,6 +950,162 @@ object SparkEntry {
         symRatio <= 0.1 && stops >= 2).as("keep"))
   }
 
+  /** E21: near-dup CLUSTER resolution — the ngram Jaccard pairs are
+    * edges of an undirected graph; connected components (iterated
+    * min-label propagation, operators.Graph) collapses transitive
+    * chains (a~b, b~c ⇒ {a,b,c}) into one cluster labeled by its min
+    * doc id. This is the step that turns pairwise near-dup detection
+    * into an actionable "keep one per cluster" decision.
+    */
+  private def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.ngramJaccardPairs(dupCorpus(s, dir), "text", "doc_id",
+      5, 0.6)
+    Graph.connectedComponents(pairs, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"comp".as("cluster_id"))
+  }
+
+  /** E22: benchmark decontamination — corpus docs sharing any word
+    * 8-gram with the held-out benchmark slice (doc_id % 10 == 0 of the
+    * originals; their truncated near-copies in the dup-seeded corpus
+    * guarantee overlap). Benchmark side broadcast; the corpus never
+    * shuffles.
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = dupCorpus(s, dir)
+    val bench = all.filter($"doc_id" % 10 === 0 && $"doc_id" < 1000000)
+    val corpus = all.filter(!($"doc_id" % 10 === 0 && $"doc_id" < 1000000))
+    Dedup.contaminationReport(corpus, bench, "text", "doc_id", 8)
+  }
+
+  /** E23: deterministic stratified sampling — per-segment keep rates
+    * applied as a content-keyed hash gate (md5 prefix threshold): the
+    * same rows are kept on ANY engine, run, or partitioning, which is
+    * what makes a training-data sample reproducible. Zero shuffles
+    * before the reporting aggregate.
+    */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = Map("BUILDING" -> 0.5, "AUTOMOBILE" -> 0.25,
+      "MACHINERY" -> 0.125, "HOUSEHOLD" -> 0.0625, "FURNITURE" -> 1.0)
+    val c = table(s, dir, "customer")
+    Sampling.stratifiedSample(c, "c_mktsegment", $"c_custkey", rates)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_sampled"))
+      .join(c.groupBy($"c_mktsegment").agg(count(lit(1)).as("n_total")),
+        Seq("c_mktsegment"))
+      .select($"c_mktsegment".as("segment"), $"n_total", $"n_sampled")
+  }
+
+  /** E24: mixture planner — the largest corpus obeying target class
+    * weights exactly, with per-class take counts. Counts collapse to
+    * one row per class before any arithmetic, so the plan is one
+    * groupBy at any corpus size.
+    */
+  private def qWeightedMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.mixturePlan(table(s, dir, "orders"), "o_orderpriority",
+        Map("1-URGENT" -> 0.4, "2-HIGH" -> 0.3, "3-MEDIUM" -> 0.15,
+          "4-NOT SPECIFIED" -> 0.1, "5-LOW" -> 0.05))
+      .select($"o_orderpriority".as("priority"), $"n_avail",
+        $"weight", $"n_take")
+  }
+
+  /** C28: cohort retention — users grouped by first-activity week
+    * (Monday-truncated), distinct-user counts per (cohort, week
+    * offset). Two keyed shuffles (per-user min, then cohort agg).
+    */
+  private def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("aw"))
+      .distinct()
+    val cohorts = ev.groupBy($"user_id").agg(min($"aw").as("cw"))
+    ev.join(cohorts, "user_id")
+      .groupBy($"cw", ((datediff($"aw", $"cw") / 7).cast("long")).as("week_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select(date_format($"cw", "yyyy-MM-dd").as("cohort_week"),
+        $"week_offset", $"n_users")
+  }
+
+  /** C29: ordered funnel — per-user first-touch timestamps per stage
+    * via conditional min aggregates (ONE pass over events, no
+    * per-stage self-joins), then strict-order stage counts.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def firstUs(t: String) =
+      min(when($"event_type" === t, unix_micros($"ts")))
+    table(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(firstUs("view").as("v"), firstUs("click").as("c"),
+        firstUs("purchase").as("p"))
+      .agg(count(lit(1)).as("n_users"),
+        count($"v").as("n_view"),
+        count(when($"c" > $"v", 1)).as("n_click_after_view"),
+        count(when($"p" > $"c" && $"c" > $"v", 1))
+          .as("n_purchase_after_click"))
+  }
+
+  /** C30: exact decile bucketing WITHOUT a global sort: boundaries from
+    * one exact-percentile aggregate, broadcast back, bucket = 1 + count
+    * of boundaries below (nine codegen'd comparisons per row). The
+    * ntile() window formulation would funnel every row through a single
+    * total-order partition; this shape is one agg + one map stage at
+    * any scale (at 100 TB the boundary agg would switch to
+    * approx_percentile + a refinement pass, same plan shape).
+    */
+  private def qQuantileBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val bounds = o.agg(percentile($"o_totalprice",
+      typedLit((1 to 9).map(_ / 10.0))).as("bs"))
+    val bucket = (1 to 9).map(i =>
+        when($"o_totalprice" > element_at($"bs", i), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    o.crossJoin(broadcast(bounds))
+      .select(bucket.cast("long").as("bucket"), $"o_totalprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("lo"),
+        round(max($"o_totalprice"), 2).as("hi"))
+  }
+
+  /** C31: correlation / regression slope via EXACT integer-moment
+    * accumulation: quantities and whole-cent prices are integers, so
+    * the five moments are summed exactly (decimal accumulators — no
+    * float accumulation-order nondeterminism at ANY parallelism) and
+    * the float math happens once, on the final one-row-per-group
+    * moments. `corr()` built-ins stream doubles and give
+    * partitioning-dependent last bits; this form is bit-stable.
+    */
+  private def qCorrStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qty = $"l_quantity".cast("long")
+    val cents = floor($"l_extendedprice" * 100 + 0.5).cast("long")
+    val dec = "decimal(38,0)"
+    val m = table(s, dir, "lineitem")
+      .select($"l_returnflag", qty.as("x"), cents.as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x".cast(dec)).as("sx"), sum($"y".cast(dec)).as("sy"),
+        sum(($"x" * $"x").cast(dec)).as("sxx"),
+        sum(($"y" * $"y").cast(dec)).as("syy"),
+        sum(($"x" * $"y").cast(dec)).as("sxy"))
+    val (n, sx, sy) = ($"n".cast("double"), $"sx".cast("double"),
+      $"sy".cast("double"))
+    val (sxx, syy, sxy) = ($"sxx".cast("double"), $"syy".cast("double"),
+      $"sxy".cast("double"))
+    val cov = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    m.select($"l_returnflag", $"n",
+      round(sx / n, 6).as("mean_qty"),
+      round(cov / sqrt(vx * vy), 6).as("corr_qty_price"),
+      round(cov / vx, 6).as("slope_cents_per_unit"))
+  }
+
   // ---------------------------------------------------------------- E12. multimodal
 
   /** E12: binary media columns — payload synthesized from text bytes
@@ -1051,7 +1207,15 @@ object SparkEntry {
     "q_window_frames" -> (qWindowFrames _),
     "q_conditional_agg" -> (qConditionalAgg _),
     "q_gapfill" -> (qGapfill _),
-    "q_gopher_quality" -> (qGopherQuality _))
+    "q_gopher_quality" -> (qGopherQuality _),
+    "q_dedup_cluster" -> (qDedupCluster _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_weighted_mix" -> (qWeightedMix _),
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_funnel" -> (qFunnel _),
+    "q_quantile_bucket" -> (qQuantileBucket _),
+    "q_corr_stats" -> (qCorrStats _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

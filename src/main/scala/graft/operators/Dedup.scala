@@ -130,6 +130,27 @@ object Dedup {
     bits.reduce((a, x) => a.bitwiseOR(x))
   }
 
+  /** E22: benchmark decontamination — the training-pipeline step that
+    * flags corpus documents sharing any word n-gram with an evaluation /
+    * benchmark set (so eval data can be excluded from training). Same
+    * candidate-generation discipline as every dedup operator: an
+    * EQUI-JOIN on the shingle. The benchmark side is broadcast — eval
+    * sets are small by construction, so the 100 TB corpus never
+    * shuffles; contamination detection is map-side work in the corpus
+    * scan stage.
+    *
+    * @return (doc_id, n_shared) — contaminated corpus docs only, with
+    *         the count of distinct shared n-grams.
+    */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+                          textCol: String, idCol: String, n: Int): DataFrame = {
+    val c = docShingles(corpus, textCol, idCol, n)
+    val b = docShingles(bench, textCol, idCol, n).select(col("sh")).distinct()
+    c.join(broadcast(b), "sh")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

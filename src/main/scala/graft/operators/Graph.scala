@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components (SURVEY.md §2.E21).
+  *
+  * Near-duplicate detection yields PAIRS; turning pairs into dedup
+  * groups ("keep one doc per near-dup cluster") is a connected-
+  * components problem — pair (a,b) + pair (b,c) must collapse into one
+  * cluster {a,b,c} even though (a,c) was never emitted.
+  *
+  * Algorithm: iterated min-label propagation ("hash-to-min"). Every
+  * node starts labeled with its own id; each round replaces a node's
+  * label with the min over itself and its neighbors' labels. Labels
+  * are monotonically non-increasing and converge to the minimum id of
+  * the component in O(diameter) rounds (near-dup clusters have tiny
+  * diameters — chains of shingle-overlapping docs).
+  *
+  * Scale design (100 TB): each round is ONE keyed shuffle (edges ⋈
+  * labels on dst, then groupBy src + min) — the same primitive as
+  * GraphX/GraphFrames CC, no driver-side adjacency. Convergence is
+  * detected by a one-scalar aggregate (sum of labels is strictly
+  * decreasing until fixpoint), not by collecting labels. Each round's
+  * result is persisted and the previous round's cache released; a
+  * production run over billions of edges would additionally
+  * `checkpoint()` every few rounds to truncate lineage.
+  */
+object Graph {
+
+  /** Connected components over an undirected edge list.
+    *
+    * @return one row per node that appears in any edge:
+    *         (id, component) where component = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // symmetrize once so min-propagation flows both directions
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // round 0 fused into init: label₀ = min(id, direct neighbors) — one
+    // groupBy instead of an identity-label table plus a full round
+    var labels = sym
+      .groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // sum(comp) strictly decreases while any label can still shrink, so
+    // an unchanged sum IS the fixpoint — one scalar per round crosses
+    // the driver, never the label table
+    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("id"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), col("l.id") === col("n.id"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("n.nbr_comp"), col("l.comp")))
+            .as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val s = next.agg(sum(col("comp"))).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Cluster roll-up: one row per component with its size and the
+    * canonical keeper (= the component label, the min id).
+    */
+  def componentSummary(components: DataFrame): DataFrame =
+    components.groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+}

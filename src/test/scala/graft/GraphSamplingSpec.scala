@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Graph, Sampling}
+
+class GraphSamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- Graph
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components: chain collapses transitively") {
+    // a~b, b~c, c~d — no direct a~d edge, still one cluster
+    assert(cc(Seq((4L, 3L), (3L, 2L), (2L, 1L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("connected components: separate clusters stay separate") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: cycle and long path converge") {
+    // ring of 6 + a 7-node path: diameter forces several iterations
+    val ring = (0L until 6L).map(i => (100L + i, 100L + (i + 1) % 6))
+    val path = (0L until 7L).map(i => (200L + i, 201L + i))
+    val got = cc(ring ++ path)
+    assert(got.filter(_._1 >= 200L).values.toSet == Set(200L))
+    assert(got.filter(k => k._1 >= 100L && k._1 < 200L).values.toSet ==
+      Set(100L))
+  }
+
+  test("connected components: self-loops ignored, duplicates tolerated") {
+    assert(cc(Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L))) ==
+      Map(5L -> 5L, 6L -> 5L))
+  }
+
+  test("componentSummary rolls up cluster sizes") {
+    val comps = Graph.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b"), "a", "b")
+    val sizes = Graph.componentSummary(comps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 3L, 7L -> 2L))
+  }
+
+  test("cluster keeper set ≡ greedy LSH prune on the gate corpus shape") {
+    // every ngram near-dup pair ends up intra-cluster
+    val pairs = Dedup.ngramJaccardPairs(
+      table(spark, "/root/testdata/sf0.001", "documents")
+        .select($"doc_id", $"text")
+        .unionByName(table(spark, "/root/testdata/sf0.001", "documents")
+          .filter($"doc_id" % 10 === 0)
+          .select(($"doc_id" + 1000000).as("doc_id"), $"text")),
+      "text", "doc_id", 5, 0.6)
+    val comp = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.select("id_a", "id_b").collect().foreach { r =>
+      assert(comp(r.getLong(0)) == comp(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} split across clusters")
+    }
+  }
+
+  // ------------------------------------------------------------- Sampling
+
+  test("hash gate: deterministic, partition-independent, rate-accurate") {
+    val ids = spark.range(0, 20000).select($"id")
+    val kept = ids.filter(Sampling.hashGate($"id", 0.25)).collect()
+      .map(_.getLong(0)).toSet
+    // same selection regardless of partitioning
+    val kept2 = ids.repartition(17).filter(Sampling.hashGate($"id", 0.25))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == kept2)
+    // md5 is uniform: 20k rows at rate .25 lands within ±3% absolute
+    assert(math.abs(kept.size / 20000.0 - 0.25) < 0.03, s"${kept.size}")
+    // nested rates: 1/16 gate is a subset of the 1/4 gate (prefix order)
+    val kept16 = ids.filter(Sampling.hashGate($"id", 0.0625)).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept16.subsetOf(kept))
+    // degenerate rates
+    assert(ids.filter(Sampling.hashGate($"id", 1.0)).count() == 20000L)
+    assert(ids.filter(Sampling.hashGate($"id", 0.0)).count() == 0L)
+  }
+
+  test("stratified sample applies per-stratum rates and drops others") {
+    val df = Seq.tabulate(3000)(i => (i.toLong, if (i % 3 == 0) "a"
+      else if (i % 3 == 1) "b" else "c")).toDF("id", "s")
+    val got = Sampling.stratifiedSample(df, "s", $"id",
+      Map("a" -> 1.0, "b" -> 0.5))
+    val bySeg = got.groupBy($"s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySeg("a") == 1000L)
+    assert(math.abs(bySeg("b") - 500L) < 60L, bySeg.toString)
+    assert(!bySeg.contains("c"))
+  }
+
+  test("mixture plan: takes obey weights exactly and fit availability") {
+    val df = (Seq.fill(100)("x") ++ Seq.fill(50)("y") ++ Seq.fill(10)("z"))
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("id", "cls")
+    val plan = Sampling.mixturePlan(df, "cls",
+        Map("x" -> 0.5, "y" -> 0.4, "z" -> 0.1))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    // z binds: M = floor(10/0.1) = 100 → takes 50/40/10
+    assert(plan("x") == ((100L, 0.5, 50L)))
+    assert(plan("y") == ((50L, 0.4, 40L)))
+    assert(plan("z") == ((10L, 0.1, 10L)))
+    // every take fits availability
+    plan.values.foreach { case (avail, _, take) => assert(take <= avail) }
+  }
+}
