@@ -1061,6 +1061,25 @@ object OracleSql {
          |FROM d""".stripMargin
     },
 
+    "q_scd2" ->
+      """WITH hist AS (
+        |  SELECT o_orderkey, o_totalprice AS price, 0 AS version
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 100000, 1
+        |  FROM orders WHERE o_orderkey % 4 = 0)
+        |SELECT o_orderkey, round(price, 2) AS price,
+        |  version AS valid_from,
+        |  lead(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+        |    AS valid_to,
+        |  lead(version) OVER (PARTITION BY o_orderkey ORDER BY version)
+        |    IS NULL AS is_current
+        |FROM hist""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_gopher_quality" -> {
       val norm = normOf("text")
       s"""WITH x AS (SELECT doc_id,

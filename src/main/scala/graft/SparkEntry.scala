@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, TextFunctions}
-import graft.operators.{Dedup, Graph, Loads, Multimodal, Sampling, Sessions, Similarity}
+import graft.operators.{Dedup, Graph, Loads, Multimodal, Sampling, Sessions, Similarity, Skew}
 
 /** Driver contract — the query catalog for the correctness gate.
   *
@@ -1012,6 +1012,34 @@ object SparkEntry {
         $"weight", $"n_take")
   }
 
+  /** D4: SCD2 history — every version kept with validity intervals
+    * (valid_from/valid_to/is_current via per-key lead), over the same
+    * versioned base+updates shape as the SCD1 upsert gate.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val base = o.select($"o_orderkey", $"o_totalprice".as("price"),
+      lit(0).as("version"))
+    val updates = o.filter($"o_orderkey" % 4 === 0)
+      .select($"o_orderkey", ($"o_totalprice" + 100000).as("price"),
+        lit(1).as("version"))
+    Loads.scd2History(base.unionByName(updates), Seq("o_orderkey"),
+        "version")
+      .select($"o_orderkey", round($"price", 2).as("price"),
+        $"valid_from", $"valid_to", $"is_current")
+  }
+
+  /** H5: salted two-phase aggregation THROUGH the gate — the events
+    * table's 5 event types are a degenerate hot-key distribution (20k+
+    * rows per key at sf0.01); the salt phase splits each hot reduce key
+    * across 8 reducers, and the result is exactly the plain groupBy
+    * (which is what the oracle checks).
+    */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedCount(table(s, dir, "events")
+      .select(col("event_id"), col("event_type")), "event_type", 8)
+
   /** C28: cohort retention — users grouped by first-activity week
     * (Monday-truncated), distinct-user counts per (cohort, week
     * offset). Two keyed shuffles (per-user min, then cohort agg).
@@ -1215,7 +1243,9 @@ object SparkEntry {
     "q_cohort_retention" -> (qCohortRetention _),
     "q_funnel" -> (qFunnel _),
     "q_quantile_bucket" -> (qQuantileBucket _),
-    "q_corr_stats" -> (qCorrStats _))
+    "q_corr_stats" -> (qCorrStats _),
+    "q_scd2" -> (qScd2 _),
+    "q_salted_agg" -> (qSaltedAgg _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -41,6 +41,23 @@ object Loads {
       .drop("__graft_rn")
   }
 
+  /** SCD2 history: keep EVERY version of a key, with validity interval
+    * columns derived from the next version's start (lead over the key's
+    * version order) — the warehouse-standard "slowly changing dimension
+    * type 2" shape the reference's destructive upsert cannot answer
+    * ("what was this row worth last month?"). One shuffle on the key;
+    * the window is per-key, never global.
+    */
+  def scd2History(history: DataFrame, keys: Seq[String],
+                  versionCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol))
+    history
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Row-count reconciliation across tables (load.py:317 verify_counts):
     * one row per table with its count. Counts run as independent
     * partial-aggregated jobs; the union is metadata-sized.

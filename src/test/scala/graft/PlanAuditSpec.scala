@@ -57,4 +57,41 @@ class PlanAuditSpec extends AnyFunSuite {
     df.collect() // count() would wrap a new plan; collect finalizes THIS one
     assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
   }
+
+  test("decontamination broadcasts the benchmark side only") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // the corpus side must not be exchanged for the contamination join
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("quantile bucketing has no global-sort window") {
+    val p = plan("q_quantile_bucket")
+    assert(!p.contains("Window"), "ntile-style global window sneaked in")
+    // the boundary side is a broadcast of one row, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("funnel is a single pass over events — no self-joins") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Join"), p.take(1500))
+  }
+
+  test("stratified sample filters map-side before any exchange") {
+    val df = SparkEntry.queries("q_stratified_sample")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the hash-gate Filter must read the scan directly — no Exchange
+    // between the filter line and its parquet scan in the rendered tree
+    // (i.e. no shuffle of unfiltered rows)
+    val lines = p.linesIterator.toSeq
+    val gateFilter = lines.indexWhere(l => l.contains("Filter") &&
+      l.contains("md5"))
+    assert(gateFilter >= 0, p.take(1500))
+    val scanBelow = lines.indexWhere(_.contains("Scan parquet"), gateFilter)
+    assert(scanBelow > gateFilter, p.take(1500))
+    val between = lines.slice(gateFilter + 1, scanBelow)
+    assert(!between.exists(_.contains("Exchange")),
+      between.mkString("\n"))
+  }
 }
