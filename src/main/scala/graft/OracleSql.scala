@@ -1080,6 +1080,16 @@ object OracleSql {
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 
+    "q_ewma" ->
+      // same total-ordered left fold as the Spark mapPartitions scan:
+      // init = first value, then v*0.3 + acc*0.7 — identical IEEE ops
+      """SELECT user_id, count(*) AS n_events,
+        |  round(list_reduce(
+        |    list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id),
+        |    (acc, v) -> v * CAST(0.3 AS DOUBLE) + acc * CAST(0.7 AS DOUBLE)),
+        |    6) AS ewma
+        |FROM events GROUP BY user_id""".stripMargin,
+
     "q_gopher_quality" -> {
       val norm = normOf("text")
       s"""WITH x AS (SELECT doc_id,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, TextFunctions}
-import graft.operators.{Dedup, Graph, Loads, Multimodal, Sampling, Sessions, Similarity, Skew}
+import graft.operators.{Dedup, Graph, Loads, Multimodal, Sampling, Sessions, Similarity, Skew, TimeSeries}
 
 /** Driver contract — the query catalog for the correctness gate.
   *
@@ -1040,6 +1040,19 @@ object SparkEntry {
     Skew.saltedCount(table(s, dir, "events")
       .select(col("event_id"), col("event_type")), "event_type", 8)
 
+  /** F6: per-user EWMA of event values — the sequential-recurrence
+    * operator family (mapPartitions carry-state scan, the custom-op
+    * ladder's last rung, used exactly where windows can't express the
+    * recurrence without numeric blow-up). Bit-identical to the DuckDB
+    * list_reduce fold because both are total-ordered left folds.
+    */
+  private def qEwma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TimeSeries.ewmaPerKey(s, table(s, dir, "events"), "user_id", "ts",
+        "event_id", "value", 0.3)
+      .select($"user_id", $"n_events", round($"ewma", 6).as("ewma"))
+  }
+
   /** C28: cohort retention — users grouped by first-activity week
     * (Monday-truncated), distinct-user counts per (cohort, week
     * offset). Two keyed shuffles (per-user min, then cohort agg).
@@ -1245,7 +1258,8 @@ object SparkEntry {
     "q_quantile_bucket" -> (qQuantileBucket _),
     "q_corr_stats" -> (qCorrStats _),
     "q_scd2" -> (qScd2 _),
-    "q_salted_agg" -> (qSaltedAgg _))
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_ewma" -> (qEwma _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

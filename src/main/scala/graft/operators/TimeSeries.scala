@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sequential per-key time-series scans (SURVEY.md §2.F6).
+  *
+  * EWMA (and any recurrence x_t = f(x_t, state_{t-1})) cannot be
+  * expressed as a window aggregate without numerically-explosive
+  * closed forms ((1-α)^(-j) overflows double past ~700 steps), so this
+  * is the one operator family where the brief's LAST-resort rung —
+  * `mapPartitions` — is genuinely the right tool: repartition by key,
+  * sort within partitions by (key, time), then a single forward pass
+  * carrying O(1) state per key.
+  *
+  * Scale design: one keyed shuffle + per-partition sort (exactly what
+  * any window aggregate would cost); the scan itself is streaming,
+  * allocation-free, and spill-friendly (Spark's external sorter feeds
+  * the iterator). Determinism: hash partitioning puts each key in
+  * exactly one partition; (ts, tiebreak) ordering makes the fold order
+  * total, so results are bit-identical at any parallelism — which is
+  * how the DuckDB oracle (list_reduce over the same ordered fold)
+  * matches it hash-for-hash.
+  */
+object TimeSeries {
+
+  /** Final EWMA per key over (tsCol, tieCol)-ordered values:
+    * ewma := value*alpha + ewma*(1-alpha), seeded with the first value.
+    *
+    * @return (key, n_events, ewma) — one row per key.
+    */
+  def ewmaPerKey(spark: SparkSession, df: DataFrame, keyCol: String,
+                 tsCol: String, tieCol: String, valueCol: String,
+                 alpha: Double): DataFrame = {
+    import spark.implicits._
+    val beta = 1.0 - alpha
+    val sorted = df
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("t"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("v"))
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("tie"))
+      .as[(Long, Long, Long, Double)]
+    sorted.mapPartitions { rows =>
+      new Iterator[(Long, Long, Double)] {
+        private var pending: Option[(Long, Long, Double)] = None
+        private var lookahead: Option[(Long, Long, Long, Double)] = None
+        def hasNext: Boolean = pending.isDefined || rows.hasNext ||
+          lookahead.isDefined
+        def next(): (Long, Long, Double) = {
+          if (pending.isEmpty) advance()
+          val out = pending.get
+          pending = None
+          out
+        }
+        private def advance(): Unit = {
+          val first = lookahead.getOrElse(rows.next())
+          lookahead = None
+          var (key, _, _, acc) = first
+          var n = 1L
+          var done = false
+          while (!done && rows.hasNext) {
+            val r = rows.next()
+            if (r._1 == key) { acc = r._4 * alpha + acc * beta; n += 1 }
+            else { lookahead = Some(r); done = true }
+          }
+          pending = Some((key, n, acc))
+        }
+      }
+    }.toDF(keyCol, "n_events", "ewma")
+  }
+}

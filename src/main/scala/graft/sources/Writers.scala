@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Output-side helpers (SURVEY.md §2.A3) — how graft lays data out so
   * DOWNSTREAM reads stay fast at 100 TB:
@@ -49,4 +50,42 @@ object Writers {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(tableName)
+
+  /** Small-file compaction — the operational fix for the classic
+    * 100 TB failure mode: incremental/streaming appends leave
+    * thousands of kilobyte parquet files per directory, and every
+    * downstream scan then pays a task per file plus a footer read per
+    * task. Rewrites a parquet directory into ⌈bytes / targetBytes⌉
+    * files sized for the scan path, then swaps it in with the same
+    * rename-based crash-safe protocol as ParquetIo.overwriteAtomic
+    * (tmp → bak → rename; a crash mid-swap self-heals on next read).
+    *
+    * Sizing uses the FILE listing, not a data scan: compaction reads
+    * each byte exactly once. `coalesce` (not `repartition`) merges
+    * files without a shuffle.
+    *
+    * @return (filesBefore, filesAfter)
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L << 20): (Int, Int) = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(dir + "__compact_tmp")
+    spark.read.parquet(dir).coalesce(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new Path(dir + "__bak")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(path, bak))
+      throw new java.io.IOException(s"compact: cannot move $dir aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(bak, path) // restore; compaction failed, data intact
+      throw new java.io.IOException(s"compact: cannot swap in $tmp")
+    }
+    fs.delete(bak, true)
+    (parts.length, nFiles)
+  }
 }

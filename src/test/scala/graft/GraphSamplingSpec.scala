@@ -67,6 +67,32 @@ class GraphSamplingSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------------- TimeSeries
+
+  test("ewma: matches a sequential fold, any parallelism, multi-key safe") {
+    import java.sql.Timestamp
+    val rows = for (u <- 0L until 7L; i <- 0 until 40)
+      yield (u, Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        u * 1000 + i, (u * 31 + i * 17 % 97).toDouble)
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TimeSeries
+        .ewmaPerKey(spark, d, "user_id", "ts", "event_id", "value", 0.3)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    val got = run(df)
+    // driver-side reference fold
+    val expect = rows.groupBy(_._1).map { case (u, rs) =>
+      val vs = rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      u -> (vs.size.toLong, vs.tail.foldLeft(vs.head)((acc, v) =>
+        v * 0.3 + acc * 0.7))
+    }
+    assert(got == expect)
+    // bit-identical under different input partitionings
+    assert(run(df.repartition(13)) == got)
+    assert(run(df.coalesce(1)) == got)
+  }
+
   // ------------------------------------------------------------- Sampling
 
   test("hash gate: deterministic, partition-independent, rate-accurate") {

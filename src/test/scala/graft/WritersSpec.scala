@@ -55,4 +55,25 @@ class WritersSpec extends AnyFunSuite {
     assert(!aggPlan.contains("Exchange"), aggPlan.take(1500))
     assert(agg.count() > 0)
   }
+
+  test("compact merges a small-file directory, preserving every row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate streaming-append damage: 40 tiny files
+    spark.range(0, 4000).select($"id", ($"id" % 7).as("k"))
+      .repartition(40).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.collect().map(_.getLong(0)).sorted.toSeq
+    val (nBefore, nAfter) = Writers.compact(spark, dir, targetBytes = 1L << 20)
+    assert(nBefore == 40 && nAfter < 40, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(dir)
+    assert(after.collect().map(_.getLong(0)).sorted.toSeq == beforeRows)
+    // physical file count actually shrank
+    val files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == nAfter, s"expected $nAfter files, found $files")
+    // idempotent: compacting a compact dir is a no-op-sized rewrite
+    val (b2, a2) = Writers.compact(spark, dir, targetBytes = 1L << 20)
+    assert(b2 == nAfter && a2 == nAfter)
+  }
 }
