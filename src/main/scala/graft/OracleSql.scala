@@ -1090,6 +1090,79 @@ object OracleSql {
         |    6) AS ewma
         |FROM events GROUP BY user_id""".stripMargin,
 
+    "q_bloom_prune" ->
+      // the bloom layer is pruning-only; semantics are a plain anti join
+      """SELECT o_orderpriority AS priority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal < -700)
+        |GROUP BY 1""".stripMargin,
+
+    "q_weighted_sample" ->
+      // same arithmetic as Sampling.weightedSample, digit-by-digit:
+      // u = (first-8-hex-of-md5 + 1) / 2^32 (dyadic-exact), then ONE
+      // correctly-rounded division by the weight — bit-identical
+      // doubles on both engines. DuckDB 1.0 lacks conv(), so the hex
+      // prefix is summed positionally (each term an exact power of 2).
+      """WITH s AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    (list_sum(list_transform(range(1, 9), i ->
+        |       (strpos('0123456789abcdef',
+        |          substr(md5(o_orderkey::VARCHAR), CAST(i AS INT), 1)) - 1)
+        |       * 2.0 ** (4 * (8 - i)))) + 1) / 4294967296.0 AS u
+        |  FROM orders WHERE o_totalprice > 0)
+        |SELECT o_orderkey, u / o_totalprice AS priority
+        |FROM s ORDER BY priority, o_orderkey LIMIT 500""".stripMargin,
+
+    "q_zorder" ->
+      // bitwise Morton interleave of the two 8-bit bucket ranks
+      """WITH m AS (
+        |  SELECT CAST(list_sum(list_transform(range(0, 8), i ->
+        |      (((o_orderkey % 256) >> i) & 1) * (1 << (2 * CAST(i AS INT)))
+        |    + (((o_custkey  % 256) >> i) & 1) * (1 << (2 * CAST(i AS INT) + 1))
+        |    )) AS BIGINT) AS z
+        |  FROM orders)
+        |SELECT z >> 8 AS z_bucket, count(*) AS n,
+        |  min(z) AS z_min, max(z) AS z_max
+        |FROM m GROUP BY 1""".stripMargin,
+
+    "q_text_clean" ->
+      // the appended literal is DECOMPOSED (e+U+0301 etc.); both
+      // engines NFC-normalize to the composed form
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 40) || ' Café niño Å' AS raw
+        |  FROM documents)
+        |SELECT doc_id, length(raw) AS len_raw,
+        |  nfc_normalize(regexp_replace(trim(raw), '\s+', ' ', 'g')) AS clean,
+        |  length(nfc_normalize(regexp_replace(trim(raw), '\s+', ' ', 'g')))
+        |    AS len_clean
+        |FROM d""".stripMargin,
+
+    "q_interval_overlap" ->
+      // textbook θ-join over the same session intervals (closed ends)
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS nw
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, us,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM y),
+        |sess AS (
+        |  SELECT user_id, session_idx, min(us) AS start_us, max(us) AS end_us
+        |  FROM z GROUP BY 1, 2)
+        |SELECT a.user_id AS user_id, count(*) AS n_overlaps
+        |FROM sess a JOIN sess b
+        |  ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+        |  AND a.user_id < b.user_id
+        |GROUP BY 1""".stripMargin,
+
     "q_gopher_quality" -> {
       val norm = normOf("text")
       s"""WITH x AS (SELECT doc_id,

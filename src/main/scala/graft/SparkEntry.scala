@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, TextFunctions}
-import graft.operators.{Dedup, Graph, Loads, Multimodal, Sampling, Sessions, Similarity, Skew, TimeSeries}
+import graft.operators.{Bloom, Dedup, Graph, Intervals, Loads, Multimodal, Sampling, Sessions, Similarity, Skew, TimeSeries}
+import graft.plans.LayoutFunctions
 
 /** Driver contract — the query catalog for the correctness gate.
   *
@@ -1053,6 +1054,88 @@ object SparkEntry {
       .select($"user_id", $"n_events", round($"ewma", 6).as("ewma"))
   }
 
+  /** H: bloom-pruned anti join — customers that never ordered. The
+    * plain anti join shuffles every customer row; the bloom path
+    * filters map-side against a broadcast sketch of the order keys and
+    * shuffles only matches + the fpp sliver. Result is bit-identical
+    * to NOT IN (bloom prunes, never decides), which the oracle checks.
+    */
+  private def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // denylist is ~3% of customers → ~99% of orders never shuffle
+    val keys = table(s, dir, "customer")
+      .filter($"c_acctbal" < -700).select($"c_custkey".as("o_custkey"))
+    Bloom.antiJoin(table(s, dir, "orders"), keys, "o_custkey", fpp = 0.01)
+      .groupBy($"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("sum_price"))
+  }
+
+  /** E23b: deterministic weighted sampling (Sequential Poisson) —
+    * bottom-k of priority u/w, u hash-derived. Every arithmetic step
+    * is exactly portable (dyadic u, one correctly-rounded division),
+    * so the raw double priorities hash-match the DuckDB oracle.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.weightedSample(table(s, dir, "orders"), $"o_orderkey",
+        $"o_totalprice", 500)
+      .select($"o_orderkey", $"priority")
+  }
+
+  /** H: Z-order curve key — Morton interleave (native codegen'd
+    * expression) of two bucketized dims, aggregated per curve segment.
+    * This is the key `Writers.zorderWrite` sorts by so parquet row
+    * groups get tight bounding boxes in BOTH columns (multi-dim
+    * min/max pruning); the oracle recomputes the interleave bitwise.
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val z = LayoutFunctions.zorder2(($"o_orderkey" % 256).cast("long"),
+      ($"o_custkey" % 256).cast("long"))
+    o.select(z.as("z"))
+      .groupBy(shiftright($"z", 8).as("z_bucket"))
+      .agg(count(lit(1)).as("n"), min($"z").as("z_min"), max($"z").as("z_max"))
+  }
+
+  /** E25: text canonicalization — trim, whitespace collapse, Unicode
+    * NFC (native expression over JDK Normalizer; DuckDB nfc_normalize
+    * computes the identical canonical form). The gate decorates the
+    * ASCII corpus with decomposed sequences (e+U+0301 etc.) so the
+    * normalization path is actually exercised.
+    */
+  private def qTextClean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = concat(substring($"text", 1, 40),
+      lit(" Café niño Å"))
+    table(s, dir, "documents")
+      .select($"doc_id", raw.as("raw"))
+      .select($"doc_id", length($"raw").as("len_raw"),
+        LayoutFunctions.nfcNormalize(
+          regexp_replace(trim($"raw"), "\\s+", " ")).as("clean"))
+      .withColumn("len_clean", length($"clean"))
+  }
+
+  /** H: interval-overlap join — concurrent sessions across users.
+    * Bucket decomposition turns the θ-join into an equi-join on hour
+    * buckets (no cartesian), with first-shared-bucket dedup instead of
+    * a distinct shuffle. Oracle runs the textbook θ-join directly.
+    */
+  private def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sess = Sessions.sessionSummary(table(s, dir, "events"),
+        "user_id", "ts", "value", 1800L)
+      .select($"user_id", $"session_idx", $"start_us", $"end_us")
+    val a = sess.toDF("user_a", "sess_a", "start_a", "end_a")
+    val b = sess.toDF("user_b", "sess_b", "start_b", "end_b")
+    Intervals.overlapJoin(a, "start_a", "end_a", b, "start_b", "end_b",
+        3600L * 1000000L)
+      .filter($"user_a" < $"user_b")
+      .groupBy($"user_a".as("user_id"))
+      .agg(count(lit(1)).as("n_overlaps"))
+  }
+
   /** C28: cohort retention — users grouped by first-activity week
     * (Monday-truncated), distinct-user counts per (cohort, week
     * offset). Two keyed shuffles (per-user min, then cohort agg).
@@ -1259,7 +1342,12 @@ object SparkEntry {
     "q_corr_stats" -> (qCorrStats _),
     "q_scd2" -> (qScd2 _),
     "q_salted_agg" -> (qSaltedAgg _),
-    "q_ewma" -> (qEwma _))
+    "q_ewma" -> (qEwma _),
+    "q_bloom_prune" -> (qBloomPrune _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_zorder" -> (qZorder _),
+    "q_text_clean" -> (qTextClean _),
+    "q_interval_overlap" -> (qIntervalOverlap _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap join (SURVEY.md §2.H) — both sides are interval
+  * sets; emit pairs whose spans intersect. The relational-textbook
+  * form is a θ-join (`l.start <= r.end AND r.start <= l.end`), which
+  * Spark can only execute as a broadcast-nested-loop or cartesian —
+  * O(|L|·|R|) and a guaranteed 100 TB death.
+  *
+  * Bucket decomposition makes it an EQUI-join: explode each interval
+  * to the fixed-width buckets it covers (`sequence()` — distributed,
+  * no driver loop), hash-join on bucket id, then apply the exact
+  * overlap predicate. Each true overlap is found once per SHARED
+  * bucket, so instead of a `distinct` shuffle to dedupe, a pair is
+  * kept only in its FIRST shared bucket (`bucket == floor(
+  * max(starts)/width)`) — dedup by construction, zero extra shuffles.
+  *
+  * Cost model: join fan-in is Σ interval_len/width per side; width
+  * should be ~ the typical interval length (too small → many bucket
+  * copies; too large → many false candidates per bucket). Skewed
+  * hot buckets are AQE's skew-join case.
+  */
+object Intervals {
+
+  /** Overlap-join two interval tables on bucketized time.
+    *
+    * @param left  columns: key cols + `startL`/`endL` (epoch micros)
+    * @param right columns: key cols + `startR`/`endR`
+    * @param widthUs bucket width in micros
+    * @return left row ++ right row for every overlapping pair
+    *         (closed intervals: touching endpoints DO overlap).
+    */
+  def overlapJoin(left: DataFrame, startL: String, endL: String,
+                  right: DataFrame, startR: String, endR: String,
+                  widthUs: Long): DataFrame = {
+    val l = left.withColumn("__bucket",
+      explode(sequence(floor(col(startL) / widthUs),
+        floor(col(endL) / widthUs))))
+    val r = right.withColumn("__bucket",
+      explode(sequence(floor(col(startR) / widthUs),
+        floor(col(endR) / widthUs))))
+    l.join(r, Seq("__bucket"))
+      .filter(col(startL) <= col(endR) && col(startR) <= col(endL))
+      // first-shared-bucket gate: dedup without a distinct
+      .filter(col("__bucket") ===
+        floor(greatest(col(startL), col(startR)) / widthUs))
+      .drop("__bucket")
+  }
+}

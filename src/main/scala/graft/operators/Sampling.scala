@@ -43,6 +43,31 @@ object Sampling {
     df.filter(gate)
   }
 
+  /** Deterministic weighted sampling (Sequential Poisson / Ohlsson):
+    * each row gets priority u/w where u is a hash-derived uniform and
+    * w its weight; the bottom-k priorities are an (approximately
+    * πps) weighted sample WITHOUT replacement. Like [[hashGate]], the
+    * randomness is content-keyed — same rows selected on any engine,
+    * run, or partitioning — and every arithmetic step is exactly
+    * portable: u is a dyadic rational ((h+1)/2^32) and u/w is one
+    * correctly-rounded IEEE division, so the DuckDB oracle reproduces
+    * priorities bit-for-bit.
+    *
+    * Scale: the bottom-k runs as TakeOrderedAndProject — per-partition
+    * top-k heaps, k rows per partition to the driver, NO total sort.
+    * Fine for k up to ~10⁵; beyond that, two-pass: approx-quantile the
+    * priority threshold, filter, exact top-k on the survivors.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    val h = conv(substring(md5(key.cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    df.filter(weight > 0)
+      .withColumn("priority", (h + 1) / lit(4294967296.0) / weight)
+      .orderBy(col("priority"), key)
+      .limit(k)
+  }
+
   /** Mixture planner: given target class weights, compute the largest
     * feasible corpus obeying the mixture exactly and the per-class
     * take counts. Pure aggregate arithmetic — counts shrink to one row

@@ -51,6 +51,36 @@ object Writers {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Z-order layout write: bucketize two columns to 16-bit ranks,
+    * Morton-interleave (plans.ZOrder2, codegen'd), range-sort by the
+    * curve position, write. Every output file then covers a tight
+    * bounding box in BOTH dimensions, so parquet min/max stats prune
+    * scans filtered on EITHER column — the multi-dimensional
+    * clustering a plain sort can't give. `repartitionByRange` on the
+    * curve key is the only shuffle; rank bounds come from one
+    * approxQuantile pass.
+    *
+    * Ranks use quantile boundaries (not linear scaling) so skewed
+    * columns still spread across the curve evenly.
+    */
+  def zorderWrite(df: DataFrame, dir: String, colA: String, colB: String,
+                  nFiles: Int = 64): Unit = {
+    import graft.plans.LayoutFunctions.zorder2
+    import org.apache.spark.sql.functions._
+    val probs = (1 until 256).map(_ / 256.0).toArray
+    val Array(qa, qb) = df.stat.approxQuantile(Array(colA, colB), probs, 0.01)
+    def rank(c: String, qs: Array[Double]) =
+      qs.distinct.foldLeft(lit(0L)) { (acc, q) =>
+        acc + when(col(c).cast("double") > q, 1L).otherwise(0L)
+      }
+    val keyed = df.withColumn("__z",
+      zorder2(rank(colA, qa), rank(colB, qb)))
+    keyed.repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
   /** Small-file compaction — the operational fix for the classic
     * 100 TB failure mode: incremental/streaming appends leave
     * thousands of kilobyte parquet files per directory, and every
