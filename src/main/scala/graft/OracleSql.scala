@@ -1163,6 +1163,39 @@ object OracleSql {
         |  AND a.user_id < b.user_id
         |GROUP BY 1""".stripMargin,
 
+    "q_char_entropy" ->
+      // ln over exact integer counts; round(6) absorbs libm's last ulp
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+        |  FROM documents),
+        |f AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |e AS (
+        |  SELECT doc_id, sum(cnt) AS n, sum(cnt * ln(cnt)) AS clnc
+        |  FROM f GROUP BY 1)
+        |SELECT doc_id, round(ln(n) - clnc / n, 6) AS entropy,
+        |  CAST(n AS BIGINT) AS n_chars
+        |FROM e""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """SELECT a.p_brand AS brand, a.p_partkey AS key_a,
+        |  b.p_partkey AS key_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    "q_hop_agg" ->
+      // 1h/15min hop: each event belongs to the 4 epoch-aligned
+      // windows starting at floor15(ts) - j*15min — integer arithmetic
+      """WITH h AS (
+        |  SELECT epoch_us(ts) // 900000000 * 900000000
+        |           - j * CAST(900000000 AS BIGINT) AS start_us,
+        |    event_type, value
+        |  FROM events, unnest([0, 1, 2, 3]) AS t(j))
+        |SELECT start_us, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
     "q_gopher_quality" -> {
       val norm = normOf("text")
       s"""WITH x AS (SELECT doc_id,

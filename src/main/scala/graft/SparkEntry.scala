@@ -1136,6 +1136,72 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_overlaps"))
   }
 
+  /** E26: char-level entropy quality signal — one-pass native
+    * expression (codegen'd, ASCII byte fast path). Low entropy flags
+    * repetitive boilerplate; the oracle recomputes the distribution by
+    * unnesting codepoints. round(6) absorbs libm ln's final ulp.
+    */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id",
+        round(graft.plans.TextNativeFunctions.charEntropy($"text"), 6)
+          .as("entropy"),
+        length($"text").as("n_chars"))
+  }
+
+  /** H: blocked fuzzy match — near-identical part names within a
+    * brand (equi-join blocking keeps it shuffle-hash-joinable; the
+    * edit-distance predicate runs post-join on the tiny per-brand
+    * candidate sets). Integer distances — bit-exact across engines.
+    */
+  private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = table(s, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_name")
+    val a = p.toDF("key_a", "brand", "name_a")
+    val b = p.toDF("key_b", "brand", "name_b")
+    a.join(b, Seq("brand"))
+      .filter($"key_a" < $"key_b" &&
+        // lossless band: edit distance ≥ |length difference|
+        abs(length($"name_a") - length($"name_b")) <= 2)
+      // 3-arg levenshtein runs the BANDED O(k·n) DP and early-exits
+      // above the threshold (returns -1) — ~8× less work per pair
+      // than the full O(n²) distance, and evaluated once, not twice
+      .withColumn("dist",
+        levenshtein($"name_a", $"name_b", 2).cast("long"))
+      .filter($"dist" >= 0)
+      .select($"brand", $"key_a", $"key_b", $"dist")
+  }
+
+  /** F7: hopping (sliding) windows — 1h windows every 15min, so each
+    * event lands in 4 overlapping windows. Spark's `window()` handles
+    * the fan-out natively; the oracle unnests the 4 offsets with pure
+    * integer bucket arithmetic (windows are epoch-aligned in both).
+    */
+  private def qHopAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "events")
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+      .select(unix_micros($"window.start").as("start_us"), $"event_type",
+        $"n", $"total")
+  }
+
+  /** C32: sketched distinct counts — approx_count_distinct (HLL++)
+    * per event type beside the exact count. At 100 TB the exact
+    * distinct is a full shuffle of every key; the sketch is one pass,
+    * mergeable, and bounded-error (rows-only gate: HLL internals are
+    * engine-specific; SkewApproxSpec bounds the relative error).
+    */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
+        count_distinct($"user_id").as("exact_users"))
+  }
+
   /** C28: cohort retention — users grouped by first-activity week
     * (Monday-truncated), distinct-user counts per (cohort, week
     * offset). Two keyed shuffles (per-user min, then cohort agg).
@@ -1347,13 +1413,17 @@ object SparkEntry {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_zorder" -> (qZorder _),
     "q_text_clean" -> (qTextClean _),
-    "q_interval_overlap" -> (qIntervalOverlap _))
+    "q_interval_overlap" -> (qIntervalOverlap _),
+    "q_char_entropy" -> (qCharEntropy _),
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_hop_agg" -> (qHopAgg _),
+    "q_approx_distinct" -> (qApproxDistinct _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
     * ScalaTest spec covers the semantics instead.
     */
-  val rowsOnly: Set[String] = Set("q_dedup_simhash")
+  val rowsOnly: Set[String] = Set("q_dedup_simhash", "q_approx_distinct")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -38,6 +38,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "marker_count(array<string>, marker, ...) - occurrences of any marker"),
       (exprs: Seq[Expression]) => MarkerCount(exprs.head,
         exprs.tail.map(e => e.eval(null).toString))))
+    ext.injectFunction((FunctionIdentifier("zorder2"),
+      info("zorder2", "zorder2(bigint, bigint) - 32-bit Morton interleave"),
+      (exprs: Seq[Expression]) => ZOrder2(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(string) - Unicode NFC canonical form"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("char_entropy"),
+      info("char_entropy", "char_entropy(string) - codepoint Shannon entropy (nats)"),
+      (exprs: Seq[Expression]) => CharEntropy(exprs.head)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word-shingling (SURVEY.md §2.E2/E3 hot path).
@@ -134,6 +134,49 @@ object NativeText {
       .fromPrimitiveArray(out)
   }
 
+  /** Shannon entropy (nats) of the codepoint distribution; ASCII fast
+    * path counts bytes in a flat array, non-ASCII falls back to
+    * codepoint iteration. Empty → 0. Σ c·ln(c) runs in deterministic
+    * (ascending / insertion) order per input, so the value is stable
+    * across partitionings; cross-engine agreement is up to 1 ulp of
+    * libm ln (callers round).
+    */
+  def charEntropy(s: UTF8String): Double = {
+    val nb = s.numBytes()
+    if (nb == 0) return 0.0
+    var ascii = true
+    var i = 0
+    while (ascii && i < nb) { if (s.getByte(i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      val counts = new Array[Int](128)
+      i = 0
+      while (i < nb) { counts(s.getByte(i)) += 1; i += 1 }
+      var acc = 0.0
+      var c = 0
+      while (c < 128) {
+        if (counts(c) > 0) acc += counts(c) * math.log(counts(c).toDouble)
+        c += 1
+      }
+      math.log(nb.toDouble) - acc / nb
+    } else {
+      val str = s.toString
+      val m = new java.util.LinkedHashMap[Integer, Integer]()
+      var j = 0
+      var n = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        val prev = m.get(cp)
+        m.put(cp, if (prev == null) 1 else prev + 1)
+        j += Character.charCount(cp)
+        n += 1
+      }
+      var acc = 0.0
+      val it = m.values().iterator()
+      while (it.hasNext) { val c = it.next().toInt; acc += c * math.log(c.toDouble) }
+      math.log(n.toDouble) - acc / n
+    }
+  }
+
   def shingles(words: ArrayData, n: Int): ArrayData = {
     val len = words.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
@@ -250,6 +293,35 @@ case class TextStats(child: Expression, markerSets: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** char_entropy(string) → double: Shannon entropy (nats) of the
+  * CODEPOINT distribution — low entropy flags repetitive/boilerplate
+  * text (`aaaa…`, padded tables), high entropy flags binary-ish noise;
+  * both are standard corpus-quality filters. One pass over UTF-8
+  * bytes, codegen'd; ln(n) − Σ cᵢ·ln(cᵢ)/n so ln is taken on exact
+  * integer counts (engine-portable up to final 1-ulp, absorbed by the
+  * caller's round()).
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"char_entropy needs string, got ${other.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.charEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.NativeText.charEntropy($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 object TextNativeFunctions {
   def wordShingles(words: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(words), n))
@@ -259,4 +331,7 @@ object TextNativeFunctions {
 
   def textStats(text: Column, markerSets: Seq[Seq[String]]): Column =
     GraftBridge.column(TextStats(GraftBridge.expression(text), markerSets))
+
+  def charEntropy(text: Column): Column =
+    GraftBridge.column(CharEntropy(GraftBridge.expression(text)))
 }

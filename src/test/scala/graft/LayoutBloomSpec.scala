@@ -132,6 +132,31 @@ class LayoutBloomSpec extends AnyFunSuite {
       java.text.Normalizer.Form.NFC))
   }
 
+  // -------------------------------------------------------- char entropy
+
+  test("char_entropy matches a driver-side model; ascii + unicode") {
+    def model(t: String): Double = {
+      val cps = t.codePoints().toArray
+      if (cps.isEmpty) 0.0
+      else {
+        val n = cps.length.toDouble
+        val counts = cps.groupBy(identity).values.map(_.length)
+        math.log(n) - counts.map(c => c * math.log(c.toDouble)).sum / n
+      }
+    }
+    val cases = Seq("aaaa", "abab", "hello world", "", "héllo wörld",
+      "the quick brown fox", "")
+    val got = cases.toDF("s")
+      .select(graft.plans.TextNativeFunctions.charEntropy($"s"))
+      .collect().map(_.getDouble(0))
+    got.zip(cases).foreach { case (g, c) =>
+      assert(math.abs(g - model(c)) < 1e-12, s"'$c': $g vs ${model(c)}")
+    }
+    // aaaa is zero-entropy exactly; uniform 2-symbol is ln 2
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - math.log(2)) < 1e-12)
+  }
+
   // ------------------------------------------------- weighted sampling
 
   test("weighted sample: deterministic, partition-independent, biased") {
