@@ -450,6 +450,10 @@ object SparkEntry {
     d.unionByName(near).unionByName(exact)
   }
 
+  /** Profiling hook (tools.Profile3) — not part of the driver contract. */
+  def dupCorpusForProfiling(s: SparkSession, dir: String): DataFrame =
+    dupCorpus(s, dir)
+
   /** E1: exact dedup groups over the dup-seeded corpus. */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(dupCorpus(s, dir), "text", "doc_id")

@@ -31,11 +31,23 @@ object Graph {
 
   /** Connected components over an undirected edge list.
     *
+    * Hybrid execution: dedup funnels usually reduce a huge corpus to a
+    * SMALL edge set (pairs that survived LSH + verification), so when
+    * the symmetrized edge list fits comfortably on the driver
+    * (`localThreshold`, default 2M edges ≈ 32 MB) we collect it and
+    * run union-find — one job, O(E·α) — instead of O(diameter)
+    * iterated shuffles. Above the threshold the distributed
+    * min-label-propagation loop runs unchanged. Both paths produce the
+    * identical (id, min-reachable-id) labeling (asserted in
+    * GraphSamplingSpec), so the choice is pure execution strategy —
+    * the same decision broadcast-vs-shuffle joins make.
+    *
     * @return one row per node that appears in any edge:
     *         (id, component) where component = min node id reachable.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          localThreshold: Long = 2000000L): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -43,6 +55,11 @@ object Graph {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (sym.count() <= localThreshold) {
+      val result = localUnionFind(sym)
+      sym.unpersist()
+      return result
+    }
     // round 0 fused into init: label₀ = min(id, direct neighbors) — one
     // groupBy instead of an identity-label table plus a full round
     var labels = sym
@@ -75,6 +92,37 @@ object Graph {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Driver-side union-find over a collected edge list — the small-
+    * graph fast path. Path-halving + union-by-min keeps the root the
+    * MINIMUM id of its set, matching the distributed labeling exactly.
+    */
+  private def localUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val es = sym.as[(Long, Long)].collect()
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) {
+        parent(r) = parent(parent(r)) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      // union by min id so the root IS the component label
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val labeled = parent.keys.toArray.map(id => (id, find(id)))
+    spark.createDataset(labeled.toSeq).toDF("id", "comp")
+      .repartition(col("comp"))
   }
 
   /** Cluster roll-up: one row per component with its size and the

@@ -79,6 +79,39 @@ object StreamingEtl {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** F6 (streaming form): per-key EWMA over an unbounded stream —
+    * mapGroupsWithState carrying (ewma, n) per key, the streaming
+    * twin of operators.TimeSeries.ewmaPerKey. Emits the updated
+    * running value per key per micro-batch (Update mode). State is
+    * O(keys), 16 bytes each; the same recurrence that needs a
+    * mapPartitions scan in batch needs only a scalar carry here
+    * because the stream arrives in order per micro-batch.
+    */
+  final case class EwmaState(ewma: Double, n: Long)
+  final case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)
+
+  def ewmaStream(spark: SparkSession, events: Dataset[Event],
+                 alpha: Double): Dataset[EwmaOut] = {
+    import spark.implicits._
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[EwmaState]): EwmaOut = {
+      // batch order: (ts, event_id) — same total order as the batch op
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = state.getOption
+      sorted.foreach { e =>
+        cur = Some(cur match {
+          case Some(s) => EwmaState(e.value * alpha + s.ewma * (1 - alpha),
+            s.n + 1)
+          case None => EwmaState(e.value, 1L)
+        })
+      }
+      cur.foreach(state.update)
+      EwmaOut(userId, cur.get.n, cur.get.ewma)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** F5: streaming exact dedup — drop events whose key was already seen
     * within the watermark horizon. State is bounded by the watermark
     * (keys older than it are evicted), which is the only way dedup

@@ -42,6 +42,21 @@ class GraphSamplingSpec extends AnyFunSuite {
       Map(5L -> 5L, 6L -> 5L))
   }
 
+  test("local union-find and distributed propagation agree exactly") {
+    // random-ish graph with chains, rings, singles and dup edges
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 400).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    def run(threshold: Long) = Graph.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", localThreshold = threshold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(Long.MaxValue)
+    val distributed = run(0L) // force the iterated path
+    assert(local == distributed)
+  }
+
   test("componentSummary rolls up cluster sizes") {
     val comps = Graph.connectedComponents(
       Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b"), "a", "b")

@@ -94,4 +94,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!between.exists(_.contains("Exchange")),
       between.mkString("\n"))
   }
+
+  test("bloom prune: big side filters map-side; denylist join broadcasts") {
+    val p = plan("q_bloom_prune")
+    // the clean branch: bloom-filter UDF directly over the orders scan,
+    // no Exchange between them (definitely-absent rows never shuffle)
+    val lines = p.linesIterator.toSeq
+    val udfFilter = lines.indexWhere(l => l.contains("Filter") &&
+      l.contains("UDF"))
+    assert(udfFilter >= 0, p.take(2000))
+    val scanBelow = lines.indexWhere(_.contains("Scan parquet"), udfFilter)
+    assert(!lines.slice(udfFilter + 1, scanBelow)
+      .exists(_.contains("Exchange")), p.take(2000))
+    // exact verification join on the suspect sliver is broadcast
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
+  test("weighted sample is a per-partition top-k, not a global sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Sort") &&
+      !l.contains("TakeOrdered")), p.take(1500))
+  }
+
+  test("interval overlap and fuzzy match avoid nested-loop joins") {
+    for (name <- Seq("q_interval_overlap", "q_fuzzy_match")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name: ${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
 }

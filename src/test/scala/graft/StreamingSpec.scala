@@ -37,6 +37,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA converges to the batch operator's answer") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingEtl.ewmaStream(spark, input.toDS(), 0.3)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    val events = (0 until 12).map(i =>
+      Event(i.toLong, ts(i), 7L + i % 2, "e", 1.0 + i * 0.5))
+    try {
+      // two micro-batches: state must carry across
+      input.addData(events.take(5): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(5): _*)
+      q.processAllAvailable()
+      // last Update-mode row per key = final running value
+      val got = spark.table("ewma_out").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rs) => u -> {
+          val last = rs.maxBy(_.getAs[Long]("n_events"))
+          (last.getAs[Long]("n_events"), last.getAs[Double]("ewma"))
+        } }
+      val batch = graft.operators.TimeSeries.ewmaPerKey(spark,
+          events.toDF(), "user_id", "ts", "event_id", "value", 0.3)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("bank ETL transforms run unchanged on a CSV file stream") {
     import graft.pipeline.BankEtl
     import graft.sources.CsvStaging
