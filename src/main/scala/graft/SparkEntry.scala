@@ -1165,6 +1165,10 @@ object SparkEntry {
       .select($"p_partkey", $"p_brand", $"p_name")
     val a = p.toDF("key_a", "brand", "name_a")
     val b = p.toDF("key_b", "brand", "name_b")
+    // (an exploded (brand, length±2) equi-key was tried and is SLOWER
+    // here: name lengths cluster tightly, so the extra blocking prunes
+    // little while 5×-ing the probe side — kept as a note for corpora
+    // with wider length spread)
     a.join(b, Seq("brand"))
       .filter($"key_a" < $"key_b" &&
         // lossless band: edit distance ≥ |length difference|
@@ -1204,6 +1208,19 @@ object SparkEntry {
       .groupBy($"event_type")
       .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
         count_distinct($"user_id").as("exact_users"))
+  }
+
+  /** E7c: k-means IVF-index training — Lloyd iterations with broadcast
+    * centroids; only k·dim scalars cross the driver per iteration.
+    * Rows-only gate (fp-summation makes inertia engine-specific);
+    * semantics spec'd in AsOfIvfSpec (monotone inertia, partition
+    * independence, trained centroids feeding ivfTopK).
+    */
+  private def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.kmeansTrain(table(s, dir, "embeddings"),
+        "vec_id", "embedding", 8, 3)
+      .select($"cid", $"n_assigned", round($"inertia", 2).as("inertia"))
   }
 
   /** C28: cohort retention — users grouped by first-activity week
@@ -1421,13 +1438,15 @@ object SparkEntry {
     "q_char_entropy" -> (qCharEntropy _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_hop_agg" -> (qHopAgg _),
-    "q_approx_distinct" -> (qApproxDistinct _))
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_kmeans" -> (qKmeans _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
     * ScalaTest spec covers the semantics instead.
     */
-  val rowsOnly: Set[String] = Set("q_dedup_simhash", "q_approx_distinct")
+  val rowsOnly: Set[String] =
+    Set("q_dedup_simhash", "q_approx_distinct", "q_kmeans")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -182,6 +182,72 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** E7c: k-means training for the IVF index (Lloyd's algorithm) —
+    * how `ivfTopK`'s centroids are PRODUCED at scale. Per iteration:
+    * one distributed pass assigns every vector to its nearest centroid
+    * (k codegen'd sq_dist evaluations against broadcast literals —
+    * the corpus never shuffles for the assignment), then the per-cell
+    * per-dimension means are aggregated down to k·dim scalars; only
+    * those cross the driver between iterations. Init is deterministic
+    * content-keyed sampling (k lowest xxhash64 ids), so training is
+    * reproducible across runs and partitionings (up to fp-summation
+    * last bits; asserted in AsOfIvfSpec).
+    *
+    * @return (cid, centroid array<double>, n_assigned, inertia) — one
+    *         row per cell from the FINAL assignment.
+    */
+  def kmeansTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("id"),
+        toDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic init: k lowest-hash vectors, cids in id order
+      var cents: Array[(Int, Seq[Double])] = vecs
+        .orderBy(xxhash64(col("id")), col("id")).limit(k)
+        .orderBy(col("id")).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1)) }
+
+      def assign(cs: Array[(Int, Seq[Double])]) = {
+        val alts = cs.map { case (cid, cv) =>
+          struct(sqDist(col("v"), typedLit(cv)).as("d"), lit(cid).as("cid"))
+        }
+        // struct ordering: min by (distance, cid) — deterministic ties
+        vecs.withColumn("best", array_min(array(alts: _*)))
+          .select(col("id"), col("v"), col("best.cid").as("cid"),
+            col("best.d").as("d"))
+      }
+
+      for (_ <- 1 to iters) {
+        val sums = assign(cents)
+          .select(col("cid"), posexplode(col("v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .collect() // k·dim tiny rows — the only driver traffic
+        val byCell = sums.groupBy(_.getInt(0))
+        cents = cents.map { case (cid, old) =>
+          byCell.get(cid) match {
+            case Some(rows) =>
+              val dim = rows.map(r =>
+                r.getInt(1) -> r.getDouble(2) / r.getLong(3)).toMap
+              (cid, old.indices.map(dim))
+            case None => (cid, old) // empty cell keeps its centroid
+          }
+        }
+      }
+      import spark.implicits._
+      val centDf = cents.toSeq.toDF("cid", "centroid")
+      assign(cents)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_assigned"), sum(col("d")).as("inertia"))
+        .join(centDf, Seq("cid"))
+        .select(col("cid").cast("long").as("cid"), col("centroid"),
+          col("n_assigned"), col("inertia"))
+    } finally vecs.unpersist()
+  }
+
   /** E5: embedding near-duplicate pairs above a cosine threshold,
     * blocked by an equi-join key (here: a label / cluster id) so the
     * pair space is per-block, not global.

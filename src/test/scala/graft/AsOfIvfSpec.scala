@@ -84,6 +84,35 @@ class AsOfIvfSpec extends AnyFunSuite {
     assert(tied == Seq(7L, 10L))
   }
 
+  test("kmeansTrain: inertia shrinks with iterations; trained centroids feed IVF") {
+    import spark.implicits._
+    val emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    def inertia(iters: Int): Double =
+      graft.operators.Similarity
+        .kmeansTrain(emb, "vec_id", "embedding", 8, iters)
+        .agg(org.apache.spark.sql.functions.sum($"inertia")).head.getDouble(0)
+    val i1 = inertia(1)
+    val i5 = inertia(5)
+    assert(i5 <= i1 * 1.0000001, s"inertia grew: $i1 -> $i5")
+    // deterministic across input partitionings (same init, same cells)
+    val a = graft.operators.Similarity
+      .kmeansTrain(emb, "vec_id", "embedding", 8, 3)
+      .select($"cid", $"n_assigned").collect().map(r =>
+        r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.operators.Similarity
+      .kmeansTrain(emb.repartition(13), "vec_id", "embedding", 8, 3)
+      .select($"cid", $"n_assigned").collect().map(r =>
+        r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    // trained centroids slot straight into ivfTopK
+    val cents = graft.operators.Similarity
+      .kmeansTrain(emb, "vec_id", "embedding", 8, 3)
+      .select($"cid".as("vec_id"), $"centroid".as("embedding"))
+    val nn = graft.operators.Similarity.ivfTopK(
+      emb, emb.limit(5), cents, "vec_id", "embedding", 3, 3)
+    assert(nn.count() == 15)
+  }
+
   test("IVF probes recover most of brute-force top-k (recall)") {
     val e = table(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter($"vec_id" % 100 === 0) // 5 queries
