@@ -1196,6 +1196,37 @@ object OracleSql {
         |  round(sum(value), 2) AS total
         |FROM h GROUP BY 1, 2""".stripMargin,
 
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM o WHERE o_orderkey % 103 = 0),
+        |d AS (
+        |  SELECT
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |         WHEN n.o_orderkey IS NULL THEN 'D'
+        |         WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |               AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+        |           THEN 'U'
+        |         ELSE 'N' END AS change,
+        |    coalesce(n.o_totalprice, o.o_totalprice) AS price
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT change, count(*) AS n, round(sum(price), 2) AS sum_price
+        |FROM d WHERE change <> 'N' GROUP BY 1""".stripMargin,
+
+    "q_incr_agg" ->
+      // the merged partial states must equal the direct aggregate
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice) / count(*), 4) AS avg_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     "q_gopher_quality" -> {
       val norm = normOf("text")
       s"""WITH x AS (SELECT doc_id,

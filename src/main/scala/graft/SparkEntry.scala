@@ -1223,6 +1223,51 @@ object SparkEntry {
       .select($"cid", $"n_assigned", round($"inertia", 2).as("inertia"))
   }
 
+  /** D5: snapshot diff (CDC derivation) — one full-outer join on the
+    * key classifies every row I/D/U against the previous dump; the
+    * (small) changeset feeds incremental loads when the source has no
+    * CDC log. The "new" snapshot is derived deterministically from
+    * orders (drops %97, +10 price on %101, re-keyed inserts on %103)
+    * so both engines diff identical inputs.
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val neu = o.filter($"o_orderkey" % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 101 === 0, $"o_totalprice" + 10.0)
+          .otherwise($"o_totalprice"))
+      .unionByName(o.filter($"o_orderkey" % 103 === 0)
+        .select(($"o_orderkey" + 10000000).as("o_orderkey"),
+          $"o_orderstatus", $"o_totalprice"))
+    Loads.snapshotDiff(o, neu, "o_orderkey")
+      .groupBy($"change")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("sum_price"))
+  }
+
+  /** D6: incremental aggregate maintenance — partial agg states from
+    * independent batches (split by key parity) merge into the exact
+    * global aggregate; the oracle aggregates the whole table directly.
+    * This is the algebraic-measure foundation of materialized-view
+    * upkeep: the view shuffles key-cardinality rows, never the facts.
+    */
+  private def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_returnflag", $"l_quantity",
+        $"l_extendedprice")
+    val halves = Seq(0, 1).map(p =>
+      Loads.aggState(li.filter($"l_orderkey" % 2 === p),
+        Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice")))
+    Loads.mergeAggStates(halves, Seq("l_returnflag"),
+        Seq("l_quantity", "l_extendedprice"))
+      .select($"l_returnflag", $"__n".as("n"),
+        round($"__sum_l_quantity", 2).as("sum_qty"),
+        round($"__sum_l_extendedprice" / $"__n", 4).as("avg_price"))
+  }
+
   /** C28: cohort retention — users grouped by first-activity week
     * (Monday-truncated), distinct-user counts per (cohort, week
     * offset). Two keyed shuffles (per-user min, then cohort agg).
@@ -1439,7 +1484,9 @@ object SparkEntry {
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_hop_agg" -> (qHopAgg _),
     "q_approx_distinct" -> (qApproxDistinct _),
-    "q_kmeans" -> (qKmeans _))
+    "q_kmeans" -> (qKmeans _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_incr_agg" -> (qIncrAgg _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

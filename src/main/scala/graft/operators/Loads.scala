@@ -62,6 +62,60 @@ object Loads {
     * one row per table with its count. Counts run as independent
     * partial-aggregated jobs; the union is metadata-sized.
     */
+  /** Snapshot diff (CDC derivation): classify every primary key across
+    * two table snapshots as Inserted / Deleted / Updated / unchanged.
+    * One full-outer equi-join on the key — the canonical way to turn
+    * periodic full dumps into a change stream when the source has no
+    * CDC log (the reference's "compare counts then append" load is the
+    * degenerate form of this). Unchanged rows are dropped by default
+    * so the output is the (small) changeset, not the snapshot.
+    *
+    * Column comparison is null-safe (`<=>`); `compareCols` defaults to
+    * all non-key columns shared by both sides.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, pk: String,
+                   compareCols: Seq[String] = Nil,
+                   keepUnchanged: Boolean = false): DataFrame = {
+    val cols =
+      if (compareCols.nonEmpty) compareCols
+      else oldSnap.columns.filter(c => c != pk && newSnap.columns.contains(c))
+        .toSeq
+    val o = oldSnap.select((pk +: cols).map(col): _*).as("o")
+    val n = newSnap.select((pk +: cols).map(col): _*).as("n")
+    val changed = cols.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val change = when(col(s"o.$pk").isNull, "I")
+      .when(col(s"n.$pk").isNull, "D")
+      .when(changed, "U")
+      .otherwise("N")
+    val out = o.join(n, col(s"o.$pk") === col(s"n.$pk"), "full_outer")
+      .select(coalesce(col(s"n.$pk"), col(s"o.$pk")).as(pk) +:
+        change.as("change") +:
+        cols.map(c => coalesce(col(s"n.$c"), col(s"o.$c")).as(c)): _*)
+    if (keepUnchanged) out else out.filter(col("change") =!= "N")
+  }
+
+  /** Incremental aggregate maintenance: merge partial aggregates
+    * (sums + counts per key) from independent batches into the exact
+    * global aggregate — the algebraic-measure foundation of
+    * materialized-view upkeep. Each batch is reduced to one row per
+    * key BEFORE the merge, so maintaining the view shuffles only
+    * key-cardinality rows, never the fact table; averages are derived
+    * sums/counts at read time (AVG itself is not mergeable).
+    */
+  def aggState(batch: DataFrame, keys: Seq[String],
+               sumCols: Seq[String]): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sumCols.map(c => sum(col(c)).as(s"__sum_$c")): _*)
+
+  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String],
+                     sumCols: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as("__n"),
+        sumCols.map(c => sum(col(s"__sum_$c")).as(s"__sum_$c")): _*)
+
   def countReport(tables: Map[String, DataFrame]): DataFrame =
     tables.toSeq.sortBy(_._1).map { case (name, df) =>
       df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("tbl"),

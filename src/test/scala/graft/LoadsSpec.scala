@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Loads
+
+/** Semantics of the load-side operators: snapshot diff (CDC
+  * derivation) and incremental aggregate-state maintenance.
+  */
+class LoadsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("snapshotDiff classifies insert/delete/update and drops unchanged") {
+    val old = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0),
+      (4, null.asInstanceOf[String], 40.0)).toDF("k", "s", "v")
+    val neu = Seq((2, "b", 20.0), (3, "c", 99.0), (5, "e", 50.0),
+      (4, null.asInstanceOf[String], 40.0)).toDF("k", "s", "v")
+    val d = Loads.snapshotDiff(old, neu, "k").collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[String]("change")).toMap
+    assert(d == Map(1 -> "D", 3 -> "U", 5 -> "I")) // 2 and 4 unchanged
+    // null-safe compare: null == null is NOT an update (key 4 absent)
+    val kept = Loads.snapshotDiff(old, neu, "k", keepUnchanged = true)
+    assert(kept.count() == 5)
+    assert(kept.filter($"change" === "N").count() == 2)
+  }
+
+  test("snapshotDiff carries the new-side values (old for deletes)") {
+    val old = Seq((1, 10.0), (3, 30.0)).toDF("k", "v")
+    val neu = Seq((3, 99.0)).toDF("k", "v")
+    val rows = Loads.snapshotDiff(old, neu, "k").collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[Double]("v")).toMap
+    assert(rows == Map(1 -> 10.0, 3 -> 99.0))
+  }
+
+  test("merged aggregate states equal the direct aggregate") {
+    val df = (1 to 1000).map(i => (i, s"g${i % 7}", i * 1.5, i * 2.0))
+      .toDF("id", "g", "x", "y")
+    val parts = Seq(0, 1, 2).map(p => Loads.aggState(
+      df.filter($"id" % 3 === p), Seq("g"), Seq("x", "y")))
+    val merged = Loads.mergeAggStates(parts, Seq("g"), Seq("x", "y"))
+      .select($"g", $"__n", round($"__sum_x", 6).as("sx"),
+        round($"__sum_y", 6).as("sy"))
+    val direct = df.groupBy($"g")
+      .agg(count(lit(1)).as("__n"), round(sum($"x"), 6).as("sx"),
+        round(sum($"y"), 6).as("sy"))
+    assert(merged.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(merged).count() == 0)
+  }
+}
