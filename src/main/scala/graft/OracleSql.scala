@@ -1227,6 +1227,67 @@ object OracleSql {
         |  round(sum(l_extendedprice) / count(*), 4) AS avg_price
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    "q_chunk_docs" ->
+      // chunk starts 0, 80, 160, … (size 100, overlap 20) — chunk_id
+      // recovered as start/step since starts are exact multiples
+      """SELECT doc_id, CAST(s / 80 AS BIGINT) AS chunk_id,
+        |  substr(text, CAST(s AS INT) + 1, 100) AS chunk,
+        |  CAST(length(substr(text, CAST(s AS INT) + 1, 100)) AS BIGINT)
+        |    AS chunk_len
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, greatest(length(text) - 1, 0), 80))
+        |          AS s
+        |      FROM documents) t""".stripMargin,
+
+    "q_line_dedup" -> {
+      val norm = normOf("text")
+      s"""WITH $corpusCte,
+         |w AS (SELECT doc_id, string_split($norm, ' ') AS w FROM corpus),
+         |ln AS (SELECT doc_id, i AS pos,
+         |    array_to_string(list_slice(w, i*8 + 1, i*8 + 8), ' ') AS line
+         |  FROM w, unnest(generate_series(0,
+         |    CAST(ceil(len(w) / 8.0) AS INT) - 1)) u(i)),
+         |r AS (SELECT doc_id, pos, line,
+         |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+         |      AS rn
+         |  FROM ln)
+         |SELECT doc_id, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+         |    chr(10) ORDER BY pos), '')) AS kept_fp
+         |FROM r GROUP BY doc_id""".stripMargin
+    },
+
+    "q_tfidf" -> {
+      val norm = normOf("text")
+      s"""WITH dt AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+         |        FROM documents) x
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, term, tf, df,
+         |  round(CAST(tf AS DOUBLE) *
+         |    ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+         |FROM dt JOIN dfreq USING(term) CROSS JOIN n""".stripMargin
+    },
+
+    "q_zscore" ->
+      // exact integer moments (hugeint ≡ Spark decimal(38,0)); the only
+      // float ops are the final divide + sqrt, in identical order
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |m AS (SELECT event_type,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(c) AS HUGEINT) AS sx,
+        |    CAST(sum(c * c) AS HUGEINT) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  round(CAST(n * c - sx AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 4) AS z
+        |FROM e JOIN m USING(event_type)""".stripMargin,
+
     "q_gopher_quality" -> {
       val norm = normOf("text")
       s"""WITH x AS (SELECT doc_id,

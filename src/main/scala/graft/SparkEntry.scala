@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, TextFunctions}
-import graft.operators.{Bloom, Dedup, Graph, Intervals, Loads, Multimodal, Sampling, Sessions, Similarity, Skew, TimeSeries}
+import graft.operators.{Bloom, Corpus, Dedup, Graph, Intervals, Loads, Multimodal, Sampling, Sessions, Similarity, Skew, TimeSeries}
 import graft.plans.LayoutFunctions
 
 /** Driver contract — the query catalog for the correctness gate.
@@ -1268,6 +1268,71 @@ object SparkEntry {
         round($"__sum_l_extendedprice" / $"__n", 4).as("avg_price"))
   }
 
+  /** E25: fixed-size char chunking with overlap (RAG / context-window
+    * prep) — `sequence` + `posexplode` per-row expressions, ZERO
+    * shuffles: a 100 TB corpus chunks inside the scan stage and chunks
+    * stay co-partitioned with their doc.
+    */
+  private def qChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.chunk(table(s, dir, "documents").select($"doc_id", $"text"),
+      "text", "doc_id", size = 100, overlap = 20)
+  }
+
+  /** E26: C4-style cross-corpus line dedup — dup-seeded corpus
+    * reformatted into 8-word lines, every repeated line kept only at
+    * its first occurrence (min doc, then min pos), docs reassembled
+    * from surviving lines. One shuffle on line content + one on doc id;
+    * exact-dup docs provably lose all their lines.
+    */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = TextFunctions.words($"text")
+    val nLines = ceil(size(w) / lit(8.0)).cast("int")
+    val multi = dupCorpus(s, dir).select($"doc_id",
+      array_join(transform(sequence(lit(0), nLines - 1, lit(1)),
+        i => concat_ws(" ", slice(w, i * 8 + 1, lit(8)))), "\n").as("text"))
+    Corpus.lineDedup(multi, "text", "doc_id")
+      .select($"id".as("doc_id"), $"n_lines", $"n_kept",
+        md5($"kept_text".cast("binary")).as("kept_fp"))
+  }
+
+  /** E27: TF-IDF term scoring — (doc, term) tf agg, term df agg, and
+    * the corpus size N re-joined as a 1-row broadcast (no
+    * single-partition window). Float math is exactly `tf * ln(N/df)`
+    * on both engines.
+    */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.tfidf(table(s, dir, "documents").select($"doc_id", $"text"),
+        "text", "doc_id", TextFunctions.words)
+      .select($"id".as("doc_id"), $"term", $"tf", $"df",
+        round($"tfidf_raw", 4).as("tfidf"))
+  }
+
+  /** C32: per-group z-score normalization (feature scaling for
+    * training) — the corr_stats discipline: exact integer-moment sums
+    * (cents as decimal) per group, broadcast back to rows, and the only
+    * float ops are one divide + one sqrt per row in identical order on
+    * both engines: z = (n·c − sx) / √(n·sxx − sx²).
+    */
+  private def qZscore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val ev = table(s, dir, "events").select($"event_id", $"event_type",
+      floor($"value" * 100 + 0.5).cast("long").as("c"))
+    val m = ev.groupBy($"event_type")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum($"c".cast(dec)).as("sx"),
+        sum(($"c" * $"c").cast(dec)).as("sxx"))
+      .select($"event_type", $"n", $"sx",
+        ($"n" * $"sxx" - $"sx" * $"sx").as("a"))
+    ev.join(broadcast(m), "event_type")
+      .select($"event_id", $"event_type",
+        round(($"n" * $"c" - $"sx").cast("double") /
+          sqrt($"a".cast("double")), 4).as("z"))
+  }
+
   /** C28: cohort retention — users grouped by first-activity week
     * (Monday-truncated), distinct-user counts per (cohort, week
     * offset). Two keyed shuffles (per-user min, then cohort agg).
@@ -1486,7 +1551,11 @@ object SparkEntry {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_kmeans" -> (qKmeans _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
-    "q_incr_agg" -> (qIncrAgg _))
+    "q_incr_agg" -> (qIncrAgg _),
+    "q_chunk_docs" -> (qChunkDocs _),
+    "q_line_dedup" -> (qLineDedup _),
+    "q_tfidf" -> (qTfidf _),
+    "q_zscore" -> (qZscore _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for training-data pipelines: fixed-size
+  * chunking with overlap (RAG / context-window prep), C4-style
+  * cross-corpus line deduplication, and TF-IDF term scoring.
+  *
+  * Scale design: chunking is a pure per-row array expression (no
+  * shuffle — it runs inside the scan stage); line dedup shuffles once
+  * on the line content and once on doc_id for reassembly; TF-IDF is
+  * two keyed aggregations plus a 1-row broadcast for the corpus size.
+  * Nothing here is O(n²) and nothing collects to the driver.
+  */
+object Corpus {
+
+  /** Fixed-size character chunks with overlap. Chunk starts are
+    * `0, size-overlap, 2(size-overlap), …` while they fall inside the
+    * text; every doc yields ≥1 chunk (empty text → one empty chunk).
+    * Runs entirely inside the scan stage: `sequence` + `posexplode`
+    * are codegen'd per-row ops, so a 100 TB corpus chunks without a
+    * single shuffle and chunks stay co-partitioned with their doc.
+    */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+            size: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val step = size - overlap
+    val starts = sequence(lit(0),
+      greatest(length(col(textCol)) - 1, lit(0)), lit(step))
+    df.select(col(idCol), col(textCol),
+        posexplode(starts).as(Seq("chunk_id", "start")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        expr(s"substring($textCol, start + 1, $size)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
+
+  /** C4-style line-level dedup across the whole corpus: a line that
+    * occurs anywhere else in the corpus is kept only at its first
+    * occurrence (lowest doc id, then lowest line position) and removed
+    * everywhere else; each doc is reassembled from its surviving lines
+    * in order. Returns one row per input doc:
+    * (id, n_lines, n_kept, kept_text).
+    *
+    * The occurrence ranking is a window over the line content — a
+    * single hash-partitioned shuffle on the line (the 100 TB-safe
+    * formulation: state per distinct line, not per pair); reassembly
+    * is one groupBy on the doc id. Docs whose every line is removed
+    * survive with kept_text = ''.
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val rn = row_number().over(
+      Window.partitionBy(col("line")).orderBy(col("id"), col("pos")))
+    lines.withColumn("keep", rn === 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("pos"), col("line"))))),
+            x => x("line")),
+          "\n").as("kept_text"))
+  }
+
+  /** TF-IDF term scores: tf = term count within the doc, df = number
+    * of docs containing the term, idf = ln(N/df). Two keyed shuffles
+    * — (doc, term) then term — and the corpus size N joins back as a
+    * 1-row broadcast, so the plan has no single-partition stage.
+    * The score's float math is `tf * ln(N / df)` evaluated in exactly
+    * that operation order (oracle mirrors it bit-for-bit).
+    */
+  def tfidf(df: DataFrame, textCol: String, idCol: String,
+            tokens: Column => Column): DataFrame = {
+    val dt = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    dt.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("tfidf_raw"))
+  }
+}

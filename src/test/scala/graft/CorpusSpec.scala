@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.Corpus
+
+/** Semantics of the corpus-shaping operators: chunking with overlap,
+  * cross-corpus line dedup, TF-IDF.
+  */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("chunk: overlap, coverage, and tail chunk") {
+    val df = Seq((1L, "a" * 250), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val out = Corpus.chunk(df, "text", "doc_id", size = 100, overlap = 20)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("chunk"))).toSeq
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // starts 0, 80, 160, 240 → lengths 100, 100, 90, 10
+    assert(d1.map(_.length) == Seq(100, 100, 90, 10))
+    // consecutive chunks overlap by exactly 20 chars
+    assert(d1(0).takeRight(20) == d1(1).take(20))
+    // short and empty docs still yield exactly one chunk
+    assert(out.filter(_._1 == 2L).map(_._3) == Seq("xy"))
+    assert(out.filter(_._1 == 3L).map(_._3) == Seq(""))
+  }
+
+  test("chunk reassembles losslessly at zero overlap") {
+    val df = Seq((1L, "abcdefghij" * 37 + "klm")).toDF("doc_id", "text")
+    val glued = Corpus.chunk(df, "text", "doc_id", size = 64, overlap = 0)
+      .orderBy($"chunk_id").collect().map(_.getAs[String]("chunk")).mkString
+    assert(glued == "abcdefghij" * 37 + "klm")
+  }
+
+  test("lineDedup keeps first occurrence only and reassembles in order") {
+    val df = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta\nalpha"), // alpha+beta already seen in doc 1
+      (3L, "alpha\nbeta\ngamma")  // fully duplicated doc
+    ).toDF("doc_id", "text")
+    val out = Corpus.lineDedup(df, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("kept_text")))).toMap
+    assert(out(1L) == ((3L, 3L, "alpha\nbeta\ngamma")))
+    assert(out(2L) == ((3L, 1L, "delta")))
+    assert(out(3L) == ((3L, 0L, "")))
+  }
+
+  test("lineDedup dedups repeats within one doc too") {
+    val df = Seq((1L, "x\ny\nx")).toDF("doc_id", "text")
+    val r = Corpus.lineDedup(df, "text", "doc_id").collect().head
+    assert(r.getAs[Long]("n_kept") == 2L)
+    assert(r.getAs[String]("kept_text") == "x\ny")
+  }
+
+  test("tfidf matches hand computation") {
+    val df = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "dog"))
+      .toDF("doc_id", "text")
+    val out = Corpus.tfidf(df, "text", "doc_id", TextFunctions.words)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("term")) ->
+        ((r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("tfidf_raw")))).toMap
+    // ulp tolerance: the JVM's Math.log intrinsic may differ from
+    // scala.math.log by 1 ulp; engine parity is asserted by the DuckDB
+    // gate (q_tfidf), which mirrors the exact expression tree
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    val cat = out((1L, "cat"))
+    assert(cat._1 == 2L && cat._2 == 1L && close(cat._3, 2.0 * math.log(3.0)))
+    val fish = out((2L, "fish"))
+    assert(fish._1 == 1L && fish._2 == 1L && close(fish._3, math.log(3.0)))
+    assert(out((3L, "dog")) == ((1L, 3L, 0.0))) // df == N → idf 0
+    assert(out.size == 5)
+  }
+}
