@@ -1273,6 +1273,85 @@ object OracleSql {
          |FROM dt JOIN dfreq USING(term) CROSS JOIN n""".stripMargin
     },
 
+    "q_bm25" -> {
+      val norm = normOf("text")
+      // k1+1 embedded via Scala's round-trip double formatting so the
+      // literal parses to the IDENTICAL double Spark folded at plan time
+      val k1p1 = (1.2 + 1.0).toString
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w
+         |  FROM documents),
+         |dt AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
+         |g AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+         |  FROM dt GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM g GROUP BY 1),
+         |s AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(len(w)) AS BIGINT) AS tot_len FROM t)
+         |SELECT doc_id, term, tf, df,
+         |  round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         |      (CAST(df AS DOUBLE) + 0.5))
+         |    * (CAST(tf AS DOUBLE) * $k1p1) /
+         |    (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+         |      0.75 * CAST(dl AS DOUBLE) /
+         |        (CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 4)
+         |    AS bm25
+         |FROM g JOIN dfreq USING(term) CROSS JOIN s""".stripMargin
+    },
+
+    "q_inverted_index" -> {
+      val norm = normOf("text")
+      s"""WITH dt AS (SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+         |    FROM documents) x)
+         |SELECT term, count(*) AS df,
+         |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 10), ',')
+         |    AS postings
+         |FROM dt GROUP BY 1""".stripMargin
+    },
+
+    "q_profile" -> {
+      def strRow(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS vmin_str,
+           |  CAST(max($c) AS VARCHAR) AS vmax_str,
+           |  CAST(NULL AS DOUBLE) AS vmin_num, CAST(NULL AS DOUBLE) AS vmax_num
+           |FROM customer""".stripMargin
+      def numRow(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS VARCHAR) AS vmin_str, CAST(NULL AS VARCHAR) AS vmax_str,
+           |  CAST(min($c) AS DOUBLE) AS vmin_num,
+           |  CAST(max($c) AS DOUBLE) AS vmax_num
+           |FROM customer""".stripMargin
+      Seq(strRow("c_name"), strRow("c_mktsegment"),
+        numRow("c_acctbal"), numRow("c_nationkey"))
+        .mkString("\nUNION ALL\n")
+    },
+
+    "q_winsorize" ->
+      // exact discrete quantiles: cum·10000 ≥ p·n over distinct cents —
+      // pure integer rank arithmetic, mirrored from Stats.winsorize
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |d AS (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, c,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |b AS (SELECT event_type,
+        |    min(CASE WHEN cum * 10000 >= n * 500 THEN c END) AS lo,
+        |    min(CASE WHEN cum * 10000 >= n * 9500 THEN c END) AS hi
+        |  FROM w GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(least(greatest(c, lo), hi)) AS BIGINT) AS sum_cw,
+        |  min(least(greatest(c, lo), hi)) AS lo_c,
+        |  max(least(greatest(c, lo), hi)) AS hi_c
+        |FROM e JOIN b USING(event_type) GROUP BY 1""".stripMargin,
+
     "q_zscore" ->
       // exact integer moments (hugeint ≡ Spark decimal(38,0)); the only
       // float ops are the final divide + sqrt, in identical order

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, TextFunctions}
-import graft.operators.{Bloom, Corpus, Dedup, Graph, Intervals, Loads, Multimodal, Sampling, Sessions, Similarity, Skew, TimeSeries}
+import graft.operators.{Bloom, Corpus, Dedup, Graph, Intervals, Loads, Multimodal, Sampling, Sessions, Similarity, Skew, Stats, TimeSeries, Validate}
 import graft.plans.LayoutFunctions
 
 /** Driver contract — the query catalog for the correctness gate.
@@ -1333,6 +1333,56 @@ object SparkEntry {
           sqrt($"a".cast("double")), 4).as("z"))
   }
 
+  /** E28: Okapi BM25 term scoring — tfidf's plan plus exact integer
+    * doc-length accumulation; corpus stats ride a 1-row broadcast.
+    * Float expression tree mirrored operation-for-operation by the
+    * oracle (constants embedded via round-trip double formatting).
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.bm25(table(s, dir, "documents").select($"doc_id", $"text"),
+        "text", "doc_id", TextFunctions.words)
+      .select($"id".as("doc_id"), $"term", $"tf", $"df",
+        round($"bm25_raw", 4).as("bm25"))
+  }
+
+  /** E29: inverted index — term → df + sorted posting-list head. One
+    * keyed shuffle on the term.
+    */
+  private def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.invertedIndex(table(s, dir, "documents")
+      .select($"doc_id", $"text"), "text", "doc_id",
+      TextFunctions.words, cap = 10)
+  }
+
+  /** A6: data profiling — one scan, one aggregate for every column's
+    * null/distinct/min/max; numeric and string extremes in separate
+    * typed columns (engines disagree on float→string formatting).
+    */
+  private def qProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Validate.profile(table(s, dir, "customer"),
+      strCols = Seq("c_name", "c_mktsegment"),
+      numCols = Seq("c_acctbal", "c_nationkey"))
+  }
+
+  /** C33: winsorization via exact discrete quantiles — per-type [p5,
+    * p95] bounds from pure integer rank arithmetic (distinct-value
+    * window, no interpolation, no doubles anywhere), clamp broadcast
+    * back, and every output stays integral (cents) — bit-stable at any
+    * parallelism or scale.
+    */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events").select($"event_type",
+      floor($"value" * 100 + 0.5).cast("long").as("c"))
+    Stats.winsorize(ev, Seq("event_type"), "c", pLo = 500, pHi = 9500)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"c_w").as("sum_cw"),
+        min($"c_w").as("lo_c"), max($"c_w").as("hi_c"))
+  }
+
   /** C28: cohort retention — users grouped by first-activity week
     * (Monday-truncated), distinct-user counts per (cohort, week
     * offset). Two keyed shuffles (per-user min, then cohort agg).
@@ -1555,7 +1605,11 @@ object SparkEntry {
     "q_chunk_docs" -> (qChunkDocs _),
     "q_line_dedup" -> (qLineDedup _),
     "q_tfidf" -> (qTfidf _),
-    "q_zscore" -> (qZscore _))
+    "q_zscore" -> (qZscore _),
+    "q_bm25" -> (qBm25 _),
+    "q_inverted_index" -> (qInvertedIndex _),
+    "q_profile" -> (qProfile _),
+    "q_winsorize" -> (qWinsorize _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -73,6 +73,56 @@ object Corpus {
     * The score's float math is `tf * ln(N / df)` evaluated in exactly
     * that operation order (oracle mirrors it bit-for-bit).
     */
+  /** Okapi BM25 term scores. Same two keyed shuffles as [[tfidf]];
+    * the per-doc length and the corpus stats (N, total length) ride
+    * along as a 1-row broadcast. Float math is evaluated in one fixed
+    * operation order (mirrored by the oracle):
+    * `idf = ln((N - df + 0.5) / (df + 0.5))`,
+    * `score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+    * Doc lengths accumulate as exact integers; `avgdl` is a single
+    * double division at the end.
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           tokens: Column => Column,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("w"))
+    val dt = toks.select(col("id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("w")).cast("long")).as("tot_len"))
+    val n = col("n_docs").cast("double")
+    val avgdl = col("tot_len").cast("double") / col("n_docs").cast("double")
+    val idf = log((n - col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5))
+    val tfd = col("tf").cast("double")
+    val score = idf * (tfd * (k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / avgdl))
+    dt.join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        score.as("bm25_raw"))
+  }
+
+  /** Inverted index: per term, document frequency and the posting list
+    * head (first `cap` doc ids ascending, comma-joined). One keyed
+    * shuffle on the term; the per-term state is bounded by `cap` in
+    * the output (collect happens per term — at 100 TB the hot-term
+    * list would be capped pre-agg with a per-term top-k, same shape).
+    */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+                    tokens: Column => Column, cap: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          transform(slice(array_sort(collect_list(col("id"))), 1, cap),
+            _.cast("string"))).as("postings"))
+
   def tfidf(df: DataFrame, textCol: String, idCol: String,
             tokens: Column => Column): DataFrame = {
     val dt = df.select(col(idCol).as("id"),

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.{Corpus, Stats, Validate}
+
+/** Semantics of the robust-stats + profiling operators and the BM25 /
+  * inverted-index retrieval scores.
+  */
+class StatsProfileSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("discreteQuantiles: exact rank semantics, no interpolation") {
+    // 1..100 → p50 at rank 50 → value 50; p9500 → rank 95 → 95
+    val df = (1 to 100).map(i => ("g", i.toLong)).toDF("g", "v")
+    val q = Stats.discreteQuantiles(df, Seq("g"), "v", Seq(5000, 9500))
+      .collect().head
+    assert(q.getAs[Long]("q5000") == 50L)
+    assert(q.getAs[Long]("q9500") == 95L)
+    // duplicates: rank counts occurrences, not distinct values
+    val dup = Seq.fill(99)(("g", 1L)).toDF("g", "v")
+      .union(Seq(("g", 100L)).toDF("g", "v"))
+    val q2 = Stats.discreteQuantiles(dup, Seq("g"), "v", Seq(9900, 9901))
+      .collect().head
+    assert(q2.getAs[Long]("q9900") == 1L)   // rank 99 → still the 1s
+    assert(q2.getAs[Long]("q9901") == 100L) // rank 100 → the outlier
+  }
+
+  test("winsorize clamps to in-data values and preserves rows") {
+    val df = ((1 to 98).map(i => ("g", 50L)) ++ Seq(("g", -1000L), ("g", 5000L)))
+      .toDF("g", "v")
+    val w = Stats.winsorize(df, Seq("g"), "v", 500, 9500)
+    assert(w.count() == 100)
+    val vals = w.select("v_w").distinct().collect().map(_.getLong(0)).toSet
+    assert(vals == Set(50L)) // both outliers clamped to the p5/p95 value
+    // clamped column never exceeds observed quantile bounds
+    val mm = w.agg(min($"v_w"), max($"v_w")).collect().head
+    assert(mm.getLong(0) == 50L && mm.getLong(1) == 50L)
+  }
+
+  test("profile: nulls, distincts, typed extremes") {
+    val df = Seq(("a", Some(1.0)), ("b", None), ("b", Some(3.5)))
+      .toDF("s", "x")
+    val p = Validate.profile(df, Seq("s"), Seq("x")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val s = p("s")
+    assert(s.getAs[Long]("n") == 3 && s.getAs[Long]("n_null") == 0)
+    assert(s.getAs[Long]("n_distinct") == 2)
+    assert(s.getAs[String]("vmin_str") == "a" &&
+      s.getAs[String]("vmax_str") == "b")
+    assert(s.isNullAt(s.fieldIndex("vmin_num")))
+    val x = p("x")
+    assert(x.getAs[Long]("n_null") == 1 && x.getAs[Long]("n_distinct") == 2)
+    assert(x.getAs[Double]("vmin_num") == 1.0 &&
+      x.getAs[Double]("vmax_num") == 3.5)
+  }
+
+  test("bm25: rarer terms outscore common terms at equal tf") {
+    val df = Seq((1L, "rare common common"), (2L, "common common other"),
+      (3L, "common misc misc")).toDF("doc_id", "text")
+    val out = Corpus.bm25(df, "text", "doc_id", TextFunctions.words)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("term")) ->
+        r.getAs[Double]("bm25_raw")).toMap
+    // df(rare)=1 < df(common)=3 → higher idf, positive score
+    assert(out((1L, "rare")) > 0)
+    assert(out((1L, "rare")) > out((1L, "common")))
+    // common appears in every doc → idf ln((3-3+0.5)/(3+0.5)) < 0
+    assert(out((1L, "common")) < 0)
+  }
+
+  test("invertedIndex: sorted capped postings, distinct per doc") {
+    val df = Seq((3L, "b a"), (1L, "a a a"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Corpus.invertedIndex(df, "text", "doc_id",
+        TextFunctions.words, cap = 2)
+      .collect().map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("df"), r.getAs[String]("postings")))).toMap
+    assert(out("a") == ((3L, "1,2")))  // df counts docs not occurrences; capped at 2
+    assert(out("b") == ((1L, "3")))
+    assert(out("c") == ((1L, "2")))
+  }
+}
