@@ -970,6 +970,19 @@ object SparkEntry {
       .select($"id".as("doc_id"), $"comp".as("cluster_id"))
   }
 
+  /** E30: PageRank over the near-dup candidate graph (10 fixed
+    * rounds) — ranking duplicate-cluster "centers". Two keyed shuffles
+    * per round, degrees cached, nothing driver-side. Rows-only gate
+    * (fp aggregation order); semantics in GraphSamplingSpec.
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.ngramJaccardPairs(dupCorpus(s, dir), "text", "doc_id",
+      5, 0.6)
+    Graph.pageRank(pairs, "id_a", "id_b")
+      .select($"id".as("doc_id"), round($"rank", 6).as("rank"))
+  }
+
   /** E22: benchmark decontamination — corpus docs sharing any word
     * 8-gram with the held-out benchmark slice (doc_id % 10 == 0 of the
     * originals; their truncated near-copies in the dup-seeded corpus
@@ -1609,14 +1622,15 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_profile" -> (qProfile _),
-    "q_winsorize" -> (qWinsorize _))
+    "q_winsorize" -> (qWinsorize _),
+    "q_pagerank" -> (qPageRank _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
     * ScalaTest spec covers the semantics instead.
     */
   val rowsOnly: Set[String] =
-    Set("q_dedup_simhash", "q_approx_distinct", "q_kmeans")
+    Set("q_dedup_simhash", "q_approx_distinct", "q_kmeans", "q_pagerank")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

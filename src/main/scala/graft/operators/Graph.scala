@@ -131,4 +131,57 @@ object Graph {
   def componentSummary(components: DataFrame): DataFrame =
     components.groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** PageRank over a directed edge list, fixed iteration count (the
+    * deterministic-step form; convergence-check variants trade a
+    * scalar aggregate per round, as in [[connectedComponents]]).
+    *
+    * Each round is the canonical two-shuffle step: contributions =
+    * edges ⋈ ranks on src (rank/outdeg per edge), then groupBy dst +
+    * sum, then a left join back onto the node set so rank mass
+    * re-seeds nodes with no in-edges. Degrees are joined once and
+    * cached; nothing ever collects to the driver. Rank sums are
+    * floating-point (aggregation order varies with partitioning), so
+    * gates over this operator are rows-only; semantics are spec'd
+    * with tolerance in GraphSamplingSpec.
+    *
+    * Dangling nodes (no out-edges) leak their mass, as in the
+    * original formulation — acceptable for ranking use.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               damping: Double = 0.85, iterations: Int = 10): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(outdeg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (1.0 - damping) / n
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iterations) {
+      val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("inflow"))
+      // localCheckpoint (eager) TRUNCATES LINEAGE each round — without
+      // it the plan nests one join level per iteration: generated code
+      // blows past JIT/janino limits and plan rendering itself is
+      // quadratic. A cluster run over billions of edges would use
+      // reliable checkpoint() to HDFS instead, same reason.
+      val next = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    nodes.unpersist()
+    withDeg.unpersist()
+    ranks
+  }
 }

@@ -95,6 +95,21 @@ object Loads {
     if (keepUnchanged) out else out.filter(col("change") =!= "N")
   }
 
+  /** Apply a [[snapshotDiff]] changeset to a snapshot: rows whose key
+    * appears in the changeset are dropped (one anti join), then the
+    * I/U rows are appended — `apply(old, diff(old, new)) ≡ new` (the
+    * roundtrip is asserted in LoadsSpec). This is the consumer side of
+    * CDC-from-dumps: the big snapshot is touched by exactly one
+    * keyed anti join against the (small) changeset, which Spark plans
+    * as a broadcast anti join when the changeset fits.
+    */
+  def applyDiff(snapshot: DataFrame, changes: DataFrame, pk: String): DataFrame = {
+    val touched = changes.select(col(pk))
+    snapshot.join(broadcast(touched), Seq(pk), "left_anti")
+      .unionByName(changes.filter(col("change").isin("I", "U"))
+        .select(snapshot.columns.map(col): _*))
+  }
+
   /** Incremental aggregate maintenance: merge partial aggregates
     * (sums + counts per key) from independent batches into the exact
     * global aggregate — the algebraic-measure foundation of

@@ -22,13 +22,15 @@ object Validate {
     val aggs = count(lit(1)).as("__total") +:
       rules.map(r => count(when(!r.holds, 1)).as(s"__v_${r.name}"))
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // inline(array(struct…)) — not a UNION of selects, which would
+    // recompute the aggregate (one table scan per rule)
     val perRule = rules.map { r =>
-      one.select(lit(r.name).as("rule"),
+      struct(lit(r.name).as("rule"),
         col("__total").as("n_rows"),
         col(s"__v_${r.name}").as("n_violations"),
         (col(s"__v_${r.name}") === 0).as("pass"))
     }
-    perRule.reduce(_ unionByName _)
+    one.select(inline(array(perRule: _*)))
   }
 
   /** Data profiling — per-column null count, exact distinct count, and
@@ -50,22 +52,25 @@ object Validate {
           min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
       })
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // one row per column via inline(array(struct…)) — a UNION of
+    // per-column selects would recompute the aggregate (and rescan the
+    // table) once per branch; this shape keeps the plan at ONE scan
     val rows = strCols.map { c =>
-      one.select(lit(c).as("col_name"), col("__n").as("n"),
+      struct(lit(c).as("col_name"), col("__n").as("n"),
         col(s"__null_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
         col(s"__min_$c").cast("string").as("vmin_str"),
         col(s"__max_$c").cast("string").as("vmax_str"),
         lit(null).cast("double").as("vmin_num"),
         lit(null).cast("double").as("vmax_num"))
     } ++ numCols.map { c =>
-      one.select(lit(c).as("col_name"), col("__n").as("n"),
+      struct(lit(c).as("col_name"), col("__n").as("n"),
         col(s"__null_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
         lit(null).cast("string").as("vmin_str"),
         lit(null).cast("string").as("vmax_str"),
         col(s"__min_$c").cast("double").as("vmin_num"),
         col(s"__max_$c").cast("double").as("vmax_num"))
     }
-    rows.reduce(_ unionByName _)
+    one.select(inline(array(rows: _*)))
   }
 
   /** Deterministic split assignment by content hash — reproducible

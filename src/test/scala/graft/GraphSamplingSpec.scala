@@ -84,6 +84,30 @@ class GraphSamplingSpec extends AnyFunSuite {
 
   // ----------------------------------------------------------- TimeSeries
 
+  test("pagerank: star center outranks leaves; mass conserved sans dangling") {
+    import spark.implicits._
+    // 4-cycle plus chords into node 0: every node has out-edges, so
+    // total rank mass stays 1 (no dangling leak)
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L),
+      (1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val r = Graph.pageRank(edges, "s", "d").collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Double]("rank")).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(0L) > r(2L) && r(0L) > r(3L)) // three in-links vs one/two
+    r.values.foreach(v => assert(v > 0))
+  }
+
+  test("pagerank: partition-count independent within fp tolerance") {
+    import spark.implicits._
+    val edges = (1 to 60).map(i => (i.toLong, (i % 7).toLong)).toDF("s", "d")
+    val a = Graph.pageRank(edges, "s", "d").collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Double]("rank")).toMap
+    val b = Graph.pageRank(edges.repartition(13), "s", "d").collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Double]("rank")).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+  }
+
   test("ewma: matches a sequential fold, any parallelism, multi-key safe") {
     import java.sql.Timestamp
     val rows = for (u <- 0L until 7L; i <- 0 until 40)

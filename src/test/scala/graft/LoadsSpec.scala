@@ -34,6 +34,21 @@ class LoadsSpec extends AnyFunSuite {
     assert(rows == Map(1 -> 10.0, 3 -> 99.0))
   }
 
+  test("applyDiff roundtrip: apply(old, diff(old, new)) == new") {
+    val old = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("k", "s", "v")
+    val neu = Seq((2, "b", 20.0), (3, "c", 99.0), (5, "e", 50.0))
+      .toDF("k", "s", "v")
+    val rebuilt = Loads.applyDiff(old,
+      Loads.snapshotDiff(old, neu, "k"), "k")
+    assert(rebuilt.exceptAll(neu).count() == 0)
+    assert(neu.exceptAll(rebuilt).count() == 0)
+    // empty changeset is the identity
+    val same = Loads.applyDiff(old, Loads.snapshotDiff(old, old, "k"), "k")
+    assert(same.exceptAll(old).count() == 0 &&
+      old.exceptAll(same).count() == 0)
+  }
+
   test("merged aggregate states equal the direct aggregate") {
     val df = (1 to 1000).map(i => (i, s"g${i % 7}", i * 1.5, i * 2.0))
       .toDF("id", "g", "x", "y")

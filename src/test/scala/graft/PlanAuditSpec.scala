@@ -118,6 +118,36 @@ class PlanAuditSpec extends AnyFunSuite {
       !l.contains("TakeOrdered")), p.take(1500))
   }
 
+  test("chunking runs inside the scan stage — zero exchanges") {
+    val p = plan("q_chunk_docs")
+    assert(!p.contains("Exchange"), p.take(1500))
+  }
+
+  test("profile and validate are ONE scan each (no per-branch recompute)") {
+    for (name <- Seq("q_profile", "q_validate")) {
+      val p = plan(name)
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$name reads the table $scans times:\n${p.take(1500)}")
+    }
+  }
+
+  test("winsorize bounds join back as a broadcast") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("snapshot-diff changeset apply anti-joins broadcast") {
+    import org.apache.spark.sql.functions.col
+    val old = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    val neu = spark.range(998).selectExpr("id AS k", "id * 2 + (CASE WHEN id % 100 = 0 THEN 1 ELSE 0 END) AS v")
+    val applied = graft.operators.Loads.applyDiff(old,
+      graft.operators.Loads.snapshotDiff(old, neu, "k"), "k")
+    val p = applied.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(1500))
+  }
+
   test("interval overlap and fuzzy match avoid nested-loop joins") {
     for (name <- Seq("q_interval_overlap", "q_fuzzy_match")) {
       val p = plan(name)
