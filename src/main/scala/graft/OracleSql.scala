@@ -1352,6 +1352,20 @@ object OracleSql {
         |  max(least(greatest(c, lo), hi)) AS hi_c
         |FROM e JOIN b USING(event_type) GROUP BY 1""".stripMargin,
 
+    "q_locf" ->
+      """SELECT event_id, user_id, event_type,
+        |  round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS last_purchase_value
+        |FROM events""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS nation,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 5""".stripMargin,
+
     "q_zscore" ->
       // exact integer moments (hugeint ≡ Spark decimal(38,0)); the only
       // float ops are the final divide + sqrt, in identical order

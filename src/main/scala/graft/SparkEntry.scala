@@ -1396,6 +1396,35 @@ object SparkEntry {
         min($"c_w").as("lo_c"), max($"c_w").as("hi_c"))
   }
 
+  /** F8: LOCF forward fill — per-user carry of the last purchase value
+    * across subsequent events (sparse→dense imputation). Declarative
+    * window (one keyed shuffle + sort), no recurrence needed; rows
+    * before a user's first purchase stay null.
+    */
+  private def qLocf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events").select($"event_id", $"user_id", $"ts",
+      $"event_type",
+      when($"event_type" === "purchase", $"value").as("pv"))
+    TimeSeries.locf(ev, "user_id", "ts", "event_id", "pv")
+      .select($"event_id", $"user_id", $"event_type",
+        round($"pv_filled", 2).as("last_purchase_value"))
+  }
+
+  /** A7: k-anonymity report — quasi-identifier groups (market segment ×
+    * nation × balance band) below the anonymity threshold k=5. One
+    * keyed aggregate; the report is group-cardinality sized at any
+    * table size. Balance banding is integer floor division (exact).
+    */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "customer")
+      .groupBy($"c_mktsegment", $"c_nationkey".cast("long").as("nation"),
+        floor($"c_acctbal" / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" < 5)
+  }
+
   /** C28: cohort retention — users grouped by first-activity week
     * (Monday-truncated), distinct-user counts per (cohort, week
     * offset). Two keyed shuffles (per-user min, then cohort agg).
@@ -1623,7 +1652,9 @@ object SparkEntry {
     "q_inverted_index" -> (qInvertedIndex _),
     "q_profile" -> (qProfile _),
     "q_winsorize" -> (qWinsorize _),
-    "q_pagerank" -> (qPageRank _))
+    "q_pagerank" -> (qPageRank _),
+    "q_locf" -> (qLocf _),
+    "q_k_anonymity" -> (qKAnonymity _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -70,4 +70,22 @@ object TimeSeries {
       }
     }.toDF(keyCol, "n_events", "ewma")
   }
+
+  /** LOCF (last observation carried forward): per-key forward fill of
+    * a sparse column in (order, tie) order. UNLIKE the EWMA recurrence
+    * this IS a window aggregate — `last(ignoreNulls)` over an
+    * unbounded-preceding frame — so it stays declarative: one keyed
+    * shuffle + in-partition sort, running state O(1) per key, and
+    * Catalyst/AQE keep full visibility of the plan. Rows before the
+    * key's first observation keep null (no look-ahead leakage).
+    */
+  def locf(df: DataFrame, keyCol: String, orderCol: String,
+           tieCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(s"${valueCol}_filled",
+      last(col(valueCol), ignoreNulls = true).over(w))
+  }
 }
