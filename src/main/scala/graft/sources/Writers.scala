@@ -31,6 +31,26 @@ object Writers {
       .parquet(path)
   }
 
+  /** ORC export/import — the second columnar interchange format Spark
+    * ships natively (same predicate-pushdown + column-pruning story as
+    * parquet; min/max + bloom stripe statistics). Partitioning and
+    * sort-within options mirror [[writePartitioned]].
+    */
+  def writeOrc(df: DataFrame, path: String,
+               partitionCols: Seq[String] = Nil,
+               sortCols: Seq[String] = Nil,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(df.col): _*)
+    val w = sorted.write.mode(mode)
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .orc(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** CSV export (the reference's transform-phase `export_csv`,
     * transform.py:493): header + configurable null sentinel. One file
     * per partition; `coalesce` upstream if a single file is required.
