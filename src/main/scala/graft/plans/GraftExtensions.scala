@@ -48,5 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("char_entropy", "char_entropy(string) - codepoint Shannon entropy (nats)"),
       (exprs: Seq[Expression]) => CharEntropy(exprs.head)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // opt-in AQP: count(DISTINCT x) → HLL++ under spark.graft.approx.*
+    ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
   }
 }

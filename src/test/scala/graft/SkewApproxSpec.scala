@@ -28,6 +28,43 @@ class SkewApproxSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("AQP rule: count(distinct) → HLL++ only when opted in") {
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.ApproxDistinctRewrite)) {
+      // same Rule[LogicalPlan] GraftExtensions injects at session build;
+      // the shared test session predates the extension, so attach the
+      // rule through the runtime extension point
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.ApproxDistinctRewrite
+    }
+    val df = table(spark, "/root/testdata/sf0.001", "orders")
+    def q = df.groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("nd"))
+    try {
+      // off by default — exact distinct survives
+      val off = q.queryExecution.optimizedPlan.toString
+      assert(off.contains("count(distinct") &&
+        !off.contains("approx_count_distinct"), off.take(800))
+      val exact = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      spark.conf.set("spark.graft.approx.countDistinct", "true")
+      val on = q.queryExecution.optimizedPlan.toString
+      assert(on.contains("approx_count_distinct"), on.take(800))
+      val approx = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(approx.keySet == exact.keySet)
+      exact.foreach { case (k, e) =>
+        assert(math.abs(approx(k) - e) <= math.max(3L, (e * 0.05).toLong),
+          s"$k: approx ${approx(k)} vs exact $e")
+      }
+      // multi-column distinct is left exact (not expressible as one HLL)
+      val multi = df.groupBy($"o_orderstatus")
+        .agg(countDistinct($"o_custkey", $"o_orderpriority").as("nd2"))
+        .queryExecution.optimizedPlan.toString
+      assert(multi.contains("count(distinct") &&
+        !multi.contains("approx_count_distinct"), multi.take(800))
+    } finally spark.conf.unset("spark.graft.approx.countDistinct")
+  }
+
   test("approximate sketches land within tolerance of exact answers") {
     val li = table(spark, "/root/testdata/sf0.001", "lineitem")
     val exactD = li.select(countDistinct($"l_partkey")).collect()(0).getLong(0)
