@@ -1352,6 +1352,17 @@ object OracleSql {
         |  max(least(greatest(c, lo), hi)) AS hi_c
         |FROM e JOIN b USING(event_type) GROUP BY 1""".stripMargin,
 
+    "q_heavy_hitters" -> {
+      val norm = normOf("text")
+      s"""WITH t AS (SELECT unnest(string_split($norm, ' ')) AS term
+         |  FROM documents),
+         |c AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+         |s AS (SELECT count(*) AS total FROM t)
+         |SELECT term, n,
+         |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 4) AS share
+         |FROM c CROSS JOIN s WHERE n * 10000 >= total * 200""".stripMargin
+    },
+
     "q_locf" ->
       """SELECT event_id, user_id, event_type,
         |  round(last_value(CASE WHEN event_type = 'purchase' THEN value END

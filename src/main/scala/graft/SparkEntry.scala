@@ -1425,6 +1425,17 @@ object SparkEntry {
       .filter($"n" < 5)
   }
 
+  /** E31: corpus heavy hitters — terms with ≥2% frequency share.
+    * Integer threshold test (n·10⁴ ≥ total·φ) → bit-stable membership;
+    * the share itself is one double division, rounded.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = table(s, dir, "documents")
+      .select(explode(TextFunctions.words($"text")).as("term"))
+    Stats.heavyHitters(terms, "term", phiBp = 200)
+  }
+
   /** C28: cohort retention — users grouped by first-activity week
     * (Monday-truncated), distinct-user counts per (cohort, week
     * offset). Two keyed shuffles (per-user min, then cohort agg).
@@ -1654,7 +1665,8 @@ object SparkEntry {
     "q_winsorize" -> (qWinsorize _),
     "q_pagerank" -> (qPageRank _),
     "q_locf" -> (qLocf _),
-    "q_k_anonymity" -> (qKAnonymity _))
+    "q_k_anonymity" -> (qKAnonymity _),
+    "q_heavy_hitters" -> (qHeavyHitters _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

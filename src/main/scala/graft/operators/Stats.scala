@@ -40,6 +40,24 @@ object Stats {
     withCum.groupBy(k: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Exact heavy hitters: values whose frequency share reaches
+    * `phiBp`/10000. One keyed aggregate + a 1-row broadcast total; the
+    * threshold test is pure integer arithmetic (`n·10⁴ ≥ total·φ`), so
+    * membership is bit-stable across engines. The approximate
+    * counterpart for streams/unioned sketches is `df.stat.freqItems`
+    * (superset guarantee — asserted against this exact operator in
+    * StatsProfileSpec).
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, phiBp: Int): DataFrame = {
+    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") * 10000 >= col("__total") * phiBp)
+      .select(col(valueCol), col("n"),
+        round(col("n").cast("double") / col("__total").cast("double"), 4)
+          .as("share"))
+  }
+
   /** Winsorization (outlier clamping) of an integer-valued column per
     * group: values clamped to the exact discrete [pLo, pHi] quantile
     * bounds (per-10000). Bounds come from [[discreteQuantiles]] and

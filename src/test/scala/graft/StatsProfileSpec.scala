@@ -58,6 +58,25 @@ class StatsProfileSpec extends AnyFunSuite {
       x.getAs[Double]("vmax_num") == 3.5)
   }
 
+  test("heavyHitters: exact membership; freqItems is a superset of it") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(15)("c")
+      ++ Seq.fill(5)("d")).toDF("v")
+    val hh = Stats.heavyHitters(df, "v", phiBp = 1000) // ≥10%
+      .collect().map(r => r.getAs[String]("v") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("share")))).toMap
+    assert(hh.keySet == Set("a", "b", "c"))
+    assert(hh("a") == ((50L, 0.5)))
+    assert(!hh.contains("d"))
+    // boundary: exactly at threshold is IN (15/100 ≥ 10%; 5/100 < 10%)
+    val atEdge = Stats.heavyHitters(df, "v", phiBp = 1500).collect()
+      .map(_.getAs[String]("v")).toSet
+    assert(atEdge == Set("a", "b", "c"))
+    // freqItems (approximate, superset-guaranteed) covers the exact set
+    val freq = df.stat.freqItems(Seq("v"), 0.10)
+      .collect().head.getSeq[String](0).toSet
+    assert(hh.keySet.subsetOf(freq))
+  }
+
   test("bm25: rarer terms outscore common terms at equal tf") {
     val df = Seq((1L, "rare common common"), (2L, "common common other"),
       (3L, "common misc misc")).toDF("doc_id", "text")

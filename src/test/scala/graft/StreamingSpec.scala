@@ -121,6 +121,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.select("event_id").distinct().count() == 15) // no reprocessing
   }
 
+  test("stream-static broadcast enrich joins each micro-batch against the dim") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((10L, "gold"), (20L, "trial")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val enriched = input.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(2), 99, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+      assert(rows == Map(1L -> "gold", 2L -> null))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to recent clicks") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
