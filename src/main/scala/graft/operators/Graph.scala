@@ -149,10 +149,22 @@ object Graph {
     * original formulation — acceptable for ranking use.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               damping: Double = 0.85, iterations: Int = 10): DataFrame = {
+               damping: Double = 0.85, iterations: Int = 10,
+               localThreshold: Long = 2000000L): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // hybrid execution, same rationale as connectedComponents: dedup
+    // funnels reduce a huge corpus to a SMALL edge set, where 10
+    // distributed rounds are pure scheduling floor — collect and power-
+    // iterate on the driver instead. Above threshold: the distributed
+    // loop, unchanged.
+    if (e.count() <= localThreshold) {
+      val result = localPageRank(e, damping, iterations)
+      e.unpersist()
+      return result
+    }
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -182,6 +194,40 @@ object Graph {
     }
     nodes.unpersist()
     withDeg.unpersist()
+    e.unpersist()
     ranks
+  }
+
+  /** Driver-side power iteration for small (already-reduced) graphs —
+    * node order fixed by sorted id, so the fold order (and result) is
+    * fully deterministic, unlike the distributed path's partition-order
+    * sums.
+    */
+  private def localPageRank(e: DataFrame, damping: Double,
+                            iterations: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val es = e.as[(Long, Long)].collect()
+    val ids = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val n = ids.length
+    val deg = new Array[Long](n)
+    es.foreach { case (s, _) => deg(idx(s)) += 1 }
+    // group out-edges by source, sources in index order
+    val adj = es.map { case (s, d) => (idx(s), idx(d)) }
+      .groupBy(_._1).map { case (s, arr) => s -> arr.map(_._2).sorted }
+    val srcOrder = adj.keys.toArray.sorted
+    val base = (1.0 - damping) / n
+    var rank = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iterations) {
+      val inflow = new Array[Double](n)
+      srcOrder.foreach { s =>
+        val c = rank(s) / deg(s)
+        adj(s).foreach(d => inflow(d) += c)
+      }
+      rank = inflow.map(base + damping * _)
+    }
+    spark.createDataset(ids.toSeq.map(id => (id, rank(idx(id)))))
+      .toDF("id", "rank")
   }
 }

@@ -87,25 +87,31 @@ class GraphSamplingSpec extends AnyFunSuite {
   test("pagerank: star center outranks leaves; mass conserved sans dangling") {
     import spark.implicits._
     // 4-cycle plus chords into node 0: every node has out-edges, so
-    // total rank mass stays 1 (no dangling leak)
+    // total rank mass stays 1 (no dangling leak). localThreshold=0
+    // forces the DISTRIBUTED loop even on this tiny graph.
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L),
       (1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
-    val r = Graph.pageRank(edges, "s", "d").collect()
-      .map(x => x.getAs[Long]("id") -> x.getAs[Double]("rank")).toMap
-    assert(math.abs(r.values.sum - 1.0) < 1e-9)
-    assert(r(0L) > r(2L) && r(0L) > r(3L)) // three in-links vs one/two
-    r.values.foreach(v => assert(v > 0))
+    for (thresh <- Seq(0L, 1000L)) { // distributed and local paths
+      val r = Graph.pageRank(edges, "s", "d", localThreshold = thresh)
+        .collect()
+        .map(x => x.getAs[Long]("id") -> x.getAs[Double]("rank")).toMap
+      assert(math.abs(r.values.sum - 1.0) < 1e-9)
+      assert(r(0L) > r(2L) && r(0L) > r(3L)) // three in-links vs one/two
+      r.values.foreach(v => assert(v > 0))
+    }
   }
 
-  test("pagerank: partition-count independent within fp tolerance") {
+  test("pagerank: local and distributed paths agree; partition-independent") {
     import spark.implicits._
-    val edges = (1 to 60).map(i => (i.toLong, (i % 7).toLong)).toDF("s", "d")
-    val a = Graph.pageRank(edges, "s", "d").collect()
+    val edges = (1 to 60).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("s", "d")
+    val local = Graph.pageRank(edges, "s", "d").collect()
       .map(x => x.getAs[Long]("id") -> x.getAs[Double]("rank")).toMap
-    val b = Graph.pageRank(edges.repartition(13), "s", "d").collect()
+    val dist = Graph.pageRank(edges.repartition(13), "s", "d",
+        localThreshold = 0L).collect()
       .map(x => x.getAs[Long]("id") -> x.getAs[Double]("rank")).toMap
-    assert(a.keySet == b.keySet)
-    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-12) }
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (k, v) => assert(math.abs(v - dist(k)) < 1e-12) }
   }
 
   test("ewma: matches a sequential fold, any parallelism, multi-key safe") {
