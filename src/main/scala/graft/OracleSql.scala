@@ -1215,7 +1215,8 @@ object OracleSql {
         |               AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
         |           THEN 'U'
         |         ELSE 'N' END AS change,
-        |    coalesce(n.o_totalprice, o.o_totalprice) AS price
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+        |         ELSE n.o_totalprice END AS price
         |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
         |SELECT change, count(*) AS n, round(sum(price), 2) AS sum_price
         |FROM d WHERE change <> 'N' GROUP BY 1""".stripMargin,
@@ -1362,6 +1363,19 @@ object OracleSql {
          |  round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 4) AS share
          |FROM c CROSS JOIN s WHERE n * 10000 >= total * 200""".stripMargin
     },
+
+    "q_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4)
+        |    AS p_next
+        |FROM c""".stripMargin,
 
     "q_locf" ->
       """SELECT event_id, user_id, event_type,

@@ -1436,6 +1436,25 @@ object SparkEntry {
     Stats.heavyHitters(terms, "term", phiBp = 200)
   }
 
+  /** C34: path transitions (Markov step counts) — consecutive
+    * event-type pairs per user via one lag window (single keyed
+    * shuffle + sort), then a transition-matrix aggregate with exact
+    * integer probabilities at 4 decimals via round of n/total.
+    */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val steps = table(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+    val byPrev = Window.partitionBy($"prev_type")
+    steps.groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_next",
+        round($"n".cast("double") / sum($"n").over(byPrev).cast("double"), 4))
+  }
+
   /** C28: cohort retention — users grouped by first-activity week
     * (Monday-truncated), distinct-user counts per (cohort, week
     * offset). Two keyed shuffles (per-user min, then cohort agg).
@@ -1666,7 +1685,8 @@ object SparkEntry {
     "q_pagerank" -> (qPageRank _),
     "q_locf" -> (qLocf _),
     "q_k_anonymity" -> (qKAnonymity _),
-    "q_heavy_hitters" -> (qHeavyHitters _))
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_transitions" -> (qTransitions _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

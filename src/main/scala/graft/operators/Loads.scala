@@ -88,10 +88,15 @@ object Loads {
       .when(col(s"n.$pk").isNull, "D")
       .when(changed, "U")
       .otherwise("N")
+    // value carry must branch on WHICH SIDE EXISTS, not coalesce per
+    // column — an update that sets a column to NULL would otherwise
+    // silently resurrect the old value (caught by the randomized
+    // roundtrip property in LoadsSpec)
     val out = o.join(n, col(s"o.$pk") === col(s"n.$pk"), "full_outer")
       .select(coalesce(col(s"n.$pk"), col(s"o.$pk")).as(pk) +:
         change.as("change") +:
-        cols.map(c => coalesce(col(s"n.$c"), col(s"o.$c")).as(c)): _*)
+        cols.map(c => when(col(s"n.$pk").isNull, col(s"o.$c"))
+          .otherwise(col(s"n.$c")).as(c)): _*)
     if (keepUnchanged) out else out.filter(col("change") =!= "N")
   }
 

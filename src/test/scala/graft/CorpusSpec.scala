@@ -35,6 +35,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(glued == "abcdefghij" * 37 + "klm")
   }
 
+  test("chunk reassembly is lossless on random unicode text (overlap 0)") {
+    val r = new scala.util.Random(11)
+    // proper codepoints (indexing a String by char can split surrogates)
+    val alphabet = Seq("a", "b", "c", " ", "δ", "φ", "字", "漢", "🚀",
+      "\t", ",", ".", "-")
+    val docs = (1L to 200L).map { i =>
+      (i, List.fill(r.nextInt(300))(alphabet(r.nextInt(alphabet.length)))
+        .mkString)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val glued = Corpus.chunk(df, "text", "doc_id", size = 37, overlap = 0)
+      .groupBy($"doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"chunk_id", $"chunk"))),
+        x => x("chunk")), "").as("glued"))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("glued"))
+      .toMap
+    docs.foreach { case (id, text) => assert(glued(id) == text, s"doc $id") }
+  }
+
   test("lineDedup keeps first occurrence only and reassembles in order") {
     val df = Seq(
       (1L, "alpha\nbeta\ngamma"),

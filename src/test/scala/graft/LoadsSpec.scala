@@ -49,6 +49,22 @@ class LoadsSpec extends AnyFunSuite {
       old.exceptAll(same).count() == 0)
   }
 
+  test("applyDiff roundtrip holds on randomized snapshots with nulls") {
+    val r = new scala.util.Random(7)
+    val old = (1 to 500).map { i =>
+      (i, if (r.nextInt(10) == 0) null else r.nextInt(5).toString,
+        r.nextInt(1000) / 10.0)
+    }.toDF("k", "s", "v")
+    val neu = (1 to 560).flatMap { i =>
+      if (r.nextInt(8) == 0) None // deletes + fresh inserts past 500
+      else Some((i, if (r.nextInt(10) == 0) null else r.nextInt(5).toString,
+        r.nextInt(1000) / 10.0))
+    }.toDF("k", "s", "v")
+    val rebuilt = Loads.applyDiff(old, Loads.snapshotDiff(old, neu, "k"), "k")
+    assert(rebuilt.exceptAll(neu).count() == 0)
+    assert(neu.exceptAll(rebuilt).count() == 0)
+  }
+
   test("merged aggregate states equal the direct aggregate") {
     val df = (1 to 1000).map(i => (i, s"g${i % 7}", i * 1.5, i * 2.0))
       .toDF("id", "g", "x", "y")
