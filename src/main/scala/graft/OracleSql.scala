@@ -1364,6 +1364,14 @@ object OracleSql {
          |FROM c CROSS JOIN s WHERE n * 10000 >= total * 200""".stripMargin
     },
 
+    "q_jaro_winkler" ->
+      """SELECT a.p_brand AS brand, a.p_partkey AS key_a,
+        |  b.p_partkey AS key_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.88""".stripMargin,
+
     "q_transitions" ->
       """WITH s AS (SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id

@@ -1195,6 +1195,24 @@ object SparkEntry {
       .select($"brand", $"key_a", $"key_b", $"dist")
   }
 
+  /** H21: Jaro-Winkler record-linkage scoring over the same brand
+    * blocking as the fuzzy match — native codegen'd expression with
+    * DuckDB-exact semantics (fuzz-validated; see NativeStringSim).
+    * High-similarity pairs only, so the output is linkage-sized.
+    */
+  private def qJaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = table(s, dir, "part").select($"p_partkey", $"p_brand", $"p_name")
+    val a = p.toDF("key_a", "brand", "name_a")
+    val b = p.toDF("key_b", "brand", "name_b")
+    a.join(b, Seq("brand"))
+      .filter($"key_a" < $"key_b")
+      .withColumn("jw",
+        round(graft.plans.StringSimFunctions.jaroWinkler($"name_a", $"name_b"), 4))
+      .filter($"jw" >= 0.88)
+      .select($"brand", $"key_a", $"key_b", $"jw")
+  }
+
   /** F7: hopping (sliding) windows — 1h windows every 15min, so each
     * event lands in 4 overlapping windows. Spark's `window()` handles
     * the fan-out natively; the oracle unnests the 4 offsets with pure
@@ -1686,7 +1704,8 @@ object SparkEntry {
     "q_locf" -> (qLocf _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_heavy_hitters" -> (qHeavyHitters _),
-    "q_transitions" -> (qTransitions _))
+    "q_transitions" -> (qTransitions _),
+    "q_jaro_winkler" -> (qJaroWinkler _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

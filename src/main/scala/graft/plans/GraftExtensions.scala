@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(string) - Unicode NFC canonical form"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(string, string) - Jaro-Winkler similarity"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("char_entropy"),
       info("char_entropy", "char_entropy(string) - codepoint Shannon entropy (nats)"),
       (exprs: Seq[Expression]) => CharEntropy(exprs.head)))

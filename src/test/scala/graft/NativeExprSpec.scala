@@ -133,6 +133,45 @@ class NativeExprSpec extends AnyFunSuite {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("jaro_winkler matches DuckDB reference values exactly") {
+    // reference values probed from duckdb 1.0.0 jaro_winkler_similarity
+    // (the oracle engine); covers: transpositions, integer halving,
+    // prefix boost, 0.7 boost threshold, empty/equal/disjoint cases
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dwayne", "duane", 0.84),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("", "", 0.0),
+      ("", "a", 0.0),
+      ("abc", "abc", 1.0),
+      ("123456", "654321", 0.38888888888888884),
+      ("ab", "ba", 0.0),
+      ("crate", "trace", 0.7333333333333333),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("prefix", "prefixxxxx", 0.92),
+      ("ab", "axxxxxxxxx", 0.5333333333333333), // j<0.7 → NO boost
+      ("aabbcc", "ccbbaa", 0.5555555555555555))
+    cases.foreach { case (a, b, exp) =>
+      val got = graft.plans.NativeStringSim.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(math.abs(got - exp) < 1e-12, s"jw($a, $b) = $got, want $exp")
+      // symmetric
+      val rev = graft.plans.NativeStringSim.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      assert(math.abs(rev - got) < 1e-12)
+    }
+    // codegen path through a real projection + null propagation
+    import spark.implicits._
+    val r = Seq(("martha", "marhta"), (null, "x"))
+      .toDF("a", "b")
+      .select(graft.plans.StringSimFunctions.jaroWinkler($"a", $"b").as("jw"))
+      .collect()
+    assert(math.abs(r(0).getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(r(1).isNullAt(0))
+  }
+
   test("GraftExtensions wires functions through the extension registry") {
     // the shared test session already exists, so builder-time injection
     // can't be observed here; drive the same machinery Spark runs at
