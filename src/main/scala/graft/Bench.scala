@@ -16,10 +16,20 @@ object Bench {
     // run EVERY query once at the smallest SF — same generated code,
     // negligible data. Measured numbers then reflect steady state, which
     // is what matters for the 100 TB design point.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
-      "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // warm on the smallest-sf sibling of the bench dir when present
+    // (same generated code, negligible data), else on the bench dir
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile,
+        "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    })
+    SparkEntry.queries.foreach { case (name, fn) =>
+      // NonFatal only: an OOM/VM error must abort the bench, not leave
+      // the query to be silently measured cold
+      try fn(spark, warmDir).count() catch {
+        case scala.util.control.NonFatal(ex) =>
+          System.err.println(s"warm-up failed for $name: $ex")
+      }
     }
     // best-of-N per query: local-mode timings are scheduling-noise-bound
     // at small SF; min is the standard stable estimator
@@ -27,7 +37,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case scala.util.control.NonFatal(ex) =>
+            System.err.println(s"bench run failed for $name: $ex")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

@@ -1091,12 +1091,15 @@ object OracleSql {
         |FROM events GROUP BY user_id""".stripMargin,
 
     "q_bloom_prune" ->
-      // the bloom layer is pruning-only; semantics are a plain anti join
+      // the bloom layer is pruning-only; semantics are a plain anti
+      // join — mirrored as NOT EXISTS (null-safe, same as left_anti),
+      // NOT "NOT IN" whose three-valued NULL semantics diverge
       """SELECT o_orderpriority AS priority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders
-        |WHERE o_custkey NOT IN
-        |  (SELECT c_custkey FROM customer WHERE c_acctbal < -700)
+        |FROM orders o
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c
+        |   WHERE c.c_acctbal < -700 AND c.c_custkey = o.o_custkey)
         |GROUP BY 1""".stripMargin,
 
     "q_weighted_sample" ->

@@ -901,8 +901,11 @@ object SparkEntry {
       .groupBy($"o_orderstatus")
       .agg(
         count_if($"o_totalprice" > 200000).as("n_big"),
+        // else-branch stays decimal(12,2): an 0.0 double literal would
+        // coerce the whole CASE to double and make the sum fp-order-
+        // dependent, while the DuckDB oracle sums exactly in decimal
         round(sum(when($"o_orderpriority" === "1-URGENT", $"o_totalprice")
-          .otherwise(0.0)), 2).as("urgent_total"),
+          .otherwise(lit(0).cast("decimal(12,2)"))), 2).as("urgent_total"),
         bool_and($"o_totalprice" > 0).as("all_positive"),
         bool_or($"o_totalprice" > 400000).as("any_huge"))
   }

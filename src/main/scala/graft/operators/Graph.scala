@@ -91,7 +91,18 @@ object Graph {
       iter += 1
     }
     sym.unpersist()
-    labels
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise maxIter " +
+          "(labels would be incorrect, refusing to return them)")
+    }
+    // materialize eagerly, then release the cache slot: callers get a
+    // self-contained result with no dangling persisted lineage to leak
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Driver-side union-find over a collected edge list — the small-

@@ -106,9 +106,13 @@ object Writers {
     * thousands of kilobyte parquet files per directory, and every
     * downstream scan then pays a task per file plus a footer read per
     * task. Rewrites a parquet directory into ⌈bytes / targetBytes⌉
-    * files sized for the scan path, then swaps it in with the same
-    * rename-based crash-safe protocol as ParquetIo.overwriteAtomic
-    * (tmp → bak → rename; a crash mid-swap self-heals on next read).
+    * files sized for the scan path, then swaps it in rename-based:
+    * write tmp → rename(dir→bak) → rename(tmp→dir) → delete bak. A
+    * crash inside the two-rename window leaves dir absent with bak
+    * intact; the next compact() call detects that state and restores
+    * bak before proceeding, so no crash point loses data. Directories
+    * with hive-partition subdirectories are refused (a whole-directory
+    * rewrite would flatten the layout).
     *
     * Sizing uses the FILE listing, not a data scan: compaction reads
     * each byte exactly once. `coalesce` (not `repartition`) merges
@@ -120,14 +124,28 @@ object Writers {
               targetBytes: Long = 128L << 20): (Int, Int) = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(path)
+    val bak = new Path(dir + "__bak")
+    // crash-window repair: a crash between rename(dir→bak) and
+    // rename(tmp→dir) leaves dir absent but bak intact — recover it
+    // before doing anything else, so the directory is never lost
+    if (!fs.exists(path) && fs.exists(bak)) fs.rename(bak, path)
+    val listing = fs.listStatus(path)
+    // a hive-partitioned layout (key=value subdirectories) would be
+    // silently FLATTENED by a whole-directory rewrite — refuse; compact
+    // each leaf partition directory individually instead
+    val subdirs = listing.filter(_.isDirectory).map(_.getPath.getName)
+    if (subdirs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"compact: $dir contains subdirectories (${subdirs.take(3).mkString(", ")}…) — " +
+          "a whole-directory rewrite would flatten the partition layout; " +
+          "compact each leaf partition directory instead")
+    val parts = listing
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = parts.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(dir + "__compact_tmp")
     spark.read.parquet(dir).coalesce(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val bak = new Path(dir + "__bak")
     if (fs.exists(bak)) fs.delete(bak, true)
     if (!fs.rename(path, bak))
       throw new java.io.IOException(s"compact: cannot move $dir aside")

@@ -99,4 +99,33 @@ class WritersSpec extends AnyFunSuite {
     val (b2, a2) = Writers.compact(spark, dir, targetBytes = 1L << 20)
     assert(b2 == nAfter && a2 == nAfter)
   }
+
+  test("compact refuses a hive-partitioned directory (would flatten layout)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_part").toString + "/t"
+    spark.range(0, 100).select($"id", ($"id" % 3).as("k"))
+      .write.partitionBy("k").parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      Writers.compact(spark, dir)
+    }
+    assert(ex.getMessage.contains("subdirectories"))
+    // layout untouched
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("k=")))
+  }
+
+  test("compact self-heals the crash window (dir renamed to bak, swap not done)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_crash").toString + "/t"
+    spark.range(0, 500).select($"id").repartition(5).write.parquet(dir)
+    // simulate a crash between rename(dir→bak) and rename(tmp→dir):
+    // the data directory is absent, only the bak survives
+    val f = new java.io.File(dir)
+    assert(f.renameTo(new java.io.File(dir + "__bak")))
+    assert(!f.exists())
+    val (nBefore, nAfter) = Writers.compact(spark, dir, targetBytes = 1L << 20)
+    assert(nBefore == 5 && nAfter >= 1)
+    assert(spark.read.parquet(dir).count() == 500)
+    assert(!new java.io.File(dir + "__bak").exists())
+  }
 }
