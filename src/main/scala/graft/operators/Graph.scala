@@ -48,18 +48,28 @@ object Graph {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
                           localThreshold: Long = 2000000L): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-    // symmetrize once so min-propagation flows both directions
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // canonicalize to undirected (min,max) edges FIRST and persist:
+    // the naive union(e, e.swapped) evaluates the upstream pipeline —
+    // often an expensive dedup-candidate join — TWICE before any cache
+    // materializes, and carries 2× the rows through the distinct
+    val und = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("src"),
+        greatest(col("s"), col("d")).as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (sym.count() <= localThreshold) {
-      val result = localUnionFind(sym)
-      sym.unpersist()
+    if (und.count() <= localThreshold) {
+      // union-find treats edges as undirected — no symmetrization needed
+      val result = localUnionFind(und)
+      und.unpersist()
       return result
     }
+    // symmetrize (from cache) so min-propagation flows both directions
+    val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    und.unpersist()
     // round 0 fused into init: label₀ = min(id, direct neighbors) — one
     // groupBy instead of an identity-label table plus a full round
     var labels = sym

@@ -172,6 +172,67 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r(1).isNullAt(0))
   }
 
+  test("jaro_winkler ascii fast path ≡ generic reference (fuzz + boundaries)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(20260812)
+    def randStr(n: Int, alpha: String) =
+      (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val alpha = "abcdefghij klmnop"
+    // random pairs across the ≤64 fast-path range, incl. empty
+    for (_ <- 1 to 3000) {
+      val a = randStr(rnd.nextInt(65), alpha)
+      val b = randStr(rnd.nextInt(65), alpha)
+      val fast = graft.plans.NativeStringSim.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      val ref = graft.plans.NativeStringSim.jaroWinklerGeneric(a, b)
+      assert(fast == ref, s"jw mismatch on ($a, $b): $fast vs $ref")
+    }
+    // boundary: exactly 64 chars uses the fast path, 65 falls back —
+    // results must agree across the seam (same algorithm either way)
+    val s64 = randStr(64, alpha)
+    val s65 = randStr(65, alpha)
+    assert(graft.plans.NativeStringSim.jaroWinkler(
+      UTF8String.fromString(s64), UTF8String.fromString(s64)) == 1.0)
+    val seam = graft.plans.NativeStringSim.jaroWinkler(
+      UTF8String.fromString(s64), UTF8String.fromString(s65))
+    assert(seam == graft.plans.NativeStringSim.jaroWinklerGeneric(s64, s65))
+    // non-ascii routes to the generic path and stays correct
+    val jw = graft.plans.NativeStringSim.jaroWinkler(
+      UTF8String.fromString("straße"), UTF8String.fromString("strasse"))
+    assert(jw == graft.plans.NativeStringSim.jaroWinklerGeneric("straße", "strasse"))
+  }
+
+  test("jaro_winkler_gte: exact at/above tau, -1 only when truly below") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("almond", "antique", "aquamarine", "azure", "beige",
+      "bisque", "black", "blanched", "blue", "blush", "brown", "burlywood",
+      "burnished", "chartreuse", "chiffon", "chocolate", "coral")
+    def name() = (1 to 5).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    for (tau <- Seq(0.0, 0.7, 0.8799, 0.95); _ <- 1 to 2000) {
+      val a = name(); val b = if (rnd.nextBoolean()) name() else a.drop(rnd.nextInt(3))
+      val ua = UTF8String.fromString(a); val ub = UTF8String.fromString(b)
+      val full = graft.plans.NativeStringSim.jaroWinkler(ua, ub)
+      val gte = graft.plans.NativeStringSim.jaroWinklerGte(ua, ub, tau)
+      if (full >= tau)
+        assert(gte == full, s"gte($a,$b,$tau) must be exact: $gte vs $full")
+      else
+        assert(gte == -1.0 || gte == full,
+          s"gte($a,$b,$tau) below tau must be -1 or exact: $gte vs $full")
+    }
+    // long/non-ascii fallback returns the exact value (never -1)
+    val s65 = "x" * 65
+    assert(graft.plans.NativeStringSim.jaroWinklerGte(
+      UTF8String.fromString(s65), UTF8String.fromString(s65), 0.99) == 1.0)
+    // codegen + null propagation through a projection
+    import spark.implicits._
+    val r = Seq(("martha", "marhta"), (null, "x")).toDF("a", "b")
+      .select(graft.plans.StringSimFunctions.jaroWinklerGte($"a", $"b", 0.9)
+        .as("jw")).collect()
+    assert(math.abs(r(0).getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(r(1).isNullAt(0))
+  }
+
   test("GraftExtensions wires functions through the extension registry") {
     // the shared test session already exists, so builder-time injection
     // can't be observed here; drive the same machinery Spark runs at
