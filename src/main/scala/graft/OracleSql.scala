@@ -1375,6 +1375,185 @@ object OracleSql {
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.88""".stripMargin,
 
+    "q_attribution" ->
+      // value totals accumulate as exact integer cents; /100.0 can't
+      // hit a round-2 half-boundary (x·100 is integral by construction)
+      """WITH x AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+        |  FROM events)
+        |SELECT coalesce(ch, 'none') AS channel, count(*) AS n_conversions,
+        |  round(sum(cents) / 100.0, 2) AS attributed_value
+        |FROM x WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
+    "q_seq_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type FROM events),
+        |a AS (SELECT *, max(CASE WHEN event_type = 'view' THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last1
+        |  FROM e),
+        |b AS (SELECT *, CASE WHEN event_type = 'click'
+        |    AND last1 >= us - 86400000000 THEN us END AS q2 FROM a),
+        |c AS (SELECT *, max(q2)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastq2
+        |  FROM b)
+        |SELECT user_id, count(*) AS n_conversions
+        |FROM c WHERE event_type = 'purchase' AND lastq2 >= us - 86400000000
+        |GROUP BY 1""".stripMargin,
+
+    "q_mad_outliers" ->
+      // median and MAD as exact discrete quantiles (cum·10⁴ ≥ p·n over
+      // distinct values) — mirrors Stats.madOutliers integer-for-integer
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |d AS (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, c,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM d),
+        |m AS (SELECT event_type,
+        |    min(CASE WHEN cum * 10000 >= n * 5000 THEN c END) AS med
+        |  FROM w GROUP BY 1),
+        |e2 AS (SELECT e.event_type, c, med, abs(c - med) AS dev
+        |  FROM e JOIN m USING(event_type)),
+        |d2 AS (SELECT event_type, dev, count(*) AS cnt FROM e2 GROUP BY 1, 2),
+        |w2 AS (SELECT event_type, dev,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM d2),
+        |m2 AS (SELECT event_type,
+        |    min(CASE WHEN cum * 10000 >= n * 5000 THEN dev END) AS mad
+        |  FROM w2 GROUP BY 1)
+        |SELECT e2.event_type, count(*) AS n,
+        |  count(CASE WHEN dev > mad * 3 THEN 1 END) AS n_outliers,
+        |  min(med) AS med_c, min(mad) AS mad_c
+        |FROM e2 JOIN m2 USING(event_type) GROUP BY 1""".stripMargin,
+
+    "q_robust_scale" ->
+      // rs is a RAW double: one division of exact integers is
+      // bit-identical on both engines; rounding a rational could land
+      // on a half-boundary where HALF_UP (Spark) ≠ HALF_EVEN (DuckDB)
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |d AS (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |w AS (SELECT event_type, c,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n FROM d),
+        |q AS (SELECT event_type,
+        |    min(CASE WHEN cum * 10000 >= n * 2500 THEN c END) AS q25,
+        |    min(CASE WHEN cum * 10000 >= n * 5000 THEN c END) AS q50,
+        |    min(CASE WHEN cum * 10000 >= n * 7500 THEN c END) AS q75
+        |  FROM w GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  CASE WHEN q75 <> q25 THEN
+        |    CAST(c - q50 AS DOUBLE) / CAST(q75 - q25 AS DOUBLE) END AS rs
+        |FROM e JOIN q USING(event_type)""".stripMargin,
+
+    "q_rfm" -> {
+      def qCte(src: String, v: String, tag: String) =
+        s"""d$tag AS (SELECT $v AS v, count(*) AS cnt FROM $src GROUP BY 1),
+           |w$tag AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+           |    sum(cnt) OVER () AS n FROM d$tag),
+           |q$tag AS (SELECT
+           |    min(CASE WHEN cum * 10000 >= n * 2000 THEN v END) AS b1,
+           |    min(CASE WHEN cum * 10000 >= n * 4000 THEN v END) AS b2,
+           |    min(CASE WHEN cum * 10000 >= n * 6000 THEN v END) AS b3,
+           |    min(CASE WHEN cum * 10000 >= n * 8000 THEN v END) AS b4
+           |  FROM w$tag)""".stripMargin
+      def bucket(v: String, tag: String) =
+        s"((CASE WHEN $v > q$tag.b1 THEN 1 ELSE 0 END) + " +
+          s"(CASE WHEN $v > q$tag.b2 THEN 1 ELSE 0 END) + " +
+          s"(CASE WHEN $v > q$tag.b3 THEN 1 ELSE 0 END) + " +
+          s"(CASE WHEN $v > q$tag.b4 THEN 1 ELSE 0 END) + 1)"
+      s"""WITH per AS (
+         |  SELECT o_custkey,
+         |    CAST(date_diff('day', max(o_orderdate), DATE '2026-08-12')
+         |      AS BIGINT) AS rec,
+         |    count(*) AS freq,
+         |    CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS mon
+         |  FROM orders GROUP BY 1),
+         |${qCte("per", "rec", "r")},
+         |${qCte("per", "freq", "f")},
+         |${qCte("per", "mon", "m")}
+         |SELECT CAST(6 - ${bucket("rec", "r")} AS BIGINT) AS r,
+         |  CAST(${bucket("freq", "f")} AS BIGINT) AS f,
+         |  CAST(${bucket("mon", "m")} AS BIGINT) AS m,
+         |  count(*) AS n_customers
+         |FROM per, qr, qf, qm
+         |GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    "q_skew_metrics" ->
+      // max_over_mean is a RAW double ((max·keys)/rows of exact ints —
+      // bit-identical); see q_robust_scale for why no rounding
+      """WITH c AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+        |d AS (SELECT n AS v, count(*) AS cnt FROM c GROUP BY 1),
+        |w AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+        |    sum(cnt) OVER () AS nn FROM d),
+        |q AS (SELECT
+        |    min(CASE WHEN cum * 10000 >= nn * 5000 THEN v END) AS p50,
+        |    min(CASE WHEN cum * 10000 >= nn * 9900 THEN v END) AS p99
+        |  FROM w),
+        |s AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    max(n) AS max_key_rows FROM c)
+        |SELECT n_keys, n_rows, max_key_rows,
+        |  CAST(max_key_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE) AS max_over_mean,
+        |  p50 AS p50_key_rows, p99 AS p99_key_rows
+        |FROM s, q""".stripMargin,
+
+    "q_keyword_topk" -> {
+      val norm = normOf("text")
+      s"""WITH dt AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+         |        FROM documents) x
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term,
+         |    round(CAST(tf AS DOUBLE) *
+         |      ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS tfidf
+         |  FROM dt JOIN dfreq USING(term) CROSS JOIN n)
+         |SELECT doc_id, term, tfidf,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+         |FROM scored
+         |QUALIFY rank <= 3""".stripMargin
+    },
+
+    "q_feature_hash" -> {
+      val norm = normOf("text")
+      // bucket = (two md5 hex digits) mod 64; 16² ≡ 0 (mod 64), so the
+      // last two digits of the 8-hex prefix carry the full residue —
+      // engine-portable without conv() (DuckDB lacks it)
+      def hv(i: Int) =
+        s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(string_split($norm, ' ')) AS term FROM documents),
+         |x AS (SELECT doc_id, md5(term) AS h FROM t)
+         |SELECT doc_id,
+         |  CAST((16 * ${hv(7)} + ${hv(8)}) % 64 AS BIGINT) AS bucket,
+         |  count(*) AS n
+         |FROM x GROUP BY 1, 2""".stripMargin
+    },
+
+    "q_copurchase_degree" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT p, count(*) AS degree FROM (
+        |    SELECT pa AS p, pb AS q FROM pairs
+        |    UNION ALL SELECT pb AS p, pa AS q FROM pairs) u
+        |  GROUP BY 1)
+        |SELECT degree, count(*) AS n_parts FROM deg GROUP BY 1""".stripMargin,
+
     "q_transitions" ->
       """WITH s AS (SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id

@@ -1226,6 +1226,164 @@ object SparkEntry {
       .select($"brand", $"key_a", $"key_b", $"jw")
   }
 
+  // ---------------------------------------------------------------- C35+. event analytics / robust stats (round 3)
+
+  /** C35: last-touch attribution — each purchase credited to the
+    * nearest preceding non-purchase event of the same user via ONE
+    * window pass (operators.Analytics.lastTouch); no per-conversion
+    * self-join. Value totals accumulate in exact integer cents.
+    */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.Analytics.lastTouch(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        round((sum($"cents") / 100.0), 2).as("attributed_value"))
+  }
+
+  /** C36: time-bounded sequence funnel (MATCH_RECOGNIZE-lite) —
+    * view → click → purchase with each hop ≤ 24 h, per user, via two
+    * window passes over the user timeline (Analytics.sequenceFunnel);
+    * the naive form is a cubic event-stream self-join.
+    */
+  private def qSeqFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+    operators.Analytics.sequenceFunnel(ev, "user_id", "us", "event_id",
+      "event_type", "view", "click", "purchase", 86400000000L)
+  }
+
+  /** C37: MAD outlier detection per event type — median and MAD via
+    * exact discrete quantiles (pure integer rank arithmetic, Stats.
+    * madOutliers); |x−med| > 3·MAD. Bit-stable flags at any
+    * parallelism, unlike stddev z-scores which the outliers themselves
+    * drag.
+    */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events").select($"event_type",
+      floor($"value" * 100 + 0.5).cast("long").as("c"))
+    Stats.madOutliers(ev, Seq("event_type"), "c", 3)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        count_if($"is_outlier").as("n_outliers"),
+        first($"med").as("med_c"), first($"mad").as("mad_c"))
+  }
+
+  /** C38: robust scaling (x − median)/IQR per event type — quantiles
+    * exact-integer and broadcast back (Stats.robustScale); the only
+    * float op is one division per row, same order on both engines.
+    */
+  private def qRobustScale(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events").select($"event_id", $"event_type",
+      floor($"value" * 100 + 0.5).cast("long").as("c"))
+    // rs stays a RAW double: (c−med)/iqr over exact integers is
+    // bit-identical across engines, while round(…,4) of a rational
+    // can hit exact half-boundaries where HALF_UP ≠ HALF_EVEN
+    Stats.robustScale(ev, Seq("event_type"), "c", "rs")
+      .select($"event_id", $"event_type", $"rs")
+  }
+
+  /** C39: RFM segmentation — recency/frequency/monetary per customer,
+    * each bucketed into exact discrete quintiles (integer rank
+    * arithmetic; boundaries broadcast back, bucket = 4 codegen'd
+    * compares per dimension — NO ntile global sort). Output is the
+    * 125-cell segment histogram.
+    */
+  private def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = table(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(datediff(lit("2026-08-12").cast("date"), max($"o_orderdate"))
+          .cast("long").as("rec"),
+        count(lit(1)).as("freq"),
+        sum(($"o_totalprice" * 100).cast("long")).as("mon"))
+    def buckets(valueCol: String, outCol: String)(df: DataFrame): DataFrame = {
+      val q = Stats.discreteQuantiles(per, Nil, valueCol,
+        Seq(2000, 4000, 6000, 8000))
+      df.crossJoin(broadcast(q))
+        .withColumn(outCol,
+          (Seq(2000, 4000, 6000, 8000).map(p =>
+            when(col(valueCol) > col(s"q$p"), 1).otherwise(0))
+            .reduce(_ + _) + 1).cast("long"))
+        .drop(Seq(2000, 4000, 6000, 8000).map(p => s"q$p"): _*)
+    }
+    val scored = buckets("mon", "m_b")(buckets("freq", "f_b")(
+      buckets("rec", "r_b")(per)))
+    // low recency days = RECENT = best: invert so 5 is best, like f/m
+    scored.select($"o_custkey", (lit(6) - $"r_b").as("r"), $"f_b".as("f"),
+        $"m_b".as("m"))
+      .groupBy($"r", $"f", $"m")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** C40: join-key skew diagnostics (Analytics.keySkewProfile) — the
+    * pre-flight numbers for broadcast/salt/AQE decisions: hottest-key
+    * share and exact discrete p50/p99 of per-key counts.
+    */
+  private def qSkewMetrics(s: SparkSession, dir: String): DataFrame =
+    operators.Analytics.keySkewProfile(
+      table(s, dir, "orders").select(col("o_custkey")), "o_custkey")
+
+  /** E32: top-k keywords per document — TF-IDF scores (Corpus.tfidf
+    * plan: two keyed aggs + 1-row broadcast) ranked per doc with a
+    * deterministic tie-break (score desc, term asc), k=3.
+    */
+  private def qKeywordTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Corpus.tfidf(
+        table(s, dir, "documents").select($"doc_id", $"text"),
+        "text", "doc_id", TextFunctions.words)
+      .select($"id".as("doc_id"), $"term", round($"tfidf_raw", 4).as("tfidf"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tfidf".desc, $"term")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"term", $"tfidf", $"rank".cast("long").as("rank"))
+  }
+
+  /** E33: feature hashing (the hashing trick) — term → one of 64
+    * buckets via md5 (engine-portable: DuckDB mirrors the same two hex
+    * digits), counts per (doc, bucket). Fixed-width sparse features
+    * from unbounded vocabularies with zero vocabulary state — the
+    * standard trick for training-data featurization at corpus scale.
+    */
+  private def qFeatureHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", explode(TextFunctions.words($"text")).as("term"))
+      .withColumn("bucket",
+        (conv(substring(md5($"term"), 7, 2), 16, 10).cast("long") % 64))
+      .groupBy($"doc_id", $"bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** E34: co-purchase graph degree profile — parts appearing together
+    * in an order (lineitem self-equi-join on the order key — shuffle-
+    * partitionable, never cartesian), distinct-neighbor degree per
+    * part, then the degree histogram. The market-basket shape of the
+    * dedup-pair degree analysis.
+    */
+  private def qCopurchaseDegree(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+    val a = li.toDF("ok", "pa")
+    val b = li.toDF("ok", "pb")
+    val pairs = a.join(b, Seq("ok")).filter($"pa" < $"pb")
+      .select($"pa", $"pb").distinct()
+    val deg = pairs.select($"pa".as("p"), $"pb".as("q"))
+      .union(pairs.select($"pb".as("p"), $"pa".as("q")))
+      .groupBy($"p").agg(count(lit(1)).as("degree"))
+    deg.groupBy($"degree").agg(count(lit(1)).as("n_parts"))
+  }
+
   /** F7: hopping (sliding) windows — 1h windows every 15min, so each
     * event lands in 4 overlapping windows. Spark's `window()` handles
     * the fan-out natively; the oracle unnests the 4 offsets with pure
@@ -1718,7 +1876,16 @@ object SparkEntry {
     "q_k_anonymity" -> (qKAnonymity _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_transitions" -> (qTransitions _),
-    "q_jaro_winkler" -> (qJaroWinkler _))
+    "q_jaro_winkler" -> (qJaroWinkler _),
+    "q_attribution" -> (qAttribution _),
+    "q_seq_funnel" -> (qSeqFunnel _),
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_robust_scale" -> (qRobustScale _),
+    "q_rfm" -> (qRfm _),
+    "q_skew_metrics" -> (qSkewMetrics _),
+    "q_keyword_topk" -> (qKeywordTopk _),
+    "q_feature_hash" -> (qFeatureHash _),
+    "q_copurchase_degree" -> (qCopurchaseDegree _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the activity stream (SURVEY.md §2.C):
+  * marketing attribution, time-bounded sequential funnels, and join-key
+  * skew diagnostics. All are single-keyed-shuffle window plans — the
+  * per-user event timeline is the partition, so the work distributes by
+  * user at any scale, and nothing ever self-joins the event stream.
+  */
+object Analytics {
+
+  /** Last-touch attribution: every conversion event is credited to the
+    * nearest PRECEDING non-conversion event ("channel") of the same
+    * user. One window pass per user timeline (`last(ignoreNulls)` over
+    * the unbounded-preceding frame) — the classic alternative, a
+    * per-conversion self-join against prior events, is quadratic in
+    * events-per-user and shuffles twice.
+    *
+    * Conversions with no prior event credit the `"none"` channel.
+    * Reference basis: the reference tracks per-phase metrics but has no
+    * attribution; this is the events-side analytics the brief's §C
+    * window family covers.
+    */
+  def lastTouch(events: DataFrame, userCol: String, tsCol: String,
+                tieCol: String, typeCol: String,
+                conversionType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("__channel",
+        last(when(col(typeCol) =!= conversionType, col(typeCol)),
+          ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .withColumn("channel", coalesce(col("__channel"), lit("none")))
+      .drop("__channel")
+  }
+
+  /** Time-bounded ordered funnel (MATCH_RECOGNIZE-lite): counts, per
+    * user, conversions that complete the chain step1 → step2 → step3
+    * with each hop within `maxGapUs` microseconds of the previous
+    * step. Two window passes over the per-user timeline:
+    *   1. each step2 event is "qualified" if a step1 occurred within
+    *      the gap before it;
+    *   2. each step3 event converts if a QUALIFIED step2 occurred
+    *      within the gap before it.
+    * Both are `max` over an unbounded-preceding frame — O(events) per
+    * user, one keyed shuffle+sort total, no self-joins (the naive
+    * 3-way event-stream self-join is cubic in events-per-user).
+    *
+    * @param usCol  epoch-microseconds column (integer, pre-extracted)
+    * @return (user, n_conversions) for users with ≥1 full chain
+    */
+  def sequenceFunnel(events: DataFrame, userCol: String, usCol: String,
+                     tieCol: String, typeCol: String,
+                     step1: String, step2: String, step3: String,
+                     maxGapUs: Long): DataFrame = {
+    val wPrev = Window.partitionBy(col(userCol))
+      .orderBy(col(usCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("__last1",
+        max(when(col(typeCol) === step1, col(usCol))).over(wPrev))
+      .withColumn("__q2",
+        when(col(typeCol) === step2 &&
+          col("__last1") >= col(usCol) - maxGapUs, col(usCol)))
+      .withColumn("__lastq2", max(col("__q2")).over(wPrev))
+      .filter(col(typeCol) === step3 &&
+        col("__lastq2") >= col(usCol) - maxGapUs)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
+  /** Join-key skew diagnostics: the numbers an engineer needs BEFORE
+    * picking broadcast / salting / AQE for a key — distinct keys, total
+    * rows, the hottest key's absolute count and its ratio to the mean,
+    * and exact discrete p50/p99 of the per-key count distribution
+    * (integer rank arithmetic via [[Stats.discreteQuantiles]]).
+    * Key-cardinality shuffle only; the quantile window runs over
+    * DISTINCT count values, not keys.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val q = Stats.discreteQuantiles(counts, Nil, "n", Seq(5000, 9900))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_key_rows"))
+      .crossJoin(broadcast(q))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        // raw double, deliberately UNROUNDED: (max·keys)/rows from
+        // exact integers is bit-identical on every engine, while a
+        // fixed-decimal round of a rational can land exactly on a
+        // half-boundary where HALF_UP and HALF_EVEN engines diverge
+        (col("max_key_rows").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double")).as("max_over_mean"),
+        col("q5000").as("p50_key_rows"), col("q9900").as("p99_key_rows"))
+  }
+}

@@ -58,6 +58,51 @@ object Stats {
           .as("share"))
   }
 
+  /** MAD-based outlier detection per group, entirely in integer
+    * arithmetic: med = exact discrete median of the integer column,
+    * MAD = exact discrete median of |x − med|, and x is an outlier
+    * when |x − med| > k·MAD (k integral). No interpolation, no
+    * doubles — the flag is bit-stable across engines and partitionings,
+    * unlike stddev-based z-scores which both accumulate floats AND
+    * get dragged by the very outliers they're hunting.
+    *
+    * Two quantile passes (each a groupBy collapse to distinct values +
+    * a group-partitioned window) and two broadcast joins back; the
+    * fact table never shuffles beyond its one groupBy.
+    */
+  def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+                  k: Int): DataFrame = {
+    val med = discreteQuantiles(df, keys, valueCol, Seq(5000))
+      .withColumnRenamed("q5000", "__med")
+    val withMed = df.join(broadcast(med), keys)
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = discreteQuantiles(withMed, keys, "__dev", Seq(5000))
+      .withColumnRenamed("q5000", "__mad")
+    withMed.join(broadcast(mad), keys)
+      .withColumn("is_outlier", col("__dev") > col("__mad") * k)
+      .withColumnRenamed("__med", "med")
+      .withColumnRenamed("__mad", "mad")
+      .drop("__dev")
+  }
+
+  /** Robust scaling (x − median) / IQR per group — the feature-scaling
+    * form that survives heavy tails. Median and the exact discrete
+    * [p25, p75] come from [[discreteQuantiles]] (integer arithmetic,
+    * broadcast back); the ONLY float operation is one division per
+    * row, identical order on every engine. Groups with IQR = 0 yield
+    * null (constant features carry no scale).
+    */
+  def robustScale(df: DataFrame, keys: Seq[String], valueCol: String,
+                  outCol: String): DataFrame = {
+    val q = discreteQuantiles(df, keys, valueCol, Seq(2500, 5000, 7500))
+    df.join(broadcast(q), keys)
+      .withColumn(outCol,
+        when(col("q7500") =!= col("q2500"),
+          (col(valueCol) - col("q5000")).cast("double") /
+            (col("q7500") - col("q2500")).cast("double")))
+      .drop("q2500", "q5000", "q7500")
+  }
+
   /** Winsorization (outlier clamping) of an integer-valued column per
     * group: values clamped to the exact discrete [pLo, pHi] quantile
     * bounds (per-10000). Bounds come from [[discreteQuantiles]] and

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Stats}
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("lastTouch: credits nearest preceding non-conversion, none if bare") {
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      (1L, 40L, 4L, "purchase"), // still credited to the click at t=20
+      (2L, 10L, 5L, "purchase"), // no prior event → none
+      (3L, 10L, 6L, "view"), (3L, 20L, 7L, "purchase"),
+      (3L, 30L, 8L, "error"), (3L, 40L, 9L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.lastTouch(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase")
+      .select($"event_id", $"channel").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(3L -> "click", 4L -> "click", 5L -> "none",
+      7L -> "view", 9L -> "error"))
+  }
+
+  test("lastTouch: tie on ts broken by the tie column deterministically") {
+    val ev = Seq((1L, 10L, 1L, "view"), (1L, 10L, 2L, "click"),
+      (1L, 10L, 3L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.lastTouch(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase")
+      .select($"channel").head.getString(0)
+    assert(got == "click") // event_id 2 sorts after 1 at the same ts
+  }
+
+  test("sequenceFunnel: full chain within gap counts, broken chains don't") {
+    val ev = Seq(
+      // user 1: view(0) → click(5) → purchase(9): both hops ≤ 10 ✓
+      (1L, 0L, 1L, "view"), (1L, 5L, 2L, "click"), (1L, 9L, 3L, "purchase"),
+      // user 2: view(0) → click(20): click too late, purchase not counted
+      (2L, 0L, 4L, "view"), (2L, 20L, 5L, "click"), (2L, 25L, 6L, "purchase"),
+      // user 3: click(5) with NO prior view → purchase not counted
+      (3L, 5L, 7L, "click"), (3L, 9L, 8L, "purchase"),
+      // user 4: chain ok but purchase 30 after click: too late
+      (4L, 0L, 9L, "view"), (4L, 5L, 10L, "click"), (4L, 40L, 11L, "purchase"),
+      // user 5: two purchases after one qualified click, both within gap
+      (5L, 0L, 12L, "view"), (5L, 3L, 13L, "click"),
+      (5L, 8L, 14L, "purchase"), (5L, 12L, 15L, "purchase"))
+      .toDF("user_id", "us", "event_id", "event_type")
+    val got = Analytics.sequenceFunnel(ev, "user_id", "us", "event_id",
+        "event_type", "view", "click", "purchase", 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 5L -> 2L))
+  }
+
+  test("keySkewProfile: hot-key diagnostics are exact") {
+    // key a: 8 rows, b: 1, c: 1 → 10 rows, 3 keys, max 8
+    val df = (Seq.fill(8)("a") ++ Seq("b", "c")).toDF("k")
+    val r = Analytics.keySkewProfile(df, "k").head
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("max_key_rows") == 8L)
+    assert(r.getAs[Double]("max_over_mean") == 8.0 * 3.0 / 10.0)
+    assert(r.getAs[Long]("p50_key_rows") == 1L) // counts {8,1,1}: p50 = 1
+    assert(r.getAs[Long]("p99_key_rows") == 8L)
+  }
+
+  test("madOutliers: flag is |x−med| > k·MAD with exact discrete medians") {
+    // group g: values 1..9 plus 100 → med of {1..9,100} (10 values,
+    // p50 rank 5) = 5; dev med = |x−5| sorted {0,1,1,2,2,3,3,4,4,95},
+    // p50 = 2; outlier iff dev > 6 → only 100 (dev 95)
+    val df = ((1L to 9L) :+ 100L).map(("g", _)).toDF("g", "v")
+    val out = Stats.madOutliers(df, Seq("g"), "v", 3)
+    val flagged = out.filter($"is_outlier").select($"v").collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged == Set(100L))
+    val r = out.head
+    assert(out.select($"med").head.getLong(0) == 5L)
+    assert(out.select($"mad").head.getLong(0) == 2L)
+  }
+
+  test("robustScale: (x−med)/IQR, null for constant groups") {
+    val df = Seq(("a", 0L), ("a", 25L), ("a", 50L), ("a", 75L), ("a", 100L),
+      ("b", 7L), ("b", 7L), ("b", 7L))
+      .toDF("g", "v")
+    val got = Stats.robustScale(df, Seq("g"), "v", "rs")
+      .select($"g", $"v", $"rs").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    // a: q25=25, med=50, q75=75 → IQR 50; 0 → -1.0, 100 → 1.0
+    assert(got(("a", 0L)) == -1.0)
+    assert(got(("a", 50L)) == 0.0)
+    assert(got(("a", 100L)) == 1.0)
+    // constant group: IQR 0 → null, never a division blow-up
+    assert(got(("b", 7L)) == null)
+  }
+}
