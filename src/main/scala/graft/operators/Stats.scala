@@ -103,6 +103,24 @@ object Stats {
       .drop("q2500", "q5000", "q7500")
   }
 
+  /** Count-min-sketch frequency estimates for a candidate value set —
+    * the streaming/mergeable counterpart of exact [[heavyHitters]].
+    * ONE pass builds the sketch (`df.stat.countMinSketch`, mergeable
+    * across partitions/streams/days — how per-hour sketches roll into
+    * per-day counts without re-reading 100 TB); candidates are then
+    * estimated driver-side in O(1) each.
+    *
+    * Guarantees (classic CMS, never under-counts): for every value,
+    * `true ≤ estimate ≤ true + eps·N` with confidence `1 − 1/2^d`.
+    * Asserted against exact counts in SkewApproxSpec.
+    */
+  def cmsEstimates(df: DataFrame, valueCol: String, candidates: Seq[String],
+                   eps: Double = 0.001, confidence: Double = 0.99,
+                   seed: Int = 42): Seq[(String, Long)] = {
+    val sketch = df.stat.countMinSketch(col(valueCol), eps, confidence, seed)
+    candidates.map(v => v -> sketch.estimateCount(v))
+  }
+
   /** Winsorization (outlier clamping) of an integer-valued column per
     * group: values clamped to the exact discrete [pLo, pHi] quantile
     * bounds (per-10000). Bounds come from [[discreteQuantiles]] and

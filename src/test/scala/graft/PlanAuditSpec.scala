@@ -78,6 +78,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(1500))
   }
 
+  test("attribution and sequence funnel are window passes — no self-joins") {
+    // the naive forms are per-conversion (resp. 3-way) event-stream
+    // self-joins; the window formulation must never plan a Join
+    assert(!plan("q_attribution").contains("Join"))
+    assert(!plan("q_seq_funnel").contains("Join"))
+  }
+
+  test("robust stats broadcast their quantile bounds back to the rows") {
+    // med/MAD/IQR tables are group-cardinality — they must come back as
+    // broadcasts, never shuffle the fact side for the join
+    val rs = plan("q_robust_scale")
+    assert(rs.contains("BroadcastHashJoin"), rs.take(1500))
+    val mad = plan("q_mad_outliers")
+    assert(mad.contains("BroadcastHashJoin"), mad.take(1500))
+  }
+
+  test("RFM bucketing has no per-row global-sort window (no ntile)") {
+    // quantile windows run over DISTINCT metric values only; the
+    // per-customer table itself must never hit a global Sort+Window
+    val p = plan("q_rfm")
+    assert(!p.contains("ntile"), p.take(1500))
+  }
+
   test("stratified sample filters map-side before any exchange") {
     val df = SparkEntry.queries("q_stratified_sample")(spark, dir)
     val p = df.queryExecution.executedPlan.toString

@@ -84,4 +84,32 @@ class SkewApproxSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(math.abs(merged - exactD).toDouble / exactD < 0.05)
   }
+
+  test("count-min sketch: never under-counts, over-counts bounded by eps·N") {
+    val docs = table(spark, "/root/testdata/sf0.001", "documents")
+    val terms = docs.select(explode(
+      graft.functions.TextFunctions.words($"text")).as("term"))
+    terms.cache()
+    val n = terms.count()
+    val exact = terms.groupBy($"term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val candidates = exact.keys.take(200).toSeq
+    val est = graft.operators.Stats.cmsEstimates(terms, "term", candidates,
+      eps = 0.001, confidence = 0.99).toMap
+    candidates.foreach { t =>
+      assert(est(t) >= exact(t), s"CMS under-counted $t: ${est(t)} < ${exact(t)}")
+      assert(est(t) <= exact(t) + math.ceil(0.001 * n).toLong + 1,
+        s"CMS over-count for $t beyond eps·N: ${est(t)} vs ${exact(t)} (N=$n)")
+    }
+    // mergeable: sketches of two halves, merged, give the same bounds —
+    // the roll-up path for per-hour → per-day counts without a re-read
+    val h1 = terms.limit((n / 2).toInt)
+    val s1 = h1.stat.countMinSketch($"term", 0.001, 0.99, 42)
+    val s2 = terms.exceptAll(h1).stat.countMinSketch($"term", 0.001, 0.99, 42)
+    s1.mergeInPlace(s2)
+    candidates.take(50).foreach { t =>
+      assert(s1.estimateCount(t) >= exact(t))
+    }
+    terms.unpersist()
+  }
 }
