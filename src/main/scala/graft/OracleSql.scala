@@ -949,6 +949,48 @@ object OracleSql {
          |FROM reach GROUP BY id""".stripMargin
     },
 
+    "q_triangle_stats" -> {
+      // near-dup pairs (same fragments as q_dedup_ngram), then the
+      // canonical-orientation triangle join (a<b<c counted once) and
+      // integral wedge sum; clustering = one double division
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ic
+         |  FROM sh a
+         |  JOIN sizes sa ON sa.id = a.id
+         |  JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  JOIN sizes sb ON sb.id = b.id
+         |  WHERE CAST(sa.sz AS DOUBLE) <= sb.sz / CAST(0.6 AS DOUBLE)
+         |    AND CAST(sb.sz AS DOUBLE) <= sa.sz / CAST(0.6 AS DOUBLE)
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a AS a, id_b AS b FROM (
+         |    SELECT id_a, id_b,
+         |      round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 4) AS jaccard
+         |    FROM inter
+         |    JOIN sizes sa ON sa.id = id_a
+         |    JOIN sizes sb ON sb.id = id_b) j
+         |  WHERE jaccard >= 0.6),
+         |deg AS (SELECT p, count(*) AS d FROM (
+         |    SELECT a AS p FROM pairs UNION ALL SELECT b FROM pairs) u
+         |  GROUP BY 1),
+         |ns AS (SELECT count(*) AS n_nodes,
+         |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg),
+         |es AS (SELECT count(*) AS n_edges FROM pairs),
+         |tri AS (SELECT count(*) AS n_triangles
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.a = e1.b
+         |  WHERE EXISTS (SELECT 1 FROM pairs e3
+         |                WHERE e3.a = e1.a AND e3.b = e2.b))
+         |SELECT n_nodes, n_edges, n_triangles,
+         |  CASE WHEN wedges > 0 THEN
+         |    CAST(n_triangles * 3 AS DOUBLE) / CAST(wedges AS DOUBLE) END
+         |    AS clustering
+         |FROM ns, es, tri""".stripMargin
+    },
+
     "q_decontaminate" -> {
       val gram8 = (0 until 8).map(k => s"w[u.i+$k]").mkString("||' '||")
       s"""WITH $corpusCte,

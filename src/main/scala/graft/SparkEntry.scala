@@ -1376,12 +1376,27 @@ object SparkEntry {
     val li = table(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
     val a = li.toDF("ok", "pa")
     val b = li.toDF("ok", "pb")
+    // each distinct pair contributes one degree to BOTH endpoints via a
+    // single explode — a union of the two orientations would re-evaluate
+    // the (expensive, unpersisted) join+distinct once per branch
     val pairs = a.join(b, Seq("ok")).filter($"pa" < $"pb")
       .select($"pa", $"pb").distinct()
-    val deg = pairs.select($"pa".as("p"), $"pb".as("q"))
-      .union(pairs.select($"pb".as("p"), $"pa".as("q")))
+    val deg = pairs.select(explode(array($"pa", $"pb")).as("p"))
       .groupBy($"p").agg(count(lit(1)).as("degree"))
     deg.groupBy($"degree").agg(count(lit(1)).as("n_parts"))
+  }
+
+  /** E35: triangle census of the near-dup graph (Graph.triangleStats) —
+    * canonical-orientation wedge join (two keyed equi-joins, no
+    * cartesian); clustering coefficient is one double division of
+    * exact integer counts. Dup clusters triangulate heavily; spurious
+    * LSH chains don't — a one-row quality fingerprint for the dedup
+    * funnel.
+    */
+  private def qTriangleStats(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(dupCorpus(s, dir), "text", "doc_id",
+      5, 0.6)
+    Graph.triangleStats(pairs, "id_a", "id_b")
   }
 
   /** F7: hopping (sliding) windows — 1h windows every 15min, so each
@@ -1885,7 +1900,8 @@ object SparkEntry {
     "q_skew_metrics" -> (qSkewMetrics _),
     "q_keyword_topk" -> (qKeywordTopk _),
     "q_feature_hash" -> (qFeatureHash _),
-    "q_copurchase_degree" -> (qCopurchaseDegree _))
+    "q_copurchase_degree" -> (qCopurchaseDegree _),
+    "q_triangle_stats" -> (qTriangleStats _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -219,6 +219,53 @@ object Graph {
     ranks
   }
 
+  /** Triangle count + global clustering coefficient over an undirected
+    * edge list — the density fingerprint of a near-dup / co-occurrence
+    * graph (dup clusters triangulate heavily; spurious LSH chains
+    * don't).
+    *
+    * Canonical orientation (src < dst) counts each triangle a<b<c
+    * exactly once as (a,b)⋈(b,c)⋈(a,c): two shuffle-keyed equi-joins,
+    * no cartesian anywhere. Wedge count Σ d(d−1)/2 stays integral, so
+    * clustering = 3·T / wedges is ONE double division of exact
+    * integers — bit-identical everywhere. At web scale the standard
+    * upgrade is degree-ordered orientation (point edges at the
+    * higher-degree endpoint) to cap the wedge join's fanout on hubs;
+    * id-orientation keeps this form deterministic and is right for
+    * the post-funnel graph sizes dedup produces.
+    *
+    * @return one row: (n_nodes, n_edges, n_triangles, clustering)
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    // d(d−1) is even, so DIV keeps the wedge sum in exact integers —
+    // a float `/` would sum doubles in partition order
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) DIV 2")).cast("long").as("wedges"))
+    val edgeStats = und.agg(count(lit(1)).as("n_edges"))
+    val e1 = und.toDF("a", "b")
+    val e2 = und.toDF("b", "c")
+    val e3 = und.toDF("a", "c")
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val out = nodeStats.crossJoin(edgeStats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        when(col("wedges") > 0,
+          (col("n_triangles") * 3).cast("double") /
+            col("wedges").cast("double")).as("clustering"))
+      .localCheckpoint(true)
+    und.unpersist()
+    out
+  }
+
   /** Driver-side power iteration for small (already-reduced) graphs —
     * node order fixed by sorted id, so the fold order (and result) is
     * fully deterministic, unlike the distributed path's partition-order

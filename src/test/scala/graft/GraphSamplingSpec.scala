@@ -21,6 +21,25 @@ class GraphSamplingSpec extends AnyFunSuite {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("triangleStats: counts each triangle once, exact clustering") {
+    // K4 on {1,2,3,4} (4 triangles, 6 edges, wedges = 4·C(3,2)=12,
+    // clustering = 12/12 = 1) plus a pendant chain 4-5-6 (no new
+    // triangles); edges given in mixed orientation with a duplicate
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 3L) /* dup, reversed */, (4L, 5L), (5L, 6L))
+    val r = Graph.triangleStats(edges.toDF("a", "b"), "a", "b").head
+    assert(r.getAs[Long]("n_nodes") == 6L)
+    assert(r.getAs[Long]("n_edges") == 8L)
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    // wedges from deg {1:3, 2:3, 3:3, 4:4, 5:2, 6:1}: 3+3+3+6+1+0 = 16
+    assert(r.getAs[Double]("clustering") == 12.0 / 16.0)
+    // triangle-free graph → 0 triangles, defined clustering 0
+    val chain = Graph.triangleStats(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b"), "a", "b").head
+    assert(chain.getAs[Long]("n_triangles") == 0L)
+    assert(chain.getAs[Double]("clustering") == 0.0)
+  }
+
   test("connected components: separate clusters stay separate") {
     val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
