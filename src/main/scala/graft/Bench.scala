@@ -54,6 +54,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the full line above is ~2.7k chars and whatever captures our
+    // stdout keeps only a ~4k TAIL — the front (with the headline
+    // total) can get clipped. Repeat a short summary as the LAST line
+    // so the total always survives tail truncation intact.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"slowest":"${results.maxBy(_._2)._1}","sf":"$sfDir"}""")
     spark.stop()
   }
 }
