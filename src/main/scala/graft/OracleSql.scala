@@ -991,6 +991,61 @@ object OracleSql {
          |FROM ns, es, tri""".stripMargin
     },
 
+    "q_edit_join" ->
+      """WITH d AS (SELECT doc_id AS key, lang,
+        |    substring(text, 1, 40) AS name FROM documents),
+        |v AS (SELECT key + 1000000 AS key, lang,
+        |    'x' || substring(name, 2, 39) AS name FROM d WHERE key % 5 = 0),
+        |a AS (SELECT * FROM d UNION ALL SELECT * FROM v)
+        |SELECT x.lang, x.key AS key_a, y.key AS key_b,
+        |  CAST(levenshtein(x.name, y.name) AS BIGINT) AS dist
+        |FROM a x JOIN a y ON x.lang = y.lang AND x.key < y.key
+        |WHERE levenshtein(x.name, y.name) <= 2""".stripMargin,
+
+    "q_golden_record" -> {
+      // near-dup clusters (q_dedup_cluster's recursive closure) +
+      // survivorship: keeper = max length, ties to min id
+      s"""WITH RECURSIVE $corpusCte,
+         |$shCte,
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ic
+         |  FROM sh a
+         |  JOIN sizes sa ON sa.id = a.id
+         |  JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  JOIN sizes sb ON sb.id = b.id
+         |  WHERE CAST(sa.sz AS DOUBLE) <= sb.sz / CAST(0.6 AS DOUBLE)
+         |    AND CAST(sb.sz AS DOUBLE) <= sa.sz / CAST(0.6 AS DOUBLE)
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 4) AS jaccard
+         |    FROM inter
+         |    JOIN sizes sa ON sa.id = id_a
+         |    JOIN sizes sb ON sb.id = id_b) j
+         |  WHERE jaccard >= 0.6),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |labeled AS (
+         |  SELECT c.doc_id, coalesce(k.comp, c.doc_id) AS cluster_id,
+         |    CAST(length(c.text) AS BIGINT) AS len
+         |  FROM corpus c LEFT JOIN comp k ON k.id = c.doc_id),
+         |g AS (SELECT cluster_id, count(*) AS n_members, max(len) AS max_len,
+         |    CAST(sum(len) AS BIGINT) AS total_len
+         |  FROM labeled GROUP BY 1),
+         |k AS (SELECT l.cluster_id, min(l.doc_id) AS keeper_id
+         |  FROM labeled l JOIN g USING(cluster_id)
+         |  WHERE l.len = g.max_len GROUP BY 1)
+         |SELECT cluster_id, n_members, keeper_id, max_len, total_len
+         |FROM g JOIN k USING(cluster_id) WHERE n_members > 1""".stripMargin
+    },
+
     "q_decontaminate" -> {
       val gram8 = (0 until 8).map(k => s"w[u.i+$k]").mkString("||' '||")
       s"""WITH $corpusCte,

@@ -1399,6 +1399,51 @@ object SparkEntry {
     Graph.triangleStats(pairs, "id_a", "id_b")
   }
 
+  /** H22: PassJoin segment-blocked edit-distance self-join on a
+    * SPARSE-duplicate corpus (40-char doc prefixes + seeded 1-edit
+    * variants, blocked by language) — the regime the signature join is
+    * built for: candidates ≈ true pairs, the levenshtein kernel runs
+    * on ~0.1% of the naive pair count. The dense-regime counterpart
+    * (q_fuzzy_match) deliberately keeps the blocked scan; see the H22
+    * SURVEY row for the measured crossover.
+    */
+  private def qEditJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+      .select($"doc_id".as("key"), $"lang", substring($"text", 1, 40).as("name"))
+    // seeded variants: substitute position 1 → true distance-1 pairs
+    val v = d.filter($"key" % 5 === 0)
+      .select(($"key" + 1000000).as("key"), $"lang",
+        concat(lit("x"), substring($"name", 2, 39)).as("name"))
+    EditJoin.selfJoin(d.unionByName(v), "key", "name", "lang", 2)
+      .select($"block".as("lang"), $"key_a", $"key_b", $"dist")
+  }
+
+  /** E36: near-dup survivorship ("golden record") — pairs → connected
+    * components → one keeper per multi-member cluster by the classic
+    * most-complete-record rule (max length, ties to min id — picked in
+    * ONE aggregate via lexicographic struct max, no second pass).
+    * Singleton docs are their own cluster (left join + coalesce).
+    */
+  private def qGoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = dupCorpus(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 5, 0.6)
+    val cc = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    corpus.join(cc, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster_id"),
+        length($"text").cast("long").as("len"))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct($"len", (-$"doc_id").as("neg_id"))).as("best"),
+        max($"len").as("max_len"),
+        sum($"len").as("total_len"))
+      .filter($"n_members" > 1)
+      .select($"cluster_id", $"n_members", (-$"best.neg_id").as("keeper_id"),
+        $"max_len", $"total_len")
+  }
+
   /** F7: hopping (sliding) windows — 1h windows every 15min, so each
     * event lands in 4 overlapping windows. Spark's `window()` handles
     * the fan-out natively; the oracle unnests the 4 offsets with pure
@@ -1901,7 +1946,9 @@ object SparkEntry {
     "q_keyword_topk" -> (qKeywordTopk _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_copurchase_degree" -> (qCopurchaseDegree _),
-    "q_triangle_stats" -> (qTriangleStats _))
+    "q_triangle_stats" -> (qTriangleStats _),
+    "q_edit_join" -> (qEditJoin _),
+    "q_golden_record" -> (qGoldenRecord _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
