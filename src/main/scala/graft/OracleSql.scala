@@ -1046,6 +1046,17 @@ object OracleSql {
          |FROM g JOIN k USING(cluster_id) WHERE n_members > 1""".stripMargin
     },
 
+    "q_ohlc_resample" ->
+      // µs timestamps are unique (asserted in data), so arg_min/arg_max
+      // on us are deterministic; cents keep the volume sum exact
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events)
+        |SELECT event_type, us - us % 3600000000 AS bucket_us,
+        |  arg_min(c, us) AS open, max(c) AS high, min(c) AS low,
+        |  arg_max(c, us) AS close, count(*) AS n,
+        |  CAST(sum(c) AS BIGINT) AS volume
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
     "q_decontaminate" -> {
       val gram8 = (0 until 8).map(k => s"w[u.i+$k]").mkString("||' '||")
       s"""WITH $corpusCte,

@@ -1444,6 +1444,19 @@ object SparkEntry {
         $"max_len", $"total_len")
   }
 
+  /** F9: OHLC down-sampling (tick → hourly bar) — open/high/low/close/
+    * volume per (type, hour) in ONE map-combinable aggregate via
+    * min_by/max_by on the unique µs timestamp; integer cents keep the
+    * volume sum exact (TimeSeries.resampleOhlc).
+    */
+  private def qOhlcResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events").select($"event_type",
+      unix_micros($"ts").as("us"),
+      floor($"value" * 100 + 0.5).cast("long").as("c"))
+    TimeSeries.resampleOhlc(ev, Seq("event_type"), "us", "c", 3600000000L)
+  }
+
   /** F7: hopping (sliding) windows — 1h windows every 15min, so each
     * event lands in 4 overlapping windows. Spark's `window()` handles
     * the fan-out natively; the oracle unnests the 4 offsets with pure
@@ -1948,7 +1961,8 @@ object SparkEntry {
     "q_copurchase_degree" -> (qCopurchaseDegree _),
     "q_triangle_stats" -> (qTriangleStats _),
     "q_edit_join" -> (qEditJoin _),
-    "q_golden_record" -> (qGoldenRecord _))
+    "q_golden_record" -> (qGoldenRecord _),
+    "q_ohlc_resample" -> (qOhlcResample _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

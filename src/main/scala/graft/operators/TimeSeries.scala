@@ -88,4 +88,28 @@ object TimeSeries {
     df.withColumn(s"${valueCol}_filled",
       last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** OHLC down-sampling: per (keys, fixed bucket of the integer time
+    * column) emit open/high/low/close/count/volume in ONE map-
+    * combinable aggregate — `min_by`/`max_by` carry (value, time)
+    * partial states, so no per-bucket sort, no window, one keyed
+    * shuffle. The classic tick → bar resample, and generally the
+    * "first/last per bucket" shape LOCF and gap-fill don't cover.
+    *
+    * `usCol` must be unique within a (keys, bucket) group for open/
+    * close to be well-defined (true for event streams with µs/ns
+    * timestamps; pre-disambiguate ties into the time value otherwise).
+    * Keep `valueCol` integral (e.g. cents) so volume sums are exact.
+    */
+  def resampleOhlc(df: DataFrame, keys: Seq[String], usCol: String,
+                   valueCol: String, bucketUs: Long): DataFrame = {
+    val bucket = (col(usCol) - pmod(col(usCol), lit(bucketUs))).as("bucket_us")
+    df.groupBy((keys.map(col) :+ bucket): _*)
+      .agg(min_by(col(valueCol), col(usCol)).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), col(usCol)).as("close"),
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("volume"))
+  }
 }
