@@ -75,13 +75,13 @@ object EditJoin {
     // ---- probe side: for every candidate indexed length n' within ±τ
     // and every slot, the substring of the probe at the slot's start
     // position shifted by each |δ| ≤ τ ----
-    val combos = probeCombos(tau).map { case (dn, s, d) => s"$dn,$s,$d" }
+    // typed struct literals — field access, not per-row string parsing
     val probe = base
       .select(col("block"), col("key"), col("str"), n.as("np"),
-        explode(array(combos.map(c => lit(c)): _*)).as("combo"))
-      .withColumn("dn", split(col("combo"), ",").getItem(0).cast("int"))
-      .withColumn("slot", split(col("combo"), ",").getItem(1).cast("int"))
-      .withColumn("delta", split(col("combo"), ",").getItem(2).cast("int"))
+        explode(typedLit(probeCombos(tau))).as("combo"))
+      .withColumn("dn", col("combo._1"))
+      .withColumn("slot", col("combo._2"))
+      .withColumn("delta", col("combo._3"))
       .withColumn("n", col("np") + col("dn")) // indexed string's length
       .filter(col("n") >= tau + 1)
       .withColumn("len", segLen(col("n"), col("slot")))
