@@ -5,9 +5,21 @@ package graft
   * Rules (see SURVEY.md §5):
   *  - output column names identical to the Spark side (driver sorts
   *    columns by name before hashing);
-  *  - floats rounded identically on both sides;
-  *  - duckdb 1.0.0 dialect: no initcap / conv; regexp_replace needs the
-  *    'g' flag for global replace (Spark replaces all by default);
+  *  - floats rounded identically on both sides — EXCEPT ratios of
+  *    exact integers (e.g. q_robust_scale, q_skew_metrics,
+  *    q_triangle_stats clustering), which are emitted as RAW doubles:
+  *    the single IEEE division is bit-identical on both engines, while
+  *    round(rational, k) can land exactly on a half-boundary where
+  *    Spark's HALF_UP and DuckDB's HALF_EVEN disagree. Rounding IS safe
+  *    when the pre-round value can't sit on a boundary (irrational
+  *    factors like ln/sqrt, or k-decimal data rounded at k);
+  *  - double accumulations avoided: sums run over integer cents /
+  *    counts (decimal/bigint), floats enter once per output row;
+  *  - duckdb 1.0.0 dialect: no initcap / conv (hex via strpos
+  *    positional digits); no arg_min on struct keys (use a unique
+  *    scalar order column); regexp_replace needs the 'g' flag for
+  *    global replace (Spark replaces all by default); last_value
+  *    IGNORE NULLS and QUALIFY are available;
   *  - TRY_CAST where Spark's cast returns null on garbage.
   */
 object OracleSql {
