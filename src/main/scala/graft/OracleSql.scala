@@ -801,6 +801,21 @@ object OracleSql {
         |  round(CAST(embedding[u.i] AS DOUBLE), 6) AS value
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)""".stripMargin,
 
+    "q_quantize_int8" ->
+      // codes via floor(+0.5) on identically-computed doubles — no
+      // engine round() involved, so the integer output is bit-exact
+      """WITH f AS (SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+        |    CAST(embedding[u.i] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i)),
+        |s AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM f GROUP BY 1)
+        |SELECT vec_id, f.pos,
+        |  CASE WHEN mx = mn THEN 0
+        |    ELSE least(greatest(
+        |      CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT),
+        |      0), 255) END AS code
+        |FROM f JOIN s USING(pos)""".stripMargin,
+
     "q_null_semantics" ->
       """WITH t AS (SELECT c_custkey, c_mktsegment,
         |    CASE CAST(c_custkey % 3 AS INT)

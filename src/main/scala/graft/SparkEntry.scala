@@ -673,6 +673,19 @@ object SparkEntry {
       e.filter($"vec_id" % 250 === 0), "vec_id", "embedding", 5, 2)
   }
 
+  /** H25: int8 scalar quantization of the embedding corpus — per-dim
+    * [min,max] from ONE aggregate (dim-cardinality broadcast back),
+    * codes via floor(+0.5) on identically-computed doubles so the
+    * integer output is engine-exact (Similarity.quantizeInt8). The 4×
+    * memory/IO lever for the ANN candidate scan; quantized-scan +
+    * exact-rerank search is spec-gated (AsOfIvfSpec recall).
+    */
+  private def qQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.quantizeInt8(table(s, dir, "embeddings"), "vec_id", "embedding")
+      .select($"id".as("vec_id"), $"pos", $"code")
+  }
+
   /** C15: as-of join — each purchase gets the user's latest prior click
     * (point-in-time correctness, the operator Spark lacks natively).
     */
@@ -1962,7 +1975,8 @@ object SparkEntry {
     "q_triangle_stats" -> (qTriangleStats _),
     "q_edit_join" -> (qEditJoin _),
     "q_golden_record" -> (qGoldenRecord _),
-    "q_ohlc_resample" -> (qOhlcResample _))
+    "q_ohlc_resample" -> (qOhlcResample _),
+    "q_quantize_int8" -> (qQuantizeInt8 _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

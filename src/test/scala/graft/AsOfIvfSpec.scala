@@ -126,4 +126,46 @@ class AsOfIvfSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall implausibly low for 2/5 cells")
     assert(ivf.nonEmpty)
   }
+
+  test("int8 quantization: codes in range, roundtrip error ≤ half a step") {
+    val e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    val codes = Similarity.quantizeInt8(e, "vec_id", "embedding")
+    val mm = codes.agg(min($"code"), max($"code")).head
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) <= 255L)
+    // per-dim roundtrip: |mn + code·scale − x| ≤ scale/2 (+fp slack)
+    val flat = e.select($"vec_id".as("id"),
+      posexplode(Similarity.toDouble($"embedding")).as(Seq("pos", "x")))
+    val st = flat.groupBy($"pos").agg(min($"x").as("mn"), max($"x").as("mx"))
+    val bad = codes.join(flat, Seq("id", "pos")).join(st, "pos")
+      .withColumn("scale", ($"mx" - $"mn") / 255.0)
+      .filter($"mx" =!= $"mn" &&
+        abs($"mn" + $"code" * $"scale" - $"x") > $"scale" * 0.5 + 1e-12)
+      .count()
+    assert(bad == 0L, s"$bad elements beyond half-step roundtrip error")
+  }
+
+  test("quantized scan + exact rerank recovers brute-force top-k") {
+    val e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = e.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nn_id"))).toSet
+    val quant = Similarity.quantizedTopK(e, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nn_id"))).toSet
+    assert(quant.size == exact.size)
+    val recall = (exact & quant).size.toDouble / exact.size
+    // 8-bit codes + 4k-candidate rerank: near-perfect recall expected
+    assert(recall >= 0.9, s"quantized recall $recall below 0.9")
+    // survivors' exact scores match brute force (rerank IS exact)
+    val exactScores = Similarity.bruteForceTopK(e, queries, "vec_id",
+        "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nn_id")) ->
+        r.getAs[Double]("cos")).toMap
+    Similarity.quantizedTopK(e, queries, "vec_id", "embedding", 5)
+      .collect().foreach { r =>
+        val k = (r.getAs[Long]("q_id"), r.getAs[Long]("nn_id"))
+        exactScores.get(k).foreach { s =>
+          assert(math.abs(r.getAs[Double]("cos") - s) < 1e-9)
+        }
+      }
+  }
 }
