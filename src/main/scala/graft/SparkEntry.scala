@@ -1206,11 +1206,13 @@ object SparkEntry {
       .filter($"key_a" < $"key_b" &&
         // lossless band: edit distance ≥ |length difference|
         abs(length($"name_a") - length($"name_b")) <= 2)
-      // 3-arg levenshtein runs the BANDED O(k·n) DP and early-exits
-      // above the threshold (returns -1) — ~8× less work per pair
-      // than the full O(n²) distance, and evaluated once, not twice
+      // native banded DP with common prefix/suffix stripping
+      // (plans.BandedLevenshtein, fuzz-asserted ≡ the built-in 3-arg
+      // levenshtein): shared runs shed before the DP, band width 5,
+      // whole-row early exit — ~2× the built-in on this corpus
       .withColumn("dist",
-        levenshtein($"name_a", $"name_b", 2).cast("long"))
+        graft.plans.StringSimFunctions.bandedLevenshtein(
+          $"name_a", $"name_b", 2))
       .filter($"dist" >= 0)
       .select($"brand", $"key_a", $"key_b", $"dist")
   }

@@ -215,6 +215,122 @@ object NativeStringSim {
   }
 }
 
+object NativeBandedLev {
+
+  /** Banded Levenshtein with common prefix/suffix stripping: returns
+    * the distance when ≤ tau, −1 otherwise (Spark's 3-arg levenshtein
+    * contract). Stripping shared ends first is the big win on blocked
+    * name corpora — matching pairs share long runs, non-matching pairs
+    * still shed their shared head/tail before the DP — and the DP then
+    * runs banded (width 2τ+1) with an early exit when a whole row
+    * exceeds τ. ASCII fast path on bytes; anything else falls back to
+    * the UTF-16 generic (same algorithm).
+    */
+  def levLe(ua: UTF8String, ub: UTF8String, tau: Int): Long = {
+    val nb1 = ua.numBytes
+    val nb2 = ub.numBytes
+    if (ua.numChars != nb1 || ub.numChars != nb2)
+      return levLeGeneric(ua.toString, ub.toString, tau)
+    if (math.abs(nb1 - nb2) > tau) return -1L
+    // strip common prefix
+    var p = 0
+    val minN = math.min(nb1, nb2)
+    while (p < minN && ua.getByte(p) == ub.getByte(p)) p += 1
+    // strip common suffix (not crossing the prefix)
+    var s = 0
+    while (s < minN - p &&
+        ua.getByte(nb1 - 1 - s) == ub.getByte(nb2 - 1 - s)) s += 1
+    val la = nb1 - p - s
+    val lb = nb2 - p - s
+    if (la == 0) return lb.toLong // ≤ tau because |la−lb| ≤ tau
+    if (lb == 0) return la.toLong
+    bandedDp(tau, la, lb,
+      (i, j) => ua.getByte(p + i) == ub.getByte(p + j))
+  }
+
+  def levLeGeneric(a: String, b: String, tau: Int): Long = {
+    if (math.abs(a.length - b.length) > tau) return -1L
+    var p = 0
+    val minN = math.min(a.length, b.length)
+    while (p < minN && a.charAt(p) == b.charAt(p)) p += 1
+    var s = 0
+    while (s < minN - p &&
+        a.charAt(a.length - 1 - s) == b.charAt(b.length - 1 - s)) s += 1
+    val la = a.length - p - s
+    val lb = b.length - p - s
+    if (la == 0) return lb.toLong
+    if (lb == 0) return la.toLong
+    bandedDp(tau, la, lb, (i, j) => a.charAt(p + i) == b.charAt(p + j))
+  }
+
+  /** Band-limited DP: only cells with |i−j| ≤ tau exist; a full row
+    * above tau aborts. Arrays are (2τ+1)-wide — tiny and JIT-friendly.
+    */
+  private def bandedDp(tau: Int, la: Int, lb: Int,
+                       eq: (Int, Int) => Boolean): Long = {
+    val width = 2 * tau + 1
+    val inf = tau + 1
+    var prev = new Array[Int](width)
+    var cur = new Array[Int](width)
+    // row i covers columns j ∈ [i−tau, i+tau]; index k = j − (i − tau)
+    var k = 0
+    while (k < width) { // row 0: cost = j for j ≤ tau, else inf
+      val j = k - tau
+      prev(k) = if (j >= 0 && j <= lb) j else inf
+      k += 1
+    }
+    var i = 1
+    while (i <= la) {
+      var rowMin = inf
+      k = 0
+      while (k < width) {
+        val j = i - tau + k
+        cur(k) =
+          if (j < 0 || j > lb) inf
+          else if (j == 0) math.min(i, inf)
+          else {
+            // prev row's window is shifted one left: index k+1 = same j,
+            // index k = j−1; within cur, k−1 = j−1
+            val del = if (k + 1 < width) prev(k + 1) else inf // (i−1, j)
+            val ins = if (k > 0) cur(k - 1) else inf          // (i, j−1)
+            val sub = prev(k)                                  // (i−1, j−1)
+            val d = math.min(math.min(del, ins) + 1,
+              sub + (if (eq(i - 1, j - 1)) 0 else 1))
+            math.min(d, inf)
+          }
+        if (cur(k) < rowMin) rowMin = cur(k)
+        k += 1
+      }
+      if (rowMin > tau) return -1L
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    val res = prev(lb - la + tau) // j = lb in row la
+    if (res > tau) -1L else res.toLong
+  }
+}
+
+/** banded_levenshtein(string, string) ≤ tau → distance, else −1. */
+case class BandedLevenshtein(left: Expression, right: Expression, tau: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "banded_levenshtein"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two strings, got $other")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeBandedLev.levLe(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], tau)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.NativeBandedLev.levLe($a, $b, $tau);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** jaro_winkler(string, string) → double. */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -265,5 +381,8 @@ object StringSimFunctions {
       GraftBridge.expression(b)))
   def jaroWinklerGte(a: Column, b: Column, tau: Double): Column =
     GraftBridge.column(JaroWinklerGte(GraftBridge.expression(a),
+      GraftBridge.expression(b), tau))
+  def bandedLevenshtein(a: Column, b: Column, tau: Int): Column =
+    GraftBridge.column(BandedLevenshtein(GraftBridge.expression(a),
       GraftBridge.expression(b), tau))
 }

@@ -48,6 +48,12 @@ object Profile4 {
           round(graft.plans.StringSimFunctions.jaroWinklerGte(
             $"name_a", $"name_b", 0.8799), 4))
           .filter($"jw" >= 0.88).count())
+    for (i <- 1 to 2)
+      time(s"native banded lev #$i")(
+        joined.filter(abs(length($"name_a") - length($"name_b")) <= 2)
+          .withColumn("dist", graft.plans.StringSimFunctions
+            .bandedLevenshtein($"name_a", $"name_b", 2))
+          .filter($"dist" >= 0).count())
     spark.stop()
   }
 }

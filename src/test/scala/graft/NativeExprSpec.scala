@@ -233,6 +233,67 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r(1).isNullAt(0))
   }
 
+  test("banded_levenshtein ≡ full Levenshtein capped at tau (fuzz)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def fullLev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(20260812)
+    val alpha = "abcdef "
+    def mutate(s: String, n: Int): String = {
+      var r = s
+      (1 to n).foreach { _ =>
+        if (r.isEmpty) r = "q"
+        else {
+          val i = rnd.nextInt(r.length)
+          rnd.nextInt(3) match {
+            case 0 => r = r.updated(i, alpha(rnd.nextInt(alpha.length)))
+            case 1 => r = r.substring(0, i) + r.substring(math.min(i + 1, r.length))
+            case _ => r = r.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + r.substring(i)
+          }
+        }
+      }
+      r
+    }
+    for (tau <- Seq(1, 2, 3); _ <- 1 to 2500) {
+      val a = (1 to (3 + rnd.nextInt(25))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val b = if (rnd.nextBoolean()) mutate(a, rnd.nextInt(5)) else
+        (1 to (3 + rnd.nextInt(25))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val want = { val d = fullLev(a, b); if (d <= tau) d.toLong else -1L }
+      val got = graft.plans.NativeBandedLev.levLe(
+        UTF8String.fromString(a), UTF8String.fromString(b), tau)
+      assert(got == want, s"levLe($a, $b, $tau) = $got, want $want")
+    }
+    // edge cases: empties, equal, pure prefix/suffix relations, non-ascii
+    val cases = Seq(("", "", 0L), ("", "ab", 2L), ("abc", "abc", 0L),
+      ("abc", "abcd", 1L), ("xabc", "abc", 1L), ("ab", "ba", 2L),
+      ("straße", "strasse", 2L))
+    cases.foreach { case (a, b, w) =>
+      val got = graft.plans.NativeBandedLev.levLe(
+        UTF8String.fromString(a), UTF8String.fromString(b), 2)
+      assert(got == w, s"levLe($a, $b, 2) = $got, want $w")
+    }
+    // agrees with Spark's built-in 3-arg levenshtein through a projection
+    import spark.implicits._
+    val df = Seq(("goldenrod lace", "goldenrod lacy"),
+      ("alpha beta", "totally other"), (null, "x")).toDF("a", "b")
+    val r = df.select(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.plans.BandedLevenshtein(
+          org.apache.spark.sql.GraftBridge.expression($"a"),
+          org.apache.spark.sql.GraftBridge.expression($"b"), 2)).as("d"),
+      levenshtein($"a", $"b", 2).cast("long").as("ref")).collect()
+    assert(r(0).getLong(0) == r(0).getLong(1))
+    assert(r(1).getLong(0) == r(1).getLong(1))
+    assert(r(2).isNullAt(0) && r(2).isNullAt(1))
+  }
+
   test("GraftExtensions wires functions through the extension registry") {
     // the shared test session already exists, so builder-time injection
     // can't be observed here; drive the same machinery Spark runs at
