@@ -681,6 +681,42 @@ object OracleSql {
         |    '\+?\d[\d-]{7,}\d', '[PHONE]', 'g') AS masked
         |FROM t""".stripMargin,
 
+    // PII detection with validation: same unrolled 16-position Luhn
+    // as TextFunctions.luhn16 (integer arithmetic only), octet range
+    // check via the same split+filter shape. RE2 and Java agree on
+    // these ASCII patterns incl. \b.
+    "q_pii_detect" -> {
+      val luhn = (1 to 16).map { i =>
+        val d = s"CAST(substring(x, $i, 1) AS INT)"
+        if ((17 - i) % 2 == 0) s"(CASE WHEN $d*2 > 9 THEN $d*2 - 9 ELSE $d*2 END)"
+        else d
+      }.mkString("(", " + ", ") % 10 = 0")
+      val ipOk = "len(list_filter(string_split(x, '.'), p -> CAST(p AS INT) > 255)) = 0"
+      s"""WITH t AS (SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' card 4532015112830366 on file'
+         |         WHEN doc_id % 3 = 1 THEN ' card 4532015112830367 on file'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 2 = 0 THEN ' from 10.1.2.3'
+         |         ELSE ' from 999.1.2.300' END ||
+         |    ' user' || CAST(doc_id AS VARCHAR) || '@example.com' AS txt
+         |  FROM documents),
+         |e AS (SELECT doc_id,
+         |    regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') AS emails,
+         |    regexp_extract_all(txt, '\\b\\d{16}\\b') AS cards,
+         |    regexp_extract_all(txt, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b') AS ips
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(emails) AS BIGINT) AS n_email,
+         |  CAST(len(cards) AS BIGINT) AS n_card_cand,
+         |  CAST(len(list_filter(cards, x -> $luhn)) AS BIGINT) AS n_card_valid,
+         |  CAST(len(ips) AS BIGINT) AS n_ip_cand,
+         |  CAST(len(list_filter(ips, x -> $ipOk)) AS BIGINT) AS n_ip_valid,
+         |  (len(emails) > 0 OR len(list_filter(cards, x -> $luhn)) > 0
+         |    OR len(list_filter(ips, x -> $ipOk)) > 0) AS has_pii
+         |FROM e""".stripMargin
+    },
+
     "q_curate_corpus" ->
       s"""WITH $corpusCte,
          |enr AS (
@@ -976,6 +1012,101 @@ object OracleSql {
          |FROM reach GROUP BY id""".stripMargin
     },
 
+    // Deterministic LPA: same near-dup pair fragments, then 3
+    // synchronized rounds unrolled — per round: neighbor labels,
+    // (node, label) counts, argmax with (count DESC, label ASC)
+    // tie-break (≡ Spark's max of the (count, −label) struct).
+    "q_communities" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""nb$k AS (SELECT e.src AS v, l.lab FROM edges e
+           |  JOIN lab${k - 1} l ON l.v = e.dst),
+           |cnt$k AS (SELECT v, lab, count(*) AS c FROM nb$k GROUP BY v, lab),
+           |lab$k AS (SELECT v, lab FROM (
+           |    SELECT v, lab, row_number() OVER (PARTITION BY v
+           |      ORDER BY c DESC, lab ASC) AS rn
+           |    FROM cnt$k) t WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ic
+         |  FROM sh a
+         |  JOIN sizes sa ON sa.id = a.id
+         |  JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  JOIN sizes sb ON sb.id = b.id
+         |  WHERE CAST(sa.sz AS DOUBLE) <= sb.sz / CAST(0.6 AS DOUBLE)
+         |    AND CAST(sb.sz AS DOUBLE) <= sa.sz / CAST(0.6 AS DOUBLE)
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 4) AS jaccard
+         |    FROM inter
+         |    JOIN sizes sa ON sa.id = id_a
+         |    JOIN sizes sb ON sb.id = id_b) j
+         |  WHERE jaccard >= 0.6),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |lab0 AS (SELECT DISTINCT src AS v, src AS lab FROM edges),
+         |$rounds
+         |SELECT v AS id, lab AS community FROM lab3""".stripMargin
+    },
+
+    "q_vwap" ->
+      // notional = cents·qty summed exactly; vwap is ONE double
+      // division (numerator/denominator both exact integers)
+      """WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS q
+        |  FROM events)
+        |SELECT event_type, day, count(*) AS n,
+        |  CAST(sum(q) AS BIGINT) AS total_qty,
+        |  CAST(sum(c * q) AS BIGINT) AS notional_cents,
+        |  CASE WHEN sum(q) > 0 THEN CAST(sum(c * q) AS DOUBLE) /
+        |    (CAST(100 AS DOUBLE) * CAST(sum(q) AS DOUBLE)) END AS vwap
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q_ref_integrity" ->
+      // orphans via NOT EXISTS (null-safe, ≡ left_anti)
+      """SELECT 'lineitem->orders' AS relationship,
+        |  (SELECT count(*) FROM lineitem) AS n_child,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS n_orphans
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'customer->nation',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |UNION ALL
+        |SELECT 'events->customer',
+        |  (SELECT count(*) FROM events),
+        |  (SELECT count(*) FROM events e WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))""".stripMargin,
+
+    "q_latency_bands" ->
+      // exact discrete quantiles per (event_type, hour-of-day):
+      // cum·10000 ≥ p·n over distinct cents (Stats.discreteQuantiles)
+      """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |d AS (SELECT event_type, hod, c, count(*) AS cnt
+        |  FROM e GROUP BY 1, 2, 3),
+        |w AS (SELECT event_type, hod, c,
+        |    sum(cnt) OVER (PARTITION BY event_type, hod ORDER BY c) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type, hod) AS n
+        |  FROM d)
+        |SELECT event_type, hod,
+        |  min(CASE WHEN cum * 10000 >= n * 5000 THEN c END) AS p50_c,
+        |  min(CASE WHEN cum * 10000 >= n * 9000 THEN c END) AS p90_c,
+        |  min(CASE WHEN cum * 10000 >= n * 9900 THEN c END) AS p99_c
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
     "q_triangle_stats" -> {
       // near-dup pairs (same fragments as q_dedup_ngram), then the
       // canonical-orientation triangle join (a<b<c counted once) and
@@ -1225,6 +1356,33 @@ object OracleSql {
         |    6) AS ewma
         |FROM events GROUP BY user_id""".stripMargin,
 
+    "q_holt_trend" ->
+      // same total-ordered fold as the Spark mapPartitions scan, one
+      // recursion step per event: l' = v·α + (l+t)·(1−α),
+      // t' = (l'−l)·β + t·(1−β). The (1−α) factors are computed as
+      // 1 − CAST(α AS DOUBLE) — NOT a folded literal — because
+      // 1.0-0.4 ≠ 0.6 in IEEE doubles and Spark computes at runtime.
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id AS k,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events),
+        |h AS (
+        |  SELECT k, rn, v AS l, CAST(0 AS DOUBLE) AS t FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT x.k, x.rn, x.l2 AS l,
+        |    (x.l2 - x.l) * CAST(0.2 AS DOUBLE)
+        |      + x.t * (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) AS t
+        |  FROM (SELECT q.k, q.rn, s.l, s.t,
+        |          q.v * CAST(0.4 AS DOUBLE)
+        |            + (s.l + s.t) * (CAST(1 AS DOUBLE) - CAST(0.4 AS DOUBLE)) AS l2
+        |        FROM h s JOIN seq q ON q.k = s.k AND q.rn = s.rn + 1) x),
+        |fin AS (SELECT k, max(rn) AS n FROM h GROUP BY k)
+        |SELECT h.k AS user_id, fin.n AS n_events, round(h.l, 6) AS level,
+        |  round(h.t, 6) AS trend, round(h.l + h.t, 6) AS forecast
+        |FROM h JOIN fin ON h.k = fin.k AND h.rn = fin.n""".stripMargin,
+
     "q_bloom_prune" ->
       // the bloom layer is pruning-only; semantics are a plain anti
       // join — mirrored as NOT EXISTS (null-safe, same as left_anti),
@@ -1396,6 +1554,24 @@ object OracleSql {
          |    chr(10) ORDER BY pos), '')) AS kept_fp
          |FROM r GROUP BY doc_id""".stripMargin
     },
+
+    // Duplicated-span detection: span doc-frequency from the same
+    // distinct (id, 5-gram) table as q_dedup_ngram; dup_frac is ONE
+    // IEEE division of exact integers (raw-double parity rule —
+    // rounding a rational could land on a HALF_UP≠HALF_EVEN boundary).
+    "q_span_dedup" ->
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sdf AS (SELECT sh, count(*) AS span_docs FROM sh GROUP BY sh)
+         |SELECT s.id AS doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN d.span_docs >= 2 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_spans,
+         |  CAST(sum(CASE WHEN d.span_docs >= 2 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*) AS dup_frac,
+         |  (CAST(sum(CASE WHEN d.span_docs >= 2 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*)) >= 0.5 AS flagged
+         |FROM sh s JOIN sdf d USING (sh)
+         |GROUP BY s.id""".stripMargin,
 
     "q_tfidf" -> {
       val norm = normOf("text")

@@ -778,6 +778,39 @@ object SparkEntry {
         "\\+?\\d[\\d-]{7,}\\d", "[PHONE]").as("masked"))
   }
 
+  /** E38: PII detection with validation — candidates by regex, then a
+    * checksum/range validation pass (Luhn for 16-digit cards, octet
+    * range for IPv4) so random digit runs don't count as PII. PII is
+    * synthesized deterministically with KNOWN validity (valid card on
+    * doc_id%3=0, broken check digit on %3=1; valid IP on even ids,
+    * out-of-range octets on odd), so the validators provably separate.
+    * Everything is integer/boolean arithmetic — exact parity.
+    */
+  private def qPiiDetect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val card = when($"doc_id" % 3 === 0, " card 4532015112830366 on file")
+      .when($"doc_id" % 3 === 1, " card 4532015112830367 on file")
+      .otherwise("")
+    val ip = when($"doc_id" % 2 === 0, lit(" from 10.1.2.3"))
+      .otherwise(lit(" from 999.1.2.300"))
+    val t = concat($"text", card, ip,
+      lit(" user"), $"doc_id", lit("@example.com"))
+    // group 0 = the whole match (Spark's 2-arg form defaults to group 1)
+    val cards = regexp_extract_all(t, lit(TextFunctions.card16Pattern), lit(0))
+    val ips = regexp_extract_all(t, lit(TextFunctions.ipv4Pattern), lit(0))
+    val nEmail =
+      size(regexp_extract_all(t, lit(TextFunctions.emailPattern), lit(0)))
+    val nCardValid = size(filter(cards, TextFunctions.luhn16 _))
+    val nIpValid = size(filter(ips, TextFunctions.ipv4Valid _))
+    table(s, dir, "documents").select($"doc_id",
+        nEmail.cast("long").as("n_email"),
+        size(cards).cast("long").as("n_card_cand"),
+        nCardValid.cast("long").as("n_card_valid"),
+        size(ips).cast("long").as("n_ip_cand"),
+        nIpValid.cast("long").as("n_ip_valid"),
+        (nEmail > 0 || nCardValid > 0 || nIpValid > 0).as("has_pii"))
+  }
+
   /** E15 flagship composition: corpus curation — quality + language
     * filter → exact-dedup (keep min id per content) → reproducible
     * split assignment → per-split stats. Every stage is one of the
@@ -1085,6 +1118,19 @@ object SparkEntry {
     TimeSeries.ewmaPerKey(s, table(s, dir, "events"), "user_id", "ts",
         "event_id", "value", 0.3)
       .select($"user_id", $"n_events", round($"ewma", 6).as("ewma"))
+  }
+
+  /** F10: Holt linear-trend smoothing per user — the trend-aware
+    * EWMA upgrade and one-step forecaster. Same mapPartitions rung;
+    * the oracle replays the identical IEEE op sequence through a
+    * recursive CTE (a two-component state has no list_reduce form).
+    */
+  private def qHoltTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TimeSeries.holtPerKey(s, table(s, dir, "events"), "user_id", "ts",
+        "event_id", "value", alpha = 0.4, beta = 0.2)
+      .select($"user_id", $"n_events", round($"level", 6).as("level"),
+        round($"trend", 6).as("trend"), round($"forecast", 6).as("forecast"))
   }
 
   /** H: bloom-pruned anti join — customers that never ordered. The
@@ -1414,6 +1460,80 @@ object SparkEntry {
     Graph.triangleStats(pairs, "id_a", "id_b")
   }
 
+  /** E39: label-propagation communities over the near-dup graph —
+    * deterministic LPA (min-label tie-break, 3 synchronized rounds)
+    * splits components along dense cores; with CC (q_dedup_cluster)
+    * this gives both views of the pair graph. The oracle unrolls the
+    * identical rounds in SQL.
+    */
+  private def qCommunities(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(dupCorpus(s, dir), "text", "doc_id",
+      5, 0.6)
+    Graph.labelPropagation(pairs, "id_a", "id_b", rounds = 3)
+  }
+
+  /** F11: VWAP per (event_type, day) — notional (cents × quantity)
+    * accumulates as exact integers; the only float op is ONE division
+    * at the end, identical on both engines. TWAP/VWAP is the standard
+    * finance/metrics roll-up the OHLC bars don't cover.
+    */
+  private def qVwap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = floor($"value" * 100 + 0.5).cast("long")
+    val qty = get_json_object($"props", "$.k").cast("long")
+    table(s, dir, "events")
+      .select($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"),
+        cents.as("c"), qty.as("q"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"), sum($"q").as("total_qty"),
+        sum($"c" * $"q").as("notional_cents"))
+      .select($"event_type", $"day", $"n", $"total_qty", $"notional_cents",
+        when($"total_qty" > 0, $"notional_cents".cast("double") /
+          (lit(100.0) * $"total_qty".cast("double"))).as("vwap"))
+  }
+
+  /** A8: referential-integrity audit — orphan counts per FK
+    * relationship via anti joins (the scale-correct form; never a
+    * driver-side key set). events→customer genuinely has orphans in
+    * the testdata, so the check provably fires; the TPC-H FKs hold.
+    */
+  private def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def rel(child: DataFrame, key: String, parent: DataFrame, pkey: String,
+            name: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_child"))
+      val orph = child.select(col(key))
+        .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(broadcast(orph)).select(lit(name).as("relationship"),
+        $"n_child", $"n_orphans")
+    }
+    rel(table(s, dir, "lineitem"), "l_orderkey",
+        table(s, dir, "orders"), "o_orderkey", "lineitem->orders")
+      .unionByName(rel(table(s, dir, "orders"), "o_custkey",
+        table(s, dir, "customer"), "c_custkey", "orders->customer"))
+      .unionByName(rel(table(s, dir, "customer"), "c_nationkey",
+        table(s, dir, "nation"), "n_nationkey", "customer->nation"))
+      .unionByName(rel(table(s, dir, "events"), "user_id",
+        table(s, dir, "customer"), "c_custkey", "events->customer"))
+  }
+
+  /** C41: latency-band dashboard — exact discrete p50/p90/p99 of
+    * event value cents per (event_type, hour-of-day), pure integer
+    * rank arithmetic (Stats.discreteQuantiles): the observability
+    * percentile roll-up, bit-stable at any parallelism.
+    */
+  private def qLatencyBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select($"event_type",
+      hour($"ts").cast("long").as("hod"),
+      floor($"value" * 100 + 0.5).cast("long").as("c"))
+    Stats.discreteQuantiles(e, Seq("event_type", "hod"), "c",
+        Seq(5000, 9000, 9900))
+      .select($"event_type", $"hod", $"q5000".as("p50_c"),
+        $"q9000".as("p90_c"), $"q9900".as("p99_c"))
+  }
+
   /** H22: PassJoin segment-blocked edit-distance self-join on a
     * SPARSE-duplicate corpus (40-char doc prefixes + seeded 1-edit
     * variants, blocked by language) — the regime the signature join is
@@ -1585,6 +1705,20 @@ object SparkEntry {
     Corpus.lineDedup(multi, "text", "doc_id")
       .select($"id".as("doc_id"), $"n_lines", $"n_kept",
         md5($"kept_text".cast("binary")).as("kept_fp"))
+  }
+
+  /** E37: duplicated-span detection over the dup-seeded corpus —
+    * word-5-gram spans occurring in 2+ docs, per-doc duplicated
+    * fraction (one exact-int IEEE division), flag at 50%. The seeded
+    * exact/near duplicates must score ≈1.0; organic docs score by how
+    * much boilerplate they share.
+    */
+  private def qSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.spanDedup(dupCorpus(s, dir), "text", "doc_id",
+        n = 5, minDocs = 2, flagAt = 0.5)
+      .select($"id".as("doc_id"), $"n_spans", $"n_dup_spans",
+        $"dup_frac", $"flagged")
   }
 
   /** E27: TF-IDF term scoring — (doc, term) tf agg, term df agg, and
@@ -1908,6 +2042,7 @@ object SparkEntry {
     "q_validate" -> (qValidate _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_pii_mask" -> (qPiiMask _),
+    "q_pii_detect" -> (qPiiDetect _),
     "q_curate_corpus" -> (qCurateCorpus _),
     "q_asof_native" -> (qAsofNative _),
     "q_range_join" -> (qRangeJoin _),
@@ -1939,6 +2074,7 @@ object SparkEntry {
     "q_scd2" -> (qScd2 _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_ewma" -> (qEwma _),
+    "q_holt_trend" -> (qHoltTrend _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_zorder" -> (qZorder _),
@@ -1953,6 +2089,7 @@ object SparkEntry {
     "q_incr_agg" -> (qIncrAgg _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_line_dedup" -> (qLineDedup _),
+    "q_span_dedup" -> (qSpanDedup _),
     "q_tfidf" -> (qTfidf _),
     "q_zscore" -> (qZscore _),
     "q_bm25" -> (qBm25 _),
@@ -1975,6 +2112,10 @@ object SparkEntry {
     "q_feature_hash" -> (qFeatureHash _),
     "q_copurchase_degree" -> (qCopurchaseDegree _),
     "q_triangle_stats" -> (qTriangleStats _),
+    "q_communities" -> (qCommunities _),
+    "q_vwap" -> (qVwap _),
+    "q_ref_integrity" -> (qRefIntegrity _),
+    "q_latency_bands" -> (qLatencyBands _),
     "q_edit_join" -> (qEditJoin _),
     "q_golden_record" -> (qGoldenRecord _),
     "q_ohlc_resample" -> (qOhlcResample _),

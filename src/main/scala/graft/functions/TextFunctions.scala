@@ -146,4 +146,38 @@ object TextFunctions {
     * engines; see also plans.RollingHash for the codegen'd rolling hash).
     */
   def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))
+
+  // ------------------------------------------------------------- PII detection
+
+  /** PII candidate patterns (detection, as opposed to the blind
+    * replacement in the masking pass). Kept to syntax both Java regex
+    * and RE2 interpret identically — ASCII classes, bounded repeats,
+    * `\b` word boundaries.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val card16Pattern = "\\b\\d{16}\\b"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Luhn checksum validity for a fixed-width 16-digit string. The
+    * doubling positions are known at plan time, so the whole check
+    * unrolls into 16 codegen'd when-ladders — no higher-order
+    * function, no UDF, and the oracle emits the identical unrolled
+    * SQL (integer arithmetic only). This is the validation step that
+    * separates PII DETECTION from regex masking: a random 16-digit
+    * run fails Luhn 90% of the time, so validating cuts false
+    * positives by an order of magnitude.
+    */
+  def luhn16(card: Column): Column = {
+    val total = (1 to 16).map { i =>
+      val d = substring(card, i, 1).cast("int")
+      // position from the right r = 17 - i; double when r is even
+      if ((17 - i) % 2 == 0) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+      else d
+    }.reduce(_ + _)
+    total % 10 === 0
+  }
+
+  /** All four IPv4 octets in [0, 255]. */
+  def ipv4Valid(ip: Column): Column =
+    size(filter(split(ip, "\\."), p => p.cast("int") > 255)) === 0
 }

@@ -123,6 +123,39 @@ object Corpus {
           transform(slice(array_sort(collect_list(col("id"))), 1, cap),
             _.cast("string"))).as("postings"))
 
+  /** Duplicated-span detection (the exact-substring dedup signal of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): a word n-gram that occurs in
+    * `minDocs`+ distinct documents is a duplicated span; each document
+    * is scored by the fraction of its distinct n-grams that are
+    * duplicated. Unlike whole-doc MinHash, this catches boilerplate
+    * and quoted passages INSIDE otherwise-unique documents.
+    *
+    * Plan shape: shingle explode feeds (a) the span document-frequency
+    * aggregate and (b) the per-doc rollup — one persist, two keyed
+    * shuffles (shingle, then doc id), join back on the shingle. The
+    * same shape as [[tfidf]]'s df computation: state is per DISTINCT
+    * span, never per pair, so a 100 TB corpus shuffles linearly.
+    * `dup_frac` is one IEEE division of exact integers — bit-identical
+    * on any engine at any parallelism.
+    */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+                n: Int, minDocs: Int, flagAt: Double): DataFrame = {
+    val sh = Dedup.docShingles(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spanDf = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("span_docs"))
+    val frac = col("n_dup_spans").cast("double") / col("n_spans")
+    sh.join(spanDf, "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("span_docs") >= minDocs, 1L).otherwise(0L))
+          .as("n_dup_spans"))
+      .select(col("id"), col("n_spans"), col("n_dup_spans"),
+        frac.as("dup_frac"),
+        (frac >= flagAt).as("flagged"))
+  }
+
   def tfidf(df: DataFrame, textCol: String, idCol: String,
             tokens: Column => Column): DataFrame = {
     val dt = df.select(col(idCol).as("id"),

@@ -266,6 +266,65 @@ object Graph {
     out
   }
 
+  /** Synchronous label propagation (community detection) over an
+    * undirected edge list, fixed round count, DETERMINISTIC variant:
+    * every node starts labeled with its own id; each round every node
+    * simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label. The classic LPA
+    * tie-break is random — fixing it to min-label makes the result a
+    * pure function of the graph, so the operator is oracle-checkable
+    * (the oracle unrolls the same rounds in SQL) and reproducible
+    * across runs/engines, which a curation pipeline needs.
+    *
+    * Unlike [[connectedComponents]] (whole reachable set), LPA splits
+    * a component along its dense cores — communities, not components.
+    *
+    * Scale design: each round is one keyed join (edges ⋈ labels on
+    * dst) + two keyed aggregates ((node, label) counts, then per-node
+    * argmax via ONE lexicographic struct max — no per-node sort, no
+    * window). O(rounds) shuffles total; labels persisted per round,
+    * previous round released, same cache discipline as CC.
+    *
+    * @return (id, community) for every node appearing in any edge.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int = 3): DataFrame = {
+    // canonicalize + persist BEFORE symmetrizing — union(e, e.swap) on
+    // an unpersisted plan would evaluate the (often expensive) upstream
+    // candidate join twice, the exact trap connectedComponents documents
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("src"),
+        greatest(col("s"), col("d")).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    e.unpersist()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      val nbr = sym.join(labels, sym("dst") === labels("v"))
+        .select(sym("src").as("v"), col("lab"))
+      // argmax(count, then min label) = max of the (count, -label)
+      // struct — map-combinable, no window, no per-node sort
+      val next = nbr.groupBy(col("v"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("v"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("lab"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("v").as("id"), col("lab").as("community"))
+  }
+
   /** Driver-side power iteration for small (already-reduced) graphs —
     * node order fixed by sorted id, so the fold order (and result) is
     * fully deterministic, unlike the distributed path's partition-order

@@ -71,6 +71,73 @@ object TimeSeries {
     }.toDF(keyCol, "n_events", "ewma")
   }
 
+  /** Holt linear-trend smoothing (double exponential smoothing) per
+    * key — the trend-aware upgrade of [[ewmaPerKey]], and the basic
+    * one-step forecaster:
+    * {{{
+    *   s      = level + trend            // prior one-step prediction
+    *   level' = v·α + s·(1−α)
+    *   trend' = (level' − level)·β + trend·(1−β)
+    * }}}
+    * seeded (level, trend) = (v₁, 0). Same scale shape as the EWMA
+    * scan: one keyed shuffle + in-partition sort, O(1) state,
+    * allocation-free forward pass, bit-identical at any parallelism
+    * (total fold order). The oracle replays the IDENTICAL IEEE
+    * operation sequence via a recursive CTE.
+    *
+    * @return (key, n_events, level, trend, forecast) — one row per
+    *         key; forecast = level + trend (next-step prediction).
+    */
+  def holtPerKey(spark: SparkSession, df: DataFrame, keyCol: String,
+                 tsCol: String, tieCol: String, valueCol: String,
+                 alpha: Double, beta: Double): DataFrame = {
+    import spark.implicits._
+    val a1 = 1.0 - alpha
+    val b1 = 1.0 - beta
+    val sorted = df
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("t"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("v"))
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("tie"))
+      .as[(Long, Long, Long, Double)]
+    sorted.mapPartitions { rows =>
+      new Iterator[(Long, Long, Double, Double, Double)] {
+        private var pending: Option[(Long, Long, Double, Double, Double)] = None
+        private var lookahead: Option[(Long, Long, Long, Double)] = None
+        def hasNext: Boolean = pending.isDefined || rows.hasNext ||
+          lookahead.isDefined
+        def next(): (Long, Long, Double, Double, Double) = {
+          if (pending.isEmpty) advance()
+          val out = pending.get
+          pending = None
+          out
+        }
+        private def advance(): Unit = {
+          val first = lookahead.getOrElse(rows.next())
+          lookahead = None
+          val key = first._1
+          var level = first._4
+          var trend = 0.0
+          var n = 1L
+          var done = false
+          while (!done && rows.hasNext) {
+            val r = rows.next()
+            if (r._1 == key) {
+              val s = level + trend
+              val lNew = r._4 * alpha + s * a1
+              trend = (lNew - level) * beta + trend * b1
+              level = lNew
+              n += 1
+            } else { lookahead = Some(r); done = true }
+          }
+          pending = Some((key, n, level, trend, level + trend))
+        }
+      }
+    }.toDF(keyCol, "n_events", "level", "trend", "forecast")
+  }
+
   /** LOCF (last observation carried forward): per-key forward fill of
     * a sparse column in (order, tie) order. UNLIKE the EWMA recurrence
     * this IS a window aggregate — `last(ignoreNulls)` over an

@@ -85,6 +85,21 @@ class CleaningSpec extends AnyFunSuite {
     assert(one[String](Cleaning.normalizeGender(lit("x"))) == "N")
   }
 
+  test("luhn16 validates check digits; ipv4Valid ranges octets") {
+    import graft.functions.TextFunctions
+    // known-valid test numbers (Visa/Mastercard/Discover test cards)
+    for (ok <- Seq("4532015112830366", "5425233430109903", "6011000990139424"))
+      assert(one[Boolean](TextFunctions.luhn16(lit(ok))), ok)
+    // any single-digit corruption of a valid number must fail
+    assert(!one[Boolean](TextFunctions.luhn16(lit("4532015112830367"))))
+    assert(!one[Boolean](TextFunctions.luhn16(lit("4532015112830356"))))
+    assert(!one[Boolean](TextFunctions.luhn16(lit("5532015112830366"))))
+    assert(one[Boolean](TextFunctions.ipv4Valid(lit("255.255.255.255"))))
+    assert(one[Boolean](TextFunctions.ipv4Valid(lit("10.1.2.3"))))
+    assert(!one[Boolean](TextFunctions.ipv4Valid(lit("999.1.2.300"))))
+    assert(!one[Boolean](TextFunctions.ipv4Valid(lit("1.2.3.256"))))
+  }
+
   test("monthsBetweenWhole clamps and counts calendar months") {
     val s = lit("2011-03-13").cast("date")
     val e = lit("2019-03-13").cast("date")

@@ -95,4 +95,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(out((3L, "dog")) == ((1L, 3L, 0.0))) // df == N → idf 0
     assert(out.size == 5)
   }
+
+  test("spanDedup: shared passage flags both carriers, unique doc clean") {
+    val quote = "we hold these truths to be self evident"  // 8 words
+    val df = Seq(
+      (1L, s"intro alpha beta $quote outro gamma delta"),
+      (2L, s"different start words here $quote closing words differ too"),
+      (3L, "entirely unique content with no shared spans at all here"),
+      (4L, s"intro alpha beta $quote outro gamma delta")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val out = Corpus.spanDedup(df, "text", "doc_id",
+        n = 5, minDocs = 2, flagAt = 0.5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Double]("dup_frac"), r.getAs[Boolean]("flagged")))).toMap
+    // docs 1 and 4 are identical: every span duplicated, flagged
+    assert(out(1L) == ((10L, 10L, 1.0, true)))
+    assert(out(4L) == ((10L, 10L, 1.0, true)))
+    // doc 2 (16 words → 12 spans) shares only the 4 5-grams fully
+    // inside the quote with doc 1/4; 4/12 < 0.5 → not flagged
+    assert(out(2L) == ((12L, 4L, 4.0 / 12, false)))
+    // doc 3 shares nothing
+    val d3 = out(3L)
+    assert(d3._2 == 0L && d3._3 == 0.0 && !d3._4)
+  }
 }

@@ -133,6 +133,28 @@ class GraphSamplingSpec extends AnyFunSuite {
     local.foreach { case (k, v) => assert(math.abs(v - dist(k)) < 1e-12) }
   }
 
+  test("labelPropagation splits a barbell into two communities (CC gives one)") {
+    // two 4-cliques bridged by a single edge 4–5
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) :+
+      ((4L, 5L))).toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Graph.labelPropagation(d, "a", "b", rounds = 3)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("community"))
+        .toMap
+    val got = run(edges)
+    // dense cores keep their own min label; the bridge does not merge them
+    assert(Seq(1L, 2L, 3L, 4L).map(got) == Seq(1L, 1L, 1L, 1L))
+    assert(Seq(5L, 6L, 7L, 8L).map(got) == Seq(5L, 5L, 5L, 5L))
+    // CC on the same graph collapses everything into one component
+    val cc = Graph.connectedComponents(edges, "a", "b").collect()
+      .map(_.getAs[Long]("comp")).toSet
+    assert(cc == Set(1L))
+    // deterministic under any input partitioning
+    assert(run(edges.repartition(7)) == got)
+  }
+
   test("ewma: matches a sequential fold, any parallelism, multi-key safe") {
     import java.sql.Timestamp
     val rows = for (u <- 0L until 7L; i <- 0 until 40)
@@ -155,6 +177,39 @@ class GraphSamplingSpec extends AnyFunSuite {
     // bit-identical under different input partitionings
     assert(run(df.repartition(13)) == got)
     assert(run(df.coalesce(1)) == got)
+  }
+
+  test("holt: matches a sequential two-state fold, any parallelism") {
+    import java.sql.Timestamp
+    val rows = for (u <- 0L until 5L; i <- 0 until 50)
+      yield (u, Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        u * 1000 + i, (i * 3 + (u * 13 + i * i) % 23).toDouble) // trending + noise
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val (alpha, beta) = (0.4, 0.2)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TimeSeries
+        .holtPerKey(spark, d, "user_id", "ts", "event_id", "value", alpha, beta)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+    val got = run(df)
+    val expect = rows.groupBy(_._1).map { case (u, rs) =>
+      val vs = rs.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      var (l, t) = (vs.head, 0.0)
+      vs.tail.foreach { v =>
+        val s = l + t
+        val lNew = v * alpha + s * (1.0 - alpha)
+        t = (lNew - l) * beta + t * (1.0 - beta)
+        l = lNew
+      }
+      u -> ((vs.size.toLong, l, t, l + t))
+    }
+    assert(got == expect)
+    assert(run(df.repartition(13)) == got)
+    // on a clean linear series the one-step forecast converges to the
+    // next point: values 3i (+bounded noise) → forecast ≈ 3·50 ± noise
+    got.values.foreach { case (_, _, trend, _) =>
+      assert(trend > 1.5 && trend < 4.5, trend) }
   }
 
   // ------------------------------------------------------------- Sampling

@@ -128,4 +128,34 @@ class WritersSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 500)
     assert(!new java.io.File(dir + "__bak").exists())
   }
+
+  test("data skipping: manifest prunes files, range read ≡ full filter") {
+    import graft.sources.DataSkipping
+    val dir = Files.createTempDirectory("graft_skip").toString + "/orders"
+    val orders = table(spark, "/root/testdata/sf0.001", "orders")
+    // range-clustered layout → tight per-file min/max on the price
+    orders.repartitionByRange(8, col("o_totalprice"))
+      .sortWithinPartitions("o_totalprice")
+      .write.parquet(dir)
+    val nFiles = DataSkipping.writeManifest(spark, dir, Seq("o_totalprice"))
+    assert(nFiles == 8)
+    // the manifest is hidden from plain reads of the data directory
+    assert(spark.read.parquet(dir).count() == orders.count())
+    // a selective range touches few of the 8 files
+    val cand = DataSkipping.candidateFiles(spark, dir, "o_totalprice",
+      lit(1000.0), lit(5000.0))
+    assert(cand.nonEmpty && cand.length < 8, cand.length)
+    // pruned read ≡ unpruned filter, row for row
+    val pruned = DataSkipping.readRange(spark, dir, "o_totalprice",
+      lit(1000.0), lit(5000.0))
+    val full = spark.read.parquet(dir)
+      .filter(col("o_totalprice") >= 1000.0 && col("o_totalprice") <= 5000.0)
+    assert(pruned.count() == full.count() && full.count() > 0)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // empty intersection: no files touched, schema intact, zero rows
+    val none = DataSkipping.readRange(spark, dir, "o_totalprice",
+      lit(-10.0), lit(-5.0))
+    assert(none.count() == 0 &&
+      none.schema.fieldNames.sameElements(full.schema.fieldNames))
+  }
 }
