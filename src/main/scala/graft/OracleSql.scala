@@ -1647,6 +1647,64 @@ object OracleSql {
         .mkString("\nUNION ALL\n")
     },
 
+    // Profile drift: both per-column profiles inlined (same decorated
+    // slices as the Spark side), drift tests in exact integer
+    // arithmetic (cross-multiplied rates — no float rounding).
+    "q_profile_drift" -> {
+      def prof(src: String, alias: String) = {
+        def strRow(c: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(NULL AS DOUBLE) AS vmin_num, CAST(NULL AS DOUBLE) AS vmax_num
+             |FROM $src""".stripMargin
+        def numRow(c: String) =
+          s"""SELECT '$c', count(*),
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  count(DISTINCT $c),
+             |  CAST(min($c) AS DOUBLE), CAST(max($c) AS DOUBLE)
+             |FROM $src""".stripMargin
+        s"""$alias AS (${Seq(strRow("o_orderstatus"), strRow("o_orderpriority"),
+             numRow("o_totalprice"), numRow("o_custkey"))
+             .mkString("\nUNION ALL\n")})"""
+      }
+      s"""WITH refsrc AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+         |cursrc AS (SELECT o_orderstatus, o_orderpriority, o_custkey,
+         |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         |         ELSE o_totalprice + 600000.0 END AS o_totalprice
+         |  FROM orders WHERE o_orderkey % 2 = 1),
+         |${prof("refsrc", "pref")},
+         |${prof("cursrc", "pcur")}
+         |SELECT r.col_name, r.n AS n_ref, c.n AS n_cur,
+         |  r.n_null AS null_ref, c.n_null AS null_cur,
+         |  r.n_distinct AS nd_ref, c.n_distinct AS nd_cur,
+         |  abs(c.n_null * r.n - r.n_null * c.n) * 10000 > 100 * c.n * r.n
+         |    AS null_drift,
+         |  abs(c.n_distinct - r.n_distinct) * 10000 > 2000 * r.n_distinct
+         |    AS nd_drift,
+         |  coalesce(c.vmin_num < r.vmin_num OR c.vmax_num > r.vmax_num,
+         |    FALSE) AS range_escape,
+         |  ((abs(c.n_null * r.n - r.n_null * c.n) * 10000 > 100 * c.n * r.n)
+         |   OR (abs(c.n_distinct - r.n_distinct) * 10000
+         |       > 2000 * r.n_distinct)
+         |   OR coalesce(c.vmin_num < r.vmin_num OR c.vmax_num > r.vmax_num,
+         |        FALSE)) AS any_drift
+         |FROM pref r JOIN pcur c USING (col_name)""".stripMargin
+    },
+
+    // Incremental exact dedup: in-batch keep-first per fingerprint,
+    // then NOT EXISTS against the historical store (≡ left_anti).
+    "q_dedup_incremental" ->
+      s"""WITH $corpusCte,
+         |f AS (SELECT doc_id, md5(${normOf("text")}) AS fp FROM corpus),
+         |seen AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0),
+         |batch AS (SELECT doc_id, fp,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM f WHERE doc_id % 3 <> 0)
+         |SELECT doc_id, fp FROM batch b
+         |WHERE rn = 1 AND NOT EXISTS
+         |  (SELECT 1 FROM seen s WHERE s.fp = b.fp)""".stripMargin,
+
     "q_winsorize" ->
       // exact discrete quantiles: cum·10000 ≥ p·n over distinct cents —
       // pure integer rank arithmetic, mirrored from Stats.winsorize

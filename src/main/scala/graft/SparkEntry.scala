@@ -1633,6 +1633,20 @@ object SparkEntry {
       .select($"cid", $"n_assigned", round($"inertia", 2).as("inertia"))
   }
 
+  /** E7d: product-quantization ANN — m=8 subspace codebooks × 16
+    * centroids (8-byte codes, 32× compression); per-query LUT + ADC
+    * lookup scan + exact rerank. Rows-only gate (Lloyd training is
+    * fp-order-specific); recall/determinism spec'd in AsOfIvfSpec.
+    */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "embeddings")
+    val books = Similarity.pqTrain(e, "vec_id", "embedding",
+      m = 8, k = 16, iters = 3)
+    Similarity.pqTopK(e, e.filter($"vec_id" % 100 === 0),
+      "vec_id", "embedding", books, k = 5, rerankFactor = 10)
+  }
+
   /** D5: snapshot diff (CDC derivation) — one full-outer join on the
     * key classifies every row I/D/U against the previous dump; the
     * (small) changeset feeds incremental loads when the source has no
@@ -1789,6 +1803,43 @@ object SparkEntry {
     Validate.profile(table(s, dir, "customer"),
       strCols = Seq("c_name", "c_mktsegment"),
       numCols = Seq("c_acctbal", "c_nationkey"))
+  }
+
+  /** A9: profile drift — reference batch (even order keys) vs a
+    * current batch (odd keys; prices nulled on %5=0 and shifted
+    * +600k) through Validate.profileDrift: the null-rate spike and
+    * numeric range escape provably fire on o_totalprice while the
+    * string columns stay quiet. Every drift test is exact integer
+    * arithmetic.
+    */
+  private def qProfileDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val ref = o.filter($"o_orderkey" % 2 === 0)
+    val cur = o.filter($"o_orderkey" % 2 === 1)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 5 === 0, lit(null).cast("double"))
+          .otherwise($"o_totalprice" + 600000.0)) // null spike + range escape
+    def prof(df: DataFrame) = Validate.profile(df,
+      strCols = Seq("o_orderstatus", "o_orderpriority"),
+      numCols = Seq("o_totalprice", "o_custkey"))
+    Validate.profileDrift(prof(ref), prof(cur),
+      nullBpTol = 100, distinctBpTol = 2000)
+  }
+
+  /** E40: incremental exact dedup — the new batch (doc_id %3 ≠ 0)
+    * against the historical fingerprint store (%3 = 0): in-batch
+    * keep-first, then an anti join on the fingerprint. The dup-seeded
+    * corpus guarantees both in-batch and cross-batch collisions.
+    */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = dupCorpus(s, dir)
+    val seen = corpus.filter($"doc_id" % 3 === 0)
+      .select(TextFunctions.fingerprint($"text").as("fp")).distinct()
+    Dedup.incrementalExact(corpus.filter($"doc_id" % 3 =!= 0),
+        "text", "doc_id", seen)
+      .select($"doc_id", $"fp")
   }
 
   /** C33: winsorization via exact discrete quantiles — per-type [p5,
@@ -2035,6 +2086,7 @@ object SparkEntry {
     "q_string_funcs" -> (qStringFuncs _),
     "q_date_funcs" -> (qDateFuncs _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_window" -> (qRangeWindow _),
     "q_cube_agg" -> (qCubeAgg _),
@@ -2095,6 +2147,8 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_inverted_index" -> (qInvertedIndex _),
     "q_profile" -> (qProfile _),
+    "q_profile_drift" -> (qProfileDrift _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_winsorize" -> (qWinsorize _),
     "q_pagerank" -> (qPageRank _),
     "q_locf" -> (qLocf _),
@@ -2126,7 +2180,8 @@ object SparkEntry {
     * ScalaTest spec covers the semantics instead.
     */
   val rowsOnly: Set[String] =
-    Set("q_dedup_simhash", "q_approx_distinct", "q_kmeans", "q_pagerank")
+    Set("q_dedup_simhash", "q_approx_distinct", "q_kmeans", "q_pagerank",
+      "q_ann_pq")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

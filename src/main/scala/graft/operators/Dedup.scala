@@ -32,6 +32,30 @@ object Dedup {
         explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
       .distinct()
 
+  /** E40: incremental exact dedup — the cross-RUN form every
+    * continuously-ingesting corpus needs: dedupe a NEW batch against
+    * the historical fingerprint store WITHOUT rescanning the old
+    * corpus. In-batch keep-first (min id per fingerprint), then an
+    * anti join against the store; the store update is an append of
+    * the fresh fingerprints (no rewrite). Both steps are keyed
+    * shuffles on the 128-bit fingerprint — at 100 TB the store is a
+    * fingerprint-bucketed table and this is a shuffle-free bucket
+    * join.
+    *
+    * @param seenFps historical store, one `fp` column (md5 hex).
+    * @return fresh batch rows (batch columns + `fp`) — docs never
+    *         seen before, one per distinct content.
+    */
+  def incrementalExact(batch: DataFrame, textCol: String, idCol: String,
+                       seenFps: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col(idCol))
+    batch.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(seenFps.select(col("fp")), Seq("fp"), "left_anti")
+  }
+
   /** E2: n-gram Jaccard near-dup pairs with similarity ≥ `threshold`.
     * Self-join on the shingle produces intersection counts; set sizes
     * come from a broadcast-joined per-doc aggregate. All shuffles are

@@ -332,6 +332,173 @@ object Similarity {
         col("rank"))
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** E7d: product-quantization codebook training — m per-subspace
+    * k-means (Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search"). The 64-dim vector splits into m contiguous
+    * subvectors; each subspace gets its own k-centroid codebook, so a
+    * vector stores as m small codes (m·log₂k bits ≈ 8 bytes vs 256
+    * for float32 — the 32× memory/IO lever beyond int8's 4×).
+    *
+    * ALL m codebooks train in the SAME distributed Lloyd pass per
+    * iteration: the corpus explodes once into (id, sub, subvec) rows,
+    * assignment evaluates k sqDists against the broadcast per-sub
+    * codebook literal, and the per-(sub, cell, dim) means collapse to
+    * k·D scalars — the only driver traffic, exactly like
+    * [[kmeansTrain]]. Init is the same deterministic content-keyed
+    * sampling (k lowest-xxhash vectors, sliced per subspace), so
+    * training is reproducible across runs and partitionings.
+    *
+    * @return driver-side codebooks: (sub, cid) → centroid (m·k rows
+    *         of dim D/m — kilobytes; they are broadcast literals in
+    *         every consumer, never a join side).
+    */
+  /** L2-normalize onto the unit sphere (norm computed once per row;
+    * zero vectors pass through). PQ here targets COSINE retrieval, so
+    * codebooks/codes/LUTs all live on the unit sphere, where
+    * ‖a−b‖² = 2 − 2·cos(a,b) makes the L2 ADC ranking monotone with
+    * cosine — without this, mixed vector norms wreck ADC recall.
+    */
+  private def unitVec(df: DataFrame, idCol: String,
+                      vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("rv"))
+      .withColumn("nrm", l2Norm(col("rv")))
+      .select(col("id"), when(col("nrm") > 0,
+        transform(col("rv"), x => x / col("nrm")))
+        .otherwise(col("rv")).as("uv"))
+
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int): Array[(Int, Int, Seq[Double])] = {
+    val d0 = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(d0 % m == 0, s"dim $d0 not divisible by m=$m")
+    val d = d0 / m
+    val subs = unitVec(corpus, idCol, vecCol).select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("uv"), s * d + 1, lit(d))))
+          .as(Seq("sub", "sv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic init: the k lowest-hash vectors seed EVERY
+      // subspace (sliced), cids in id order
+      val seedIds = corpus.select(col(idCol).as("id"))
+        .orderBy(xxhash64(col("id")), col("id")).limit(k)
+        .orderBy(col("id")).collect().map(_.getLong(0))
+      var books: Array[(Int, Int, Seq[Double])] = {
+        val seeds = subs.filter(col("id").isin(seedIds: _*))
+          .orderBy(col("sub"), col("id")).collect()
+        seeds.zipWithIndex.map { case (r, i) =>
+          (r.getInt(1), i % k, r.getSeq[Double](2)) }
+      }
+
+      def assign(bs: Array[(Int, Int, Seq[Double])]) = {
+        // array literal indexed [sub][cid] → centroid
+        val lit2 = typedLit((0 until m).map(s =>
+          (0 until k).map(c => bs.find(b => b._1 == s && b._2 == c).get._3)))
+        val cents = element_at(lit2, col("sub") + 1)
+        val best = array_min(transform(cents,
+          (cv, i) => struct(sqDist(col("sv"), cv).as("dist"), i.as("cid"))))
+        subs.select(col("id"), col("sub"), col("sv"),
+          best.getField("cid").as("cid"), best.getField("dist").as("dist"))
+      }
+
+      for (_ <- 1 to iters) {
+        val sums = assign(books)
+          .select(col("sub"), col("cid"), posexplode(col("sv")))
+          .groupBy(col("sub"), col("cid"), col("pos"))
+          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .collect() // k·D tiny rows — the only driver traffic
+        val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        books = books.map { case (s, c, old) =>
+          byCell.get((s, c)) match {
+            case Some(rows) =>
+              val dims = rows.map(r =>
+                r.getInt(2) -> (r.getDouble(3) / r.getLong(4))).toMap
+              (s, c, old.indices.map(dims))
+            case None => (s, c, old) // empty cell keeps its centroid
+          }
+        }
+      }
+      books
+    } finally subs.unpersist()
+  }
+
+  /** PQ encoding: vector → m codes (nearest per-subspace centroid,
+    * ties to the lowest cid). One codegen-heavy scan, no shuffle —
+    * codes stay co-partitioned with their row.
+    *
+    * @return (id, codes array<int> of length m)
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: Array[(Int, Int, Seq[Double])]): DataFrame = {
+    val m = books.map(_._1).max + 1
+    val k = books.map(_._2).max + 1
+    val d = books(0)._3.length
+    val lit2 = typedLit((0 until m).map(s =>
+      (0 until k).map(c => books.find(b => b._1 == s && b._2 == c).get._3)))
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sv = slice(col("uv"), s * d + 1, lit(d))
+      array_min(transform(element_at(lit2, s + 1),
+        (cv, i) => struct(sqDist(sv, cv).as("dist"), i.as("cid"))))
+        .getField("cid")
+    })
+    unitVec(corpus, idCol, vecCol).select(col("id"), codes.as("codes"))
+  }
+
+  /** E7d: asymmetric-distance (ADC) PQ search. Per QUERY the m×k
+    * lookup table of subspace distances is computed ONCE (m·k sqDists
+    * — kilobytes, rides along in the broadcast row); the corpus scan
+    * then evaluates Σₛ LUT[s][code[s]] — m array lookups per vector,
+    * touching only the 8-byte codes instead of the 256-byte vector.
+    * That lookup scan is the whole point of PQ: at 100 TB the
+    * candidate pass reads 32× fewer bytes and does no float math per
+    * dimension. Exact cosine rerank on the rerankFactor·k survivors
+    * repairs quantization boundaries, as in [[quantizedTopK]].
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, books: Array[(Int, Int, Seq[Double])],
+             k: Int, rerankFactor: Int = 4): DataFrame = {
+    val m = books.map(_._1).max + 1
+    val nc = books.map(_._2).max + 1
+    val d = books(0)._3.length
+    val lit2 = typedLit((0 until m).map(s =>
+      (0 until nc).map(c => books.find(b => b._1 == s && b._2 == c).get._3)))
+    val enc = pqEncode(corpus, idCol, vecCol, books)
+      .withColumnRenamed("id", "nn_id")
+    // per-query LUT over the UNIT-sphere query: lut[s][c] =
+    // ||q̂_s − centroid_{s,c}||² (codebooks live on the unit sphere)
+    val q = queries.select(col(idCol).as("q_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+      .withColumn("qu", when(col("qn") > 0,
+        transform(col("qv"), x => x / col("qn"))).otherwise(col("qv")))
+      .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), s =>
+        transform(element_at(lit2, s + 1),
+          cv => sqDist(slice(col("qu"), s * d + 1, lit(d)), cv))))
+    val approx = enc.join(broadcast(q), col("q_id") =!= col("nn_id"))
+      .withColumn("adist", aggregate(sequence(lit(0), lit(m - 1)),
+        lit(0.0), (acc, s) => acc +
+          element_at(element_at(col("lut"), s + 1),
+            element_at(col("codes"), s + 1) + 1)))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adist").asc, col("nn_id"))
+    val candidates = approx.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= k * rerankFactor)
+      .select(col("q_id"), col("nn_id"))
+    val cTrue = corpus.select(col(idCol).as("nn_id"),
+        toDouble(col(vecCol)).as("tv"))
+      .withColumn("tn", l2Norm(col("tv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    candidates.join(cTrue, "nn_id")
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), "q_id")
+      .withColumn("cos", dot(col("qv"), col("tv")) / (col("qn") * col("tn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nn_id"), round(col("cos"), 4).as("cos"),
+        col("rank"))
+  }
+
   /** E5: embedding near-duplicate pairs above a cosine threshold,
     * blocked by an equi-join key (here: a label / cluster id) so the
     * pair space is per-block, not global.

@@ -73,6 +73,45 @@ object Validate {
     one.select(inline(array(rows: _*)))
   }
 
+  /** A9: profile drift between a reference batch and the current
+    * batch — the data-contract monitor that catches schema-compatible
+    * but DISTRIBUTION-breaking changes (null-rate spikes, cardinality
+    * collapse, numeric range escape) before they poison downstream
+    * aggregates. Joins two [[profile]] outputs on the column name
+    * (profile-cardinality rows — trivially broadcastable at any table
+    * size).
+    *
+    * All drift tests are EXACT integer arithmetic: null-rate drift in
+    * basis points via cross-multiplication (|nullc·nr − nullr·nc|·10⁴
+    * > tol·nc·nr), distinct-count drift relative to the reference
+    * (|ndc − ndr|·10⁴ > tol·ndr), numeric range escape as plain
+    * comparisons — no engine-specific float rounding anywhere.
+    */
+  def profileDrift(ref: DataFrame, cur: DataFrame,
+                   nullBpTol: Int, distinctBpTol: Int): DataFrame = {
+    val r = ref.select(col("col_name"), col("n").as("n_ref"),
+      col("n_null").as("null_ref"), col("n_distinct").as("nd_ref"),
+      col("vmin_num").as("min_ref"), col("vmax_num").as("max_ref"))
+    val c = cur.select(col("col_name"), col("n").as("n_cur"),
+      col("n_null").as("null_cur"), col("n_distinct").as("nd_cur"),
+      col("vmin_num").as("min_cur"), col("vmax_num").as("max_cur"))
+    val nullDrift =
+      abs(col("null_cur") * col("n_ref") - col("null_ref") * col("n_cur")) *
+        10000 > lit(nullBpTol) * col("n_cur") * col("n_ref")
+    val ndDrift =
+      abs(col("nd_cur") - col("nd_ref")) * 10000 >
+        lit(distinctBpTol) * col("nd_ref")
+    val rangeEscape = coalesce(
+      col("min_cur") < col("min_ref") || col("max_cur") > col("max_ref"),
+      lit(false))
+    r.join(c, "col_name")
+      .select(col("col_name"), col("n_ref"), col("n_cur"),
+        col("null_ref"), col("null_cur"), col("nd_ref"), col("nd_cur"),
+        nullDrift.as("null_drift"), ndDrift.as("nd_drift"),
+        rangeEscape.as("range_escape"),
+        (nullDrift || ndDrift || rangeEscape).as("any_drift"))
+  }
+
   /** Deterministic split assignment by content hash — reproducible
     * train/val/test partitioning with no RNG state (md5 is stable
     * across engines, versions, and cluster sizes; never use rand()

@@ -102,4 +102,27 @@ class DedupSpec extends AnyFunSuite {
       .collect().sortBy(_.media_id)
     assert(again.head.features.toSeq == out.head.features.toSeq)
   }
+
+  test("incrementalExact: drops seen content, keeps first of in-batch dups") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.col
+    val history = Seq((1L, "already in the corpus")).toDF("doc_id", "text")
+    val store = history
+      .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+    val batch = Seq(
+      (10L, "already in the corpus"),   // cross-batch dup → dropped
+      (11L, "brand new document"),       // fresh
+      (12L, "repeated inside batch"),    // in-batch dup, first → kept
+      (13L, "repeated inside batch"),    // in-batch dup → dropped
+      (14L, "Already IN the corpus!"))   // same normalized content → dropped
+      .toDF("doc_id", "text")
+    val fresh = Dedup.incrementalExact(batch, "text", "doc_id", store)
+    val ids = fresh.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(ids == Seq(11L, 12L))
+    // store update is append-only; a re-run of the same batch against
+    // the updated store yields nothing (idempotent ingestion)
+    val updated = store.unionByName(fresh.select(col("fp"))).distinct()
+    assert(Dedup.incrementalExact(batch, "text", "doc_id", updated)
+      .count() == 0L)
+  }
 }

@@ -100,4 +100,32 @@ class StatsProfileSpec extends AnyFunSuite {
     assert(out("b") == ((1L, "3")))
     assert(out("c") == ((1L, "2")))
   }
+
+  test("profileDrift flags null spike / cardinality collapse / range escape") {
+    import graft.operators.Validate
+    // ref: 100 rows, no nulls, s ∈ {a..j} (10 distinct), v ∈ [0, 99]
+    val ref = (0 until 100)
+      .map(i => (('a' + i % 10).toChar.toString, i.toDouble))
+      .toDF("s", "v")
+    // cur: v null on 1/5 rows (2000bp spike), s collapsed to 2 values,
+    // v max escapes to 500
+    val cur = (0 until 100).map { i =>
+      (('a' + i % 2).toChar.toString,
+        if (i % 5 == 0) null else java.lang.Double.valueOf(i + 401.0))
+    }.toDF("s", "v")
+    def prof(df: org.apache.spark.sql.DataFrame) =
+      Validate.profile(df, strCols = Seq("s"), numCols = Seq("v"))
+    val out = Validate.profileDrift(prof(ref), prof(cur),
+        nullBpTol = 100, distinctBpTol = 2000)
+      .collect().map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Boolean]("null_drift"), r.getAs[Boolean]("nd_drift"),
+          r.getAs[Boolean]("range_escape"), r.getAs[Boolean]("any_drift"))))
+      .toMap
+    // v: 0 → 2000bp nulls (fires), distinct 100→80 = 2000bp (NOT >),
+    // max 99 → 500 escapes
+    assert(out("v") == ((true, false, true, true)))
+    // s: no nulls either side; 10 → 2 distinct = 8000bp collapse fires;
+    // strings carry no numeric range
+    assert(out("s") == ((false, true, false, true)))
+  }
 }
