@@ -288,7 +288,8 @@ object Graph {
     * @return (id, community) for every node appearing in any edge.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       rounds: Int = 3): DataFrame = {
+                       rounds: Int = 3,
+                       localThreshold: Long = 2000000L): DataFrame = {
     // canonicalize + persist BEFORE symmetrizing — union(e, e.swap) on
     // an unpersisted plan would evaluate the (often expensive) upstream
     // candidate join twice, the exact trap connectedComponents documents
@@ -299,7 +300,15 @@ object Graph {
         greatest(col("s"), col("d")).as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    // hybrid execution, same rationale as CC/PageRank: post-funnel
+    // graphs are tiny, and LPA's update is pure INTEGER arithmetic
+    // (counts + min-label ties), so the driver loop is bit-identical
+    // to the distributed rounds — asserted in GraphSamplingSpec
+    if (e.count() <= localThreshold) {
+      val result = localLabelPropagation(e, rounds)
+      e.unpersist()
+      return result
+    }
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sym.count()
@@ -323,6 +332,35 @@ object Graph {
     }
     sym.unpersist()
     labels.select(col("v").as("id"), col("lab").as("community"))
+  }
+
+  /** Driver-side synchronized LPA for small (already-reduced) graphs —
+    * identical semantics to the distributed loop: per round every node
+    * simultaneously takes the most frequent neighbor label, ties to
+    * the smallest. All-integer state → bit-identical to the
+    * distributed path (no fp caveat like PageRank's).
+    */
+  private def localLabelPropagation(und: DataFrame, rounds: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val es = und.as[(Long, Long)].collect()
+    val adj = new scala.collection.mutable.HashMap[Long,
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    es.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, new scala.collection.mutable.ArrayBuffer) += b
+      adj.getOrElseUpdate(b, new scala.collection.mutable.ArrayBuffer) += a
+    }
+    var lab = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lab = adj.iterator.map { case (v, ns) =>
+        val counts = new scala.collection.mutable.HashMap[Long, Int]()
+        ns.foreach(n => counts(lab(n)) = counts.getOrElse(lab(n), 0) + 1)
+        // max count, ties to the smallest label
+        v -> counts.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    spark.createDataset(lab.toSeq).toDF("id", "community")
+      .repartition(col("community"))
   }
 
   /** Driver-side power iteration for small (already-reduced) graphs —

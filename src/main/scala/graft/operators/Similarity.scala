@@ -211,13 +211,18 @@ object Similarity {
         .map { case (r, i) => (i, r.getSeq[Double](1)) }
 
       def assign(cs: Array[(Int, Seq[Double])]) = {
-        val alts = cs.map { case (cid, cv) =>
-          struct(sqDist(col("v"), typedLit(cv)).as("d"), lit(cid).as("cid"))
-        }
-        // struct ordering: min by (distance, cid) — deterministic ties
-        vecs.withColumn("best", array_min(array(alts: _*)))
-          .select(col("id"), col("v"), col("best.cid").as("cid"),
-            col("best.d").as("d"))
+        // argmin via array_position(dists, array_min(dists)) − 1: first
+        // index achieving the min ≡ the old min-(distance, cid) struct
+        // ordering (cs is cid-ordered), but with no struct comparator —
+        // struct-compare codegen hits a janino bug ("redefinition of
+        // r") and silently falls back to interpreted projection
+        val dists = array(cs.sortBy(_._1).map { case (_, cv) =>
+          sqDist(col("v"), typedLit(cv)) }: _*)
+        vecs.withColumn("__d", dists)
+          .select(col("id"), col("v"),
+            (array_position(col("__d"), array_min(col("__d"))) - 1)
+              .cast("int").as("cid"),
+            array_min(col("__d")).as("d"))
       }
 
       for (_ <- 1 to iters) {
@@ -392,14 +397,23 @@ object Similarity {
       }
 
       def assign(bs: Array[(Int, Int, Seq[Double])]) = {
-        // array literal indexed [sub][cid] → centroid
-        val lit2 = typedLit((0 until m).map(s =>
-          (0 until k).map(c => bs.find(b => b._1 == s && b._2 == c).get._3)))
-        val cents = element_at(lit2, col("sub") + 1)
-        val best = array_min(transform(cents,
-          (cv, i) => struct(sqDist(col("sv"), cv).as("dist"), i.as("cid"))))
-        subs.select(col("id"), col("sub"), col("sv"),
-          best.getField("cid").as("cid"), best.getField("dist").as("dist"))
+        // per-sub argmin as array_position(dists, array_min(dists)) − 1:
+        // first index achieving the min ≡ min-cid tie-break, with NO
+        // struct comparator (struct-compare codegen hits a janino
+        // "redefinition of r" bug and falls back to interpreted) and
+        // no higher-order function — the 16 sqDists are codegen'd
+        // native expressions against literals. A CaseWhen chain picks
+        // the row's subspace, so only that branch evaluates.
+        def bestFor(s: Int): Column = {
+          val dists = array((0 until k).map(c =>
+            sqDist(col("sv"),
+              typedLit(bs.find(b => b._1 == s && b._2 == c).get._3))): _*)
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }
+        val cid = (1 until m).foldLeft(when(col("sub") === 0, bestFor(0))) {
+          (acc, s) => acc.when(col("sub") === s, bestFor(s))
+        }
+        subs.select(col("id"), col("sub"), col("sv"), cid.as("cid"))
       }
 
       for (_ <- 1 to iters) {
@@ -434,14 +448,16 @@ object Similarity {
     val m = books.map(_._1).max + 1
     val k = books.map(_._2).max + 1
     val d = books(0)._3.length
-    val lit2 = typedLit((0 until m).map(s =>
-      (0 until k).map(c => books.find(b => b._1 == s && b._2 == c).get._3)))
-    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
-      val sv = slice(col("uv"), s * d + 1, lit(d))
-      array_min(transform(element_at(lit2, s + 1),
-        (cv, i) => struct(sqDist(sv, cv).as("dist"), i.as("cid"))))
-        .getField("cid")
-    })
+    // statically-unrolled subspaces (m, k are plan-time constants):
+    // every sqDist is a codegen'd native expression against a literal
+    // centroid; argmin via array_position avoids the struct-compare
+    // codegen fallback AND any interpreted higher-order function
+    val codes = array((0 until m).map { s =>
+      val sv = slice(col("uv"), s * d + 1, d)
+      val dists = array((0 until k).map(c =>
+        sqDist(sv, typedLit(books.find(b => b._1 == s && b._2 == c).get._3))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
     unitVec(corpus, idCol, vecCol).select(col("id"), codes.as("codes"))
   }
 
@@ -461,8 +477,6 @@ object Similarity {
     val m = books.map(_._1).max + 1
     val nc = books.map(_._2).max + 1
     val d = books(0)._3.length
-    val lit2 = typedLit((0 until m).map(s =>
-      (0 until nc).map(c => books.find(b => b._1 == s && b._2 == c).get._3)))
     val enc = pqEncode(corpus, idCol, vecCol, books)
       .withColumnRenamed("id", "nn_id")
     // per-query LUT over the UNIT-sphere query: lut[s][c] =
@@ -472,14 +486,17 @@ object Similarity {
       .withColumn("qn", l2Norm(col("qv")))
       .withColumn("qu", when(col("qn") > 0,
         transform(col("qv"), x => x / col("qn"))).otherwise(col("qv")))
-      .withColumn("lut", transform(sequence(lit(0), lit(m - 1)), s =>
-        transform(element_at(lit2, s + 1),
-          cv => sqDist(slice(col("qu"), s * d + 1, lit(d)), cv))))
+      .withColumn("lut", array((0 until m).map { s =>
+        array((0 until nc).map(c =>
+          sqDist(slice(col("qu"), s * d + 1, d),
+            typedLit(books.find(b => b._1 == s && b._2 == c).get._3))): _*)
+      }: _*))
+    // the ADC scan: m statically-unrolled LUT lookups per corpus row —
+    // pure codegen'd array indexing, no HOF, no float math per dim
     val approx = enc.join(broadcast(q), col("q_id") =!= col("nn_id"))
-      .withColumn("adist", aggregate(sequence(lit(0), lit(m - 1)),
-        lit(0.0), (acc, s) => acc +
-          element_at(element_at(col("lut"), s + 1),
-            element_at(col("codes"), s + 1) + 1)))
+      .withColumn("adist", (0 until m).map(s =>
+        element_at(element_at(col("lut"), s + 1),
+          element_at(col("codes"), s + 1) + 1)).reduce(_ + _))
     val wA = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adist").asc, col("nn_id"))
     val candidates = approx.withColumn("r", row_number().over(wA))

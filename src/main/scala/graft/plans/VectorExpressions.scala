@@ -73,13 +73,17 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     NativeVec.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val res = nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = graft.plans.NativeVec.dot($a, $b);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
-    """)
-    res
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NOT a fixed name: two dot/sq_dist calls in one
+      // generated function would otherwise redeclare the same local,
+      // janino rejects it, and the whole projection silently falls
+      // back to interpreted mode
+      val r = ctx.freshName("vecRes")
+      s"""
+      java.lang.Double $r = graft.plans.NativeVec.dot($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+    """})
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -91,10 +95,12 @@ case class SqDist(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     NativeVec.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = graft.plans.NativeVec.sqDist($a, $b);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vecRes") // see DotProduct: fixed names collide
+      s"""
+      java.lang.Double $r = graft.plans.NativeVec.sqDist($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+    """})
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

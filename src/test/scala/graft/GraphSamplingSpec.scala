@@ -153,6 +153,14 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(cc == Set(1L))
     // deterministic under any input partitioning
     assert(run(edges.repartition(7)) == got)
+    // the distributed loop (forced) is bit-identical to the driver path
+    // — LPA state is all-integer, so unlike PageRank there is no fp
+    // caveat to the equivalence
+    val dist = Graph.labelPropagation(edges, "a", "b", rounds = 3,
+        localThreshold = 0L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("community"))
+      .toMap
+    assert(dist == got)
   }
 
   test("ewma: matches a sequential fold, any parallelism, multi-key safe") {

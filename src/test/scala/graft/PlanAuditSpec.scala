@@ -178,4 +178,48 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), name)
     }
   }
+
+  test("integrity audit and incremental dedup plan as anti joins") {
+    for (name <- Seq("q_ref_integrity", "q_dedup_incremental"))
+      assert(plan(name).contains("LeftAnti"), name)
+  }
+
+  test("span dedup joins stay equi-keyed (no nested-loop anywhere)") {
+    val p = plan("q_span_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // span df-count join back on the shingle is a keyed join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("multiple native vector exprs in ONE projection stay codegen'd") {
+    // the round-3 freshName fix: 2+ dot/sq_dist calls in one generated
+    // method used to redeclare the same local ("Redefinition of r") and
+    // silently fall back to interpreted projection. Compile the fused
+    // projection directly — UnsafeProjection.create throws on janino
+    // failure only via fallback, so assert by generating the code.
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val df = spark.range(4).selectExpr(
+      "array(cast(id as double), 1.0d, 2.0d) AS a",
+      "array(2.0d, cast(id as double), 0.5d) AS b")
+    val fused = df.select(
+      Similarity.dot(col("a"), col("b")).as("d1"),
+      Similarity.sqDist(col("a"), col("b")).as("d2"),
+      (Similarity.dot(col("a"), col("a")) +
+        Similarity.sqDist(col("b"), col("b"))).as("d3"))
+    // GenerateUnsafeProjection.generate THROWS on janino failure (no
+    // silent fallback like UnsafeProjection.create) — this is the
+    // regression trap for fixed-name locals in custom doGenCode
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    val analyzed = fused.queryExecution.optimizedPlan
+    val bound = BindReferences.bindReferences(
+      analyzed.expressions.toSeq, analyzed.children.head.output)
+    GenerateUnsafeProjection.generate(bound) // must not throw
+    // the `*(n)` prefix is the whole-stage-codegen marker in the
+    // simple plan string — the fused projection must carry it
+    val p = fused.queryExecution.executedPlan.toString
+    assert(p.linesIterator.next().startsWith("*("), p.take(800))
+  }
 }
