@@ -1090,6 +1090,27 @@ object OracleSql {
         |  (SELECT count(*) FROM events e WHERE NOT EXISTS
         |    (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))""".stripMargin,
 
+    // Basket lift: exact-integer supports; confidence and lift are
+    // each ONE double division of exactly-representable integers
+    // (raw doubles — same parity rule as q_skew_metrics).
+    "q_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+        |supp AS (SELECT it, count(*) AS supp FROM b GROUP BY it
+        |  HAVING count(*) >= 20),
+        |freq AS (SELECT b.bk, b.it, s.supp FROM b JOIN supp s USING (it)),
+        |pairs AS (SELECT a.it AS item_a, bb.it AS item_b,
+        |    count(*) AS supp_ab, min(a.supp) AS supp_a,
+        |    min(bb.supp) AS supp_b
+        |  FROM freq a JOIN freq bb ON a.bk = bb.bk AND a.it < bb.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT item_a, item_b, supp_a, supp_b, supp_ab,
+        |  CAST(supp_ab AS DOUBLE) / CAST(supp_a AS DOUBLE) AS confidence,
+        |  CAST(n_baskets * supp_ab AS DOUBLE) /
+        |    CAST(supp_a * supp_b AS DOUBLE) AS lift
+        |FROM pairs, n""".stripMargin,
+
     "q_latency_bands" ->
       // exact discrete quantiles per (event_type, hour-of-day):
       // cum·10000 ≥ p·n over distinct cents (Stats.discreteQuantiles)
@@ -1553,6 +1574,29 @@ object OracleSql {
          |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
          |    chr(10) ORDER BY pos), '')) AS kept_fp
          |FROM r GROUP BY doc_id""".stripMargin
+    },
+
+    // Bigram LM scoring: P(b|a) = (c2+1)/(c1+V) — exact-int counts,
+    // one division + ln per bigram, then the SAME position-ordered
+    // left fold as the Spark sorted-array aggregate (0.0+x ≡ x).
+    "q_lm_score" -> {
+      val norm = normOf("text")
+      s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws
+         |  FROM documents),
+         |big AS (SELECT doc_id, u.i AS pos, ws[u.i] AS a, ws[u.i+1] AS b
+         |  FROM w, unnest(generate_series(1, len(ws) - 1)) u(i)),
+         |c2 AS (SELECT a, b, count(*) AS c2 FROM big GROUP BY 1, 2),
+         |c1 AS (SELECT a, count(*) AS c1 FROM big GROUP BY 1),
+         |v AS (SELECT count(DISTINCT x) AS v FROM
+         |  (SELECT unnest(ws) AS x FROM w)),
+         |sc AS (SELECT big.doc_id, big.pos,
+         |    ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
+         |      AS lnp
+         |  FROM big JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(list_reduce(list(lnp ORDER BY pos), (p, q) -> p + q)
+         |    / CAST(count(*) AS DOUBLE), 6) AS avg_lnp
+         |FROM sc GROUP BY doc_id""".stripMargin
     },
 
     // Duplicated-span detection: span doc-frequency from the same

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, TextFunctions}
-import graft.operators.{Bloom, Corpus, Dedup, EditJoin, Graph, Intervals, Loads, Multimodal, Sampling, Sessions, Similarity, Skew, Stats, TimeSeries, Validate}
+import graft.operators.{Analytics, Bloom, Corpus, Dedup, EditJoin, Graph, Intervals, Loads, Multimodal, Sampling, Sessions, Similarity, Skew, Stats, TimeSeries, Validate}
 import graft.plans.LayoutFunctions
 
 /** Driver contract — the query catalog for the correctness gate.
@@ -1518,6 +1518,19 @@ object SparkEntry {
         table(s, dir, "customer"), "c_custkey", "events->customer"))
   }
 
+  /** C42: market-basket lift — brand co-occurrence across orders
+    * (lineitem ⋈ broadcast part → distinct (order, brand) baskets),
+    * a-priori pruned self-join, exact-integer supports, lift and
+    * confidence each one raw double division.
+    */
+  private def qBasketLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baskets = table(s, dir, "lineitem")
+      .join(broadcast(table(s, dir, "part")), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey".as("bk"), $"p_brand".as("it"))
+    Analytics.basketLift(baskets, "bk", "it", minSupport = 20)
+  }
+
   /** C41: latency-band dashboard — exact discrete p50/p90/p99 of
     * event value cents per (event_type, hour-of-day), pure integer
     * rank arithmetic (Stats.discreteQuantiles): the observability
@@ -1719,6 +1732,23 @@ object SparkEntry {
     Corpus.lineDedup(multi, "text", "doc_id")
       .select($"id".as("doc_id"), $"n_lines", $"n_kept",
         md5($"kept_text".cast("binary")).as("kept_fp"))
+  }
+
+  /** E41: corpus-self bigram LM scoring (perplexity-filter shape) —
+    * add-one-smoothed mean log-probability per doc; counts exact,
+    * one ln per bigram, position-ordered fold (oracle replays the
+    * identical op sequence via an ORDER BY list_reduce).
+    */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // round(6): JVM Math.log (intrinsic, fdlibm-lineage) and DuckDB's
+    // glibc ln differ by 1 ulp on ~0.1% of inputs, so a 50-term sum
+    // of lns is NOT bit-stable across engines the way single
+    // divisions are — unlike the raw-double ratio queries, this one
+    // must round (the q_ewma precedent)
+    Corpus.bigramLmScore(table(s, dir, "documents"), "text", "doc_id")
+      .select($"id".as("doc_id"), $"n_bigrams",
+        round($"avg_lnp", 6).as("avg_lnp"))
   }
 
   /** E37: duplicated-span detection over the dup-seeded corpus —
@@ -2142,6 +2172,7 @@ object SparkEntry {
     "q_chunk_docs" -> (qChunkDocs _),
     "q_line_dedup" -> (qLineDedup _),
     "q_span_dedup" -> (qSpanDedup _),
+    "q_lm_score" -> (qLmScore _),
     "q_tfidf" -> (qTfidf _),
     "q_zscore" -> (qZscore _),
     "q_bm25" -> (qBm25 _),
@@ -2170,6 +2201,7 @@ object SparkEntry {
     "q_vwap" -> (qVwap _),
     "q_ref_integrity" -> (qRefIntegrity _),
     "q_latency_bands" -> (qLatencyBands _),
+    "q_basket_lift" -> (qBasketLift _),
     "q_edit_join" -> (qEditJoin _),
     "q_golden_record" -> (qGoldenRecord _),
     "q_ohlc_resample" -> (qOhlcResample _),

@@ -99,4 +99,49 @@ object Analytics {
           / col("n_rows").cast("double")).as("max_over_mean"),
         col("q5000").as("p50_key_rows"), col("q9900").as("p99_key_rows"))
   }
+
+  /** C42: market-basket association rules — support / confidence /
+    * lift over item pairs co-occurring in a basket (order). The
+    * a-priori pruning step is built in: items below `minSupport`
+    * baskets are dropped BEFORE pairing, so the quadratic self-join
+    * runs only over frequent items (at 100 TB this is the difference
+    * between a bounded pair table and n² explosion on hot baskets —
+    * the same length-filter idea as the Jaccard join's prefix filter).
+    *
+    * All counts are exact integers; lift = (N·supp_ab)/(supp_a·supp_b)
+    * and confidence = supp_ab/supp_a are each ONE double division of
+    * exactly-representable integers — bit-identical on every engine,
+    * raw (unrounded) by the same rule as [[keySkewProfile]].
+    *
+    * @param baskets distinct (basket, item) pairs.
+    * @return (item_a, item_b, supp_a, supp_b, supp_ab, confidence,
+    *         lift) for pairs with supp_ab ≥ minSupport, item_a < item_b.
+    */
+  def basketLift(baskets: DataFrame, basketCol: String, itemCol: String,
+                 minSupport: Long): DataFrame = {
+    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = b.select(col("bk")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val supp = b.groupBy(col("it")).agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= minSupport) // a-priori: prune before pairing
+      .withColumnRenamed("it", "s_it")
+    val freq = b.join(broadcast(supp), col("it") === col("s_it"))
+      .select(col("bk"), col("it"), col("supp"))
+    val pairs = freq.as("a").join(freq.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+      .agg(count(lit(1)).as("supp_ab"),
+        first(col("a.supp")).as("supp_a"), first(col("b.supp")).as("supp_b"))
+      .filter(col("supp_ab") >= minSupport)
+    val out = pairs.crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"),
+        col("supp_a"), col("supp_b"), col("supp_ab"),
+        (col("supp_ab").cast("double") / col("supp_a").cast("double"))
+          .as("confidence"),
+        ((col("n_baskets") * col("supp_ab")).cast("double") /
+          (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
+    out
+  }
 }

@@ -156,6 +156,56 @@ object Corpus {
         (frac >= flagAt).as("flagged"))
   }
 
+  /** Statistical language-model scoring (the shape of CCNet/Gopher
+    * perplexity filtering, with the corpus itself as the model): a
+    * bigram LM with add-one smoothing scores every document by its
+    * mean log-probability — low scores mark gibberish, boilerplate,
+    * and wrong-language text.
+    *
+    * `P(b|a) = (c₂(a,b) + 1) / (c₁(a) + V)` — all counts exact
+    * integers from two keyed aggregates (bigram, then prefix), V is a
+    * 1-row broadcast. The only float ops: ONE division + ln per
+    * distinct bigram occurrence, then a POSITION-ORDERED left fold
+    * per doc (sorted-array aggregate — same total-order trick as the
+    * EWMA oracle), so the sum is bit-identical at any parallelism and
+    * the oracle replays it exactly.
+    *
+    * @return (id, n_bigrams, avg_lnp) — higher avg_lnp = more
+    *         corpus-typical text.
+    */
+  def bigramLmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val w = df.select(col(idCol).as("id"),
+        TextFunctions.words(col(textCol)).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sequence(1, n-1) DESCENDS when n-1 < 1 — guard short docs to an
+    // empty bigram list (DuckDB's generate_series is empty there)
+    val idxs = when(size(col("ws")) >= 2,
+      sequence(lit(1), size(col("ws")) - 1)).otherwise(array().cast("array<int>"))
+    val big = w.select(col("id"), explode(transform(idxs, i =>
+        struct(i.as("pos"), element_at(col("ws"), i).as("a"),
+          element_at(col("ws"), i + 1).as("b")))).as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.a").as("a"),
+        col("g.b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("a")).agg(count(lit(1)).as("c1"))
+    val v = w.select(explode(col("ws")).as("x"))
+      .agg(countDistinct(col("x")).as("v"))
+    val lnp = log((col("c2") + 1).cast("double") /
+      (col("c1") + col("v")).cast("double"))
+    big.join(c2, Seq("a", "b")).join(c1, Seq("a"))
+      .crossJoin(broadcast(v))
+      .select(col("id"), col("pos"), lnp.as("lnp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lnp")))),
+            x => x.getField("lnp")),
+          lit(0.0), (acc, x) => acc + x)
+          / count(lit(1)).cast("double")).as("avg_lnp"))
+  }
+
   def tfidf(df: DataFrame, textCol: String, idCol: String,
             tokens: Column => Column): DataFrame = {
     val dt = df.select(col(idCol).as("id"),

@@ -41,6 +41,28 @@ object StreamingEtl {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total"))
 
+  /** F12: gap-based session aggregation via the NATIVE
+    * `session_window` — the declarative counterpart of the
+    * flatMapGroupsWithState sessionizer below: Catalyst merges
+    * overlapping/adjacent per-event windows (gap timeout) inside its
+    * streaming session-aggregation operator, state is managed by the
+    * engine (watermark-evicted), and the same expression works in
+    * BATCH queries unchanged. Prefer this rung when per-session logic
+    * is pure aggregation; drop to flatMapGroupsWithState only for
+    * custom state machines (emit-mid-session, enrichment, timeouts
+    * beyond gap semantics).
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** F4: stateful gap-based sessionization with
     * flatMapGroupsWithState — per-user state, processing-time timeout;
     * emits a session when the gap exceeds `gapSeconds`.

@@ -96,6 +96,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  test("bigramLmScore: hand-checked smoothed log-probs; gibberish ranks lower") {
+    val df = Seq((1L, "a b a b"), (2L, "z q")).toDF("doc_id", "text")
+    val out = Corpus.bigramLmScore(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_lnp")))).toMap
+    // c2: (a,b)=2 (b,a)=1 (z,q)=1; c1: a=2 b=1 z=1; V=4
+    // doc1: [ln(3/6) + ln(2/5) + ln(3/6)] / 3 ; doc2: ln(2/5)
+    val d1 = (math.log(3.0 / 6) + math.log(2.0 / 5) + math.log(3.0 / 6)) / 3
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - d1) < 1e-12)
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - math.log(2.0 / 5)) < 1e-12)
+    // corpus-typical text outscores one-off gibberish
+    val corpus = (1L to 30L).map(i => (i, "the cat sat on the mat")) :+
+      (99L, "zxq wvu tsr qpo nml")
+    val scores = Corpus.bigramLmScore(corpus.toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("avg_lnp"))
+      .toMap
+    assert(scores(99L) < scores(1L) - 1.0, s"${scores(99L)} vs ${scores(1L)}")
+  }
+
   test("spanDedup: shared passage flags both carriers, unique doc clean") {
     val quote = "we hold these truths to be self evident"  // 8 words
     val df = Seq(

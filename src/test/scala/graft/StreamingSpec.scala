@@ -37,6 +37,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window merges gap-adjacent events, evicts on watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingEtl.sessionWindowAgg(input.toDF(), gap = "10 minutes",
+        watermark = "5 minutes")
+      .writeStream.format("memory").queryName("sess_win_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 10: events at t+1, t+2 (same session), then t+30 (new one)
+      input.addData(
+        Event(1, ts(1), 10, "click", 1.0),
+        Event(2, ts(2), 10, "click", 2.0),
+        Event(3, ts(30), 10, "view", 5.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(90), 10, "click", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_win_out").collect()
+        .map(r => (r.getAs[Timestamp]("session_start"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      // first session: 2 events within the 10-min gap, closes at t+12
+      assert(rows.contains((Timestamp.valueOf("2024-01-01 10:01:00"), 2L, 3.0)))
+      // second session: the lone t+30 event
+      assert(rows.contains((Timestamp.valueOf("2024-01-01 10:30:00"), 1L, 5.0)))
+      // batch semantics: the SAME expression runs on a static frame
+      val batch = StreamingEtl.sessionWindowAgg(
+        Seq(Event(1, ts(1), 10, "click", 1.0),
+          Event(2, ts(2), 10, "click", 2.0),
+          Event(3, ts(30), 10, "view", 5.0)).toDF(), gap = "10 minutes")
+      assert(batch.count() == 2) // same two sessions as the stream
+    } finally q.stop()
+  }
+
   test("streaming EWMA converges to the batch operator's answer") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -129,6 +129,32 @@ class WritersSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + "__bak").exists())
   }
 
+  test("versioned table: atomic publish, time travel, retention") {
+    import graft.sources.VersionedTable
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft_ver").toString + "/t"
+    assert(VersionedTable.versions(spark, dir).isEmpty)
+    val v1 = VersionedTable.write(Seq((1L, "a")).toDF("k", "s"), dir)
+    val v2 = VersionedTable.write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    val v3 = VersionedTable.write(Seq((9L, "z")).toDF("k", "s"), dir)
+    assert((v1, v2, v3) == ((1L, 2L, 3L)))
+    // latest = v3; time travel to v2 sees the old snapshot unchanged
+    assert(VersionedTable.read(spark, dir).count() == 1)
+    val pinned = VersionedTable.read(spark, dir, Some(2L))
+    assert(pinned.count() == 2)
+    // a NEW write does not disturb the pinned snapshot (isolation)
+    VersionedTable.write(Seq((7L, "q")).toDF("k", "s"), dir)
+    assert(pinned.count() == 2)
+    assert(VersionedTable.versions(spark, dir) == Seq(1L, 2L, 3L, 4L))
+    // retention drops the oldest versions only
+    assert(VersionedTable.prune(spark, dir, keep = 2) == Seq(1L, 2L))
+    assert(VersionedTable.versions(spark, dir) == Seq(3L, 4L))
+    // no partial state is ever visible: temp dirs are gone
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("__v_tmp")))
+  }
+
   test("data skipping: manifest prunes files, range read ≡ full filter") {
     import graft.sources.DataSkipping
     val dir = Files.createTempDirectory("graft_skip").toString + "/orders"
