@@ -406,6 +406,27 @@ object OracleSql {
          |  JOIN sizes sb ON sb.id = id_b)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin,
 
+    "q_setsim_join" ->
+      // brute-force ground truth: EVERY shared-token pair with the
+      // exact integer acceptance test den·|∩| ≥ num·|∪| (τ = 3/5).
+      // The Spark side computes the same relation through prefix
+      // filtering, so hash-equality here is an end-to-end check of
+      // the prefix-filter correctness theorem. jacc is one IEEE
+      // division of exact integers — raw-double safe.
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jacc
+         |FROM inter
+         |JOIN sizes sa ON sa.id = doc_a
+         |JOIN sizes sb ON sb.id = doc_b
+         |WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)""".stripMargin,
+
     "q_dedup_minhash" -> {
       val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(",\n    ")
       val bandRows = (0 until 3).map { b =>

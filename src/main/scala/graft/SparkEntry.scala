@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Cleaning, TextFunctions}
-import graft.operators.{Analytics, Bloom, Corpus, Dedup, EditJoin, Graph, Intervals, Loads, Multimodal, Sampling, Sessions, Similarity, Skew, Stats, TimeSeries, Validate}
+import graft.operators.{Analytics, Bloom, Corpus, Dedup, EditJoin, Graph, Intervals, Loads, Multimodal, Sampling, Sessions, SetSim, Similarity, Skew, Stats, TimeSeries, Validate}
 import graft.plans.LayoutFunctions
 
 /** Driver contract — the query catalog for the correctness gate.
@@ -1765,6 +1765,23 @@ object SparkEntry {
         $"dup_frac", $"flagged")
   }
 
+  /** E42: set-similarity self-join with prefix filtering
+    * (AllPairs/PPJoin) over the dup-seeded corpus, on 5-gram shingle
+    * sets at τ = 3/5 — the SAME relation q_dedup_ngram computes via
+    * the full shingle join, but candidate generation is bounded to
+    * rarest-first prefix shingles, so hot shingles never enter the
+    * self-join. Every prune and acceptance test is exact integer
+    * arithmetic. The oracle is the brute-force shared-shingle pair
+    * set — equality IS the prefix-filter correctness theorem, checked
+    * end-to-end (and SetSimSpec asserts parity with Dedup
+    * .ngramJaccardPairs: two implementations, one relation).
+    */
+  private def qSetsimJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SetSim.jaccardSelfJoin(dupCorpus(s, dir), "text", "doc_id", 3, 5,
+      c => TextFunctions.shingles(c, 5))
+  }
+
   /** E27: TF-IDF term scoring — (doc, term) tf agg, term df agg, and
     * the corpus size N re-joined as a 1-row broadcast (no
     * single-partition window). Float math is exactly `tf * ln(N/df)`
@@ -2205,7 +2222,8 @@ object SparkEntry {
     "q_edit_join" -> (qEditJoin _),
     "q_golden_record" -> (qGoldenRecord _),
     "q_ohlc_resample" -> (qOhlcResample _),
-    "q_quantize_int8" -> (qQuantizeInt8 _))
+    "q_quantize_int8" -> (qQuantizeInt8 _),
+    "q_setsim_join" -> (qSetsimJoin _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
