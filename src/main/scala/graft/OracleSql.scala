@@ -427,6 +427,30 @@ object OracleSql {
          |JOIN sizes sb ON sb.id = doc_b
          |WHERE 5 * inter >= 3 * (sa.n + sb.n - inter)""".stripMargin,
 
+    "q_vocab_encode" ->
+      // same (count desc, term asc) total order on both engines; the
+      // ORDER BY inside the LIMIT subquery fixes the top-64 cut, the
+      // row_number over the same keys fixes the ids. Spark posexplode
+      // is 0-based, DuckDB range 1-based — only the ordering matters.
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(${normOf("text")}, ' ') AS w
+         |  FROM documents),
+         |tp AS (
+         |  SELECT doc_id, unnest(w) AS tok,
+         |    unnest(range(1, len(w) + 1)) AS pos
+         |  FROM w),
+         |cnt AS (SELECT tok, count(*) AS c FROM tp GROUP BY tok),
+         |vocab AS (
+         |  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS tid
+         |  FROM (SELECT * FROM cnt ORDER BY c DESC, tok LIMIT 64)),
+         |enc AS (
+         |  SELECT t.doc_id, t.pos, coalesce(v.tid, 0) AS tid
+         |  FROM tp t LEFT JOIN vocab v ON v.tok = t.tok)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids
+         |FROM enc GROUP BY doc_id""".stripMargin,
+
     "q_dedup_minhash" -> {
       val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(",\n    ")
       val bandRows = (0 until 3).map { b =>

@@ -1782,6 +1782,18 @@ object SparkEntry {
       c => TextFunctions.shingles(c, 5))
   }
 
+  /** E43: vocabulary build + token-id encoding — top-64 terms by
+    * (count desc, term asc) become ids 1..64, docs re-emitted as
+    * position-ordered id sequences with OOV = 0. Vocabulary cut is a
+    * TakeOrderedAndProject (per-partition heaps), encode is a
+    * broadcast join; the corpus shuffles once.
+    */
+  private def qVocabEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.vocabEncode(table(s, dir, "documents"), "text", "doc_id", 64)
+      .select($"id".as("doc_id"), $"n_tokens", $"n_oov", $"ids")
+  }
+
   /** E27: TF-IDF term scoring — (doc, term) tf agg, term df agg, and
     * the corpus size N re-joined as a 1-row broadcast (no
     * single-partition window). Float math is exactly `tf * ln(N/df)`
@@ -2223,7 +2235,8 @@ object SparkEntry {
     "q_golden_record" -> (qGoldenRecord _),
     "q_ohlc_resample" -> (qOhlcResample _),
     "q_quantize_int8" -> (qQuantizeInt8 _),
-    "q_setsim_join" -> (qSetsimJoin _))
+    "q_setsim_join" -> (qSetsimJoin _),
+    "q_vocab_encode" -> (qVocabEncode _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -206,6 +206,50 @@ object Corpus {
           / count(lit(1)).cast("double")).as("avg_lnp"))
   }
 
+  /** E43: vocabulary build + token-id encoding — the string-indexer
+    * step every tokenizer-training / feature pipeline runs before
+    * model input. Vocabulary = top-`vocabSize` terms by (count desc,
+    * term asc); ids are 1-based frequency ranks, 0 = OOV.
+    *
+    * Scale shape: term counts are one keyed agg; the top-V cut is
+    * `orderBy.limit` — Spark plans TakeOrderedAndProject (per-partition
+    * bounded heaps merged on the driver), NOT a global sort — and the
+    * rank window then runs on the V-row result (bounded by vocabSize,
+    * not by data). Encoding joins the vocabulary BROADCAST against the
+    * exploded corpus, so the corpus shuffles exactly once (the per-doc
+    * reassembly groupBy). Ids ride a position-sorted array aggregate —
+    * same deterministic reassembly as bigramLmScore.
+    *
+    * Output: id, n_tokens, n_oov, ids (comma-joined id string — the
+    * gate comparator is string-based; callers wanting the array split
+    * it or call with `asArray = true`).
+    */
+  def vocabEncode(df: DataFrame, textCol: String, idCol: String,
+                  vocabSize: Int,
+                  tokens: Column => Column = graft.functions.TextFunctions.words,
+                  asArray: Boolean = false): DataFrame = {
+    val tokpos = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    val counts = tokpos.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    // TakeOrderedAndProject cut, then rank the V surviving rows; the
+    // single-partition window is bounded by vocabSize by construction
+    val topV = counts.orderBy(col("c").desc, col("token").asc).limit(vocabSize)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("token").asc)
+    val vocab = topV.select(col("token"),
+      row_number().over(rankW).cast("long").as("tid"))
+    val ids = transform(
+      array_sort(collect_list(struct(col("pos"), col("tid")))),
+      x => x.getField("tid"))
+    tokpos
+      .join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("tid"), lit(0L)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        (if (asArray) ids else array_join(ids, ",")).as("ids"))
+  }
+
   def tfidf(df: DataFrame, textCol: String, idCol: String,
             tokens: Column => Column): DataFrame = {
     val dt = df.select(col(idCol).as("id"),

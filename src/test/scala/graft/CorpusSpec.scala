@@ -139,4 +139,25 @@ class CorpusSpec extends AnyFunSuite {
     val d3 = out(3L)
     assert(d3._2 == 0L && d3._3 == 0.0 && !d3._4)
   }
+
+  test("vocabEncode: frequency-rank ids, OOV=0, position order preserved") {
+    val df = Seq(
+      (1L, "bb aa bb cc bb aa"),   // bb×3, aa×2, cc×1
+      (2L, "aa zz bb"),            // zz pushed out of a size-2 vocab
+      (3L, "cc cc")
+    ).toDF("doc_id", "text")
+    // counts: bb=4, aa=3, cc=3, zz=1 → vocab(2): bb→1, aa→2 (tie cc
+    // vs aa at 3 broken lexically: aa first)
+    val out = Corpus.vocabEncode(df, "text", "doc_id", 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[String]("ids")))).toMap
+    assert(out(1L) == ((6L, 1L, "1,2,1,0,1,2")))
+    assert(out(2L) == ((3L, 1L, "2,0,1")))
+    assert(out(3L) == ((2L, 2L, "0,0")))
+    // array form round-trips the same sequence
+    val arr = Corpus.vocabEncode(df, "text", "doc_id", 2, asArray = true)
+      .filter(col("id") === 1L).head.getAs[scala.collection.Seq[Long]]("ids")
+    assert(arr.toSeq == Seq(1L, 2L, 1L, 0L, 1L, 2L))
+  }
 }
