@@ -1449,6 +1449,36 @@ object OracleSql {
         |  round(h.t, 6) AS trend, round(h.l + h.t, 6) AS forecast
         |FROM h JOIN fin ON h.k = fin.k AND h.rn = fin.n""".stripMargin,
 
+    "q_cusum" ->
+      // same de-recursed CUSUM algebra as TimeSeries.cusumPerKey:
+      // s_t = C_t − min(0, prefix-min C) over (us, event_id) order —
+      // exact integer cents end to end. The (us, event_id) ordering
+      // key is unique, so DuckDB's default RANGE frame ≡ Spark's
+      // explicit ROWS frame.
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |cum AS (
+        |  SELECT user_id, us, event_id,
+        |    sum(c - 5500) OVER (PARTITION BY user_id ORDER BY us, event_id) AS cu,
+        |    sum(4500 - c) OVER (PARTITION BY user_id ORDER BY us, event_id) AS cd
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rd,
+        |    cu - least(0, min(cu) OVER (PARTITION BY user_id ORDER BY us, event_id)) AS s_up,
+        |    cd - least(0, min(cd) OVER (PARTITION BY user_id ORDER BY us, event_id)) AS s_dn
+        |  FROM cum)
+        |SELECT user_id, count(*) AS n,
+        |  max(CASE WHEN rd = 1 THEN s_up END) AS final_up,
+        |  max(s_up) AS max_up,
+        |  CAST(sum(CASE WHEN s_up > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms_up,
+        |  max(CASE WHEN rd = 1 THEN s_dn END) AS final_dn,
+        |  max(s_dn) AS max_dn,
+        |  CAST(sum(CASE WHEN s_dn > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms_dn
+        |FROM s GROUP BY user_id""".stripMargin,
+
     "q_bloom_prune" ->
       // the bloom layer is pruning-only; semantics are a plain anti
       // join — mirrored as NOT EXISTS (null-safe, same as left_anti),

@@ -1133,6 +1133,21 @@ object SparkEntry {
         round($"trend", 6).as("trend"), round($"forecast", 6).as("forecast"))
   }
 
+  /** F13: one-sided CUSUM change detection per user — the clamped
+    * recurrence de-recursed into two window aggregates (running sum −
+    * clamped prefix min), all exact integer cents: no mapPartitions,
+    * no rounding rule, bit-stable at any parallelism. Target $50.00
+    * ± $5.00 allowance, alarm at $500 cumulative drift.
+    */
+  private def qCusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events").select($"user_id",
+      unix_micros($"ts").as("us"), $"event_id",
+      floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    TimeSeries.cusumPerKey(ev, "user_id", "us", "event_id", "cents",
+      targetCents = 5000L, allowanceCents = 500L, hCents = 50000L)
+  }
+
   /** H: bloom-pruned anti join — customers that never ordered. The
     * plain anti join shuffles every customer row; the bloom path
     * filters map-side against a broadcast sketch of the order keys and
@@ -2236,7 +2251,8 @@ object SparkEntry {
     "q_ohlc_resample" -> (qOhlcResample _),
     "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_setsim_join" -> (qSetsimJoin _),
-    "q_vocab_encode" -> (qVocabEncode _))
+    "q_vocab_encode" -> (qVocabEncode _),
+    "q_cusum" -> (qCusum _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

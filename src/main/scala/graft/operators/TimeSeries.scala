@@ -179,4 +179,50 @@ object TimeSeries {
         count(lit(1)).as("n"),
         sum(col(valueCol)).as("volume"))
   }
+
+  /** F13: one-sided CUSUM change-point detection (Page 1954) per key.
+    *
+    * The textbook form is a clamped recurrence — s_t = max(0,
+    * s_{t−1} + (x_t − k)) — which looks like it needs the
+    * mapPartitions rung EWMA/Holt use. It doesn't: with C_t the
+    * running sum of the drifts (x−k),
+    *
+    *   s_t = C_t − min(0, min_{j ≤ t} C_j)
+    *
+    * (the clamp resets exactly at the prefix minimum), so CUSUM
+    * DE-RECURSES into two unbounded-preceding window aggregates over
+    * the same (key, order) spec — one keyed shuffle + one sort,
+    * Catalyst keeps the whole plan declarative, and unlike the
+    * mapPartitions rung the recurrence state never leaves Tungsten.
+    * Everything is exact integer arithmetic on cents: bit-stable at
+    * any parallelism and engine-portable with no rounding rule.
+    *
+    * Upper side flags upward level shifts (x persistently above
+    * target + allowance); the symmetric lower side flags drops.
+    * Output per key: n, final/max statistic both sides, alarm counts
+    * (rows where the statistic exceeds `h`).
+    */
+  def cusumPerKey(df: DataFrame, keyCol: String, orderCol: String,
+                  tieCol: String, centsCol: String,
+                  targetCents: Long, allowanceCents: Long,
+                  hCents: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val up = sum(col(centsCol) - lit(targetCents + allowanceCents)).over(w)
+    val dn = sum(lit(targetCents - allowanceCents) - col(centsCol)).over(w)
+    val rows = df
+      .withColumn("__cu", up).withColumn("__cd", dn)
+      .withColumn("s_up", col("__cu") - least(lit(0L), min(col("__cu")).over(w)))
+      .withColumn("s_dn", col("__cd") - least(lit(0L), min(col("__cd")).over(w)))
+    rows.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        max_by(col("s_up"), struct(col(orderCol), col(tieCol))).as("final_up"),
+        max(col("s_up")).as("max_up"),
+        sum(when(col("s_up") > hCents, 1L).otherwise(0L)).as("n_alarms_up"),
+        max_by(col("s_dn"), struct(col(orderCol), col(tieCol))).as("final_dn"),
+        max(col("s_dn")).as("max_dn"),
+        sum(when(col("s_dn") > hCents, 1L).otherwise(0L)).as("n_alarms_dn"))
+  }
 }

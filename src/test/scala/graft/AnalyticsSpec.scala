@@ -96,4 +96,36 @@ class AnalyticsSpec extends AnyFunSuite {
     // constant group: IQR 0 → null, never a division blow-up
     assert(got(("b", 7L)) == null)
   }
+
+  test("cusum: window algebra ≡ the clamped sequential recurrence") {
+    val rnd = new scala.util.Random(11)
+    val rows = for (k <- 1L to 5L; t <- 1L to 40L)
+      yield (k, t, t, 4000L + rnd.nextInt(4000).toLong) // cents
+    val df = rows.toDF("user_id", "us", "event_id", "cents")
+    val got = graft.operators.TimeSeries
+      .cusumPerKey(df, "user_id", "us", "event_id", "cents",
+        targetCents = 5000L, allowanceCents = 500L, hCents = 10000L)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("final_up"), r.getAs[Long]("max_up"),
+          r.getAs[Long]("n_alarms_up"), r.getAs[Long]("final_dn"),
+          r.getAs[Long]("max_dn"), r.getAs[Long]("n_alarms_dn")))).toMap
+    // reference: the textbook fold s = max(0, s + d), per key in order
+    val exp = rows.groupBy(_._1).map { case (k, rs) =>
+      var su = 0L; var sd = 0L; var mu = 0L; var md = 0L; var au = 0L; var ad = 0L
+      rs.sortBy(r => (r._2, r._3)).foreach { r =>
+        su = math.max(0L, su + (r._4 - 5500L)); mu = math.max(mu, su)
+        if (su > 10000L) au += 1
+        sd = math.max(0L, sd + (4500L - r._4)); md = math.max(md, sd)
+        if (sd > 10000L) ad += 1
+      }
+      k -> ((su, mu, au, sd, md, ad))
+    }
+    assert(got == exp)
+    // the shift is actually detectable: drifting series alarms
+    val drift = (1L to 30L).map(t => (9L, t, t, 6000L))
+      .toDF("user_id", "us", "event_id", "cents")
+    val d = graft.operators.TimeSeries.cusumPerKey(drift, "user_id", "us",
+      "event_id", "cents", 5000L, 500L, 10000L).head
+    assert(d.getAs[Long]("n_alarms_up") > 0 && d.getAs[Long]("n_alarms_dn") == 0)
+  }
 }
