@@ -1479,6 +1479,69 @@ object OracleSql {
         |  CAST(sum(CASE WHEN s_dn > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms_dn
         |FROM s GROUP BY user_id""".stripMargin,
 
+    "q_assortativity" ->
+      // same moment algebra as Graph.degreeAssortativity: exact
+      // HUGEINT sums (≡ Spark decimal(38,0) — both cast the exact
+      // integer to the nearest double), r = A/(√B·√C) in the same
+      // five-op order; degenerate variance → NULL
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT p, count(*) AS deg
+        |  FROM (SELECT pa AS p FROM e0 UNION ALL SELECT pb FROM e0) t
+        |  GROUP BY p),
+        |pr AS (
+        |  SELECT da.deg AS x, db.deg AS y
+        |  FROM e0 JOIN deg da ON da.p = e0.pa JOIN deg db ON db.p = e0.pb
+        |  UNION ALL
+        |  SELECT db.deg AS x, da.deg AS y
+        |  FROM e0 JOIN deg da ON da.p = e0.pa JOIN deg db ON db.p = e0.pb),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |  FROM pr)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e0) AS n_edges,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |  END AS assortativity
+        |FROM m""".stripMargin,
+
+    "q_l_diversity" ->
+      // exact cents → double → floor: identical banding on both
+      // engines incl. negative balances (floor ≠ int div there)
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+        |  count(DISTINCT CAST(floor(CAST(CAST(c_acctbal * 100 AS BIGINT)
+        |    AS DOUBLE) / 200000.0) AS BIGINT)) AS l_distinct,
+        |  count(DISTINCT CAST(floor(CAST(CAST(c_acctbal * 100 AS BIGINT)
+        |    AS DOUBLE) / 200000.0) AS BIGINT)) >= 3 AS diverse
+        |FROM customer
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_benford" ->
+      // leading digit of exact integer cents (invariant under ×100);
+      // share is one exact-int division (raw-double safe); the
+      // Benford expectation is transcendental → 6dp (lm_score rule)
+      """WITH c AS (
+        |  SELECT CAST(o_totalprice * 100 AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice > 0),
+        |n AS (SELECT count(*) AS n_total FROM c),
+        |d AS (
+        |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS n
+        |  FROM c GROUP BY 1)
+        |SELECT digit, d.n,
+        |  CAST(d.n AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+        |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS expected
+        |FROM d, n""".stripMargin,
+
     "q_bloom_prune" ->
       // the bloom layer is pruning-only; semantics are a plain anti
       // join — mirrored as NOT EXISTS (null-safe, same as left_anti),

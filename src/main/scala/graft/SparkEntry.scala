@@ -1462,6 +1462,65 @@ object SparkEntry {
     deg.groupBy($"degree").agg(count(lit(1)).as("n_parts"))
   }
 
+  /** E44: degree assortativity of the co-purchase graph — Pearson r
+    * of endpoint degrees over the symmetrized edge list; exact
+    * decimal moments, the only float math is the final five-op
+    * r = A/(√B·√C) on exact integers (raw-double safe).
+    */
+  private def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+    val a = li.toDF("ok", "pa")
+    val b = li.toDF("ok", "pb")
+    val pairs = a.join(b, Seq("ok")).filter($"pa" < $"pb")
+      .select($"pa", $"pb")
+    Graph.degreeAssortativity(pairs, "pa", "pb")
+  }
+
+  /** A10: l-diversity audit — k-anonymity's blind spot: a group can
+    * be large (k-anonymous) yet expose everyone because all members
+    * share one sensitive value. Per quasi-identifier group report
+    * size, distinct sensitive values, and the diversity verdict —
+    * group-cardinality output at any table size.
+    */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // band via exact cents → double → floor (cents < 2^52 so the
+    // double is exact; floor rounds toward −inf identically on both
+    // engines, unlike integer `div` which truncates toward zero on
+    // negative balances)
+    table(s, dir, "customer")
+      .select($"c_nationkey", $"c_mktsegment",
+        floor(($"c_acctbal" * 100).cast("long").cast("double") / 200000.0)
+          .cast("long").as("bal_band"))
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct($"bal_band").as("l_distinct"))
+      .withColumn("diverse", $"l_distinct" >= 3)
+  }
+
+  /** A11: Benford first-digit audit (fraud/quality signal on
+    * financial columns) — leading digit of the exact integer cents
+    * (invariant under the ×100 scaling), counts per digit, observed
+    * share (one exact-int division, raw-double safe) vs the Benford
+    * expectation log10(1+1/d) (transcendental → rounded 6dp, the
+    * q_lm_score parity rule).
+    */
+  private def qBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = table(s, dir, "orders")
+      .select(($"o_totalprice" * 100).cast("long").as("c"))
+      .filter($"c" > 0)
+    val n = cents.agg(count(lit(1)).as("n_total"))
+    cents.select(substring($"c".cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(n))
+      .select($"digit", $"n",
+        ($"n".cast("double") / $"n_total".cast("double")).as("share"),
+        round(log(lit(1.0) + lit(1.0) / $"digit".cast("double")) /
+          log(lit(10.0)), 6).as("expected"))
+  }
+
   /** E35: triangle census of the near-dup graph (Graph.triangleStats) —
     * canonical-orientation wedge join (two keyed equi-joins, no
     * cartesian); clustering coefficient is one double division of
@@ -2252,7 +2311,10 @@ object SparkEntry {
     "q_quantize_int8" -> (qQuantizeInt8 _),
     "q_setsim_join" -> (qSetsimJoin _),
     "q_vocab_encode" -> (qVocabEncode _),
-    "q_cusum" -> (qCusum _))
+    "q_cusum" -> (qCusum _),
+    "q_assortativity" -> (qAssortativity _),
+    "q_l_diversity" -> (qLDiversity _),
+    "q_benford" -> (qBenford _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -395,4 +395,63 @@ object Graph {
     spark.createDataset(ids.toSeq.map(id => (id, rank(idx(id)))))
       .toDF("id", "rank")
   }
+
+  /** Degree assortativity (Newman 2002): Pearson correlation of the
+    * endpoint degrees over the symmetrized edge list — do similar-
+    * degree nodes attach to each other (r>0, social graphs) or do
+    * hubs attach to leaves (r<0, dedup/co-occurrence graphs)? One
+    * number that distinguishes "clusters of similar docs" from
+    * "one template with thousands of variants" in a near-dup graph.
+    *
+    * Scale shape: degrees are one keyed agg over the exploded edge
+    * list; endpoint degrees come back via two keyed joins; the
+    * correlation reduces to ONE row of exact decimal moments (the
+    * corr_stats discipline). The only float math is the final
+    * r = A / (√B·√C) — five IEEE ops in fixed order on exact
+    * integers, bit-stable at any parallelism, no rounding rule.
+    * Degenerate regular graphs (zero degree variance) yield null.
+    *
+    * @return one row: (n_nodes, n_edges, assortativity)
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("p").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("p").as("b"), col("deg").as("db")), "b")
+    // both orientations from one explode (the copurchase-degree trick:
+    // a union of swaps would re-run the joins per branch)
+    val pairs = withDeg.select(explode(array(
+        struct(col("da").as("x"), col("db").as("y")),
+        struct(col("db").as("x"), col("da").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+    val dec = "decimal(38,0)"
+    val m = pairs.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = und.agg(count(lit(1)).as("n_edges"))
+    val out = nn.crossJoin(ne).crossJoin(m)
+      .select(col("n_nodes"), col("n_edges"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+             col("n") * col("syy") - col("sy") * col("sy") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("assortativity"))
+      .localCheckpoint(true)
+    und.unpersist()
+    out
+  }
 }

@@ -267,4 +267,25 @@ class GraphSamplingSpec extends AnyFunSuite {
     // every take fits availability
     plan.values.foreach { case (avail, _, take) => assert(take <= avail) }
   }
+
+  test("assortativity: star = −1, regular graph = null, hand-check mixed") {
+    import graft.operators.Graph
+    // star K1,4: hubs attach leaves → perfectly disassortative
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("s", "d")
+    val rs = Graph.degreeAssortativity(star, "s", "d").head
+    assert(rs.getAs[Long]("n_nodes") == 5 && rs.getAs[Long]("n_edges") == 4)
+    assert(rs.getAs[Double]("assortativity") == -1.0)
+    // triangle: every degree 2 → zero variance → null, no div blow-up
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    assert(Graph.degreeAssortativity(k3, "s", "d").head
+      .isNullAt(2))
+    // path a-b-c-d: degrees 1,2,2,1; pairs sym {(1,2)×2,(2,1)×2,(2,2)×2}
+    // n=6 Sx=Sy=10 Sxy=16 Sxx=Syy=18 → r=(96−100)/(√8·√8) ≈ −0.5 —
+    // expected replayed with the operator's exact IEEE op order
+    // (√8·√8 = 8.000000000000002, not 8)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    assert(Graph.degreeAssortativity(path, "s", "d").head
+      .getAs[Double]("assortativity") ==
+        -4.0 / (math.sqrt(8.0) * math.sqrt(8.0)))
+  }
 }
