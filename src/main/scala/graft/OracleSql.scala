@@ -1479,6 +1479,59 @@ object OracleSql {
         |  CAST(sum(CASE WHEN s_dn > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms_dn
         |FROM s GROUP BY user_id""".stripMargin,
 
+    "q_ab_test" ->
+      // mirrors Analytics.abTest op-for-op: exact HUGEINT moments
+      // (≡ Spark decimal(38,0)), then the identical IEEE expression
+      // trees for mean/var/Wilson/Welch — incl. 3.8416 written as a
+      // decimal literal cast to double on both engines
+      """WITH o AS (
+        |  SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '8'
+        |           THEN 'A' ELSE 'B' END AS variant,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+        |    (o_orderstatus = 'F') AS conv
+        |  FROM orders),
+        |m AS (
+        |  SELECT variant, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(c) AS HUGEINT) AS sx,
+        |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sxx,
+        |    CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS HUGEINT) AS cv
+        |  FROM o GROUP BY 1),
+        |st AS (
+        |  SELECT variant, CAST(n AS BIGINT) AS n,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS metric_mean,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) /
+        |      CAST(n * (n - 1) AS DOUBLE) AS metric_var,
+        |    CAST(cv AS DOUBLE) / CAST(n AS DOUBLE) AS conv_rate,
+        |    CAST(cv AS BIGINT) AS n_conv
+        |  FROM m),
+        |w AS (
+        |  SELECT *,
+        |    (conv_rate + CAST(CAST(3.8416 AS DECIMAL(5,4)) AS DOUBLE)
+        |       / (2.0 * CAST(n AS DOUBLE))
+        |     - sqrt(conv_rate * (1.0 - conv_rate) / CAST(n AS DOUBLE)
+        |         + CAST(CAST(3.8416 AS DECIMAL(5,4)) AS DOUBLE)
+        |           / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1.96)
+        |    / (1.0 + CAST(CAST(3.8416 AS DECIMAL(5,4)) AS DOUBLE)
+        |         / CAST(n AS DOUBLE)) AS wilson_lo,
+        |    (conv_rate + CAST(CAST(3.8416 AS DECIMAL(5,4)) AS DOUBLE)
+        |       / (2.0 * CAST(n AS DOUBLE))
+        |     + sqrt(conv_rate * (1.0 - conv_rate) / CAST(n AS DOUBLE)
+        |         + CAST(CAST(3.8416 AS DECIMAL(5,4)) AS DOUBLE)
+        |           / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1.96)
+        |    / (1.0 + CAST(CAST(3.8416 AS DECIMAL(5,4)) AS DOUBLE)
+        |         / CAST(n AS DOUBLE)) AS wilson_hi
+        |  FROM st),
+        |b AS (SELECT n AS bn, metric_mean AS bmean, metric_var AS bvar,
+        |        variant AS bvariant
+        |      FROM w ORDER BY variant LIMIT 1)
+        |SELECT w.variant, w.n, metric_mean, metric_var, conv_rate, n_conv,
+        |  wilson_lo, wilson_hi,
+        |  CASE WHEN w.variant = bvariant THEN NULL
+        |       ELSE (metric_mean - bmean) /
+        |         sqrt(metric_var / CAST(w.n AS DOUBLE)
+        |            + bvar / CAST(bn AS DOUBLE)) END AS z_vs_first
+        |FROM w, b""".stripMargin,
+
     "q_assortativity" ->
       // same moment algebra as Graph.degreeAssortativity: exact
       // HUGEINT sums (≡ Spark decimal(38,0) — both cast the exact
@@ -1518,10 +1571,10 @@ object OracleSql {
       // exact cents → double → floor: identical banding on both
       // engines incl. negative balances (floor ≠ int div there)
       """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
-        |  count(DISTINCT CAST(floor(CAST(CAST(c_acctbal * 100 AS BIGINT)
-        |    AS DOUBLE) / 200000.0) AS BIGINT)) AS l_distinct,
-        |  count(DISTINCT CAST(floor(CAST(CAST(c_acctbal * 100 AS BIGINT)
-        |    AS DOUBLE) / 200000.0) AS BIGINT)) >= 3 AS diverse
+        |  count(DISTINCT CAST(floor(floor(c_acctbal * 100 + 0.5) / 200000.0)
+        |    AS BIGINT)) AS l_distinct,
+        |  count(DISTINCT CAST(floor(floor(c_acctbal * 100 + 0.5) / 200000.0)
+        |    AS BIGINT)) >= 3 AS diverse
         |FROM customer
         |GROUP BY 1, 2""".stripMargin,
 
@@ -1529,9 +1582,10 @@ object OracleSql {
       // leading digit of exact integer cents (invariant under ×100);
       // share is one exact-int division (raw-double safe); the
       // Benford expectation is transcendental → 6dp (lm_score rule)
-      """WITH c AS (
-        |  SELECT CAST(o_totalprice * 100 AS BIGINT) AS c
-        |  FROM orders WHERE o_totalprice > 0),
+      """WITH c0 AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |c AS (SELECT c FROM c0 WHERE c > 0),
         |n AS (SELECT count(*) AS n_total FROM c),
         |d AS (
         |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,

@@ -1462,6 +1462,21 @@ object SparkEntry {
     deg.groupBy($"degree").agg(count(lit(1)).as("n_parts"))
   }
 
+  /** C43: A/B experiment read-out — deterministic md5 arm assignment
+    * (the split_assign gate trick), ONE map-combinable exact-moment
+    * aggregate per arm, Welch z on the metric, Wilson interval on
+    * conversion. All float math fixed-order ops on exact integers.
+    */
+  private def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders").select(
+      when(substring(md5($"o_orderkey".cast("string")), 1, 1) < "8", "A")
+        .otherwise("B").as("variant"),
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+      ($"o_orderstatus" === "F").as("converted"))
+    Analytics.abTest(o, "variant", "cents", "converted")
+  }
+
   /** E44: degree assortativity of the co-purchase graph — Pearson r
     * of endpoint degrees over the symmetrized edge list; exact
     * decimal moments, the only float math is the final five-op
@@ -1491,7 +1506,7 @@ object SparkEntry {
     // negative balances)
     table(s, dir, "customer")
       .select($"c_nationkey", $"c_mktsegment",
-        floor(($"c_acctbal" * 100).cast("long").cast("double") / 200000.0)
+        floor(floor($"c_acctbal" * 100 + 0.5) / 200000.0)
           .cast("long").as("bal_band"))
       .groupBy($"c_nationkey", $"c_mktsegment")
       .agg(count(lit(1)).as("group_size"),
@@ -1508,8 +1523,10 @@ object SparkEntry {
     */
   private def qBenford(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // floor(x·100 + 0.5): DOUBLE→cents identically on both engines
+    // (bare cast truncates on Spark but rounds on DuckDB)
     val cents = table(s, dir, "orders")
-      .select(($"o_totalprice" * 100).cast("long").as("c"))
+      .select(floor($"o_totalprice" * 100 + 0.5).cast("long").as("c"))
       .filter($"c" > 0)
     val n = cents.agg(count(lit(1)).as("n_total"))
     cents.select(substring($"c".cast("string"), 1, 1).cast("int").as("digit"))
@@ -2313,6 +2330,7 @@ object SparkEntry {
     "q_vocab_encode" -> (qVocabEncode _),
     "q_cusum" -> (qCusum _),
     "q_assortativity" -> (qAssortativity _),
+    "q_ab_test" -> (qAbTest _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 

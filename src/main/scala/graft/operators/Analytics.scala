@@ -144,4 +144,71 @@ object Analytics {
           (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
     out
   }
+
+  /** A/B experiment read-out: per variant the metric moments, the
+    * two-sample Welch z statistic on the metric, and a Wilson score
+    * interval (z=1.96) on the conversion rate. The experiment-
+    * analysis shape every event pipeline ends in.
+    *
+    * Scale shape: ONE aggregate over the fact table (map-combinable
+    * exact integer/decimal moments per variant) collapses everything
+    * to variant-cardinality rows; all comparisons happen on that
+    * 2-row frame. No window, no self-join, no second scan.
+    *
+    * Float discipline (corr_stats rule): moments are exact decimal
+    * sums of integer cents; mean/variance/z are fixed-order IEEE ops
+    * on those exact integers — deterministic at any parallelism. The
+    * z statistic uses Welch's unpooled variance; the Wilson bounds
+    * use the standard z²=3.8416 constant written as an exact decimal
+    * literal so both engines fold it identically.
+    *
+    * @param df         fact rows
+    * @param variantCol A/B arm label
+    * @param centsCol   integral metric (e.g. cents)
+    * @param convCol    boolean conversion indicator
+    * @return one row per variant: n, mean, var (sample), conv_rate,
+    *         wilson_lo, wilson_hi, plus z_vs_first: the Welch z of
+    *         this variant against the lexicographically first variant
+    *         (null for the baseline itself).
+    */
+  def abTest(df: DataFrame, variantCol: String, centsCol: String,
+             convCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = df.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col(centsCol).cast(dec)).as("sx"),
+        sum(col(centsCol).cast(dec) * col(centsCol).cast(dec)).as("sxx"),
+        sum(when(col(convCol), 1L).otherwise(0L)).cast(dec).as("conv"))
+    // sample variance from exact moments: (n·Sxx − Sx²) / (n·(n−1))
+    val withStats = m.select(col("variant"),
+      col("n").cast("long").as("n"),
+      (col("sx").cast("double") / col("n").cast("double")).as("metric_mean"),
+      ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        (col("n") * (col("n") - 1)).cast("double")).as("metric_var"),
+      (col("conv").cast("double") / col("n").cast("double")).as("conv_rate"),
+      col("conv").cast("long").as("n_conv"))
+    // Wilson score interval: (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+    val zz = lit(BigDecimal("3.8416")) // 1.96²; exact decimal literal
+    val nD = col("n").cast("double")
+    val p = col("conv_rate")
+    val zzD = zz.cast("double")
+    val center = p + zzD / (lit(2.0) * nD)
+    val half = sqrt(p * (lit(1.0) - p) / nD +
+      zzD / (lit(4.0) * nD * nD)) * lit(1.96)
+    val denom = lit(1.0) + zzD / nD
+    val wilson = withStats
+      .withColumn("wilson_lo", (center - half) / denom)
+      .withColumn("wilson_hi", (center + half) / denom)
+    // baseline = lexicographically first variant, broadcast back
+    val base = wilson.orderBy(col("variant")).limit(1)
+      .select(col("n").as("bn"), col("metric_mean").as("bmean"),
+        col("metric_var").as("bvar"), col("variant").as("bvariant"))
+    wilson.crossJoin(broadcast(base))
+      .withColumn("z_vs_first",
+        when(col("variant") === col("bvariant"), lit(null).cast("double"))
+          .otherwise((col("metric_mean") - col("bmean")) /
+            sqrt(col("metric_var") / col("n").cast("double") +
+              col("bvar") / col("bn").cast("double"))))
+      .drop("bn", "bmean", "bvar", "bvariant")
+  }
 }

@@ -97,6 +97,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(("b", 7L)) == null)
   }
 
+  test("abTest: moments, Welch z and Wilson bounds match hand math") {
+    val df = Seq(
+      ("A", 100L, true), ("A", 200L, false), ("A", 300L, false),
+      ("B", 400L, true), ("B", 500L, true), ("B", 600L, false), ("B", 700L, true))
+      .toDF("variant", "cents", "converted")
+    val got = Analytics.abTest(df, "variant", "cents", "converted")
+      .collect().map(r => r.getAs[String]("variant") -> r).toMap
+    val a = got("A"); val b = got("B")
+    assert(a.getAs[Long]("n") == 3 && b.getAs[Long]("n") == 4)
+    assert(a.getAs[Double]("metric_mean") == 200.0)
+    assert(b.getAs[Double]("metric_mean") == 550.0)
+    // exact-moment sample variances: (n·Sxx − Sx²)/(n(n−1))
+    assert(a.getAs[Double]("metric_var") == 10000.0)
+    assert(b.getAs[Double]("metric_var") == 200000.0 / 12)
+    assert(a.isNullAt(a.fieldIndex("z_vs_first"))) // baseline itself
+    val zExp = (550.0 - 200.0) /
+      math.sqrt((200000.0 / 12) / 4.0 + 10000.0 / 3.0)
+    assert(b.getAs[Double]("z_vs_first") == zExp)
+    // Wilson replayed with the operator's op order (p=3/4, n=4)
+    val zz = 3.8416; val p = 3.0 / 4.0; val n = 4.0
+    val center = p + zz / (2.0 * n)
+    val half = math.sqrt(p * (1.0 - p) / n + zz / (4.0 * n * n)) * 1.96
+    val den = 1.0 + zz / n
+    assert(b.getAs[Double]("wilson_lo") == (center - half) / den)
+    assert(b.getAs[Double]("wilson_hi") == (center + half) / den)
+    // interval actually brackets the point estimate
+    assert(b.getAs[Double]("wilson_lo") < p && p < b.getAs[Double]("wilson_hi"))
+  }
+
   test("cusum: window algebra ≡ the clamped sequential recurrence") {
     val rnd = new scala.util.Random(11)
     val rows = for (k <- 1L to 5L; t <- 1L to 40L)
