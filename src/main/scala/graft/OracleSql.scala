@@ -451,6 +451,48 @@ object OracleSql {
          |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids
          |FROM enc GROUP BY doc_id""".stripMargin,
 
+    "q_minhash_incremental" -> {
+      // store = band rows of the ORIGINAL docs, batch = the dup-seeded
+      // extras; same md5 minhash/band construction as q_dedup_minhash,
+      // built independently for each side, then the (band, bh) screen
+      val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k")
+        .mkString(",\n    ")
+      def bandRows(sig: String) = (0 until 3).map { b =>
+        val cat = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
+        s"SELECT id, $b AS band, md5($cat) AS bh FROM $sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH batch AS (
+         |  SELECT doc_id + 1000000 AS id,
+         |    regexp_replace(${normOf("text")}, ' [a-z0-9]+$$', '') AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 2000000, text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |shb AS (
+         |  SELECT DISTINCT id,
+         |    w[u.i]||' '||w[u.i+1]||' '||w[u.i+2]||' '||w[u.i+3]||' '||w[u.i+4] AS sh
+         |  FROM (SELECT id, string_split(${normOf("text")}, ' ') AS w
+         |        FROM batch) t,
+         |       unnest(generate_series(1, len(w) - 4)) AS u(i)),
+         |shs AS (
+         |  SELECT DISTINCT id,
+         |    w[u.i]||' '||w[u.i+1]||' '||w[u.i+2]||' '||w[u.i+3]||' '||w[u.i+4] AS sh
+         |  FROM (SELECT doc_id AS id, string_split(${normOf("text")}, ' ') AS w
+         |        FROM documents) t,
+         |       unnest(generate_series(1, len(w) - 4)) AS u(i)),
+         |sigb AS (SELECT id, $mins FROM shb GROUP BY id),
+         |sigs AS (SELECT id, $mins FROM shs GROUP BY id),
+         |bb AS (${bandRows("sigb")}),
+         |bs AS (${bandRows("sigs")}),
+         |hits AS (
+         |  SELECT bb.id, count(DISTINCT bs.id) AS store_hits
+         |  FROM bb JOIN bs ON bb.band = bs.band AND bb.bh = bs.bh
+         |  GROUP BY 1)
+         |SELECT b.id, coalesce(h.store_hits, 0) AS store_hits,
+         |  coalesce(h.store_hits, 0) = 0 AS kept
+         |FROM (SELECT DISTINCT id FROM batch) b
+         |LEFT JOIN hits h ON h.id = b.id""".stripMargin
+    },
+
     "q_dedup_minhash" -> {
       val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(",\n    ")
       val bandRows = (0 until 3).map { b =>

@@ -466,6 +466,20 @@ object SparkEntry {
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshCandidates(dupCorpus(s, dir), "text", "doc_id", 5, 3, 3)
 
+  /** E45: incremental MinHash LSH — the dup-seeded extras arrive as a
+    * NEW batch and are screened against the ORIGINAL corpus's
+    * persisted band store: exact dups collide in every band, near
+    * dups in ≥1, fresh docs in none; the original corpus text is
+    * never rescanned.
+    */
+  private def qMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents").select($"doc_id", $"text")
+    val store = Dedup.minhashBands(docs, "text", "doc_id", 5, 3, 3)
+    val batch = dupCorpus(s, dir).filter($"doc_id" >= 1000000L)
+    Dedup.incrementalMinhash(batch, "text", "doc_id", store, 5, 3, 3)
+  }
+
   /** E4: SimHash near-dup pairs (xxhash64 tokens — no DuckDB
     * equivalent, so this is a rows-only gate + SimhashSpec).
     */
@@ -2331,6 +2345,7 @@ object SparkEntry {
     "q_cusum" -> (qCusum _),
     "q_assortativity" -> (qAssortativity _),
     "q_ab_test" -> (qAbTest _),
+    "q_minhash_incremental" -> (qMinhashIncremental _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 

@@ -114,22 +114,66 @@ object Dedup {
     * (all rowsPerBand minhashes in that band equal). The per-band
     * bucket key is an equi-join key; output is (id_a, id_b, n_bands).
     */
-  def minhashLshCandidates(df: DataFrame, textCol: String, idCol: String,
-                           n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+  /** (id, band, bh) band-bucket rows — the unit the LSH self-join and
+    * the incremental store both run on. `bh` hashes the band's
+    * rowsPerBand minhashes; two docs agreeing on a band agree on all
+    * of them.
+    */
+  def minhashBands(df: DataFrame, textCol: String, idCol: String,
+                   n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val sig = minhashSignatures(df, textCol, idCol, n, bands, rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("id"), explode(array((0 until bands).map { b =>
+    sig.select(col("id"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
           (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
           .cast("binary")).as("bh"))
     }: _*)).as("bd"))
       .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+  }
+
+  def minhashLshCandidates(df: DataFrame, textCol: String, idCol: String,
+                           n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = minhashBands(df, textCol, idCol, n, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** E45: incremental MinHash LSH — the near-dup analog of
+    * [[incrementalExact]]: screen a NEW batch against the historical
+    * corpus using only its persisted BAND STORE ((id, band, bh) rows,
+    * built by [[minhashBands]]) — the old corpus text is never
+    * rescanned, never reshuffled, and the store update after the
+    * screen is a plain append of the kept docs' band rows.
+    *
+    * Plan shape: batch bands (one agg over the batch's shingles) ⋈
+    * store on (band, bh) — a keyed equi-join whose right side is
+    * exactly the bucket index LSH already defines; per-doc hit
+    * counts; left join back to the batch id set so no-shingle and
+    * no-collision docs both surface with kept = true. At 100 TB the
+    * store is a (band, bh)-bucketed table and the screen is a
+    * shuffle-free bucket join of just the incoming batch.
+    *
+    * @return one row per batch doc: (id, store_hits = distinct stored
+    *         docs sharing ≥1 band bucket, kept = store_hits == 0).
+    */
+  def incrementalMinhash(batch: DataFrame, textCol: String, idCol: String,
+                         store: DataFrame, n: Int, bands: Int,
+                         rowsPerBand: Int): DataFrame = {
+    val bb = minhashBands(batch, textCol, idCol, n, bands, rowsPerBand)
+    val hits = bb
+      .join(store.select(col("id").as("sid"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("sid")).as("store_hits"))
+    batch.select(col(idCol).as("id")).distinct()
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("store_hits"), lit(0L)).as("store_hits"))
+      .withColumn("kept", col("store_hits") === 0L)
   }
 
   /** E4: 64-bit SimHash over normalized words: bit b of the signature is

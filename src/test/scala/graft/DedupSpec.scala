@@ -31,6 +31,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("incremental minhash: screens batch against the band store only") {
+    val store = Dedup.minhashBands(docs, "text", "doc_id", 3, 3, 3)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog"),          // = doc 3
+      (12L, "totally novel sentence with nothing in common whatsoever here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhash(batch, "text", "doc_id", store, 3, 3, 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("store_hits"), r.getAs[Boolean]("kept")))).toMap
+    assert(out(10L)._1 >= 1L && !out(10L)._2) // collides with 1/2/5 family
+    assert(out(11L)._1 >= 1L && !out(11L)._2)
+    assert(out(12L) == ((0L, true)))
+    // append kept docs' bands, re-screen the same batch → nothing kept
+    val kept = batch.filter($"doc_id" === 12L)
+    val store2 = store.unionByName(
+      Dedup.minhashBands(kept, "text", "doc_id", 3, 3, 3))
+    val again = Dedup.incrementalMinhash(batch, "text", "doc_id", store2, 3, 3, 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(again.values.forall(_ == false))
+  }
+
   test("minhash LSH surfaces exact dups in all bands") {
     val cand = Dedup.minhashLshCandidates(docs, "text", "doc_id", 3, 3, 3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
