@@ -411,38 +411,57 @@ object Graph {
     * integers, bit-stable at any parallelism, no rounding rule.
     * Degenerate regular graphs (zero degree variance) yield null.
     *
+    * @param broadcastDegrees hint the degree table broadcast into the
+    *        Sxy join — right when node cardinality is DIMENSION-bounded
+    *        (parts, users), wrong when nodes are the fact set (docs);
+    *        the default keyed join is the always-safe plan.
+    * @param assumeCanonical skip canonicalization when the caller
+    *        guarantees distinct (a<b) edges — saves a full shuffle.
     * @return one row: (n_nodes, n_edges, assortativity)
     */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
-                          dstCol: String): DataFrame = {
-    val und = edges.select(col(srcCol).cast("long").as("s"),
-        col(dstCol).cast("long").as("d"))
-      .filter(col("s") =!= col("d"))
-      .select(least(col("s"), col("d")).as("a"),
-        greatest(col("s"), col("d")).as("b"))
-      .distinct()
+                          dstCol: String,
+                          broadcastDegrees: Boolean = false,
+                          assumeCanonical: Boolean = false): DataFrame = {
+    val und = (if (assumeCanonical)
+        edges.select(col(srcCol).cast("long").as("a"),
+          col(dstCol).cast("long").as("b"))
+      else edges.select(col(srcCol).cast("long").as("s"),
+          col(dstCol).cast("long").as("d"))
+        .filter(col("s") =!= col("d"))
+        .select(least(col("s"), col("d")).as("a"),
+          greatest(col("s"), col("d")).as("b"))
+        .distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = und.select(explode(array(col("a"), col("b"))).as("p"))
+    val deg0 = und.select(explode(array(col("a"), col("b"))).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
-    val withDeg = und
+    val deg = if (broadcastDegrees) broadcast(deg0) else deg0
+    // moment algebra over the symmetrized pair set WITHOUT
+    // materializing it — exact integer identities, so the result is
+    // bit-identical to the explicit two-orientation form:
+    //   n   = 2·|E|
+    //   Sx  = Sy  = Σ_v deg(v)²   (node v leads deg(v) oriented pairs)
+    //   Sxx = Syy = Σ_v deg(v)³
+    //   Sxy = 2·Σ_edges da·db
+    // Sx/Sxx need NO join at all (degree table alone); only Sxy joins
+    // degrees back onto edges.
+    val dec = "decimal(38,0)"
+    val nd = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(col("deg").cast(dec) * col("deg").cast(dec)).as("s2"),
+      sum(col("deg").cast(dec) * col("deg").cast(dec) *
+        col("deg").cast(dec)).as("s3"))
+    val ep = und
       .join(deg.select(col("p").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("p").as("b"), col("deg").as("db")), "b")
-    // both orientations from one explode (the copurchase-degree trick:
-    // a union of swaps would re-run the joins per branch)
-    val pairs = withDeg.select(explode(array(
-        struct(col("da").as("x"), col("db").as("y")),
-        struct(col("db").as("x"), col("da").as("y")))).as("e"))
-      .select(col("e.x").as("x"), col("e.y").as("y"))
-    val dec = "decimal(38,0)"
-    val m = pairs.agg(count(lit(1)).cast(dec).as("n"),
-      sum(col("x").cast(dec)).as("sx"),
-      sum(col("y").cast(dec)).as("sy"),
-      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
-      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
-      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
-    val nn = deg.agg(count(lit(1)).as("n_nodes"))
-    val ne = und.agg(count(lit(1)).as("n_edges"))
-    val out = nn.crossJoin(ne).crossJoin(m)
+      .agg(count(lit(1)).cast(dec).as("ne"),
+        sum(col("da").cast(dec) * col("db").cast(dec)).as("pp"))
+    val m = nd.crossJoin(ep).select(col("n_nodes"),
+      col("ne").cast("long").as("n_edges"),
+      (col("ne") * 2).as("n"),
+      col("s2").as("sx"), col("s2").as("sy"),
+      (col("pp") * 2).as("sxy"),
+      col("s3").as("sxx"), col("s3").as("syy"))
+    val r = m
       .select(col("n_nodes"), col("n_edges"),
         when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
              col("n") * col("syy") - col("sy") * col("sy") > 0,
@@ -452,6 +471,6 @@ object Graph {
           .as("assortativity"))
       .localCheckpoint(true)
     und.unpersist()
-    out
+    r
   }
 }

@@ -287,5 +287,17 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(Graph.degreeAssortativity(path, "s", "d").head
       .getAs[Double]("assortativity") ==
         -4.0 / (math.sqrt(8.0) * math.sqrt(8.0)))
+    // canonical+broadcast fast path ≡ default path, bit for bit
+    val rnd = new scala.util.Random(3)
+    val redges = (1 to 60).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toDF("s", "d")
+    val slow = Graph.degreeAssortativity(redges, "s", "d").head
+    val fast = Graph.degreeAssortativity(redges, "s", "d",
+      broadcastDegrees = true, assumeCanonical = true).head
+    assert(slow.getAs[Double]("assortativity") ==
+      fast.getAs[Double]("assortativity"))
+    assert(slow.getAs[Long]("n_edges") == fast.getAs[Long]("n_edges"))
   }
 }
