@@ -1491,6 +1491,37 @@ object OracleSql {
         |  round(h.t, 6) AS trend, round(h.l + h.t, 6) AS forecast
         |FROM h JOIN fin ON h.k = fin.k AND h.rn = fin.n""".stripMargin,
 
+    "q_interval_merge" ->
+      // same two-window island algebra as Intervals.coalesceIntervals;
+      // explicit ROWS frames (the (start_us, event_id) key is unique,
+      // but the 1-PRECEDING upper bound must be ROWS regardless);
+      // integer µs end to end
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS start_us, event_id,
+        |    epoch_us(ts) + CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      * 1000000 AS end_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, start_us, event_id, end_us,
+        |    CASE WHEN max(end_us) OVER (PARTITION BY user_id
+        |        ORDER BY start_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR start_us > max(end_us) OVER (PARTITION BY user_id
+        |        ORDER BY start_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM iv),
+        |g AS (
+        |  SELECT user_id, start_us, end_us,
+        |    CAST(sum(new_island) OVER (PARTITION BY user_id
+        |      ORDER BY start_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM f)
+        |SELECT user_id, island, min(start_us) AS island_start,
+        |  max(end_us) AS island_end, count(*) AS n_intervals
+        |FROM g GROUP BY 1, 2""".stripMargin,
+
     "q_cusum" ->
       // same de-recursed CUSUM algebra as TimeSeries.cusumPerKey:
       // s_t = C_t − min(0, prefix-min C) over (us, event_id) order —

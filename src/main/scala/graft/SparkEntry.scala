@@ -1147,6 +1147,23 @@ object SparkEntry {
         round($"trend", 6).as("trend"), round($"forecast", 6).as("forecast"))
   }
 
+  /** H30: interval coalescing — events become validity intervals
+    * (duration proportional to value), overlapping/touching ones
+    * merge into maximal islands per user. One keyed sort, two window
+    * passes, integer µs throughout.
+    */
+  private def qIntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iv = table(s, dir, "events").select($"user_id",
+      unix_micros($"ts").as("start_us"), $"event_id",
+      (unix_micros($"ts") +
+        floor($"value" * 100 + 0.5).cast("long") * 1000000L).as("end_us"))
+    Intervals.coalesceIntervals(iv, "user_id", "start_us", "end_us",
+        "event_id")
+      .select($"user_id", $"island", $"island_start", $"island_end",
+        $"n_intervals")
+  }
+
   /** F13: one-sided CUSUM change detection per user — the clamped
     * recurrence de-recursed into two window aggregates (running sum −
     * clamped prefix min), all exact integer cents: no mapPartitions,
@@ -2356,6 +2373,7 @@ object SparkEntry {
     "q_assortativity" -> (qAssortativity _),
     "q_ab_test" -> (qAbTest _),
     "q_minhash_incremental" -> (qMinhashIncremental _),
+    "q_interval_merge" -> (qIntervalMerge _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 

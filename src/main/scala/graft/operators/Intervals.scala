@@ -48,4 +48,42 @@ object Intervals {
         floor(greatest(col(startL), col(startR)) / widthUs))
       .drop("__bucket")
   }
+
+  /** Interval coalescing (gaps-and-islands): merge overlapping or
+    * touching [start, end] intervals per key into maximal islands —
+    * validity-interval cleanup for SCD tables, session repair,
+    * time-range dedup. The declarative classic:
+    *
+    *   island boundary ⟺ start > max(end) over all EARLIER intervals
+    *
+    * one prefix-max window + one running-sum window over the same
+    * (key, start, tie) sort — a single keyed shuffle, O(1) state,
+    * no self-join (the naive "which intervals overlap mine"
+    * formulation is quadratic per key). All comparisons on integer
+    * microseconds — no float anywhere.
+    *
+    * Zero-length and contained intervals fold in naturally; touching
+    * intervals (start == previous max end) MERGE (closed-interval
+    * semantics; pre-shrink ends by 1µs for half-open).
+    *
+    * @return one row per island: key, island_start, island_end,
+    *         n_intervals.
+    */
+  def coalesceIntervals(df: DataFrame, keyCol: String, startCol: String,
+                        endCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byStart = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(tieCol))
+    val prevMax = max(col(endCol))
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val runSum = byStart.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    df.withColumn("__new",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("__new")).over(runSum))
+      .groupBy(col(keyCol), col("island"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+  }
 }

@@ -65,4 +65,44 @@ class PropertySpec extends AnyFunSuite {
       graft.plans.NativeHash.rollingHash(UTF8String.fromString(s)))
     assert(hashes.toSet.size == strings.size)
   }
+
+  test("coalesceIntervals ≡ sequential sweep on randomized intervals") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = for (k <- 1L to 6L; i <- 1L to 50L) yield {
+      val s = rnd.nextInt(1000).toLong
+      (k, s, i, s + rnd.nextInt(30).toLong) // incl. zero-length
+    }
+    val df = rows.toDF("k", "s", "tie", "e")
+    val got = graft.operators.Intervals
+      .coalesceIntervals(df, "k", "s", "e", "tie")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("island_start"),
+        r.getAs[Long]("island_end"), r.getAs[Long]("n_intervals")))
+      .toSet
+    // reference: per-key sweep over (start, tie) order
+    val exp = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      val islands = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)] // start, maxEnd, n
+      var curMax = Long.MinValue
+      sorted.foreach { r =>
+        if (islands.isEmpty || r._2 > curMax) {
+          islands += ((r._2, r._4, 1L)); curMax = r._4
+        } else {
+          val last = islands.last
+          islands(islands.size - 1) =
+            (last._1, math.max(last._2, r._4), last._3 + 1)
+          curMax = math.max(curMax, r._4)
+        }
+      }
+      islands.map(i => (k, i._1, i._2, i._3))
+    }.toSet
+    assert(got == exp)
+    // touching intervals merge (closed-interval semantics)
+    val touch = Seq((1L, 0L, 1L, 10L), (1L, 10L, 2L, 20L)).toDF("k", "s", "tie", "e")
+    val t = graft.operators.Intervals
+      .coalesceIntervals(touch, "k", "s", "e", "tie").collect()
+    assert(t.length == 1 && t.head.getAs[Long]("n_intervals") == 2L)
+  }
 }
