@@ -1669,6 +1669,48 @@ object OracleSql {
         |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS expected
         |FROM d, n""".stripMargin,
 
+    "q_holt_winters" ->
+      // the holt oracle's recursion with the seasonal ring carried as
+      // a LIST column: phase p = ((rn−1) mod 4)+1 (1-based slot),
+      // element p replaced via slice-concat-slice. Every (1−c) factor
+      // computed as 1 − CAST(c AS DOUBLE), never a folded literal.
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id AS k,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events),
+        |h AS (
+        |  SELECT k, rn, v AS l, CAST(0 AS DOUBLE) AS t,
+        |    [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+        |     CAST(0 AS DOUBLE)] AS s
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT x.k, x.rn, x.l2 AS l,
+        |    (x.l2 - x.l) * CAST(0.2 AS DOUBLE)
+        |      + x.t * (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) AS t,
+        |    x.s[1:x.p - 1]
+        |      || [(x.v - x.lb) * CAST(0.3 AS DOUBLE)
+        |          + x.sp * (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE))]
+        |      || x.s[x.p + 1:4] AS s
+        |  FROM (
+        |    SELECT q.k, q.rn, q.v, s.l, s.t, s.s,
+        |      CAST(((q.rn - 1) % 4) + 1 AS INT) AS p,
+        |      s.s[CAST(((q.rn - 1) % 4) + 1 AS INT)] AS sp,
+        |      s.l + s.t AS lb,
+        |      (q.v - s.s[CAST(((q.rn - 1) % 4) + 1 AS INT)])
+        |        * CAST(0.4 AS DOUBLE)
+        |        + (s.l + s.t)
+        |          * (CAST(1 AS DOUBLE) - CAST(0.4 AS DOUBLE)) AS l2
+        |    FROM h s JOIN seq q ON q.k = s.k AND q.rn = s.rn + 1) x),
+        |fin AS (SELECT k, max(rn) AS n FROM h GROUP BY k)
+        |SELECT h.k AS user_id, fin.n AS n_events, round(h.l, 6) AS level,
+        |  round(h.t, 6) AS trend,
+        |  round(h.s[CAST((fin.n % 4) + 1 AS INT)], 6) AS season_next,
+        |  round(h.l + h.t + h.s[CAST((fin.n % 4) + 1 AS INT)], 6)
+        |    AS forecast
+        |FROM h JOIN fin ON h.k = fin.k AND h.rn = fin.n""".stripMargin,
+
     "q_bloom_prune" ->
       // the bloom layer is pruning-only; semantics are a plain anti
       // join — mirrored as NOT EXISTS (null-safe, same as left_anti),

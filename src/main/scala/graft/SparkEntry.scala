@@ -1179,6 +1179,22 @@ object SparkEntry {
       targetCents = 5000L, allowanceCents = 500L, hCents = 50000L)
   }
 
+  /** F14: additive Holt-Winters per user (α=0.4, β=0.2, γ=0.3, m=4) —
+    * level+trend+seasonal on the mapPartitions rung; oracle replays
+    * the identical IEEE sequence via a recursive CTE with a list-
+    * valued seasonal ring. 6dp rounding per the holt precedent.
+    */
+  private def qHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TimeSeries.holtWintersPerKey(s, table(s, dir, "events"), "user_id",
+        "ts", "event_id", "value", alpha = 0.4, beta = 0.2, gamma = 0.3,
+        period = 4)
+      .select($"user_id", $"n_events", round($"level", 6).as("level"),
+        round($"trend", 6).as("trend"),
+        round($"season_next", 6).as("season_next"),
+        round($"forecast", 6).as("forecast"))
+  }
+
   /** H: bloom-pruned anti join — customers that never ordered. The
     * plain anti join shuffles every customer row; the bloom path
     * filters map-side against a broadcast sketch of the order keys and
@@ -2374,6 +2390,7 @@ object SparkEntry {
     "q_ab_test" -> (qAbTest _),
     "q_minhash_incremental" -> (qMinhashIncremental _),
     "q_interval_merge" -> (qIntervalMerge _),
+    "q_holt_winters" -> (qHoltWinters _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 

@@ -138,6 +138,85 @@ object TimeSeries {
     }.toDF(keyCol, "n_events", "level", "trend", "forecast")
   }
 
+  /** F14: additive Holt-Winters (level + trend + seasonal, Hyndman
+    * formulation) — completes the EWMA → Holt → Holt-Winters ladder
+    * on the same mapPartitions rung:
+    * {{{
+    *   lb  = level + trend
+    *   l'  = (v − s[p])·α + lb·(1−α)        p = (t−1) mod m, 0-based
+    *   b'  = (l' − level)·β + trend·(1−β)
+    *   s'[p] = (v − lb)·γ + s[p]·(1−γ)
+    * }}}
+    * seeded (level, trend, s[0..m)) = (v₁, 0, 0…0); the first
+    * observation initializes only, like [[holtPerKey]]. State is a
+    * fixed m-slot ring — still O(1) per key, allocation-free per row,
+    * total fold order ⇒ bit-identical at any parallelism. The oracle
+    * replays the IDENTICAL IEEE op sequence via a recursive CTE whose
+    * seasonal ring rides a LIST column.
+    *
+    * @return one row per key: (key, n_events, level, trend,
+    *         season_next = s[n mod m], forecast = level + trend +
+    *         season_next).
+    */
+  def holtWintersPerKey(spark: SparkSession, df: DataFrame, keyCol: String,
+                        tsCol: String, tieCol: String, valueCol: String,
+                        alpha: Double, beta: Double, gamma: Double,
+                        period: Int): DataFrame = {
+    import spark.implicits._
+    require(period > 1, s"seasonal period must be > 1: $period")
+    val a1 = 1.0 - alpha
+    val b1 = 1.0 - beta
+    val g1 = 1.0 - gamma
+    val sorted = df
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("t"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("v"))
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("tie"))
+      .as[(Long, Long, Long, Double)]
+    sorted.mapPartitions { rows =>
+      new Iterator[(Long, Long, Double, Double, Double, Double)] {
+        private var pending: Option[(Long, Long, Double, Double, Double, Double)] = None
+        private var lookahead: Option[(Long, Long, Long, Double)] = None
+        def hasNext: Boolean = pending.isDefined || rows.hasNext ||
+          lookahead.isDefined
+        def next(): (Long, Long, Double, Double, Double, Double) = {
+          if (pending.isEmpty) advance()
+          val out = pending.get
+          pending = None
+          out
+        }
+        private def advance(): Unit = {
+          val first = lookahead.getOrElse(rows.next())
+          lookahead = None
+          val key = first._1
+          var level = first._4
+          var trend = 0.0
+          val season = new Array[Double](period)
+          var n = 1L
+          var done = false
+          while (!done && rows.hasNext) {
+            val r = rows.next()
+            if (r._1 == key) {
+              val p = (n % period).toInt // phase of this observation
+              val sPrev = season(p)
+              val lb = level + trend
+              val lNew = (r._4 - sPrev) * alpha + lb * a1
+              trend = (lNew - level) * beta + trend * b1
+              season(p) = (r._4 - lb) * gamma + sPrev * g1
+              level = lNew
+              n += 1
+            } else { lookahead = Some(r); done = true }
+          }
+          val sNext = season((n % period).toInt)
+          pending = Some((key, n, level, trend, sNext,
+            level + trend + sNext))
+        }
+      }
+    }.toDF(keyCol, "n_events", "level", "trend", "season_next", "forecast")
+  }
+
   /** LOCF (last observation carried forward): per-key forward fill of
     * a sparse column in (order, tie) order. UNLIKE the EWMA recurrence
     * this IS a window aggregate — `last(ignoreNulls)` over an
