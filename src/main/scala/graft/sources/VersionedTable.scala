@@ -73,4 +73,34 @@ object VersionedTable {
     drop.foreach(v => f.delete(new Path(dir, s"v=$v"), true))
     drop
   }
+
+  /** Right-to-erasure (GDPR art. 17): publish a new version with all
+    * rows for `keys` removed, then prune history so erased rows no
+    * longer exist in ANY readable version. Two deliberate properties:
+    *
+    *  - the delete is a broadcast anti join (keys are the erasure
+    *    request — human-scale, never data-scale), so the rewrite is
+    *    one full scan + write, the unavoidable minimum on immutable
+    *    storage;
+    *  - erasure is only complete once the old versions are GONE —
+    *    publishing the filtered version alone still leaves the data
+    *    time-travelable, so this method prunes to exactly the
+    *    versions ≥ the erasure version unless `keepHistory` asks to
+    *    defer (e.g. to let long readers drain first).
+    *
+    * @return (new version, rows removed)
+    */
+  def eraseKeys(spark: SparkSession, dir: String, keyCol: String,
+                keys: DataFrame, keepHistory: Boolean = false): (Long, Long) = {
+    import org.apache.spark.sql.functions.broadcast
+    val cur = read(spark, dir)
+    val before = cur.count()
+    val next = cur.join(
+      broadcast(keys.select(keys.columns.head).toDF(keyCol)),
+      Seq(keyCol), "left_anti")
+    val v = write(next, dir)
+    val removed = before - read(spark, dir, Some(v)).count()
+    if (!keepHistory) prune(spark, dir, keep = 1)
+    (v, removed)
+  }
 }

@@ -155,6 +155,52 @@ class WritersSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("__v_tmp")))
   }
 
+  test("versioned table: eraseKeys removes rows from every readable version") {
+    import graft.sources.VersionedTable
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft_erase").toString + "/t"
+    VersionedTable.write((1L to 10L).map(i => (i, s"row$i")).toDF("k", "s"), dir)
+    VersionedTable.write((1L to 12L).map(i => (i, s"row$i")).toDF("k", "s"), dir)
+    val (v, removed) = VersionedTable.eraseKeys(spark, dir, "k",
+      Seq(3L, 7L, 999L).toDF("k"))
+    assert(removed == 2L) // 999 never existed
+    // the new version has no trace of the erased keys…
+    val left = VersionedTable.read(spark, dir, Some(v))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(!left.contains(3L) && !left.contains(7L) && left.size == 10)
+    // …and history is gone: the erasure version is the ONLY version
+    assert(VersionedTable.versions(spark, dir) == Seq(v))
+    // keepHistory defers the prune for draining readers
+    val (v2, r2) = VersionedTable.eraseKeys(spark, dir, "k",
+      Seq(1L).toDF("k"), keepHistory = true)
+    assert(r2 == 1L && VersionedTable.versions(spark, dir) == Seq(v, v2))
+  }
+
+  test("schema evolution: widened batches merge, old rows null-fill, pruning intact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft_evo").toString + "/t"
+    // generation 1: (k, a); generation 2 adds column b
+    Seq((1L, "x"), (2L, "y")).toDF("k", "a")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "z", 30L), (4L, "w", 40L)).toDF("k", "a", "b")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("k", "a", "b", "batch"))
+    val rows = merged.select("k", "b").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty) // old rows null-fill
+    assert(rows(3L).contains(30L) && rows(4L).contains(40L))
+    // projection over the merged schema still prunes to one column +
+    // the requested filter pushes down
+    val plan = merged.select("k").where($"k" > 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<k:bigint>"), plan)
+    assert(plan.contains("GreaterThan(k,2)"), plan)
+  }
+
   test("data skipping: manifest prunes files, range read ≡ full filter") {
     import graft.sources.DataSkipping
     val dir = Files.createTempDirectory("graft_skip").toString + "/orders"
