@@ -1669,6 +1669,21 @@ object OracleSql {
         |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS expected
         |FROM d, n""".stripMargin,
 
+    "q_bpe_pairs" ->
+      // same (n desc, pair asc) total order fixes the top-30 cut and
+      // the ranks on both engines; len≥2 filter mirrors the guard
+      // against Spark's descending sequence(1,0)
+      s"""WITH w AS (
+         |  SELECT unnest(string_split(${normOf("text")}, ' ')) AS w
+         |  FROM documents),
+         |p AS (
+         |  SELECT substr(w, u.i, 2) AS pair
+         |  FROM w, unnest(generate_series(1, len(w) - 1)) AS u(i)
+         |  WHERE len(w) >= 2),
+         |c AS (SELECT pair, count(*) AS n FROM p GROUP BY 1)
+         |SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rnk
+         |FROM (SELECT * FROM c ORDER BY n DESC, pair LIMIT 30)""".stripMargin,
+
     "q_holt_winters" ->
       // the holt oracle's recursion with the seasonal ring carried as
       // a LIST column: phase p = ((rn−1) mod 4)+1 (1-based slot),

@@ -1942,6 +1942,13 @@ object SparkEntry {
       .select($"id".as("doc_id"), $"n_tokens", $"n_oov", $"ids")
   }
 
+  /** E46: BPE merge-candidate statistics — adjacent char-pair counts
+    * inside normalized words, top-30; the distributed counting step
+    * of one BPE training iteration.
+    */
+  private def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    Corpus.bpePairStats(table(s, dir, "documents"), "text", topK = 30)
+
   /** E27: TF-IDF term scoring — (doc, term) tf agg, term df agg, and
     * the corpus size N re-joined as a 1-row broadcast (no
     * single-partition window). Float math is exactly `tf * ln(N/df)`
@@ -2391,6 +2398,7 @@ object SparkEntry {
     "q_minhash_incremental" -> (qMinhashIncremental _),
     "q_interval_merge" -> (qIntervalMerge _),
     "q_holt_winters" -> (qHoltWinters _),
+    "q_bpe_pairs" -> (qBpePairs _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 

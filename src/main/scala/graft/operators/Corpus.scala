@@ -250,6 +250,36 @@ object Corpus {
         (if (asArray) ids else array_join(ids, ",")).as("ids"))
   }
 
+  /** E46: BPE merge-candidate statistics — the counting step of one
+    * byte-pair-encoding training iteration (Sennrich et al. 2016):
+    * adjacent character-pair frequencies inside normalized words,
+    * top-K by (count desc, pair asc). A real tokenizer trainer loops
+    * this count→merge step; the count is the distributed 100 TB part
+    * (the merge table is kilobytes on the driver), so this operator
+    * IS the scaling unit of BPE training.
+    *
+    * Plan: words explode → in-row adjacent-pair expansion
+    * (`sequence` + `substr`, zero extra shuffles) → one keyed count
+    * agg → TakeOrderedAndProject top-K → rank window over K rows.
+    * Words shorter than 2 chars are filtered BEFORE the sequence
+    * (Spark's `sequence(1, 0)` would generate a DESCENDING range).
+    */
+  def bpePairStats(df: DataFrame, textCol: String,
+                   topK: Int): DataFrame = {
+    val pairs = df
+      .select(explode(graft.functions.TextFunctions.words(col(textCol)))
+        .as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+    val counts = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("pair").asc).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("pair").asc)
+    top.select(col("pair"), col("n"),
+      row_number().over(w).cast("long").as("rnk"))
+  }
+
   def tfidf(df: DataFrame, textCol: String, idCol: String,
             tokens: Column => Column): DataFrame = {
     val dt = df.select(col(idCol).as("id"),

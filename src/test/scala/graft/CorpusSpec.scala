@@ -140,6 +140,15 @@ class CorpusSpec extends AnyFunSuite {
     assert(d3._2 == 0L && d3._3 == 0.0 && !d3._4)
   }
 
+  test("bpePairStats: adjacent char pairs counted, short words skipped") {
+    val df = Seq((1L, "abab ab a xy")).toDF("doc_id", "text")
+    // "abab" → ab, ba, ab; "ab" → ab; "a" skipped; "xy" → xy
+    val got = Corpus.bpePairStats(df, "text", topK = 10)
+      .collect().map(r => (r.getAs[String]("pair"),
+        r.getAs[Long]("n"), r.getAs[Long]("rnk")))
+    assert(got.toSeq == Seq(("ab", 3L, 1L), ("ba", 1L, 2L), ("xy", 1L, 3L)))
+  }
+
   test("vocabEncode: frequency-rank ids, OOV=0, position order preserved") {
     val df = Seq(
       (1L, "bb aa bb cc bb aa"),   // bb×3, aa×2, cc×1
