@@ -1065,6 +1065,61 @@ object OracleSql {
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type""".stripMargin,
 
+    "q_kcore" -> {
+      // same pair fragments as q_dedup_cluster, then 6 UNROLLED peel
+      // rounds (degree-over-survivors → keep deg ≥ 2); the Spark
+      // operator peels to FIXPOINT, so hash-equality also certifies
+      // that 6 rounds converge on this data. Output = degrees over
+      // the fixpoint-induced subgraph.
+      // every CTE below is MATERIALIZED: DuckDB inlines plain CTEs,
+      // and each peel round references the previous one twice — the
+      // inlined expansion is EXPONENTIAL in rounds (2^6 copies of the
+      // shingle self-join; measured: >300s at sf0.001 inlined, <1s
+      // materialized)
+      val rounds = 6
+      val peel = (1 to rounds).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT p, count(*) AS c FROM (
+           |    SELECT id_a AS p, id_b AS q FROM pairs
+           |    UNION ALL SELECT id_b, id_a FROM pairs) t
+           |  WHERE p IN (SELECT id FROM n${i - 1})
+           |    AND q IN (SELECT id FROM n${i - 1})
+           |  GROUP BY p),
+           |n$i AS MATERIALIZED (SELECT p AS id FROM d$i WHERE c >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ic
+         |  FROM sh a
+         |  JOIN sizes sa ON sa.id = a.id
+         |  JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  JOIN sizes sb ON sb.id = b.id
+         |  WHERE CAST(sa.sz AS DOUBLE) <= sb.sz / CAST(0.6 AS DOUBLE)
+         |    AND CAST(sb.sz AS DOUBLE) <= sa.sz / CAST(0.6 AS DOUBLE)
+         |  GROUP BY 1, 2),
+         |pairs AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 4) AS jaccard
+         |    FROM inter
+         |    JOIN sizes sa ON sa.id = id_a
+         |    JOIN sizes sb ON sb.id = id_b) j
+         |  WHERE jaccard >= 0.6),
+         |n0 AS MATERIALIZED (SELECT id_a AS id FROM pairs
+         |       UNION SELECT id_b FROM pairs),
+         |$peel,
+         |fin AS (
+         |  SELECT p, count(*) AS c FROM (
+         |    SELECT id_a AS p, id_b AS q FROM pairs
+         |    UNION ALL SELECT id_b, id_a FROM pairs) t
+         |  WHERE p IN (SELECT id FROM n$rounds)
+         |    AND q IN (SELECT id FROM n$rounds)
+         |  GROUP BY p)
+         |SELECT p AS id, c AS core_deg FROM fin""".stripMargin
+    },
+
     "q_dedup_cluster" -> {
       // same corpus/shingle/pair fragments as q_dedup_ngram, then the
       // transitive closure: min reachable id over symmetrized pairs ≡

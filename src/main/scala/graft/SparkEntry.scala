@@ -1620,6 +1620,18 @@ object SparkEntry {
     Graph.labelPropagation(pairs, "id_a", "id_b", rounds = 3)
   }
 
+  /** E47: 2-core of the near-dup graph — peeling isolates duplicate
+    * CLIQUES from the chains/pendants LSH noise produces; the third
+    * graph view beside CC (components) and LPA (label cores). The
+    * oracle unrolls 6 peel rounds; the operator runs to fixpoint —
+    * equality also certifies convergence depth on the gate data.
+    */
+  private def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(dupCorpus(s, dir), "text", "doc_id",
+      5, 0.6)
+    Graph.kCore(pairs, "id_a", "id_b", k = 2)
+  }
+
   /** F11: VWAP per (event_type, day) — notional (cents × quantity)
     * accumulates as exact integers; the only float op is ONE division
     * at the end, identical on both engines. TWAP/VWAP is the standard
@@ -2399,6 +2411,7 @@ object SparkEntry {
     "q_interval_merge" -> (qIntervalMerge _),
     "q_holt_winters" -> (qHoltWinters _),
     "q_bpe_pairs" -> (qBpePairs _),
+    "q_kcore" -> (qKcore _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 

@@ -396,6 +396,65 @@ object Graph {
       .toDF("id", "rank")
   }
 
+  /** k-core: the maximal subgraph in which every node has degree ≥ k
+    * (Seidman 1983) — the standard "dense core vs fringe" split. In a
+    * near-dup graph the k-core isolates genuine duplicate CLIQUES
+    * from the chains and pendants LSH noise produces; with CC
+    * (whole components) and LPA (dense cores by label) this
+    * completes the graph toolkit's three views of the pair graph.
+    *
+    * Iterative peeling: drop nodes with degree < k, recompute degrees
+    * on the survivor-induced subgraph, repeat to fixpoint. Each round
+    * is one keyed degree agg + two semi joins; the convergence check
+    * is a scalar count (never a collect); per-round `localCheckpoint`
+    * truncates lineage exactly like connectedComponents. Rounds =
+    * peeling depth (tiny for clique-like graphs); throws past
+    * `maxRounds` rather than returning a non-core silently.
+    *
+    * @return surviving nodes with their final in-core degree:
+    *         (id, core_deg).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1: $k")
+    val und0 = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    var cur = und0.persist(StorageLevel.MEMORY_AND_DISK)
+    var nEdges = cur.count()
+    var round = 0
+    var converged = false
+    var lastDeg: DataFrame = null
+    while (!converged) {
+      val deg = cur.select(explode(array(col("a"), col("b"))).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("p"))
+      val next = cur
+        .join(keep.withColumnRenamed("p", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("p", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val nNext = next.count()
+      if (nNext == nEdges) {
+        converged = true
+        lastDeg = deg
+      } else {
+        cur.unpersist()
+        cur = next
+        nEdges = nNext
+        round += 1
+        if (round > maxRounds)
+          throw new IllegalStateException(
+            s"kCore: no fixpoint after $maxRounds peeling rounds")
+      }
+    }
+    // final degrees ARE ≥ k for every survivor by the fixpoint
+    lastDeg.select(col("p").as("id"), col("deg").as("core_deg"))
+  }
+
   /** Degree assortativity (Newman 2002): Pearson correlation of the
     * endpoint degrees over the symmetrized edge list — do similar-
     * degree nodes attach to each other (r>0, social graphs) or do

@@ -311,6 +311,22 @@ class GraphSamplingSpec extends AnyFunSuite {
     plan.values.foreach { case (avail, _, take) => assert(take <= avail) }
   }
 
+  test("kCore: peels pendants and chains, keeps cliques, cascade-safe") {
+    import graft.operators.Graph
+    // triangle {1,2,3} + pendant 4 + chain 5-6-7 + a CASCADE tail:
+    // 8-9, 9-1 — peeling 8 drops 9's degree below 2 only on round 2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (8L, 9L), (9L, 1L)).toDF("s", "d")
+    val core = Graph.kCore(edges, "s", "d", k = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("core_deg"))
+      .toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=1 keeps every non-isolated node
+    assert(Graph.kCore(edges, "s", "d", k = 1).count() == 9)
+    // k above the max degree empties the graph
+    assert(Graph.kCore(edges, "s", "d", k = 5).count() == 0)
+  }
+
   test("assortativity: star = −1, regular graph = null, hand-check mixed") {
     import graft.operators.Graph
     // star K1,4: hubs attach leaves → perfectly disassortative
