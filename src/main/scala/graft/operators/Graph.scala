@@ -415,7 +415,8 @@ object Graph {
     *         (id, core_deg).
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-            maxRounds: Int = 30): DataFrame = {
+            maxRounds: Int = 30,
+            localThreshold: Long = 2000000L): DataFrame = {
     require(k >= 1, s"k must be ≥ 1: $k")
     val und0 = edges.select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("d"))
@@ -425,6 +426,16 @@ object Graph {
       .distinct()
     var cur = und0.persist(StorageLevel.MEMORY_AND_DISK)
     var nEdges = cur.count()
+    if (nEdges <= localThreshold) {
+      // same hybrid rung as CC/LPA/PageRank: a reduced graph this
+      // small peels on the driver in one pass (all-integer state →
+      // bit-identical to the distributed rounds, spec-asserted);
+      // each distributed round would otherwise pay the full
+      // scheduling floor for kilobytes of work
+      val result = localKCore(cur, k)
+      cur.unpersist()
+      return result
+    }
     var round = 0
     var converged = false
     var lastDeg: DataFrame = null
@@ -453,6 +464,36 @@ object Graph {
     }
     // final degrees ARE ≥ k for every survivor by the fixpoint
     lastDeg.select(col("p").as("id"), col("deg").as("core_deg"))
+  }
+
+  /** Driver-side peel for small graphs — queue-based cascade, O(E). */
+  private def localKCore(und: DataFrame, k: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val adj = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.Set[Long]]
+    und.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    val queue = scala.collection.mutable.Queue.empty[Long]
+    adj.foreach { case (v, ns) => if (ns.size < k) queue += v }
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      adj.get(v).foreach { ns =>
+        if (ns.size < k) {
+          ns.foreach { u =>
+            val un = adj(u)
+            un -= v
+            if (un.size == k - 1) queue += u // just dropped below k
+          }
+          adj.remove(v)
+        }
+      }
+    }
+    spark.createDataset(adj.toSeq.map { case (v, ns) => (v, ns.size.toLong) })
+      .toDF("id", "core_deg")
   }
 
   /** Degree assortativity (Newman 2002): Pearson correlation of the

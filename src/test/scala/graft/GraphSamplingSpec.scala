@@ -325,6 +325,18 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(Graph.kCore(edges, "s", "d", k = 1).count() == 9)
     // k above the max degree empties the graph
     assert(Graph.kCore(edges, "s", "d", k = 5).count() == 0)
+    // local peel ≡ distributed rounds, exactly, incl. on random graphs
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap(Graph.kCore(edges, "s", "d", k = 2, localThreshold = 0)) ==
+      asMap(Graph.kCore(edges, "s", "d", k = 2)))
+    val rnd = new scala.util.Random(21)
+    val redges = (1 to 80).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)).toDF("s", "d")
+    for (kk <- Seq(2, 3)) {
+      assert(asMap(Graph.kCore(redges, "s", "d", kk, localThreshold = 0)) ==
+        asMap(Graph.kCore(redges, "s", "d", kk)), s"k=$kk")
+    }
   }
 
   test("assortativity: star = −1, regular graph = null, hand-check mixed") {
