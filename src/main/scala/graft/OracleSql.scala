@@ -1065,6 +1065,32 @@ object OracleSql {
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type""".stripMargin,
 
+    "q_temporal_join" ->
+      // same SCD2-from-µs-versions construction, same validity
+      // predicate on the equi-key join; LEFT so facts predating the
+      // first version null-fill on both engines
+      """WITH c AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(floor(floor(c_acctbal * 100 + 0.5) / 200000.0) AS BIGINT)
+        |      AS band
+        |  FROM customer),
+        |h AS (
+        |  SELECT k, band, epoch_us(TIMESTAMP '2023-12-01') AS vts FROM c
+        |  UNION ALL
+        |  SELECT k, band + 1, epoch_us(TIMESTAMP '2024-01-15') FROM c
+        |  WHERE k % 3 = 0),
+        |d AS (
+        |  SELECT k, band, vts AS valid_from,
+        |    lead(vts) OVER (PARTITION BY k ORDER BY vts) AS valid_to
+        |  FROM h),
+        |e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |SELECT e.event_id, e.user_id, d.band, d.valid_from,
+        |  CASE WHEN d.k IS NULL THEN NULL
+        |       ELSE d.valid_to IS NULL END AS is_current
+        |FROM e LEFT JOIN d
+        |  ON d.k = e.user_id AND d.valid_from <= e.us
+        |  AND (d.valid_to IS NULL OR e.us < d.valid_to)""".stripMargin,
+
     "q_kcore" -> {
       // same pair fragments as q_dedup_cluster, then 6 UNROLLED peel
       // rounds (degree-over-survivors → keep deg ≥ 2); the Spark

@@ -1111,6 +1111,30 @@ object SparkEntry {
         $"valid_from", $"valid_to", $"is_current")
   }
 
+  /** D8: temporal dimension join — events enriched with the customer
+    * balance-band version valid at event time; SCD2 history built
+    * with µs timestamps as the version column, so validity ranges
+    * come straight out of scd2History. Equi-join on the key, validity
+    * predicate rides the join condition.
+    */
+  private def qTemporalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val us = (d: String) =>
+      unix_micros(lit(d).cast("timestamp"))
+    val c = table(s, dir, "customer").select($"c_custkey".as("k"),
+      floor(floor($"c_acctbal" * 100 + 0.5) / 200000.0)
+        .cast("long").as("band"))
+    val v0 = c.select($"k", $"band", us("2023-12-01").as("vts"))
+    val v1 = c.filter($"k" % 3 === 0)
+      .select($"k", ($"band" + 1).as("band"), us("2024-01-15").as("vts"))
+    val dim = Loads.scd2History(v0.unionByName(v1), Seq("k"), "vts")
+    val ev = table(s, dir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+    Loads.temporalJoin(ev, "user_id", "us", dim, "k")
+      .select($"event_id", $"user_id", $"band", $"valid_from",
+        $"is_current")
+  }
+
   /** H5: salted two-phase aggregation THROUGH the gate — the events
     * table's 5 event types are a degenerate hot-key distribution (20k+
     * rows per key at sf0.01); the salt phase splits each hot reduce key
@@ -2412,6 +2436,7 @@ object SparkEntry {
     "q_holt_winters" -> (qHoltWinters _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_kcore" -> (qKcore _),
+    "q_temporal_join" -> (qTemporalJoin _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 

@@ -58,6 +58,30 @@ object Loads {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** D8: temporal (point-in-time) dimension join — enrich facts with
+    * the SCD2 dimension version valid AT THE FACT'S TIMESTAMP, the
+    * query [[scd2History]] exists to answer and the reference's
+    * destructive upsert cannot: join on the business key with the
+    * validity predicate riding the join condition
+    * (valid_from ≤ t < valid_to, null = open).
+    *
+    * Scale shape: this is an EQUI-join on the key — it shuffles and
+    * partitions like any dimension join; the interval predicate only
+    * compares the few versions of the SAME key (per-key version
+    * counts are small by construction in an SCD2 dim), so there is
+    * no range-join blowup and no bucket decomposition needed (that
+    * machinery — [[Intervals.overlapJoin]] — is for interval×interval
+    * with no equi-key). Left join: facts predating the first version
+    * survive with null attributes rather than dropping.
+    */
+  def temporalJoin(facts: DataFrame, factKey: String, factTime: String,
+                   dim: DataFrame, dimKey: String): DataFrame =
+    facts.join(dim,
+      facts(factKey) === dim(dimKey) &&
+        dim("valid_from") <= facts(factTime) &&
+        (dim("valid_to").isNull || facts(factTime) < dim("valid_to")),
+      "left")
+
   /** Row-count reconciliation across tables (load.py:317 verify_counts):
     * one row per table with its count. Counts run as independent
     * partial-aggregated jobs; the union is metadata-sized.

@@ -79,4 +79,23 @@ class LoadsSpec extends AnyFunSuite {
     assert(merged.exceptAll(direct).count() == 0)
     assert(direct.exceptAll(merged).count() == 0)
   }
+
+  test("temporalJoin: picks the version valid at fact time, null-fills outside") {
+    import graft.operators.Loads
+    // key 1: value A from t=10, B from t=20; key 2: only X from t=15
+    val hist = Seq((1L, "A", 10L), (1L, "B", 20L), (2L, "X", 15L))
+      .toDF("k", "v", "vts")
+    val dim = Loads.scd2History(hist, Seq("k"), "vts")
+    val facts = Seq((100L, 1L, 5L), (101L, 1L, 10L), (102L, 1L, 19L),
+      (103L, 1L, 20L), (104L, 1L, 99L), (105L, 2L, 16L), (106L, 3L, 50L))
+      .toDF("fid", "fk", "ft")
+    val got = Loads.temporalJoin(facts, "fk", "ft", dim, "k")
+      .select("fid", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(100L -> None,       // before first version
+      101L -> Some("A"), 102L -> Some("A"), // [10, 20)
+      103L -> Some("B"), 104L -> Some("B"), // [20, ∞)
+      105L -> Some("X"),
+      106L -> None))                        // unknown key
+  }
 }
