@@ -222,4 +222,33 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = fused.queryExecution.executedPlan.toString
     assert(p.linesIterator.next().startsWith("*("), p.take(800))
   }
+
+  test("round-3 additions keep their scale shapes") {
+    // set-similarity: prefix self-join is keyed, never nested-loop
+    val setsim = plan("q_setsim_join")
+    assert(!setsim.contains("BroadcastNestedLoopJoin"), "setsim NLJ")
+    // temporal join: validity predicate must NOT degrade the equi-join
+    val tj = plan("q_temporal_join")
+    assert(!tj.contains("BroadcastNestedLoopJoin") &&
+      !tj.contains("CartesianProduct"), tj.take(1200))
+    // cusum + interval merge: the whole window chain rides ONE keyed
+    // exchange (dedup of the same window spec)
+    for (q <- Seq("q_cusum", "q_interval_merge")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q should have exactly one keyed exchange")
+    }
+    // ab test: moments collapse in a partial-aggregate pass; no window
+    val ab = plan("q_ab_test")
+    assert(!ab.contains("Window"), "abTest must not window")
+    assert(ab.contains("HashAggregate"), ab.take(800))
+    // vocab/bpe: top-K is per-partition heaps, not a global sort
+    for (q <- Seq("q_vocab_encode", "q_bpe_pairs")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q top-K")
+    }
+    // (q_assortativity eagerly localCheckpoints inside the operator,
+    // so its executedPlan is already an RDD scan — its broadcast
+    // shape is asserted in GraphSamplingSpec via the fast path)
+  }
 }
