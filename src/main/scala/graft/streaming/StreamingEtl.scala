@@ -134,6 +134,50 @@ object StreamingEtl {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** F13-streaming: CUSUM change detection as it should run on a live
+    * stream — the batch operator de-recurses the clamp into window
+    * algebra (TimeSeries.cusumPerKey), but windows over an unbounded
+    * stream are a non-starter, so the streaming twin carries the raw
+    * clamped recurrence (4 longs per key) across micro-batches via
+    * mapGroupsWithState. Integer cents in, integer state, so the twin
+    * is asserted BIT-identical to the batch operator in StreamingSpec
+    * — same pairing as ewma/ewmaStream.
+    */
+  final case class CusumState(sUp: Long, sDn: Long, maxUp: Long,
+                              maxDn: Long, nAlarmsUp: Long,
+                              nAlarmsDn: Long, n: Long)
+  final case class CusumOut(user_id: Long, n: Long, final_up: Long,
+                            max_up: Long, n_alarms_up: Long,
+                            final_dn: Long, max_dn: Long,
+                            n_alarms_dn: Long)
+
+  def cusumStream(spark: SparkSession, events: Dataset[Event],
+                  targetCents: Long, allowanceCents: Long,
+                  hCents: Long): Dataset[CusumOut] = {
+    import spark.implicits._
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[CusumState]): CusumOut = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var s = state.getOption.getOrElse(
+        CusumState(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+      sorted.foreach { e =>
+        val c = math.floor(e.value * 100 + 0.5).toLong
+        val up = math.max(0L, s.sUp + (c - (targetCents + allowanceCents)))
+        val dn = math.max(0L, s.sDn + ((targetCents - allowanceCents) - c))
+        s = CusumState(up, dn,
+          math.max(s.maxUp, up), math.max(s.maxDn, dn),
+          s.nAlarmsUp + (if (up > hCents) 1L else 0L),
+          s.nAlarmsDn + (if (dn > hCents) 1L else 0L),
+          s.n + 1)
+      }
+      state.update(s)
+      CusumOut(userId, s.n, s.sUp, s.maxUp, s.nAlarmsUp,
+        s.sDn, s.maxDn, s.nAlarmsDn)
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** F5: streaming exact dedup — drop events whose key was already seen
     * within the watermark horizon. State is bounded by the watermark
     * (keys older than it are evicted), which is the only way dedup

@@ -100,6 +100,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM carries clamp state across micro-batches, ≡ batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingEtl.cusumStream(spark, input.toDS(),
+        targetCents = 200L, allowanceCents = 20L, hCents = 300L)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    // user 7: drifting up (alarms); user 8: on-target (no alarms)
+    val events = (0 until 14).map(i =>
+      Event(i.toLong, ts(i), 7L + i % 2,
+        "e", if (i % 2 == 0) 3.5 + i * 0.1 else 2.0))
+    try {
+      input.addData(events.take(6): _*)
+      q.processAllAvailable()
+      input.addData(events.drop(6): _*)
+      q.processAllAvailable()
+      val got = spark.table("cusum_out").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rs) => u -> {
+          val last = rs.maxBy(_.getAs[Long]("n"))
+          (last.getAs[Long]("n"), last.getAs[Long]("final_up"),
+            last.getAs[Long]("max_up"), last.getAs[Long]("n_alarms_up"),
+            last.getAs[Long]("final_dn"), last.getAs[Long]("max_dn"),
+            last.getAs[Long]("n_alarms_dn"))
+        } }
+      val batch = graft.operators.TimeSeries.cusumPerKey(
+          events.toDF().selectExpr("user_id", "ts", "event_id",
+            "cast(floor(value * 100 + 0.5) as long) as cents"),
+          "user_id", "ts", "event_id", "cents", 200L, 20L, 300L)
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("final_up"),
+            r.getAs[Long]("max_up"), r.getAs[Long]("n_alarms_up"),
+            r.getAs[Long]("final_dn"), r.getAs[Long]("max_dn"),
+            r.getAs[Long]("n_alarms_dn"))).toMap
+      assert(got == batch)
+      assert(batch(7L)._4 > 0)  // drifting user alarms
+      assert(batch(8L)._4 == 0) // steady user clean on the up side
+    } finally q.stop()
+  }
+
   test("bank ETL transforms run unchanged on a CSV file stream") {
     import graft.pipeline.BankEtl
     import graft.sources.CsvStaging
