@@ -493,6 +493,52 @@ object OracleSql {
          |LEFT JOIN hits h ON h.id = b.id""".stripMargin
     },
 
+    "q_minhash_est" -> {
+      // same md5 minhash construction; estimate = agreeing mins / 9,
+      // exact = shingle-set Jaccard for the candidate pairs — each one
+      // exact-int division (raw-double safe)
+      val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k")
+        .mkString(",\n    ")
+      val bandRows = (0 until 3).map { b =>
+        val cat = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
+        s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
+      }.mkString("\n  UNION ALL ")
+      val agree = (0 until 9).map(i =>
+        s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sig AS MATERIALIZED (SELECT id,
+         |    $mins
+         |  FROM sh GROUP BY id),
+         |banded AS MATERIALIZED (
+         |  $bandRows),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+         |agr AS (
+         |  SELECT c.id_a, c.id_b, CAST($agree AS BIGINT) AS n_agree
+         |  FROM cand c
+         |  JOIN sig a ON a.id = c.id_a
+         |  JOIN sig b ON b.id = c.id_b),
+         |sizes AS MATERIALIZED (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS ic
+         |  FROM cand c
+         |  JOIN sh x ON x.id = c.id_a
+         |  JOIN sh y ON y.id = c.id_b AND y.sh = x.sh
+         |  GROUP BY 1, 2)
+         |SELECT g.id_a, g.id_b, g.n_agree,
+         |  CAST(g.n_agree AS DOUBLE) / CAST(9 AS DOUBLE) AS est_jaccard,
+         |  coalesce(i.ic, 0) AS inter,
+         |  CAST(coalesce(i.ic, 0) AS DOUBLE) /
+         |    CAST(sa.sz + sb.sz - coalesce(i.ic, 0) AS DOUBLE) AS jaccard
+         |FROM agr g
+         |LEFT JOIN inter i ON i.id_a = g.id_a AND i.id_b = g.id_b
+         |JOIN sizes sa ON sa.id = g.id_a
+         |JOIN sizes sb ON sb.id = g.id_b""".stripMargin
+    },
+
     "q_dedup_minhash" -> {
       val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(",\n    ")
       val bandRows = (0 until 3).map { b =>

@@ -480,6 +480,14 @@ object SparkEntry {
     Dedup.incrementalMinhash(batch, "text", "doc_id", store, 5, 3, 3)
   }
 
+  /** E48: MinHash Jaccard estimates vs exact, on the LSH candidates —
+    * the signature-only thresholding path a 100 TB dedup runs before
+    * exact verification; est and exact each one exact-int division.
+    */
+  private def qMinhashEst(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashJaccardEstimates(dupCorpus(s, dir), "text", "doc_id",
+      5, 3, 3)
+
   /** E4: SimHash near-dup pairs (xxhash64 tokens — no DuckDB
     * equivalent, so this is a rows-only gate + SimhashSpec).
     */
@@ -2437,6 +2445,7 @@ object SparkEntry {
     "q_bpe_pairs" -> (qBpePairs _),
     "q_kcore" -> (qKcore _),
     "q_temporal_join" -> (qTemporalJoin _),
+    "q_minhash_est" -> (qMinhashEst _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 

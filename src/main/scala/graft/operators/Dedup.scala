@@ -176,6 +176,63 @@ object Dedup {
       .withColumn("kept", col("store_hits") === 0L)
   }
 
+  /** E48: MinHash Jaccard ESTIMATION on the LSH candidates — the
+    * estimator theory made checkable: P(min-hash agrees) = J(A,B), so
+    * (# agreeing mins)/k estimates the Jaccard without touching the
+    * shingle sets. Emitted beside the exact value so the gate verifies
+    * both the estimator arithmetic and (in spec) its accuracy — this
+    * is what lets a 100 TB pipeline THRESHOLD on signatures alone
+    * (k·8 bytes/doc) and reserve exact verification for the sliver
+    * near the boundary.
+    *
+    * est and exact are each ONE IEEE division of exact integers
+    * (raw-double safe); err = est − exact is a single further op,
+    * deterministic on both engines.
+    */
+  def minhashJaccardEstimates(df: DataFrame, textCol: String,
+                              idCol: String, n: Int, bands: Int,
+                              rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minhashSignatures(df, textCol, idCol, n, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("id"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+          .cast("binary")).as("bh"))
+    }: _*)).as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val agree = (0 until k).map(i =>
+      when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val withAgree = cand
+      .join(sig.as("a"), col("id_a") === col("a.id"))
+      .join(sig.as("b"), col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"), agree.as("n_agree"))
+    // exact Jaccard for the candidate pairs only
+    val sh = docShingles(df, textCol, idCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = withAgree.select(col("id_a"), col("id_b"))
+      .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ic"))
+    withAgree
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_agree"),
+        (col("n_agree").cast("double") / lit(k.toDouble)).as("est_jaccard"),
+        coalesce(col("ic"), lit(0L)).as("inter"),
+        (coalesce(col("ic"), lit(0L)).cast("double") /
+          (col("sa") + col("sb") - coalesce(col("ic"), lit(0L)))
+            .cast("double")).as("jaccard"))
+  }
+
   /** E4: 64-bit SimHash over normalized words: bit b of the signature is
     * set when the weighted sum of bit b across token hashes is positive.
     * Hot path: [[simhash]] — the one-pass native Catalyst expression

@@ -53,6 +53,18 @@ class DedupSpec extends AnyFunSuite {
     assert(again.values.forall(_ == false))
   }
 
+  test("minhash estimates: exact dups estimate 1.0; estimator unbiased-ish") {
+    val est = Dedup.minhashJaccardEstimates(docs, "text", "doc_id", 3, 3, 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Double]("est_jaccard"), r.getAs[Double]("jaccard")))).toMap
+    // identical shingle sets: every min agrees AND exact J = 1
+    assert(est((1L, 2L)) == ((1.0, 1.0)))
+    assert(est((1L, 5L)) == ((1.0, 1.0)))
+    // near dup: estimate within 4/9 of truth (k=9 signature is coarse)
+    val (e13, j13) = est((1L, 3L))
+    assert(j13 > 0.5 && math.abs(e13 - j13) <= 4.0 / 9)
+  }
+
   test("minhash LSH surfaces exact dups in all bands") {
     val cand = Dedup.minhashLshCandidates(docs, "text", "doc_id", 3, 3, 3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
