@@ -539,6 +539,41 @@ object OracleSql {
          |JOIN sizes sb ON sb.id = g.id_b""".stripMargin
     },
 
+    "q_train_blocks" ->
+      // q_vocab_encode's CTEs, then the token stream: doc offsets via
+      // ONE ordered prefix sum (fine in DuckDB; the Spark side earns
+      // its two-level form), EOS = −1 appended per doc, block = gpos
+      // div 128 in integer arithmetic
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(${normOf("text")}, ' ') AS w
+         |  FROM documents),
+         |tp AS (
+         |  SELECT doc_id, unnest(w) AS tok,
+         |    unnest(range(1, len(w) + 1)) AS pos
+         |  FROM w),
+         |cnt AS (SELECT tok, count(*) AS c FROM tp GROUP BY tok),
+         |vocab AS (
+         |  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS tid
+         |  FROM (SELECT * FROM cnt ORDER BY c DESC, tok LIMIT 64)),
+         |enc AS (
+         |  SELECT t.doc_id, t.pos, coalesce(v.tid, 0) AS tid
+         |  FROM tp t LEFT JOIN vocab v ON v.tok = t.tok),
+         |docn AS (SELECT doc_id, count(*) + 1 AS n FROM enc GROUP BY doc_id),
+         |off AS (
+         |  SELECT doc_id, n,
+         |    coalesce(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM docn),
+         |tok AS (
+         |  SELECT e.doc_id, o.off + e.pos - 1 AS gpos, e.tid
+         |  FROM enc e JOIN off o USING (doc_id)
+         |  UNION ALL
+         |  SELECT o.doc_id, o.off + o.n - 1, -1 FROM off o)
+         |SELECT gpos // 128 AS block_id, count(*) AS n_ids,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos) AS ids
+         |FROM tok GROUP BY 1""".stripMargin,
+
     "q_dedup_minhash" -> {
       val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(",\n    ")
       val bandRows = (0 until 3).map { b =>

@@ -1993,6 +1993,22 @@ object SparkEntry {
   private def qBpePairs(s: SparkSession, dir: String): DataFrame =
     Corpus.bpePairStats(table(s, dir, "documents"), "text", topK = 30)
 
+  /** E49: token-stream block packing — vocab ids + EOS concatenated
+    * in doc order, cut into 128-id blocks via the two-level global
+    * prefix sum (no single-partition window over data-sized frames).
+    */
+  private def qTrainBlocks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = Corpus.vocabEncode(table(s, dir, "documents"), "text",
+        "doc_id", 64, asArray = true)
+      .select($"id", $"ids")
+    graft.operators.Packing
+      .packTokenStream(enc, "id", "ids", blockSize = 128L,
+        bucketWidth = 64L)
+      .select($"block_id", $"n_ids", $"n_docs",
+        array_join($"ids", ",").as("ids"))
+  }
+
   /** E27: TF-IDF term scoring — (doc, term) tf agg, term df agg, and
     * the corpus size N re-joined as a 1-row broadcast (no
     * single-partition window). Float math is exactly `tf * ln(N/df)`
@@ -2446,6 +2462,7 @@ object SparkEntry {
     "q_kcore" -> (qKcore _),
     "q_temporal_join" -> (qTemporalJoin _),
     "q_minhash_est" -> (qMinhashEst _),
+    "q_train_blocks" -> (qTrainBlocks _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 

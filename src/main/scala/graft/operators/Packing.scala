@@ -32,4 +32,58 @@ object Packing {
           floor((col("__cum") - col(tokCol)) / budgetTokens)).cast("long"))
       .drop("__shard", "__cum")
   }
+
+  /** E49: token-stream block packing — the LLM dataloader shape:
+    * every doc's id sequence plus an EOS sentinel, concatenated in
+    * doc-id order, cut into fixed `blockSize` blocks (docs SPAN block
+    * boundaries; nothing is padded or dropped except the final
+    * partial block is emitted short).
+    *
+    * The hard part at scale is the GLOBAL prefix sum that places each
+    * doc in the stream — a bare `Window.orderBy(doc)` serializes onto
+    * one partition. This runs it two-level instead: per-bucket totals
+    * (keyed agg over doc-cardinality rows), an ordered prefix over
+    * the BUCKET-cardinality frame (thousands of rows at 100 TB —
+    * that window being single-partition is immaterial), offsets
+    * broadcast back, then the within-bucket prefix as a keyed window.
+    * Token placement is then embarrassingly parallel: global position
+    * = bucket offset + within-bucket offset + in-doc position, block
+    * = position div blockSize, and block assembly is ONE keyed
+    * shuffle. All integer arithmetic.
+    *
+    * @param docs (idCol: long-castable doc id, idsCol: array of long
+    *             token ids — e.g. Corpus.vocabEncode(asArray = true))
+    * @return (block_id, n_ids, n_docs, ids position-ordered array)
+    */
+  def packTokenStream(docs: DataFrame, idCol: String, idsCol: String,
+                      blockSize: Long, eos: Long = -1L,
+                      bucketWidth: Long = 1024L): DataFrame = {
+    require(blockSize > 0 && bucketWidth > 0)
+    val d = docs.select(col(idCol).cast("long").as("did"),
+        concat(col(idsCol), array(lit(eos))).as("ids"))
+      .withColumn("n", size(col("ids")).cast("long"))
+      .withColumn("bkt", floor(col("did") / bucketWidth).cast("long"))
+    val bucketTotals = d.groupBy(col("bkt")).agg(sum(col("n")).as("bn"))
+    val bucketPrefix = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketTotals
+      .withColumn("boff", coalesce(sum(col("bn")).over(bucketPrefix), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    val withinBucket = Window.partitionBy(col("bkt")).orderBy(col("did"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = d.join(broadcast(bucketOffsets), "bkt")
+      .withColumn("woff", coalesce(sum(col("n")).over(withinBucket), lit(0L)))
+      .withColumn("off", col("boff") + col("woff"))
+    placed
+      .select(col("did"), col("off"),
+        posexplode(col("ids")).as(Seq("p", "tid")))
+      .withColumn("gpos", col("off") + col("p"))
+      .withColumn("block_id",
+        floor(col("gpos") / blockSize).cast("long"))
+      .groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_ids"),
+        countDistinct(col("did")).as("n_docs"),
+        transform(array_sort(collect_list(struct(col("gpos"), col("tid")))),
+          x => x.getField("tid")).as("ids"))
+  }
 }

@@ -27,6 +27,33 @@ class PackingStreamSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("packTokenStream: blocks reassemble the exact doc-order stream") {
+    import graft.operators.Packing
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, Seq(10L, 11L, 12L)),
+      (2L, Seq(20L)),
+      (3L, Seq(30L, 31L, 32L, 33L, 34L)),
+      (900L, Seq(90L, 91L))) // far id → different bucket
+      .toDF("id", "ids")
+    val out = Packing.packTokenStream(docs, "id", "ids",
+        blockSize = 4L, bucketWidth = 16L)
+      .orderBy("block_id").collect()
+    val stream = out.flatMap(_.getAs[scala.collection.Seq[Long]]("ids"))
+    // expected: docs in id order, each followed by EOS
+    val expect = Seq(10L, 11L, 12L, -1L, 20L, -1L,
+      30L, 31L, 32L, 33L, 34L, -1L, 90L, 91L, -1L)
+    assert(stream.toSeq == expect)
+    // all blocks full except the last; block ids contiguous from 0
+    assert(out.map(_.getAs[Long]("block_id")).toSeq == (0L until 4L))
+    assert(out.dropRight(1).forall(_.getAs[Long]("n_ids") == 4L))
+    assert(out.last.getAs[Long]("n_ids") == 3L)
+    // block 1 = positions 4-7: doc2 (20, eos) + doc3's first two ids
+    assert(out(1).getAs[Long]("n_docs") == 2L)
+    // doc 3 spans blocks 1-2 (counted in both)
+    assert(out(2).getAs[Long]("n_docs") == 1L)
+  }
+
   test("streaming upsert sink merges batches by key (latest wins)") {
     implicit val sc = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
