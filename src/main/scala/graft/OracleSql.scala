@@ -1684,6 +1684,17 @@ object OracleSql {
         |  max(end_us) AS island_end, count(*) AS n_intervals
         |FROM g GROUP BY 1, 2""".stripMargin,
 
+    "q_topk_agg" ->
+      // the window-ranking form of the bounded-heap aggregate, same
+      // (cents desc, event_id asc) tie-break
+      """SELECT event_type, event_id, rnk, cents FROM (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY floor(value * 100 + 0.5) DESC, event_id) AS rnk
+        |  FROM events) t
+        |WHERE rnk <= 3""".stripMargin,
+
     "q_cusum" ->
       // same de-recursed CUSUM algebra as TimeSeries.cusumPerKey:
       // s_t = C_t − min(0, prefix-min C) over (us, event_id) order —

@@ -1196,6 +1196,27 @@ object SparkEntry {
         $"n_intervals")
   }
 
+  /** H3 direct gate: top-3 events per type via the custom bounded-heap
+    * `topk_by` aggregate — map-side partial top-k (≤ k rows per task
+    * cross the shuffle), oracled against the window-ranking form
+    * incl. tie-breaks. Exercises the TypedImperativeAggregate rung
+    * through the gate directly, not just inside ANN.
+    */
+  private def qTopkAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "events")
+      .select($"event_type", $"event_id",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"event_type")
+      .agg(graft.plans.TopKBy
+        .topkBy($"cents".cast("double"), $"event_id", 3).as("top"))
+      .select($"event_type", posexplode($"top"))
+      .select($"event_type", $"col.id".as("event_id"),
+        ($"pos" + 1).cast("long").as("rnk"),
+        // integer cents round-trip the double score exactly (< 2^53)
+        $"col.score".cast("long").as("cents"))
+  }
+
   /** F13: one-sided CUSUM change detection per user — the clamped
     * recurrence de-recursed into two window aggregates (running sum −
     * clamped prefix min), all exact integer cents: no mapPartitions,
@@ -2463,6 +2484,7 @@ object SparkEntry {
     "q_temporal_join" -> (qTemporalJoin _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_train_blocks" -> (qTrainBlocks _),
+    "q_topk_agg" -> (qTopkAgg _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 
