@@ -1684,6 +1684,32 @@ object OracleSql {
         |  max(end_us) AS island_end, count(*) AS n_intervals
         |FROM g GROUP BY 1, 2""".stripMargin,
 
+    "q_session_native" ->
+      // gaps-and-islands form of session_window: a session merges the
+      // next event only if it lands STRICTLY before start+gap, so the
+      // boundary is gap ≥ 30 min; end = last event + 30 min
+      // (exclusive), matching the Catalyst operator's contract
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, us, cents,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |           >= 1800000000 OR
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, us, cents,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, min(us) AS start_us,
+        |  max(us) + 1800000000 AS end_us,
+        |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
     "q_topk_agg" ->
       // the window-ranking form of the bounded-heap aggregate, same
       // (cents desc, event_id asc) tie-break

@@ -2329,6 +2329,25 @@ object SparkEntry {
     Sessions.sessionSummary(table(s, dir, "events"), "user_id", "ts",
       "value", 1800L)
 
+  /** F12 through the gate: Catalyst's native `session_window` on a
+    * BATCH frame — gap-merged sessions per user with exact integer
+    * rollups, oracled against the declarative gaps-and-islands form
+    * (lag > gap ⇒ boundary). Window end = last event + gap
+    * (exclusive) per the operator's contract.
+    */
+  private def qSessionNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "events")
+      .select($"user_id", $"ts",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("sum_cents"))
+      .select($"user_id",
+        unix_micros($"session_window.start").as("start_us"),
+        unix_micros($"session_window.end").as("end_us"),
+        $"n_events", $"sum_cents")
+  }
+
   /** F2: tumbling hourly aggregate per event type. */
   private def qWindowedAgg(s: SparkSession, dir: String): DataFrame =
     Sessions.hourlyAgg(table(s, dir, "events"), "ts", "event_type", "value")
@@ -2485,6 +2504,7 @@ object SparkEntry {
     "q_minhash_est" -> (qMinhashEst _),
     "q_train_blocks" -> (qTrainBlocks _),
     "q_topk_agg" -> (qTopkAgg _),
+    "q_session_native" -> (qSessionNative _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 
