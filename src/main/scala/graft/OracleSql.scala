@@ -1684,6 +1684,29 @@ object OracleSql {
         |  max(end_us) AS island_end, count(*) AS n_intervals
         |FROM g GROUP BY 1, 2""".stripMargin,
 
+    "q_seasonal_anomaly" ->
+      // q_latency_bands' exact-quantile arithmetic as the per-(type,
+      // hour) baseline, then a pure integer anomaly test c > 3·median
+      """WITH e AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |d AS (SELECT event_type, hod, c, count(*) AS cnt
+        |  FROM e GROUP BY 1, 2, 3),
+        |w AS (SELECT event_type, hod, c,
+        |    sum(cnt) OVER (PARTITION BY event_type, hod ORDER BY c) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type, hod) AS n
+        |  FROM d),
+        |med AS (SELECT event_type, hod,
+        |    min(CASE WHEN cum * 10000 >= n * 5000 THEN c END) AS med_c
+        |  FROM w GROUP BY 1, 2)
+        |SELECT e.event_type, e.hod, count(*) AS n,
+        |  CAST(min(m.med_c) AS BIGINT) AS med_c,
+        |  CAST(sum(CASE WHEN e.c > m.med_c * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_anomalies
+        |FROM e JOIN med m ON m.event_type = e.event_type AND m.hod = e.hod
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_session_native" ->
       // gaps-and-islands form of session_window: a session merges the
       // next event only if it lands STRICTLY before start+gap, so the

@@ -1217,6 +1217,29 @@ object SparkEntry {
         $"col.score".cast("long").as("cents"))
   }
 
+  /** F15: seasonal-baseline anomaly detection — per (event_type,
+    * hour-of-day) exact median (Stats.discreteQuantiles' integer rank
+    * arithmetic) as the seasonal baseline, events flagged above k×
+    * baseline by a pure integer test. Conditioning on the cycle
+    * position is what MAD/z-score outliers (global per-group) miss:
+    * a value normal at peak hour is anomalous at 4am. Baseline table
+    * is (type × 24)-cardinality → broadcast back; one keyed agg +
+    * one cheap window over distinct values.
+    */
+  private def qSeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select($"event_type",
+      hour($"ts").cast("long").as("hod"),
+      floor($"value" * 100 + 0.5).cast("long").as("c"))
+    val base = Stats.discreteQuantiles(e, Seq("event_type", "hod"), "c",
+        Seq(5000))
+      .select($"event_type", $"hod", $"q5000".as("med_c"))
+    e.join(broadcast(base), Seq("event_type", "hod"))
+      .groupBy($"event_type", $"hod")
+      .agg(count(lit(1)).as("n"), first($"med_c").as("med_c"),
+        sum(when($"c" > $"med_c" * 3, 1L).otherwise(0L)).as("n_anomalies"))
+  }
+
   /** F13: one-sided CUSUM change detection per user — the clamped
     * recurrence de-recursed into two window aggregates (running sum −
     * clamped prefix min), all exact integer cents: no mapPartitions,
@@ -2505,6 +2528,7 @@ object SparkEntry {
     "q_train_blocks" -> (qTrainBlocks _),
     "q_topk_agg" -> (qTopkAgg _),
     "q_session_native" -> (qSessionNative _),
+    "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 
