@@ -406,6 +406,25 @@ object OracleSql {
          |  JOIN sizes sb ON sb.id = id_b)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin,
 
+    "q_containment" ->
+      // asymmetric acceptance den·|∩| ≥ num·min(|A|,|B|) over the
+      // same shared-shingle pairs; containment is one exact-int
+      // division (raw-double safe)
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(inter AS DOUBLE) /
+         |    CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+         |FROM inter
+         |JOIN sizes sa ON sa.id = doc_a
+         |JOIN sizes sb ON sb.id = doc_b
+         |WHERE 10 * inter >= 9 * least(sa.n, sb.n)""".stripMargin,
+
     "q_setsim_join" ->
       // brute-force ground truth: EVERY shared-token pair with the
       // exact integer acceptance test den·|∩| ≥ num·|∪| (τ = 3/5).

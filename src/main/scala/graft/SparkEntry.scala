@@ -2053,6 +2053,17 @@ object SparkEntry {
         array_join($"ids", ",").as("ids"))
   }
 
+  /** E50: containment (subsumption) near-dup pairs on 5-gram shingle
+    * sets at τ = 9/10 — the trimmed near-dups score containment 1.0
+    * (their shingles are a subset of the original's) regardless of
+    * how asymmetric the sizes are.
+    */
+  private def qContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    SetSim.containmentSelfJoin(dupCorpus(s, dir), "text", "doc_id", 9, 10,
+      c => TextFunctions.shingles(c, 5))
+  }
+
   /** E27: TF-IDF term scoring — (doc, term) tf agg, term df agg, and
     * the corpus size N re-joined as a 1-row broadcast (no
     * single-partition window). Float math is exactly `tf * ln(N/df)`
@@ -2529,6 +2540,7 @@ object SparkEntry {
     "q_topk_agg" -> (qTopkAgg _),
     "q_session_native" -> (qSessionNative _),
     "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
+    "q_containment" -> (qContainment _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 

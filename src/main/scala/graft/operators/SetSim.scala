@@ -106,6 +106,46 @@ object SetSim {
           (col("n_a") + col("n_b") - col("inter"))).as("jacc"))
   }
 
+  /** Containment self-join: pairs with |A∩B| / min(|A|,|B|) ≥ τ — the
+    * ASYMMETRIC near-dup test: a trimmed, quoted, or excerpted doc
+    * sits INSIDE a larger one with containment ≈ 1 while its Jaccard
+    * can be arbitrarily low (the small set barely dents the union).
+    * The curation complement to [[jaccardSelfJoin]]: Jaccard finds
+    * same-size near-dups, containment finds subsumption.
+    *
+    * No prefix filter here — containment's required overlap scales
+    * with the SMALLER set, so the prefix bound degenerates (a token
+    * of x can always be the one its tiny partner shares). Candidates
+    * come from the shared-token equi-join (the E2 shape: keyed,
+    * never cartesian; rare-token corpora keep it bounded), and the
+    * acceptance test is exact integers: den·|∩| ≥ num·min(|A|,|B|).
+    */
+  def containmentSelfJoin(df: DataFrame, textCol: String, idCol: String,
+                          tauNum: Int, tauDen: Int,
+                          tokens: org.apache.spark.sql.Column =>
+                            org.apache.spark.sql.Column =
+                            TextFunctions.words): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0,1]: $tauNum/$tauDen")
+    val tok = df.select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.token") === col("b.token") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(lit(tauDen) * col("inter") >=
+        lit(tauNum) * least(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("n_a"), col("n_b"),
+        (col("inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+  }
+
   /** Brute-force reference: every shared-token pair, exact filter —
     * the executable spec `jaccardSelfJoin` is asserted against (and
     * the shape prefix filtering exists to avoid).

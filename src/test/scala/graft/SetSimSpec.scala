@@ -64,6 +64,22 @@ class SetSimSpec extends AnyFunSuite {
     assert(viaPrefix.contains((1L, 2L)) && viaPrefix.contains((1L, 3L)))
   }
 
+  test("containment: subsumed doc scores 1.0 where Jaccard stays low") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"),  // 20 tokens
+      (2L, "a b c"),                                      // ⊂ 1 (3 tokens)
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val cont = SetSim.containmentSelfJoin(docs, "text", "doc_id", 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("containment")).toMap
+    assert(cont == Map((1L, 2L) -> 1.0)) // subset detected, 3 unrelated
+    // the same pair FAILS the Jaccard gate at the same threshold —
+    // the asymmetry is the point
+    val jac = SetSim.jaccardSelfJoin(docs, "text", "doc_id", 9, 10)
+    assert(jac.count() == 0)
+  }
+
   test("prefix filter actually prunes the candidate join") {
     // the theorem is vacuous if the prefix is the whole doc; verify
     // the prefix row count is strictly below the full token table
