@@ -406,6 +406,26 @@ object OracleSql {
          |  JOIN sizes sb ON sb.id = id_b)
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin,
 
+    "q_sql_recursive" ->
+      // near-identical recursive SQL on DuckDB: date+interval yields
+      // TIMESTAMP there, so the recursion re-casts to DATE; cents via
+      // floor(+0.5) (double→int rounding differs between engines)
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+        |  WHERE m < DATE '2001-08-01'),
+        |mo AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(spine.m AS VARCHAR) AS month,
+        |  coalesce(mo.n, 0) AS n_orders,
+        |  CAST(coalesce(mo.cents, 0) AS BIGINT) AS sum_cents
+        |FROM spine LEFT JOIN mo ON mo.m = spine.m""".stripMargin,
+
     "q_containment" ->
       // asymmetric acceptance den·|∩| ≥ num·min(|A|,|B|) over the
       // same shared-shingle pairs; containment is one exact-int

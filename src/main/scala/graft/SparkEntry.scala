@@ -2382,6 +2382,32 @@ object SparkEntry {
         $"n_events", $"sum_cents")
   }
 
+  /** C44: recursive CTE through Spark SQL (WITH RECURSIVE, new in
+    * Spark 4) — a recursively generated month spine LEFT-joined to
+    * order counts, so months with zero orders surface (the gap the
+    * bare GROUP BY can't see). Identical SQL text runs on both
+    * engines; all arithmetic integral.
+    */
+  private def qSqlRecursive(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM spine
+        |  WHERE m < DATE '2001-08-01'
+        |),
+        |mo AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    count(*) AS n,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(spine.m AS STRING) AS month,
+        |  coalesce(mo.n, 0) AS n_orders,
+        |  coalesce(mo.cents, 0) AS sum_cents
+        |FROM spine LEFT JOIN mo ON mo.m = spine.m""".stripMargin)
+  }
+
   /** F2: tumbling hourly aggregate per event type. */
   private def qWindowedAgg(s: SparkSession, dir: String): DataFrame =
     Sessions.hourlyAgg(table(s, dir, "events"), "ts", "event_type", "value")
@@ -2541,6 +2567,7 @@ object SparkEntry {
     "q_session_native" -> (qSessionNative _),
     "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "q_containment" -> (qContainment _),
+    "q_sql_recursive" -> (qSqlRecursive _),
     "q_l_diversity" -> (qLDiversity _),
     "q_benford" -> (qBenford _))
 
