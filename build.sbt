@@ -1,6 +1,12 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "pythonetlpipelinespark"
+// The bench driver JSON-parses the LAST stdout line of
+// `sbt -batch "runMain graft.Bench"`. sbt's default "[success] Total
+// time: …" epilogue lands AFTER our JSON line and broke that parse in
+// rounds 1+2 (BENCH_r0{1,2}.json: parsed=null) — suppress it so the
+// bench JSON is genuinely the last line.
+Global / showSuccess := false
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
