@@ -1901,6 +1901,117 @@ object OracleSql {
         |  END AS assortativity
         |FROM m""".stripMargin,
 
+    "q_bfs" ->
+      // min hop distance from the Brand#13 seed set as a recursive
+      // CTE: UNION (not ALL) dedups (id, hop) states, the hop < 3
+      // guard bounds the recursion, min(hop) per id ≡ the operator's
+      // first-reach labeling. Edge set = the same distinct co-purchase
+      // pairs as q_assortativity's e0 (self-join form; the Spark side
+      // generates them order-locally — same set either way).
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45),
+        |e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT pa AS src, pb AS dst FROM e0
+        |        UNION ALL SELECT pb, pa FROM e0),
+        |seeds AS (SELECT DISTINCT p_partkey AS id FROM part
+        |          WHERE p_brand = 'Brand#13'),
+        |walk(id, hop) AS (
+        |  SELECT id, 0 AS hop FROM seeds
+        |  UNION
+        |  SELECT s.dst AS id, walk.hop + 1 AS hop
+        |  FROM walk JOIN sym s ON s.src = walk.id
+        |  WHERE walk.hop < 4)
+        |SELECT id, CAST(min(hop) AS BIGINT) AS hop
+        |FROM walk GROUP BY id""".stripMargin,
+
+    "q_event_paths" ->
+      // same gaps-and-islands sessionization as q_sessionize, then the
+      // path per session via ORDERED string_agg — the (us, event_type)
+      // sort key mirrors the Spark side's in-row struct sort; top-20
+      // with the same strict (count desc, path asc) tie-break
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts)) AS prev
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, us, event_type,
+        |    CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, us, event_type,
+        |    sum(nw) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM y),
+        |p AS (
+        |  SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY us, event_type) AS path
+        |  FROM z GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
+
+    "q_acf" ->
+      // exact-moment ACF: dev_t = n·x_t − S as HUGEINT (≡ Spark
+      // decimal(38,0)); numerators/denominator are exact integer sums,
+      // each acf ONE cast-to-double division in the same op order
+      """WITH d AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS HUGEINT) AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             CAST(sum(x) AS HUGEINT) AS s FROM d),
+        |v AS (SELECT day, n * x - s AS dev FROM d, t),
+        |w AS (
+        |  SELECT dev,
+        |    lead(dev, 1) OVER (ORDER BY day) AS d1,
+        |    lead(dev, 2) OVER (ORDER BY day) AS d2,
+        |    lead(dev, 3) OVER (ORDER BY day) AS d3,
+        |    lead(dev, 7) OVER (ORDER BY day) AS d7
+        |  FROM v),
+        |m AS (
+        |  SELECT count(*) AS nd, sum(dev * dev) AS den,
+        |    sum(dev * d1) AS n1, sum(dev * d2) AS n2,
+        |    sum(dev * d3) AS n3, sum(dev * d7) AS n7
+        |  FROM w)
+        |SELECT CAST(lag AS BIGINT) AS lag,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs, acf
+        |FROM (
+        |  SELECT 1 AS lag, nd - 1 AS n_pairs,
+        |    CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM m
+        |  UNION ALL SELECT 2, nd - 2,
+        |    CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) FROM m
+        |  UNION ALL SELECT 3, nd - 3,
+        |    CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) FROM m
+        |  UNION ALL SELECT 7, nd - 7,
+        |    CAST(n7 AS DOUBLE) / CAST(den AS DOUBLE) FROM m) u""".stripMargin,
+
+    "q_blocklist" ->
+      // token stream joined to the VALUES blocklist; distinct matched
+      // terms sorted then joined (≡ Spark array_sort(collect_set)),
+      // clean docs surface via the LEFT join with 0 hits
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(${normOf("text")}, ' ')) AS term
+         |  FROM documents),
+         |bl(term) AS (VALUES ('dup'), ('slow'), ('big')),
+         |h AS (
+         |  SELECT doc_id, count(*) AS n_hits,
+         |    array_to_string(list_sort(list(DISTINCT term)), ',')
+         |      AS blocked_terms
+         |  FROM tok JOIN bl USING (term)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id AS id,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  coalesce(h.blocked_terms, '') AS blocked_terms,
+         |  coalesce(h.n_hits, 0) = 0 AS keep
+         |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin,
+
     "q_l_diversity" ->
       // exact cents → double → floor: identical banding on both
       // engines incl. negative balances (floor ≠ int div there)

@@ -1625,6 +1625,71 @@ object SparkEntry {
       broadcastDegrees = true, assumeCanonical = true)
   }
 
+  /** E51: multi-source BFS over the co-purchase graph — min hop
+    * distance from the Brand#13 part set, capped at 3 hops. The
+    * "blast radius of a seed set" query (recall propagation, fraud
+    * ring expansion, contamination spread) that transitive closure
+    * can't bound and per-pair shortest-path can't afford. Frontier
+    * expansion: each round touches frontier-sized data only; the
+    * oracle replays it as a recursive CTE with the hop cap in the
+    * recursion guard.
+    */
+  private def qBfs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // high-quantity lines only: the full co-purchase graph is near-
+    // complete within 1 hop (all-187-at-hop-1 certifies nothing); the
+    // sparsified graph spreads distances over the whole 0..4 range and
+    // leaves parts unreached, so the gate exercises min-hop selection,
+    // the hop cap, AND the reachability frontier
+    val li = table(s, dir, "lineitem").filter($"l_quantity" >= 45)
+      .select($"l_orderkey", $"l_partkey")
+    val pairs = li.groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"l_partkey")).as("ps"))
+      .select(explode(flatten(transform($"ps", (x, i) =>
+        transform(slice($"ps", i + 2, size($"ps")), y =>
+          struct(x.as("pa"), y.as("pb")))))).as("e"))
+      .select($"e.pa", $"e.pb").distinct()
+    val seeds = table(s, dir, "part").filter($"p_brand" === "Brand#13")
+      .select($"p_partkey")
+    Graph.shortestHops(pairs, "pa", "pb", seeds, "p_partkey", maxHops = 4)
+  }
+
+  /** F16: top-20 session paths — ordered event-type sequences per
+    * 30-min-gap session, counted across sessions. Path order is made
+    * deterministic by in-row struct sort (collect order is partition-
+    * dependent); the oracle's string_agg orders by the same (us, type)
+    * key.
+    */
+  private def qEventPaths(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessions.topPaths(table(s, dir, "events"),
+      "user_id", "ts", "event_type", 1800L, 20)
+
+  /** F17: autocorrelation of daily order revenue at lags 1, 2, 3, 7 —
+    * the seasonality probe. Exact integer cents per day, deviations
+    * scaled by n (corr_stats discipline), each acf ONE double division
+    * of exact decimals; the lag window runs over day-cardinality rows
+    * only.
+    */
+  private def qAcf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = table(s, dir, "orders")
+      .select(date_format($"o_orderdate", "yyyy-MM-dd").as("day"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("c"))
+      .groupBy($"day").agg(sum($"c").as("x"))
+    graft.operators.TimeSeries.acf(daily, "day", "x", Seq(1, 2, 3, 7))
+  }
+
+  /** E52: token-blocklist screen over the documents corpus — per doc
+    * the blocked-token hit count, the matched terms, and the keep
+    * verdict; the blocklist side is broadcast (real blocklists are
+    * kilobytes against a 100 TB token stream).
+    */
+  private def qBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.blocklistScreen(table(s, dir, "documents"), "text", "doc_id",
+      TextFunctions.words, Seq("dup", "slow", "big").toDF("term"), "term")
+  }
+
   /** A10: l-diversity audit — k-anonymity's blind spot: a group can
     * be large (k-anonymous) yet expose everyone because all members
     * share one sensitive value. Per quasi-identifier group report
@@ -2554,6 +2619,10 @@ object SparkEntry {
     "q_vocab_encode" -> (qVocabEncode _),
     "q_cusum" -> (qCusum _),
     "q_assortativity" -> (qAssortativity _),
+    "q_bfs" -> (qBfs _),
+    "q_event_paths" -> (qEventPaths _),
+    "q_acf" -> (qAcf _),
+    "q_blocklist" -> (qBlocklist _),
     "q_ab_test" -> (qAbTest _),
     "q_minhash_incremental" -> (qMinhashIncremental _),
     "q_interval_merge" -> (qIntervalMerge _),

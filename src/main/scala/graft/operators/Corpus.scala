@@ -296,4 +296,36 @@ object Corpus {
           log(col("n_docs").cast("double") / col("df").cast("double")))
           .as("tfidf_raw"))
   }
+
+  /** Token-blocklist screen (C4/RefinedWeb-style "bad words" pass) —
+    * per doc: total blocked-token occurrences, the sorted distinct
+    * matched terms, and the keep verdict. Every doc appears in the
+    * output (clean docs with 0 hits), so the result IS the curation
+    * decision table.
+    *
+    * Scale shape: the blocklist joins BROADCAST against the exploded
+    * token stream — a real blocklist is 10²–10⁵ terms (kilobytes),
+    * while the regex-union alternative rebuilds a DFA per term count
+    * and the `arrays_overlap` form can't report WHICH terms hit. The
+    * corpus shuffles once (doc-id re-aggregation); hit rows are
+    * blocked-token-cardinality, a sliver of the token stream.
+    */
+  def blocklistScreen(df: DataFrame, textCol: String, idCol: String,
+                      tokens: Column => Column,
+                      blocklist: DataFrame, termCol: String): DataFrame = {
+    val hits = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(blocklist.select(col(termCol).as("term")).distinct()),
+        "term")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"),
+        array_join(array_sort(collect_set(col("term"))), ",")
+          .as("blocked_terms"))
+    df.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("blocked_terms"), lit("")).as("blocked_terms"))
+      .withColumn("keep", col("n_hits") === 0)
+  }
 }

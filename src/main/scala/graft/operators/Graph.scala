@@ -573,4 +573,102 @@ object Graph {
     und.unpersist()
     r
   }
+
+  /** Multi-source BFS: minimum hop distance from a SEED SET over an
+    * undirected edge list, bounded at `maxHops` (SURVEY.md §2.E51).
+    * The curation use: "everything within k hops of a known-bad seed"
+    * (contaminated docs, flagged accounts, recalled parts) without
+    * materializing transitive closure.
+    *
+    * Scale shape: frontier expansion — round i joins ONLY the hop-
+    * (i−1) frontier against the edge list (frontier-sized, not
+    * graph-sized), anti-joins the visited set, and unions the new
+    * nodes in at hop i. Two keyed shuffles per round, O(maxHops)
+    * rounds, per-round `localCheckpoint` truncating lineage (the CC
+    * cache discipline); the only scalar crossing the driver is the
+    * new-frontier count (early exit when the frontier drains). Same
+    * hybrid rung as CC/LPA/kCore: a reduced graph under
+    * `localThreshold` edges runs a driver-side queue BFS — all-integer
+    * state, asserted bit-identical to the distributed rounds.
+    *
+    * Seeds appear at hop 0 even when isolated (they are "reached" by
+    * definition); non-seed nodes appear only if reached within
+    * `maxHops`.
+    *
+    * @return (id, hop) — hop = min #edges from any seed, 0 ≤ hop ≤ maxHops.
+    */
+  def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String, maxHops: Int,
+                   localThreshold: Long = 2000000L): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be ≥ 0: $maxHops")
+    val und = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+    if (und.count() <= localThreshold) {
+      val result = localBfs(und, seed, maxHops)
+      und.unpersist()
+      return result
+    }
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
+    und.unpersist()
+    var dist = seed.select(col("id"), lit(0L).as("hop"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var hop = 0L
+    var drained = false
+    while (!drained && hop < maxHops) {
+      hop += 1
+      val next = sym.join(frontier, sym("src") === frontier("id"))
+        .select(sym("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(hop).as("hop"))
+        .localCheckpoint(true)
+      if (next.count() == 0) drained = true
+      else {
+        dist = dist.union(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    sym.unpersist()
+    dist
+  }
+
+  /** Driver-side multi-source BFS for small graphs — queue sweep,
+    * O(V+E), integer state only (bit-identical to the rounds). */
+  private def localBfs(und: DataFrame, seed: DataFrame,
+                       maxHops: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val adj = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.ArrayBuffer[Long]]
+    und.as[(Long, Long)].collect().foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    val dist = scala.collection.mutable.Map.empty[Long, Long]
+    val queue = scala.collection.mutable.Queue.empty[Long]
+    seed.as[Long].collect().foreach { s =>
+      dist(s) = 0L
+      queue += s
+    }
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      val h = dist(v)
+      if (h < maxHops) adj.getOrElse(v, Nil).foreach { u =>
+        if (!dist.contains(u)) {
+          dist(u) = h + 1
+          queue += u
+        }
+      }
+    }
+    spark.createDataset(dist.toSeq).toDF("id", "hop")
+  }
 }

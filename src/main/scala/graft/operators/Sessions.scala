@@ -39,6 +39,34 @@ object Sessions {
         max(unix_micros(col(tsCol))).as("end_us"),
         round(sum(col(valueCol)), 2).as("total_value"))
 
+  /** F16: top-k session paths — the product-analytics "user flows"
+    * view: the ordered event-type sequence of every session, counted
+    * across sessions, top k by frequency.
+    *
+    * Scale shape: rides sessionize's single user-key shuffle; each
+    * session's path assembles in ONE groupBy — `collect_list` order is
+    * partition-dependent, so the collected (us, type) structs are
+    * sorted IN-ROW (`sort_array`) before joining, making the path a
+    * pure function of the data. Path counting is a keyed agg over
+    * path-cardinality rows, and the final top-k is `orderBy.limit` =
+    * TakeOrderedAndProject (per-partition heaps, never a global sort).
+    * Ties at the boundary break deterministically (count desc, path
+    * asc — a strict total order since paths are grouped).
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, gapSeconds: Long, k: Int): DataFrame =
+    sessionize(events, userCol, tsCol, gapSeconds)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col(tsCol)).as("us"),
+        col(typeCol).cast("string").as("t")))).as("__evs"))
+      .select(array_join(transform(col("__evs"), e => e("t")), ">")
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+
   /** F2: tumbling-window aggregate (batch form of the streaming windowed
     * agg); hour bucket exposed as epoch micros.
     */

@@ -304,4 +304,52 @@ object TimeSeries {
         max(col("s_dn")).as("max_dn"),
         sum(when(col("s_dn") > hCents, 1L).otherwise(0L)).as("n_alarms_dn"))
   }
+
+  /** Autocorrelation function at fixed lags (SURVEY.md §2.F17) — the
+    * standard seasonality probe: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
+    * over the `ordCol`-ordered series. A high r_7 on daily totals says
+    * "weekly cycle" before any model is fit.
+    *
+    * Exact-moment discipline (the corr_stats rule): x̄ = S/n is never
+    * materialized — deviations are scaled by n (dev_t = n·x_t − S,
+    * exact decimal on integer inputs), so numerator and denominator
+    * accumulate as EXACT integers at any parallelism and each r_k is
+    * ONE double division at the end (raw-double safe, no rounding
+    * rule).
+    *
+    * Scale shape: one aggregate for (n, S) broadcast back; the lag
+    * alignment is a single-partition window — legitimate because it
+    * runs over the AGGREGATED series (day/hour-cardinality rows, not
+    * the fact table), the same rationale as discrete quantiles.
+    *
+    * @param series pre-aggregated series; `valCol` must be an exact
+    *        integer column (cents, counts).
+    * @return one row per lag: (lag, n_pairs, acf).
+    */
+  def acf(series: DataFrame, ordCol: String, valCol: String,
+          lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be ≥ 1: $lags")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val tot = series.agg(count(lit(1)).cast(dec).as("__n"),
+      sum(col(valCol).cast(dec)).cast(dec).as("__s"))
+    val v = series.crossJoin(broadcast(tot))
+      .select(col(ordCol).as("__o"),
+        (col("__n") * col(valCol).cast(dec) - col("__s")).cast(dec).as("dev"))
+    val w = Window.orderBy(col("__o"))
+    val withLeads = v.select(col("dev") +:
+      lags.map(k => lead(col("dev"), k).over(w).as(s"__d$k")): _*)
+    val aggs = Seq(count(lit(1)).as("__nd"),
+      sum((col("dev") * col("dev")).cast(dec)).as("__den")) ++
+      lags.map(k => sum((col("dev") * col(s"__d$k")).cast(dec)).as(s"__num$k"))
+    val one = withLeads.agg(aggs.head, aggs.tail: _*)
+    // zero-variance (constant) series → null, not a divide-by-zero
+    // (ANSI mode throws even on double division)
+    val rows = lags.map(k => struct(lit(k.toLong).as("lag"),
+      (col("__nd") - k).cast("long").as("n_pairs"),
+      when(col("__den") =!= 0,
+        col(s"__num$k").cast("double") / col("__den").cast("double"))
+        .as("acf")))
+    one.select(inline(array(rows: _*)))
+  }
 }

@@ -126,6 +126,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(b.getAs[Double]("wilson_lo") < p && p < b.getAs[Double]("wilson_hi"))
   }
 
+  test("acf: alternating series hand-check, exact at any parallelism") {
+    // x = [1,2,1,2]: n=4, S=6, dev = 4x−6 = [−2,2,−2,2], den = 16;
+    // lag1: (−4)+(−4)+(−4) → −0.75; lag2: 4+4 → 0.5; lag3: −4 → −0.25
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 1L), ("d", 2L))
+      .toDF("o", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TimeSeries.acf(d, "o", "x", Seq(1, 2, 3))
+        .collect().map(r => (r.getAs[Long]("lag"),
+          r.getAs[Long]("n_pairs"), r.getAs[Double]("acf"))).toSet
+    val exp = Set((1L, 3L, -0.75), (2L, 2L, 0.5), (3L, 1L, -0.25))
+    assert(run(df) == exp)
+    assert(run(df.repartition(7)) == exp) // exact ints → bit-identical
+    // constant series: zero variance → null acf (0/0), not a crash
+    val const = graft.operators.TimeSeries.acf(
+      Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("o", "x"), "o", "x", Seq(1))
+      .collect()
+    assert(const.head.isNullAt(2))
+  }
+
+  test("topPaths: in-session order, gap split, deterministic tie-break") {
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"),
+      (2L, 0L, "view"), (2L, 10L, "click"), (2L, 20L, "purchase"),
+      (3L, 0L, "view"), (3L, 4000L, "click")) // gap > 1800s → 2 sessions
+    val df = rows.toDF("user_id", "secs", "event_type")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val got = graft.operators.Sessions
+      .topPaths(df, "user_id", "ts", "event_type", 1800L, 2)
+      .collect().map(r => (r.getAs[String]("path"),
+        r.getAs[Long]("n_sessions"))).toSeq
+    // "view>click>purchase" ×2 first; then the (click=1, view=1) tie
+    // breaks path-ascending → "click"
+    assert(got == Seq(("view>click>purchase", 2L), ("click", 1L)))
+  }
+
   test("cusum: window algebra ≡ the clamped sequential recurrence") {
     val rnd = new scala.util.Random(11)
     val rows = for (k <- 1L to 5L; t <- 1L to 40L)

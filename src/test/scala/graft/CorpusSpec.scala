@@ -77,6 +77,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(r.getAs[String]("kept_text") == "x\ny")
   }
 
+  test("blocklistScreen: hit counts, sorted terms, clean docs kept") {
+    val docs = Seq(
+      (1L, "bad word and BAD word again"),   // 'bad' ×2 (case-folded)
+      (2L, "perfectly clean text here"),
+      (3L, "evil bad evil"),                 // two distinct terms, 3 hits
+      (4L, "")).toDF("doc_id", "text")
+    val bl = Seq("bad", "evil", "unused").toDF("term")
+    val out = Corpus.blocklistScreen(docs, "text", "doc_id",
+        TextFunctions.words, bl, "term")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[String]("blocked_terms"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) == ((2L, "bad", false)))
+    assert(out(2L) == ((0L, "", true)))
+    assert(out(3L) == ((3L, "bad,evil", false)))  // terms sorted, distinct
+    assert(out(4L) == ((0L, "", true)))
+    assert(out.size == 4) // every doc present — the full decision table
+  }
+
   test("tfidf matches hand computation") {
     val df = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "dog"))
       .toDF("doc_id", "text")

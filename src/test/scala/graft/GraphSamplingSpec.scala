@@ -339,6 +339,36 @@ class GraphSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("shortestHops: multi-source min distance, hop cap, isolated seeds") {
+    def hops(edges: Seq[(Long, Long)], seeds: Seq[Long], max: Int,
+             thresh: Long = 2000000L): Map[Long, Long] =
+      Graph.shortestHops(edges.toDF("s", "d"), "s", "d",
+          seeds.toDF("id"), "id", max, localThreshold = thresh)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path 1-2-3-4-5 seeded at both ends: distances meet in the middle
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(hops(path, Seq(1L, 5L), 4) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    // hop cap truncates the frontier: max=1 from node 1 reaches only 2
+    assert(hops(path, Seq(1L), 1) == Map(1L -> 0L, 2L -> 1L))
+    // isolated seed (no edges touch 99) still reported at hop 0;
+    // unreachable component {7,8} absent
+    assert(hops(path ++ Seq((7L, 8L)), Seq(1L, 99L), 2) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 99L -> 0L))
+    // shortcut edge wins: 1-2-3-4 plus 1-4 makes d(4)=1, not 3
+    assert(hops(path ++ Seq((1L, 4L)), Seq(1L), 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+    // local queue BFS ≡ distributed frontier rounds, bit for bit
+    val rnd = new scala.util.Random(11)
+    val redges = (1 to 80)
+      .map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2)
+    val seeds = Seq(0L, 3L, 17L)
+    assert(hops(redges, seeds, 3) == hops(redges, seeds, 3, thresh = 0L))
+    // maxHops=0 → the seed set itself (present seeds only at hop 0)
+    assert(hops(path, Seq(2L), 0) == Map(2L -> 0L))
+  }
+
   test("assortativity: star = −1, regular graph = null, hand-check mixed") {
     import graft.operators.Graph
     // star K1,4: hubs attach leaves → perfectly disassortative
