@@ -1991,6 +1991,72 @@ object OracleSql {
         |  UNION ALL SELECT 7, nd - 7,
         |    CAST(n7 AS DOUBLE) / CAST(den AS DOUBLE) FROM m) u""".stripMargin,
 
+    "q_weighted_quantiles" ->
+      // same integer rank arithmetic as the unweighted discrete
+      // quantiles: q_p = min value with cum·10⁴ ≥ p·W over exact cents
+      // weights
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+        |    sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |x AS (
+        |  SELECT l_returnflag, v,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM c)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cum * 10000 >= n * 5000 THEN v END) AS q5000,
+        |  min(CASE WHEN cum * 10000 >= n * 9000 THEN v END) AS q9000,
+        |  min(CASE WHEN cum * 10000 >= n * 9900 THEN v END) AS q9900
+        |FROM x GROUP BY 1""".stripMargin,
+
+    "q_collocations" ->
+      // PMI argument assembled as one exact-integer rational
+      // (HUGEINT ≡ decimal(38,0)), then ONE division + ONE ln,
+      // rounded 6dp; top-30 under the strict (count desc, a, b) order
+      s"""WITH w AS (
+         |  SELECT string_split(${normOf("text")}, ' ') AS ws
+         |  FROM documents),
+         |big AS (
+         |  SELECT ws[u.i] AS a, ws[u.i + 1] AS b
+         |  FROM w, unnest(generate_series(1, len(ws) - 1)) AS u(i)),
+         |c2 AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY 1, 2),
+         |uni AS (
+         |  SELECT x, count(*) AS c1
+         |  FROM (SELECT unnest(ws) AS x FROM w) GROUP BY 1),
+         |t AS (SELECT CAST((SELECT sum(c1) FROM uni) AS HUGEINT) AS t1,
+         |             CAST((SELECT sum(c_ab) FROM c2) AS HUGEINT) AS t2)
+         |SELECT a, b, c_ab,
+         |  round(ln(CAST(CAST(c_ab AS HUGEINT) * t1 * t1 AS DOUBLE) /
+         |           CAST(t2 * CAST(ca.c1 AS HUGEINT) *
+         |                CAST(cb.c1 AS HUGEINT) AS DOUBLE)), 6) AS pmi
+         |FROM c2
+         |JOIN uni ca ON ca.x = c2.a
+         |JOIN uni cb ON cb.x = c2.b, t
+         |ORDER BY c_ab DESC, a ASC, b ASC LIMIT 30""".stripMargin,
+
+    "q_winnow" ->
+      // the declarative winnowing spec: md5-hex per char 8-gram,
+      // 5-hash window minimum (full windows only; short docs collapse
+      // to one window via greatest(1, m−4)), DISTINCT minima; the
+      // md5-of-ordered-concat digest certifies the exact fingerprint
+      // set the native expression emits
+      s"""WITH n AS (SELECT doc_id, ${normOf("text")} AS s FROM documents),
+         |g AS (
+         |  SELECT doc_id, u.i AS i, md5(substr(s, u.i, 8)) AS h
+         |  FROM n, unnest(generate_series(1, len(s) - 7)) AS u(i)),
+         |c AS (SELECT doc_id, count(*) AS m FROM g GROUP BY 1),
+         |mins AS (
+         |  SELECT g.doc_id, i, m,
+         |    min(h) OVER (PARTITION BY g.doc_id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mh
+         |  FROM g JOIN c ON c.doc_id = g.doc_id),
+         |fp AS (SELECT DISTINCT doc_id, mh FROM mins
+         |       WHERE i <= greatest(1, m - 4))
+         |SELECT doc_id, count(*) AS n_fps,
+         |  md5(string_agg(mh, '' ORDER BY mh)) AS fps_md5
+         |FROM fp GROUP BY doc_id""".stripMargin,
+
     "q_blocklist" ->
       // token stream joined to the VALUES blocklist; distinct matched
       // terms sorted then joined (≡ Spark array_sort(collect_set)),

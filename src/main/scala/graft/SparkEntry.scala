@@ -1679,6 +1679,52 @@ object SparkEntry {
     graft.operators.TimeSeries.acf(daily, "day", "x", Seq(1, 2, 3, 7))
   }
 
+  /** C45: weighted discrete quantiles — revenue-weighted p50/p90/p99
+    * of order quantity per return flag ("the median DOLLAR is spent on
+    * N-unit lines"), pure integer rank arithmetic on exact cents
+    * weights; window over value-cardinality rows only.
+    */
+  private def qWeightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_quantity".cast("long").as("qty"),
+        floor($"l_extendedprice" * 100 + 0.5).cast("long").as("cents"))
+    graft.operators.Stats.weightedQuantiles(li, Seq("l_returnflag"),
+      "qty", "cents", Seq(5000, 9000, 9900))
+  }
+
+  /** E53: PMI bigram collocations over the documents corpus — top-30
+    * bigrams by count with their pointwise mutual information; the PMI
+    * argument is one exact-integer rational, so the float path is one
+    * division + one ln, rounded to 6dp (the ln parity rule).
+    */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.collocations(table(s, dir, "documents"), "text",
+        TextFunctions.words, 30)
+      .select($"a", $"b", $"c_ab", round($"pmi_raw", 6).as("pmi"))
+  }
+
+  /** E54: winnowing fingerprints (MOSS, Schleimer et al. SIGMOD 2003)
+    * — per doc the count and order-sensitive digest of its winnowed
+    * fingerprint set (k=8 char-grams, window w=5): any shared
+    * substring ≥ 12 chars between docs implies a shared fingerprint.
+    * The native expression extracts fingerprints INSIDE the scan stage
+    * (zero shuffles); the oracle replays the declarative spec —
+    * md5 per k-gram, window minimum, distinct — and the md5-of-sorted-
+    * set digest certifies every fingerprint value.
+    */
+  private def qWinnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.TextNativeFunctions
+    table(s, dir, "documents")
+      .select($"doc_id", TextNativeFunctions.winnowFingerprints(
+        TextFunctions.normalizeText($"text"), 8, 5).as("fps"))
+      .filter(size($"fps") > 0)
+      .select($"doc_id", size($"fps").cast("long").as("n_fps"),
+        md5(array_join($"fps", "").cast("binary")).as("fps_md5"))
+  }
+
   /** E52: token-blocklist screen over the documents corpus — per doc
     * the blocked-token hit count, the matched terms, and the keep
     * verdict; the blocklist side is broadcast (real blocklists are
@@ -2623,6 +2669,9 @@ object SparkEntry {
     "q_event_paths" -> (qEventPaths _),
     "q_acf" -> (qAcf _),
     "q_blocklist" -> (qBlocklist _),
+    "q_weighted_quantiles" -> (qWeightedQuantiles _),
+    "q_collocations" -> (qCollocations _),
+    "q_winnow" -> (qWinnow _),
     "q_ab_test" -> (qAbTest _),
     "q_minhash_incremental" -> (qMinhashIncremental _),
     "q_interval_merge" -> (qIntervalMerge _),

@@ -297,6 +297,54 @@ object Corpus {
           .as("tfidf_raw"))
   }
 
+  /** PMI-scored bigram collocations (Church & Hanks 1990) — the
+    * phrase-mining pass: word pairs that co-occur far above chance
+    * ("new york" vs "of the"), ranked among the top-k most frequent
+    * bigrams. PMI = ln(P(ab) / (P(a)·P(b))) with P over exact corpus
+    * counts.
+    *
+    * Exactness: the PMI argument is ONE rational of exact integer
+    * products — c_ab·T₁² / (T₂·c_a·c_b) as decimal(38,0) — so the
+    * float path is one division + one ln in fixed order; callers round
+    * to 6dp at engine-parity gates (ln SUMS are not bit-stable, single
+    * lns of exact ratios are — the q_lm_score rule applied in reverse).
+    *
+    * Scale shape: two keyed count aggs (bigrams, unigrams) + two 1-row
+    * broadcast totals; unigram counts join the bigram table twice
+    * (term-cardinality side, broadcastable); top-k = orderBy.limit →
+    * TakeOrderedAndProject with the strict (count desc, a, b) order.
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   tokens: Column => Column, k: Int): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = df.select(tokens(col(textCol)).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxs = when(size(col("ws")) >= 2,
+      sequence(lit(1), size(col("ws")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val big = w.select(explode(transform(idxs, i =>
+        struct(element_at(col("ws"), i).as("a"),
+          element_at(col("ws"), i + 1).as("b")))).as("g"))
+      .select(col("g.a").as("a"), col("g.b").as("b"))
+    val c2 = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = w.select(explode(col("ws")).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("c1"))
+    val totals = uni.agg(sum(col("c1")).as("t1"))
+      .crossJoin(c2.agg(sum(col("c_ab")).as("t2")))
+    val num = (col("c_ab").cast(dec) * col("t1").cast(dec) *
+      col("t1").cast(dec)).cast(dec)
+    val den = (col("t2").cast(dec) * col("c_a").cast(dec) *
+      col("c_b").cast(dec)).cast(dec)
+    c2.join(uni.select(col("x").as("a"), col("c1").as("c_a")), "a")
+      .join(uni.select(col("x").as("b"), col("c1").as("c_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("c_ab"),
+        log(num.cast("double") / den.cast("double")).as("pmi_raw"))
+      .orderBy(col("c_ab").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
   /** Token-blocklist screen (C4/RefinedWeb-style "bad words" pass) —
     * per doc: total blocked-token occurrences, the sorted distinct
     * matched terms, and the keep verdict. Every doc appears in the

@@ -40,6 +40,37 @@ object Stats {
     withCum.groupBy(k: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Weighted discrete quantiles — [[discreteQuantiles]] with the
+    * count measure replaced by an EXACT INTEGER weight sum: q_p =
+    * smallest value whose cumulative weight w(≤v) reaches p·W/10⁴
+    * (`cum·10⁴ ≥ p·W`, pure integer comparison — no interpolation, no
+    * doubles, bit-stable at any parallelism). The ops-and-finance
+    * question discreteQuantiles can't answer: "the median ORDER takes
+    * 20 units, but the median DOLLAR is spent on 35-unit orders."
+    *
+    * Scale shape unchanged: one keyed collapse to distinct (key,
+    * value) rows with summed weights, window over value-cardinality
+    * rows only, then one keyed min per requested p. Weights must be
+    * exact integers (cents, counts); cum·10⁴ needs Σw < 9.2e14 per
+    * group (long headroom) — pre-scale the weight unit above that.
+    */
+  def weightedQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+                        weightCol: String, ps: Seq[Int]): DataFrame = {
+    val k = keys.map(col)
+    val counts = df.groupBy((k :+ col(valueCol)): _*)
+      .agg(sum(col(weightCol)).as("__w"))
+    val cum = sum(col("__w")).over(
+      Window.partitionBy(k: _*).orderBy(col(valueCol)))
+    val tot = sum(col("__w")).over(Window.partitionBy(k: _*))
+    val withCum = counts.select((k :+ col(valueCol) :+ cum.as("__cum")
+      :+ tot.as("__n")): _*)
+    val aggs = ps.map { p =>
+      min(when(col("__cum") * 10000 >= col("__n") * p,
+        col(valueCol))).as(s"q$p")
+    }
+    withCum.groupBy(k: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact heavy hitters: values whose frequency share reaches
     * `phiBp`/10000. One keyed aggregate + a 1-row broadcast total; the
     * threshold test is pure integer arithmetic (`n·10⁴ ≥ total·φ`), so

@@ -47,6 +47,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler", "jaro_winkler(string, string) - Jaro-Winkler similarity"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(string, k, w) - sorted distinct MOSS winnowing fingerprints"),
+      (exprs: Seq[Expression]) => WinnowFingerprints(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int])))
     ext.injectFunction((FunctionIdentifier("char_entropy"),
       info("char_entropy", "char_entropy(string) - codepoint Shannon entropy (nats)"),
       (exprs: Seq[Expression]) => CharEntropy(exprs.head)))

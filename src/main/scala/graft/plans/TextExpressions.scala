@@ -195,6 +195,87 @@ object NativeText {
     }
     new GenericArrayData(out)
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003):
+    * md5-hex each char k-gram, slide a w-hash window taking the
+    * lexicographic minimum per window, return the sorted DISTINCT
+    * minima. Guarantee: any substring match of length ≥ w+k−1 between
+    * two docs shares at least one fingerprint. Engine-portable: md5
+    * hex + lexicographic order mean nothing here is JVM-specific (the
+    * MinHash portability trick). The window minimum runs as a
+    * monotonic deque — O(n) total, not O(n·w).
+    *
+    * K-grams are CODEPOINT-based (≡ SQL substr semantics) via a byte-
+    * offset walk of the UTF-8 input; docs shorter than k chars yield
+    * no fingerprints, docs with fewer than w k-grams collapse to one
+    * window (min of all hashes).
+    */
+  def winnow(t: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = t.getBytes
+    // codepoint start offsets (ascii fast path falls out naturally)
+    val nChars = t.numChars()
+    val m = nChars - k + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nChars + 1)
+    var ci = 0
+    var bi = 0
+    while (bi < bytes.length) {
+      starts(ci) = bi
+      val b = bytes(bi) & 0xff
+      bi += (if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4)
+      ci += 1
+    }
+    starts(nChars) = bytes.length
+    val md = md5Local.get()
+    val hashes = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(bytes, starts(i), starts(i + k) - starts(i))
+      val d = md.digest()
+      val hex = new Array[Char](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = HEX((d(j) >> 4) & 0xf)
+        hex(2 * j + 1) = HEX(d(j) & 0xf)
+        j += 1
+      }
+      hashes(i) = new String(hex)
+      i += 1
+    }
+    val out = new java.util.TreeSet[String]()
+    if (m < w) {
+      var best = hashes(0)
+      var x = 1
+      while (x < m) { if (hashes(x) < best) best = hashes(x); x += 1 }
+      out.add(best)
+    } else {
+      // monotonic deque of candidate indices, increasing hash order
+      val dq = new Array[Int](m)
+      var head = 0
+      var tail = 0 // [head, tail)
+      var x = 0
+      while (x < m) {
+        while (tail > head && hashes(dq(tail - 1)) >= hashes(x)) tail -= 1
+        dq(tail) = x
+        tail += 1
+        if (dq(head) <= x - w) head += 1
+        if (x >= w - 1) out.add(hashes(dq(head)))
+        x += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(arr)
+  }
 }
 
 /** word_shingles(array<string>, n) → array<string> of word n-grams. */
@@ -322,7 +403,41 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** winnow_fingerprints(string, k, w) → array<string>: sorted distinct
+  * window-minima of md5-hex char k-grams — the MOSS document
+  * fingerprint (any shared substring of length ≥ w+k−1 ⇒ a shared
+  * fingerprint). Runs entirely inside the scan stage: the 100 TB
+  * fingerprint extraction needs ZERO shuffles (vs the declarative
+  * posexplode + window form, which shuffles the full k-gram stream on
+  * doc id — that form is the executable spec in the oracle).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"k and w must be ≥ 1: k=$k w=$w")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"winnow_fingerprints needs string, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeText.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.NativeText.winnow($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 object TextNativeFunctions {
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowFingerprints(GraftBridge.expression(text), k, w))
+
   def wordShingles(words: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(words), n))
 

@@ -96,6 +96,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.size == 4) // every doc present — the full decision table
   }
 
+  test("collocations: PMI hand-check, strict top-k order") {
+    // corpus "a b", "a b", "a c": T1=6 tokens, T2=3 bigrams;
+    // pmi(a,b) = ln(2·36 / (3·3·2)) = ln 4; pmi(a,c) = ln(36/9) = ln 4
+    val docs = Seq("a b", "a b", "a c").toDF("text")
+    val got = Corpus.collocations(docs, "text", TextFunctions.words, 10)
+      .collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+        r.getAs[Long]("c_ab"), r.getAs[Double]("pmi_raw"))).toSeq
+    assert(got == Seq(("a", "b", 2L, math.log(4.0)),
+      ("a", "c", 1L, math.log(4.0))))
+    // k truncates under the (count desc, a, b) order
+    assert(Corpus.collocations(docs, "text", TextFunctions.words, 1)
+      .collect().map(r => r.getAs[String]("b")).toSeq == Seq("b"))
+  }
+
   test("tfidf matches hand computation") {
     val df = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "dog"))
       .toDF("doc_id", "text")

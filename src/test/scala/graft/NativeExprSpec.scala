@@ -294,6 +294,50 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r(2).isNullAt(0) && r(2).isNullAt(1))
   }
 
+  test("winnow_fingerprints ≡ declarative window-min spec; share guarantee") {
+    import graft.plans.TextNativeFunctions
+    val (k, w) = (4, 3)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox leaps over sleepy cats"),
+      (3L, "zz"),                        // shorter than k → no fingerprints
+      (4L, "abcde"),                     // m=2 < w → one window, one min
+      (5L, "naïve café déjà vu naïve café")) // multi-byte codepoints
+      .toDF("id", "text")
+    // declarative spec: md5 per codepoint k-gram, min over full
+    // windows (short docs: one window), distinct
+    val idxs = when(length(col("text")) >= k,
+      sequence(lit(0), length(col("text")) - k))
+      .otherwise(array().cast("array<int>")) // sequence DESCENDS past 0
+    val g = docs.select(col("id"), posexplode(transform(idxs,
+        i => md5(col("text").substr(lit(1) + i, lit(k)).cast("binary")))))
+      .toDF("id", "pos", "h")
+    val m = g.groupBy("id").agg(count(lit(1)).as("m"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("pos")).rowsBetween(0, w - 1)
+    val expected = g.join(m, "id")
+      .withColumn("mh", min(col("h")).over(win))
+      .filter(col("pos") <= greatest(lit(0), col("m") - w))
+      .select(col("id"), col("mh")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = docs.select(col("id"), explode(
+        TextNativeFunctions.winnowFingerprints(col("text"), k, w)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected)
+    assert(!got.exists(_._1 == 3L)) // sub-k doc fingerprint-free
+    assert(got.count(_._1 == 4L) == 1) // collapsed single window
+    // the winnowing guarantee: docs 1 and 2 share "quick brown fox"
+    // (≥ w+k−1 = 6 chars) → at least one common fingerprint
+    val d1 = got.filter(_._1 == 1L).map(_._2)
+    val d2 = got.filter(_._1 == 2L).map(_._2)
+    assert(d1.intersect(d2).nonEmpty)
+    // output is sorted and distinct per doc
+    val arr = docs.filter(col("id") === 1L).select(
+      TextNativeFunctions.winnowFingerprints(col("text"), k, w))
+      .head.getSeq[String](0)
+    assert(arr == arr.distinct.sorted)
+  }
+
   test("GraftExtensions wires functions through the extension registry") {
     // the shared test session already exists, so builder-time injection
     // can't be observed here; drive the same machinery Spark runs at

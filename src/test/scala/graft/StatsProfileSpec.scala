@@ -29,6 +29,28 @@ class StatsProfileSpec extends AnyFunSuite {
     assert(q2.getAs[Long]("q9901") == 100L) // rank 100 → the outlier
   }
 
+  test("weightedQuantiles: weight mass, not row count, picks the value") {
+    // values 1,2,3 with weights 1,1,8: half the MASS sits at 3, so the
+    // weighted median is 3 while the unweighted median is 2
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 8L))
+      .toDF("k", "v", "w")
+    val r = Stats.weightedQuantiles(df, Seq("k"), "v", "w",
+      Seq(5000, 9000)).head
+    assert(r.getAs[Long]("q5000") == 3L)
+    assert(r.getAs[Long]("q9000") == 3L)
+    val u = Stats.discreteQuantiles(df, Seq("k"), "v", Seq(5000)).head
+    assert(u.getAs[Long]("q5000") == 2L)
+    // uniform weights ≡ unweighted for any p
+    val uw = Seq(("g", 1L, 7L), ("g", 2L, 7L), ("g", 3L, 7L), ("g", 9L, 7L))
+      .toDF("k", "v", "w")
+    for (p <- Seq(1, 2500, 5000, 7500, 10000)) {
+      assert(Stats.weightedQuantiles(uw, Seq("k"), "v", "w", Seq(p)).head
+        .getAs[Long](s"q$p") ==
+        Stats.discreteQuantiles(uw.select(col("k"), col("v")), Seq("k"),
+          "v", Seq(p)).head.getAs[Long](s"q$p"))
+    }
+  }
+
   test("winsorize clamps to in-data values and preserves rows") {
     val df = ((1 to 98).map(i => ("g", 50L)) ++ Seq(("g", -1000L), ("g", 5000L)))
       .toDF("g", "v")
