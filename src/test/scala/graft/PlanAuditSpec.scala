@@ -251,4 +251,31 @@ class PlanAuditSpec extends AnyFunSuite {
     // so its executedPlan is already an RDD scan — its broadcast
     // shape is asserted in GraphSamplingSpec via the fast path)
   }
+
+  test("round-3 late additions keep their scale shapes") {
+    // blocklist: the term table joins BROADCAST against the token
+    // stream — the corpus side must never shuffle for the join
+    val bl = plan("q_blocklist")
+    assert(bl.contains("BroadcastHashJoin"), bl.take(1200))
+    assert(!bl.contains("BroadcastNestedLoopJoin"))
+    // collocations: top-k is per-partition heaps, not a global sort
+    assert(plan("q_collocations").contains("TakeOrderedAndProject"))
+    // winnowing: fingerprint extraction runs INSIDE the scan stage —
+    // no exchange anywhere before (or after) the per-doc projection
+    val wn = plan("q_winnow")
+    assert(!wn.contains("Exchange"),
+      "winnow must extract fingerprints shuffle-free:\n" + wn.take(1200))
+    // weighted quantiles: distinct-value collapse is a keyed agg; the
+    // window runs over value-cardinality rows with a keyed exchange
+    val wq = plan("q_weighted_quantiles")
+    assert(wq.contains("Window") && wq.contains("HashAggregate"))
+    // event paths: ONE user-key exchange carries sessionize + path
+    // assembly up to the path-count agg; top-k is bounded heaps
+    val ep = plan("q_event_paths")
+    assert(ep.contains("TakeOrderedAndProject"), ep.take(1200))
+    // acf: the lag window is over the aggregated day series only and
+    // the totals come back as a broadcast, not a shuffle of the facts
+    val acf = plan("q_acf")
+    assert(acf.contains("BroadcastExchange"), acf.take(1200))
+  }
 }
