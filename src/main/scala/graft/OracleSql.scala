@@ -2057,6 +2057,37 @@ object OracleSql {
          |  md5(string_agg(mh, '' ORDER BY mh)) AS fps_md5
          |FROM fp GROUP BY doc_id""".stripMargin,
 
+    "q_winnow_pairs" ->
+      // q_winnow's fingerprint CTE over the dup-seeded corpus, then
+      // candidate pairs by fingerprint equi-join with exact-integer
+      // acceptance 2·|∩| ≥ min(|F_a|,|F_b|); containment is one
+      // cast-to-double division of exact ints
+      s"""WITH $corpusCte,
+         |n AS (SELECT doc_id AS id, ${normOf("text")} AS s FROM corpus),
+         |g AS (
+         |  SELECT id, u.i AS i, md5(substr(s, u.i, 8)) AS h
+         |  FROM n, unnest(generate_series(1, len(s) - 7)) AS u(i)),
+         |c AS (SELECT id, count(*) AS m FROM g GROUP BY 1),
+         |mins AS (
+         |  SELECT g.id, i, m,
+         |    min(h) OVER (PARTITION BY g.id ORDER BY i
+         |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mh
+         |  FROM g JOIN c ON c.id = g.id),
+         |fp AS (SELECT DISTINCT id, mh FROM mins
+         |       WHERE i <= greatest(1, m - 4)),
+         |sz AS (SELECT id, count(*) AS sz FROM fp GROUP BY 1),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+         |  FROM fp a JOIN fp b ON a.mh = b.mh AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared, sa.sz AS sz_a, sb.sz AS sz_b,
+         |  CAST(n_shared AS DOUBLE) /
+         |    CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+         |FROM inter
+         |JOIN sz sa ON sa.id = id_a
+         |JOIN sz sb ON sb.id = id_b
+         |WHERE n_shared * 2 >= least(sa.sz, sb.sz)""".stripMargin,
+
     "q_blocklist" ->
       // token stream joined to the VALUES blocklist; distinct matched
       // terms sorted then joined (≡ Spark array_sort(collect_set)),

@@ -1725,6 +1725,16 @@ object SparkEntry {
         md5(array_join($"fps", "").cast("binary")).as("fps_md5"))
   }
 
+  /** E55: winnowing-join over the dup-seeded corpus — substring-level
+    * near-dup candidate pairs from shared MOSS fingerprints,
+    * containment-scored (|∩|/min) with exact-integer acceptance at
+    * ≥ 1/2. Exact dups share every fingerprint (containment 1); the
+    * trailing-word near-dups keep containment ≈ 1 with a smaller set.
+    */
+  private def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(dupCorpus(s, dir), "text", "doc_id",
+      k = 8, w = 5, thrNum = 1, thrDen = 2)
+
   /** E52: token-blocklist screen over the documents corpus — per doc
     * the blocked-token hit count, the matched terms, and the keep
     * verdict; the blocklist side is broadcast (real blocklists are
@@ -2672,6 +2682,7 @@ object SparkEntry {
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
     "q_collocations" -> (qCollocations _),
     "q_winnow" -> (qWinnow _),
+    "q_winnow_pairs" -> (qWinnowPairs _),
     "q_ab_test" -> (qAbTest _),
     "q_minhash_incremental" -> (qMinhashIncremental _),
     "q_interval_merge" -> (qIntervalMerge _),

@@ -303,4 +303,44 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** E55: winnowing-join — substring-level near-dup candidate pairs
+    * (the MOSS use case): docs sharing winnowed fingerprints, scored
+    * by fingerprint containment |F_a∩F_b| / min(|F_a|,|F_b|). The
+    * SUBSTRING complement to whole-doc MinHash and to spanDedup's
+    * exact 5-grams: winnowing guarantees any shared run ≥ w+k−1 chars
+    * yields a shared fingerprint, at 2/(w+1) the index density of
+    * all-grams.
+    *
+    * Scale shape: fingerprint extraction is the shuffle-free native
+    * expression, and because it returns the DISTINCT fingerprint set
+    * as one array, the set size rides along as size(arr) — no per-doc
+    * count aggregation, no size-lookup join. Candidates come from ONE
+    * equi-join on the fingerprint value (hash-partitionable; bucket
+    * sizes are per-fingerprint doc counts, the same distribution LSH
+    * bands give); acceptance den·|∩| ≥ num·min is exact integer
+    * arithmetic, and the reported containment is one IEEE division of
+    * exact ints (raw-double safe).
+    */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+                  k: Int, w: Int, thrNum: Int, thrDen: Int): DataFrame = {
+    import graft.plans.TextNativeFunctions
+    val withSz = df.select(col(idCol).as("id"),
+        TextNativeFunctions.winnowFingerprints(
+          TextFunctions.normalizeText(col(textCol)), k, w).as("arr"))
+      .select(col("id"), size(col("arr")).cast("long").as("sz"),
+        explode(col("arr")).as("fp"))
+    withSz.as("a").join(withSz.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
+      .filter(col("n_shared") * thrDen >=
+        least(col("sz_a"), col("sz_b")) * thrNum)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("sz_a"), col("sz_b"),
+        (col("n_shared").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"))
+          .as("containment"))
+  }
 }

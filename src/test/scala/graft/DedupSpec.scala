@@ -159,4 +159,22 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.incrementalExact(batch, "text", "doc_id", updated)
       .count() == 0L)
   }
+
+  test("winnowPairs: exact dups at containment 1.0, unrelated docs absent") {
+    val rows = Dedup.winnowPairs(docs, "text", "doc_id",
+        k = 8, w = 5, thrNum = 1, thrDen = 2).collect()
+    val byPair = rows.map(r => (r.getAs[Long]("id_a"),
+      r.getAs[Long]("id_b")) -> r).toMap
+    // 1, 2, 5 normalize to the same text → identical fingerprint sets
+    for (p <- Seq((1L, 2L), (1L, 5L), (2L, 5L))) {
+      val r = byPair(p)
+      assert(r.getAs[Double]("containment") == 1.0)
+      assert(r.getAs[Long]("sz_a") == r.getAs[Long]("n_shared"))
+    }
+    // near-dup 3 shares a long prefix run with 1 → high containment
+    assert(byPair((1L, 3L)).getAs[Double]("containment") >= 0.5)
+    // doc 4 shares no substring of length ≥ w+k−1 with the others
+    assert(!rows.exists(r => r.getAs[Long]("id_a") == 4L ||
+      r.getAs[Long]("id_b") == 4L))
+  }
 }
