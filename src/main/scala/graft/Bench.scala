@@ -23,7 +23,13 @@ object Bench {
         "sf0.001")
       if (sibling.isDirectory) sibling.getPath else sfDir
     })
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated query filter for local iteration; the
+    // driver never sets it, so the contract run always measures all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val queries = SparkEntry.queries
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    queries.foreach { case (name, fn) =>
       // NonFatal only: an OOM/VM error must abort the bench, not leave
       // the query to be silently measured cold
       try fn(spark, warmDir).count() catch {
@@ -34,7 +40,7 @@ object Bench {
     // best-of-N per query: local-mode timings are scheduling-noise-bound
     // at small SF; min is the standard stable estimator
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

@@ -2061,7 +2061,9 @@ object OracleSql {
       // q_winnow's fingerprint CTE over the dup-seeded corpus, then
       // candidate pairs by fingerprint equi-join with exact-integer
       // acceptance 2·|∩| ≥ min(|F_a|,|F_b|); containment is one
-      // cast-to-double division of exact ints
+      // cast-to-double division of exact ints. Sizes/pairs run over
+      // DISCRIMINATIVE fingerprints only (doc frequency ≤ 20 —
+      // winnowPairs' maxDf common-code elimination)
       s"""WITH $corpusCte,
          |n AS (SELECT doc_id AS id, ${normOf("text")} AS s FROM corpus),
          |g AS (
@@ -2073,8 +2075,11 @@ object OracleSql {
          |    min(h) OVER (PARTITION BY g.id ORDER BY i
          |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mh
          |  FROM g JOIN c ON c.id = g.id),
-         |fp AS (SELECT DISTINCT id, mh FROM mins
-         |       WHERE i <= greatest(1, m - 4)),
+         |fp0 AS (SELECT DISTINCT id, mh FROM mins
+         |        WHERE i <= greatest(1, m - 4)),
+         |dfc AS (SELECT mh, count(*) AS df FROM fp0 GROUP BY 1),
+         |fp AS (SELECT id, fp0.mh FROM fp0
+         |       JOIN dfc ON dfc.mh = fp0.mh WHERE df <= 20),
          |sz AS (SELECT id, count(*) AS sz FROM fp GROUP BY 1),
          |inter AS (
          |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared

@@ -1728,12 +1728,15 @@ object SparkEntry {
   /** E55: winnowing-join over the dup-seeded corpus — substring-level
     * near-dup candidate pairs from shared MOSS fingerprints,
     * containment-scored (|∩|/min) with exact-integer acceptance at
-    * ≥ 1/2. Exact dups share every fingerprint (containment 1); the
-    * trailing-word near-dups keep containment ≈ 1 with a smaller set.
+    * ≥ 1/2. Fingerprints seen in more than 20 docs are dropped before
+    * the pair join (MOSS common-code elimination): the synthetic
+    * corpus's small vocabulary makes hot grams pair-quadratic (99 s at
+    * sf0.1 uncapped → sub-second capped); exact dups still score
+    * containment exactly 1.0 since their rare sets coincide.
     */
   private def qWinnowPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowPairs(dupCorpus(s, dir), "text", "doc_id",
-      k = 8, w = 5, thrNum = 1, thrDen = 2)
+      k = 8, w = 5, thrNum = 1, thrDen = 2, maxDf = 20L)
 
   /** E52: token-blocklist screen over the documents corpus — per doc
     * the blocked-token hit count, the matched terms, and the keep

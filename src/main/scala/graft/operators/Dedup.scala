@@ -313,28 +313,48 @@ object Dedup {
     * all-grams.
     *
     * Scale shape: fingerprint extraction is the shuffle-free native
-    * expression, and because it returns the DISTINCT fingerprint set
-    * as one array, the set size rides along as size(arr) — no per-doc
-    * count aggregation, no size-lookup join. Candidates come from ONE
-    * equi-join on the fingerprint value (hash-partitionable; bucket
-    * sizes are per-fingerprint doc counts, the same distribution LSH
-    * bands give); acceptance den·|∩| ≥ num·min is exact integer
-    * arithmetic, and the reported containment is one IEEE division of
-    * exact ints (raw-double safe).
+    * expression. Pairing runs over DISCRIMINATIVE fingerprints only —
+    * fps seen in more than `maxDf` docs are dropped before the pair
+    * join (MOSS's own common-code elimination): a fingerprint shared
+    * by d docs yields d(d−1)/2 pairs, so one hot boilerplate gram
+    * turns the equi-join quadratic; capping df bounds every join
+    * bucket at maxDf. Set sizes and containment are defined over the
+    * SAME rare subset (df ≤ maxDf — df=1 fps count toward size but
+    * are skipped by the join since they cannot pair), which keeps the
+    * semantics self-consistent: exact dups have identical fp sets with
+    * identical dfs, so their rare sets coincide and containment is
+    * exactly 1.0 under any cap. Acceptance den·|∩| ≥ num·min is exact
+    * integer arithmetic; the reported containment is one IEEE division
+    * of exact ints (raw-double safe).
     */
   def winnowPairs(df: DataFrame, textCol: String, idCol: String,
-                  k: Int, w: Int, thrNum: Int, thrDen: Int): DataFrame = {
+                  k: Int, w: Int, thrNum: Int, thrDen: Int,
+                  maxDf: Long = Long.MaxValue): DataFrame = {
     import graft.plans.TextNativeFunctions
-    val withSz = df.select(col(idCol).as("id"),
-        TextNativeFunctions.winnowFingerprints(
-          TextFunctions.normalizeText(col(textCol)), k, w).as("arr"))
-      .select(col("id"), size(col("arr")).cast("long").as("sz"),
-        explode(col("arr")).as("fp"))
-    withSz.as("a").join(withSz.as("b"),
+    // the exploded fp stream feeds the df aggregate AND the rare join —
+    // persist it so the (scan + normalize + winnow) extraction runs once
+    val fps = df.select(col(idCol).as("id"),
+        explode(TextNativeFunctions.winnowFingerprints(
+          TextFunctions.normalizeText(col(textCol)), k, w)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfCounts = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // rare fp stream feeds three branches (sizes, both self-join
+    // sides) — persist it once (disk-spillable; it is the post-hot-drop
+    // stream, corpus-sized at most) instead of re-running extraction
+    // per branch; sz attaches to the PAIR-cardinality output, never
+    // riding the wide fp stream through the self-join
+    val rare = fps.join(dfCounts, "fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = rare.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val joinable = rare.filter(col("df") >= 2).select(col("id"), col("fp"))
+    val pairs = joinable.as("a").join(joinable.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"),
-        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val result = pairs
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .filter(col("n_shared") * thrDen >=
         least(col("sz_a"), col("sz_b")) * thrNum)
       .select(col("id_a"), col("id_b"), col("n_shared"),
@@ -342,5 +362,12 @@ object Dedup {
         (col("n_shared").cast("double") /
           least(col("sz_a"), col("sz_b")).cast("double"))
           .as("containment"))
+      // materialize the (pair-cardinality) result so the rare-stream
+      // cache can be released here — no persisted lineage leaks to the
+      // caller (the CC/kCore cache discipline)
+      .localCheckpoint()
+    rare.unpersist()
+    fps.unpersist()
+    result
   }
 }

@@ -176,5 +176,14 @@ class DedupSpec extends AnyFunSuite {
     // doc 4 shares no substring of length ≥ w+k−1 with the others
     assert(!rows.exists(r => r.getAs[Long]("id_a") == 4L ||
       r.getAs[Long]("id_b") == 4L))
+    // df cap (common-code elimination): fps shared by all four related
+    // docs (df=4) are dropped at maxDf=3, but exact dups' rare sets
+    // still coincide — containment stays exactly 1.0
+    val capped = Dedup.winnowPairs(docs, "text", "doc_id",
+        k = 8, w = 5, thrNum = 1, thrDen = 2, maxDf = 3L).collect()
+    val cap12 = capped.find(r => r.getAs[Long]("id_a") == 1L &&
+      r.getAs[Long]("id_b") == 2L).get
+    assert(cap12.getAs[Double]("containment") == 1.0)
+    assert(cap12.getAs[Long]("sz_a") < byPair((1L, 2L)).getAs[Long]("sz_a"))
   }
 }
