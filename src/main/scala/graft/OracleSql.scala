@@ -644,6 +644,36 @@ object OracleSql {
          |  FROM v a JOIN v b ON a.blk = b.blk AND a.id < b.id)
          |SELECT id_a, id_b, round(c, 3) AS cos FROM p WHERE c >= 0.99""".stripMargin,
 
+    "q_semantic_dedup" ->
+      // q_embed_dup's cosine pairs, then the transitive closure (min
+      // reachable id ≡ the Spark CC label) and the per-vector verdict:
+      // keeper = cluster min id, singletons self-clustered with n=1
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  UNION ALL SELECT vec_id + 1000000, embedding, label
+         |    FROM embeddings WHERE vec_id % 20 = 0),
+         |v AS (SELECT vec_id AS id, label AS blk,
+         |        CAST(embedding AS DOUBLE[]) AS v FROM e),
+         |p AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM v a JOIN v b ON a.blk = b.blk AND a.id < b.id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.99),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |          UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.src, rr.r FROM edges e2 JOIN reach rr ON e2.dst = rr.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |members AS (SELECT cluster_id, count(*) AS n FROM comp GROUP BY 1)
+         |SELECT e.vec_id,
+         |  coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+         |  coalesce(m.n, 1) AS n_members,
+         |  (c.id IS NULL OR c.cluster_id = e.vec_id) AS keep
+         |FROM e
+         |LEFT JOIN comp c ON c.id = e.vec_id
+         |LEFT JOIN members m ON m.cluster_id = c.cluster_id""".stripMargin,
+
     "q_ann_topk" ->
       s"""WITH c AS (SELECT vec_id AS nn_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
          |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -1007,6 +1037,24 @@ object OracleSql {
         |SELECT doc_id, n_tokens,
         |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS seq_id
         |FROM c""".stripMargin,
+
+    "q_shuffle_shards" ->
+      // shuffleShards digit-by-digit: h = first-8-hex of md5('ep1'||id)
+      // summed positionally (each term an exact power of 2 — the
+      // q_weighted_sample technique, DuckDB 1.0 has no conv());
+      // shard = h mod 8, pos = rank within shard by (h, id)
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 9), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5('ep1' || CAST(doc_id AS VARCHAR)),
+        |           CAST(i AS INT), 1)) - 1)
+        |      * 2.0 ** (4 * (8 - i)))) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM s""".stripMargin,
 
     "q_sql_api" ->
       """SELECT c_mktsegment, o_orderpriority,

@@ -668,6 +668,17 @@ object SparkEntry {
     Similarity.cosineNearDupPairs(dupEmbeddings(s, dir), "vec_id",
       "embedding", "label", 0.99)
 
+  /** E56: SemDeDup funnel over the dup-seeded embeddings — q_embed_dup's
+    * cosine pairs resolved to transitive clusters with one keeper each;
+    * every vector gets its (cluster_id, n_members, keep) verdict.
+    */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.semanticDedup(dupEmbeddings(s, dir), "vec_id",
+        "embedding", "label", 0.99)
+      .select($"id".as("vec_id"), $"cluster_id", $"n_members", $"keep")
+  }
+
   /** E6: brute-force cosine top-5 for query vectors (vec_id%1000=0),
     * ranked by the custom bounded-heap aggregate (map-side partial
     * top-k — see plans.TopKBy).
@@ -761,6 +772,15 @@ object SparkEntry {
         graft.operators.Validate.splitAssign($"doc_id").as("split"))
       .groupBy($"split").agg(count(lit(1)).as("n"))
   }
+
+  /** E57: deterministic epoch shuffle — every document placed at a
+    * reproducible (shard, position) for epoch "ep1"; re-salting with
+    * the epoch number re-randomizes without any RNG state
+    * (operators.Packing.shuffleShards).
+    */
+  private def qShuffleShards(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.shuffleShards(
+      table(s, dir, "documents"), "doc_id", 8, "ep1")
 
   /** G3: data-quality report — N rules, one scan (operators.Validate). */
   private def qValidate(s: SparkSession, dir: String): DataFrame = {
@@ -2568,6 +2588,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_embed_dup" -> (qEmbedDup _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
@@ -2599,6 +2620,7 @@ object SparkEntry {
     "q_simhash_portable" -> (qSimhashPortable _),
     "q_repetition" -> (qRepetition _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_shuffle_shards" -> (qShuffleShards _),
     "q_sql_api" -> (qSqlApi _),
     "q_minmax_by" -> (qMinmaxBy _),
     "q_histogram" -> (qHistogram _),

@@ -86,4 +86,31 @@ object Packing {
         transform(array_sort(collect_list(struct(col("gpos"), col("tid")))),
           x => x.getField("tid")).as("ids"))
   }
+
+  /** E57: deterministic epoch shuffle + shard assignment — the
+    * dataloader's global permutation. Each row's shuffle key is a
+    * content hash of (salt ‖ id), so the permutation is a pure function
+    * of the data and the salt (= the epoch number): reproducible across
+    * engines, runs, partitionings, and restarts, re-randomized by
+    * changing the salt. shard = hash mod nShards (balanced in
+    * expectation with no coordination), pos = rank within the shard by
+    * (hash, id) — a per-shard sort over corpus/nShards rows, the same
+    * work `repartitionByRange + sortWithinPartitions` does when writing
+    * shard files; no global total order is ever materialized. The
+    * (hash+1)/2³² dyadic-uniform trick from [[Sampling.weightedSample]]
+    * keeps every step exactly portable.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    salt: String): DataFrame = {
+    require(nShards >= 1)
+    val h = conv(substring(md5(
+        concat(lit(salt), col(idCol).cast("string")).cast("binary")), 1, 8),
+      16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

@@ -516,6 +516,36 @@ object Similarity {
         col("rank"))
   }
 
+  /** E56: SemDeDup-shaped semantic dedup funnel (Abbas et al. 2023,
+    * arXiv:2303.09540): embedding near-dup pairs above a cosine
+    * threshold → transitive clusters → ONE keeper per cluster (min
+    * id), every input vector getting a (cluster_id, n_members, keep)
+    * verdict — the decision table a curation run applies.
+    *
+    * This is the oracle-checkable re-expression of the paper's
+    * pipeline: the paper clusters with k-means purely to BOUND the
+    * pair search; here the pair space is bounded by the caller's
+    * blocking key (a label, an SRP-LSH bucket, or an IVF cell id —
+    * q_ann_lsh/ivf machinery), which keeps every stage deterministic.
+    * Scale shape: blocked self-join (per-block pair space), hybrid
+    * connected components (driver union-find under the edge threshold,
+    * min-label rounds above), then two keyed joins of cluster-
+    * cardinality tables back to the corpus — nothing global.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    blockCol: String, threshold: Double): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, blockCol, threshold)
+    val comp = Graph.connectedComponents(pairs, "id_a", "id_b")
+    val members = comp.groupBy(col("comp")).agg(count(lit(1)).as("n"))
+    df.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .join(members, Seq("comp"), "left")
+      .select(col("id"),
+        coalesce(col("comp"), col("id")).as("cluster_id"),
+        coalesce(col("n"), lit(1L)).as("n_members"),
+        (col("comp").isNull || col("comp") === col("id")).as("keep"))
+  }
+
   /** E5: embedding near-duplicate pairs above a cosine threshold,
     * blocked by an equi-join key (here: a label / cluster id) so the
     * pair space is per-block, not global.

@@ -97,6 +97,31 @@ class DedupSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("semanticDedup: transitive clusters, min-id keeper, singleton keep") {
+    // 1≈2 and 2≈3 (chain → one cluster {1,2,3}); 4 unrelated; 5 same
+    // direction as 1 but in another block → no cross-block pair
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), "a"),
+      (2L, Array(1.0f, 0.001f, 0.0f), "a"),
+      (3L, Array(1.0f, 0.002f, 0.0f), "a"),
+      (4L, Array(0.0f, 1.0f, 0.0f), "a"),
+      (5L, Array(1.0f, 0.0f, 0.0f), "b")).toDF("vec_id", "embedding", "lbl")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        "lbl", 0.999).collect()
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out.length == 5)
+    for (i <- Seq(1L, 2L, 3L))
+      assert(byId(i).getAs[Long]("cluster_id") == 1L &&
+        byId(i).getAs[Long]("n_members") == 3L)
+    assert(byId(1L).getAs[Boolean]("keep"))
+    assert(!byId(2L).getAs[Boolean]("keep") && !byId(3L).getAs[Boolean]("keep"))
+    for (i <- Seq(4L, 5L)) {
+      assert(byId(i).getAs[Boolean]("keep"))
+      assert(byId(i).getAs[Long]("cluster_id") == i)
+      assert(byId(i).getAs[Long]("n_members") == 1L)
+    }
+  }
+
   test("multimodal: resize caps the longest side, frame sampling strides") {
     val media = Seq(
       Multimodal.MediaRow(1L, Array.fill[Byte](100)(7)),

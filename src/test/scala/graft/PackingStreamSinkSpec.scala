@@ -27,6 +27,28 @@ class PackingStreamSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffleShards: deterministic permutation, dense positions, salt reshuffles") {
+    val docs = (1L to 300L).toDF("id")
+    val a = Packing.shuffleShards(docs, "id", 4, "ep1").collect()
+    // every id placed exactly once
+    assert(a.map(_.getAs[Long]("id")).toSet == (1L to 300L).toSet)
+    // positions are dense 0..n_s-1 within each shard
+    a.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq ==
+        (0L until rows.length).toSeq)
+    }
+    // pure function of (data, salt): same placement on a different
+    // partitioning, different permutation under a different salt
+    val b = Packing.shuffleShards(docs.repartition(7), "id", 4, "ep1")
+      .collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("shard"), r.getAs[Long]("pos"))).sortBy(_._1).toSeq
+    assert(key(a) == key(b))
+    val c = Packing.shuffleShards(docs, "id", 4, "ep2").collect()
+    assert(key(a) != key(c))
+  }
+
   test("packTokenStream: blocks reassemble the exact doc-order stream") {
     import graft.operators.Packing
     import org.apache.spark.sql.functions._
