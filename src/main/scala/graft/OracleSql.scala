@@ -2141,6 +2141,26 @@ object OracleSql {
          |JOIN sz sb ON sb.id = id_b
          |WHERE n_shared * 2 >= least(sa.sz, sb.sz)""".stripMargin,
 
+    "q_domain_cap" ->
+      // same synthesized URL, same anchored-regex domain, same
+      // md5-of-id rank order — keep = rank ≤ 15
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/docs/' ||
+        |      CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM u)
+        |SELECT doc_id, domain,
+        |  CAST(row_number() OVER (PARTITION BY domain ORDER BY h, doc_id)
+        |    AS BIGINT) AS rnk,
+        |  (row_number() OVER (PARTITION BY domain ORDER BY h, doc_id)) <= 15
+        |    AS keep
+        |FROM d""".stripMargin,
+
     "q_blocklist" ->
       // token stream joined to the VALUES blocklist; distinct matched
       // terms sorted then joined (≡ Spark array_sort(collect_set)),

@@ -1769,6 +1769,19 @@ object SparkEntry {
       TextFunctions.words, Seq("dup", "slow", "big").toDF("term"), "term")
   }
 
+  /** E58: per-domain caps over synthesized crawl URLs — docs carry a
+    * deterministic source-derived URL; each domain keeps at most 15
+    * docs chosen by content-hash order (Corpus.domainCap).
+    */
+  private def qDomainCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withUrl = table(s, dir, "documents")
+      .withColumn("url", concat(lit("https://"), $"source",
+        lit(".example.com/docs/"), $"doc_id".cast("string")))
+    Corpus.domainCap(withUrl, "url", "doc_id", 15)
+      .select($"id".as("doc_id"), $"domain", $"rnk", $"keep")
+  }
+
   /** A10: l-diversity audit — k-anonymity's blind spot: a group can
     * be large (k-anonymous) yet expose everyone because all members
     * share one sensitive value. Per quasi-identifier group report
@@ -2704,6 +2717,7 @@ object SparkEntry {
     "q_event_paths" -> (qEventPaths _),
     "q_acf" -> (qAcf _),
     "q_blocklist" -> (qBlocklist _),
+    "q_domain_cap" -> (qDomainCap _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),
     "q_collocations" -> (qCollocations _),
     "q_winnow" -> (qWinnow _),

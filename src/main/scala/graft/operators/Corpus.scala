@@ -376,4 +376,30 @@ object Corpus {
         coalesce(col("blocked_terms"), lit("")).as("blocked_terms"))
       .withColumn("keep", col("n_hits") === 0)
   }
+
+  /** E58: per-domain document caps — the web-curation pass that stops
+    * a handful of hot domains from dominating a crawl-derived corpus
+    * (C4/RefinedWeb both cap per-host contributions). Domain from the
+    * URL by anchored regex (engine-portable; parse_url-free so the
+    * oracle is the same expression), rank within domain by the
+    * content-keyed md5 order (deterministic across runs/partitionings
+    * — a reproducible "random" k per domain, same trick as
+    * [[graft.operators.Sampling.hashGate]]), keep = rank ≤ cap.
+    *
+    * Scale shape: ONE keyed shuffle on the domain for the rank window;
+    * per-domain partitions are capped only logically (hot domains sort
+    * more rows — for degenerate hosts holding >1 executor's share,
+    * pre-filter with a count agg + hashGate at rate cap/n first).
+    */
+  def domainCap(df: DataFrame, urlCol: String, idCol: String,
+                cap: Int): DataFrame = {
+    val domain = regexp_extract(col(urlCol), "^[a-z]+://([^/]+)", 1)
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("__h"), col("id"))
+    df.select(col(idCol).as("id"), domain.as("domain"),
+        md5(col(idCol).cast("string").cast("binary")).as("__h"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("id"), col("domain"), col("rnk"),
+        (col("rnk") <= cap).as("keep"))
+  }
 }

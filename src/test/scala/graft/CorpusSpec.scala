@@ -202,4 +202,21 @@ class CorpusSpec extends AnyFunSuite {
       .filter(col("id") === 1L).head.getAs[scala.collection.Seq[Long]]("ids")
     assert(arr.toSeq == Seq(1L, 2L, 1L, 0L, 1L, 2L))
   }
+
+  test("domainCap: per-domain keeps ≤ cap, hash order is partition-stable") {
+    val docs = ((1L to 40L).map(i => (i, s"https://hot.example.com/p/$i")) ++
+      Seq((100L, "https://cold.example.com/x"))).toDF("doc_id", "url")
+    val out = Corpus.domainCap(docs, "url", "doc_id", 5).collect()
+    assert(out.length == 41)
+    val hot = out.filter(_.getAs[String]("domain") == "hot.example.com")
+    assert(hot.count(_.getAs[Boolean]("keep")) == 5)
+    assert(hot.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to 40L).toSeq)
+    // the singleton domain always survives
+    val cold = out.find(_.getAs[Long]("id") == 100L).get
+    assert(cold.getAs[Boolean]("keep") && cold.getAs[Long]("rnk") == 1L)
+    // deterministic under a different physical partitioning
+    val again = Corpus.domainCap(docs.repartition(7), "url", "doc_id", 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rnk")).toMap
+    assert(out.forall(r => again(r.getAs[Long]("id")) == r.getAs[Long]("rnk")))
+  }
 }

@@ -278,4 +278,22 @@ class PlanAuditSpec extends AnyFunSuite {
     val acf = plan("q_acf")
     assert(acf.contains("BroadcastExchange"), acf.take(1200))
   }
+
+  test("round-3 final additions keep their scale shapes") {
+    // epoch shuffle: ONE exchange total — the per-shard rank's keyed
+    // shuffle on the shard id; hash + shard assignment are map-side
+    val ss = plan("q_shuffle_shards")
+    assert("Exchange".r.findAllIn(ss).size == 1, ss.take(1200))
+    assert(ss.contains("Window"))
+    // winnowing-join: every join equi-keyed (fp / id) — the df cap is
+    // what bounds the pair buckets; no nested-loop anywhere
+    val wp = plan("q_winnow_pairs")
+    assert(!wp.contains("BroadcastNestedLoopJoin"), wp.take(1500))
+    // semantic dedup: the pair stage is the label-blocked equi self-join;
+    // verdict joins stay hash joins (no nested loop)
+    val sd = plan("q_semantic_dedup")
+    assert(!sd.contains("BroadcastNestedLoopJoin"), sd.take(1500))
+    assert(sd.contains("SortMergeJoin") || sd.contains("ShuffledHashJoin") ||
+      sd.contains("BroadcastHashJoin"))
+  }
 }
