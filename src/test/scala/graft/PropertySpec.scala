@@ -56,6 +56,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowPairs ≡ brute-force rare-set containment on random corpora") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val r = rng
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    for (round <- 1 to 3) {
+      val maxDf = 2 + r.nextInt(3)
+      // tiny vocabulary → plenty of shared and hot grams
+      val docs = (1L to 20L).map { i =>
+        (i, List.fill(4 + r.nextInt(10))(words(r.nextInt(words.length)))
+          .mkString(" "))
+      }
+      // local reference: same native extraction per doc (text is
+      // already normalized), then rare sets + pairwise containment
+      val sets = docs.map { case (id, t) =>
+        val a = graft.plans.NativeText.winnow(UTF8String.fromString(t), 8, 5)
+        id -> (0 until a.numElements()).map(a.getUTF8String(_).toString).toSet
+      }.toMap
+      val dfc = sets.values.flatten.toSeq.groupBy(identity)
+        .map { case (fp, occ) => fp -> occ.size }
+      val rare = sets.map { case (id, s) =>
+        id -> s.filter(fp => dfc(fp) <= maxDf) }
+      val expected = (for {
+        a <- 1L to 20L; b <- (a + 1) to 20L
+        inter = (rare(a) intersect rare(b)).size
+        if inter > 0 && 2 * inter >= math.min(rare(a).size, rare(b).size)
+      } yield (a, b, inter.toLong, rare(a).size.toLong,
+        rare(b).size.toLong)).toSet
+      val got = graft.operators.Dedup.winnowPairs(
+          docs.toDF("doc_id", "text"), "text", "doc_id", 8, 5, 1, 2, maxDf)
+        .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"),
+          x.getAs[Long]("n_shared"), x.getAs[Long]("sz_a"),
+          x.getAs[Long]("sz_b"))).toSet
+      assert(got == expected, s"round=$round maxDf=$maxDf")
+    }
+  }
+
+  test("shuffleShards: shard sizes stay near-balanced over random id sets") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val r = rng
+    val ids = List.fill(600)(r.nextLong().abs).distinct
+    val n = ids.length
+    val out = graft.operators.Packing.shuffleShards(
+        ids.toDF("id"), "id", 8, "s1").collect()
+    assert(out.length == n)
+    val counts = out.groupBy(_.getAs[Long]("shard")).view.mapValues(_.length)
+    // md5-uniform multinomial: each shard within ±50% of n/8 with huge
+    // probability at n≈600 (≈5σ)
+    assert(counts.values.forall(c => c > n / 16 && c < 3 * n / 16),
+      counts.toMap.toString)
+  }
+
   test("rollingHash: no collisions across distinct short strings") {
     import org.apache.spark.unsafe.types.UTF8String
     val r = rng
