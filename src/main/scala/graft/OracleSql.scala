@@ -2895,5 +2895,114 @@ object OracleSql {
          |             ELSE 0.0 END) <= 0.1
          |   AND stops >= 2) AS keep
          |FROM x""".stripMargin
+    },
+
+    "q_html_strip" ->
+      // the IDENTICAL pattern strings as TextFunctions.stripHtml (the
+      // RE2 ∩ Java dialect: inline (?is), lazy .*?, no backrefs);
+      // entity decode is a literal replace chain, &amp; LAST so
+      // &amp;lt; single-decodes to the text '&lt;'
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style type="text/css">body { color: #c00; }</style>' ||
+        |  '<script>if (1 < 2 && 0 > -1) { var s = "</div>"; }</script>' ||
+        |  '</head>' || chr(10) || '<body>' || chr(10) || '<!-- crawl:' ||
+        |  source || chr(10) || '  snapshot -->' || chr(10) ||
+        |  '<h1 class="t">' || source || '</h1>' || chr(10) || '<p>' ||
+        |  text ||
+        |  ' &amp;lt;tail&amp;gt; A &amp; B &lt;ok&gt; &quot;q&#39;s&quot;&nbsp;end</p>' ||
+        |  chr(10) || '<br/></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        html,
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '(?s)<[^>]+>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+        |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean,
+        |  CAST(length(trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        html,
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '(?s)<[^>]+>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+        |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+        |    '\s+', ' ', 'g'))) AS BIGINT) AS n_chars
+        |FROM h""".stripMargin,
+
+    "q_corpus_divergence" -> {
+      val norm = normOf("text")
+      // counts/denominators exact ints; p, q, each term's
+      // contribution in the IDENTICAL op order as the Spark plan; the
+      // ln sums fold in sorted-term order (list_reduce seeds with the
+      // first element, Spark's aggregate seeds 0.0 — 0.0+x ≡ x);
+      // 6dp for the ln-ulp rule
+      s"""WITH ca AS (SELECT term, count(*) AS ca FROM (
+         |    SELECT unnest(string_split($norm, ' ')) AS term
+         |    FROM documents WHERE doc_id % 2 = 0) x GROUP BY 1),
+         |cb AS (SELECT term, count(*) AS cb FROM (
+         |    SELECT unnest(string_split($norm, ' ')) AS term
+         |    FROM documents WHERE doc_id % 2 = 1) x GROUP BY 1),
+         |j AS (SELECT coalesce(ca.term, cb.term) AS term,
+         |    coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+         |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+         |t AS (SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v FROM j),
+         |c AS (SELECT term,
+         |    CAST(ca + 1 AS DOUBLE) / CAST(ta + v AS DOUBLE) AS p,
+         |    CAST(cb + 1 AS DOUBLE) / CAST(tb + v AS DOUBLE) AS q
+         |  FROM j CROSS JOIN t),
+         |x AS (SELECT term, p * ln(p / q) AS kab, q * ln(q / p) AS kba,
+         |    p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0)) AS jst
+         |  FROM c)
+         |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST((SELECT ta FROM t) AS BIGINT) AS tot_a,
+         |  CAST((SELECT tb FROM t) AS BIGINT) AS tot_b,
+         |  round(list_reduce(list(kab ORDER BY term), (a, b) -> a + b), 6)
+         |    AS kl_ab,
+         |  round(list_reduce(list(kba ORDER BY term), (a, b) -> a + b), 6)
+         |    AS kl_ba,
+         |  round(list_reduce(list(jst ORDER BY term), (a, b) -> a + b)
+         |    * 0.5, 6) AS js
+         |FROM x""".stripMargin
+    },
+
+    "q_quality_classifier" -> {
+      val norm = normOf("text")
+      // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);
+      // weight = first 6 hex digits of md5('w'||bucket) mod 2001 −
+      // 1000, exact milli-units, so z = Σ tf·w is pure integer; the
+      // only float path is one division + sigmoid (6dp); keep is the
+      // exact integer test z ≥ 0
+      def hv(i: Int) =
+        s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      val w6 = s"(16*(16*(16*(16*(16*${hv(1)} + ${hv(2)}) + ${hv(3)}) + " +
+        s"${hv(4)}) + ${hv(5)}) + ${hv(6)})"
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(string_split($norm, ' ')) AS term FROM documents),
+         |x AS (SELECT doc_id, md5(term) AS h FROM t),
+         |tf AS (SELECT doc_id,
+         |    CAST((16 * ${hv(7)} + ${hv(8)}) % 64 AS BIGINT) AS bucket,
+         |    count(*) AS tf
+         |  FROM x GROUP BY 1, 2),
+         |w AS (SELECT bucket, $w6 % 2001 - 1000 AS w FROM
+         |  (SELECT bucket, md5('w' || CAST(bucket AS VARCHAR)) AS h
+         |   FROM (SELECT DISTINCT bucket FROM tf) b) y),
+         |z AS (SELECT doc_id, sum(tf) AS n_tokens,
+         |    sum(tf * w.w) AS z_milli
+         |  FROM tf JOIN w USING (bucket) GROUP BY 1)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(z_milli AS BIGINT) AS z_milli,
+         |  round(1.0 / (1.0 + exp(-(CAST(z_milli AS DOUBLE) /
+         |    (CAST(n_tokens AS DOUBLE) * 1000.0)))), 6) AS score,
+         |  z_milli >= 0 AS keep
+         |FROM z""".stripMargin
     })
 }

@@ -1828,6 +1828,64 @@ object SparkEntry {
           log(lit(10.0)), 6).as("expected"))
   }
 
+  /** E61: HTML → text extraction — documents wrapped in a synthetic
+    * (deterministic) markup shell: head with style + script elements
+    * whose CONTENT must vanish wholesale (the script body contains
+    * `<`, `>`, quotes and a fake closing tag inside a string — the
+    * classic naive-strip traps), comments, heading/paragraph tags,
+    * and entity-encoded punctuation that must decode exactly once
+    * (`&amp;lt;` → literal `&lt;`). Every step is a codegen'd
+    * regexp in the RE2 ∩ Java dialect, so the oracle runs the
+    * IDENTICAL pattern strings (TextFunctions.stripHtml).
+    */
+  private def qHtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val html = concat(
+      lit("<html><head><title>Doc "), $"doc_id", lit("</title>"),
+      lit("<style type=\"text/css\">body { color: #c00; }</style>"),
+      lit("<script>if (1 < 2 && 0 > -1) { var s = \"</div>\"; }</script>"),
+      lit("</head>\n<body>\n<!-- crawl:"), $"source",
+      lit("\n  snapshot -->\n<h1 class=\"t\">"), $"source",
+      lit("</h1>\n<p>"), $"text",
+      lit(" &amp;lt;tail&amp;gt; A &amp; B &lt;ok&gt; &quot;q&#39;s&quot;&nbsp;end</p>\n<br/></body></html>"))
+    table(s, dir, "documents")
+      .select($"doc_id", TextFunctions.stripHtml(html).as("clean"))
+      .withColumn("n_chars", length($"clean").cast("long"))
+  }
+
+  /** E59: corpus divergence — KL both ways + Jensen–Shannon between
+    * the even-id and odd-id halves of the documents corpus, add-one
+    * smoothed over the union vocabulary. Exact-integer counts and
+    * denominators; ln sums folded in sorted-term order; 6dp (the
+    * ln-ulp rule — Corpus.distributionDivergence).
+    */
+  private def qCorpusDivergence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    Corpus.distributionDivergence(
+        d.filter($"doc_id" % 2 === 0), d.filter($"doc_id" % 2 === 1),
+        "text", TextFunctions.words)
+      .select($"n_terms", $"tot_a", $"tot_b",
+        round($"kl_ab", 6).as("kl_ab"), round($"kl_ba", 6).as("kl_ba"),
+        round($"js", 6).as("js"))
+  }
+
+  /** E60: model-based quality filter — fasttext-shaped hashed linear
+    * classifier over the documents corpus: hashing-trick features
+    * (E33's md5 buckets), deterministic broadcast milli-unit weights,
+    * integer dot product. z_milli is EXACT (hash-stable); the score
+    * rounds at 6dp (sigmoid's exp — the transcendental rule); keep
+    * (σ ≥ ½ ⇔ z ≥ 0) is exact integer arithmetic
+    * (Corpus.hashedLinearScore).
+    */
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.hashedLinearScore(table(s, dir, "documents"), "text", "doc_id",
+        TextFunctions.words, Corpus.hashedWeights(s), "bucket", "w_milli")
+      .select($"id".as("doc_id"), $"n_tokens", $"z_milli",
+        round($"score_raw", 6).as("score"), $"keep")
+  }
+
   /** E35: triangle census of the near-dup graph (Graph.triangleStats) —
     * canonical-orientation wedge join (two keyed equi-joins, no
     * cartesian); clustering coefficient is one double division of
@@ -2737,7 +2795,10 @@ object SparkEntry {
     "q_containment" -> (qContainment _),
     "q_sql_recursive" -> (qSqlRecursive _),
     "q_l_diversity" -> (qLDiversity _),
-    "q_benford" -> (qBenford _))
+    "q_benford" -> (qBenford _),
+    "q_html_strip" -> (qHtmlStrip _),
+    "q_corpus_divergence" -> (qCorpusDivergence _),
+    "q_quality_classifier" -> (qQualityClassifier _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

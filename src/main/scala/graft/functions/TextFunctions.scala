@@ -180,4 +180,38 @@ object TextFunctions {
   /** All four IPv4 octets in [0, 255]. */
   def ipv4Valid(ip: Column): Column =
     size(filter(split(ip, "\\."), p => p.cast("int") > 255)) === 0
+
+  /** HTML → text extraction (the crawl-curation first pass: every
+    * web-derived corpus — C4, RefinedWeb, FineWeb — starts by
+    * reducing markup to prose before any quality/dedup stage).
+    * Fixed pipeline, every step a codegen'd regexp/replace so a
+    * 100 TB crawl strips inside the scan stage with zero shuffles:
+    *
+    *  1. drop `<script>`/`<style>` ELEMENTS wholesale (their content
+    *     is code, not prose) and `<!-- -->` comments;
+    *  2. drop all remaining tags;
+    *  3. decode the six entities that dominate real markup —
+    *     `&nbsp; &quot; &#39; &lt; &gt;` and `&amp;` LAST, so
+    *     `&amp;lt;` decodes to the literal text `&lt;` (one pass,
+    *     not recursive — the standard single-decode semantics);
+    *  4. collapse whitespace runs and trim.
+    *
+    * Patterns keep to the RE2 ∩ java.util.regex dialect (inline
+    * `(?is)` flags, lazy `.*?`, no backreferences — RE2 has none),
+    * so the DuckDB oracle runs the IDENTICAL pattern strings.
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'",
+      "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (acc, (ent, ch)) =>
+      // literal replace (no regex metachars in the entities)
+      regexp_replace(acc, ent, ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

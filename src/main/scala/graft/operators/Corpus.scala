@@ -402,4 +402,115 @@ object Corpus {
       .select(col("id"), col("domain"), col("rnk"),
         (col("rnk") <= cap).as("keep"))
   }
+
+  /** E59: corpus distribution divergence — KL(A‖B), KL(B‖A) and
+    * Jensen–Shannon divergence between the word distributions of two
+    * corpora, with add-one smoothing over the UNION vocabulary. The
+    * mixture-monitoring number: "did this month's crawl drift from
+    * last month's", "how far is the curated mix from the target
+    * domain" — one scalar per corpus pair, comparable over time.
+    *
+    * Scale shape: two keyed count aggregates (one per corpus), one
+    * full-outer equi-join on the term, totals + vocab size as ONE
+    * 1-row broadcast. Counts and smoothing denominators stay exact
+    * integers; each term's p, q are single divisions of exact ints.
+    * The ln SUM is folded in sorted-term order over a vocab-
+    * cardinality array (the discrete-quantile rationale: vocabulary
+    * is bounded, the corpus is not), so the fold order is a pure
+    * function of the data — gates round at 6dp for the ln-ulp rule.
+    *
+    * JS = ½·Σ [p·ln(p/m) + q·ln(q/m)], m = (p+q)/2 — symmetric,
+    * bounded by ln 2, the standard "corpus distance".
+    *
+    * @return one row: (n_terms, tot_a, tot_b, kl_ab, kl_ba, js) with
+    *         divergences as RAW doubles (callers round).
+    */
+  def distributionDivergence(a: DataFrame, b: DataFrame, textCol: String,
+                             tokens: Column => Column): DataFrame = {
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(tokens(col(textCol))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(out))
+    val joined = counts(a, "ca").join(counts(b, "cb"), Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = joined.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+      count(lit(1)).as("v"))
+    // exact-int numerators/denominators; ONE division each, in this
+    // exact order (oracle mirrors op-for-op)
+    val p = (col("ca") + 1).cast("double") /
+      (col("ta") + col("v")).cast("double")
+    val q = (col("cb") + 1).cast("double") /
+      (col("tb") + col("v")).cast("double")
+    val m = (p + q) / 2.0
+    val terms = joined.crossJoin(broadcast(tot))
+      .select(struct(col("term"), (p * log(p / q)).as("kab"),
+        (q * log(q / p)).as("kba"),
+        (p * log(p / m) + q * log(q / m)).as("jst")).as("s"),
+        col("ta"), col("tb"))
+    def foldField(f: String) =
+      aggregate(transform(col("arr"), x => x(f)), lit(0.0), _ + _)
+    terms.groupBy(col("ta"), col("tb"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(size(col("arr")).cast("long").as("n_terms"),
+        col("ta").as("tot_a"), col("tb").as("tot_b"),
+        foldField("kab").as("kl_ab"), foldField("kba").as("kl_ba"),
+        (foldField("jst") * 0.5).as("js"))
+  }
+
+  /** E60: hashed linear quality classifier — the fasttext-shaped
+    * model-based filter (DCLM / FineWeb-Edu's curation workhorse)
+    * reduced to its engine side: score = σ(w·x/n) over hashing-trick
+    * bag-of-words features (E33's bucketing), weights BROADCAST (a
+    * linear model is kilobytes against a 100 TB corpus; training
+    * lives outside the engine — this is the serving path).
+    *
+    * Weights arrive as a (bucket, w_milli) table in exact MILLI-units
+    * so the dot product Σ tf·w stays a pure integer aggregate at any
+    * parallelism — the float path is one division (z/(1000·n)) plus
+    * the sigmoid at the end, and the keep verdict (σ ≥ ½ ⇔ z ≥ 0)
+    * is EXACT integer arithmetic, immune to the sigmoid's ulp noise.
+    *
+    * Scale shape: explode → ONE keyed (doc, bucket) count aggregate →
+    * broadcast weight join → per-doc integer sum. No window, no
+    * driver state.
+    *
+    * @return (id, n_tokens, z_milli, score_raw, keep) — score_raw is
+    *         the RAW sigmoid double (callers round at 6dp).
+    */
+  def hashedLinearScore(df: DataFrame, textCol: String, idCol: String,
+                        tokens: Column => Column,
+                        weights: DataFrame, bucketCol: String,
+                        wCol: String, nBuckets: Int = 64): DataFrame = {
+    val tf = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .withColumn("bucket",
+        conv(substring(md5(col("term")), 7, 2), 16, 10).cast("long")
+          % nBuckets)
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("tf"))
+    val z = tf.join(broadcast(weights.select(col(bucketCol).as("bucket"),
+        col(wCol).as("w"))), Seq("bucket"), "left")
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * coalesce(col("w"), lit(0L))).as("z_milli"))
+    z.select(col("id"), col("n_tokens"), col("z_milli"),
+      (lit(1.0) / (lit(1.0) + exp(-(col("z_milli").cast("double") /
+        (col("n_tokens").cast("double") * 1000.0))))).as("score_raw"),
+      (col("z_milli") >= 0).as("keep"))
+  }
+
+  /** Deterministic hashed weights for [[hashedLinearScore]] — w_b =
+    * (first 6 md5 hex digits of "w‖b") mod 2001 − 1000 ∈ [−1000,
+    * 1000] milli-units. Engine-portable (the oracle rebuilds the same
+    * table in SQL); a real deployment would load trained weights
+    * instead.
+    */
+  def hashedWeights(spark: org.apache.spark.sql.SparkSession,
+                    nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    (0 until nBuckets).map(_.toLong).toDF("bucket")
+      .select(col("bucket"),
+        (conv(substring(md5(concat(lit("w"), col("bucket").cast("string"))),
+          1, 6), 16, 10).cast("long") % 2001 - 1000).as("w_milli"))
+  }
 }

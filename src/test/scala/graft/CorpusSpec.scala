@@ -219,4 +219,83 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rnk")).toMap
     assert(out.forall(r => again(r.getAs[Long]("id")) == r.getAs[Long]("rnk")))
   }
+
+  private def strip(s: String): String = {
+    val df = Seq(Tuple1(s)).toDF("t")
+    df.select(TextFunctions.stripHtml($"t").as("c")).head.getAs[String]("c")
+  }
+
+  test("stripHtml: elements, comments, tags, entities, whitespace") {
+    // script/style CONTENT vanishes wholesale, incl. <, >, quotes
+    assert(strip("""a<script>if (1 < 2) { x = "</div>"; }</script>b""") == "a b")
+    assert(strip("a<style>p { color: #fff; }</style>b") == "a b")
+    assert(strip("<SCRIPT type=\"x\">y</SCRIPT>ok") == "ok") // (?i)
+    // comments span newlines
+    assert(strip("a<!-- one\n two -->b") == "a b")
+    // plain tags → space; runs collapse; result trimmed
+    assert(strip("<p>one</p>\n\n<b>two</b> ") == "one two")
+    // entities decode exactly ONCE: &amp;lt; is the TEXT '&lt;'
+    assert(strip("A &amp; B &lt;x&gt; &amp;lt;raw&amp;gt; &quot;q&#39;s&quot;&nbsp;e")
+      == "A & B <x> &lt;raw&gt; \"q's\" e")
+    // non-markup text passes through
+    assert(strip("no markup at all") == "no markup at all")
+  }
+
+  test("distributionDivergence: identity is zero, disjoint is ln2-ish js") {
+    val a = Seq((1L, "x y x z")).toDF("doc_id", "text")
+    val same = Corpus.distributionDivergence(a, a, "text",
+      TextFunctions.words).head
+    assert(same.getAs[Long]("n_terms") == 3)
+    assert(same.getAs[Long]("tot_a") == 4 && same.getAs[Long]("tot_b") == 4)
+    assert(math.abs(same.getAs[Double]("kl_ab")) < 1e-12)
+    assert(math.abs(same.getAs[Double]("js")) < 1e-12)
+    // disjoint vocabularies: all divergences positive, js < ln 2
+    val b = Seq((2L, "p q p r")).toDF("doc_id", "text")
+    val dis = Corpus.distributionDivergence(a, b, "text",
+      TextFunctions.words).head
+    assert(dis.getAs[Long]("n_terms") == 6)
+    assert(dis.getAs[Double]("kl_ab") > 0 && dis.getAs[Double]("kl_ba") > 0)
+    assert(dis.getAs[Double]("js") > 0 && dis.getAs[Double]("js") < math.log(2))
+    // js is symmetric; kl is not in general
+    val rev = Corpus.distributionDivergence(b, a, "text",
+      TextFunctions.words).head
+    assert(math.abs(dis.getAs[Double]("js") - rev.getAs[Double]("js")) < 1e-12)
+    assert(math.abs(dis.getAs[Double]("kl_ab") - rev.getAs[Double]("kl_ba")) < 1e-12)
+  }
+
+  test("distributionDivergence matches a hand-computed smoothed KL") {
+    // A = {x:2}, B = {x:1, y:1}; V=2, Ta=2, Tb=2
+    // p(x)=3/4 p(y)=1/4; q(x)=2/4 q(y)=2/4
+    val a = Seq((1L, "x x")).toDF("doc_id", "text")
+    val b = Seq((2L, "x y")).toDF("doc_id", "text")
+    val r = Corpus.distributionDivergence(a, b, "text",
+      TextFunctions.words).head
+    val p = Seq(0.75, 0.25); val q = Seq(0.5, 0.5)
+    val klExp = p.zip(q).map { case (pi, qi) => pi * math.log(pi / qi) }.sum
+    assert(math.abs(r.getAs[Double]("kl_ab") - klExp) < 1e-12)
+  }
+
+  test("hashedLinearScore: integer dot product, exact keep verdict") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("doc_id", "text")
+    val w = Corpus.hashedWeights(spark)
+    val out = Corpus.hashedLinearScore(docs, "text", "doc_id",
+      TextFunctions.words, w, "bucket", "w_milli")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // recompute z by hand from the same md5 bucket/weight derivation
+    val ws = w.collect().map(r =>
+      r.getAs[Long]("bucket") -> r.getAs[Long]("w_milli")).toMap
+    def bucket(t: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(6, 8), 16) % 64
+    }
+    val z1 = 2 * ws(bucket("alpha")) + 1 * ws(bucket("beta"))
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_tokens") == 3 && r1.getAs[Long]("z_milli") == z1)
+    assert(r1.getAs[Boolean]("keep") == (z1 >= 0))
+    val sig = 1.0 / (1.0 + math.exp(-(z1.toDouble / (3.0 * 1000.0))))
+    assert(math.abs(r1.getAs[Double]("score_raw") - sig) < 1e-15)
+    // weights stay in milli-range; all 64 buckets covered
+    assert(ws.size == 64 && ws.values.forall(v => v >= -1000 && v <= 1000))
+  }
 }
