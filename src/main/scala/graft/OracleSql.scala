@@ -2974,6 +2974,33 @@ object OracleSql {
          |FROM x""".stripMargin
     },
 
+    "q_dup_spans" ->
+      // mirror of Corpus.duplicateSpans k=5 over the dup-seeded
+      // corpus: positioned 5-grams (the shCte pattern WITHOUT the
+      // per-doc DISTINCT — positions matter here), corpus-wide
+      // frequency >= 2 filter, then gaps-and-islands over half-open
+      // [pos, pos+5) intervals — new island iff pos > prefix-max(e)
+      // (coalesce -1 for the first row), identical to
+      // coalesceIntervals' closed-touching merge rule
+      s"""WITH $corpusCte,
+         |t AS (SELECT doc_id AS id, string_split(${normOf("text")}, ' ') AS w
+         |      FROM corpus),
+         |g AS (SELECT id, CAST(u.i - 1 AS BIGINT) AS pos,
+         |    w[u.i]||' '||w[u.i+1]||' '||w[u.i+2]||' '||w[u.i+3]||' '||w[u.i+4] AS g
+         |  FROM t, unnest(generate_series(1, len(w) - 4)) AS u(i)),
+         |d AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+         |h AS (SELECT id, pos, pos + 5 AS e FROM g JOIN d USING (g)),
+         |i AS (SELECT id, pos, e,
+         |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY id
+         |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -1) THEN 1 ELSE 0 END AS nw
+         |  FROM h),
+         |s AS (SELECT id, pos, e, sum(nw) OVER (PARTITION BY id
+         |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM i)
+         |SELECT id AS doc_id, min(pos) AS span_start, max(e) - 1 AS span_end,
+         |  max(e) - min(pos) AS span_tokens, count(*) AS n_grams
+         |FROM s GROUP BY id, island""".stripMargin,
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

@@ -1886,6 +1886,21 @@ object SparkEntry {
         round($"score_raw", 6).as("score"), $"keep")
   }
 
+  /** E62: maximal duplicated token spans over the dup-seeded corpus
+    * (Corpus.duplicateSpans, k=5) — the exact-substring-dedup output:
+    * which token ranges to CUT, not which documents to drop. Planted
+    * exact copies flag whole-document spans in both directions; the
+    * truncated near-dups flag everything but their clipped tail. All
+    * columns exact integers.
+    */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.duplicateSpans(dupCorpus(s, dir), "text", "doc_id",
+        TextFunctions.words, 5)
+      .select($"id".as("doc_id"), $"span_start", $"span_end",
+        $"span_tokens", $"n_grams")
+  }
+
   /** E35: triangle census of the near-dup graph (Graph.triangleStats) —
     * canonical-orientation wedge join (two keyed equi-joins, no
     * cartesian); clustering coefficient is one double division of
@@ -2798,7 +2813,8 @@ object SparkEntry {
     "q_benford" -> (qBenford _),
     "q_html_strip" -> (qHtmlStrip _),
     "q_corpus_divergence" -> (qCorpusDivergence _),
-    "q_quality_classifier" -> (qQualityClassifier _))
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_dup_spans" -> (qDupSpans _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

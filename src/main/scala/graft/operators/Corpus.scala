@@ -403,6 +403,70 @@ object Corpus {
         (col("rnk") <= cap).as("keep"))
   }
 
+  /** E62: exact duplicate-span detection — the substring-dedup pass of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): every MAXIMAL token range that participates in a
+    * corpus-wide repeated k-gram, per document. Line dedup removes
+    * repeated whole LINES and winnowing finds near-dup candidate
+    * PAIRS; this is the stage between them — the memorization-prone
+    * boilerplate (license headers, navigation chrome, quoted
+    * passages) that should be CUT from documents, not used to drop
+    * them.
+    *
+    * The paper's suffix array is a single-machine structure; the
+    * distributed re-expression: a repeat of length ≥ k exists at
+    * token position p iff the k-gram starting at p occurs ≥
+    * `minOccurs` times corpus-wide, and any LONGER repeat is exactly
+    * a run of flagged positions — so the maximal repeated ranges are
+    * interval coalescing (gaps-and-islands) over the flagged gram
+    * intervals [p, p+k). Half-open ends make adjacent flagged grams
+    * fuse into one span under [[Intervals.coalesceIntervals]]'
+    * closed-touching rule.
+    *
+    * Scale shape: grams assemble IN-ROW (one explode — positions
+    * never pair up), ONE keyed count on the gram, frequency filter
+    * BEFORE the join back so the overwhelmingly-unique gram mass is
+    * discarded at the aggregate, one per-doc window for the merge.
+    * The join-back (not a collect_list of positions on the gram key)
+    * keeps a degenerate boilerplate gram — millions of occurrences of
+    * one 5-gram — an AQE-splittable hot join key instead of a
+    * single-row array blowup. The gram subtree feeds both the count
+    * and the probe side through the SAME hash partitioning, so the
+    * physical plan reuses one exchange rather than rescanning the
+    * corpus (ReusedExchange — asserted cheap enough to skip
+    * persisting the k×-inflated gram table, which at 100 TB is the
+    * wrong trade).
+    *
+    * @return one row per maximal span: (id, span_start, span_end)
+    *         token indices 0-based inclusive, span_tokens its length,
+    *         n_grams the flagged k-grams it merged.
+    */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     tokens: Column => Column, k: Int,
+                     minOccurs: Long = 2L): DataFrame = {
+    require(k >= 1, s"duplicateSpans: k must be >= 1, got $k")
+    val w = tokens(col(textCol))
+    // sequence(0, n) with n < 0 DESCENDS — guard short docs to an
+    // empty gram array (posexplode then emits no rows for them)
+    val grams = df.select(col(idCol).as("id"),
+        when(size(w) >= k,
+          transform(sequence(lit(0), size(w) - k),
+            i => array_join(slice(w, i + 1, lit(k)), " ")))
+          .otherwise(array().cast("array<string>")).as("gs"))
+      .select(col("id"), posexplode(col("gs")).as(Seq("pos", "g")))
+    val dup = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minOccurs)
+    val hits = grams.join(dup, "g")
+      .select(col("id"), col("pos").cast("long").as("s"),
+        (col("pos") + k).cast("long").as("e"))
+    Intervals.coalesceIntervals(hits, "id", "s", "e", "s")
+      .select(col("id"), col("island_start").as("span_start"),
+        (col("island_end") - 1).as("span_end"),
+        (col("island_end") - col("island_start")).as("span_tokens"),
+        col("n_intervals").as("n_grams"))
+  }
+
   /** E59: corpus distribution divergence — KL(A‖B), KL(B‖A) and
     * Jensen–Shannon divergence between the word distributions of two
     * corpora, with add-one smoothing over the UNION vocabulary. The

@@ -275,6 +275,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("kl_ab") - klExp) < 1e-12)
   }
 
+  test("duplicateSpans: maximal merged spans, self-repeats, short docs") {
+    // docs 1 and 2 share the 8-token passage p1..p8 (distinct words
+    // nowhere else): grams flag at 4 consecutive starts → ONE maximal
+    // island of 8 tokens on each side, at the right offsets
+    val docs = Seq(
+      (1L, "u1 u2 p1 p2 p3 p4 p5 p6 p7 p8 u3"),
+      (2L, "v1 p1 p2 p3 p4 p5 p6 p7 p8"),
+      (3L, "a b c d e xx a b c d e"), // self-repeat, non-adjacent
+      (4L, "w1 w2 w3")                // shorter than k → no grams
+    ).toDF("doc_id", "text")
+    val out = Corpus.duplicateSpans(docs, "text", "doc_id",
+        TextFunctions.words, 5)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"),
+        r.getAs[Long]("n_grams")))
+      .sortBy(t => (t._1, t._2))
+    assert(out === Seq(
+      (1L, 2L, 9L, 8L, 4L),  // p1..p8 at positions 2..9
+      (2L, 1L, 8L, 8L, 4L),
+      (3L, 0L, 4L, 5L, 1L),  // "a b c d e" twice within one doc:
+      (3L, 6L, 10L, 5L, 1L)  // two islands — the xx gap separates
+    ))
+  }
+
+  test("duplicateSpans: adjacent flagged grams fuse into one span") {
+    // the 10-token passage repeats; its grams flag at starts 0..5 —
+    // overlapping AND the touching half-open boundary both merge
+    val p = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    val docs = Seq((1L, p), (2L, p)).toDF("doc_id", "text")
+    val out = Corpus.duplicateSpans(docs, "text", "doc_id",
+        TextFunctions.words, 5)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_grams")))
+      .sortBy(_._1)
+    assert(out === Seq((1L, 0L, 9L, 6L), (2L, 0L, 9L, 6L)))
+  }
+
   test("hashedLinearScore: integer dot product, exact keep verdict") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("doc_id", "text")
     val w = Corpus.hashedWeights(spark)
