@@ -2974,6 +2974,23 @@ object OracleSql {
          |FROM x""".stripMargin
     },
 
+    "q_skyline" ->
+      // per-brand Pareto frontier as the textbook NOT EXISTS dominance
+      // test (quadratic — fine for the oracle, not the engine);
+      // dominance strict on at least one dim, so duplicate Pareto
+      // points all survive, matching the buffer's never-dominates-
+      // equal rule; null-dim rows excluded on both sides
+      """SELECT a.p_brand, a.p_partkey, CAST(a.p_size AS BIGINT) AS p_size,
+        |  a.p_retailprice
+        |FROM part a
+        |WHERE a.p_size IS NOT NULL AND a.p_retailprice IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM part b
+        |    WHERE b.p_brand = a.p_brand
+        |      AND b.p_size IS NOT NULL AND b.p_retailprice IS NOT NULL
+        |      AND b.p_size >= a.p_size
+        |      AND b.p_retailprice <= a.p_retailprice
+        |      AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))""".stripMargin,
+
     "q_dup_spans" ->
       // mirror of Corpus.duplicateSpans k=5 over the dup-seeded
       // corpus: positioned 5-grams (the shCte pattern WITHOUT the

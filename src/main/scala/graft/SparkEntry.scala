@@ -1886,6 +1886,21 @@ object SparkEntry {
         round($"score_raw", 6).as("score"), $"keep")
   }
 
+  /** C44: per-brand skyline (Pareto frontier) of the part catalog —
+    * parts no same-brand part beats on BOTH size (max) and retail
+    * price (min). Keyed single-pass plan: one shuffle on the brand,
+    * per-key dominance buffer over the Σdims-desc in-partition sort
+    * (Analytics.skyline). Dominance compares exact doubles — no
+    * rounding anywhere.
+    */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Analytics.skyline(s, table(s, dir, "part"), "p_partkey",
+        Seq("p_size" -> true, "p_retailprice" -> false), Some("p_brand"))
+      .select($"p_brand", $"p_partkey",
+        $"p_size".cast("long").as("p_size"), $"p_retailprice")
+  }
+
   /** E62: maximal duplicated token spans over the dup-seeded corpus
     * (Corpus.duplicateSpans, k=5) — the exact-substring-dedup output:
     * which token ranges to CUT, not which documents to drop. Planted
@@ -2814,7 +2829,8 @@ object SparkEntry {
     "q_html_strip" -> (qHtmlStrip _),
     "q_corpus_divergence" -> (qCorpusDivergence _),
     "q_quality_classifier" -> (qQualityClassifier _),
-    "q_dup_spans" -> (qDupSpans _))
+    "q_dup_spans" -> (qDupSpans _),
+    "q_skyline" -> (qSkyline _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

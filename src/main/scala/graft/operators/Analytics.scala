@@ -211,4 +211,102 @@ object Analytics {
               col("bvar") / col("bn").cast("double"))))
       .drop("bn", "bmean", "bvar", "bvariant")
   }
+
+  /** u strictly dominates v: ≥ on every dim, > on at least one (both
+    * already normalized to bigger-is-better). Equal points never
+    * dominate each other — duplicates of a Pareto point ALL survive.
+    */
+  private def dominates(u: Array[Double], v: Array[Double]): Boolean = {
+    var i = 0; var strict = false
+    while (i < u.length) {
+      if (u(i) < v(i)) return false
+      if (u(i) > v(i)) strict = true
+      i += 1
+    }
+    strict
+  }
+
+  /** Skyline (Pareto frontier) — Börzsönyi et al. 2001's operator:
+    * the rows no other row beats on EVERY dimension ("biggest part at
+    * the lowest price"). Each dim carries its direction
+    * (`true` = maximize); optionally grouped (`keyCol`) for a
+    * per-category frontier.
+    *
+    * Distributed plan — the skyline is DISTRIBUTIVE
+    * (skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)), since
+    * dominance is transitive), so:
+    *
+    *  - global: per-partition skyline via a small in-memory buffer
+    *    (mapPartitions — the imperative rung, used because dominance
+    *    needs all-pairs semantics no window frame expresses), then one
+    *    final pass over the tiny candidate union. Partitions are
+    *    pre-sorted by Σdims DESC: a dominator always has a strictly
+    *    larger sum, so within a sorted run the buffer only grows —
+    *    no quadratic re-scan (the removal branch stays for the
+    *    unsorted final pass).
+    *  - grouped: ONE keyed shuffle; groups are contiguous after the
+    *    in-partition sort, so a per-key buffer reset gives the exact
+    *    per-key frontier in a single pass. Buffer memory is one KEY's
+    *    skyline, not the partition.
+    *
+    * Candidates return as id-sets and semi-join back (AQE broadcasts
+    * the typically-tiny frontier), so callers keep their full rows
+    * and arbitrary schema. `idCol` must be unique. Rows with a null
+    * dim are excluded (dominance is undefined on them).
+    *
+    * At 1000 executors the candidate union is Σ per-partition
+    * frontiers — for correlated/random data O(partitions · log n);
+    * a pathological anti-correlated dataset whose frontier IS the
+    * data degenerates gracefully: the final pass streams it through
+    * one task, and the answer was never going to be smaller.
+    */
+  def skyline(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+              idCol: String, dims: Seq[(String, Boolean)],
+              keyCol: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(dims.nonEmpty, "skyline: at least one dimension")
+    val vec = array(dims.map { case (c, bigger) =>
+      val d = col(c).cast("double"); if (bigger) d else -d }: _*)
+    val base = df.filter(dims.map(d => col(d._1).isNotNull).reduce(_ && _))
+      .select(keyCol.map(col(_).cast("string")).getOrElse(lit("")).as("k"),
+        col(idCol).cast("long").as("id"), vec.as("v"),
+        aggregate(vec, lit(0.0), _ + _).as("s"))
+    val parted = keyCol match {
+      case Some(_) => base.repartition(col("k"))
+        .sortWithinPartitions(col("k"), col("s").desc, col("id"))
+      case None => base.sortWithinPartitions(col("s").desc, col("id"))
+    }
+    def sky(it: Iterator[(String, Long, Array[Double])])
+        : Iterator[(String, Long, Array[Double])] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long, Array[Double])]()
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+      var curKey: String = null
+      def flush(): Unit = {
+        if (curKey != null) out ++= buf.map(p => (curKey, p._1, p._2))
+        buf.clear()
+      }
+      for ((k, id, v) <- it) {
+        if (k != curKey) { flush(); curKey = k }
+        if (!buf.exists(p => dominates(p._2, v))) {
+          var i = 0
+          while (i < buf.length) {
+            if (dominates(v, buf(i)._2)) buf.remove(i) else i += 1
+          }
+          buf += ((id, v))
+        }
+      }
+      flush()
+      out.iterator
+    }
+    val pts = parted.select(col("k"), col("id"), col("v"))
+      .as[(String, Long, Array[Double])]
+    val partial = pts.mapPartitions(sky _)
+    // grouped: each key lives in one partition — already exact.
+    // global: one final pass over the candidate union.
+    val winners = (keyCol match {
+      case Some(_) => partial
+      case None => partial.coalesce(1).mapPartitions(sky _)
+    }).map(_._2).toDF("__sky_id")
+    df.join(winners, col(idCol) === col("__sky_id"), "left_semi")
+  }
 }

@@ -192,4 +192,59 @@ class AnalyticsSpec extends AnyFunSuite {
       "event_id", "cents", 5000L, 500L, 10000L).head
     assert(d.getAs[Long]("n_alarms_up") > 0 && d.getAs[Long]("n_alarms_dn") == 0)
   }
+
+  private def bruteSkyline(pts: Seq[(Long, String, Double, Double)])
+      : Set[Long] =
+    pts.filter { case (_, k, x, y) =>
+      !pts.exists { case (_, k2, x2, y2) =>
+        k2 == k && x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+
+  test("skyline: randomized ≡ brute force, global and grouped") {
+    val rnd = new scala.util.Random(42)
+    val pts = (0L until 300L).map(i =>
+      (i, s"g${rnd.nextInt(3)}", rnd.nextInt(40).toDouble,
+        rnd.nextInt(40).toDouble))
+    val df = pts.toDF("id", "grp", "x", "y")
+    val dims = Seq("x" -> true, "y" -> true)
+    val global = Analytics.skyline(spark, df, "id", dims, None)
+      .select($"id").as[Long].collect().toSet
+    assert(global == bruteSkyline(pts.map(p => (p._1, "", p._3, p._4))))
+    val grouped = Analytics.skyline(spark, df, "id", dims, Some("grp"))
+      .select($"id").as[Long].collect().toSet
+    assert(grouped == bruteSkyline(pts))
+  }
+
+  test("skyline: duplicate Pareto points all survive; direction flips; " +
+      "null dims drop; partition-independent") {
+    val df = Seq(
+      (1L, 10.0, 1.0), (2L, 10.0, 1.0), // duplicated frontier point
+      (3L, 5.0, 5.0), (4L, 1.0, 10.0),
+      (5L, 4.0, 4.0),                   // dominated by 3
+      (6L, 0.0, 0.0)                    // dominated by all
+    ).toDF("id", "x", "y")
+    val up = Analytics.skyline(spark, df, "id",
+      Seq("x" -> true, "y" -> true)).select($"id").as[Long].collect().toSet
+    assert(up == Set(1L, 2L, 3L, 4L))
+    // minimize both → the frontier flips to the bottom-left
+    val dn = Analytics.skyline(spark, df, "id",
+      Seq("x" -> false, "y" -> false)).select($"id").as[Long].collect().toSet
+    assert(dn == Set(6L))
+    // a null dim excludes the row entirely
+    val withNull = Seq((1L, Some(10.0), 1.0), (2L, None, 99.0))
+      .toDF("id", "x", "y")
+    val nn = Analytics.skyline(spark, withNull, "id",
+      Seq("x" -> true, "y" -> true)).select($"id").as[Long].collect().toSet
+    assert(nn == Set(1L))
+    // result is a pure set function of the data, not the partitioning
+    val rnd = new scala.util.Random(7)
+    val pts = (0L until 200L).map(i =>
+      (i, "", rnd.nextInt(25).toDouble, rnd.nextInt(25).toDouble))
+    val big = pts.toDF("id", "grp", "x", "y")
+    val a = Analytics.skyline(spark, big.repartition(13), "id",
+      Seq("x" -> true, "y" -> true)).select($"id").as[Long].collect().toSet
+    val b = Analytics.skyline(spark, big.coalesce(1), "id",
+      Seq("x" -> true, "y" -> true)).select($"id").as[Long].collect().toSet
+    assert(a == b && a == bruteSkyline(pts))
+  }
 }
