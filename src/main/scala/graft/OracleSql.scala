@@ -2974,6 +2974,51 @@ object OracleSql {
          |FROM x""".stripMargin
     },
 
+    "q_url_normalize" ->
+      // mirror of TextFunctions.normalizeUrl step for step (identical
+      // pattern strings); empty-list string_agg is NULL in DuckDB →
+      // coalesce '' to match Spark's array_join on an empty array
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://www.' END)
+        |  || source || '.Example.COM'
+        |  || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        |  || '/Docs/p' || CAST(doc_id % 8 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |  || '?b=' || CAST(doc_id % 3 AS VARCHAR)
+        |  || '&utm_source=feed'
+        |  || (CASE WHEN doc_id % 4 = 0 THEN '&a=1' ELSE '' END)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '#top' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[^:/?#]+://[^/?#]*(.*)$', 1) AS rest
+        |  FROM u),
+        |c AS (SELECT doc_id, scheme ||  '://' ||
+        |    (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |          ELSE hostport END) ||
+        |    (CASE WHEN regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+        |        '/+$', '') = '' THEN '/'
+        |      ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+        |        '/+$', '') END) ||
+        |    (CASE WHEN coalesce(list_aggregate(list_sort(list_filter(
+        |        string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |        x -> NOT regexp_matches(x, '^(utm_[a-z0-9]+|gclid|fbclid)=')
+        |          AND x <> '')), 'string_agg', '&'), '') = '' THEN ''
+        |      ELSE '?' || list_aggregate(list_sort(list_filter(
+        |        string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |        x -> NOT regexp_matches(x, '^(utm_[a-z0-9]+|gclid|fbclid)=')
+        |          AND x <> '')), 'string_agg', '&') END) AS canon
+        |  FROM p)
+        |SELECT doc_id, canon,
+        |  count(*) OVER (PARTITION BY canon) AS n_same,
+        |  count(*) OVER (PARTITION BY canon) > 1 AS is_dup
+        |FROM c""".stripMargin,
+
     "q_skyline" ->
       // per-brand Pareto frontier as the textbook NOT EXISTS dominance
       // test (quadratic — fine for the oracle, not the engine);

@@ -1886,6 +1886,32 @@ object SparkEntry {
         round($"score_raw", 6).as("score"), $"keep")
   }
 
+  /** E63: URL canonicalization + URL-level dedup groups — documents
+    * decorated with deterministic raw URLs in every transport-noise
+    * variant (scheme/host case, default ports, utm params, param
+    * order, fragments, trailing slashes); canonical form collapses
+    * them to dedup groups (TextFunctions.normalizeUrl). The ONLY
+    * shuffle is the group count; canonicalization runs in the scan.
+    */
+  private def qUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val url = concat(
+      when($"doc_id" % 2 === 0, lit("HTTP://WWW.")).otherwise(lit("https://www.")),
+      $"source", lit(".Example.COM"),
+      when($"doc_id" % 2 === 0, lit(":80")).otherwise(lit(":443")),
+      lit("/Docs/p"), ($"doc_id" % 8).cast("string"),
+      when($"doc_id" % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?b="), ($"doc_id" % 3).cast("string"),
+      lit("&utm_source=feed"),
+      when($"doc_id" % 4 === 0, lit("&a=1")).otherwise(lit("")),
+      when($"doc_id" % 3 === 0, lit("#top")).otherwise(lit("")))
+    val w = Window.partitionBy($"canon")
+    table(s, dir, "documents")
+      .select($"doc_id", TextFunctions.normalizeUrl(url).as("canon"))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .withColumn("is_dup", $"n_same" > 1)
+  }
+
   /** C44: per-brand skyline (Pareto frontier) of the part catalog —
     * parts no same-brand part beats on BOTH size (max) and retail
     * price (min). Keyed single-pass plan: one shuffle on the brand,
@@ -2830,7 +2856,8 @@ object SparkEntry {
     "q_corpus_divergence" -> (qCorpusDivergence _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_dup_spans" -> (qDupSpans _),
-    "q_skyline" -> (qSkyline _))
+    "q_skyline" -> (qSkyline _),
+    "q_url_normalize" -> (qUrlNormalize _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

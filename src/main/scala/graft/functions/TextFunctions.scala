@@ -200,6 +200,41 @@ object TextFunctions {
     * `(?is)` flags, lazy `.*?`, no backreferences — RE2 has none),
     * so the DuckDB oracle runs the IDENTICAL pattern strings.
     */
+  /** URL canonicalization (the crawl-dedup FIRST key: C4/RefinedWeb
+    * dedup by normalized URL before any content pass). Two raw URLs
+    * that differ only in case, default port, tracking params, param
+    * order, fragment, or trailing slash are the same page:
+    *
+    *  1. drop the `#fragment` (client-side only);
+    *  2. lowercase scheme and host (path stays case-sensitive);
+    *  3. strip the scheme's default port (`:80` http, `:443` https);
+    *  4. trim trailing `/` runs from the path; empty path → `/`;
+    *  5. drop tracking params (`utm_*`, `gclid`, `fbclid`) and SORT
+    *     the survivors — param order is transport noise.
+    *
+    * All steps are codegen'd regexps/array ops in the RE2 ∩ Java
+    * dialect plus a binary-collation sort, so the DuckDB oracle
+    * replays them exactly. Zero shuffles — canonicalization runs
+    * inside the scan; the dedup groupBy downstream is the only
+    * exchange.
+    */
+  def normalizeUrl(c: Column): Column = {
+    val noFrag = regexp_replace(c, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
+    val rest = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*(.*)$", 1)
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val p0 = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val path = when(p0 === "", lit("/")).otherwise(p0)
+    val params = filter(split(regexp_extract(rest, "\\?(.*)$", 1), "&"),
+      p => !(p.rlike("^(utm_[a-z0-9]+|gclid|fbclid)=") || p === ""))
+    val q = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
   def stripHtml(c: Column): Column = {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")

@@ -275,6 +275,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("kl_ab") - klExp) < 1e-12)
   }
 
+  private def canon(s: String): String = {
+    val df = Seq(Tuple1(s)).toDF("u")
+    df.select(TextFunctions.normalizeUrl($"u").as("c")).head.getAs[String]("c")
+  }
+
+  test("normalizeUrl: case, ports, params, fragments, trailing slash") {
+    // every transport-noise variant collapses to one canonical form
+    assert(canon("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag")
+      == "http://www.example.com/a/b?a=1&b=2")
+    assert(canon("http://www.example.com/a/b?a=1&b=2")
+      == "http://www.example.com/a/b?a=1&b=2")
+    // default port strips only for the MATCHING scheme
+    assert(canon("https://h:443/x") == "https://h/x")
+    assert(canon("https://h:80/x") == "https://h:80/x")
+    // empty path → /; root slash survives
+    assert(canon("http://h") == "http://h/")
+    assert(canon("http://h/") == "http://h/")
+    // tracking-only query disappears entirely (no dangling '?')
+    assert(canon("http://h/p?utm_campaign=z&gclid=abc") == "http://h/p")
+    // path case is preserved (only scheme+host fold)
+    assert(canon("http://H/CaseSensitive") == "http://h/CaseSensitive")
+  }
+
   test("duplicateSpans: maximal merged spans, self-repeats, short docs") {
     // docs 1 and 2 share the 8-token passage p1..p8 (distinct words
     // nowhere else): grams flag at 4 consecutive starts → ONE maximal
