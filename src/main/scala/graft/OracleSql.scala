@@ -2974,6 +2974,49 @@ object OracleSql {
          |FROM x""".stripMargin
     },
 
+    "q_extract_links" ->
+      // extractLinks + normalizeUrl replayed verbatim: same anchor
+      // pattern (group 1), same absolute-http(s) filter, then the
+      // q_url_normalize canonical pipeline applied per link
+      """WITH h AS (SELECT doc_id, '<html><body><p>' || text || '</p>'
+        |  || chr(10) || '<a class="m" HREF="HTTP://WWW.' || source
+        |  || '.Example.COM:80/Docs/p' || CAST(doc_id % 8 AS VARCHAR)
+        |  || '?utm_source=f&b=' || CAST(doc_id % 3 AS VARCHAR)
+        |  || '#s">x</a>' || chr(10) || '<a href="/relative/skip">r</a>'
+        |  || chr(10) || '<a href=''https://cdn.example.net:443/a/'
+        |  || CAST(doc_id % 5 AS VARCHAR) || '/''>y</a></body></html>' AS html
+        |  FROM documents),
+        |l AS (SELECT doc_id, list_filter(regexp_extract_all(html,
+        |    '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']+)["'']', 1),
+        |    x -> regexp_matches(x, '(?i)^https?://')) AS ls FROM h),
+        |e AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ls[u.i] AS href
+        |  FROM l, unnest(generate_series(1, len(ls))) AS u(i)),
+        |p AS (SELECT doc_id, pos,
+        |    lower(regexp_extract(regexp_replace(href, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(href, '#.*$', ''),
+        |      '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(href, '#.*$', ''),
+        |      '^[^:/?#]+://[^/?#]*(.*)$', 1) AS rest
+        |  FROM e)
+        |SELECT doc_id, pos, scheme || '://' ||
+        |  (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |        ELSE hostport END) ||
+        |  (CASE WHEN regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+        |      '/+$', '') = '' THEN '/'
+        |    ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+        |      '/+$', '') END) ||
+        |  (CASE WHEN coalesce(list_aggregate(list_sort(list_filter(
+        |      string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |      x -> NOT regexp_matches(x, '^(utm_[a-z0-9]+|gclid|fbclid)=')
+        |        AND x <> '')), 'string_agg', '&'), '') = '' THEN ''
+        |    ELSE '?' || list_aggregate(list_sort(list_filter(
+        |      string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |      x -> NOT regexp_matches(x, '^(utm_[a-z0-9]+|gclid|fbclid)=')
+        |        AND x <> '')), 'string_agg', '&') END) AS link
+        |FROM p""".stripMargin,
+
     "q_url_normalize" ->
       // mirror of TextFunctions.normalizeUrl step for step (identical
       // pattern strings); empty-list string_agg is NULL in DuckDB →

@@ -1886,6 +1886,31 @@ object SparkEntry {
         round($"score_raw", 6).as("score"), $"keep")
   }
 
+  /** E64: canonical outlink edge list — documents wrapped in a markup
+    * shell carrying three anchors (one uppercase-HREF with tracking
+    * params + fragment, one RELATIVE href that must be dropped, one
+    * single-quoted with default port + trailing slash); extraction +
+    * canonicalization compose entirely inside the scan
+    * (TextFunctions.extractLinks → normalizeUrl). The exploded
+    * (doc_id, pos, link) rows ARE the web graph input.
+    */
+  private def qExtractLinks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val html = concat(lit("<html><body><p>"), $"text",
+      lit("</p>\n<a class=\"m\" HREF=\"HTTP://WWW."), $"source",
+      lit(".Example.COM:80/Docs/p"), ($"doc_id" % 8).cast("string"),
+      lit("?utm_source=f&b="), ($"doc_id" % 3).cast("string"),
+      lit("#s\">x</a>\n<a href=\"/relative/skip\">r</a>\n<a href='https://cdn.example.net:443/a/"),
+      ($"doc_id" % 5).cast("string"), lit("/'>y</a></body></html>"))
+    table(s, dir, "documents")
+      .select($"doc_id", TextFunctions.extractLinks(html).as("ls"))
+      .select($"doc_id",
+        posexplode(transform($"ls", l => TextFunctions.normalizeUrl(l)))
+          .as(Seq("pos", "link")))
+      .withColumn("pos", $"pos".cast("long"))
+      .select($"doc_id", $"pos", $"link")
+  }
+
   /** E63: URL canonicalization + URL-level dedup groups — documents
     * decorated with deterministic raw URLs in every transport-noise
     * variant (scheme/host case, default ports, utm params, param
@@ -2857,7 +2882,8 @@ object SparkEntry {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_dup_spans" -> (qDupSpans _),
     "q_skyline" -> (qSkyline _),
-    "q_url_normalize" -> (qUrlNormalize _))
+    "q_url_normalize" -> (qUrlNormalize _),
+    "q_extract_links" -> (qExtractLinks _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

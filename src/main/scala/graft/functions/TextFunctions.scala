@@ -235,6 +235,22 @@ object TextFunctions {
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
 
+  /** Outlink extraction — the web-graph construction step (PageRank /
+    * harmonic-centrality quality signals, link-graph dedup): harvest
+    * every `<a href=...>` target from raw markup, keep only absolute
+    * http(s) links (relative hrefs need base-URL resolution — a
+    * crawler concern, not an engine one). Composes with
+    * [[normalizeUrl]] for the canonical outlink edge list. One
+    * codegen'd `regexp_extract_all` + array filter — runs inside the
+    * scan stage; patterns in the RE2 ∩ Java dialect (inline (?is),
+    * no backrefs) so the oracle replays them verbatim.
+    */
+  def extractLinks(c: Column): Column =
+    filter(
+      regexp_extract_all(c,
+        lit("(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1)),
+      h => h.rlike("(?i)^https?://"))
+
   def stripHtml(c: Column): Column = {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")

@@ -298,6 +298,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(canon("http://H/CaseSensitive") == "http://h/CaseSensitive")
   }
 
+  test("extractLinks: quoted variants, case, relative-href drop") {
+    def links(s: String): Seq[String] = {
+      val df = Seq(Tuple1(s)).toDF("t")
+      df.select(TextFunctions.extractLinks($"t").as("l"))
+        .head.getAs[scala.collection.Seq[String]]("l").toSeq
+    }
+    assert(links("""<a href="http://a/x">1</a><a href='https://b/y'>2</a>""")
+      == Seq("http://a/x", "https://b/y"))
+    // attribute and scheme case-insensitive; relative + mailto dropped
+    assert(links("""<A CLASS="z" HREF="HTTPS://Host/P">1</A>""")
+      == Seq("HTTPS://Host/P"))
+    assert(links("""<a href="/rel">r</a><a href="mailto:x@y">m</a>""")
+      == Seq.empty)
+    // anchors with no href contribute nothing; text passes through
+    assert(links("<a name=\"t\">plain</a> no links") == Seq.empty)
+  }
+
   test("duplicateSpans: maximal merged spans, self-repeats, short docs") {
     // docs 1 and 2 share the 8-token passage p1..p8 (distinct words
     // nowhere else): grams flag at 4 consecutive starts → ONE maximal
