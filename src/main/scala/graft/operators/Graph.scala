@@ -224,19 +224,30 @@ object Graph {
     * graph (dup clusters triangulate heavily; spurious LSH chains
     * don't).
     *
-    * Canonical orientation (src < dst) counts each triangle a<b<c
-    * exactly once as (a,b)⋈(b,c)⋈(a,c): two shuffle-keyed equi-joins,
-    * no cartesian anywhere. Wedge count Σ d(d−1)/2 stays integral, so
-    * clustering = 3·T / wedges is ONE double division of exact
-    * integers — bit-identical everywhere. At web scale the standard
-    * upgrade is degree-ordered orientation (point edges at the
-    * higher-degree endpoint) to cap the wedge join's fanout on hubs;
-    * id-orientation keeps this form deterministic and is right for
-    * the post-funnel graph sizes dedup produces.
+    * Two orientations, identical output (asserted in
+    * GraphSamplingSpec), pure execution strategy:
+    *
+    *  - `degreeOrdered = true` (default): point every edge at the
+    *    HIGHER-(degree, id) endpoint and enumerate wedges at the node
+    *    holding two out-edges — the Schank/Ortmann forward algorithm.
+    *    Out-degrees are O(√m)-bounded (arboricity), so a web-scale
+    *    hub of degree D generates O(√m·D) wedge rows instead of
+    *    O(D²): the difference between a skewed wedge join finishing
+    *    and one executor exploding. Costs two extra keyed joins to
+    *    attach degrees — the right trade the moment the graph has
+    *    hubs.
+    *  - `degreeOrdered = false`: id-orientation a<b<c as
+    *    (a,b)⋈(b,c)⋈(a,c) — fewer joins, fine for the small balanced
+    *    graphs a dedup funnel leaves.
+    *
+    * Wedge count Σ d(d−1)/2 stays integral (d(d−1) is even, DIV keeps
+    * it exact), so clustering = 3·T / wedges is ONE double division
+    * of exact integers — bit-identical everywhere, in both plans.
     *
     * @return one row: (n_nodes, n_edges, n_triangles, clustering)
     */
-  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String,
+                    degreeOrdered: Boolean = true): DataFrame = {
     val und = edges.select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("d"))
       .filter(col("s") =!= col("d"))
@@ -251,17 +262,47 @@ object Graph {
     val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) DIV 2")).cast("long").as("wedges"))
     val edgeStats = und.agg(count(lit(1)).as("n_edges"))
-    val e1 = und.toDF("a", "b")
-    val e2 = und.toDF("b", "c")
-    val e3 = und.toDF("a", "c")
-    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    var oriented: DataFrame = null
+    val tri = if (degreeOrdered) {
+      // rank r(v) = (deg v, v); orient lo-rank → hi-rank, out-edges
+      // carry the dst rank so the wedge dedup needs no further join
+      val dd = und
+        .join(deg.select(col("p").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("p").as("b"), col("d").as("db")), "b")
+      oriented = dd.select(
+          when(col("da") < col("db") ||
+               (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("src"), col("b").as("dst"),
+              col("db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("da").as("dd"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.dd").as("dd"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val w1 = oriented.toDF("src", "x", "dx")
+      val w2 = oriented.toDF("src", "y", "dy")
+      // each wedge once: (rank x) < (rank y); the closing edge, if it
+      // exists, is oriented x→y by transitivity of the rank order
+      w1.join(w2, "src")
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+        .join(oriented.select(col("src").as("x"), col("dst").as("y")),
+          Seq("x", "y"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+    } else {
+      val e1 = und.toDF("a", "b")
+      val e2 = und.toDF("b", "c")
+      val e3 = und.toDF("a", "c")
+      e1.join(e2, "b").join(e3, Seq("a", "c"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+    }
     val out = nodeStats.crossJoin(edgeStats).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         when(col("wedges") > 0,
           (col("n_triangles") * 3).cast("double") /
             col("wedges").cast("double")).as("clustering"))
       .localCheckpoint(true)
+    if (oriented != null) oriented.unpersist()
     und.unpersist()
     out
   }

@@ -40,6 +40,27 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(chain.getAs[Double]("clustering") == 0.0)
   }
 
+  test("triangleStats: degree-ordered ≡ id-ordered, incl. hub skew") {
+    // star hub 0 + random edges: the shape where id-orientation's
+    // wedge fan-out is quadratic in the hub degree and the forward
+    // algorithm's is not — outputs must match exactly anyway
+    val rnd = new scala.util.Random(11)
+    val star = (1L to 30L).map(i => (0L, i))
+    val extra = Seq.fill(60)((rnd.nextInt(31).toLong, rnd.nextInt(31).toLong))
+      .filter(e => e._1 != e._2)
+    for (edges <- Seq(star ++ extra,
+        Seq((1L, 2L), (2L, 3L), (3L, 1L)), // one triangle, all ranks tied
+        (0L until 12L).flatMap(i => ((i + 1) until 12L).map(j => (i, j))))) { // K12
+      val df = edges.toDF("a", "b")
+      val fwd = Graph.triangleStats(df, "a", "b").head
+      val ids = Graph.triangleStats(df, "a", "b", degreeOrdered = false).head
+      assert(fwd.getAs[Long]("n_triangles") == ids.getAs[Long]("n_triangles"))
+      assert(fwd.getAs[Long]("n_nodes") == ids.getAs[Long]("n_nodes"))
+      assert(fwd.getAs[Long]("n_edges") == ids.getAs[Long]("n_edges"))
+      assert(fwd.getAs[Double]("clustering") == ids.getAs[Double]("clustering"))
+    }
+  }
+
   test("connected components: separate clusters stay separate") {
     val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
