@@ -423,19 +423,20 @@ object Corpus {
     * fuse into one span under [[Intervals.coalesceIntervals]]'
     * closed-touching rule.
     *
-    * Scale shape: grams assemble IN-ROW (one explode — positions
-    * never pair up), ONE keyed count on the gram, frequency filter
-    * BEFORE the join back so the overwhelmingly-unique gram mass is
-    * discarded at the aggregate, one per-doc window for the merge.
-    * The join-back (not a collect_list of positions on the gram key)
-    * keeps a degenerate boilerplate gram — millions of occurrences of
-    * one 5-gram — an AQE-splittable hot join key instead of a
-    * single-row array blowup. The gram subtree feeds both the count
-    * and the probe side through the SAME hash partitioning, so the
-    * physical plan reuses one exchange rather than rescanning the
-    * corpus (ReusedExchange — asserted cheap enough to skip
-    * persisting the k×-inflated gram table, which at 100 TB is the
-    * wrong trade).
+    * Scale shape: grams assemble IN-ROW via the NATIVE shingle
+    * expression (one explode — positions never pair up), ONE keyed
+    * count on the gram, frequency filter BEFORE the join back so the
+    * overwhelmingly-unique gram mass is discarded at the aggregate,
+    * one per-doc window for the merge. The join-back (not a
+    * collect_list of positions on the gram key) keeps a degenerate
+    * boilerplate gram — millions of occurrences of one 5-gram — an
+    * AQE-splittable hot join key instead of a single-row array
+    * blowup; in practice the surviving-gram side is small and AQE
+    * broadcasts it, so the full gram stream never shuffles at all.
+    * The gram assembly runs twice (count + probe side — column
+    * pruning splits the subtrees, so no exchange reuse): two cheap
+    * codegen'd scans beat persisting the k×-inflated gram table,
+    * which at 100 TB is the wrong trade.
     *
     * @return one row per maximal span: (id, span_start, span_end)
     *         token indices 0-based inclusive, span_tokens its length,
@@ -445,14 +446,15 @@ object Corpus {
                      tokens: Column => Column, k: Int,
                      minOccurs: Long = 2L): DataFrame = {
     require(k >= 1, s"duplicateSpans: k must be >= 1, got $k")
-    val w = tokens(col(textCol))
-    // sequence(0, n) with n < 0 DESCENDS — guard short docs to an
-    // empty gram array (posexplode then emits no rows for them)
-    val grams = df.select(col(idCol).as("id"),
-        when(size(w) >= k,
-          transform(sequence(lit(0), size(w) - k),
-            i => array_join(slice(w, i + 1, lit(k)), " ")))
-          .otherwise(array().cast("array<string>")).as("gs"))
+    // NATIVE in-order shingles (plans.WordShingles): the composed
+    // transform/slice/array_join form is an interpreted higher-order
+    // loop — measured 55µs/gram, 17s just to ASSEMBLE grams at sf0.1
+    // — and a codegen fence for the whole projection. The native
+    // expression emits the same space-joined grams at index = token
+    // position, so posexplode's pos IS the span start.
+    val gs = graft.plans.TextNativeFunctions.wordShingles(
+      tokens(col(textCol)), k)
+    val grams = df.select(col(idCol).as("id"), gs.as("gs"))
       .select(col("id"), posexplode(col("gs")).as(Seq("pos", "g")))
     val dup = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("n"))
