@@ -296,4 +296,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sd.contains("SortMergeJoin") || sd.contains("ShuffledHashJoin") ||
       sd.contains("BroadcastHashJoin"))
   }
+
+  test("round-3 continuation additions keep their scale shapes") {
+    // duplicate spans: gram assembly is the NATIVE shingle expression
+    // (no interpreted lambda in the hot path), the count→probe join
+    // is equi-keyed, and the island merge is the one per-doc window
+    val ds = plan("q_dup_spans")
+    assert(ds.contains("word_shingles"), ds.take(1200))
+    assert(!ds.contains("LambdaFunction"), "interpreted HOF in dup_spans")
+    assert(!ds.contains("BroadcastNestedLoopJoin"))
+    assert(ds.contains("Window"))
+    // skyline: keyed repartition + in-partition sort feed the
+    // mapPartitions buffer; the winner set joins back as a SEMI join,
+    // never a cartesian
+    val sk = plan("q_skyline")
+    assert(sk.contains("LeftSemi"), sk.take(1500))
+    assert(!sk.contains("BroadcastNestedLoopJoin"))
+    // URL canonicalization + outlink extraction: pure scan-stage
+    // expression pipelines — the only exchange is the dedup-group
+    // window (url_normalize) / none before the explode (extract_links)
+    val un = plan("q_url_normalize")
+    assert("Exchange".r.findAllIn(un).size == 1, un.take(1200))
+    val el = plan("q_extract_links")
+    assert(!el.contains("Exchange"), el.take(1200))
+    // (q_triangle_stats materializes via localCheckpoint, so its
+    // internal wedge-join shape isn't visible here; the forward-
+    // orientation equivalence lives in GraphSamplingSpec)
+  }
 }
