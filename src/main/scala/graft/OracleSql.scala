@@ -1348,6 +1348,50 @@ object OracleSql {
          |FROM reach GROUP BY id""".stripMargin
     },
 
+    "q_leakage_split" -> {
+      // the q_dedup_cluster closure, then singleton fallback (docs in
+      // no pair cluster as themselves) and E22's md5 split arithmetic
+      // applied to the CLUSTER label — same-cluster ⇒ same-split
+      s"""WITH RECURSIVE $corpusCte,
+         |$shCte,
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ic
+         |  FROM sh a
+         |  JOIN sizes sa ON sa.id = a.id
+         |  JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  JOIN sizes sb ON sb.id = b.id
+         |  WHERE CAST(sa.sz AS DOUBLE) <= sb.sz / CAST(0.6 AS DOUBLE)
+         |    AND CAST(sb.sz AS DOUBLE) <= sa.sz / CAST(0.6 AS DOUBLE)
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 4) AS jaccard
+         |    FROM inter
+         |    JOIN sizes sa ON sa.id = id_a
+         |    JOIN sizes sb ON sb.id = id_b) j
+         |  WHERE jaccard >= 0.6),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |alld AS (SELECT c.doc_id,
+         |    coalesce(cl.cluster_id, c.doc_id) AS cluster_id
+         |  FROM corpus c LEFT JOIN cl ON cl.doc_id = c.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+         |         IN ('c','d') THEN 'val'
+         |       WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+         |         IN ('e','f') THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM alld""".stripMargin
+    },
+
     // Deterministic LPA: same near-dup pair fragments, then 3
     // synchronized rounds unrolled — per round: neighbor labels,
     // (node, label) counts, argmax with (count DESC, label ASC)

@@ -1061,6 +1061,29 @@ object SparkEntry {
       .select($"id".as("doc_id"), $"comp".as("cluster_id"))
   }
 
+  /** E65: leakage-safe train/val/test split — the assignment unit is
+    * the near-dup CLUSTER, not the document: a per-doc hash split
+    * puts near-copies of one page on both sides of the train/eval
+    * fence and the benchmark silently leaks. Clusters come from the
+    * SAME pipeline as q_dedup_cluster (LSH pairs → connected
+    * components); unpaired docs are their own singleton cluster; the
+    * split is E22's md5 arithmetic applied to the CLUSTER label, so
+    * same-cluster ⇒ same-split by construction — and the oracle
+    * re-derives the whole composition, closure included.
+    */
+  private def qLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = dupCorpus(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", 5, 0.6)
+    val clusters = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"comp".as("cluster_id"))
+    corpus.select($"doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+      .withColumn("split",
+        graft.operators.Validate.splitAssign($"cluster_id"))
+  }
+
   /** E30: PageRank over the near-dup candidate graph (10 fixed
     * rounds) — ranking duplicate-cluster "centers". Two keyed shuffles
     * per round, degrees cached, nothing driver-side. Rows-only gate
@@ -2883,7 +2906,8 @@ object SparkEntry {
     "q_dup_spans" -> (qDupSpans _),
     "q_skyline" -> (qSkyline _),
     "q_url_normalize" -> (qUrlNormalize _),
-    "q_extract_links" -> (qExtractLinks _))
+    "q_extract_links" -> (qExtractLinks _),
+    "q_leakage_split" -> (qLeakageSplit _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
