@@ -3123,6 +3123,45 @@ object OracleSql {
         |      AND b.p_retailprice <= a.p_retailprice
         |      AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))""".stripMargin,
 
+    "q_cut_spans" ->
+      // q_dup_spans' detection replayed, then the cut: token stream
+      // anti-joined against exploded span positions, reassembly via
+      // position-ordered string_agg; left join from totals keeps
+      // fully-flagged docs as empty text
+      s"""WITH $corpusCte,
+         |t AS (SELECT doc_id AS id, string_split(${normOf("text")}, ' ') AS w
+         |      FROM corpus),
+         |g AS (SELECT id, CAST(u.i - 1 AS BIGINT) AS pos,
+         |    w[u.i]||' '||w[u.i+1]||' '||w[u.i+2]||' '||w[u.i+3]||' '||w[u.i+4] AS g
+         |  FROM t, unnest(generate_series(1, len(w) - 4)) AS u(i)),
+         |d AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+         |h AS (SELECT id, pos, pos + 5 AS e FROM g JOIN d USING (g)),
+         |i AS (SELECT id, pos, e,
+         |    CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY id
+         |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -1) THEN 1 ELSE 0 END AS nw
+         |  FROM h),
+         |s AS (SELECT id, pos, e, sum(nw) OVER (PARTITION BY id
+         |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM i),
+         |sp AS (SELECT id, min(pos) AS a, max(e) - 1 AS b
+         |  FROM s GROUP BY id, island),
+         |toks AS (SELECT id, CAST(u.i - 1 AS BIGINT) AS pos, w[u.i] AS tok
+         |  FROM t, unnest(generate_series(1, len(w))) AS u(i)),
+         |cutpos AS (SELECT id, u.p AS pos
+         |  FROM sp, unnest(generate_series(a, b)) AS u(p)),
+         |kept AS (SELECT tk.id, tk.pos, tk.tok FROM toks tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM cutpos c
+         |    WHERE c.id = tk.id AND c.pos = tk.pos)),
+         |total AS (SELECT id, count(*) AS n_total FROM toks GROUP BY id),
+         |re AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY id)
+         |SELECT total.id AS doc_id,
+         |  coalesce(re.clean_text, '') AS clean_text,
+         |  CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(total.n_total - coalesce(re.n_kept, 0) AS BIGINT) AS n_cut
+         |FROM total LEFT JOIN re ON re.id = total.id""".stripMargin,
+
     "q_dup_spans" ->
       // mirror of Corpus.duplicateSpans k=5 over the dup-seeded
       // corpus: positioned 5-grams (the shCte pattern WITHOUT the

@@ -1960,6 +1960,21 @@ object SparkEntry {
       .withColumn("is_dup", $"n_same" > 1)
   }
 
+  /** E66: cut the duplicated spans out of the dup-seeded corpus —
+    * duplicateSpans' ranges applied back (Corpus.cutSpans): exact
+    * copies collapse to empty text, partial overlaps keep their
+    * unique tail, untouched docs pass through byte-identical. The
+    * oracle re-derives detection AND cutting.
+    */
+  private def qCutSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = dupCorpus(s, dir)
+    val spans = Corpus.duplicateSpans(corpus, "text", "doc_id",
+      TextFunctions.words, 5)
+    Corpus.cutSpans(corpus, "text", "doc_id", TextFunctions.words, spans)
+      .select($"id".as("doc_id"), $"clean_text", $"n_kept", $"n_cut")
+  }
+
   /** C44: per-brand skyline (Pareto frontier) of the part catalog —
     * parts no same-brand part beats on BOTH size (max) and retail
     * price (min). Keyed single-pass plan: one shuffle on the brand,
@@ -2907,7 +2922,8 @@ object SparkEntry {
     "q_skyline" -> (qSkyline _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_extract_links" -> (qExtractLinks _),
-    "q_leakage_split" -> (qLeakageSplit _))
+    "q_leakage_split" -> (qLeakageSplit _),
+    "q_cut_spans" -> (qCutSpans _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -469,6 +469,54 @@ object Corpus {
         col("n_intervals").as("n_grams"))
   }
 
+  /** E66: duplicate-span CUTTING — the operational second half of
+    * [[duplicateSpans]]: remove every flagged token range and re-emit
+    * the cleaned text (Lee et al. cut repeated substrings rather than
+    * drop documents; dropping loses the unique prose around the
+    * boilerplate).
+    *
+    * Declarative end to end — the tempting per-doc "filter tokens by
+    * index against the span list" lambda is the interpreted-HOF trap
+    * §7 records (55µs/token); instead: tokens explode WITH positions
+    * (native 1-shingles), spans explode to their positions (Σ span
+    * lengths ≤ corpus tokens — linear), one (id, pos) ANTI equi-join
+    * drops the cut tokens, and per-doc reassembly is ONE keyed agg
+    * with an in-row struct sort (collect order is partition-dependent;
+    * the sort makes the text a pure function of the data). The only
+    * per-doc lambda is a field projection over the final array —
+    * per-doc, not per-token-pair, the q_event_paths-proven shape.
+    *
+    * @param spans output of [[duplicateSpans]]: (id, span_start,
+    *              span_end, …) token ranges to cut.
+    * @return (id, clean_text, n_kept, n_cut) per document (docs with
+    *         nothing flagged pass through unchanged).
+    */
+  def cutSpans(df: DataFrame, textCol: String, idCol: String,
+               tokens: Column => Column, spans: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(graft.plans.TextNativeFunctions.wordShingles(
+          tokens(col(textCol)), 1)).as(Seq("pos", "tok")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("tok"))
+    val cut = spans.select(col("id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val kept = toks.join(cut, Seq("id", "pos"), "left_anti")
+    val total = toks.groupBy(col("id")).agg(count(lit(1)).as("n_total"))
+    val reassembled = kept.groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
+        .as("arr"))
+      .select(col("id"),
+        array_join(transform(col("arr"), s => s.getField("tok")), " ")
+          .as("clean_text"),
+        size(col("arr")).cast("long").as("n_kept"))
+    // left from totals: a FULLY-flagged doc keeps its row with empty
+    // text rather than silently disappearing from the corpus
+    total.join(reassembled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_cut"))
+  }
+
   /** E59: corpus distribution divergence — KL(A‖B), KL(B‖A) and
     * Jensen–Shannon divergence between the word distributions of two
     * corpora, with add-one smoothing over the UNION vocabulary. The

@@ -354,6 +354,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(out === Seq((1L, 0L, 9L, 6L), (2L, 0L, 9L, 6L)))
   }
 
+  test("cutSpans: flagged ranges removed, full dups empty, rest intact") {
+    val docs = Seq(
+      (1L, "u1 u2 p1 p2 p3 p4 p5 p6 p7 p8 u3"), // shared passage inside
+      (2L, "v1 p1 p2 p3 p4 p5 p6 p7 p8"),
+      (3L, "c1 c2 c3 c4 c5"), (4L, "c1 c2 c3 c4 c5"), // exact pair → empty
+      (5L, "w1 w2 w3 w4 w5 w6")                        // untouched
+    ).toDF("doc_id", "text")
+    val spans = Corpus.duplicateSpans(docs, "text", "doc_id",
+      TextFunctions.words, 5)
+    val out = Corpus.cutSpans(docs, "text", "doc_id",
+        TextFunctions.words, spans)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_cut")))).toMap
+    assert(out(1L) == (("u1 u2 u3", 3L, 8L)))
+    assert(out(2L) == (("v1", 1L, 8L)))
+    assert(out(3L) == (("", 0L, 5L)) && out(4L) == (("", 0L, 5L)))
+    assert(out(5L) == (("w1 w2 w3 w4 w5 w6", 6L, 0L)))
+  }
+
   test("hashedLinearScore: integer dot product, exact keep verdict") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("doc_id", "text")
     val w = Corpus.hashedWeights(spark)
