@@ -3123,6 +3123,100 @@ object OracleSql {
         |      AND b.p_retailprice <= a.p_retailprice
         |      AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))""".stripMargin,
 
+    "q_crawl_funnel" -> {
+      val norm = "trim(regexp_replace(lower(clean), '[^a-z0-9]+', ' ', 'g'))"
+      def hv(i: Int) =
+        s"(strpos('0123456789abcdef', substring(hh, $i, 1)) - 1)"
+      val w6 = s"(16*(16*(16*(16*(16*${hv(1)} + ${hv(2)}) + ${hv(3)}) + " +
+        s"${hv(4)}) + ${hv(5)}) + ${hv(6)})"
+      // E63 canon → keep-lowest-id → E61 strip chain → E60 classifier,
+      // each stage the IDENTICAL fragment its standalone oracle runs
+      s"""WITH u AS (SELECT doc_id, text, source,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://www.' END)
+         |  || source || '.Example.COM'
+         |  || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+         |  || '/Docs/p' || CAST(doc_id % 8 AS VARCHAR)
+         |  || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+         |  || '?b=' || CAST(doc_id % 3 AS VARCHAR)
+         |  || '&utm_source=feed'
+         |  || (CASE WHEN doc_id % 4 = 0 THEN '&a=1' ELSE '' END)
+         |  || (CASE WHEN doc_id % 3 = 0 THEN '#top' ELSE '' END) AS url
+         |  FROM documents),
+         |pp AS (SELECT doc_id, text, source,
+         |    lower(regexp_extract(regexp_replace(url, '#.*$$', ''),
+         |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         |    lower(regexp_extract(regexp_replace(url, '#.*$$', ''),
+         |      '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+         |    regexp_extract(regexp_replace(url, '#.*$$', ''),
+         |      '^[^:/?#]+://[^/?#]*(.*)$$', 1) AS rest
+         |  FROM u),
+         |cc AS (SELECT doc_id, text, source, scheme || '://' ||
+         |    (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+         |          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+         |          ELSE hostport END) ||
+         |    (CASE WHEN regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+         |        '/+$$', '') = '' THEN '/'
+         |      ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+         |        '/+$$', '') END) ||
+         |    (CASE WHEN coalesce(list_aggregate(list_sort(list_filter(
+         |        string_split(regexp_extract(rest, '\\?(.*)$$', 1), '&'),
+         |        x -> NOT regexp_matches(x, '^(utm_[a-z0-9]+|gclid|fbclid)=')
+         |          AND x <> '')), 'string_agg', '&'), '') = '' THEN ''
+         |      ELSE '?' || list_aggregate(list_sort(list_filter(
+         |        string_split(regexp_extract(rest, '\\?(.*)$$', 1), '&'),
+         |        x -> NOT regexp_matches(x, '^(utm_[a-z0-9]+|gclid|fbclid)=')
+         |          AND x <> '')), 'string_agg', '&') END) AS canon
+         |  FROM pp),
+         |kept AS (SELECT doc_id, text, source FROM (
+         |    SELECT doc_id, text, source, row_number() OVER (
+         |      PARTITION BY canon ORDER BY doc_id) AS rn FROM cc) k
+         |  WHERE rn = 1),
+         |sh2 AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         |  '</title><style type="text/css">body { color: #c00; }</style>' ||
+         |  '<script>if (1 < 2 && 0 > -1) { var s = "</div>"; }</script>' ||
+         |  '</head>' || chr(10) || '<body>' || chr(10) || '<!-- crawl:' ||
+         |  source || chr(10) || '  snapshot -->' || chr(10) ||
+         |  '<h1 class="t">' || source || '</h1>' || chr(10) || '<p>' ||
+         |  text ||
+         |  ' &amp;lt;tail&amp;gt; A &amp; B &lt;ok&gt; &quot;q&#39;s&quot;&nbsp;end</p>' ||
+         |  chr(10) || '<br/></body></html>' AS html
+         |  FROM kept),
+         |st AS (SELECT doc_id,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |        html,
+         |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |        '(?s)<!--.*?-->', ' ', 'g'),
+         |        '(?s)<[^>]+>', ' ', 'g'),
+         |      '&nbsp;', ' '), '&quot;', '"'), '&#39;', ''''),
+         |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+         |    '\\s+', ' ', 'g')) AS clean
+         |  FROM sh2),
+         |tt AS (SELECT doc_id,
+         |    unnest(string_split($norm, ' ')) AS term FROM st),
+         |xx AS (SELECT doc_id, md5(term) AS hh FROM tt),
+         |tf AS (SELECT doc_id,
+         |    CAST((16 * ${hv(7)} + ${hv(8)}) % 64 AS BIGINT) AS bucket,
+         |    count(*) AS tf
+         |  FROM xx GROUP BY 1, 2),
+         |ww AS (SELECT bucket, $w6 % 2001 - 1000 AS w FROM
+         |  (SELECT bucket, md5('w' || CAST(bucket AS VARCHAR)) AS hh
+         |   FROM (SELECT DISTINCT bucket FROM tf) b) y),
+         |zz AS (SELECT doc_id, sum(tf) AS n_tokens,
+         |    sum(tf * ww.w) AS z_milli
+         |  FROM tf JOIN ww USING (bucket) GROUP BY 1)
+         |SELECT (SELECT count(*) FROM documents) AS n_input,
+         |  (SELECT count(*) FROM kept) AS n_unique_url,
+         |  CAST(sum(CASE WHEN z_milli >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality_keep,
+         |  CAST(sum(CASE WHEN z_milli >= 0 THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS tokens_kept
+         |FROM zz""".stripMargin
+    },
+
     "q_cut_spans" ->
       // q_dup_spans' detection replayed, then the cut: token stream
       // anti-joined against exploded span positions, reassembly via

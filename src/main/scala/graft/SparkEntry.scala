@@ -1960,6 +1960,59 @@ object SparkEntry {
       .withColumn("is_dup", $"n_same" > 1)
   }
 
+  /** E67 flagship composition: the crawl-curation funnel — the first
+    * three passes every web corpus runs, chained from this library's
+    * operators over raw "crawl records" (doc + decorated URL + markup
+    * shell):
+    *
+    *  1. URL-level dedup (E63): canonical URL, keep lowest doc_id —
+    *     the cheapest key kills transport-noise copies BEFORE any
+    *     content work;
+    *  2. HTML → text (E61) on the survivors;
+    *  3. model-based quality filter (E60) on the STRIPPED text,
+    *     integer keep verdict.
+    *
+    * One funnel row of exact integers; the oracle replays all three
+    * stages (canon pipeline → regexp strip chain → md5 classifier)
+    * end to end.
+    */
+  private def qCrawlFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val url = concat(
+      when($"doc_id" % 2 === 0, lit("HTTP://WWW.")).otherwise(lit("https://www.")),
+      $"source", lit(".Example.COM"),
+      when($"doc_id" % 2 === 0, lit(":80")).otherwise(lit(":443")),
+      lit("/Docs/p"), ($"doc_id" % 8).cast("string"),
+      when($"doc_id" % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?b="), ($"doc_id" % 3).cast("string"),
+      lit("&utm_source=feed"),
+      when($"doc_id" % 4 === 0, lit("&a=1")).otherwise(lit("")),
+      when($"doc_id" % 3 === 0, lit("#top")).otherwise(lit("")))
+    val w = Window.partitionBy($"__canon").orderBy($"doc_id")
+    val urlKept = d
+      .withColumn("__canon", TextFunctions.normalizeUrl(url))
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1)
+    val html = concat(
+      lit("<html><head><title>Doc "), $"doc_id", lit("</title>"),
+      lit("<style type=\"text/css\">body { color: #c00; }</style>"),
+      lit("<script>if (1 < 2 && 0 > -1) { var s = \"</div>\"; }</script>"),
+      lit("</head>\n<body>\n<!-- crawl:"), $"source",
+      lit("\n  snapshot -->\n<h1 class=\"t\">"), $"source",
+      lit("</h1>\n<p>"), $"text",
+      lit(" &amp;lt;tail&amp;gt; A &amp; B &lt;ok&gt; &quot;q&#39;s&quot;&nbsp;end</p>\n<br/></body></html>"))
+    val stripped = urlKept.select($"doc_id",
+      TextFunctions.stripHtml(html).as("clean"))
+    val scored = Corpus.hashedLinearScore(stripped, "clean", "doc_id",
+      TextFunctions.words, Corpus.hashedWeights(s), "bucket", "w_milli")
+    d.agg(count(lit(1)).as("n_input"))
+      .crossJoin(stripped.agg(count(lit(1)).as("n_unique_url")))
+      .crossJoin(scored.agg(
+        sum(when($"keep", 1L).otherwise(0L)).as("n_quality_keep"),
+        sum(when($"keep", $"n_tokens").otherwise(0L)).as("tokens_kept")))
+  }
+
   /** E66: cut the duplicated spans out of the dup-seeded corpus —
     * duplicateSpans' ranges applied back (Corpus.cutSpans): exact
     * copies collapse to empty text, partial overlaps keep their
@@ -2923,7 +2976,8 @@ object SparkEntry {
     "q_url_normalize" -> (qUrlNormalize _),
     "q_extract_links" -> (qExtractLinks _),
     "q_leakage_split" -> (qLeakageSplit _),
-    "q_cut_spans" -> (qCutSpans _))
+    "q_cut_spans" -> (qCutSpans _),
+    "q_crawl_funnel" -> (qCrawlFunnel _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
