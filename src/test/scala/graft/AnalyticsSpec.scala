@@ -247,4 +247,14 @@ class AnalyticsSpec extends AnyFunSuite {
       Seq("x" -> true, "y" -> true)).select($"id").as[Long].collect().toSet
     assert(a == b && a == bruteSkyline(pts))
   }
+
+  test("skyline: anti-correlated worst case — the frontier IS the data") {
+    // every point on x+y=100 with distinct x: nothing dominates
+    // anything, all 101 points survive both plans
+    val pts = (0L to 100L).map(i => (i, i.toDouble, (100 - i).toDouble))
+    val df = pts.toDF("id", "x", "y")
+    val got = Analytics.skyline(spark, df.repartition(9), "id",
+      Seq("x" -> true, "y" -> true)).count()
+    assert(got == 101L)
+  }
 }

@@ -374,6 +374,55 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(5L) == (("w1 w2 w3 w4 w5 w6", 6L, 0L)))
   }
 
+  test("duplicateSpans: randomized ≡ brute-force islands (tiny vocab)") {
+    // 3-word vocabulary forces dense gram collisions — the regime
+    // where off-by-one island boundaries would actually show up
+    val rnd = new scala.util.Random(5)
+    val vocab = Array("a", "b", "c")
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(3))).mkString(" ")))
+    val k = 3
+    // brute force: count every k-gram corpus-wide, flag positions,
+    // merge runs with gap > k starting new islands
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val counts = toks.values.flatMap(w => w.sliding(k).filter(_.size == k)
+      .map(_.mkString(" "))).groupBy(identity).map { case (g, o) => g -> o.size }
+    val expected = toks.flatMap { case (id, w) =>
+      val flagged = w.sliding(k).zipWithIndex
+        .filter { case (g, _) => g.size == k && counts(g.mkString(" ")) >= 2 }
+        .map(_._2).toSeq
+      val islands = flagged.foldLeft(Vector.empty[(Int, Int)]) {
+        case (acc, p) if acc.nonEmpty && p <= acc.last._2 + 1 =>
+          acc.init :+ ((acc.last._1, math.max(acc.last._2, p + k - 1)))
+        case (acc, p) => acc :+ ((p, p + k - 1))
+      }
+      islands.map { case (a, b) => (id, a.toLong, b.toLong) }
+    }.toSet
+    val got = Corpus.duplicateSpans(docs.toDF("doc_id", "text"), "text",
+        "doc_id", TextFunctions.words, k)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).toSet
+    assert(got == expected)
+  }
+
+  test("normalizeUrl is idempotent over the decorated-variant grid") {
+    val variants = for {
+      scheme <- Seq("HTTP://", "https://")
+      host <- Seq("WWW.Ex.COM:80", "ex.com:443", "Ex.com")
+      path <- Seq("", "/", "/A/b/", "/A/b")
+      q <- Seq("", "?b=2&a=1", "?utm_source=x", "?utm_source=x&z=9&gclid=1")
+      frag <- Seq("", "#f")
+    } yield scheme + host + path + q + frag
+    val df = variants.map(Tuple1(_)).toDF("u")
+    val twice = df.select(
+        TextFunctions.normalizeUrl($"u").as("c1"),
+        TextFunctions.normalizeUrl(TextFunctions.normalizeUrl($"u")).as("c2"))
+      .collect()
+    twice.foreach(r =>
+      assert(r.getString(0) == r.getString(1), s"not idempotent: $r"))
+  }
+
   test("hashedLinearScore: integer dot product, exact keep verdict") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("doc_id", "text")
     val w = Corpus.hashedWeights(spark)
