@@ -3123,6 +3123,51 @@ object OracleSql {
         |      AND b.p_retailprice <= a.p_retailprice
         |      AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))""".stripMargin,
 
+    "q_incremental_url" ->
+      // canonicalize both halves with the same pipeline; store =
+      // DISTINCT canon of even ids; batch keeps lowest odd id per
+      // canon then anti-joins the store (NOT EXISTS — null-safe)
+      """WITH u AS (SELECT doc_id,
+        |  'HTTP://WWW.' || source || '.Example.COM'
+        |  || (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END)
+        |  || '/Docs/p' || CAST(doc_id % 8 AS VARCHAR)
+        |  || '?b=' || CAST(doc_id % 3 AS VARCHAR)
+        |  || '&utm_source=feed'
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '#top' ELSE '' END) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[^:/?#]+://[^/?#]*(.*)$', 1) AS rest
+        |  FROM u),
+        |c AS (SELECT doc_id, scheme || '://' ||
+        |    (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |          ELSE hostport END) ||
+        |    (CASE WHEN regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+        |        '/+$', '') = '' THEN '/'
+        |      ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+        |        '/+$', '') END) ||
+        |    (CASE WHEN coalesce(list_aggregate(list_sort(list_filter(
+        |        string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |        x -> NOT regexp_matches(x, '^(utm_[a-z0-9]+|gclid|fbclid)=')
+        |          AND x <> '')), 'string_agg', '&'), '') = '' THEN ''
+        |      ELSE '?' || list_aggregate(list_sort(list_filter(
+        |        string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |        x -> NOT regexp_matches(x, '^(utm_[a-z0-9]+|gclid|fbclid)=')
+        |          AND x <> '')), 'string_agg', '&') END) AS canon
+        |  FROM p),
+        |store AS (SELECT DISTINCT canon FROM c WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, canon FROM (
+        |    SELECT doc_id, canon, row_number() OVER (
+        |      PARTITION BY canon ORDER BY doc_id) AS rn
+        |    FROM c WHERE doc_id % 2 <> 0) b WHERE rn = 1)
+        |SELECT doc_id, canon FROM batch
+        |WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.canon = batch.canon)""".stripMargin,
+
     "q_crawl_funnel" -> {
       val norm = "trim(regexp_replace(lower(clean), '[^a-z0-9]+', ' ', 'g'))"
       def hv(i: Int) =

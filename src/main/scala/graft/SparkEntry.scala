@@ -1960,6 +1960,40 @@ object SparkEntry {
       .withColumn("is_dup", $"n_same" > 1)
   }
 
+  /** E68: incremental URL screening — the crawl-as-a-stream form of
+    * E63: today's fetch batch (odd doc_ids) screens against the
+    * persisted canonical-URL store built from yesterday's crawl (even
+    * doc_ids). In-batch keep-lowest-id on the canon, then ONE anti
+    * join against the store — the store side is canon-distinct and
+    * far smaller than the fetch stream, and yesterday's content is
+    * never re-read (the E40/E45 incremental-store discipline applied
+    * to the URL key).
+    */
+  private def qIncrementalUrl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    def canonOf(df: DataFrame) = {
+      // decorations vary; the canonical identity (host, path, b param)
+      // is shared across batches so cross-batch hits actually occur
+      val url = concat(lit("HTTP://WWW."), col("source"),
+        lit(".Example.COM"),
+        when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Docs/p"), (col("doc_id") % 8).cast("string"),
+        lit("?b="), (col("doc_id") % 3).cast("string"),
+        lit("&utm_source=feed"),
+        when(col("doc_id") % 3 === 0, lit("#top")).otherwise(lit("")))
+      df.select(col("doc_id"), TextFunctions.normalizeUrl(url).as("canon"))
+    }
+    val store = canonOf(d.filter($"doc_id" % 2 === 0))
+      .select($"canon").distinct()
+    val batch = canonOf(d.filter($"doc_id" % 2 =!= 0))
+    val w = Window.partitionBy($"canon").orderBy($"doc_id")
+    batch.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1).drop("__rn")
+      .join(store, Seq("canon"), "left_anti")
+      .select($"doc_id", $"canon")
+  }
+
   /** E67 flagship composition: the crawl-curation funnel — the first
     * three passes every web corpus runs, chained from this library's
     * operators over raw "crawl records" (doc + decorated URL + markup
@@ -2977,7 +3011,8 @@ object SparkEntry {
     "q_extract_links" -> (qExtractLinks _),
     "q_leakage_split" -> (qLeakageSplit _),
     "q_cut_spans" -> (qCutSpans _),
-    "q_crawl_funnel" -> (qCrawlFunnel _))
+    "q_crawl_funnel" -> (qCrawlFunnel _),
+    "q_incremental_url" -> (qIncrementalUrl _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
