@@ -3123,6 +3123,23 @@ object OracleSql {
         |      AND b.p_retailprice <= a.p_retailprice
         |      AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))""".stripMargin,
 
+    "q_gini" ->
+      // same integer-cents revenue, ascending (cents, custkey) rank,
+      // HUGEINT numerator, one double division — mirrors the Spark
+      // decimal(38,0) fold exactly
+      """WITH r AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i
+        |  FROM r),
+        |t AS (SELECT count(*) AS n, sum(cents) AS tot FROM r)
+        |SELECT CAST(t.n AS BIGINT) AS n_customers,
+        |  CAST(t.tot AS BIGINT) AS total_cents,
+        |  CAST(sum((2 * i - t.n - 1) * cents) AS DOUBLE) /
+        |    (CAST(t.n AS DOUBLE) * CAST(t.tot AS DOUBLE)) AS gini
+        |FROM s, t GROUP BY t.n, t.tot""".stripMargin,
+
     "q_incremental_url" ->
       // canonicalize both halves with the same pipeline; store =
       // DISTINCT canon of even ids; batch keeps lowest odd id per

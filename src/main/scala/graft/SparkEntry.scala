@@ -1960,6 +1960,31 @@ object SparkEntry {
       .withColumn("is_dup", $"n_same" > 1)
   }
 
+  /** C45: revenue concentration (Gini / Lorenz) — inequality of
+    * per-customer revenue as exact-integer arithmetic: cents sums,
+    * ascending rank (value, key tie-break — Gini is tie-order
+    * invariant, the sort just pins determinism), numerator
+    * Σ(2i−n−1)·xᵢ in decimal(38,0), ONE double division at the end
+    * (raw-double safe). The rank window is global but runs over
+    * CUSTOMER-cardinality aggregates, not orders — the
+    * discrete-quantile rationale.
+    */
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = table(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
+    val w = Window.orderBy($"cents", $"o_custkey")
+    val ranked = r.withColumn("i", row_number().over(w).cast("long"))
+    val t = r.agg(count(lit(1)).as("n"), sum($"cents").as("tot"))
+    ranked.crossJoin(broadcast(t))
+      .agg(first($"n").as("n_customers"), first($"tot").as("total_cents"),
+        (sum((($"i" * 2 - $"n" - 1)).cast("decimal(38,0)") *
+            $"cents".cast("decimal(38,0)")).cast("double") /
+          (first($"n").cast("double") * first($"tot").cast("double")))
+          .as("gini"))
+  }
+
   /** E68: incremental URL screening — the crawl-as-a-stream form of
     * E63: today's fetch batch (odd doc_ids) screens against the
     * persisted canonical-URL store built from yesterday's crawl (even
@@ -3012,7 +3037,8 @@ object SparkEntry {
     "q_leakage_split" -> (qLeakageSplit _),
     "q_cut_spans" -> (qCutSpans _),
     "q_crawl_funnel" -> (qCrawlFunnel _),
-    "q_incremental_url" -> (qIncrementalUrl _))
+    "q_incremental_url" -> (qIncrementalUrl _),
+    "q_gini" -> (qGini _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
