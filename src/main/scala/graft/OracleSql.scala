@@ -3123,6 +3123,31 @@ object OracleSql {
         |      AND b.p_retailprice <= a.p_retailprice
         |      AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))""".stripMargin,
 
+    "q_lorenz" ->
+      // decile by explicit integer arithmetic (ntile remainder
+      // placement is engine-defined); cum sums exact ints, shares one
+      // division each
+      """WITH r AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n, sum(cents) AS tot FROM r),
+        |s AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS i FROM r),
+        |d AS (SELECT least(9, (i - 1) * 10 // t.n) AS decile,
+        |    count(*) AS n_customers, sum(cents) AS cents_sum
+        |  FROM s, t GROUP BY 1),
+        |c AS (SELECT decile, n_customers, cents_sum,
+        |    sum(cents_sum) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS cum_cents
+        |  FROM d)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(n_customers AS BIGINT) AS n_customers,
+        |  CAST(cents_sum AS BIGINT) AS cents_sum,
+        |  CAST(cum_cents AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE)
+        |    AS cum_share
+        |FROM c""".stripMargin,
+
     "q_gini" ->
       // same integer-cents revenue, ascending (cents, custkey) rank,
       // HUGEINT numerator, one double division — mirrors the Spark

@@ -1985,6 +1985,37 @@ object SparkEntry {
           .as("gini"))
   }
 
+  /** C46: Lorenz-curve deciles — the distributional companion to
+    * q_gini's scalar: customers ranked ascending by integer-cents
+    * revenue, decile id by pure integer arithmetic
+    * `min(9, (i−1)·10 div n)` (NOT ntile — remainder placement is
+    * engine-defined), cumulative revenue share per decile. Cumulative
+    * sums exact integers; each share is ONE division of exact ints
+    * (raw-double safe). Both windows run over customer- then
+    * decile-cardinality rows.
+    */
+  private def qLorenz(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = table(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
+    val w = Window.orderBy($"cents", $"o_custkey")
+    val t = r.agg(count(lit(1)).as("n"), sum($"cents").as("tot"))
+    val byDecile = r.withColumn("i", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(t))
+      .withColumn("decile", least(lit(9L), expr("(i - 1) * 10 div n")))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"), sum($"cents").as("cents_sum"),
+        first($"tot").as("tot"))
+    val cum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDecile
+      .withColumn("cum_cents", sum($"cents_sum").over(cum))
+      .select($"decile", $"n_customers", $"cents_sum",
+        ($"cum_cents".cast("double") / $"tot".cast("double"))
+          .as("cum_share"))
+  }
+
   /** E68: incremental URL screening — the crawl-as-a-stream form of
     * E63: today's fetch batch (odd doc_ids) screens against the
     * persisted canonical-URL store built from yesterday's crawl (even
@@ -3038,7 +3069,8 @@ object SparkEntry {
     "q_cut_spans" -> (qCutSpans _),
     "q_crawl_funnel" -> (qCrawlFunnel _),
     "q_incremental_url" -> (qIncrementalUrl _),
-    "q_gini" -> (qGini _))
+    "q_gini" -> (qGini _),
+    "q_lorenz" -> (qLorenz _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

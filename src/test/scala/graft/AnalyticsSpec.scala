@@ -248,6 +248,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a == b && a == bruteSkyline(pts))
   }
 
+  test("skyline: 3 dimensions, randomized ≡ brute force") {
+    val rnd = new scala.util.Random(23)
+    val pts = (0L until 200L).map(i =>
+      (i, rnd.nextInt(12).toDouble, rnd.nextInt(12).toDouble,
+        rnd.nextInt(12).toDouble))
+    val brute = pts.filter { case (_, x, y, z) =>
+      !pts.exists { case (_, x2, y2, z2) =>
+        x2 >= x && y2 >= y && z2 >= z && (x2 > x || y2 > y || z2 > z) }
+    }.map(_._1).toSet
+    val got = Analytics.skyline(spark,
+        pts.toDF("id", "x", "y", "z").repartition(7), "id",
+        Seq("x" -> true, "y" -> true, "z" -> true))
+      .select($"id").as[Long].collect().toSet
+    assert(got == brute)
+  }
+
   test("skyline: anti-correlated worst case — the frontier IS the data") {
     // every point on x+y=100 with distinct x: nothing dominates
     // anything, all 101 points survive both plans
