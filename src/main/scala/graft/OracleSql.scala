@@ -3106,6 +3106,17 @@ object OracleSql {
         |  count(*) OVER (PARTITION BY canon) > 1 AS is_dup
         |FROM c""".stripMargin,
 
+    "q_skyline_global" ->
+      """SELECT a.p_partkey, CAST(a.p_size AS BIGINT) AS p_size,
+        |  a.p_retailprice
+        |FROM part a
+        |WHERE a.p_size IS NOT NULL AND a.p_retailprice IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM part b
+        |    WHERE b.p_size IS NOT NULL AND b.p_retailprice IS NOT NULL
+        |      AND b.p_size >= a.p_size
+        |      AND b.p_retailprice <= a.p_retailprice
+        |      AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))""".stripMargin,
+
     "q_skyline" ->
       // per-brand Pareto frontier as the textbook NOT EXISTS dominance
       // test (quadratic — fine for the oracle, not the engine);

@@ -2118,6 +2118,19 @@ object SparkEntry {
       .select($"id".as("doc_id"), $"clean_text", $"n_kept", $"n_cut")
   }
 
+  /** C44b: GLOBAL skyline — same dims as q_skyline without the brand
+    * key, exercising the two-phase plan (per-partition dominance
+    * buffers → final pass over the candidate union) that the grouped
+    * gate's single-pass path never runs.
+    */
+  private def qSkylineGlobal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Analytics.skyline(s, table(s, dir, "part"), "p_partkey",
+        Seq("p_size" -> true, "p_retailprice" -> false), None)
+      .select($"p_partkey", $"p_size".cast("long").as("p_size"),
+        $"p_retailprice")
+  }
+
   /** C44: per-brand skyline (Pareto frontier) of the part catalog —
     * parts no same-brand part beats on BOTH size (max) and retail
     * price (min). Keyed single-pass plan: one shuffle on the brand,
@@ -3070,7 +3083,8 @@ object SparkEntry {
     "q_crawl_funnel" -> (qCrawlFunnel _),
     "q_incremental_url" -> (qIncrementalUrl _),
     "q_gini" -> (qGini _),
-    "q_lorenz" -> (qLorenz _))
+    "q_lorenz" -> (qLorenz _),
+    "q_skyline_global" -> (qSkylineGlobal _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

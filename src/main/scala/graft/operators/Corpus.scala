@@ -564,12 +564,18 @@ object Corpus {
         col("ta"), col("tb"))
     def foldField(f: String) =
       aggregate(transform(col("arr"), x => x(f)), lit(0.0), _ + _)
-    terms.groupBy(col("ta"), col("tb"))
+    val result = terms.groupBy(col("ta"), col("tb"))
       .agg(array_sort(collect_list(col("s"))).as("arr"))
       .select(size(col("arr")).cast("long").as("n_terms"),
         col("ta").as("tot_a"), col("tb").as("tot_b"),
         foldField("kab").as("kl_ab"), foldField("kba").as("kl_ba"),
         (foldField("jst") * 0.5).as("js"))
+      // one row — materialize eagerly so the joined-term cache can be
+      // released before returning (no persisted lineage left leaked,
+      // the CC/triangle discipline)
+      .localCheckpoint(true)
+    joined.unpersist()
+    result
   }
 
   /** E60: hashed linear quality classifier — the fasttext-shaped

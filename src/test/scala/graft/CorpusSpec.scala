@@ -406,6 +406,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("normalizeUrl: garbage in, deterministic string out (no throw)") {
+    // malformed inputs produce SOME deterministic string — the scan
+    // stage must never fail on a bad crawl record
+    val junk = Seq("", "not a url", "http://", "://host/p", "http:///x",
+      "ftp://weird:21/a", "http://h:badport/x", "a b c", "http://h/p?&&&")
+    val out = junk.map(Tuple1(_)).toDF("u")
+      .select(TextFunctions.normalizeUrl($"u").as("c"))
+      .collect().map(_.getString(0))
+    assert(out.length == junk.length && out.forall(_ != null))
+    // ftp is passed through un-port-stripped (not a known default)
+    assert(out(junk.indexOf("ftp://weird:21/a")) == "ftp://weird:21/a")
+  }
+
   test("normalizeUrl is idempotent over the decorated-variant grid") {
     val variants = for {
       scheme <- Seq("HTTP://", "https://")
