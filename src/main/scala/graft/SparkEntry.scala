@@ -1965,17 +1965,16 @@ object SparkEntry {
     * ascending rank (value, key tie-break — Gini is tie-order
     * invariant, the sort just pins determinism), numerator
     * Σ(2i−n−1)·xᵢ in decimal(38,0), ONE double division at the end
-    * (raw-double safe). The rank window is global but runs over
-    * CUSTOMER-cardinality aggregates, not orders — the
-    * discrete-quantile rationale.
+    * (raw-double safe). The rank comes from Stats.globalValueRank's
+    * TWO-LEVEL plan — no bare global window serializing 15M customers
+    * onto one partition at sf100.
     */
   private def qGini(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val r = table(s, dir, "orders")
       .groupBy($"o_custkey")
       .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
-    val w = Window.orderBy($"cents", $"o_custkey")
-    val ranked = r.withColumn("i", row_number().over(w).cast("long"))
+    val ranked = Stats.globalValueRank(r, "cents", "o_custkey", "i")
     val t = r.agg(count(lit(1)).as("n"), sum($"cents").as("tot"))
     ranked.crossJoin(broadcast(t))
       .agg(first($"n").as("n_customers"), first($"tot").as("total_cents"),
@@ -1991,17 +1990,17 @@ object SparkEntry {
     * `min(9, (i−1)·10 div n)` (NOT ntile — remainder placement is
     * engine-defined), cumulative revenue share per decile. Cumulative
     * sums exact integers; each share is ONE division of exact ints
-    * (raw-double safe). Both windows run over customer- then
-    * decile-cardinality rows.
+    * (raw-double safe). The customer rank is Stats.globalValueRank's
+    * two-level plan; the only globally-ordered window left runs over
+    * the 10 decile rows.
     */
   private def qLorenz(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val r = table(s, dir, "orders")
       .groupBy($"o_custkey")
       .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"))
-    val w = Window.orderBy($"cents", $"o_custkey")
     val t = r.agg(count(lit(1)).as("n"), sum($"cents").as("tot"))
-    val byDecile = r.withColumn("i", row_number().over(w).cast("long"))
+    val byDecile = Stats.globalValueRank(r, "cents", "o_custkey", "i")
       .crossJoin(broadcast(t))
       .withColumn("decile", least(lit(9L), expr("(i - 1) * 10 div n")))
       .groupBy($"decile")

@@ -265,12 +265,16 @@ object Analytics {
               keyCol: Option[String] = None): DataFrame = {
     import spark.implicits._
     require(dims.nonEmpty, "skyline: at least one dimension")
-    val vec = array(dims.map { case (c, bigger) =>
-      val d = col(c).cast("double"); if (bigger) d else -d }: _*)
+    val dirCols = dims.map { case (c, bigger) =>
+      val d = col(c).cast("double"); if (bigger) d else -d }
+    val vec = array(dirCols: _*)
+    // plain column addition for the sort key, not aggregate() over the
+    // array — a higher-order lambda would run interpreted per row and
+    // fence codegen for the whole projection
     val base = df.filter(dims.map(d => col(d._1).isNotNull).reduce(_ && _))
       .select(keyCol.map(col(_).cast("string")).getOrElse(lit("")).as("k"),
         col(idCol).cast("long").as("id"), vec.as("v"),
-        aggregate(vec, lit(0.0), _ + _).as("s"))
+        dirCols.reduce(_ + _).as("s"))
     val parted = keyCol match {
       case Some(_) => base.repartition(col("k"))
         .sortWithinPartitions(col("k"), col("s").desc, col("id"))

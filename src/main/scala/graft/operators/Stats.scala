@@ -169,4 +169,39 @@ object Stats {
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
+
+  /** Global dense 1..n rank by (value, tie) WITHOUT the bare
+    * `Window.orderBy` that serializes the whole table onto one
+    * partition — the E49 two-level trick applied to VALUE order:
+    * coarse value bucket (integer div — deterministic, unlike a
+    * sampled range partitioner), per-bucket counts, prefix offsets
+    * over the BUCKET-cardinality frame (that window being
+    * single-partition is immaterial), within-bucket rank as a KEYED
+    * window. rank = bucket offset + within-bucket row_number — the
+    * identical total order at any parallelism, all integer
+    * arithmetic. Skewed value distributions skew the bucket window's
+    * partitions, not a single global one; shrink `bucketWidth` to
+    * spread them.
+    *
+    * @return df plus `rankCol` (long, 1-based).
+    */
+  def globalValueRank(df: DataFrame, valueCol: String, tieCol: String,
+                      rankCol: String,
+                      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(bucketWidth > 0)
+    val d = df.withColumn("__bkt",
+      floor(col(valueCol).cast("long") / bucketWidth).cast("long"))
+    val totals = d.groupBy(col("__bkt")).agg(count(lit(1)).as("__bn"))
+    val prefix = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__boff", coalesce(sum(col("__bn")).over(prefix), lit(0L)))
+      .select(col("__bkt"), col("__boff"))
+    val within = Window.partitionBy(col("__bkt"))
+      .orderBy(col(valueCol), col(tieCol))
+    d.join(broadcast(offsets), "__bkt")
+      .withColumn(rankCol,
+        (col("__boff") + row_number().over(within)).cast("long"))
+      .drop("__bkt", "__boff")
+  }
 }

@@ -193,6 +193,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(d.getAs[Long]("n_alarms_up") > 0 && d.getAs[Long]("n_alarms_dn") == 0)
   }
 
+  test("globalValueRank ≡ bare global window, any partitioning/width") {
+    val rnd = new scala.util.Random(3)
+    // duplicate values force the tie-break; width 16 forces many buckets
+    val rows = (0L until 500L).map(i => (i, rnd.nextInt(300).toLong))
+    val df = rows.toDF("k", "v").repartition(11)
+    val expected = rows.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((k, _), idx) => k -> (idx + 1L) }.toMap
+    for (width <- Seq(1L, 16L, 1L << 20)) {
+      val got = Stats.globalValueRank(df, "v", "k", "rnk", width)
+        .select($"k", $"rnk").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"width=$width")
+    }
+  }
+
   private def bruteSkyline(pts: Seq[(Long, String, Double, Double)])
       : Set[Long] =
     pts.filter { case (_, k, x, y) =>
