@@ -56,24 +56,27 @@ object Bench {
     // at full double precision was ~2.9k chars and got clipped)
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def qsAt(prec: String) = results
-      .map { case (k, v) =>
-        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, prec,
-          Double.box(v))
-      }.mkString("{", ",", "}")
-    // the capture window is a ~4k stdout TAIL; at 155 queries the
-    // 3-decimal map is ~3.5k chars, so degrade to 2 decimals before
-    // the full line outgrows the window (the total keeps 3)
-    val qs3 = qsAt("%.3f")
-    val qs = if (qs3.length <= 3700) qs3 else qsAt("%.2f")
+    def qsMap(entries: Seq[(String, Double)]) = entries
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // short summary FIRST, full per-query line LAST: the driver
-    // JSON-parses the last stdout line (sbt's "[success]" epilogue is
-    // suppressed via Global/showSuccess in build.sbt), and its capture
-    // keeps a ~4k tail — ordering short-then-full keeps both the
-    // headline total and the per-query map inside that window.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"slowest":"${results.maxBy(_._2)._1}","sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The captured stdout window is a ~2000-char TAIL (observed in
+    // BENCH_r0{1,2}.json), and the driver JSON-parses the last line.
+    // So the LAST line must be (a) valid JSON and (b) short enough that
+    // the 2000-char tail never clips its front. Print the full
+    // per-query map FIRST (for humans / local logs), then a compact
+    // summary line whose "queries" holds the slowest entries that fit
+    // a 1500-char budget — the informative tail of the distribution.
+    // sbt's "[success]" epilogue is suppressed via Global/showSuccess.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsMap(results)},"sf":"$sfDir"}""")
+    val bySlowest = results.sortBy(-_._2)
+    val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var budget = 1500
+    bySlowest.foreach { case (k, v) =>
+      val cost = k.length + 12
+      if (budget - cost >= 0) { keep += ((k, v)); budget -= cost }
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qsMap(keep.toSeq.sortBy(_._1))},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,17 +16,28 @@ package object graft {
 
   /** Load one of the driver-generated parquet tables from an sf dir.
     *
-    * `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader only accepts as a long (spark.sql.legacy.parquet.nanosAsLong);
-    * we re-materialize it as a proper microsecond timestamp column with
-    * exact integer division (`div`), no double round-trip.
+    * Some generations of `events.parquet` carry TIMESTAMP(NANOS), which
+    * Spark's parquet reader only accepts as a long
+    * (spark.sql.legacy.parquet.nanosAsLong) — in that case we
+    * re-materialize `ts` as a proper microsecond timestamp with exact
+    * integer division (`div`), no double round-trip. Other generations
+    * use TIMESTAMP(MICROS), which Spark reads natively; detect which by
+    * the type `ts` actually arrives as rather than assuming either.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions
+          .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        // TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ; cast to the
+        // session-UTC TimestampType every downstream operator was built
+        // against (identity on the underlying micros under UTC)
+        df.withColumn("ts", df("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 }
