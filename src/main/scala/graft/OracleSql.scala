@@ -3381,6 +3381,99 @@ object OracleSql {
          |  max(e) - min(pos) AS span_tokens, count(*) AS n_grams
          |FROM s GROUP BY id, island""".stripMargin,
 
+    "q_attribution_linear" ->
+      // per-touch credit is integer floor division (micro-cents):
+      // cents·10⁶ // n_touches — DuckDB's // truncates toward zero like
+      // Spark's div (values are non-negative here, so they agree
+      // regardless); sums are exact integers end to end
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sg
+        |  FROM events),
+        |t AS (SELECT user_id AS u, sg, event_type AS channel,
+        |    count(*) AS n_ch
+        |  FROM x WHERE event_type <> 'purchase' GROUP BY 1, 2, 3),
+        |st AS (SELECT u, sg, sum(n_ch) AS n_touches FROM t GROUP BY 1, 2),
+        |c AS (SELECT user_id AS u, sg, cents FROM x
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT c.u, c.sg, c.cents, st.n_touches
+        |  FROM c LEFT JOIN st ON c.u = st.u AND c.sg = st.sg),
+        |cr AS (
+        |  SELECT t.channel, t.n_ch,
+        |    (j.cents * 1000000 // j.n_touches) * t.n_ch AS micro
+        |  FROM j JOIN t ON j.u = t.u AND j.sg = t.sg
+        |  WHERE j.n_touches IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'none', 0, cents * 1000000 FROM j WHERE n_touches IS NULL)
+        |SELECT channel, CAST(sum(n_ch) AS BIGINT) AS n_touches,
+        |  count(*) AS n_journeys,
+        |  CAST(sum(micro) // 1000000 AS BIGINT) AS credited_cents
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    "q_template_detect" ->
+      // skeleton regexes are RE2 ∩ Java; DuckDB needs the 'g' flag
+      // where Spark's regexp_replace is global by default
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |    'Invoice #' || CAST(doc_id AS VARCHAR) || ': total ' ||
+        |    CAST(n_chars AS VARCHAR) || ' USD, ref (' || lang || '-' ||
+        |    CAST(doc_id AS VARCHAR) || ').'
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |fp AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9]+', '#', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM docs)
+        |SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS rep_doc
+        |FROM fp GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "q_fd_check" ->
+      // violation_rate is ONE double division of exact integers — raw,
+      // unrounded (the keySkewProfile rule)
+      """WITH f1 AS (SELECT o_custkey AS lhs,
+        |    count(DISTINCT o_orderstatus) AS nd FROM orders GROUP BY 1),
+        |f2 AS (SELECT o_orderstatus AS lhs,
+        |    count(DISTINCT o_orderpriority) AS nd FROM orders GROUP BY 1),
+        |f3 AS (SELECT o_orderkey AS lhs,
+        |    count(DISTINCT o_custkey) AS nd FROM orders GROUP BY 1),
+        |u AS (
+        |  SELECT 'cust_to_status' AS fd, count(*) AS n_lhs,
+        |    count(CASE WHEN nd > 1 THEN 1 END) AS n_violating,
+        |    max(nd) AS max_rhs_per_lhs FROM f1
+        |  UNION ALL
+        |  SELECT 'status_to_priority', count(*),
+        |    count(CASE WHEN nd > 1 THEN 1 END), max(nd) FROM f2
+        |  UNION ALL
+        |  SELECT 'orderkey_to_cust', count(*),
+        |    count(CASE WHEN nd > 1 THEN 1 END), max(nd) FROM f3)
+        |SELECT fd, n_lhs, n_violating, max_rhs_per_lhs,
+        |  CAST(n_violating AS DOUBLE) / CAST(n_lhs AS DOUBLE)
+        |    AS violation_rate
+        |FROM u""".stripMargin,
+
+    "q_semantic_decontam" ->
+      // argmax tie-break: cos DESC then eval_id ASC — mirrors Spark's
+      // max(struct(cos, −eval_id)); comparisons run on raw doubles
+      // (identical fold order both sides), rounding only at output
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |e AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |s AS (SELECT c.vec_id, e.eval_id,
+         |    ${cosSql("c.v", "e.ev")} AS cos
+         |  FROM c CROSS JOIN e),
+         |r AS (SELECT vec_id, eval_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos DESC, eval_id) AS rn
+         |  FROM s)
+         |SELECT vec_id, eval_id AS top_eval_id, round(cos, 3) AS cos,
+         |  cos >= 0.9 AS contaminated
+         |FROM r WHERE rn = 1""".stripMargin,
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

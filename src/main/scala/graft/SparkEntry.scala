@@ -2901,6 +2901,69 @@ object SparkEntry {
   private def qWindowedAgg(s: SparkSession, dir: String): DataFrame =
     Sessions.hourlyAgg(table(s, dir, "events"), "ts", "event_type", "value")
 
+  // ------------------------------------------------------------ round 3 cont.
+
+  /** C47: linear multi-touch attribution — every purchase's value split
+    * equally (integer micro-cent floor division, exact at any
+    * parallelism) across the same user's touches since the previous
+    * purchase; one window pass + two keyed aggs, no per-conversion
+    * self-join (operators.Analytics.linearAttribution). Last-touch
+    * (q_attribution) answers "what closed"; this answers "what
+    * participated".
+    */
+  private def qAttributionLinear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.Analytics.linearAttribution(ev, "user_id", "ts", "event_id",
+      "event_type", "cents", "purchase")
+  }
+
+  /** E69: template detection — structure-skeleton fingerprints group
+    * docs generated from one template regardless of content words
+    * (operators.Corpus.templateFingerprint). The corpus is decorated
+    * with 1-in-25 planted "invoice" docs whose numbers/words vary but
+    * whose punctuation skeleton is shared — they must collapse to a
+    * single fingerprint group.
+    */
+  private def qTemplateDetect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val planted = d.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 3000000).as("doc_id"),
+        concat(lit("Invoice #"), $"doc_id".cast("string"),
+          lit(": total "), $"n_chars".cast("string"),
+          lit(" USD, ref ("), $"lang", lit("-"),
+          $"doc_id".cast("string"), lit(").")).as("text"))
+    val docs = d.select($"doc_id", $"text").unionByName(planted)
+    operators.Corpus.templateFingerprint(docs, "doc_id", "text", 3L)
+  }
+
+  /** A12: functional-dependency audit — declared lhs→rhs dependencies
+    * checked as per-lhs distinct-rhs counts (operators.Validate
+    * .fdViolations); covers a violated natural-key FD, a violated
+    * code→code FD, and a holding PK FD so both verdicts appear.
+    */
+  private def qFdCheck(s: SparkSession, dir: String): DataFrame =
+    operators.Validate.fdViolations(table(s, dir, "orders"), Seq(
+      ("cust_to_status", "o_custkey", "o_orderstatus"),
+      ("status_to_priority", "o_orderstatus", "o_orderpriority"),
+      ("orderkey_to_cust", "o_orderkey", "o_custkey")))
+
+  /** E70: semantic decontamination — every corpus embedding scored
+    * against the broadcast eval set (1-in-20 vectors, so exact matches
+    * provably fire at cos=1); the embedding-space complement of the
+    * 8-gram q_decontaminate (operators.Similarity
+    * .semanticDecontaminate).
+    */
+  private def qSemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = table(s, dir, "embeddings")
+    operators.Similarity.semanticDecontaminate(
+      emb, emb.filter($"vec_id" % 20 === 0), "vec_id", "embedding", 0.9)
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3083,7 +3146,11 @@ object SparkEntry {
     "q_incremental_url" -> (qIncrementalUrl _),
     "q_gini" -> (qGini _),
     "q_lorenz" -> (qLorenz _),
-    "q_skyline_global" -> (qSkylineGlobal _))
+    "q_skyline_global" -> (qSkylineGlobal _),
+    "q_attribution_linear" -> (qAttributionLinear _),
+    "q_template_detect" -> (qTemplateDetect _),
+    "q_fd_check" -> (qFdCheck _),
+    "q_semantic_decontam" -> (qSemanticDecontam _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -39,6 +39,68 @@ object Analytics {
       .drop("__channel")
   }
 
+  /** Linear multi-touch attribution: every conversion's value is split
+    * EQUALLY across the non-conversion events ("touches") of the same
+    * user since the previous conversion (exclusive). Completes the
+    * attribution family next to [[lastTouch]]: last-touch answers "what
+    * closed", linear answers "what participated".
+    *
+    * Plan shape: ONE window pass per user timeline assigns every event
+    * its journey segment — the count of conversions strictly before it
+    * (so touches between conversion k and k+1 share segment k with
+    * conversion k+1) — then two keyed aggregates over (user, segment).
+    * No per-conversion self-join (the naive form is quadratic in
+    * events-per-user); trailing touches after a user's last conversion
+    * match no conversion and drop in the join.
+    *
+    * Determinism: per-touch credit is integer floor division,
+    * `cents·10⁶ div n_touches` micro-cents — a sum of integers, exact
+    * at any parallelism and on any engine (a double 1/n split would be
+    * fold-order-dependent). The div remainder (< n_touches µ¢ per
+    * conversion) is deliberately dropped, not redistributed: remainder
+    * placement would need an arbitrary touch order. Conversions with no
+    * prior touch credit the `"none"` channel in full. Sums accumulate
+    * in decimal(38,0) (long overflows near sf100).
+    *
+    * @return (channel, n_touches, n_journeys, credited_cents) where
+    *         credited_cents = Σ per-touch micro-cents div 10⁶.
+    */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+                        tieCol: String, typeCol: String,
+                        centsCol: String, conversionType: String): DataFrame = {
+    val wPrev = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seg = events.withColumn("__seg",
+      count(when(col(typeCol) === conversionType, lit(1))).over(wPrev))
+    val touches = seg.filter(col(typeCol) =!= conversionType)
+      .groupBy(col(userCol).as("u"), col("__seg").as("sg"),
+        col(typeCol).as("channel"))
+      .agg(count(lit(1)).as("n_ch"))
+    val segTotals = touches.groupBy(col("u"), col("sg"))
+      .agg(sum(col("n_ch")).as("n_touches"))
+    val convs = seg.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("u"), col("__seg").as("sg"),
+        col(centsCol).as("cents"))
+    val joined = convs.join(segTotals, Seq("u", "sg"), "left")
+    // integral `div` has no Column DSL method; expr() is the idiom
+    // (q_lorenz precedent)
+    val perTouchMicro =
+      expr("cast(cents as decimal(38,0)) * 1000000 div n_touches")
+    val credited = joined.filter(col("n_touches").isNotNull)
+      .join(touches, Seq("u", "sg"))
+      .select(col("channel"), col("n_ch"),
+        (perTouchMicro * col("n_ch")).cast("decimal(38,0)").as("micro"))
+    val none = joined.filter(col("n_touches").isNull)
+      .select(lit("none").as("channel"), lit(0L).as("n_ch"),
+        (col("cents").cast("decimal(38,0)") * lit(1000000L)).as("micro"))
+    credited.unionByName(none)
+      .groupBy(col("channel"))
+      .agg(sum(col("n_ch")).as("n_touches"),
+        count(lit(1)).as("n_journeys"),
+        expr("cast(sum(micro) div 1000000 as long)").as("credited_cents"))
+  }
+
   /** Time-bounded ordered funnel (MATCH_RECOGNIZE-lite): counts, per
     * user, conversions that complete the chain step1 → step2 → step3
     * with each hop within `maxGapUs` microseconds of the previous

@@ -619,6 +619,33 @@ object Corpus {
       (col("z_milli") >= 0).as("keep"))
   }
 
+  /** Template detection (boilerplate-page clustering): docs sharing a
+    * STRUCTURE skeleton — every alphanumeric run collapsed to `#`,
+    * whitespace normalized — group under one md5 fingerprint, so pages
+    * generated from the same template (identical punctuation / markup
+    * shape, varying content words and numbers) collapse regardless of
+    * their text. The web-curation companion to near-dup: MinHash needs
+    * content overlap, a template match needs none.
+    *
+    * Scale shape: the skeleton is two codegen'd regexp_replace passes
+    * inside the scan stage (RE2 ∩ Java dialect, oracle replays the
+    * identical patterns); the fingerprint groupBy is the ONLY shuffle,
+    * and output is fingerprint-cardinality. Representative = min doc
+    * id (deterministic).
+    *
+    * @return (fingerprint, n_docs, rep_doc) for skeletons shared by
+    *         ≥ minDocs docs.
+    */
+  def templateFingerprint(df: DataFrame, idCol: String, textCol: String,
+                          minDocs: Long): DataFrame = {
+    val skeleton = trim(regexp_replace(
+      regexp_replace(col(textCol), "[A-Za-z0-9]+", "#"), "\\s+", " "))
+    df.select(col(idCol).as("doc_id"), md5(skeleton).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Deterministic hashed weights for [[hashedLinearScore]] — w_b =
     * (first 6 md5 hex digits of "w‖b") mod 2001 − 1000 ∈ [−1000,
     * 1000] milli-units. Engine-portable (the oracle rebuilds the same

@@ -546,6 +546,46 @@ object Similarity {
         (col("comp").isNull || col("comp") === col("id")).as("keep"))
   }
 
+  /** Semantic decontamination: every corpus vector scored against a
+    * broadcast EVAL-set of embeddings — the embedding-space complement
+    * of the 8-gram decontaminate pass (E22): paraphrased or reformatted
+    * benchmark items share no shingles but sit next to the original in
+    * embedding space. Output is the full decision table (one row per
+    * corpus vector with its nearest eval item and the verdict), the
+    * blocklistScreen discipline.
+    *
+    * Scale shape: the eval set is benchmark-sized (thousands) →
+    * broadcast; the corpus never shuffles for scoring, and the argmax
+    * is ONE map-combinable aggregate (`max(struct(cos, −eval_id))` —
+    * partial aggregation collapses each corpus id's |eval| scored rows
+    * to one BEFORE the exchange, so only corpus-cardinality rows
+    * shuffle). Norms computed once per vector on each side. Ties on
+    * cosine break to the smallest eval id; comparisons on raw doubles
+    * are engine-stable (same fold order both sides), rounding only at
+    * output (3dp, the embed_dup rule).
+    *
+    * @return (vec_id, top_eval_id, cos, contaminated) for every corpus
+    *         vector; contaminated ⟺ raw max cosine ≥ threshold.
+    */
+  def semanticDecontaminate(corpus: DataFrame, eval: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+        toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val e = eval.select(col(idCol).as("eval_id"),
+        toDouble(col(vecCol)).as("ev"))
+      .withColumn("en", l2Norm(col("ev")))
+    c.join(broadcast(e))
+      .withColumn("cos", dot(col("cv"), col("ev")) / (col("cn") * col("en")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("eval_id")).as("neg_id"))).as("m"))
+      .select(col("vec_id"),
+        (-col("m.neg_id")).as("top_eval_id"),
+        round(col("m.cos"), 3).as("cos"),
+        (col("m.cos") >= threshold).as("contaminated"))
+  }
+
   /** E5: embedding near-duplicate pairs above a cosine threshold,
     * blocked by an equi-join key (here: a label / cluster id) so the
     * pair space is per-block, not global.

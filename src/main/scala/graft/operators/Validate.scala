@@ -112,6 +112,36 @@ object Validate {
         (nullDrift || ndDrift || rangeEscape).as("any_drift"))
   }
 
+  /** Functional-dependency audit: for each declared dependency
+    * lhs → rhs, how many lhs values map to MORE than one distinct rhs —
+    * the constraint class (natural keys, code→description lookups,
+    * denormalized copies) that schema DDL can't express and
+    * [[profile]]'s per-column stats can't see.
+    *
+    * Plan shape: one groupBy(lhs) + distinct-rhs count per dependency,
+    * collapsed to a single row each — the per-key frame never leaves
+    * the executors, and N dependencies are N independent keyed aggs
+    * over the same scan (Catalyst reuses the exchange where keys
+    * match). `violation_rate` is ONE double division of exact integers
+    * (raw, unrounded — the keySkewProfile rule).
+    *
+    * @param fds (name, lhsCol, rhsCol) per dependency.
+    * @return one row per fd: (fd, n_lhs, n_violating, max_rhs_per_lhs,
+    *         violation_rate).
+    */
+  def fdViolations(df: DataFrame, fds: Seq[(String, String, String)]): DataFrame =
+    fds.map { case (name, lhs, rhs) =>
+      df.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("__nd"))
+        .agg(count(lit(1)).as("n_lhs"),
+          count(when(col("__nd") > 1, 1)).as("n_violating"),
+          max(col("__nd")).as("max_rhs_per_lhs"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          col("max_rhs_per_lhs"),
+          (col("n_violating").cast("double") / col("n_lhs").cast("double"))
+            .as("violation_rate"))
+    }.reduce(_ unionByName _)
+
   /** Deterministic split assignment by content hash — reproducible
     * train/val/test partitioning with no RNG state (md5 is stable
     * across engines, versions, and cluster sizes; never use rand()

@@ -288,4 +288,47 @@ class AnalyticsSpec extends AnyFunSuite {
       Seq("x" -> true, "y" -> true)).count()
     assert(got == 101L)
   }
+
+  test("linearAttribution: equal integer split, none bucket, trailing drop") {
+    val ev = Seq(
+      // user 1, journey 1: view+click then a 100-cent purchase →
+      //   each touch gets 100·10⁶ div 2 = 5·10⁷ µ¢ (50¢)
+      (1L, 10L, 1L, "view", 0L), (1L, 20L, 2L, "click", 0L),
+      (1L, 30L, 3L, "purchase", 100L),
+      // user 1, journey 2: one view then a 7-cent purchase → view gets
+      //   7·10⁶ div 1; then a TRAILING click that matches no conversion
+      (1L, 40L, 4L, "view", 0L), (1L, 50L, 5L, "purchase", 7L),
+      (1L, 60L, 6L, "click", 0L),
+      // user 2: bare purchase → none in full
+      (2L, 10L, 7L, "purchase", 33L),
+      // user 3: THREE touches split 100 cents: 100·10⁶ div 3 =
+      //   33333333 µ¢ each; view holds two of them
+      (3L, 10L, 8L, "view", 0L), (3L, 20L, 9L, "view", 0L),
+      (3L, 30L, 10L, "click", 0L), (3L, 40L, 11L, "purchase", 100L))
+      .toDF("user_id", "ts", "event_id", "event_type", "cents")
+    val got = Analytics.linearAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", "cents", "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // view: u1j1 5·10⁷ + u1j2 7·10⁶ + u3 2·33333333 µ¢ = 123666666 µ¢
+    //   → div 10⁶ = 123¢ over 4 touches in 3 journeys
+    assert(got("view") == ((4L, 3L, 123L)))
+    // click: u1j1 50¢ + u3 33333333 µ¢ → 83333333 div 10⁶ = 83¢
+    assert(got("click") == ((2L, 2L, 83L)))
+    assert(got("none") == ((0L, 1L, 33L)))
+    assert(!got.contains("purchase"))
+  }
+
+  test("linearAttribution: sums credit at most the converted value") {
+    // floor division may drop < n_touches µ¢ per conversion, never adds
+    val ev = Seq(
+      (1L, 1L, 1L, "a", 0L), (1L, 2L, 2L, "b", 0L), (1L, 3L, 3L, "c", 0L),
+      (1L, 4L, 4L, "purchase", 1000L),
+      (2L, 1L, 5L, "a", 0L), (2L, 2L, 6L, "purchase", 999L))
+      .toDF("user_id", "ts", "event_id", "event_type", "cents")
+    val credited = Analytics.linearAttribution(ev, "user_id", "ts",
+        "event_id", "event_type", "cents", "purchase")
+      .agg(sum($"credited_cents")).head.getLong(0)
+    assert(credited <= 1999L && credited >= 1997L)
+  }
 }

@@ -459,4 +459,34 @@ class CorpusSpec extends AnyFunSuite {
     // weights stay in milli-range; all 64 buckets covered
     assert(ws.size == 64 && ws.values.forall(v => v >= -1000 && v <= 1000))
   }
+
+  test("templateFingerprint: structure groups ignore content words") {
+    val docs = Seq(
+      // same invoice skeleton, different words/numbers → one group
+      (1L, "Invoice #12: total 99 USD, ref (en-12)."),
+      (2L, "Invoice #777: total 5 USD, ref (de-777)."),
+      (3L, "Receipt #9: total 12 USD, ref (fr-9)."), // Receipt ≡ Invoice once words collapse
+      // different punctuation structure → different fingerprint
+      (4L, "Invoice 12 total 99 USD ref en 12"),
+      (5L, "plain words only here"),
+      (6L, "plain other text too")) // same 4-word skeleton as 5
+      .toDF("doc_id", "text")
+    val got = Corpus.templateFingerprint(docs, "doc_id", "text", 2L)
+      .collect().map(r => r.getAs[Long]("rep_doc") -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(got == Map(1L -> 3L, 5L -> 2L)) // {1,2,3} and {5,6}; 4 is a singleton
+  }
+
+  test("templateFingerprint: whitespace variants collapse, minDocs gates") {
+    val docs = Seq(
+      (1L, "a  b\tc"), (2L, " x y z "), // runs + edges normalize to '# # #'
+      (3L, "lone"))
+      .toDF("doc_id", "text")
+    val two = Corpus.templateFingerprint(docs, "doc_id", "text", 2L).collect()
+    assert(two.length == 1 && two.head.getAs[Long]("n_docs") == 2L &&
+      two.head.getAs[Long]("rep_doc") == 1L)
+    // raising the floor above the group size empties the report
+    assert(Corpus.templateFingerprint(docs, "doc_id", "text", 3L).count() == 0L)
+  }
+
 }

@@ -211,4 +211,25 @@ class DedupSpec extends AnyFunSuite {
     assert(cap12.getAs[Double]("containment") == 1.0)
     assert(cap12.getAs[Long]("sz_a") < byPair((1L, 2L)).getAs[Long]("sz_a"))
   }
+
+  test("semanticDecontaminate: exact copy fires, argmax ties break low") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // exact copy of eval 10 AND eval 11 → tie at cos 1, pick 10
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal to both evals → cos 0
+      (3L, Seq(1.0f, 1.0f)))   // cos 1/√2 ≈ 0.707 vs both
+      .toDF("vec_id", "embedding")
+    val eval = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(corpus, eval,
+        "vec_id", "embedding", 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("top_eval_id"), r.getAs[Double]("cos"),
+          r.getAs[Boolean]("contaminated")))).toMap
+    assert(got(1L) == ((10L, 1.0, true)))
+    assert(got(2L)._3 == false && got(2L)._2 == 0.0)
+    assert(got(3L) == ((10L, 0.707, false)))
+    // every corpus row appears exactly once — it is a decision TABLE
+    assert(got.size == 3)
+  }
+
 }

@@ -150,4 +150,24 @@ class StatsProfileSpec extends AnyFunSuite {
     // strings carry no numeric range
     assert(out("s") == ((false, true, false, true)))
   }
+
+  test("fdViolations: holding and violated dependencies, exact counts") {
+    val df = Seq(
+      ("k1", "a", "x"), ("k1", "a", "y"), // k1 → {a}: holds; k1 ⇒ 2 rhs2
+      ("k2", "b", "x"), ("k2", "c", "x"), // k2 → {b,c}: violated
+      ("k3", "d", "z"))
+      .toDF("k", "v1", "v2")
+    val got = Validate.fdViolations(df, Seq(
+        ("k_to_v1", "k", "v1"), ("k_to_v2", "k", "v2")))
+      .collect().map(r => r.getAs[String]("fd") ->
+        ((r.getAs[Long]("n_lhs"), r.getAs[Long]("n_violating"),
+          r.getAs[Long]("max_rhs_per_lhs"),
+          r.getAs[Double]("violation_rate")))).toMap
+    assert(got("k_to_v1") == ((3L, 1L, 2L, 1.0 / 3.0)))
+    assert(got("k_to_v2") == ((3L, 1L, 2L, 1.0 / 3.0)))
+    // a key column is trivially FD-clean against itself
+    val self = Validate.fdViolations(df, Seq(("self", "k", "k"))).head
+    assert(self.getAs[Long]("n_violating") == 0L)
+  }
+
 }
