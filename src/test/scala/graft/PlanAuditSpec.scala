@@ -323,4 +323,32 @@ class PlanAuditSpec extends AnyFunSuite {
     // internal wedge-join shape isn't visible here; the forward-
     // orientation equivalence lives in GraphSamplingSpec)
   }
+
+  test("round-3 batch-2 additions keep their scale shapes") {
+    // linear attribution: window pass + keyed aggs only — the naive
+    // per-conversion×prior-touches self-join would be a nested loop
+    val la = plan("q_attribution_linear")
+    assert(la.contains("Window"), la.take(1200))
+    assert(!la.contains("BroadcastNestedLoopJoin") &&
+      !la.contains("CartesianProduct"))
+    // template detection: skeleton built inside the scan stage; the
+    // fingerprint groupBy is the ONLY exchange (plus the planted-doc
+    // union branch reading the same scan)
+    val td = plan("q_template_detect")
+    assert(!td.contains("SortMergeJoin") && !td.contains("Window"))
+    // semantic decontamination: eval side broadcasts (corpus never
+    // shuffles for scoring); argmax is a hash aggregate with a
+    // map-side partial, not a window over the scored pairs
+    val sd = plan("q_semantic_decontam")
+    assert(sd.contains("BroadcastNestedLoopJoin") ||
+      sd.contains("BroadcastExchange"), sd.take(1500))
+    assert(!sd.contains("Window"))
+    // struct-max runs as SortAggregate (no hash buffer for structs) but
+    // stays MAP-COMBINABLE: partial_max collapses each vector's |eval|
+    // scored rows before the exchange — that's the scale property
+    assert(sd.contains("partial_max"), sd.take(1500))
+    // FD audit: per-dependency keyed aggregates, no joins at all
+    val fd = plan("q_fd_check")
+    assert(!fd.contains("Join"), fd.take(1200))
+  }
 }
