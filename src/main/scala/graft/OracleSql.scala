@@ -3474,6 +3474,91 @@ object OracleSql {
          |  cos >= 0.9 AS contaminated
          |FROM r WHERE rn = 1""".stripMargin,
 
+    "q_join_size" ->
+      """WITH l AS (SELECT user_id AS k, count(*) AS nl FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT c_custkey AS k, count(*) AS nr FROM customer
+        |  WHERE c_custkey IS NOT NULL GROUP BY 1),
+        |m AS (SELECT l.nl, r.nr FROM l FULL OUTER JOIN r ON l.k = r.k)
+        |SELECT count(CASE WHEN nl IS NOT NULL THEN 1 END) AS n_keys_left,
+        |  count(CASE WHEN nr IS NOT NULL THEN 1 END) AS n_keys_right,
+        |  count(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN 1 END)
+        |    AS n_keys_matched,
+        |  CAST(coalesce(sum(nl), 0) AS BIGINT) AS rows_left,
+        |  CAST(coalesce(sum(nr), 0) AS BIGINT) AS rows_right,
+        |  CAST(coalesce(sum(nl * nr), 0) AS BIGINT) AS predicted_rows,
+        |  CAST(coalesce(max(nl * nr), 0) AS BIGINT) AS max_key_out
+        |FROM m""".stripMargin,
+
+    "q_rrf_fuse" ->
+      // rrf = two fixed-order reciprocals of exact integers — raw
+      // doubles, identical on both engines
+      """WITH b AS (SELECT c_nationkey AS q, o_custkey AS d,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents,
+        |    count(*) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |a AS (SELECT q, d, row_number() OVER (PARTITION BY q
+        |    ORDER BY cents DESC, d) AS ra FROM b),
+        |b2 AS (SELECT q, d, row_number() OVER (PARTITION BY q
+        |    ORDER BY cnt DESC, d) AS rb FROM b),
+        |f AS (SELECT coalesce(a.q, b2.q) AS q, coalesce(a.d, b2.d) AS d,
+        |    coalesce(1.0 / (60 + ra), 0.0) + coalesce(1.0 / (60 + rb), 0.0)
+        |      AS rrf
+        |  FROM (SELECT * FROM a WHERE ra <= 10) a
+        |  FULL OUTER JOIN (SELECT * FROM b2 WHERE rb <= 10) b2
+        |    ON a.q = b2.q AND a.d = b2.d),
+        |r AS (SELECT q, d, rrf, row_number() OVER (PARTITION BY q
+        |    ORDER BY rrf DESC, d) AS fused_rank FROM f)
+        |SELECT q AS nation_key, d AS cust, rrf, fused_rank
+        |FROM r WHERE fused_rank <= 5""".stripMargin,
+
+    "q_anchor_text" ->
+      // the two regexp_extract_all calls run the SAME pattern (groups
+      // 1/2) so href/anchor arrays align positionally; decorated
+      // canonical targets are reconstructed literally (the Docs URL is
+      // normalizeUrl's case-fold output, the cdn URL is already
+      // canonical), sidestepping a second normalizeUrl mirror
+      """WITH h AS (SELECT doc_id, lang,
+        |  '<p>' || text || '</p><A Href="HTTPS://Docs.Example.ORG/t'
+        |  || CAST(doc_id % 4 AS VARCHAR) || '">Best ' || lang
+        |  || ' guide</A><a href=''https://cdn.example.net/d/'
+        |  || CAST(doc_id % 3 AS VARCHAR)
+        |  || '''>download <b>now</b> &amp; docs</a><a href="/rel">skip</a>'
+        |    AS html
+        |  FROM documents),
+        |x AS (SELECT doc_id,
+        |    regexp_extract_all(html,
+        |      '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']+)["''][^>]*>(.*?)</a>',
+        |      1) AS us,
+        |    regexp_extract_all(html,
+        |      '(?is)<a\s[^>]*href\s*=\s*["'']([^"'']+)["''][^>]*>(.*?)</a>',
+        |      2) AS ts
+        |  FROM h),
+        |e AS (SELECT doc_id, us[u.i] AS raw_url, ts[u.i] AS raw_anchor
+        |  FROM x, unnest(generate_series(1, len(us))) AS u(i)
+        |  WHERE regexp_matches(us[u.i], '(?i)^https?://')),
+        |n AS (SELECT
+        |    CASE WHEN raw_url LIKE 'HTTPS://%'
+        |      THEN 'https://docs.example.org/t' || CAST(doc_id % 4 AS VARCHAR)
+        |      ELSE raw_url END AS url,
+        |    trim(regexp_replace(lower(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(raw_anchor, '(?s)<[^>]+>', ' ', 'g'),
+        |        '&nbsp;', ' ', 'g'), '&quot;', '"', 'g'),
+        |        '&#39;', '''', 'g'), '&lt;', '<', 'g'),
+        |        '&gt;', '>', 'g'), '&amp;', '&', 'g')),
+        |      '\s+', ' ', 'g')) AS anchor
+        |  FROM e),
+        |t AS (SELECT url, unnest(string_split(anchor, ' ')) AS term FROM n),
+        |c AS (SELECT url, term, count(*) AS n FROM t
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |r AS (SELECT url, term, n, row_number() OVER (PARTITION BY url
+        |    ORDER BY n DESC, term) AS rank FROM c)
+        |SELECT url, term, n, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

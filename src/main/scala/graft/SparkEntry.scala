@@ -2964,6 +2964,61 @@ object SparkEntry {
       emb, emb.filter($"vec_id" % 20 === 0), "vec_id", "embedding", 0.9)
   }
 
+  /** C48: join-size pre-flight — the exact cardinality events ⋈
+    * customer WOULD produce, from per-key counts alone (key-cardinality
+    * join, never fact-cardinality); events carries genuine orphan
+    * user_ids so the matched/unmatched split is non-trivial
+    * (operators.Analytics.joinSizeProfile).
+    */
+  private def qJoinSize(s: SparkSession, dir: String): DataFrame =
+    operators.Analytics.joinSizeProfile(
+      table(s, dir, "events"), table(s, dir, "customer"),
+      "user_id", "c_custkey")
+
+  /** C49: reciprocal-rank fusion — per-nation customer top-10s by
+    * revenue and by order count fused into one ranking, score =
+    * Σ 1/(60+rank) (two fixed-order reciprocals of exact ints — raw
+    * double safe) (operators.Analytics.rrfFuse).
+    */
+  private def qRrfFuse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = table(s, dir, "orders")
+      .join(table(s, dir, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey".as("q"), $"o_custkey".as("d"))
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long")).as("cents"),
+        count(lit(1)).as("cnt"))
+    val wA = Window.partitionBy($"q").orderBy($"cents".desc, $"d")
+    val wB = Window.partitionBy($"q").orderBy($"cnt".desc, $"d")
+    val a = base.withColumn("rank", row_number().over(wA))
+      .filter($"rank" <= 10).select($"q", $"d", $"rank")
+    val b = base.withColumn("rank", row_number().over(wB))
+      .filter($"rank" <= 10).select($"q", $"d", $"rank")
+    operators.Analytics.rrfFuse(a, b, "q", "d", "rank", 60, 5)
+      .select($"q".as("nation_key"), $"d".as("cust"), $"rrf",
+        $"fused_rank")
+  }
+
+  /** E71: anchor-text aggregation — the web-graph relevance signal:
+    * per link target, the terms OTHER pages use when linking to it
+    * (operators.Corpus.anchorText). Decorated anchors exercise the
+    * traps: uppercase tag/attr, mixed-case URL needing
+    * canonicalization, inner markup + entity in the anchor text, and a
+    * relative href that must drop.
+    */
+  private def qAnchorText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val html = concat(lit("<p>"), $"text",
+      lit("</p><A Href=\"HTTPS://Docs.Example.ORG/t"),
+      ($"doc_id" % 4).cast("string"),
+      lit("\">Best "), $"lang",
+      lit(" guide</A><a href='https://cdn.example.net/d/"),
+      ($"doc_id" % 3).cast("string"),
+      lit("'>download <b>now</b> &amp; docs</a><a href=\"/rel\">skip</a>"))
+    operators.Corpus.anchorText(
+      table(s, dir, "documents").select(html.as("html")), "html", 3)
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3150,7 +3205,10 @@ object SparkEntry {
     "q_attribution_linear" -> (qAttributionLinear _),
     "q_template_detect" -> (qTemplateDetect _),
     "q_fd_check" -> (qFdCheck _),
-    "q_semantic_decontam" -> (qSemanticDecontam _))
+    "q_semantic_decontam" -> (qSemanticDecontam _),
+    "q_join_size" -> (qJoinSize _),
+    "q_rrf_fuse" -> (qRrfFuse _),
+    "q_anchor_text" -> (qAnchorText _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -274,6 +274,80 @@ object Analytics {
       .drop("bn", "bmean", "bvar", "bvariant")
   }
 
+  /** Join-size pre-flight: the EXACT output cardinality of
+    * left ⋈ right on a key, computed WITHOUT running the join —
+    * per-key counts on each side (two keyed aggs), joined at
+    * key-cardinality (never fact-cardinality), Σ nₗ·nᵣ. The companion
+    * to [[keySkewProfile]]: skew says how one input distributes, this
+    * says what a join of two will produce — the number that decides
+    * broadcast vs shuffle vs salt BEFORE the 100 TB join is launched,
+    * plus the hottest key's share of the blow-up (`max_key_out` —
+    * a single key producing most of the output is the AQE-skew /
+    * salting signal).
+    *
+    * All exact integer arithmetic; products/sums in decimal(38,0)
+    * (hot-key nₗ·nᵣ alone can pass 2⁶³ at web scale).
+    *
+    * @return one row: n_keys_left/right/matched, rows_left/right,
+    *         predicted_rows, max_key_out.
+    */
+  def joinSizeProfile(left: DataFrame, right: DataFrame,
+                      lKey: String, rKey: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val l = left.filter(col(lKey).isNotNull).groupBy(col(lKey).as("k"))
+      .agg(count(lit(1)).cast(dec).as("nl"))
+    val r = right.filter(col(rKey).isNotNull).groupBy(col(rKey).as("k"))
+      .agg(count(lit(1)).cast(dec).as("nr"))
+    val m = l.join(r, Seq("k"), "full_outer")
+    m.agg(
+      count(when(col("nl").isNotNull, 1)).as("n_keys_left"),
+      count(when(col("nr").isNotNull, 1)).as("n_keys_right"),
+      count(when(col("nl").isNotNull && col("nr").isNotNull, 1))
+        .as("n_keys_matched"),
+      coalesce(sum(col("nl")), lit(0).cast(dec)).cast("long").as("rows_left"),
+      coalesce(sum(col("nr")), lit(0).cast(dec)).cast("long").as("rows_right"),
+      coalesce(sum(col("nl") * col("nr")), lit(0).cast(dec)).cast("long")
+        .as("predicted_rows"),
+      coalesce(max(col("nl") * col("nr")), lit(0).cast(dec)).cast("long")
+        .as("max_key_out"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): merge two rankings
+    * of the same candidate space — BM25 beside ANN, spend beside
+    * frequency — into one, score = Σ 1/(k + rankᵢ). Rank-based, so no
+    * score calibration between the rankers is needed; k=60 is the
+    * literature constant.
+    *
+    * Scale shape: ONE full-outer equi-join on (query, doc) — both
+    * sides are top-N rankings, so the join is bounded by the ranking
+    * sizes, not any corpus — then a per-query window over ≤ 2N
+    * candidate rows. The score is a TWO-term fixed-order IEEE sum of
+    * exact-integer reciprocals (1/(k+rank) each ONE division) —
+    * engine-stable, no accumulation-order ambiguity. Ties break on
+    * doc id; absent-from-one-ranking contributes 0 (the RRF
+    * convention).
+    *
+    * @param a,b (qCol, docCol, rankCol) rankings, rank 1-based.
+    * @return (query, doc, rrf, fused_rank) top `topN` per query.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, qCol: String, docCol: String,
+              rankCol: String, k: Int, topN: Int): DataFrame = {
+    val ar = a.select(col(qCol).as("q"), col(docCol).as("d"),
+      col(rankCol).as("ra"))
+    val br = b.select(col(qCol).as("q"), col(docCol).as("d"),
+      col(rankCol).as("rb"))
+    val fused = ar.join(br, Seq("q", "d"), "full_outer")
+      .select(col("q"), col("d"),
+        (coalesce(lit(1.0) / (lit(k) + col("ra")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("rb")).cast("double"), lit(0.0)))
+          .as("rrf"))
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("rrf").desc, col("d"))
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= topN)
+      .select(col("q"), col("d"), col("rrf"), col("fused_rank"))
+  }
+
   /** u strictly dominates v: ≥ on every dim, > on at least one (both
     * already normalized to bigger-is-better). Equal points never
     * dominate each other — duplicates of a Pareto point ALL survive.

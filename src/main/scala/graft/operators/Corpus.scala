@@ -619,6 +619,55 @@ object Corpus {
       (col("z_milli") >= 0).as("keep"))
   }
 
+  /** Anchor-text aggregation — the classic web-graph relevance signal:
+    * for every link TARGET, the terms other pages use when linking to
+    * it (what search engines index a page under beyond its own
+    * content). Harvests `<a href>…</a>` (href, anchor) pairs with two
+    * aligned `regexp_extract_all` passes (groups 1 and 2 of ONE
+    * pattern — identical match sequence, so the zip is positionally
+    * exact), keeps absolute http(s) targets, canonicalizes the target
+    * with [[graft.functions.TextFunctions.normalizeUrl]], cleans the
+    * anchor (inner tags → space, the stripHtml entity fold with &amp;
+    * last, lowercase, whitespace collapse), and counts terms per
+    * target.
+    *
+    * Scale shape: extraction/cleaning run inside the scan stage
+    * (RE2 ∩ Java patterns, oracle replays them); the (url, term)
+    * count is the ONLY data-sized shuffle; the top-k rank window runs
+    * over per-url DISTINCT TERM counts (vocabulary-bounded, the
+    * keyword_topk rationale), ties (count desc, term asc).
+    *
+    * @return (url, term, n, rank) — top `topK` anchor terms per target.
+    */
+  def anchorText(pages: DataFrame, htmlCol: String, topK: Int): DataFrame = {
+    val pat = "(?is)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</a>"
+    val pairs = pages
+      .withColumn("__u", regexp_extract_all(col(htmlCol), lit(pat), lit(1)))
+      .withColumn("__t", regexp_extract_all(col(htmlCol), lit(pat), lit(2)))
+      .select(explode(arrays_zip(col("__u"), col("__t"))).as("l"))
+      .select(col("l.__u").as("raw_url"), col("l.__t").as("raw_anchor"))
+      .filter(col("raw_url").rlike("(?i)^https?://"))
+    val noTags = regexp_replace(col("raw_anchor"), "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'",
+      "&lt;" -> "<", "&gt;" -> ">", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (acc, (ent, ch)) =>
+      regexp_replace(acc, ent, ch)
+    }
+    val cleaned = pairs.select(
+      graft.functions.TextFunctions.normalizeUrl(col("raw_url")).as("url"),
+      trim(regexp_replace(lower(decoded), "\\s+", " ")).as("anchor"))
+    val counts = cleaned
+      .select(col("url"), explode(split(col("anchor"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("url"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("n").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Template detection (boilerplate-page clustering): docs sharing a
     * STRUCTURE skeleton — every alphanumeric run collapsed to `#`,
     * whitespace normalized — group under one md5 fingerprint, so pages

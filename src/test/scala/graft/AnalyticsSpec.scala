@@ -331,4 +331,46 @@ class AnalyticsSpec extends AnyFunSuite {
       .agg(sum($"credited_cents")).head.getLong(0)
     assert(credited <= 1999L && credited >= 1997L)
   }
+
+  test("joinSizeProfile: predicted cardinality is EXACT, orphans split") {
+    val l = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("x", 5))
+      .toDF("k", "v") // a:3 b:1, x orphan-left
+    val r = Seq(("a", 1), ("a", 2), ("b", 1), ("y", 9), ("z", 9))
+      .toDF("k", "v") // a:2 b:1, y z orphan-right
+    val p = Analytics.joinSizeProfile(l, r, "k", "k").head
+    assert(p.getAs[Long]("n_keys_left") == 3L)
+    assert(p.getAs[Long]("n_keys_right") == 4L)
+    assert(p.getAs[Long]("n_keys_matched") == 2L)
+    assert(p.getAs[Long]("rows_left") == 5L &&
+      p.getAs[Long]("rows_right") == 5L)
+    // a: 3·2 = 6, b: 1·1 = 1 → 7; the real join agrees
+    assert(p.getAs[Long]("predicted_rows") == 7L)
+    assert(p.getAs[Long]("max_key_out") == 6L)
+    assert(l.join(r, Seq("k")).count() == 7L)
+    // null keys never pair (inner-join semantics)
+    val ln = Seq((Some("a"), 1), (None, 2)).toDF("k", "v")
+    assert(Analytics.joinSizeProfile(ln, ln, "k", "k").head
+      .getAs[Long]("predicted_rows") == 1L)
+  }
+
+  test("rrfFuse: both-list docs outrank single-list, absent adds zero") {
+    // query 1: A ranks d1=1, d2=2; B ranks d2=1, d3=2 →
+    //   d2: 1/62 + 1/61, d1: 1/61, d3: 1/62 → d2 first, then d1, d3
+    val a = Seq((1L, "d1", 1L), (1L, "d2", 2L)).toDF("q", "d", "rank")
+    val b = Seq((1L, "d2", 1L), (1L, "d3", 2L)).toDF("q", "d", "rank")
+    val got = Analytics.rrfFuse(a, b, "q", "d", "rank", 60, 10)
+      .collect().map(r => r.getAs[String]("d") ->
+        ((r.getAs[Long]("fused_rank"), r.getAs[Double]("rrf")))).toMap
+    assert(got("d2") == ((1L, 1.0 / 62 + 1.0 / 61)))
+    assert(got("d1") == ((2L, 1.0 / 61)))
+    assert(got("d3") == ((3L, 1.0 / 62)))
+    // identical scores tie-break on doc id
+    val t = Analytics.rrfFuse(
+      Seq((1L, "z", 1L), (1L, "y", 1L)).toDF("q", "d", "rank").filter($"d" === "z"),
+      Seq((1L, "y", 1L)).toDF("q", "d", "rank"),
+      "q", "d", "rank", 60, 10).collect()
+      .map(r => r.getAs[String]("d") -> r.getAs[Long]("fused_rank")).toMap
+    assert(t == Map("y" -> 1L, "z" -> 2L)) // equal 1/61 → y < z
+  }
+
 }

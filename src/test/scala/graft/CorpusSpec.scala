@@ -489,4 +489,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.templateFingerprint(docs, "doc_id", "text", 3L).count() == 0L)
   }
 
+  test("anchorText: href/anchor align, markup+entities clean, topK ties") {
+    val pages = Seq(
+      "<a href=\"https://t.example.org/a\">Great <i>Spark</i> guide</a>" +
+        "<a href=\"/rel\">skip me</a>" +
+        "<A HREF=\"HTTPS://T.Example.ORG/a\">great &amp; fast</A>",
+      "<a href='https://t.example.org/a'>spark guide</a>" +
+        "<a href='ftp://x.example.org/f'>not http</a>")
+      .toDF("html")
+    val got = graft.operators.Corpus.anchorText(pages, "html", 3)
+      .collect().map(r => (r.getAs[String]("url"), r.getAs[String]("term"),
+        r.getAs[Long]("n"), r.getAs[Long]("rank")))
+    // both case variants canonicalize to ONE target; terms across pages:
+    // guide 2, great 2, spark 2, & 1, fast 1 → top3 = guide, great, spark
+    // (count desc, term asc; '&' and 'fast' at n=1 fall below topK)
+    assert(got.forall(_._1 == "https://t.example.org/a"))
+    assert(got.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq(("great", 2L, 1L), ("guide", 2L, 2L), ("spark", 2L, 3L)))
+  }
+
 }

@@ -350,5 +350,22 @@ class PlanAuditSpec extends AnyFunSuite {
     // FD audit: per-dependency keyed aggregates, no joins at all
     val fd = plan("q_fd_check")
     assert(!fd.contains("Join"), fd.take(1200))
+    // join-size pre-flight: both inputs collapse to per-key counts
+    // (partial_count before each exchange) and the full-outer join
+    // runs at key cardinality — the fact tables never join
+    val js = plan("q_join_size")
+    assert(js.contains("partial_count"), js.take(1500))
+    assert(!js.contains("BroadcastNestedLoopJoin"))
+    // anchor text: extraction + cleaning are scan-stage expressions;
+    // the (url, term) count is the only data-sized exchange, the
+    // rank window runs AFTER aggregation
+    val at = plan("q_anchor_text")
+    assert(at.contains("regexp_extract_all"), at.take(1200))
+    assert(!at.contains("Join"))
+    // rrf fusion: equi-join of the two rankings (never nested-loop)
+    val rf = plan("q_rrf_fuse")
+    assert(rf.contains("FullOuter"), rf.take(1500))
+    assert(!rf.contains("BroadcastNestedLoopJoin") &&
+      !rf.contains("CartesianProduct"))
   }
 }
