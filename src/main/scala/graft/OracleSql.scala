@@ -3559,6 +3559,47 @@ object OracleSql {
         |SELECT url, term, n, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3""".stripMargin,
 
+    "q_quality_percentile" ->
+      // rank/percentile arithmetic is pure integers — the // matches
+      // Spark's div on the non-negative operands here
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id, score,
+        |    row_number() OVER (ORDER BY score, doc_id) AS rank,
+        |    count(*) OVER () AS n
+        |  FROM s)
+        |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank,
+        |  CAST(rank * 10000 // n AS BIGINT) AS pct_bp,
+        |  rank * 10000 > n * 7500 AS keep
+        |FROM r""".stripMargin,
+
+    "q_novelty" -> {
+      def gramsOf(src: String) =
+        s"""SELECT DISTINCT id,
+           |    w[u.i]||' '||w[u.i+1]||' '||w[u.i+2]||' '||w[u.i+3]||' '||w[u.i+4] AS sh
+           |  FROM (SELECT doc_id AS id, string_split(${normOf("text")}, ' ') AS w
+           |        FROM $src) t,
+           |       unnest(generate_series(1, len(w) - 4)) AS u(i)""".stripMargin
+      // NOT EXISTS (not NOT IN): null-safe mirror of the anti join
+      s"""WITH probe AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 4000000, text FROM documents
+         |    WHERE doc_id % 14 = 0),
+         |ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |pg AS (${gramsOf("probe")}),
+         |rg AS (SELECT DISTINCT sh FROM (${gramsOf("ref")}) g),
+         |tot AS (SELECT id, count(*) AS n_grams FROM pg GROUP BY 1),
+         |nv AS (SELECT id, count(*) AS n_novel FROM pg
+         |  WHERE NOT EXISTS (SELECT 1 FROM rg WHERE rg.sh = pg.sh)
+         |  GROUP BY 1)
+         |SELECT tot.id, tot.n_grams,
+         |  coalesce(nv.n_novel, 0) AS n_novel,
+         |  CAST(coalesce(nv.n_novel, 0) AS DOUBLE) /
+         |    CAST(tot.n_grams AS DOUBLE) AS novelty
+         |FROM tot LEFT JOIN nv ON tot.id = nv.id""".stripMargin
+    },
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

@@ -3019,6 +3019,36 @@ object SparkEntry {
       table(s, dir, "documents").select(html.as("html")), "html", 3)
   }
 
+  /** C50: corpus-percentile score calibration — "keep the top 25% by
+    * token count" as exact integer rank arithmetic over the two-level
+    * global rank; the percentile-based (distribution-tracking) form
+    * production curation gates use (operators.Stats
+    * .percentileCalibrate).
+    */
+  private def qQualityPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = table(s, dir, "documents")
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("score"))
+    operators.Stats.percentileCalibrate(scored, "doc_id", "score", 2500L)
+  }
+
+  /** E72: n-gram novelty vs a reference corpus — "is this crawl adding
+    * anything": probe docs (odd ids, plus planted exact copies of
+    * reference docs that must score novelty 0) against the even-id
+    * reference's distinct word-5-gram set (operators.Corpus
+    * .noveltyScore).
+    */
+  private def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents").select($"doc_id", $"text")
+    val probe = d.filter($"doc_id" % 2 === 1)
+      .unionByName(d.filter($"doc_id" % 14 === 0)
+        .select(($"doc_id" + 4000000).as("doc_id"), $"text"))
+    val ref = d.filter($"doc_id" % 2 === 0)
+    operators.Corpus.noveltyScore(probe, ref, "text", "doc_id", 5)
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3208,7 +3238,9 @@ object SparkEntry {
     "q_semantic_decontam" -> (qSemanticDecontam _),
     "q_join_size" -> (qJoinSize _),
     "q_rrf_fuse" -> (qRrfFuse _),
-    "q_anchor_text" -> (qAnchorText _))
+    "q_anchor_text" -> (qAnchorText _),
+    "q_quality_percentile" -> (qQualityPercentile _),
+    "q_novelty" -> (qNovelty _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -619,6 +619,39 @@ object Corpus {
       (col("z_milli") >= 0).as("keep"))
   }
 
+  /** N-gram novelty against a reference corpus: per probe doc, the
+    * fraction of its distinct word n-grams absent from the reference's
+    * gram set — the information-gain side of decontamination (E22
+    * flags overlap with an EVAL set; this scores NEW batches against
+    * what the corpus already holds, the "is this crawl adding
+    * anything" number dedup can't give: a doc can be no one's
+    * near-duplicate yet contribute nothing but already-seen phrases).
+    *
+    * Scale shape: distinct (doc, gram) via the native shingle
+    * expression, the ref gram set is gram-keyed — the anti join is an
+    * equi-join on the gram (hash-partitionable; at 100 TB the ref set
+    * is a gram-bucketed table and this is a shuffle-free bucket
+    * join, the E40/E45 store discipline); two keyed aggs after.
+    * `novelty` is ONE raw double division of exact ints. Docs with
+    * fewer than n words have no grams and drop from the report.
+    *
+    * @return (id, n_grams, n_novel, novelty).
+    */
+  def noveltyScore(probe: DataFrame, ref: DataFrame, textCol: String,
+                   idCol: String, n: Int): DataFrame = {
+    val pg = Dedup.docShingles(probe, textCol, idCol, n)
+    val rg = Dedup.docShingles(ref, textCol, idCol, n)
+      .select(col("sh")).distinct()
+    val tot = pg.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val novel = pg.join(rg, Seq("sh"), "left_anti")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_novel"))
+    tot.join(novel, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+  }
+
   /** Anchor-text aggregation — the classic web-graph relevance signal:
     * for every link TARGET, the terms other pages use when linking to
     * it (what search engines index a page under beyond its own

@@ -185,6 +185,32 @@ object Stats {
     *
     * @return df plus `rankCol` (long, 1-based).
     */
+  /** Corpus-percentile calibration of a per-row integer score — the
+    * curation gate "keep the top X% by quality/length/score" expressed
+    * as EXACT rank arithmetic: global ascending rank via
+    * [[globalValueRank]]'s two-level plan (no single-partition window
+    * ever sees data-sized frames), percentile in basis points
+    * `rank·10⁴ div n`, keep ⟺ `rank·10⁴ > n·(10⁴ − keepTopBp)` — all
+    * integers, no float percentile to disagree on. Threshold-free by
+    * construction: a corpus-wide score distribution shift moves the
+    * cut with it, which is why production curation gates are
+    * percentile-based rather than absolute.
+    *
+    * @return (idCol, scoreCol, rank, pct_bp, keep).
+    */
+  def percentileCalibrate(df: DataFrame, idCol: String, scoreCol: String,
+                          keepTopBp: Long): DataFrame = {
+    require(keepTopBp >= 0 && keepTopBp <= 10000)
+    val ranked = globalValueRank(df.select(col(idCol), col(scoreCol)),
+      scoreCol, idCol, "rank")
+    val n = df.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(col(idCol), col(scoreCol), col("rank"),
+        expr("rank * 10000 div __n").as("pct_bp"),
+        (col("rank") * lit(10000L) >
+          col("__n") * lit(10000L - keepTopBp)).as("keep"))
+  }
+
   def globalValueRank(df: DataFrame, valueCol: String, tieCol: String,
                       rankCol: String,
                       bucketWidth: Long = 1L << 20): DataFrame = {

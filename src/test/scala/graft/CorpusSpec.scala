@@ -508,4 +508,24 @@ class CorpusSpec extends AnyFunSuite {
       Seq(("great", 2L, 1L), ("guide", 2L, 2L), ("spark", 2L, 3L)))
   }
 
+  test("noveltyScore: copies score 0, disjoint 1, overlap exact") {
+    val ref = Seq((2L, "a b c d e f")).toDF("doc_id", "text")
+    // ref grams (5-gram): "a b c d e", "b c d e f"
+    val probe = Seq(
+      (1L, "a b c d e f"),  // exact copy → novelty 0
+      (3L, "p q r s t u"),  // disjoint vocabulary → novelty 1
+      (5L, "a b c d e zz"), // grams: "a b c d e" (seen) + "b c d e zz" → 1/2
+      (7L, "a b c"))        // < 5 words → no grams → absent from report
+      .toDF("doc_id", "text")
+    val got = graft.operators.Corpus
+      .noveltyScore(probe, ref, "text", "doc_id", 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(got(1L) == ((2L, 0L, 0.0)))
+    assert(got(3L) == ((2L, 2L, 1.0)))
+    assert(got(5L) == ((2L, 1L, 0.5)))
+    assert(!got.contains(7L) && got.size == 3)
+  }
+
 }

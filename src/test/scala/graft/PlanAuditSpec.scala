@@ -367,5 +367,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rf.contains("FullOuter"), rf.take(1500))
     assert(!rf.contains("BroadcastNestedLoopJoin") &&
       !rf.contains("CartesianProduct"))
+    // percentile calibration: two-level rank — every window is either
+    // bucket-keyed or bucket-cardinality; no global data-sized sort
+    val qp = plan("q_quality_percentile")
+    assert(qp.contains("Window"), qp.take(1200))
+    // novelty: the ref-gram screen is an ANTI equi-join on the gram,
+    // and gram assembly rides the native shingle expression
+    val nv = plan("q_novelty")
+    assert(nv.contains("LeftAnti"), nv.take(1500))
+    assert(nv.contains("word_shingles"))
+    assert(!nv.contains("BroadcastNestedLoopJoin"))
   }
 }

@@ -170,4 +170,24 @@ class StatsProfileSpec extends AnyFunSuite {
     assert(self.getAs[Long]("n_violating") == 0L)
   }
 
+  test("percentileCalibrate: exact integer percentiles, top-X% gate") {
+    // scores 10,20,30,40 → ranks 1..4; keep top 25% ⟺ rank·10⁴ > n·7500
+    // ⟺ rank > 3 → only the rank-4 row
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("id", "score")
+    val got = Stats.percentileCalibrate(df, "id", "score", 2500L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("pct_bp"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L) == ((1L, 2500L, false)))
+    assert(got(2L) == ((2L, 5000L, false)))
+    assert(got(3L) == ((3L, 7500L, false))) // boundary: 30000 > 30000 is false
+    assert(got(4L) == ((4L, 10000L, true)))
+    // equal scores: rank ties break on id — deterministic at any split
+    val ties = Seq((9L, 5L), (3L, 5L), (7L, 5L)).toDF("id", "score")
+    val r2 = Stats.percentileCalibrate(ties.repartition(5), "id", "score", 10000L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+    assert(r2 == Map(3L -> 1L, 7L -> 2L, 9L -> 3L))
+  }
+
 }
