@@ -3600,6 +3600,22 @@ object OracleSql {
          |FROM tot LEFT JOIN nv ON tot.id = nv.id""".stripMargin
     },
 
+    "q_state_runs" ->
+      """WITH x AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |y AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+        |    THEN 1 ELSE 0 END AS chg FROM x),
+        |z AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM y)
+        |SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+        |  event_type AS state, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM z GROUP BY 1, 2, 3""".stripMargin,
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

@@ -3049,6 +3049,15 @@ object SparkEntry {
     operators.Corpus.noveltyScore(probe, ref, "text", "doc_id", 5)
   }
 
+  /** F18: state-change islands — contiguous same-event-type runs per
+    * user as run-length encoding of the state timeline; the
+    * state-conditioned sibling of gap sessionization, one keyed
+    * shuffle (operators.Sessions.stateRuns).
+    */
+  private def qStateRuns(s: SparkSession, dir: String): DataFrame =
+    operators.Sessions.stateRuns(table(s, dir, "events"),
+      "user_id", "ts", "event_id", "event_type")
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3240,7 +3249,8 @@ object SparkEntry {
     "q_rrf_fuse" -> (qRrfFuse _),
     "q_anchor_text" -> (qAnchorText _),
     "q_quality_percentile" -> (qQualityPercentile _),
-    "q_novelty" -> (qNovelty _))
+    "q_novelty" -> (qNovelty _),
+    "q_state_runs" -> (qStateRuns _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

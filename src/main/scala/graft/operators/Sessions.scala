@@ -67,6 +67,38 @@ object Sessions {
       .orderBy(col("n_sessions").desc, col("path").asc)
       .limit(k)
 
+  /** F18: state-change islands (run-length encoding of a per-key state
+    * timeline): contiguous runs of the SAME state collapse to one row
+    * with span + volume — device up/down phases, order-status
+    * stretches, user-mode episodes. The state-conditioned sibling of
+    * gap-based sessionization (a new session starts on TIME distance,
+    * a new run starts on STATE change), same plan: one keyed
+    * shuffle+sort carrying a lag pass and a running flag-sum, then the
+    * per-run aggregate — O(1) window state, no self-join (the naive
+    * "find run boundaries by joining neighbors" is quadratic per key).
+    * Ties on the timestamp break by `tieCol`; timestamps surface as
+    * epoch micros (engine-portable integers).
+    *
+    * @return (key, run_id, state, n_events, start_us, end_us), run_id
+    *         1-based per key in timeline order.
+    */
+  def stateRuns(events: DataFrame, keyCol: String, tsCol: String,
+                tieCol: String, stateCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val us = unix_micros(col(tsCol))
+    val prev = lag(col(stateCol), 1).over(byKey)
+    val change = when(prev.isNull || prev =!= col(stateCol), 1L)
+      .otherwise(0L)
+    events
+      .withColumn("__chg", change)
+      .withColumn("run_id", sum(col("__chg")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("run_id"), col(stateCol).as("state"))
+      .agg(count(lit(1)).as("n_events"),
+        min(us).as("start_us"), max(us).as("end_us"))
+  }
+
   /** F2: tumbling-window aggregate (batch form of the streaming windowed
     * agg); hour bucket exposed as epoch micros.
     */

@@ -373,4 +373,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(t == Map("y" -> 1L, "z" -> 2L)) // equal 1/61 → y < z
   }
 
+  test("stateRuns: RLE islands split on state change, not time gaps") {
+    val rows = Seq(
+      (1L, 0L, 1L, "up"), (1L, 10L, 2L, "up"), (1L, 900L, 3L, "up"),
+      (1L, 901L, 4L, "down"), (1L, 902L, 5L, "up"), // up again → NEW run
+      (2L, 0L, 6L, "down"))
+    val df = rows.toDF("user_id", "secs", "event_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val got = graft.operators.Sessions
+      .stateRuns(df, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("run_id")) ->
+        ((r.getAs[String]("state"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))).toMap
+    // user 1: up×3 (huge time gap does NOT split), down×1, up×1
+    assert(got((1L, 1L)) == (("up", 3L, 0L, 900000000L)))
+    assert(got((1L, 2L)) == (("down", 1L, 901000000L, 901000000L)))
+    assert(got((1L, 3L)) == (("up", 1L, 902000000L, 902000000L)))
+    assert(got((2L, 1L)) == (("down", 1L, 0L, 0L)))
+    assert(got.size == 4)
+  }
+
 }
