@@ -3600,6 +3600,40 @@ object OracleSql {
          |FROM tot LEFT JOIN nv ON tot.id = nv.id""".stripMargin
     },
 
+    "q_time_weighted" ->
+      // cents·Δµs folds as exact integers (HUGEINT); twa is ONE raw
+      // double division — keySkewProfile rule
+      """WITH x AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |y AS (SELECT *, lead(us) OVER (PARTITION BY event_type
+        |    ORDER BY us, event_id) AS nxt FROM x)
+        |SELECT event_type, count(*) AS n_samples,
+        |  max(us) - min(us) AS span_us,
+        |  CASE WHEN max(us) - min(us) > 0 THEN
+        |    CAST(sum(CASE WHEN nxt IS NOT NULL
+        |      THEN cents * (nxt - us) END) AS DOUBLE) /
+        |    CAST(max(us) - min(us) AS DOUBLE)
+        |  END AS twa
+        |FROM y GROUP BY 1""".stripMargin,
+
+    "q_lateness" ->
+      """WITH x AS (SELECT event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |y AS (SELECT *, greatest(0, coalesce(max(us) OVER (
+        |    PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us, 0))
+        |      AS late
+        |  FROM x)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(CASE WHEN late > 0 THEN 1 END) AS n_late,
+        |  max(late) AS max_late_us,
+        |  count(CASE WHEN late > 60000000 THEN 1 END) AS n_late_gt_60000000,
+        |  count(CASE WHEN late > 300000000 THEN 1 END) AS n_late_gt_300000000,
+        |  count(CASE WHEN late > 3600000000 THEN 1 END)
+        |    AS n_late_gt_3600000000
+        |FROM y GROUP BY 1""".stripMargin,
+
     "q_state_runs" ->
       """WITH x AS (SELECT user_id, epoch_us(ts) AS us, event_id,
         |    event_type,

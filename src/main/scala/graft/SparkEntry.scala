@@ -3058,6 +3058,33 @@ object SparkEntry {
     operators.Sessions.stateRuns(table(s, dir, "events"),
       "user_id", "ts", "event_id", "event_type")
 
+  /** F19: time-weighted average gauge per event type — step
+    * interpolation over the irregular sample timeline; the
+    * metering/billing mean that burst sampling can't skew
+    * (operators.TimeSeries.timeWeightedAvg).
+    */
+  private def qTimeWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select($"event_type", unix_micros($"ts").as("us"), $"event_id",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.TimeSeries.timeWeightedAvg(ev, "event_type", "us",
+      "event_id", "cents")
+  }
+
+  /** F20: watermark pre-flight — per event type, arrival lateness vs
+    * the running event-time high-water mark (arrival order =
+    * event_id), with drop counts at 1 min / 5 min / 1 h candidate
+    * watermark delays (operators.TimeSeries.latenessProfile).
+    */
+  private def qLateness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select($"event_type", unix_micros($"ts").as("us"), $"event_id")
+    operators.TimeSeries.latenessProfile(ev, "event_type", "us",
+      "event_id", Seq(60000000L, 300000000L, 3600000000L))
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3250,7 +3277,9 @@ object SparkEntry {
     "q_anchor_text" -> (qAnchorText _),
     "q_quality_percentile" -> (qQualityPercentile _),
     "q_novelty" -> (qNovelty _),
-    "q_state_runs" -> (qStateRuns _))
+    "q_state_runs" -> (qStateRuns _),
+    "q_time_weighted" -> (qTimeWeighted _),
+    "q_lateness" -> (qLateness _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

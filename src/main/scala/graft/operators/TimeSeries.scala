@@ -235,6 +235,75 @@ object TimeSeries {
       last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** F19: time-weighted average of an irregularly-sampled gauge — each
+    * sample holds until the next one (step interpolation), so
+    * TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first); the metering/billing
+    * average a plain mean gets WRONG whenever sampling is bursty
+    * (a gauge polled 100× during one spike would dominate the
+    * unweighted mean).
+    *
+    * One keyed shuffle+sort carries the single lead() pass; the
+    * weighted sum folds cents·Δµs in decimal(38,0) (exact at any
+    * parallelism — one spike term alone can pass 2⁵⁹), and the TWA is
+    * ONE raw double division of exact integers. The last sample spans
+    * zero time and contributes nothing; single-sample keys → null.
+    *
+    * @return per key: n_samples, span_us, twa (raw double).
+    */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, usCol: String,
+                      tieCol: String, centsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(usCol), col(tieCol))
+    val dec = "decimal(38,0)"
+    df.withColumn("__next", lead(col(usCol), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_samples"),
+        (max(col(usCol)) - min(col(usCol))).as("span_us"),
+        sum(when(col("__next").isNotNull,
+          col(centsCol).cast(dec) *
+            (col("__next") - col(usCol)).cast(dec))).as("__wsum"))
+      .select(col(keyCol), col("n_samples"), col("span_us"),
+        when(col("span_us") > 0,
+          col("__wsum").cast("double") / col("span_us").cast("double"))
+          .as("twa"))
+  }
+
+  /** F20: out-of-order lateness profile — the pre-flight numbers for
+    * choosing a streaming WATERMARK delay: per key, how far behind the
+    * running event-time high-water mark events actually arrive
+    * (lateness of arrival i = max(0, max_{j<i} tⱼ − tᵢ) in ARRIVAL
+    * order), and how many would be dropped at candidate delays. A
+    * watermark guess without this table is folklore; with it, "1 min
+    * covers 99.2% of events" is a measurement.
+    *
+    * One keyed shuffle+sort in arrival order (`arrivalCol` — ingest
+    * sequence, not event time) carrying a prefix-max window; the
+    * per-delay verdicts are conditional counts in ONE aggregate. All
+    * exact integer µs.
+    *
+    * @return per key: n_events, n_late (lateness > 0), max_late_us,
+    *         and n_late_gt_<delay> per requested delay.
+    */
+  def latenessProfile(df: DataFrame, keyCol: String, usCol: String,
+                      arrivalCol: String,
+                      delaysUs: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = greatest(lit(0L),
+      coalesce(max(col(usCol)).over(w) - col(usCol), lit(0L)))
+    val aggs = Seq(
+      count(lit(1)).as("n_events"),
+      count(when(col("__late") > 0, 1)).as("n_late"),
+      max(col("__late")).as("max_late_us")) ++
+      delaysUs.map(d =>
+        count(when(col("__late") > d, 1)).as(s"n_late_gt_$d"))
+    df.withColumn("__late", late)
+      .groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** OHLC down-sampling: per (keys, fixed bucket of the integer time
     * column) emit open/high/low/close/count/volume in ONE map-
     * combinable aggregate — `min_by`/`max_by` carry (value, time)

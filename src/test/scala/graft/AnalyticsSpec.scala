@@ -393,4 +393,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("timeWeightedAvg: step interpolation beats burst-skewed mean") {
+    // gauge at 100 for 90µs, then burst-sampled at 0 ten times over
+    // 10µs: unweighted mean ≈ 9, but the gauge spent 90% of the span
+    // at 100 → TWA = 90
+    val rows = (Seq((0L, 100L)) ++ (1L to 10L).map(i => (90L + i, 0L)))
+      .zipWithIndex.map { case ((us, c), i) => ("g", us, i.toLong, c) }
+    val df = rows.toDF("k", "us", "tie", "cents")
+    val r = graft.operators.TimeSeries
+      .timeWeightedAvg(df, "k", "us", "tie", "cents").head
+    assert(r.getAs[Long]("n_samples") == 11L)
+    assert(r.getAs[Long]("span_us") == 100L)
+    // wsum = 100·(91−0) + 0·… = 9100 → 9100/100 = 91.0 (the first
+    // sample holds until the FIRST burst sample at 91)
+    assert(r.getAs[Double]("twa") == 91.0)
+    // single sample: zero span → null, not a division blow-up
+    val one = graft.operators.TimeSeries
+      .timeWeightedAvg(Seq(("s", 5L, 1L, 7L)).toDF("k", "us", "tie", "cents"),
+        "k", "us", "tie", "cents").head
+    assert(one.isNullAt(one.fieldIndex("twa")))
+  }
+
+  test("latenessProfile: lateness vs running high-water mark, delay cuts") {
+    // arrival order 1..5; event times: 100, 50 (late 50), 200,
+    // 199 (late 1), 300 → n_late 2, max 50; delay>10 drops only the 50
+    val df = Seq(("k", 100L, 1L), ("k", 50L, 2L), ("k", 200L, 3L),
+      ("k", 199L, 4L), ("k", 300L, 5L))
+      .toDF("k", "us", "arr")
+    val r = graft.operators.TimeSeries
+      .latenessProfile(df, "k", "us", "arr", Seq(10L)).head
+    assert(r.getAs[Long]("n_events") == 5L)
+    assert(r.getAs[Long]("n_late") == 2L)
+    assert(r.getAs[Long]("max_late_us") == 50L)
+    assert(r.getAs[Long]("n_late_gt_10") == 1L)
+  }
+
 }
