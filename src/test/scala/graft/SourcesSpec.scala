@@ -135,4 +135,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(odd.count() == 50L)
   }
 
+  test("DSv2 line sink: two-phase commit — rename-in, _SUCCESS, clean tmp") {
+    val dir = tmpDir()
+    val df = Seq((1L, "a\u00e9b", 1.5, true), (2L, "x", -0.25, false))
+      .toDF("id", "s", "v", "flag").repartition(2)
+    df.write.format("graft.sources.v2.LineSinkProvider")
+      .option("path", dir).mode("append").save()
+    val files = new java.io.File(dir).list().sorted.toSeq
+    // only committed part files + the job-level marker; no _tmp left
+    assert(files.forall(f => f == "_SUCCESS" || f.endsWith(".tsv")), files)
+    assert(files.contains("_SUCCESS") && !files.contains("_tmp"))
+    val lines = files.filter(_.endsWith(".tsv")).flatMap { f =>
+      scala.io.Source.fromFile(new java.io.File(dir, f), "UTF-8")
+        .getLines().toSeq
+    }.sorted
+    assert(lines == Seq("1\ta\u00e9b\t1.5\ttrue", "2\tx\t-0.25\tfalse").sorted)
+  }
+
+  test("DSv2 line sink: abort leaves the target untouched") {
+    val dir = tmpDir()
+    // drive the committer directly: a task that never commits leaves
+    // only temp state; driver abort must clean it without touching
+    // anything visible
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val bw = new graft.sources.v2.LineSinkBatchWrite(dir, schema)
+    bw.createBatchWriterFactory(null) // creates _tmp
+    val w = new graft.sources.v2.LineWriterFactory(dir, schema)
+      .createWriter(0, 7L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(99L))
+    w.abort() // task-side: temp file gone
+    bw.abort(Array.empty) // driver-side: _tmp gone, nothing renamed
+    val left = new java.io.File(dir).list().toSeq
+    assert(left.isEmpty, left)
+  }
+
 }
