@@ -85,4 +85,29 @@ class PipelineSpec extends AnyFunSuite {
     // metrics surface through the observation API on the last query
     assert(n > 0)
   }
+
+  test("PlanMetrics: shuffle budget assertions against executed plans") {
+    import graft.pipeline.PlanMetrics
+    val df = spark.range(0, 10000).toDF("id")
+      .groupBy(expr("id % 7").as("k")).count()
+    df.collect() // metrics exist only after execution
+    val m = PlanMetrics.summarize(df)
+    assert(m.shuffles == 1, m)
+    // partial aggregation means only the 7 per-partition-combined
+    // groups per partition cross the wire, never the 10k rows
+    assert(m.shuffleRecords > 0 && m.shuffleRecords < 10000, m)
+    assert(m.shuffleBytes > 0)
+    // a pure scan+filter must NOT shuffle — the §4 budget check
+    val scan = spark.range(0, 1000).toDF("id").filter(col("id") > 500)
+    scan.collect()
+    assert(PlanMetrics.summarize(scan) ==
+      PlanMetrics.Summary(0, 0, 0L, 0L))
+    // broadcast joins register as broadcasts, not shuffles
+    val dim = spark.range(0, 7).toDF("k")
+    val j = df.join(org.apache.spark.sql.functions.broadcast(dim), "k")
+    j.collect()
+    val jm = PlanMetrics.summarize(j)
+    assert(jm.broadcasts == 1 && jm.shuffles == 1, jm)
+  }
+
 }
