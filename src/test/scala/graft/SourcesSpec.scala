@@ -171,4 +171,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(left.isEmpty, left)
   }
 
+  test("BatchLedger: replays are no-ops, crash window heals, readers see only committed") {
+    import graft.sources.BatchLedger
+    val dir = tmpDir() + "/led"
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b2 = Seq((3L, "c")).toDF("id", "v")
+    assert(BatchLedger.publish(spark, b1, dir, "0001"))
+    assert(!BatchLedger.publish(spark, b1, dir, "0001")) // replay: no-op
+    assert(BatchLedger.publish(spark, b2, dir, "0002"))
+    assert(BatchLedger.read(spark, dir).count() == 3L) // never 5
+    // simulate the crash window: data written, ledger never updated
+    val b3 = Seq((4L, "d")).toDF("id", "v")
+    graft.sources.ParquetIo.replace(b3, dir + "/batch=0003")
+    assert(BatchLedger.orphaned(spark, dir, "0003"))
+    assert(BatchLedger.read(spark, dir).count() == 3L) // orphan invisible
+    // the re-run heals: rewrites the dir and commits it
+    assert(BatchLedger.publish(spark, b3, dir, "0003"))
+    assert(!BatchLedger.orphaned(spark, dir, "0003"))
+    assert(BatchLedger.read(spark, dir).count() == 4L)
+    // full history replay after everything: still exactly-once
+    Seq(("0001", b1), ("0002", b2), ("0003", b3)).foreach { case (id, df) =>
+      assert(!BatchLedger.publish(spark, df, dir, id))
+    }
+    assert(BatchLedger.read(spark, dir).count() == 4L)
+  }
+
 }
