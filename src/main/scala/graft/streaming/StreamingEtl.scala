@@ -236,6 +236,29 @@ object StreamingEtl {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Exactly-once append sink: foreachBatch + [[graft.sources
+    * .BatchLedger]] keyed by the epoch id. Structured Streaming
+    * guarantees AT-LEAST-once foreachBatch invocation (an epoch can
+    * re-fire after a crash between the batch body and the checkpoint
+    * commit); the ledger's batch-id dedup turns that into
+    * exactly-once APPENDS — a re-fired epoch is a no-op, a
+    * half-published one (crash inside the body) is invisible to
+    * [[graft.sources.BatchLedger.read]] until its re-run commits it.
+    * The standard epochId-keyed idempotent-sink recipe, with the
+    * crash-window analysis actually spec-tested.
+    */
+  def ledgerSink(df: DataFrame, targetPath: String,
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.sources.BatchLedger.publish(batch.sparkSession, batch,
+          targetPath, f"epoch$epochId%012d")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** F3 source side: treat a directory as an unbounded stream of parquet
     * drops — the engine tracks processed files (replacing
     * extract.py:115 etl_file_tracker).

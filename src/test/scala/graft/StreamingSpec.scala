@@ -276,4 +276,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(s.session_end_us - s.session_start_us == 120L * 1000000L)
     } finally q.stop()
   }
+
+  test("ledgerSink: epoch re-delivery and crash replay stay exactly-once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_lout").toString + "/t"
+    def writeBatch(ids: Range): Unit =
+      ids.map(i => Event(i, ts(i % 60), 1, "click", 1.0)).toDF()
+        .coalesce(1).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq.empty[Event].toDF().schema).parquet(dir)
+      val q = graft.streaming.StreamingEtl.ledgerSink(stream, out, ckpt)
+      q.awaitTermination()
+    }
+    writeBatch(0 until 10)
+    runOnce()
+    assert(graft.sources.BatchLedger.read(spark, out).count() == 10)
+    // crash-replay simulation: the SAME epoch body fires again (as it
+    // would after a crash between foreachBatch and checkpoint commit)
+    val replay = (0 until 10).map(i => Event(i, ts(i % 60), 1, "click", 1.0)).toDF()
+    assert(!graft.sources.BatchLedger.publish(spark, replay, out,
+      "epoch000000000000"))
+    assert(graft.sources.BatchLedger.read(spark, out).count() == 10)
+    // next scheduled run appends only the new epoch
+    writeBatch(10 until 15)
+    runOnce()
+    val rows = graft.sources.BatchLedger.read(spark, out)
+    assert(rows.count() == 15)
+    assert(rows.select("event_id").distinct().count() == 15)
+  }
+
 }
