@@ -3634,6 +3634,32 @@ object OracleSql {
         |    AS n_late_gt_3600000000
         |FROM y GROUP BY 1""".stripMargin,
 
+    "q_table_digest" ->
+      // 12-hex-digit md5 prefix → integer via DuckDB's '0x' cast
+      // (Spark side uses conv(,16,10)); summed digests are
+      // order-invariant so both engines agree on any row order
+      """WITH n AS (SELECT count(*) AS n_rows,
+        |    sum(CAST('0x' || substring(md5(concat_ws('|',
+        |      CAST(n_nationkey AS VARCHAR), n_name,
+        |      CAST(n_regionkey AS VARCHAR))), 1, 12) AS BIGINT))
+        |      AS digest
+        |  FROM nation),
+        |c AS (SELECT count(*) AS n_rows,
+        |    sum(CAST('0x' || substring(md5(concat_ws('|',
+        |      CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)), 1, 12)
+        |      AS BIGINT)) AS digest
+        |  FROM customer),
+        |o AS (SELECT count(*) AS n_rows,
+        |    sum(CAST('0x' || substring(md5(concat_ws('|',
+        |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |      o_orderstatus, o_orderpriority,
+        |      CAST(epoch_us(o_orderdate) AS VARCHAR))), 1, 12)
+        |      AS BIGINT)) AS digest
+        |  FROM orders)
+        |SELECT 'customer' AS tbl, n_rows, digest FROM c
+        |UNION ALL SELECT 'nation', n_rows, digest FROM n
+        |UNION ALL SELECT 'orders', n_rows, digest FROM o""".stripMargin,
+
     "q_state_runs" ->
       """WITH x AS (SELECT user_id, epoch_us(ts) AS us, event_id,
         |    event_type,

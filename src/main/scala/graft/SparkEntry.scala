@@ -3085,6 +3085,26 @@ object SparkEntry {
       "event_id", Seq(60000000L, 300000000L, 3600000000L))
   }
 
+  /** D10: content-digest reconciliation — order-invariant summed
+    * row-hash digests per table (the stronger form of q_count_verify:
+    * counts match but a value drifted → the digest flips); timestamps
+    * enter as epoch micros so both engines hash identical strings
+    * (operators.Loads.digestReport).
+    */
+  private def qTableDigest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Loads.digestReport(Map(
+      "nation" -> ((table(s, dir, "nation"),
+        Seq("n_nationkey", "n_name", "n_regionkey"))),
+      "customer" -> ((table(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_mktsegment"))),
+      "orders" -> ((table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_orderpriority", unix_micros($"o_orderdate".cast("timestamp")).as("od_us")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "od_us")))))
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3279,7 +3299,8 @@ object SparkEntry {
     "q_novelty" -> (qNovelty _),
     "q_state_runs" -> (qStateRuns _),
     "q_time_weighted" -> (qTimeWeighted _),
-    "q_lateness" -> (qLateness _))
+    "q_lateness" -> (qLateness _),
+    "q_table_digest" -> (qTableDigest _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -165,4 +165,31 @@ object Loads {
       df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("tbl"),
         col("n_rows"))
     }.reduce(_ unionByName _)
+
+  /** D10: content-digest reconciliation — the stronger form of
+    * [[countReport]]: an ORDER-INVARIANT digest of table content
+    * (per-row md5 over '|'-joined columns, first 12 hex digits as an
+    * integer, SUMMED — addition commutes, so any partitioning or row
+    * order produces the same number), comparable across systems
+    * without moving a row. Counts match but a value drifted? The
+    * digest catches it; two 10-billion-row tables reconcile by
+    * exchanging ONE (count, digest) row each.
+    *
+    * Columns should be integers / strings / dates — float formatting
+    * is engine-specific, so digest floats via an exact integer form
+    * (e.g. cents) instead. A 48-bit slice per row keeps the sum well
+    * inside decimal(38,0) at any table size while a single changed
+    * row still flips the digest with probability ≈ 1 − 2⁻⁴⁸.
+    *
+    * @return one row per table: (tbl, n_rows, digest).
+    */
+  def digestReport(tables: Map[String, (DataFrame, Seq[String])]): DataFrame =
+    tables.toSeq.sortBy(_._1).map { case (name, (df, cols)) =>
+      val rowHash = conv(substring(
+        md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)),
+        1, 12), 16, 10).cast("decimal(38,0)")
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(rowHash).cast("decimal(38,0)").as("digest"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("digest"))
+    }.reduce(_ unionByName _)
 }
