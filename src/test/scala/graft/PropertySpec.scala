@@ -159,4 +159,77 @@ class PropertySpec extends AnyFunSuite {
       .coalesceIntervals(touch, "k", "s", "e", "tie").collect()
     assert(t.length == 1 && t.head.getAs[Long]("n_intervals") == 2L)
   }
+
+  test("linearAttribution ≡ brute-force per-conversion split on random timelines") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val r = rng
+    for (trial <- 1 to 8) {
+      val types = Seq("a", "b", "c", "buy")
+      val rows = (1 to 120).map { i =>
+        (r.nextInt(6).toLong, r.nextInt(50).toLong, i.toLong,
+          types(r.nextInt(types.length)), r.nextInt(10000).toLong)
+      }
+      // brute force: walk each user's (ts, tie)-sorted timeline,
+      // buffering touches; at each conversion, split cents·10⁶ div n
+      val exp = scala.collection.mutable.Map.empty[String, (Long, Long, java.math.BigInteger)]
+      def addTo(ch: String, nT: Long, nJ: Long, micro: java.math.BigInteger): Unit = {
+        val (a, b, c) = exp.getOrElse(ch, (0L, 0L, java.math.BigInteger.ZERO))
+        exp(ch) = (a + nT, b + nJ, c.add(micro))
+      }
+      rows.groupBy(_._1).values.foreach { evs =>
+        var touches = scala.collection.mutable.ArrayBuffer.empty[String]
+        evs.sortBy(e => (e._2, e._3)).foreach { case (_, _, _, t, cents) =>
+          if (t != "buy") touches += t
+          else if (touches.isEmpty)
+            addTo("none", 0L, 1L,
+              java.math.BigInteger.valueOf(cents * 1000000L))
+          else {
+            val per = java.math.BigInteger.valueOf(
+              cents * 1000000L / touches.length)
+            touches.groupBy(identity).foreach { case (ch, g) =>
+              addTo(ch, g.size.toLong, 1L,
+                per.multiply(java.math.BigInteger.valueOf(g.size.toLong)))
+            }
+            touches.clear()
+          }
+        }
+      }
+      val expOut = exp.toMap.map { case (ch, (nT, nJ, micro)) =>
+        ch -> ((nT, nJ, micro.divide(
+          java.math.BigInteger.valueOf(1000000L)).longValueExact()))
+      }
+      val got = graft.operators.Analytics.linearAttribution(
+          rows.toDF("user_id", "ts", "event_id", "event_type", "cents")
+            .repartition(1 + r.nextInt(7)),
+          "user_id", "ts", "event_id", "event_type", "cents", "buy")
+        .collect().map(x => x.getString(0) ->
+          ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+      assert(got == expOut, s"trial $trial")
+    }
+  }
+
+  test("anchorText: randomized (href, anchor) plants extract aligned") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val r = rng
+    for (_ <- 1 to 5) {
+      // plant known links with noise between them; every anchor is a
+      // single unique token so (url, term, n=1, rank) is predictable
+      val links = (1 to 20).map { i =>
+        val url = s"https://h${r.nextInt(3)}.example.org/p${r.nextInt(4)}"
+        val term = s"tok${i}x${r.nextInt(100)}"
+        (url, term)
+      }
+      val html = links.map { case (u, t) =>
+        s"""<p>noise ${r.nextInt(100)}</p><a href="$u">$t</a>"""
+      }.mkString(s"<a href='/rel${r.nextInt(9)}'>skip</a>")
+      val got = graft.operators.Corpus.anchorText(
+          Seq(html).toDF("html"), "html", Int.MaxValue)
+        .collect().map(x => (x.getString(0), x.getString(1))).toSet
+      val expect = links.map { case (u, t) => (u, t.toLowerCase) }.toSet
+      assert(got == expect)
+    }
+  }
+
 }
