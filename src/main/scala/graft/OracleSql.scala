@@ -3634,6 +3634,28 @@ object OracleSql {
         |    AS n_late_gt_3600000000
         |FROM y GROUP BY 1""".stripMargin,
 
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type FROM events),
+        |a AS (SELECT *, CASE WHEN event_type = 'view' THEN us END AS c1
+        |  FROM e),
+        |b AS (SELECT *, CASE WHEN event_type = 'click' AND
+        |    min(c1) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      IS NOT NULL THEN us END AS c2 FROM a),
+        |c AS (SELECT *, CASE WHEN event_type = 'purchase' AND
+        |    min(c2) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      IS NOT NULL THEN us END AS c3 FROM b)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |  count(DISTINCT CASE WHEN c1 IS NOT NULL THEN user_id END)
+        |    AS n_users FROM c
+        |UNION ALL SELECT 2, 'click',
+        |  count(DISTINCT CASE WHEN c2 IS NOT NULL THEN user_id END) FROM c
+        |UNION ALL SELECT 3, 'purchase',
+        |  count(DISTINCT CASE WHEN c3 IS NOT NULL THEN user_id END)
+        |  FROM c""".stripMargin,
+
     "q_table_digest" ->
       // 12-hex-digit md5 prefix → integer via DuckDB's '0x' cast
       // (Spark side uses conv(,16,10)); summed digests are

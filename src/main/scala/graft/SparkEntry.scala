@@ -3105,6 +3105,21 @@ object SparkEntry {
           "o_orderpriority", "od_us")))))
   }
 
+  /** C51: funnel drop-off table — per-step survivor counts under
+    * strict sequential chaining (a click counts only after a chained
+    * view, a purchase only after a chained click); the step-level view
+    * q_funnel's one-row summary doesn't give (operators.Analytics
+    * .funnelSteps).
+    */
+  private def qFunnelSteps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type")
+    operators.Analytics.funnelSteps(ev, "user_id", "us", "event_id",
+      "event_type", Seq("view", "click", "purchase"))
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3300,7 +3315,8 @@ object SparkEntry {
     "q_state_runs" -> (qStateRuns _),
     "q_time_weighted" -> (qTimeWeighted _),
     "q_lateness" -> (qLateness _),
-    "q_table_digest" -> (qTableDigest _))
+    "q_table_digest" -> (qTableDigest _),
+    "q_funnel_steps" -> (qFunnelSteps _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -274,6 +274,47 @@ object Analytics {
       .drop("bn", "bmean", "bvar", "bvariant")
   }
 
+  /** Funnel drop-off table: per step, how many users have a STRICTLY
+    * SEQUENTIALLY CHAINED occurrence — an event counts at step k only
+    * if a chained step-(k−1) event happened strictly earlier in the
+    * user's timeline (so view→click→purchase means THIS order, not
+    * mere presence). The per-step survivors view q_funnel's single
+    * summary row doesn't give.
+    *
+    * Plan shape: ONE keyed shuffle+sort carries k−1 running-min window
+    * passes (chained-time so far), like [[sequenceFunnel]] without the
+    * gap bound; the survivor counts are one aggregate (distinct users
+    * per step) over the flagged stream. O(events) per user — the naive
+    * form is a k-way self-join.
+    *
+    * @return (step_idx, step, n_users) — one row per step.
+    */
+  def funnelSteps(events: DataFrame, userCol: String, usCol: String,
+                  tieCol: String, typeCol: String,
+                  steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val wPrev = Window.partitionBy(col(userCol))
+      .orderBy(col(usCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var df = events.withColumn("__c1",
+      when(col(typeCol) === steps.head, col(usCol)))
+    for (k <- 2 to steps.length) {
+      val chainedBefore = min(col(s"__c${k - 1}")).over(wPrev)
+      df = df.withColumn(s"__c$k",
+        when(col(typeCol) === steps(k - 1) && chainedBefore.isNotNull,
+          col(usCol)))
+    }
+    val counts = (1 to steps.length).map(k =>
+      countDistinct(when(col(s"__c$k").isNotNull, col(userCol)))
+        .as(s"__n$k"))
+    val one = df.agg(counts.head, counts.tail: _*)
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).cast("long").as("step_idx"), lit(s).as("step"),
+        col(s"__n${i + 1}").as("n_users"))
+    }
+    one.select(inline(array(rows: _*)))
+  }
+
   /** Join-size pre-flight: the EXACT output cardinality of
     * left ⋈ right on a key, computed WITHOUT running the join —
     * per-key counts on each side (two keyed aggs), joined at

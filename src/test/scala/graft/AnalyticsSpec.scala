@@ -428,4 +428,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_late_gt_10") == 1L)
   }
 
+  test("funnelSteps: strict sequential chaining, monotone survivors") {
+    val ev = Seq(
+      // u1 full chain in order
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      // u2: click BEFORE any view → stops at view
+      (2L, 10L, 4L, "click"), (2L, 20L, 5L, "view"),
+      // u3: view then purchase, never clicked → stops after view
+      (3L, 10L, 6L, "view"), (3L, 20L, 7L, "purchase"),
+      // u4: purchase, then view, then click → reaches click, not purchase
+      (4L, 5L, 8L, "purchase"), (4L, 10L, 9L, "view"), (4L, 20L, 10L, "click"))
+      .toDF("user_id", "us", "event_id", "event_type")
+    val got = Analytics.funnelSteps(ev, "user_id", "us", "event_id",
+        "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[String]("step") ->
+        r.getAs[Long]("n_users")).toMap
+    assert(got == Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L))
+  }
+
 }
