@@ -3656,6 +3656,22 @@ object OracleSql {
         |  count(DISTINCT CASE WHEN c3 IS NOT NULL THEN user_id END)
         |  FROM c""".stripMargin,
 
+    "q_token_budget" ->
+      // the oracle's single ordered cumsum ≡ the two-level prefix sum
+      // (hash order is total: 48-bit md5 prefix, ties by doc_id)
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s)
+        |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+        |  cum <= 10000 AS keep
+        |FROM c""".stripMargin,
+
     "q_table_digest" ->
       // 12-hex-digit md5 prefix → integer via DuckDB's '0x' cast
       // (Spark side uses conv(,16,10)); summed digests are

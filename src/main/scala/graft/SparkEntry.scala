@@ -3120,6 +3120,21 @@ object SparkEntry {
       "event_type", Seq("view", "click", "purchase"))
   }
 
+  /** E73: deterministic token-budget sample — docs in content-keyed
+    * md5 order kept while the running token total stays ≤ 10,000; the
+    * exact-budget cut rate-based hash gates can't make, running total
+    * via the E49 two-level prefix sum (operators.Packing
+    * .tokenBudgetSample).
+    */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = table(s, dir, "documents")
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+    operators.Packing.tokenBudgetSample(scored, "doc_id", "n_tokens",
+      10000L)
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3316,7 +3331,8 @@ object SparkEntry {
     "q_time_weighted" -> (qTimeWeighted _),
     "q_lateness" -> (qLateness _),
     "q_table_digest" -> (qTableDigest _),
-    "q_funnel_steps" -> (qFunnelSteps _))
+    "q_funnel_steps" -> (qFunnelSteps _),
+    "q_token_budget" -> (qTokenBudget _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

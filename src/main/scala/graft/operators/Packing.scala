@@ -100,6 +100,50 @@ object Packing {
     * (hash+1)/2³² dyadic-uniform trick from [[Sampling.weightedSample]]
     * keeps every step exactly portable.
     */
+  /** Deterministic token-budget sampling — "give me ~N tokens for the
+    * ablation, reproducibly": docs ordered by a content-keyed md5 hash
+    * (a fixed pseudo-random permutation — no RNG state, identical on
+    * any engine/run/partitioning), kept while the RUNNING token total
+    * stays within budget. Rate-based gates (hashGate/mixture weights)
+    * can't hit a token target; this cuts at the exact doc where the
+    * budget crosses.
+    *
+    * The running total is the E49 two-level prefix sum — per-bucket
+    * token sums (4096 hash-prefix buckets) → ordered offsets over the
+    * bucket-cardinality frame only → within-bucket cumulative window —
+    * so no single-partition window ever sees data-sized frames. All
+    * integer arithmetic.
+    *
+    * @return (idCol, tokCol, cum_tokens, keep) for every doc;
+    *         keep ⟺ cum_tokens ≤ budget.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, tokCol: String,
+                        budget: Long): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val d = df.select(col(idCol), col(tokCol))
+      .withColumn("__h", h)
+      .withColumn("__bkt", expr("__h div 68719476736")) // 2^48 / 4096
+    val totals = d.groupBy(col("__bkt"))
+      .agg(sum(col(tokCol)).as("__bt"))
+    val prefix = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__bt")).over(prefix), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val within = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.join(broadcast(offsets), "__bkt")
+      .withColumn("cum_tokens",
+        (col("__off") + sum(col(tokCol)).over(within)).cast("long"))
+      .select(col(idCol), col(tokCol), col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("keep"))
+  }
+
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
                     salt: String): DataFrame = {
     require(nShards >= 1)

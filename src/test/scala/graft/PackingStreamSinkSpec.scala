@@ -94,4 +94,36 @@ class PackingStreamSinkSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
   }
+
+  test("tokenBudgetSample: exact budget cut, two-level ≡ single cumsum") {
+    import graft.operators.Packing
+    val r = new scala.util.Random(7)
+    val docs = (1L to 400L).map(i => (i, 1L + r.nextInt(50).toLong))
+      .toDF("doc_id", "n_tokens")
+    val budget = 3000L
+    val got = Packing.tokenBudgetSample(docs.repartition(9), "doc_id",
+      "n_tokens", budget).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("cum_tokens"), x.getAs[Boolean]("keep")))).toMap
+    // reference: one sequential cumsum in (md5-48bit, id) order
+    def h(id: Long) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+    var cum = 0L
+    val exp = (1L to 400L).map(i => (i, h(i)))
+      .sortBy { case (id, hh) => (hh, id) }
+      .map { case (id, _) =>
+        val t = docs.filter(col("doc_id") === id)
+          .head.getAs[Long]("n_tokens")
+        cum += t; id -> ((cum, cum <= budget))
+      }.toMap
+    assert(got == exp)
+    // the kept set's total is within one doc of the budget (maximal cut)
+    val keptCum = got.values.filter(_._2).map(_._1)
+    assert(keptCum.max <= budget)
+    val firstDropped = got.values.filter(!_._2).map(_._1).min
+    assert(firstDropped > budget)
+  }
+
 }
