@@ -608,7 +608,7 @@ object OracleSql {
          |  FROM enc e JOIN off o USING (doc_id)
          |  UNION ALL
          |  SELECT o.doc_id, o.off + o.n - 1, -1 FROM off o)
-         |SELECT gpos // 128 AS block_id, count(*) AS n_ids,
+         |SELECT CAST(gpos // 128 AS BIGINT) AS block_id, count(*) AS n_ids,
          |  count(DISTINCT doc_id) AS n_docs,
          |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos) AS ids
          |FROM tok GROUP BY 1""".stripMargin,
@@ -1897,11 +1897,11 @@ object OracleSql {
         |    cd - least(0, min(cd) OVER (PARTITION BY user_id ORDER BY us, event_id)) AS s_dn
         |  FROM cum)
         |SELECT user_id, count(*) AS n,
-        |  max(CASE WHEN rd = 1 THEN s_up END) AS final_up,
-        |  max(s_up) AS max_up,
+        |  CAST(max(CASE WHEN rd = 1 THEN s_up END) AS BIGINT) AS final_up,
+        |  CAST(max(s_up) AS BIGINT) AS max_up,
         |  CAST(sum(CASE WHEN s_up > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms_up,
-        |  max(CASE WHEN rd = 1 THEN s_dn END) AS final_dn,
-        |  max(s_dn) AS max_dn,
+        |  CAST(max(CASE WHEN rd = 1 THEN s_dn END) AS BIGINT) AS final_dn,
+        |  CAST(max(s_dn) AS BIGINT) AS max_dn,
         |  CAST(sum(CASE WHEN s_dn > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms_dn
         |FROM s GROUP BY user_id""".stripMargin,
 
@@ -3677,22 +3677,22 @@ object OracleSql {
       // (Spark side uses conv(,16,10)); summed digests are
       // order-invariant so both engines agree on any row order
       """WITH n AS (SELECT count(*) AS n_rows,
-        |    sum(CAST('0x' || substring(md5(concat_ws('|',
+        |    CAST(sum(CAST('0x' || substring(md5(concat_ws('|',
         |      CAST(n_nationkey AS VARCHAR), n_name,
         |      CAST(n_regionkey AS VARCHAR))), 1, 12) AS BIGINT))
-        |      AS digest
+        |      AS VARCHAR) AS digest
         |  FROM nation),
         |c AS (SELECT count(*) AS n_rows,
-        |    sum(CAST('0x' || substring(md5(concat_ws('|',
+        |    CAST(sum(CAST('0x' || substring(md5(concat_ws('|',
         |      CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)), 1, 12)
-        |      AS BIGINT)) AS digest
+        |      AS BIGINT)) AS VARCHAR) AS digest
         |  FROM customer),
         |o AS (SELECT count(*) AS n_rows,
-        |    sum(CAST('0x' || substring(md5(concat_ws('|',
+        |    CAST(sum(CAST('0x' || substring(md5(concat_ws('|',
         |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
         |      o_orderstatus, o_orderpriority,
         |      CAST(epoch_us(o_orderdate) AS VARCHAR))), 1, 12)
-        |      AS BIGINT)) AS digest
+        |      AS BIGINT)) AS VARCHAR) AS digest
         |  FROM orders)
         |SELECT 'customer' AS tbl, n_rows, digest FROM c
         |UNION ALL SELECT 'nation', n_rows, digest FROM n

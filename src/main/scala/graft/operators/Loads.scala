@@ -188,8 +188,11 @@ object Loads {
       val rowHash = conv(substring(
         md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)),
         1, 12), 16, 10).cast("decimal(38,0)")
+      // digest is emitted as a STRING: it's a checksum, and decimal
+      // vs HUGEINT serialization differs across engines while the
+      // exact-integer string form is identical everywhere.
       df.agg(count(lit(1)).as("n_rows"),
-          sum(rowHash).cast("decimal(38,0)").as("digest"))
+          sum(rowHash).cast("decimal(38,0)").cast("string").as("digest"))
         .select(lit(name).as("tbl"), col("n_rows"), col("digest"))
     }.reduce(_ unionByName _)
 }

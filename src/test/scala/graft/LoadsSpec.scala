@@ -103,17 +103,17 @@ class LoadsSpec extends AnyFunSuite {
     import graft.operators.Loads
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
     val d1 = Loads.digestReport(Map("t" -> ((a, Seq("k", "v")))))
-      .head.getDecimal(2)
+      .head.getString(2)
     // any row order / partitioning → identical digest (sum commutes)
     val d2 = Loads.digestReport(Map("t" ->
         ((a.orderBy(col("v").desc).repartition(7), Seq("k", "v")))))
-      .head.getDecimal(2)
+      .head.getString(2)
     assert(d1 == d2)
     // same count, one drifted value → different digest (what
     // countReport cannot see)
     val drift = Seq((1L, "x"), (2L, "y"), (3L, "Z")).toDF("k", "v")
     val d3 = Loads.digestReport(Map("t" -> ((drift, Seq("k", "v")))))
-      .head.getDecimal(2)
+      .head.getString(2)
     assert(d1 != d3)
   }
 

@@ -46,18 +46,14 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
         fail += 1
         continue
-    # normalize dtypes for compare (timestamps, categories, numerics)
+    # dtype-faithful compare, mirroring the driver's strict hash:
+    # values are compared on their string serialization, so an oracle
+    # that returns 5.0 where Spark wrote 5 FAILS here (as it does in
+    # the driver) instead of being hidden by numeric coercion.
     ok = True
     for c in exp.columns:
         e, g = exp[c], got[c]
-        try:
-            e2 = pd.to_numeric(e, errors="raise")
-            g2 = pd.to_numeric(g, errors="raise")
-            same = ((e2.isna() & g2.isna()) | (e2 == g2)).all()
-        except Exception:
-            e2 = e.astype(str)
-            g2 = g.astype(str)
-            same = (e2 == g2).all()
+        same = ((e.isna() & g.isna()) | (e.astype(str) == g.astype(str))).all()
         if not same:
             diff = (~((e.astype(str) == g.astype(str)) | (e.isna() & g.isna()))).sum()
             print(f"FAIL {name}: col {c}: {diff} mismatched values")
