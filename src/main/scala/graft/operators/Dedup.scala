@@ -57,34 +57,75 @@ object Dedup {
   }
 
   /** E2: n-gram Jaccard near-dup pairs with similarity ≥ `threshold`.
-    * Self-join on the shingle produces intersection counts; set sizes
-    * come from a broadcast-joined per-doc aggregate. All shuffles are
-    * keyed (shingle, then pair) — no cross join at any scale.
+    *
+    * Candidate generation is PREFIX-FILTERED (AllPairs/PPJoin —
+    * Bayardo et al. WWW'07, same bound as [[SetSim.jaccardSelfJoin]]):
+    * under a rarest-first global shingle order, two docs with
+    * J ≥ τ must share a shingle among the first |x| − ⌈τ·|x|⌉ + 1 of
+    * each, so the self-join runs only on those low-df prefix
+    * shingles. A boilerplate shingle shared by d docs therefore never
+    * creates d²/2 join rows — it sits at the high-df tail and is
+    * outside every doc's prefix. This is the lesson the repo learned
+    * twice (E55's df-cap after a 99s→1.9s incident, E42's prefix
+    * filter); unlike a df-cap it is LOSSLESS, so the oracle SQL and
+    * the result relation are unchanged.
+    *
+    * The prefix/size candidate bounds use a slightly lowered rational
+    * τ′ = (⌊1000·τ⌋ − 1)/1000 in exact integer arithmetic; acceptance
+    * still applies the caller's τ through the identical rounded
+    * expression the old shingle self-join used, so the output is
+    * bit-identical — τ′ only widens the candidate superset enough to
+    * cover the 4-dp rounding of the acceptance test.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    // the exploded shingle set feeds three consumers (sizes + both join
-    // sides) — materialize it once instead of re-running the explode;
-    // at cluster scale this is the "persist the shingle table" step of
-    // any LSH pipeline, spilling to disk when bigger than memory
-    val sh0 = docShingles(df, textCol, idCol, n)
+    val tauN = math.max(1L, math.floor(threshold * 1000).toLong - 1)
+    // RAW exploded shingles — no distinct: per-doc dedup happens for
+    // free inside collect_set below, saving a full shuffle of the
+    // shingle table. `dfreq` therefore counts occurrences rather than
+    // documents; prefix filtering is correct under ANY fixed global
+    // order, and occurrence counts are just as rarest-first-
+    // correlated as document counts, so the pruning power is the same.
+    val raw = df.select(col(idCol).as("id"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+    val dfreq = raw.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
+    // ONE per-doc aggregation builds the rarest-first sorted shingle
+    // array; size, prefix, and the verify arrays are all derived from
+    // it in-row (no window, no second per-doc shuffle). Persisted —
+    // it feeds both sides of the candidate join and both verify
+    // joins; at cluster scale this is the "persist the shingle table"
+    // step of any similarity pipeline, spilling when RAM-tight.
+    val ord = raw
+      .join(dfreq, "sh")
+      .groupBy(col("id"))
+      .agg(transform(
+        sort_array(collect_set(struct(col("dfreq"), col("sh")))),
+        x => x.getField("sh")).as("toks"))
+      .withColumn("sz", size(col("toks")).cast("long"))
+      // prefix length |x| − ⌈τ′·|x|⌉ + 1, exact integer arithmetic
+      .withColumn("pref", slice(col("toks"), lit(1),
+        (col("sz") - expr(s"($tauN * sz + 999) div 1000") + 1)
+          .cast("int")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh0.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // length filter (prefix-filtering literature): J(A,B) ≤ min/max of
-    // the set sizes, so J ≥ t implies max ≤ min/t. Carrying the set
-    // size on each exploded row (one broadcast join against the
-    // doc-level sizes) lets the SELF-JOIN discard impossible pairs
-    // before they are ever counted — at 100 TB this prunes the
-    // quadratic hot-shingle buckets, not just the final result.
-    val sh = sh0.join(broadcast(sizes), "id")
-    val inter = sh.as("a").join(sh.as("b"),
+    val pc = ord.select(col("id"), col("sz"), explode(col("pref")).as("sh"))
+    // the size-ratio condition is the OLD join's exact test (J ≤
+    // min/max ⇒ max ≤ min/τ), so any pair the legacy plan pruned on
+    // size is pruned here too
+    val cand = pc.as("a").join(pc.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
           col("a.sz") <= col("b.sz") / threshold &&
           col("b.sz") <= col("a.sz") / threshold)
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
-    inter
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .distinct()
+    // exact verify: |∩| via array_intersect (codegen'd) over the
+    // persisted per-doc arrays; the jaccard expression and filter are
+    // byte-identical to the legacy self-join-count form
+    cand
+      .join(ord.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(ord.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 4))
