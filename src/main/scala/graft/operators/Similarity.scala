@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.plans.VectorFunctions
+
 /** Embedding similarity search (SURVEY.md §2.E5-E7).
   *
   * Scale design: the corpus side is NEVER shuffled or collected — it is
@@ -373,15 +375,29 @@ object Similarity {
         transform(col("rv"), x => x / col("nrm")))
         .otherwise(col("rv")).as("uv"))
 
+  /** (sub, cid) tuples → dense m×k×d nested array for the native
+    * pq_codes / pq_lut expressions (plan-time reference object).
+    */
+  private def booksArray(books: Array[(Int, Int, Seq[Double])])
+      : Array[Array[Array[Double]]] = {
+    val m = books.map(_._1).max + 1
+    val k = books.map(_._2).max + 1
+    Array.tabulate(m, k)((s, c) =>
+      books.find(b => b._1 == s && b._2 == c).get._3.toArray)
+  }
+
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, k: Int, iters: Int): Array[(Int, Int, Seq[Double])] = {
     val d0 = corpus.select(size(col(vecCol))).head.getInt(0)
     require(d0 % m == 0, s"dim $d0 not divisible by m=$m")
     val d = d0 / m
-    val subs = unitVec(corpus, idCol, vecCol).select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("uv"), s * d + 1, lit(d))))
-          .as(Seq("sub", "sv")))
+    // one persisted (id, unit-vector) table: assignment happens
+    // IN-ROW via the native pq_codes expression (no posexploded
+    // m×-inflated subvector table, no per-iteration m·k-wide codegen
+    // tree — the codebook rides along as a reference object, so each
+    // Lloyd iteration compiles one short call instead of a fresh
+    // 128-expression janino unit)
+    val uvDf = unitVec(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // deterministic init: the k lowest-hash vectors seed EVERY
@@ -389,38 +405,28 @@ object Similarity {
       val seedIds = corpus.select(col(idCol).as("id"))
         .orderBy(xxhash64(col("id")), col("id")).limit(k)
         .orderBy(col("id")).collect().map(_.getLong(0))
-      var books: Array[(Int, Int, Seq[Double])] = {
-        val seeds = subs.filter(col("id").isin(seedIds: _*))
-          .orderBy(col("sub"), col("id")).collect()
-        seeds.zipWithIndex.map { case (r, i) =>
-          (r.getInt(1), i % k, r.getSeq[Double](2)) }
-      }
-
-      def assign(bs: Array[(Int, Int, Seq[Double])]) = {
-        // per-sub argmin as array_position(dists, array_min(dists)) − 1:
-        // first index achieving the min ≡ min-cid tie-break, with NO
-        // struct comparator (struct-compare codegen hits a janino
-        // "redefinition of r" bug and falls back to interpreted) and
-        // no higher-order function — the 16 sqDists are codegen'd
-        // native expressions against literals. A CaseWhen chain picks
-        // the row's subspace, so only that branch evaluates.
-        def bestFor(s: Int): Column = {
-          val dists = array((0 until k).map(c =>
-            sqDist(col("sv"),
-              typedLit(bs.find(b => b._1 == s && b._2 == c).get._3))): _*)
-          (array_position(dists, array_min(dists)) - 1).cast("int")
-        }
-        val cid = (1 until m).foldLeft(when(col("sub") === 0, bestFor(0))) {
-          (acc, s) => acc.when(col("sub") === s, bestFor(s))
-        }
-        subs.select(col("id"), col("sub"), col("sv"), cid.as("cid"))
-      }
+      val seedRows = uvDf.filter(col("id").isin(seedIds: _*))
+        .orderBy(col("id")).collect()
+      var books: Array[(Int, Int, Seq[Double])] =
+        (for (s <- 0 until m; (r, c) <- seedRows.zipWithIndex.toSeq)
+          yield (s, c, r.getSeq[Double](1).slice(s * d, s * d + d))).toArray
 
       for (_ <- 1 to iters) {
-        val sums = assign(books)
-          .select(col("sub"), col("cid"), posexplode(col("sv")))
+        // per-(sub, cell, dim) sums collapse map-side to k·D scalars —
+        // the only driver traffic, exactly like [[kmeansTrain]]. sub
+        // and pos are recovered arithmetically from the flat vector
+        // position, so the only explode is the component one the
+        // aggregation needs anyway.
+        val sums = uvDf
+          .select(VectorFunctions.pqCodes(col("uv"), booksArray(books))
+              .as("cids"),
+            posexplode(col("uv")).as(Seq("p", "v")))
+          .select(expr(s"p div $d").cast("int").as("sub"),
+            element_at(col("cids"), expr(s"p div $d").cast("int") + 1)
+              .as("cid"),
+            expr(s"p % $d").cast("int").as("pos"), col("v"))
           .groupBy(col("sub"), col("cid"), col("pos"))
-          .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
           .collect() // k·D tiny rows — the only driver traffic
         val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
         books = books.map { case (s, c, old) =>
@@ -434,7 +440,7 @@ object Similarity {
         }
       }
       books
-    } finally subs.unpersist()
+    } finally uvDf.unpersist()
   }
 
   /** PQ encoding: vector → m codes (nearest per-subspace centroid,
@@ -444,22 +450,13 @@ object Similarity {
     * @return (id, codes array<int> of length m)
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-               books: Array[(Int, Int, Seq[Double])]): DataFrame = {
-    val m = books.map(_._1).max + 1
-    val k = books.map(_._2).max + 1
-    val d = books(0)._3.length
-    // statically-unrolled subspaces (m, k are plan-time constants):
-    // every sqDist is a codegen'd native expression against a literal
-    // centroid; argmin via array_position avoids the struct-compare
-    // codegen fallback AND any interpreted higher-order function
-    val codes = array((0 until m).map { s =>
-      val sv = slice(col("uv"), s * d + 1, d)
-      val dists = array((0 until k).map(c =>
-        sqDist(sv, typedLit(books.find(b => b._1 == s && b._2 == c).get._3))): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
-    unitVec(corpus, idCol, vecCol).select(col("id"), codes.as("codes"))
-  }
+               books: Array[(Int, Int, Seq[Double])]): DataFrame =
+    // one native pq_codes call per row (argmin per subspace, ties to
+    // the lowest cid) — same arithmetic and fold order the unrolled
+    // sqDist/array_min/array_position tree had, in a fraction of the
+    // generated-code size
+    unitVec(corpus, idCol, vecCol).select(col("id"),
+      VectorFunctions.pqCodes(col("uv"), booksArray(books)).as("codes"))
 
   /** E7d: asymmetric-distance (ADC) PQ search. Per QUERY the m×k
     * lookup table of subspace distances is computed ONCE (m·k sqDists
@@ -486,11 +483,7 @@ object Similarity {
       .withColumn("qn", l2Norm(col("qv")))
       .withColumn("qu", when(col("qn") > 0,
         transform(col("qv"), x => x / col("qn"))).otherwise(col("qv")))
-      .withColumn("lut", array((0 until m).map { s =>
-        array((0 until nc).map(c =>
-          sqDist(slice(col("qu"), s * d + 1, d),
-            typedLit(books.find(b => b._1 == s && b._2 == c).get._3))): _*)
-      }: _*))
+      .withColumn("lut", VectorFunctions.pqLut(col("qu"), booksArray(books)))
     // the ADC scan: m statically-unrolled LUT lookups per corpus row —
     // pure codegen'd array indexing, no HOF, no float math per dim
     val approx = enc.join(broadcast(q), col("q_id") =!= col("nn_id"))

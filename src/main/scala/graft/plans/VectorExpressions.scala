@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native vector arithmetic (SURVEY.md §2.E5-E7 hot path).
   *
@@ -105,6 +105,145 @@ case class SqDist(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+object NativePq {
+
+  /** Per-subspace argmin codes: vec (length m·d) → int[m], where
+    * codes[s] = argmin_c Σ_j (vec[s·d+j] − books[s][c][j])², ties to
+    * the LOWEST c (strict `<` keeps the first minimum — the same
+    * tie-break as the composed array_position(array_min) form). The
+    * fold order per sqDist is the identical left-to-right
+    * accumulation, so distances are bit-identical to [[NativeVec
+    * .sqDist]] over slices.
+    */
+  def codes(v: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val d = books(0)(0).length
+    if (v.numElements() != m * d) return null
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cb = books(s)
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var acc = 0.0
+        var j = 0
+        while (j < d) {
+          if (v.isNullAt(s * d + j)) return null
+          val diff = v.getDouble(s * d + j) - cent(j)
+          acc += diff * diff
+          j += 1
+        }
+        if (acc < bestDist) { bestDist = acc; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC lookup table: vec (length m·d) → double[m][k] of subspace
+    * sq-distances to every centroid — the per-query table a PQ scan
+    * indexes with the stored codes. Same fold order as [[codes]].
+    */
+  def lut(v: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val d = books(0)(0).length
+    if (v.numElements() != m * d) return null
+    val rows = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val cb = books(s)
+      val dists = new Array[Double](cb.length)
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var acc = 0.0
+        var j = 0
+        while (j < d) {
+          if (v.isNullAt(s * d + j)) return null
+          val diff = v.getDouble(s * d + j) - cent(j)
+          acc += diff * diff
+          j += 1
+        }
+        dists(c) = acc
+        c += 1
+      }
+      rows(s) = new org.apache.spark.sql.catalyst.util.GenericArrayData(dists)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
+abstract class PqExpression
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  def books: Array[Array[Array[Double]]]
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<double>, got ${other.catalogString}")
+    }
+}
+
+/** pq_codes(array<double>) → array<int>: product-quantization codes
+  * against a plan-time codebook (m subspaces × k centroids × d dims).
+  * Replaces the composed m×k-wide sqDist/array_min/array_position
+  * tree: the unrolled form generated ~m·k native calls PER PLAN and
+  * janino-recompiled on every Lloyd iteration (each iteration changes
+  * the centroid literals), which dominated pqTrain wall-clock. This
+  * form is one short generated call; the codebook rides along as a
+  * reference object.
+  */
+case class PqCodes(child: Expression, books: Array[Array[Array[Double]]])
+    extends PqExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+  override protected def nullSafeEval(input: Any): Any =
+    NativePq.codes(input.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("pqRes")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
+        graft.plans.NativePq.codes($c, $ref);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+    """})
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** pq_lut(array<double>) → array<array<double>>: the m×k ADC distance
+  * table for a query vector against the same plan-time codebook.
+  */
+case class PqLut(child: Expression, books: Array[Array[Array[Double]]])
+    extends PqExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override protected def nullSafeEval(input: Any): Any =
+    NativePq.lut(input.asInstanceOf[ArrayData], books)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("pqRes")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
+        graft.plans.NativePq.lut($c, $ref);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+    """})
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a),
@@ -113,4 +252,10 @@ object VectorFunctions {
   def sqDist(a: Column, b: Column): Column =
     GraftBridge.column(SqDist(GraftBridge.expression(a),
       GraftBridge.expression(b)))
+
+  def pqCodes(v: Column, books: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqCodes(GraftBridge.expression(v), books))
+
+  def pqLut(v: Column, books: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqLut(GraftBridge.expression(v), books))
 }

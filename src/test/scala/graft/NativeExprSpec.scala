@@ -420,6 +420,60 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("native pq_codes/pq_lut ≡ composed argmin/sqDist trees, bit for bit") {
+    import graft.operators.Similarity._
+    import graft.plans.VectorFunctions
+    val m = 4; val k = 8
+    val e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    val d = e.select(size($"embedding")).head.getInt(0) / m
+    val books = pqTrain(e, "vec_id", "embedding", m, k, iters = 2)
+    val ba = Array.tabulate(m, k)((s, c) =>
+      books.find(b => b._1 == s && b._2 == c).get._3.toArray)
+    val uv = e.select($"vec_id", toDouble($"embedding").as("rv"))
+      .withColumn("nrm", sqrt(dot($"rv", $"rv")))
+      .select($"vec_id", when($"nrm" > 0,
+        transform($"rv", x => x / $"nrm")).otherwise($"rv").as("uv"))
+    // composed reference: unrolled sqDist slices + array_min argmin
+    val composedCodes = array((0 until m).map { s =>
+      val sv = slice($"uv", s * d + 1, d)
+      val dists = array((0 until k).map(c =>
+        sqDist(sv, typedLit(books.find(b => b._1 == s && b._2 == c).get._3))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    val composedLut = array((0 until m).map { s =>
+      array((0 until k).map(c =>
+        sqDist(slice($"uv", s * d + 1, d),
+          typedLit(books.find(b => b._1 == s && b._2 == c).get._3))): _*)
+    }: _*)
+    val rows = uv.select(
+      VectorFunctions.pqCodes($"uv", ba).as("nc"), composedCodes.as("cc"),
+      VectorFunctions.pqLut($"uv", ba).as("nl"), composedLut.as("cl"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+      assert(r.getSeq[Seq[Double]](2) == r.getSeq[Seq[Double]](3))
+    }
+    assert(rows.length > 100)
+  }
+
+  test("pq_codes interpreted path agrees with codegen") {
+    import graft.operators.Similarity._
+    import graft.plans.VectorFunctions
+    val e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    val books = pqTrain(e, "vec_id", "embedding", 4, 4, iters = 1)
+    val ba = Array.tabulate(4, 4)((s, c) =>
+      books.find(b => b._1 == s && b._2 == c).get._3.toArray)
+    val uv = e.select(toDouble($"embedding").as("uv"))
+    val fast = uv.select(VectorFunctions.pqCodes($"uv", ba)).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Int](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = uv.select(VectorFunctions.pqCodes($"uv", ba)).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getSeq[Int](0))
+      assert(fast.toSeq == interp.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("text_stats interpreted path agrees with codegen") {
     import graft.functions.TextFunctions
     val df = statsEdgeCases.zipWithIndex
