@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/EtlMain/tests: the MICROS events.parquet read
+      // casts NTZ -> TimestampType, which is identity only in UTC — a
+      // non-UTC host would silently benchmark a shifted workload
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()

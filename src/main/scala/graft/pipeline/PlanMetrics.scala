@@ -37,15 +37,29 @@ object PlanMetrics {
       case n if p.metrics.contains(n) => p.metrics(n).value
     }.getOrElse(0L)
 
+  /** IDENTITY-keyed dedup: case-class structural equality would merge
+    * two physically separate but structurally identical exchanges
+    * (the same subquery scanned twice with reuse disabled),
+    * undercounting shuffles — a reused exchange is the same INSTANCE
+    * reached twice, which is exactly what reference equality sees.
+    */
+  private def identityDistinct[T <: AnyRef](xs: Seq[T]): Seq[T] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[T, java.lang.Boolean]())
+    xs.filter(seen.add)
+  }
+
   /** Read metrics from an already-executed DataFrame (run an action
     * first — un-executed metrics read as zero, they don't throw).
-    * Distinct exchange operators are counted once even when the plan
-    * reuses them.
+    * Exchange operators are counted once per physical instance even
+    * when the plan reuses them.
     */
   def summarize(df: DataFrame): Summary = {
-    val all = nodes(df.queryExecution.executedPlan).distinct
-    val shuffles = all.collect { case s: ShuffleExchangeLike => s }.distinct
-    val broadcasts = all.collect { case b: BroadcastExchangeLike => b }.distinct
+    val all = identityDistinct(nodes(df.queryExecution.executedPlan))
+    val shuffles = identityDistinct(
+      all.collect { case s: ShuffleExchangeLike => s })
+    val broadcasts = identityDistinct(
+      all.collect { case b: BroadcastExchangeLike => b })
     Summary(
       shuffles.size,
       broadcasts.size,

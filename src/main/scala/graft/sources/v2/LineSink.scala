@@ -57,20 +57,21 @@ private[v2] class LineSinkTable(path: String, schema0: StructType)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new LineSinkBatchWrite(path, info.schema())
+          new LineSinkBatchWrite(path, info.schema(), info.queryId())
       }
     }
 }
 
 /** Driver-side committer: rename-on-commit, delete-on-abort. */
-private[graft] class LineSinkBatchWrite(path: String, schema: StructType)
+private[graft] class LineSinkBatchWrite(path: String, schema: StructType,
+                                        queryId: String)
     extends BatchWrite {
   private val dir = Paths.get(path)
   private val tmp = dir.resolve("_tmp")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(tmp)
-    new LineWriterFactory(path, schema)
+    new LineWriterFactory(path, schema, queryId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -90,7 +91,10 @@ private[graft] class LineSinkBatchWrite(path: String, schema: StructType)
 
   private def deleteTmp(): Unit = {
     if (Files.isDirectory(tmp)) {
-      Files.list(tmp).forEach(p => Files.deleteIfExists(p))
+      // Files.list leaks a directory fd unless closed explicitly
+      val listing = Files.list(tmp)
+      try listing.forEach(p => Files.deleteIfExists(p))
+      finally listing.close()
       Files.deleteIfExists(tmp)
     }
   }
@@ -99,10 +103,11 @@ private[graft] class LineSinkBatchWrite(path: String, schema: StructType)
 private[graft] case class LineCommit(tmpName: String, finalName: String)
     extends WriterCommitMessage
 
-private[graft] class LineWriterFactory(path: String, schema: StructType)
+private[graft] class LineWriterFactory(path: String, schema: StructType,
+                                       queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LineDataWriter(path, schema, partitionId, taskId)
+    new LineDataWriter(path, schema, partitionId, taskId, queryId)
 }
 
 /** Task-side writer: buffers to `_tmp/part-<partition>-<task>`; the
@@ -111,10 +116,15 @@ private[graft] class LineWriterFactory(path: String, schema: StructType)
   * gets renamed in.
   */
 private[graft] class LineDataWriter(path: String, schema: StructType,
-                                 partitionId: Int, taskId: Long)
+                                 partitionId: Int, taskId: Long,
+                                 queryId: String)
     extends DataWriter[InternalRow] {
   private val tmpName = f"part-$partitionId%05d-$taskId"
-  private val finalName = f"part-$partitionId%05d.tsv"
+  // the job's queryId in the FINAL name keeps a second append job from
+  // silently replacing the first one's files (ATOMIC_MOVE overwrites
+  // on POSIX): each job lands a disjoint file set, like Spark's own
+  // part-...-<uuid> naming
+  private val finalName = f"part-$partitionId%05d-$queryId.tsv"
   private val file: Path = Paths.get(path, "_tmp", tmpName)
   private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8)
 

@@ -81,13 +81,21 @@ private[v2] class RangeScanBuilder(start: Long, end: Long, slices: Int)
       case f @ GreaterThanOrEqual("id", v: Long) =>
         lo = math.max(lo, v); pushed += f
       case f @ GreaterThan("id", v: Long) =>
-        lo = math.max(lo, v + 1); pushed += f
+        // v+1 overflows at Long.MaxValue; [lo, hi) can't contain
+        // MaxValue anyway, so saturating keeps the scan empty-correct
+        lo = math.max(lo, if (v == Long.MaxValue) v else v + 1); pushed += f
       case f @ LessThan("id", v: Long) =>
         hi = math.min(hi, v); pushed += f
       case f @ LessThanOrEqual("id", v: Long) =>
-        hi = math.min(hi, v + 1); pushed += f
+        // id <= MaxValue is trivially true — no upper narrowing (v+1
+        // would wrap to MinValue and collapse the scan to empty while
+        // the filter was reported pushed: silently wrong empty result)
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
+        pushed += f
       case f @ EqualTo("id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1); pushed += f
+        lo = math.max(lo, v)
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
+        pushed += f
       case f @ IsNotNull("id") =>
         pushed += f // non-nullable: trivially true, absorb it
       case other => residual += other

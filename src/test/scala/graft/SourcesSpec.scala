@@ -152,6 +152,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(lines == Seq("1\ta\u00e9b\t1.5\ttrue", "2\tx\t-0.25\tfalse").sorted)
   }
 
+  test("DSv2 line sink: a second append job adds files, never replaces") {
+    val dir = tmpDir()
+    Seq((1L, "a")).toDF("id", "s").coalesce(1)
+      .write.format("graft.sources.v2.LineSinkProvider")
+      .option("path", dir).mode("append").save()
+    Seq((2L, "b")).toDF("id", "s").coalesce(1)
+      .write.format("graft.sources.v2.LineSinkProvider")
+      .option("path", dir).mode("append").save()
+    // both jobs write partition 0 — before queryId-unique final names
+    // the second ATOMIC_MOVE silently replaced the first job's file
+    val lines = new java.io.File(dir).list().filter(_.endsWith(".tsv"))
+      .toSeq.flatMap { f =>
+        scala.io.Source.fromFile(new java.io.File(dir, f), "UTF-8")
+          .getLines().toSeq
+      }.sorted
+    assert(lines == Seq("1\ta", "2\tb"))
+  }
+
   test("DSv2 line sink: abort leaves the target untouched") {
     val dir = tmpDir()
     // drive the committer directly: a task that never commits leaves
@@ -160,9 +178,9 @@ class SourcesSpec extends AnyFunSuite {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType)))
-    val bw = new graft.sources.v2.LineSinkBatchWrite(dir, schema)
+    val bw = new graft.sources.v2.LineSinkBatchWrite(dir, schema, "q0")
     bw.createBatchWriterFactory(null) // creates _tmp
-    val w = new graft.sources.v2.LineWriterFactory(dir, schema)
+    val w = new graft.sources.v2.LineWriterFactory(dir, schema, "q0")
       .createWriter(0, 7L)
     w.write(org.apache.spark.sql.catalyst.InternalRow(99L))
     w.abort() // task-side: temp file gone
