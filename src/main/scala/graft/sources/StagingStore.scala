@@ -45,11 +45,13 @@ final class ParquetStagingStore(root: String) extends StagingStore {
 }
 
 /** JDBC warehouse store — thin wrapper over Spark's jdbc source/sink
-  * (partitioned reads via predicates, batched writes). NOT exercised in
-  * this zero-egress container (no database reachable); the parquet
-  * store backs all tests. Upsert portability note: plain JDBC has no
-  * cross-engine MERGE, so upsert = read + merge + overwrite, same
-  * semantics as the parquet path.
+  * (partitioned reads via predicates, batched writes). Exercised for
+  * real against embedded Derby (ships with Spark) in
+  * SchedulerStoreSpec: append/read roundtrip, ON-DUPLICATE-KEY upsert
+  * semantics, and the reference's three-layer staging→transformed→
+  * production flow with count verification. Upsert portability note:
+  * plain JDBC has no cross-engine MERGE, so upsert = read + merge +
+  * overwrite, same semantics as the parquet path.
   */
 final class JdbcStagingStore(url: String, props: Properties)
     extends StagingStore {
@@ -66,7 +68,16 @@ final class JdbcStagingStore(url: String, props: Properties)
   private def tableExists(table: String): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val rs = conn.getMetaData.getTables(null, null, table, null)
+      val md = conn.getMetaData
+      // unquoted identifiers are stored case-folded per engine (Derby/
+      // DB2/Oracle upper, Postgres lower): fold the same way or the
+      // metadata probe misses an existing table and the upsert
+      // silently degrades into an overwrite with only the new batch
+      val name =
+        if (md.storesUpperCaseIdentifiers()) table.toUpperCase
+        else if (md.storesLowerCaseIdentifiers()) table.toLowerCase
+        else table
+      val rs = md.getTables(null, null, name, null)
       try rs.next() finally rs.close()
     } finally conn.close()
   }

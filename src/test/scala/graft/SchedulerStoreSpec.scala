@@ -66,4 +66,67 @@ class SchedulerStoreSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
   }
+
+  // The reference's production path is a real database roundtrip
+  // (MySQL staging -> PostgreSQL production with ON DUPLICATE KEY
+  // UPDATE upserts, reference extract.py/load.py). Embedded Derby
+  // ships in /opt/spark/jars, so the JDBC store's semantics run for
+  // real here — same trait, same assertions as the parquet store.
+  private def derbyStore(db: String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_derby")
+    new graft.sources.JdbcStagingStore(
+      s"jdbc:derby:$dir/$db;create=true", new java.util.Properties)
+  }
+
+  test("JdbcStagingStore (embedded Derby): append accumulates, read round-trips") {
+    val store = derbyStore("appdb")
+    store.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t", SaveMode.Overwrite)
+    store.write(Seq((3L, "c")).toDF("k", "v"), "t", SaveMode.Append)
+    val out = store.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("JdbcStagingStore (embedded Derby): upsert = ON DUPLICATE KEY semantics") {
+    val store = derbyStore("upsdb")
+    // upsert into a MISSING table creates it (first-run bootstrap)
+    store.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "t", Seq("k"))
+    // existing key updated, new key inserted, untouched key kept
+    store.upsert(Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), "t", Seq("k"))
+    val out = store.read(spark, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+    // idempotent replay: same batch again changes nothing
+    store.upsert(Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), "t", Seq("k"))
+    assert(store.read(spark, "t").count() == 3)
+  }
+
+  test("JdbcStagingStore (embedded Derby): three-layer flow + count verification") {
+    val store = derbyStore("etldb")
+    // staging (raw strings, append-only) -> transformed (typed upsert)
+    // -> production (upsert by key), the reference's layer layout
+    val raw = Seq(("1", "10.5"), ("2", "x"), ("3", "7.25"))
+      .toDF("id_raw", "amt_raw")
+    store.write(raw, "staging_txn", SaveMode.Overwrite)
+    val staged = store.read(spark, "staging_txn")
+    val typed = staged.select(
+      staged("id_raw").cast("long").as("id"),
+      graft.functions.Cleaning.parseNumber(staged("amt_raw")).as("amt"))
+      .filter(org.apache.spark.sql.functions.col("id").isNotNull)
+    store.upsert(typed, "transformed_txn", Seq("id"))
+    store.upsert(store.read(spark, "transformed_txn"), "prod_txn", Seq("id"))
+    // verify_counts (reference load.py): row counts reconcile layer
+    // to layer; the dirty row dropped in typing is the one delta
+    val cnt = graft.operators.Loads.countReport(Map(
+      "staging" -> store.read(spark, "staging_txn"),
+      "transformed" -> store.read(spark, "transformed_txn"),
+      "production" -> store.read(spark, "prod_txn"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cnt == Map("staging" -> 3L, "transformed" -> 3L,
+      "production" -> 3L))
+    val prod = store.read(spark, "prod_txn").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // unparseable amount -> safe_num default 0.0, row kept
+    assert(prod == Map(1L -> 10.5, 2L -> 0.0, 3L -> 7.25))
+  }
 }
