@@ -1,27 +1,219 @@
 package graft
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-import graft.pipeline.BankEtl
+import graft.pipeline.{BankEtl, BatchScheduler}
 import graft.sources.FileTracker
 
-/** CLI entrypoint — the reference's `main.py --mode full` equivalent:
-  * run the bank ETL (extract → transform → incremental load) over a CSV
-  * directory into parquet production tables, with file-level tracking.
+/** CLI entrypoint — the reference's `main.py` controller: run the bank
+  * ETL over a CSV directory into parquet production tables, with
+  * file-level tracking and the reference's per-phase modes
+  * (main.py --mode choices full/schedule/extract/transform/load; the
+  * reference also ships test.py as the health check — `health` here).
   *
-  * Usage: runMain graft.EtlMain <csvDir> <outDir> [batchDate]
+  * Usage:
+  *   runMain graft.EtlMain <csvDir> <outDir> [batchDate]
+  *     [--mode full|extract|transform|load|schedule|health]
+  *     [--schedule-type twice_daily|daily|biweekly]
+  *     [--run-time HH:MM] [--max-runs N]
   *
-  * Per-entity production tables land at <outDir>/<entity>; the file
-  * tracker state at <outDir>/_file_tracker. Re-running against an
-  * unchanged CSV dir loads nothing (incremental semantics), exactly
-  * like the reference's re-run behavior.
+  * Layer layout mirrors the reference's MySQL-staging → production
+  * split on parquet paths:
+  *   <outDir>/_staging/<entity>      raw-string staged batch (extract)
+  *   <outDir>/_transformed/<entity>  typed/cleaned batch (transform)
+  *   <outDir>/<entity>               production tables (load)
+  *   <outDir>/_file_tracker          processed-file state
+  *
+  * `full` runs the three phases FUSED (no intermediate writes — one
+  * Spark plan end-to-end, the scale-preferred path); the split modes
+  * exist for operational parity: re-running a failed phase, inspecting
+  * a staged batch, loading under a different window. Re-running against
+  * an unchanged CSV dir extracts nothing (incremental semantics),
+  * exactly like the reference's re-run behavior.
   */
 object EtlMain {
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: EtlMain <csvDir> <outDir> [batchDate]")
-    val Array(csvDir, outDir) = args.take(2)
-    val batchDate = if (args.length > 2) args(2) else BatchDate
 
+  final case class Config(csvDir: String, outDir: String,
+                          batchDate: String, mode: String,
+                          scheduleType: String, runTime: String,
+                          maxRuns: Int)
+
+  def parseArgs(args: Array[String]): Config = {
+    val (flags, pos) = {
+      var f = Map.empty[String, String]
+      var p = Vector.empty[String]
+      var i = 0
+      while (i < args.length) {
+        if (args(i).startsWith("--")) {
+          require(i + 1 < args.length, s"missing value for ${args(i)}")
+          f += args(i).drop(2) -> args(i + 1); i += 2
+        } else { p :+= args(i); i += 1 }
+      }
+      (f, p)
+    }
+    require(pos.length >= 2,
+      "usage: EtlMain <csvDir> <outDir> [batchDate] [--mode ...]")
+    val mode = flags.getOrElse("mode", "full")
+    require(Set("full", "extract", "transform", "load", "schedule",
+      "health").contains(mode), s"unknown mode: $mode")
+    val sched = flags.getOrElse("schedule-type", "twice_daily")
+    require(Set("twice_daily", "daily", "biweekly").contains(sched),
+      s"unknown schedule-type: $sched")
+    Config(pos(0), pos(1),
+      if (pos.length > 2) pos(2) else BatchDate,
+      mode, sched, flags.getOrElse("run-time", "01:00"),
+      flags.get("max-runs").map(_.toInt).getOrElse(Int.MaxValue))
+  }
+
+  private def staging(outDir: String, e: String) = s"$outDir/_staging/$e"
+  private def transformed(outDir: String, e: String) = s"$outDir/_transformed/$e"
+
+  /** Extract phase: stage new CSV files (raw strings, PK-filtered,
+    * deduped) into the staging layer and mark them processed. The
+    * reference's extract.py → MySQL-staging leg.
+    */
+  def runExtract(spark: SparkSession, csvDir: String, outDir: String): Unit = {
+    val tracker = new FileTracker(spark, s"$outDir/_file_tracker")
+    BankEtl.schemas.foreach { entity =>
+      val glob = s"$csvDir/${entity.name}*.csv"
+      val pending = tracker.newFiles(glob)
+      if (pending.isEmpty) {
+        println(s"[etl] extract ${entity.name}: no new files, skipping")
+      } else {
+        val staged = BankEtl.extract(spark, glob, entity)
+        sources.ParquetIo.replace(staged.data, staging(outDir, entity.name))
+        tracker.markProcessed(pending, staged.perFileRows)
+        println(s"[etl] extract ${entity.name}: csv_rows=${staged.totalRows} " +
+          s"invalid_pk=${staged.invalidKeyRows} deduped=${staged.dedupedRows}")
+      }
+    }
+  }
+
+  /** Transform phase: staged batch → typed/cleaned batch. The
+    * reference's transform.py leg.
+    */
+  def runTransform(spark: SparkSession, outDir: String,
+                   batchDate: String): Unit =
+    BankEtl.schemas.foreach { entity =>
+      sources.ParquetIo.readIfExists(spark, staging(outDir, entity.name)) match {
+        case None =>
+          println(s"[etl] transform ${entity.name}: no staged batch, skipping")
+        case Some(staged) =>
+          val out = BankEtl.transform(entity.name, staged, batchDate)
+          sources.ParquetIo.replace(out, transformed(outDir, entity.name))
+          println(s"[etl] transform ${entity.name}: rows=${out.count()}")
+      }
+    }
+
+  /** Load phase: transformed batch → incremental append into the
+    * partitioned production tables. The reference's load.py leg.
+    */
+  def runLoad(spark: SparkSession, outDir: String): Unit =
+    BankEtl.schemas.foreach { entity =>
+      sources.ParquetIo.readIfExists(spark, transformed(outDir, entity.name)) match {
+        case None =>
+          println(s"[etl] load ${entity.name}: no transformed batch, skipping")
+        case Some(batch) =>
+          val loaded = loadProduction(spark, batch, outDir, entity)
+          println(s"[etl] load ${entity.name}: new_loaded=$loaded")
+      }
+    }
+
+  private def loadProduction(spark: SparkSession, transformedBatch: DataFrame,
+                             outDir: String,
+                             entity: BankEtl.EntitySchema): Long = {
+    val target = s"$outDir/${entity.name}"
+    val existing = sources.ParquetIo.readIfExists(spark, target)
+      .map(_.select(entity.primaryKey))
+      .getOrElse(transformedBatch.limit(0).select(entity.primaryKey))
+    val newRows = BankEtl.loadIncremental(transformedBatch, existing,
+      entity.primaryKey)
+    val loaded = newRows.cache().count()
+    // production tables are directory-partitioned on their analysis
+    // dimension so downstream predicates prune (see Writers)
+    val partCols = entity.name match {
+      case "customers" => Seq("customer_segment")
+      case "loans" => Seq("risk_category")
+      case "transactions" => Seq("transaction_category")
+      case _ => Nil
+    }
+    if (loaded > 0) {
+      if (partCols.nonEmpty)
+        graft.sources.Writers.writePartitioned(newRows, target, partCols,
+          mode = SaveMode.Append)
+      else newRows.write.mode(SaveMode.Append).parquet(target)
+    }
+    newRows.unpersist()
+    loaded
+  }
+
+  /** Full pipeline, FUSED: extract → transform → load as one Spark plan
+    * per entity, no intermediate materialization (the scale-preferred
+    * path and the reference's `--mode full`).
+    */
+  def runFull(spark: SparkSession, csvDir: String, outDir: String,
+              batchDate: String): Unit = {
+    val tracker = new FileTracker(spark, s"$outDir/_file_tracker")
+    BankEtl.schemas.foreach { entity =>
+      val glob = s"$csvDir/${entity.name}*.csv"
+      val pending = tracker.newFiles(glob)
+      if (pending.isEmpty) {
+        println(s"[etl] ${entity.name}: no new files, skipping")
+      } else {
+        val staged = BankEtl.extract(spark, glob, entity)
+        val out = BankEtl.transform(entity.name, staged.data, batchDate)
+        val loaded = loadProduction(spark, out, outDir, entity)
+        // per-FILE raw counts (not the glob total against every file)
+        tracker.markProcessed(pending, staged.perFileRows)
+        println(s"[etl] ${entity.name}: csv_rows=${staged.totalRows} " +
+          s"invalid_pk=${staged.invalidKeyRows} deduped=${staged.dedupedRows} " +
+          s"new_loaded=$loaded")
+      }
+    }
+    runHealth(spark, outDir)
+  }
+
+  /** Health report (reference test.py): per-table production counts. */
+  def runHealth(spark: SparkSession, outDir: String): Unit = {
+    val tables = BankEtl.schemas.flatMap { e =>
+      sources.ParquetIo.readIfExists(spark, s"$outDir/${e.name}").map(e.name -> _)
+    }.toMap
+    if (tables.isEmpty) println("[health] no production tables yet")
+    else operators.Loads.countReport(tables).collect().foreach { r =>
+      println(s"[health] ${r.getAs[String]("tbl")}: ${r.getAs[Long]("n_rows")} rows")
+    }
+  }
+
+  /** Schedule mode — the reference's BankingBatchScheduler.start():
+    * one immediate health-check run, then full runs at each window.
+    * `maxRuns` bounds the loop (reference loops forever on Ctrl-C).
+    */
+  def runSchedule(spark: SparkSession, cfg: Config): Unit = {
+    val t = java.time.LocalTime.parse(cfg.runTime)
+    val schedule = cfg.scheduleType match {
+      case "daily" => BatchScheduler.Daily(t)
+      case "biweekly" => BatchScheduler.BiWeekly(
+        java.time.DayOfWeek.MONDAY, java.time.DayOfWeek.THURSDAY, t)
+      case _ => BatchScheduler.TwiceDaily(t)
+    }
+    // initial run NOW (the reference's "TRIGGERING INITIAL PIPELINE
+    // RUN (HEALTH CHECK)" behavior), then wait out each window
+    runFull(spark, cfg.csvDir, cfg.outDir, cfg.batchDate)
+    var runs = 1
+    while (runs < cfg.maxRuns) {
+      val now = java.time.LocalDateTime.now()
+      val next = BatchScheduler.nextRun(schedule, now)
+      val sleepMs = java.time.Duration.between(now, next).toMillis
+      println(s"[etl] scheduler: next window $next " +
+        s"(sleeping ${sleepMs / 1000}s)")
+      Thread.sleep(math.max(0L, sleepMs))
+      runFull(spark, cfg.csvDir, cfg.outDir, cfg.batchDate)
+      runs += 1
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-etl")
@@ -32,55 +224,14 @@ object EtlMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tracker = new FileTracker(spark, s"$outDir/_file_tracker")
-
-    BankEtl.schemas.foreach { entity =>
-      val glob = s"$csvDir/${entity.name}*.csv"
-      val pending = tracker.newFiles(glob)
-      val nPending = pending.count()
-      if (nPending == 0) {
-        println(s"[etl] ${entity.name}: no new files, skipping")
-      } else {
-        val staged = BankEtl.extract(spark, glob, entity)
-        val transformed = BankEtl.transform(entity.name, staged.data, batchDate)
-        val target = s"$outDir/${entity.name}"
-        val existing = sources.ParquetIo.readIfExists(spark, target)
-          .map(_.select(entity.primaryKey))
-          .getOrElse(transformed.limit(0).select(entity.primaryKey))
-        val newRows = BankEtl.loadIncremental(transformed, existing,
-          entity.primaryKey)
-        val loaded = newRows.cache().count()
-        // production tables are directory-partitioned on their analysis
-        // dimension so downstream predicates prune (see Writers)
-        val partCols = entity.name match {
-          case "customers" => Seq("customer_segment")
-          case "loans" => Seq("risk_category")
-          case "transactions" => Seq("transaction_category")
-          case _ => Nil
-        }
-        if (loaded > 0) {
-          if (partCols.nonEmpty)
-            graft.sources.Writers.writePartitioned(newRows, target, partCols,
-              mode = SaveMode.Append)
-          else newRows.write.mode(SaveMode.Append).parquet(target)
-        }
-        newRows.unpersist()
-        // per-FILE raw counts (not the glob total against every file)
-        tracker.markProcessed(pending, staged.perFileRows)
-        println(s"[etl] ${entity.name}: csv_rows=${staged.totalRows} " +
-          s"invalid_pk=${staged.invalidKeyRows} deduped=${staged.dedupedRows} " +
-          s"new_loaded=$loaded")
-      }
+    cfg.mode match {
+      case "extract" => runExtract(spark, cfg.csvDir, cfg.outDir)
+      case "transform" => runTransform(spark, cfg.outDir, cfg.batchDate)
+      case "load" => runLoad(spark, cfg.outDir)
+      case "health" => runHealth(spark, cfg.outDir)
+      case "schedule" => runSchedule(spark, cfg)
+      case _ => runFull(spark, cfg.csvDir, cfg.outDir, cfg.batchDate)
     }
-
-    // health report (reference test.py): per-table row counts
-    val tables = BankEtl.schemas.flatMap { e =>
-      sources.ParquetIo.readIfExists(spark, s"$outDir/${e.name}").map(e.name -> _)
-    }.toMap
-    if (tables.nonEmpty)
-      operators.Loads.countReport(tables).collect().foreach { r =>
-        println(s"[health] ${r.getAs[String]("tbl")}: ${r.getAs[Long]("n_rows")} rows")
-      }
     spark.stop()
   }
 }

@@ -46,10 +46,19 @@ object CsvStaging {
     */
   def read(spark: SparkSession, path: String, columns: Seq[String],
            primaryKey: String): StagingResult = {
+    // expand a glob up front: a raw glob string goes through
+    // FileStreamSink.hasMetadata, which probes the literal glob as a
+    // file and warn-logs a FileNotFoundException trace per read
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val expanded = Option(fs.globStatus(hp))
+      .filter(_.nonEmpty)
+      .map(_.map(_.getPath.toString).toIndexedSeq)
+      .getOrElse(Seq(path)) // no match: keep the original error path
     val raw = spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
-      .csv(path)
+      .csv(expanded: _*)
 
     val got = raw.columns.toSet
     require(got == columns.toSet,

@@ -35,20 +35,27 @@ class FileTracker(spark: SparkSession, statePath: String) {
     * (the reference logs-and-continues on missing entity files,
     * extract.py:530-532).
     */
-  def listWithHashes(glob: String): DataFrame =
-    try
-      spark.read.format("binaryFile").load(glob)
+  def listWithHashes(glob: String): DataFrame = {
+    // expand the glob up front and hand binaryFile CONCRETE paths: a
+    // raw glob goes through FileStreamSink.hasMetadata, which probes
+    // the literal glob string as a file and warn-logs a
+    // FileNotFoundException stack trace on every normal run
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(p)).getOrElse(
+      Array.empty[org.apache.hadoop.fs.FileStatus])
+    if (matches.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "file_name STRING, file_hash STRING, length LONG"))
+    else
+      spark.read.format("binaryFile")
+        .load(matches.map(_.getPath.toString).toIndexedSeq: _*)
         .select(
           element_at(split(col("path"), "/"), -1).as("file_name"),
           md5(col("content")).as("file_hash"),
           col("length"))
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "PATH_NOT_FOUND" =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "file_name STRING, file_hash STRING, length LONG"))
-    }
+  }
 
   /** Files under `glob` not yet processed with their current content. */
   def newFiles(glob: String): DataFrame =

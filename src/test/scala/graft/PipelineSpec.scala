@@ -110,4 +110,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(jm.broadcasts == 1 && jm.shuffles == 1, jm)
   }
 
+  test("EtlMain.parseArgs: reference main.py mode surface") {
+    import EtlMain.parseArgs
+    val d = parseArgs(Array("/in", "/out"))
+    assert(d.mode == "full" && d.scheduleType == "twice_daily" &&
+      d.runTime == "01:00" && d.maxRuns == Int.MaxValue)
+    val c = parseArgs(Array("/in", "/out", "2026-01-15",
+      "--mode", "schedule", "--schedule-type", "daily",
+      "--run-time", "03:30", "--max-runs", "2"))
+    assert(c.batchDate == "2026-01-15" && c.mode == "schedule" &&
+      c.scheduleType == "daily" && c.runTime == "03:30" && c.maxRuns == 2)
+    assert(Seq("extract", "transform", "load", "health").forall(m =>
+      parseArgs(Array("/in", "/out", "--mode", m)).mode == m))
+    intercept[IllegalArgumentException](
+      parseArgs(Array("/in", "/out", "--mode", "bogus")))
+    intercept[IllegalArgumentException](parseArgs(Array("/in")))
+  }
+
+  test("EtlMain: phase-split extract/transform/load ≡ fused full run") {
+    val split = java.nio.file.Files.createTempDirectory("graft_split").toString
+    val fused = java.nio.file.Files.createTempDirectory("graft_fused").toString
+    val date = "2026-08-14"
+    EtlMain.runExtract(spark, dataDir, split)
+    EtlMain.runTransform(spark, split, date)
+    EtlMain.runLoad(spark, split)
+    EtlMain.runFull(spark, dataDir, fused, date)
+    BankEtl.schemas.map(_.name).filter(e =>
+      new java.io.File(s"$fused/$e").isDirectory).foreach { e =>
+      val a = spark.read.parquet(s"$split/$e")
+      val b = spark.read.parquet(s"$fused/$e")
+      assert(a.count() == b.count(), e)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$e: phase-split and fused production tables diverge")
+    }
+    // re-running extract against the unchanged CSV dir stages nothing
+    EtlMain.runExtract(spark, dataDir, split)
+    val again = spark.read.parquet(s"$split/customers").count()
+    assert(again == spark.read.parquet(s"$fused/customers").count())
+  }
+
 }
