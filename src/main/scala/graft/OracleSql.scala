@@ -1314,6 +1314,63 @@ object OracleSql {
          |SELECT p AS id, c AS core_deg FROM fin""".stripMargin
     },
 
+    "q_pagerank_fixed" -> {
+      // same pair fragments as q_dedup_ngram, then 5 UNROLLED
+      // fixed-point PageRank rounds in exact integer arithmetic —
+      // rank in 1e12-units, per-edge contribution rk // deg, damping
+      // 85/100 as integer mul+div. Integer sums are order-free, so
+      // this is a HARD hash gate on an iterative graph algorithm
+      // (the float q_pagerank cannot be: IEEE adds in partition
+      // order). DuckDB's sum(BIGINT) widens to HUGEINT → every
+      // round re-casts rk to BIGINT (lossless: mass ≤ 1e12).
+      // MATERIALIZED for the same exponential-inlining reason as
+      // q_kcore: each round references the previous twice.
+      val rounds = 5
+      val scale = "1000000000000"
+      val base = s"((15 * $scale) // (100 * (SELECT n FROM nn)))"
+      val iters = (1 to rounds).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT nd.id, CAST($base
+           |      + (85 * coalesce(s.inflow, 0)) // 100 AS BIGINT) AS rk
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT p.id_b AS id, sum(r.rk // d.deg) AS inflow
+           |    FROM pairs p
+           |    JOIN r${i - 1} r ON r.id = p.id_a
+           |    JOIN outdeg d ON d.src = p.id_a
+           |    GROUP BY 1) s ON s.id = nd.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ic
+         |  FROM sh a
+         |  JOIN sizes sa ON sa.id = a.id
+         |  JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  JOIN sizes sb ON sb.id = b.id
+         |  WHERE CAST(sa.sz AS DOUBLE) <= sb.sz / CAST(0.6 AS DOUBLE)
+         |    AND CAST(sb.sz AS DOUBLE) <= sa.sz / CAST(0.6 AS DOUBLE)
+         |  GROUP BY 1, 2),
+         |pairs AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 4) AS jaccard
+         |    FROM inter
+         |    JOIN sizes sa ON sa.id = id_a
+         |    JOIN sizes sb ON sb.id = id_b) j
+         |  WHERE jaccard >= 0.6),
+         |nodes AS MATERIALIZED (SELECT id_a AS id FROM pairs
+         |         UNION SELECT id_b FROM pairs),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |outdeg AS MATERIALIZED (
+         |  SELECT id_a AS src, count(*) AS deg FROM pairs GROUP BY 1),
+         |r0 AS MATERIALIZED (
+         |  SELECT id, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS rk
+         |  FROM nodes),
+         |$iters
+         |SELECT id AS doc_id, rk AS rank_fp FROM r$rounds""".stripMargin
+    },
+
     "q_dedup_cluster" -> {
       // same corpus/shingle/pair fragments as q_dedup_ngram, then the
       // transitive closure: min reachable id over symmetrized pairs ≡

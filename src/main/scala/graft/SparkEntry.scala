@@ -1097,6 +1097,21 @@ object SparkEntry {
       .select($"id".as("doc_id"), round($"rank", 6).as("rank"))
   }
 
+  /** E30: fixed-point PageRank twin over the SAME near-dup graph as
+    * q_pagerank — every arithmetic step is exact integer math
+    * (rank in 1e12-units, integer div contributions, rational 85/100
+    * damping), so unlike the float form this one carries a HARD
+    * hash-equality oracle: DuckDB unrolls the same 5 rounds in
+    * integer SQL and must match bit-for-bit.
+    */
+  private def qPageRankFixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.ngramJaccardPairs(dupCorpus(s, dir), "text", "doc_id",
+      5, 0.6)
+    Graph.pageRankFixed(pairs, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"rank_fp")
+  }
+
   /** E22: benchmark decontamination — corpus docs sharing any word
     * 8-gram with the held-out benchmark slice (doc_id % 10 == 0 of the
     * originals; their truncated near-copies in the dup-seeded corpus
@@ -3251,6 +3266,7 @@ object SparkEntry {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_winsorize" -> (qWinsorize _),
     "q_pagerank" -> (qPageRank _),
+    "q_pagerank_fixed" -> (qPageRankFixed _),
     "q_locf" -> (qLocf _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_heavy_hitters" -> (qHeavyHitters _),

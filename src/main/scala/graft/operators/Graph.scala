@@ -219,6 +219,102 @@ object Graph {
     ranks
   }
 
+  /** E30b: fixed-point PageRank — the ENGINE-PORTABLE twin of
+    * [[pageRank]], same shape as simhash's md5-portable twin: every
+    * arithmetic step is exact integer math, so the result is
+    * bit-identical on any engine, partitioning, or aggregation order,
+    * and the operator can carry a hard hash-equality oracle gate
+    * (float PageRank cannot: its per-node sums are IEEE adds in
+    * partition order).
+    *
+    * Rank mass is held in integer `scale`-units (default 1e12 — ~12
+    * significant digits, far below BIGINT overflow even summed over
+    * the whole graph since total mass never exceeds `scale` +
+    * n·base). One round:
+    *
+    *   contrib(e) = rank(src) div outdeg(src)        (exact int div)
+    *   inflow(v)  = Σ contrib                         (int sum, order-free)
+    *   rank'(v)   = base + (dampNum·inflow) div dampDen
+    *
+    * with base = ((dampDen−dampNum)·scale) div (dampDen·n) and
+    * init = scale div n. Damping is the rational dampNum/dampDen
+    * (85/100 = the canonical 0.85). Truncation loses < n·iters
+    * scale-units of mass vs the float form — at scale=1e12 the two
+    * agree to ~9 significant digits (asserted in GraphSamplingSpec) —
+    * in exchange for determinism the float form cannot offer.
+    *
+    * Same hybrid execution as [[pageRank]]: graphs at or below
+    * `localThreshold` edges power-iterate on the driver (identical
+    * integer ops ⇒ identical result to the distributed loop, asserted
+    * in GraphSamplingSpec); larger graphs run the two-shuffle
+    * distributed rounds with per-round localCheckpoint lineage
+    * truncation. Dangling nodes leak mass, as in [[pageRank]].
+    *
+    * @return (id, rank_fp) — rank in scale-units, BIGINT.
+    */
+  def pageRankFixed(edges: DataFrame, srcCol: String, dstCol: String,
+                    dampNum: Long = 85L, dampDen: Long = 100L,
+                    iterations: Int = 5,
+                    scale: Long = 1000000000000L,
+                    localThreshold: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (e.count() <= localThreshold) {
+      import spark.implicits._
+      val es = e.as[(Long, Long)].collect()
+      e.unpersist()
+      val ids = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val idx = ids.zipWithIndex.toMap
+      val n = ids.length
+      val deg = new Array[Long](n)
+      es.foreach { case (s, _) => deg(idx(s)) += 1 }
+      val adj = es.map { case (s, d) => (idx(s), idx(d)) }
+        .groupBy(_._1).map { case (s, arr) => s -> arr.map(_._2) }
+      val base = ((dampDen - dampNum) * scale) / (dampDen * n)
+      var rank = Array.fill(n)(scale / n)
+      for (_ <- 1 to iterations) {
+        val inflow = new Array[Long](n)
+        adj.foreach { case (s, ds) =>
+          val c = rank(s) / deg(s)
+          ds.foreach(d => inflow(d) += c)
+        }
+        rank = inflow.map(f => base + (dampNum * f) / dampDen)
+      }
+      return spark.createDataset(ids.toSeq.map(id => (id, rank(idx(id)))))
+        .toDF("id", "rank_fp")
+    }
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(outdeg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = ((dampDen - dampNum) * scale) / (dampDen * n)
+    var ranks = nodes.select(col("id"), lit(scale / n).as("rank_fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iterations) {
+      val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("rank_fp div deg")).as("inflow"))
+      val next = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"($dampNum * coalesce(inflow, 0L)) div $dampDen"))
+            .as("rank_fp"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    nodes.unpersist()
+    withDeg.unpersist()
+    e.unpersist()
+    ranks
+  }
+
   /** Triangle count + global clustering coefficient over an undirected
     * edge list — the density fingerprint of a near-dup / co-occurrence
     * graph (dup clusters triangulate heavily; spurious LSH chains

@@ -154,6 +154,27 @@ class GraphSamplingSpec extends AnyFunSuite {
     local.foreach { case (k, v) => assert(math.abs(v - dist(k)) < 1e-12) }
   }
 
+  test("pageRankFixed: local ≡ distributed exactly; agrees with float form") {
+    import spark.implicits._
+    val edges = (1 to 60).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("s", "d")
+    val local = Graph.pageRankFixed(edges, "s", "d").collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("rank_fp")).toMap
+    val dist = Graph.pageRankFixed(edges.repartition(13), "s", "d",
+        localThreshold = 0L).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("rank_fp")).toMap
+    // integer arithmetic: the two execution paths are BIT-identical,
+    // not merely close — this is the property the hash gate rides
+    assert(local == dist)
+    // and the fixed-point result tracks the float form to ~1e-9 of
+    // mass per node (truncation loses < iters ulp-units per node)
+    val fl = Graph.pageRank(edges, "s", "d", iterations = 5).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Double]("rank")).toMap
+    assert(local.keySet == fl.keySet)
+    local.foreach { case (k, v) =>
+      assert(math.abs(v / 1e12 - fl(k)) < 1e-8, s"node $k") }
+  }
+
   test("labelPropagation splits a barbell into two communities (CC gives one)") {
     // two 4-cliques bridged by a single edge 4–5
     def clique(ids: Seq[Long]) =
