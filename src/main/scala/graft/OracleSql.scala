@@ -1107,6 +1107,76 @@ object OracleSql {
         |      0), 255) END AS code
         |FROM f JOIN s USING(pos)""".stripMargin,
 
+    "q_kmeans_fixed" -> {
+      // integer k-means, 3 UNROLLED Lloyd rounds over the int8 codes
+      // (the q_quantize_int8 fragment): distances are exact-integer
+      // Σ(Δcode)², argmin ties to the lowest cid, centroid update is
+      // per-dim sum // count (integer division), inertia an exact
+      // integer sum — all order-free, hence a HARD hash gate on Lloyd
+      // training (float q_kmeans cannot be: fp-order inertia). Init =
+      // k lowest (md5(vec_id), vec_id), cids in vec_id order —
+      // engine-portable, mirroring Similarity.kmeansFixedTrain.
+      // DuckDB sum(BIGINT) widens to HUGEINT → re-cast per round.
+      val k = 8
+      val iters = 3
+      val iterCtes = (1 to iters).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT f.vec_id, c.cid,
+           |    CAST(sum((f.code - c.cv) * (f.code - c.cv)) AS BIGINT) AS d
+           |  FROM codes f JOIN c${i - 1} c ON c.pos = f.pos
+           |  GROUP BY 1, 2),
+           |a$i AS MATERIALIZED (
+           |  SELECT vec_id, min(cid) AS cid FROM (
+           |    SELECT vec_id, cid, d, min(d) OVER (PARTITION BY vec_id) AS md
+           |    FROM d$i) t
+           |  WHERE d = md GROUP BY 1),
+           |c$i AS MATERIALIZED (
+           |  SELECT c.cid, c.pos, coalesce(u.v, c.cv) AS cv
+           |  FROM c${i - 1} c LEFT JOIN (
+           |    SELECT a.cid, f.pos,
+           |      CAST(sum(f.code) // count(*) AS BIGINT) AS v
+           |    FROM a$i a JOIN codes f USING (vec_id) GROUP BY 1, 2) u
+           |    ON u.cid = c.cid AND u.pos = c.pos)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+         |    CAST(embedding[u.i] AS DOUBLE) AS x
+         |  FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) AS u(i)),
+         |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM f GROUP BY 1),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, f.pos,
+         |    CASE WHEN mx = mn THEN 0
+         |      ELSE least(greatest(
+         |        CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT),
+         |        0), 255) END AS code
+         |  FROM f JOIN st USING (pos)),
+         |pick AS MATERIALIZED (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+         |  FROM (SELECT vec_id FROM embeddings
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |        LIMIT $k) p),
+         |c0 AS MATERIALIZED (
+         |  SELECT p.cid, f.pos, f.code AS cv
+         |  FROM pick p JOIN codes f USING (vec_id)),
+         |$iterCtes,
+         |dF AS MATERIALIZED (
+         |  SELECT f.vec_id, c.cid,
+         |    CAST(sum((f.code - c.cv) * (f.code - c.cv)) AS BIGINT) AS d
+         |  FROM codes f JOIN c$iters c ON c.pos = f.pos
+         |  GROUP BY 1, 2),
+         |aF AS MATERIALIZED (
+         |  SELECT vec_id, min(cid) AS cid, min(md) AS d FROM (
+         |    SELECT vec_id, cid, d, min(d) OVER (PARTITION BY vec_id) AS md
+         |    FROM dF) t
+         |  WHERE d = md GROUP BY 1),
+         |cs AS (SELECT cid, CAST(sum(cv) AS BIGINT) AS centroid_sum
+         |       FROM c$iters GROUP BY 1)
+         |SELECT a.cid, count(*) AS n_assigned,
+         |  CAST(sum(a.d) AS BIGINT) AS inertia, cs.centroid_sum
+         |FROM aF a JOIN cs USING (cid)
+         |GROUP BY a.cid, cs.centroid_sum""".stripMargin
+    },
+
     "q_null_semantics" ->
       """WITH t AS (SELECT c_custkey, c_mktsegment,
         |    CASE CAST(c_custkey % 3 AS INT)

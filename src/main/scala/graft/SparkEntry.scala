@@ -2386,6 +2386,19 @@ object SparkEntry {
       .select($"cid", $"n_assigned", round($"inertia", 2).as("inertia"))
   }
 
+  /** H19: fixed-point k-means twin — the SAME Lloyd shape as q_kmeans
+    * (k=8, 3 iters, k·D driver scalars per round) but on int8-quantized
+    * vectors with all-integer arithmetic (exact distances, DIV centroid
+    * update, md5-portable init), so unlike the float form it carries a
+    * HARD hash-equality oracle: DuckDB unrolls the same 3 Lloyd rounds
+    * in integer SQL and must match bit-for-bit.
+    */
+  private def qKmeansFixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.kmeansFixedTrain(table(s, dir, "embeddings"),
+      "vec_id", "embedding", 8, 3)
+  }
+
   /** E7d: product-quantization ANN — m=8 subspace codebooks × 16
     * centroids (8-byte codes, 32× compression); per-query LUT + ADC
     * lookup scan + exact rerank. Rows-only gate (Lloyd training is
@@ -3251,6 +3264,7 @@ object SparkEntry {
     "q_hop_agg" -> (qHopAgg _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_kmeans" -> (qKmeans _),
+    "q_kmeans_fixed" -> (qKmeansFixed _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_chunk_docs" -> (qChunkDocs _),

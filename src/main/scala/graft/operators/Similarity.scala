@@ -255,6 +255,98 @@ object Similarity {
     } finally vecs.unpersist()
   }
 
+  /** H19b: engine-portable integer k-means — the fixed-point twin of
+    * [[kmeansTrain]], same pattern as pageRankFixed / the md5-portable
+    * simhash: every Lloyd step is exact arithmetic, so the trained
+    * result is bit-identical on any engine or partitioning and can
+    * carry a HARD hash-equality oracle gate (float k-means cannot:
+    * per-cell mean and inertia are IEEE sums in partition order).
+    *
+    * The exactness ladder:
+    *  1. vectors are int8-quantized first ([[quantizeInt8]]: floor on
+    *     identically-computed doubles — bit-exact anywhere);
+    *  2. squared-L2 distances are sums of D·(Δcode)² ≤ D·255² — exact
+    *     integers, exactly representable in IEEE doubles, so even a
+    *     partition-order double sum is deterministic;
+    *  3. argmin ties break to the lowest cid (array_position-first,
+    *     same as [[kmeansTrain]]);
+    *  4. the centroid update is per-dim `sum DIV count` — INTEGER
+    *     division, so centroids stay integral forever;
+    *  5. inertia is a sum of exact integers < 2^53 — order-free.
+    *
+    * Init is the k vectors with the lowest `(md5(id), id)` — portable
+    * to any engine with md5, unlike [[kmeansTrain]]'s xxhash64 —
+    * cids assigned in id order over the selected k. Empty cells keep
+    * their previous centroid.
+    *
+    * Same driver-traffic shape as [[kmeansTrain]]: only k·D scalars
+    * cross the driver per iteration; the corpus never collects.
+    *
+    * @return one row per non-empty cell from the FINAL assignment:
+    *         (cid, n_assigned, inertia, centroid_sum) — centroid_sum
+    *         is Σ_d centroid[d], an exact integer digest of the
+    *         trained centroid.
+    */
+  def kmeansFixedTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val codes = quantizeInt8(corpus, idCol, vecCol)
+    val vecs = codes
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("pos"), col("code"))).as("pv"))
+      .select(col("id"),
+        transform(array_sort(col("pv")),
+          p => p.getField("code").cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[(Int, Seq[Long])] = vecs
+        .orderBy(md5(col("id").cast("string")), col("id")).limit(k)
+        .orderBy(col("id")).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1).map(_.toLong)) }
+
+      def assign(cs: Array[(Int, Seq[Long])]) = {
+        val dists = array(cs.sortBy(_._1).map { case (_, cv) =>
+          sqDist(col("v"), typedLit(cv.map(_.toDouble))) }: _*)
+        vecs.withColumn("__d", dists)
+          .select(col("id"), col("v"),
+            (array_position(col("__d"), array_min(col("__d"))) - 1)
+              .cast("int").as("cid"),
+            array_min(col("__d")).as("d"))
+      }
+
+      for (_ <- 1 to iters) {
+        val sums = assign(cents)
+          .select(col("cid"), posexplode(col("v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("col").cast("long")).as("s"), count(lit(1)).as("n"))
+          .collect() // k·dim tiny rows — the only driver traffic
+        val byCell = sums.groupBy(_.getInt(0))
+        cents = cents.map { case (cid, old) =>
+          byCell.get(cid) match {
+            case Some(rows) =>
+              // exact integer division — centroids stay integral
+              val dim = rows.map(r =>
+                r.getInt(1) -> r.getLong(2) / r.getLong(3)).toMap
+              (cid, old.indices.map(dim))
+            case None => (cid, old)
+          }
+        }
+      }
+      import spark.implicits._
+      val digest = cents.toSeq
+        .map { case (cid, cv) => (cid.toLong, cv.sum) }
+        .toDF("cid", "centroid_sum")
+      assign(cents)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(col("d")).cast("long").as("inertia"))
+        .select(col("cid").cast("long").as("cid"),
+          col("n_assigned"), col("inertia"))
+        .join(digest, Seq("cid"))
+    } finally vecs.unpersist()
+  }
+
   /** Int8 scalar quantization of an embedding column — the 100 TB
     * memory/IO lever: 4× smaller vectors (float32 → uint8 codes) for
     * the candidate-scan stage of ANN, with exact rerank on the few

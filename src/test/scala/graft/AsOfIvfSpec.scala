@@ -113,6 +113,26 @@ class AsOfIvfSpec extends AnyFunSuite {
     assert(nn.count() == 15)
   }
 
+  test("kmeansFixedTrain: bit-identical across partitionings; inertia shrinks") {
+    import spark.implicits._
+    val emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame, iters: Int) =
+      graft.operators.Similarity
+        .kmeansFixedTrain(df, "vec_id", "embedding", 8, iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    // integer arithmetic ⇒ the FULL result (counts, inertia, centroid
+    // digest) is bit-identical under repartitioning — the property the
+    // hash gate rides; float kmeansTrain only promises count equality
+    assert(run(emb, 3) == run(emb.repartition(13), 3))
+    // Lloyd still descends in the integer formulation
+    def inertia(iters: Int): Long =
+      graft.operators.Similarity
+        .kmeansFixedTrain(emb, "vec_id", "embedding", 8, iters)
+        .agg(org.apache.spark.sql.functions.sum($"inertia")).head.getLong(0)
+    assert(inertia(3) <= inertia(1))
+  }
+
   test("IVF probes recover most of brute-force top-k (recall)") {
     val e = table(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter($"vec_id" % 100 === 0) // 5 queries
