@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
-import graft.pipeline.{BankEtl, BatchScheduler}
+import graft.pipeline.{BankEtl, BatchScheduler, RunLog}
 import graft.sources.FileTracker
 
 /** CLI entrypoint — the reference's `main.py` controller: run the bank
@@ -68,23 +68,37 @@ object EtlMain {
   private def staging(outDir: String, e: String) = s"$outDir/_staging/$e"
   private def transformed(outDir: String, e: String) = s"$outDir/_transformed/$e"
 
+  /** One run log per invocation, living beside the data layers —
+    * the reference's logs/etl_pipeline_<date>.log, structured.
+    */
+  private def openLog(outDir: String, log: Option[RunLog]): RunLog =
+    log.getOrElse(new RunLog(s"$outDir/_logs", RunLog.newRunId()))
+
   /** Extract phase: stage new CSV files (raw strings, PK-filtered,
     * deduped) into the staging layer and mark them processed. The
     * reference's extract.py → MySQL-staging leg.
     */
-  def runExtract(spark: SparkSession, csvDir: String, outDir: String): Unit = {
+  def runExtract(spark: SparkSession, csvDir: String, outDir: String,
+                 log: Option[RunLog] = None): Unit = {
+    val rl = openLog(outDir, log)
     val tracker = new FileTracker(spark, s"$outDir/_file_tracker")
     BankEtl.schemas.foreach { entity =>
       val glob = s"$csvDir/${entity.name}*.csv"
       val pending = tracker.newFiles(glob)
       if (pending.isEmpty) {
-        println(s"[etl] extract ${entity.name}: no new files, skipping")
+        rl.log("extract", entity.name, "skip", "reason" -> "no new files")
       } else {
-        val staged = BankEtl.extract(spark, glob, entity)
-        sources.ParquetIo.replace(staged.data, staging(outDir, entity.name))
-        tracker.markProcessed(pending, staged.perFileRows)
-        println(s"[etl] extract ${entity.name}: csv_rows=${staged.totalRows} " +
-          s"invalid_pk=${staged.invalidKeyRows} deduped=${staged.dedupedRows}")
+        rl.timed[Long]("extract", entity.name, n => Seq(
+          "rows_out" -> n)) {
+          val staged = BankEtl.extract(spark, glob, entity)
+          sources.ParquetIo.replace(staged.data, staging(outDir, entity.name))
+          tracker.markProcessed(pending, staged.perFileRows)
+          rl.log("extract", entity.name, "stats",
+            "csv_rows" -> staged.totalRows,
+            "invalid_pk" -> staged.invalidKeyRows,
+            "deduped" -> staged.dedupedRows)
+          staged.totalRows - staged.invalidKeyRows - staged.dedupedRows
+        }
       }
     }
   }
@@ -93,31 +107,42 @@ object EtlMain {
     * reference's transform.py leg.
     */
   def runTransform(spark: SparkSession, outDir: String,
-                   batchDate: String): Unit =
+                   batchDate: String, log: Option[RunLog] = None): Unit = {
+    val rl = openLog(outDir, log)
     BankEtl.schemas.foreach { entity =>
       sources.ParquetIo.readIfExists(spark, staging(outDir, entity.name)) match {
         case None =>
-          println(s"[etl] transform ${entity.name}: no staged batch, skipping")
+          rl.log("transform", entity.name, "skip",
+            "reason" -> "no staged batch")
         case Some(staged) =>
-          val out = BankEtl.transform(entity.name, staged, batchDate)
-          sources.ParquetIo.replace(out, transformed(outDir, entity.name))
-          println(s"[etl] transform ${entity.name}: rows=${out.count()}")
+          rl.timed[Long]("transform", entity.name,
+            n => Seq("rows_out" -> n)) {
+            val out = BankEtl.transform(entity.name, staged, batchDate)
+            sources.ParquetIo.replace(out, transformed(outDir, entity.name))
+            out.count()
+          }
       }
     }
+  }
 
   /** Load phase: transformed batch → incremental append into the
     * partitioned production tables. The reference's load.py leg.
     */
-  def runLoad(spark: SparkSession, outDir: String): Unit =
+  def runLoad(spark: SparkSession, outDir: String,
+              log: Option[RunLog] = None): Unit = {
+    val rl = openLog(outDir, log)
     BankEtl.schemas.foreach { entity =>
       sources.ParquetIo.readIfExists(spark, transformed(outDir, entity.name)) match {
         case None =>
-          println(s"[etl] load ${entity.name}: no transformed batch, skipping")
+          rl.log("load", entity.name, "skip",
+            "reason" -> "no transformed batch")
         case Some(batch) =>
-          val loaded = loadProduction(spark, batch, outDir, entity)
-          println(s"[etl] load ${entity.name}: new_loaded=$loaded")
+          rl.timed[Long]("load", entity.name, n => Seq("rows_out" -> n)) {
+            loadProduction(spark, batch, outDir, entity)
+          }
       }
     }
+  }
 
   private def loadProduction(spark: SparkSession, transformedBatch: DataFrame,
                              outDir: String,
@@ -152,25 +177,35 @@ object EtlMain {
     * path and the reference's `--mode full`).
     */
   def runFull(spark: SparkSession, csvDir: String, outDir: String,
-              batchDate: String): Unit = {
+              batchDate: String, log: Option[RunLog] = None): Unit = {
+    val rl = openLog(outDir, log)
     val tracker = new FileTracker(spark, s"$outDir/_file_tracker")
     BankEtl.schemas.foreach { entity =>
       val glob = s"$csvDir/${entity.name}*.csv"
       val pending = tracker.newFiles(glob)
       if (pending.isEmpty) {
-        println(s"[etl] ${entity.name}: no new files, skipping")
+        rl.log("full", entity.name, "skip", "reason" -> "no new files")
       } else {
-        val staged = BankEtl.extract(spark, glob, entity)
-        val out = BankEtl.transform(entity.name, staged.data, batchDate)
-        val loaded = loadProduction(spark, out, outDir, entity)
-        // per-FILE raw counts (not the glob total against every file)
-        tracker.markProcessed(pending, staged.perFileRows)
-        println(s"[etl] ${entity.name}: csv_rows=${staged.totalRows} " +
-          s"invalid_pk=${staged.invalidKeyRows} deduped=${staged.dedupedRows} " +
-          s"new_loaded=$loaded")
+        rl.timed[Long]("full", entity.name, n => Seq("rows_out" -> n)) {
+          val staged = BankEtl.extract(spark, glob, entity)
+          val out = BankEtl.transform(entity.name, staged.data, batchDate)
+          val loaded = loadProduction(spark, out, outDir, entity)
+          // per-FILE raw counts (not the glob total against every file)
+          tracker.markProcessed(pending, staged.perFileRows)
+          rl.log("full", entity.name, "stats",
+            "csv_rows" -> staged.totalRows,
+            "invalid_pk" -> staged.invalidKeyRows,
+            "deduped" -> staged.dedupedRows)
+          loaded
+        }
       }
     }
     runHealth(spark, outDir)
+    // the reference's log_pipeline_summary, derived from the log itself
+    RunLog.summarize(rl.currentFile).foreach {
+      case (phase, ok, err, rows) =>
+        println(s"[etl] summary $phase: ok=$ok error=$err rows_out=$rows")
+    }
   }
 
   /** Health report (reference test.py): per-table production counts. */
