@@ -1177,6 +1177,121 @@ object OracleSql {
          |GROUP BY a.cid, cs.centroid_sum""".stripMargin
     },
 
+    "q_readability" ->
+      // each ratio is ONE IEEE division of exact integers; the linear
+      // Flesch forms evaluate left-assoc with identical literals on
+      // both engines; floor(+0.5) half-up handles the negative scores
+      // garbage text produces (engine round() never involved)
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+        |      * 10000.0 + 0.5) / 10000.0
+        |  END AS reading_ease,
+        |  CASE WHEN n_words > 0 THEN
+        |    floor((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |      + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59)
+        |      * 10000.0 + 0.5) / 10000.0
+        |  END AS fk_grade
+        |FROM t""".stripMargin,
+
+    "q_mojibake" ->
+      // artifacts planted identically (doc_id%5=0: 'e' -> 'Ã©'), then
+      // counted with alternation + '.' — syntax Java regex and RE2
+      // read the same over code points; \xNN class escapes likewise
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN replace(text, 'e', 'Ã©')
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '(Ã.|â€.|Â.|�)')) AS BIGINT) AS n_moji,
+        |  CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_ctrl,
+        |  len(regexp_extract_all(text, '(Ã.|â€.|Â.|�)')) > 0 AS flagged
+        |FROM c""".stripMargin,
+
+    "q_clustering_coeff" -> {
+      // same pair fragments as q_dedup_ngram, then id-ordered triangle
+      // enumeration (a<b<c, closing-edge inner join) credited to all
+      // three corners; lcc = 2T/(d(d-1)) is one IEEE division of
+      // exact integers — raw-double safe
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ic
+         |  FROM sh a
+         |  JOIN sizes sa ON sa.id = a.id
+         |  JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  JOIN sizes sb ON sb.id = b.id
+         |  WHERE CAST(sa.sz AS DOUBLE) <= sb.sz / CAST(0.6 AS DOUBLE)
+         |    AND CAST(sb.sz AS DOUBLE) <= sa.sz / CAST(0.6 AS DOUBLE)
+         |  GROUP BY 1, 2),
+         |pairs AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 4) AS jaccard
+         |    FROM inter
+         |    JOIN sizes sa ON sa.id = id_a
+         |    JOIN sizes sb ON sb.id = id_b) j
+         |  WHERE jaccard >= 0.6),
+         |deg AS (SELECT id, count(*) AS degree FROM (
+         |    SELECT id_a AS id FROM pairs
+         |    UNION ALL SELECT id_b FROM pairs) t GROUP BY 1),
+         |tris AS MATERIALIZED (
+         |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.id_a = e1.id_b
+         |  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+         |tpn AS (SELECT id, count(*) AS n_tri FROM (
+         |    SELECT a AS id FROM tris
+         |    UNION ALL SELECT b FROM tris
+         |    UNION ALL SELECT c FROM tris) t GROUP BY 1)
+         |SELECT d.id AS doc_id, d.degree,
+         |  coalesce(t.n_tri, 0) AS n_tri,
+         |  CASE WHEN d.degree >= 2 THEN
+         |    CAST(coalesce(t.n_tri, 0) * 2 AS DOUBLE)
+         |      / (d.degree * (d.degree - 1))
+         |  ELSE 0.0 END AS lcc
+         |FROM deg d LEFT JOIN tpn t ON t.id = d.id""".stripMargin
+    },
+
+    "q_seq_patterns" ->
+      // skip-gram pairs at positional gap 1..3 under the total
+      // (ts, event_id) per-user order; exact counts
+      """WITH p AS (SELECT user_id AS u, event_type AS t,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT a.t AS e_a, b.t AS e_b, count(*) AS n_pairs,
+        |  count(DISTINCT a.u) AS n_users
+        |FROM p a JOIN p b ON a.u = b.u
+        |  AND b.rn - a.rn BETWEEN 1 AND 3
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_drawdown" ->
+      // exact integer cents under the total (ts, event_id) per-key
+      // order; DuckDB window/plain sums widen to HUGEINT -> re-cast
+      """WITH e AS (SELECT event_type, ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |cumt AS (SELECT event_type, ts, event_id, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM e),
+        |pk AS (SELECT event_type, c, cum,
+        |    CAST(max(cum) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+        |  FROM cumt)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(c) AS BIGINT) AS final_cents,
+        |  CAST(max(cum) AS BIGINT) AS peak_cents,
+        |  CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents
+        |FROM pk GROUP BY 1""".stripMargin,
+
     "q_null_semantics" ->
       """WITH t AS (SELECT c_custkey, c_mktsegment,
         |    CASE CAST(c_custkey % 3 AS INT)

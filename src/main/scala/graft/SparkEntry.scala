@@ -424,6 +424,39 @@ object SparkEntry {
       TextFunctions.qualityScore($"text").as("quality"))
   }
 
+  /** E74: readability scoring (Flesch ease + FK grade) — the classic
+    * education-level quality signal over exact per-row integer counts
+    * (words, sentence-punctuation runs, vowel-group syllables); one
+    * narrow-input scan, no shuffle.
+    */
+  private def qReadability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = TextFunctions.wsTokenCount($"text").cast("long")
+    val se = TextFunctions.sentenceCount($"text")
+    val sy = TextFunctions.syllableCount($"text")
+    table(s, dir, "documents").select($"doc_id",
+      w.as("n_words"), se.as("n_sentences"), sy.as("n_syllables"),
+      TextFunctions.fleschEase(w, se, sy).as("reading_ease"),
+      TextFunctions.fkGrade(w, se, sy).as("fk_grade"))
+  }
+
+  /** E75: encoding-damage audit — mojibake (UTF-8-as-Latin-1
+    * artifacts) + control-char counts. Artifacts are PLANTED
+    * deterministically (docs with doc_id%5=0 get their 'e's read as
+    * 'Ã©') so the detector provably fires and the oracle re-derives
+    * the same corpus; scan-only, no shuffle.
+    */
+  private def qMojibake(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = table(s, dir, "documents").select($"doc_id",
+      when($"doc_id" % 5 === 0, regexp_replace($"text", "e", "Ã©"))
+        .otherwise($"text").as("text"))
+    planted.select($"doc_id",
+      TextFunctions.mojibakeCount($"text").as("n_moji"),
+      TextFunctions.ctrlCharCount($"text").as("n_ctrl"),
+      (TextFunctions.mojibakeCount($"text") > 0).as("flagged"))
+  }
+
   /** E11: content fingerprint of normalized text. */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1112,6 +1145,30 @@ object SparkEntry {
       .select($"id".as("doc_id"), $"rank_fp")
   }
 
+  /** E76: per-node local clustering coefficient over the near-dup
+    * graph — lcc ≈ 1 marks true duplicate-clique members, lcc ≈ 0
+    * marks LSH-chain bridges survivorship should distrust. Exact
+    * integer triangle/degree counts; lcc is one IEEE division.
+    */
+  private def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.ngramJaccardPairs(dupCorpus(s, dir), "text", "doc_id",
+      5, 0.6)
+    Graph.localClustering(pairs, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"degree", $"n_tri", $"lcc")
+  }
+
+  /** E77: gapped sequential patterns (PrefixSpan-lite) — skip-gram
+    * event pairs within gap ≤ 3 per user timeline, support in pairs
+    * and distinct users. The shuffle key is user_id; candidates per
+    * user are gap-bounded, never quadratic.
+    */
+  private def qSeqPatterns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Sessions.gappedPairs(table(s, dir, "events"),
+      "user_id", "event_type", "ts", "event_id", 3)
+  }
+
   /** E22: benchmark decontamination — corpus docs sharing any word
     * 8-gram with the held-out benchmark slice (doc_id % 10 == 0 of the
     * originals; their truncated near-copies in the dup-seeded corpus
@@ -1736,6 +1793,14 @@ object SparkEntry {
       .groupBy($"day").agg(sum($"c").as("x"))
     graft.operators.TimeSeries.acf(daily, "day", "x", Seq(1, 2, 3, 7))
   }
+
+  /** F22: max drawdown of the running per-event-type value ledger —
+    * exact integer cents, per-key windows under a total (ts, event_id)
+    * order; the classic worst-degradation-window statistic.
+    */
+  private def qDrawdown(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeSeries.maxDrawdown(table(s, dir, "events"),
+      "event_type", "ts", "event_id", "value")
 
   /** C45: weighted discrete quantiles — revenue-weighted p50/p90/p99
     * of order quantity per return flag ("the median DOLLAR is spent on
@@ -3187,6 +3252,11 @@ object SparkEntry {
     "q_count_verify" -> (qCountVerify _),
     "q_stage_raw" -> (qStageRaw _),
     "q_token_count" -> (qTokenCount _),
+    "q_readability" -> (qReadability _),
+    "q_mojibake" -> (qMojibake _),
+    "q_clustering_coeff" -> (qClusteringCoeff _),
+    "q_seq_patterns" -> (qSeqPatterns _),
+    "q_drawdown" -> (qDrawdown _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

@@ -147,6 +147,72 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column = md5(normalizeText(c).cast("binary"))
 
+  // ------------------------------------------------------------- readability
+
+  /** E74: sentence count — runs of sentence-final punctuation, floored
+    * at 1 so ratio denominators stay live (headline-style docs have no
+    * terminal punctuation at all).
+    */
+  def sentenceCount(c: Column): Column =
+    greatest(regexp_count(c, lit("[.!?]+")), lit(1)).cast("long")
+
+  /** E74: syllable proxy — vowel-GROUP count (the standard cheap
+    * estimator: each maximal [aeiouy]+ run ≈ one syllable). Exact
+    * per-row integer; the real CMU-dict counter is a lookup table
+    * behind the same column contract.
+    */
+  def syllableCount(c: Column): Column =
+    regexp_count(lower(c), lit("[aeiouy]+")).cast("long")
+
+  /** E74: Flesch reading ease — 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). Each ratio is ONE IEEE division of exact
+    * integers and the linear form evaluates in fixed literal order, so
+    * the double is engine-deterministic; rounded half-up to 4dp via
+    * the floor(+0.5) idiom (works for the negative scores garbage
+    * text produces). NULL when there are no words.
+    */
+  def fleschEase(words: Column, sentences: Column,
+                 syllables: Column): Column = {
+    val wps = words.cast("double") / sentences
+    val spw = syllables.cast("double") / words
+    when(words > 0,
+      floor((lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+        * 10000.0 + 0.5) / 10000.0)
+  }
+
+  /** E74: Flesch–Kincaid grade level — 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59; same determinism argument as
+    * [[fleschEase]].
+    */
+  def fkGrade(words: Column, sentences: Column,
+              syllables: Column): Column = {
+    val wps = words.cast("double") / sentences
+    val spw = syllables.cast("double") / words
+    when(words > 0,
+      floor((lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+        * 10000.0 + 0.5) / 10000.0)
+  }
+
+  // ------------------------------------------------------------- encoding QA
+
+  /** E75: mojibake detector — the classic UTF-8-read-as-Latin-1
+    * artifacts ('Ã'+continuation, 'â€'+punctuation, stray 'Â') plus
+    * U+FFFD replacement chars. Syntax is plain alternation + `.`, which
+    * Java regex and RE2 interpret identically over code points.
+    */
+  val mojibakePattern: String = "(Ã.|â€.|Â.|�)"
+
+  /** Control characters that should never appear in clean text
+    * (C0 minus \t\n\r) — the other standard encoding-damage signal.
+    */
+  val ctrlPattern: String = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+  def mojibakeCount(c: Column): Column =
+    regexp_count(c, lit(mojibakePattern)).cast("long")
+
+  def ctrlCharCount(c: Column): Column =
+    regexp_count(c, lit(ctrlPattern)).cast("long")
+
   // ------------------------------------------------------------- PII detection
 
   /** PII candidate patterns (detection, as opposed to the blind

@@ -403,6 +403,56 @@ object Graph {
     out
   }
 
+  /** E76: per-node local clustering coefficient (Watts–Strogatz) over
+    * an undirected edge list — [[triangleStats]] gives the corpus-level
+    * density fingerprint; this gives the per-node view that separates
+    * true duplicate-clique members (lcc ≈ 1) from LSH-chain bridge
+    * nodes (lcc ≈ 0) so survivorship can distrust the bridges.
+    *
+    * Per-node triangle counts come from ONE id-ordered enumeration
+    * (a<b<c via two joins + closing-edge semi join — at cluster scale
+    * the degree-ordered orientation from [[triangleStats]] bounds the
+    * wedge fan-out; the id-ordered form is exact and join-minimal) with
+    * each found triangle credited to all three corners. lcc =
+    * 2·T / (deg·(deg−1)) is one IEEE division of exact integers —
+    * engine-deterministic, hash-gateable raw.
+    *
+    * @return (id, degree, n_tri, lcc) — lcc 0.0 for degree < 2.
+    */
+  def localClustering(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val e1 = und.toDF("a", "b")
+    val e2 = und.toDF("b", "c")
+    val e3 = und.toDF("a", "c")
+    // inner (not semi) join on the closing edge: the (a,b,c) rows ARE
+    // the triangles, each exactly once under a<b<c
+    val tris = e1.join(e2, "b").join(e3, Seq("a", "c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val triPerNode = tris.select(explode(
+        array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    val out = deg.join(triPerNode, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2,
+          (coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("lcc"))
+      .localCheckpoint(true)
+    tris.unpersist()
+    und.unpersist()
+    out
+  }
+
   /** Synchronous label propagation (community detection) over an
     * undirected edge list, fixed round count, DETERMINISTIC variant:
     * every node starts labeled with its own id; each round every node

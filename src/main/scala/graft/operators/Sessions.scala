@@ -99,6 +99,38 @@ object Sessions {
         min(us).as("start_us"), max(us).as("end_us"))
   }
 
+  /** E77: gapped sequential-pattern counts (PrefixSpan-lite, length-2)
+    * — for every ordered event pair within a user's timeline at
+    * positional gap 1..maxGap, the pattern support in pair
+    * occurrences AND distinct users. q_transitions counts ADJACENT
+    * steps (a Markov chain); this counts skip-gram subsequences, the
+    * signal behind "users who view X eventually buy Y" even with
+    * noise events between.
+    *
+    * One window per user for positions, then a self-equi-join ON THE
+    * USER KEY with the bounded positional predicate — candidate rows
+    * per user are ≤ n·maxGap, never n², and the join shuffles on
+    * user_id (the natural 100 TB partitioning). Exact counts.
+    *
+    * @return (e_a, e_b, gap-bounded support): n_pairs, n_users.
+    */
+  def gappedPairs(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, tieCol: String, maxGap: Int): DataFrame = {
+    require(maxGap >= 1, s"maxGap must be ≥ 1: $maxGap")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pos = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      row_number().over(w).as("rn"))
+    val a = pos.toDF("u", "ta", "ra")
+    val b = pos.toDF("u", "tb", "rb")
+    a.join(b, Seq("u"))
+      .filter(col("rb") - col("ra") >= 1 &&
+        col("rb") - col("ra") <= maxGap)
+      .groupBy(col("ta").as("e_a"), col("tb").as("e_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("u")).as("n_users"))
+  }
+
   /** F2: tumbling-window aggregate (batch form of the streaming windowed
     * agg); hour bucket exposed as epoch micros.
     */

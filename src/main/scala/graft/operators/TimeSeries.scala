@@ -395,6 +395,38 @@ object TimeSeries {
     *        integer column (cents, counts).
     * @return one row per lag: (lag, n_pairs, acf).
     */
+  /** F22: maximum drawdown per key over a cumulative integer-cents
+    * series — the standard risk/health metric (largest peak-to-trough
+    * drop of running P&L); on an ops dashboard the same statistic over
+    * a success−failure ledger flags the worst degradation window.
+    *
+    * All arithmetic is exact integers under a TOTAL per-key order
+    * (tsCol, tieCol): cum = running sum of cents, peak = running max,
+    * drawdown = peak − cum, then one per-key aggregate. Windows are
+    * per-key (never a global single-partition sort) and cents come
+    * from the floor(+0.5) idiom — engine-deterministic end to end.
+    *
+    * @return (key, n_events, final_cents, peak_cents, max_drawdown_cents)
+    */
+  def maxDrawdown(events: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cents = floor(col(valueCol) * 100 + 0.5).cast("long")
+    events
+      .withColumn("__cum", sum(cents).over(w))
+      .withColumn("__peak", max(col("__cum")).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("__cum")).as("peak_cents"),
+        sum(cents).as("final_cents"),
+        max(col("__peak") - col("__cum")).as("max_drawdown_cents"))
+      .select(col(keyCol), col("n_events"), col("final_cents"),
+        col("peak_cents"), col("max_drawdown_cents"))
+  }
+
   def acf(series: DataFrame, ordCol: String, valCol: String,
           lags: Seq[Int]): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be ≥ 1: $lags")
