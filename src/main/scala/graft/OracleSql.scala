@@ -1177,6 +1177,79 @@ object OracleSql {
          |GROUP BY a.cid, cs.centroid_sum""".stripMargin
     },
 
+    "q_pq_fixed" -> {
+      // integer PQ: q_kmeans_fixed's unrolled Lloyd rounds with the
+      // subspace id joined into every grouping key — all m=8 codebooks
+      // train in the same relational steps. Distances/updates are
+      // exact integers over the int8 codes (sb = pos // (dim/8) —
+      // subspace width derived from the data, the testdata ships both
+      // 32- and 64-dim embeddings); init = the SAME k=16 lowest-
+      // (md5, id) docs seeding every subspace, mirroring
+      // Similarity.pqFixedEncode.
+      val k = 16
+      val iters = 3
+      val iterCtes = (1 to iters).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT s.vec_id, s.sb, c.cid,
+           |    CAST(sum((s.code - c.cv) * (s.code - c.cv)) AS BIGINT) AS d
+           |  FROM sub s JOIN c${i - 1} c ON c.sb = s.sb AND c.lp = s.lp
+           |  GROUP BY 1, 2, 3),
+           |a$i AS MATERIALIZED (
+           |  SELECT vec_id, sb, min(cid) AS cid FROM (
+           |    SELECT vec_id, sb, cid, d,
+           |      min(d) OVER (PARTITION BY vec_id, sb) AS md
+           |    FROM d$i) t
+           |  WHERE d = md GROUP BY 1, 2),
+           |c$i AS MATERIALIZED (
+           |  SELECT c.sb, c.cid, c.lp, coalesce(u.v, c.cv) AS cv
+           |  FROM c${i - 1} c LEFT JOIN (
+           |    SELECT a.sb, a.cid, s.lp,
+           |      CAST(sum(s.code) // count(*) AS BIGINT) AS v
+           |    FROM a$i a JOIN sub s
+           |      ON s.vec_id = a.vec_id AND s.sb = a.sb
+           |    GROUP BY 1, 2, 3) u
+           |    ON u.sb = c.sb AND u.cid = c.cid AND u.lp = c.lp)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+         |    CAST(embedding[u.i] AS DOUBLE) AS x
+         |  FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) AS u(i)),
+         |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM f GROUP BY 1),
+         |codes AS (
+         |  SELECT vec_id, f.pos,
+         |    CASE WHEN mx = mn THEN 0
+         |      ELSE least(greatest(
+         |        CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT),
+         |        0), 255) END AS code
+         |  FROM f JOIN st USING (pos)),
+         |dims AS (SELECT CAST((max(pos) + 1) // 8 AS BIGINT) AS sd
+         |         FROM codes),
+         |sub AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CAST(pos // (SELECT sd FROM dims) AS BIGINT) AS sb,
+         |    CAST(pos % (SELECT sd FROM dims) AS BIGINT) AS lp, code
+         |  FROM codes),
+         |pick AS MATERIALIZED (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+         |  FROM (SELECT vec_id FROM embeddings
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |        LIMIT $k) p),
+         |c0 AS MATERIALIZED (
+         |  SELECT p.cid, s.sb, s.lp, s.code AS cv
+         |  FROM pick p JOIN sub s USING (vec_id)),
+         |$iterCtes,
+         |dF AS MATERIALIZED (
+         |  SELECT s.vec_id, s.sb, c.cid,
+         |    CAST(sum((s.code - c.cv) * (s.code - c.cv)) AS BIGINT) AS d
+         |  FROM sub s JOIN c$iters c ON c.sb = s.sb AND c.lp = s.lp
+         |  GROUP BY 1, 2, 3)
+         |SELECT vec_id, sb, min(cid) AS code FROM (
+         |  SELECT vec_id, sb, cid, d,
+         |    min(d) OVER (PARTITION BY vec_id, sb) AS md
+         |  FROM dF) t
+         |WHERE d = md GROUP BY 1, 2""".stripMargin
+    },
+
     "q_readability" ->
       // each ratio is ONE IEEE division of exact integers; the linear
       // Flesch forms evaluate left-assoc with identical literals on

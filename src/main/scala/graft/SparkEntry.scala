@@ -2464,6 +2464,20 @@ object SparkEntry {
       "vec_id", "embedding", 8, 3)
   }
 
+  /** H28: fixed-point PQ twin — integer Lloyd training of all m=8
+    * subspace codebooks (k=16, 3 iters, joint (sb)-keyed jobs) plus
+    * code assignment, on the int8 grid with md5-portable init; the
+    * full code table is bit-identical on any engine, so PQ TRAINING
+    * carries a hard hash oracle (the float recall path q_ann_pq
+    * stays rows-only).
+    */
+  private def qPqFixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.pqFixedEncode(table(s, dir, "embeddings"),
+        "vec_id", "embedding", 8, 16, 3)
+      .select($"id".as("vec_id"), $"sb", $"code")
+  }
+
   /** E7d: product-quantization ANN — m=8 subspace codebooks × 16
     * centroids (8-byte codes, 32× compression); per-query LUT + ADC
     * lookup scan + exact rerank. Rows-only gate (Lloyd training is
@@ -3335,6 +3349,7 @@ object SparkEntry {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_kmeans" -> (qKmeans _),
     "q_kmeans_fixed" -> (qKmeansFixed _),
+    "q_pq_fixed" -> (qPqFixed _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_chunk_docs" -> (qChunkDocs _),

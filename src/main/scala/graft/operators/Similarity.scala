@@ -535,6 +535,97 @@ object Similarity {
     } finally uvDf.unpersist()
   }
 
+  /** H28b: engine-portable fixed-point PQ — integer Lloyd training of
+    * all m subspace codebooks plus the code assignment, the
+    * determinism twin of [[pqTrain]]/[[pqEncode]] (which stay the
+    * cosine-recall path): operates on the int8-quantized grid with
+    * the exact-arithmetic ladder of [[kmeansFixedTrain]] (integer
+    * distances, argmin ties to the lowest cid, per-dim sum-DIV-count
+    * updates, md5-portable init — the same k docs seed every
+    * subspace), so the full code table is bit-identical on any
+    * engine/partitioning and PQ TRAINING itself carries a hard hash
+    * oracle (float PQ cannot: fp-order Lloyd).
+    *
+    * All m subspaces train in the SAME jobs via joint (id, sb) /
+    * (sb, cid, lp) grouping keys — one assignment shuffle and one
+    * k·D-scalar driver collect per iteration, not m of each. The
+    * assignment argmin is `min(struct(dist, cid))` in an AGGREGATE
+    * over the broadcast-joined (sb → k centroids) pairs: exact
+    * integer dists make the struct min order-free, and no m·k-wide
+    * codegen tree is ever built (the janino trap [[pqTrain]]'s
+    * history records).
+    *
+    * @return (id, sb, code) — the m PQ codes per vector, one row per
+    *         subspace.
+    */
+  def pqFixedEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                    m: Int, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val d0 = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(d0 % m == 0, s"dim $d0 not divisible by m=$m")
+    val d = d0 / m
+    val sub = quantizeInt8(corpus, idCol, vecCol)
+      .select(col("id"),
+        expr(s"pos div $d").cast("int").as("sb"),
+        expr(s"pos % $d").cast("int").as("lp"),
+        col("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import spark.implicits._
+      val seedIds = corpus.select(col(idCol).cast("long").as("id"))
+        .orderBy(md5(col("id").cast("string")), col("id")).limit(k)
+        .orderBy(col("id")).collect().map(_.getLong(0))
+      val cidOf = seedIds.zipWithIndex.toMap
+      var cents: Array[(Int, Int, Seq[Long])] = sub
+        .filter(col("id").isin(seedIds: _*))
+        .collect()
+        .groupBy(r => (r.getInt(1), cidOf(r.getLong(0))))
+        .map { case ((sb, cid), rows) =>
+          (sb, cid, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq)
+        }.toArray
+
+      def assign(cs: Array[(Int, Int, Seq[Long])]) = {
+        val centDf = cs.toSeq
+          .flatMap { case (sb, cid, cv) =>
+            cv.zipWithIndex.map { case (v, lp) => (sb, cid, lp, v) } }
+          .toDF("sb", "cid", "lp", "cv")
+        // broadcast (m·k·d scalars) joined on (sb, lp): per element the
+        // k candidate diffs, summed per (id, sb, cid) — exact integers
+        val dists = sub.join(broadcast(centDf), Seq("sb", "lp"))
+          .groupBy(col("id"), col("sb"), col("cid"))
+          .agg(sum((col("code") - col("cv")) * (col("code") - col("cv")))
+            .as("dist"))
+        // min(struct) over exact ints: order-free, ties to lowest cid
+        dists.groupBy(col("id"), col("sb"))
+          .agg(min(struct(col("dist"), col("cid"))).as("best"))
+          .select(col("id"), col("sb"),
+            col("best.cid").as("cid"))
+      }
+
+      for (_ <- 1 to iters) {
+        val sums = assign(cents)
+          .join(sub, Seq("id", "sb"))
+          .groupBy(col("sb"), col("cid"), col("lp"))
+          .agg(sum(col("code")).as("s"), count(lit(1)).as("n"))
+          .collect() // m·k·d tiny rows — the only driver traffic
+        val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        cents = cents.map { case (sb, cid, old) =>
+          byCell.get((sb, cid)) match {
+            case Some(rows) =>
+              val dims = rows.map(r =>
+                r.getInt(2) -> r.getLong(3) / r.getLong(4)).toMap
+              (sb, cid, old.indices.map(dims))
+            case None => (sb, cid, old)
+          }
+        }
+      }
+      assign(cents)
+        .select(col("id"), col("sb").cast("long").as("sb"),
+          col("cid").cast("long").as("code"))
+        .localCheckpoint(true)
+    } finally sub.unpersist()
+  }
+
   /** PQ encoding: vector → m codes (nearest per-subspace centroid,
     * ties to the lowest cid). One codegen-heavy scan, no shuffle —
     * codes stay co-partitioned with their row.

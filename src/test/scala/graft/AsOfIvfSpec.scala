@@ -133,6 +133,23 @@ class AsOfIvfSpec extends AnyFunSuite {
     assert(inertia(3) <= inertia(1))
   }
 
+  test("pqFixedEncode: bit-identical code table across partitionings") {
+    import spark.implicits._
+    val emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity
+        .pqFixedEncode(df, "vec_id", "embedding", 8, 16, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val a = run(emb)
+    // m codes per vector, codes within [0, k)
+    assert(a.size == emb.count() * 8)
+    assert(a.forall { case (_, sb, c) => sb >= 0 && sb < 8 && c >= 0 && c < 16 })
+    // integer Lloyd ⇒ bit-identical under repartitioning — the hash
+    // gate's property (float pqTrain only promises recall)
+    assert(a == run(emb.repartition(13)))
+  }
+
   test("IVF probes recover most of brute-force top-k (recall)") {
     val e = table(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter($"vec_id" % 100 === 0) // 5 queries
