@@ -1346,6 +1346,48 @@ object OracleSql {
         |  AND b.rn - a.rn BETWEEN 1 AND 3
         |GROUP BY 1, 2""".stripMargin,
 
+    "q_record_linkage" ->
+      // Fellegi–Sunter with EXACT-RATIONAL likelihood ratios: u_i are
+      // integer collision counts over the field distribution, the per-
+      // pair LR is a ratio of integer products (HUGEINT here, Spark
+      // DECIMAL(38,0)), emitted as lr_micro via integral division —
+      // no transcendental weight sums, hence hash-gateable
+      """WITH c AS (SELECT c_custkey AS id, c_nationkey AS blk,
+        |    c_mktsegment AS f1,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS f2,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) % 10 AS f3
+        |  FROM customer),
+        |nn AS (SELECT count(*) AS n FROM c),
+        |ud AS (SELECT CAST(n * (n - 1) AS BIGINT) AS v FROM nn),
+        |u1 AS (SELECT CAST(sum(cc * (cc - 1)) AS BIGINT) AS v
+        |       FROM (SELECT count(*) AS cc FROM c GROUP BY f1) t),
+        |u2 AS (SELECT CAST(sum(cc * (cc - 1)) AS BIGINT) AS v
+        |       FROM (SELECT count(*) AS cc FROM c GROUP BY f2) t),
+        |u3 AS (SELECT CAST(sum(cc * (cc - 1)) AS BIGINT) AS v
+        |       FROM (SELECT count(*) AS cc FROM c GROUP BY f3) t),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    (CASE WHEN a.f1 = b.f1 THEN 1 ELSE 0 END
+        |     + CASE WHEN a.f2 = b.f2 THEN 1 ELSE 0 END
+        |     + CASE WHEN a.f3 = b.f3 THEN 1 ELSE 0 END) AS n_agree,
+        |    CAST((CAST(1000000 AS HUGEINT)
+        |      * CASE WHEN a.f1 = b.f1 THEN 9 * (SELECT v FROM ud)
+        |             ELSE 1 * (SELECT v FROM ud) END
+        |      * CASE WHEN a.f2 = b.f2 THEN 9 * (SELECT v FROM ud)
+        |             ELSE 1 * (SELECT v FROM ud) END
+        |      * CASE WHEN a.f3 = b.f3 THEN 9 * (SELECT v FROM ud)
+        |             ELSE 1 * (SELECT v FROM ud) END)
+        |      // (CAST(CASE WHEN a.f1 = b.f1 THEN 10 * (SELECT v FROM u1)
+        |             ELSE 10 * ((SELECT v FROM ud) - (SELECT v FROM u1)) END AS HUGEINT)
+        |        * CASE WHEN a.f2 = b.f2 THEN 10 * (SELECT v FROM u2)
+        |             ELSE 10 * ((SELECT v FROM ud) - (SELECT v FROM u2)) END
+        |        * CASE WHEN a.f3 = b.f3 THEN 10 * (SELECT v FROM u3)
+        |             ELSE 10 * ((SELECT v FROM ud) - (SELECT v FROM u3)) END)
+        |      AS BIGINT) AS lr_micro
+        |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(n_agree AS BIGINT) AS n_agree, lr_micro
+        |FROM pairs WHERE lr_micro >= 4000000""".stripMargin,
+
     "q_drawdown" ->
       // exact integer cents under the total (ts, event_id) per-key
       // order; DuckDB window/plain sums widen to HUGEINT -> re-cast

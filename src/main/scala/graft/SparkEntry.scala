@@ -1794,6 +1794,23 @@ object SparkEntry {
     graft.operators.TimeSeries.acf(daily, "day", "x", Seq(1, 2, 3, 7))
   }
 
+  /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
+    * customer pairs scored by the exact-rational likelihood ratio
+    * (u-probabilities estimated from the data as exact collision
+    * counts, m = 9/10 prior, products in DECIMAL(38,0), lr as
+    * integral micro-units); ONE block-keyed self-join, u stats are
+    * plan-time constants.
+    */
+  private def qRecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer").select($"c_custkey",
+      $"c_nationkey", $"c_mktsegment",
+      floor($"c_acctbal" / 1000).cast("long").as("bal_bucket"),
+      (floor($"c_acctbal" * 100 + 0.5).cast("long") % 10).as("cents_digit"))
+    operators.Linkage.fsLinkage(c, "c_custkey", "c_nationkey",
+      Seq("c_mktsegment", "bal_bucket", "cents_digit"))
+  }
+
   /** F22: max drawdown of the running per-event-type value ledger —
     * exact integer cents, per-key windows under a total (ts, event_id)
     * order; the classic worst-degradation-window statistic.
@@ -3271,6 +3288,7 @@ object SparkEntry {
     "q_clustering_coeff" -> (qClusteringCoeff _),
     "q_seq_patterns" -> (qSeqPatterns _),
     "q_drawdown" -> (qDrawdown _),
+    "q_record_linkage" -> (qRecordLinkage _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),
