@@ -50,33 +50,45 @@ object Linkage {
       f -> df.groupBy(col(f)).agg(count(lit(1)).as("c"))
         .agg(sum(expr("c * (c - 1)")).cast("long")).head.getLong(0)
     }
+    uNums.foreach { case (f, uNum) =>
+      require(uNum > 0 && uNum < uDen,
+        s"degenerate field $f: constant or all-distinct (u=$uNum/$uDen)")
+    }
+    // the LR is a pure function of the k agreement bits — 2^k values,
+    // computed ONCE on the driver in exact BigInt arithmetic (per
+    // field: agree → (mNum·uDen)/(mDen·uNum), disagree →
+    // ((mDen−mNum)·uDen)/(mDen·(uDen−uNum)); positive integral
+    // division at the end). The per-pair hot path is then a single
+    // array lookup on the bit pattern — no wide-decimal math per row
+    // (the first cut did DECIMAL(38,0) products per pair: 2× the
+    // whole query's cost at sf0.1).
+    val lrByPattern: Seq[Long] = (0 until (1 << fields.size)).map { bits =>
+      var num = BigInt(1000000)
+      var den = BigInt(1)
+      uNums.zipWithIndex.foreach { case ((_, uNum), i) =>
+        if ((bits & (1 << i)) != 0) {
+          num *= BigInt(mNum) * uDen; den *= BigInt(mDen) * uNum
+        } else {
+          num *= BigInt(mDen - mNum) * uDen
+          den *= BigInt(mDen) * (uDen - uNum)
+        }
+      }
+      (num / den).toLong
+    }
     val prepared = df.select(col(idCol).as("id") +: col(blockCol).as("blk") +:
       fields.map(f => col(f)): _*)
     val a = prepared.toDF("id" +: "blk" +: fields.map(f => s"${f}_a"): _*)
     val b = prepared.toDF("idb" +: "blk" +: fields.map(f => s"${f}_b"): _*)
-    val dec = "decimal(38,0)"
-    // per-field rational factor as a when over two Long constants:
-    //   agree:    (mNum·uDen) / (mDen·uNum)
-    //   disagree: ((mDen−mNum)·uDen) / (mDen·(uDen−uNum))
-    val parts = uNums.map { case (f, uNum) =>
-      require(uNum > 0 && uNum < uDen,
-        s"degenerate field $f: constant or all-distinct (u=$uNum/$uDen)")
-      val agree = col(s"${f}_a") === col(s"${f}_b")
-      (when(agree, lit(mNum * uDen)).otherwise(lit((mDen - mNum) * uDen))
-         .cast(dec),
-       when(agree, lit(mDen * uNum)).otherwise(lit(mDen * (uDen - uNum)))
-         .cast(dec),
-       when(agree, 1L).otherwise(0L))
-    }
-    val num = parts.map(_._1).reduce(_ * _).cast(dec)
-    val den = parts.map(_._2).reduce(_ * _).cast(dec)
+    val agrees = fields.map(f => col(s"${f}_a") === col(s"${f}_b"))
+    val bits = agrees.zipWithIndex
+      .map { case (c, i) => when(c, 1 << i).otherwise(0) }
+      .reduce(_ + _)
     a.join(b, Seq("blk")).filter(col("id") < col("idb"))
-      .withColumn("__num", num)
-      .withColumn("__den", den)
-      .withColumn("lr_micro", expr(
-        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __num) div __den AS BIGINT)"))
+      .withColumn("lr_micro",
+        element_at(typedLit(lrByPattern), bits + 1))
       .filter(col("lr_micro") >= minLrMicro)
       .select(col("id").as("id_a"), col("idb").as("id_b"),
-        parts.map(_._3).reduce(_ + _).as("n_agree"), col("lr_micro"))
+        agrees.map(when(_, 1L).otherwise(0L)).reduce(_ + _).as("n_agree"),
+        col("lr_micro"))
   }
 }

@@ -560,70 +560,75 @@ object Similarity {
     */
   def pqFixedEncode(corpus: DataFrame, idCol: String, vecCol: String,
                     m: Int, k: Int, iters: Int): DataFrame = {
-    val spark = corpus.sparkSession
     val d0 = corpus.select(size(col(vecCol))).head.getInt(0)
     require(d0 % m == 0, s"dim $d0 not divisible by m=$m")
     val d = d0 / m
-    val sub = quantizeInt8(corpus, idCol, vecCol)
+    // int8 codes reassembled to one double vector per id — code values
+    // are exact integers, so every sqDist the native pq_codes
+    // expression computes is an exact integer in double form:
+    // assignment is IN-ROW (pqTrain's plan shape), deterministic, no
+    // per-candidate join or shuffle
+    val vecs = quantizeInt8(corpus, idCol, vecCol)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("pos"), col("code"))).as("pv"))
       .select(col("id"),
-        expr(s"pos div $d").cast("int").as("sb"),
-        expr(s"pos % $d").cast("int").as("lp"),
-        col("code"))
+        transform(array_sort(col("pv")),
+          p => p.getField("code").cast("double")).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      import spark.implicits._
       val seedIds = corpus.select(col(idCol).cast("long").as("id"))
         .orderBy(md5(col("id").cast("string")), col("id")).limit(k)
         .orderBy(col("id")).collect().map(_.getLong(0))
       val cidOf = seedIds.zipWithIndex.toMap
-      var cents: Array[(Int, Int, Seq[Long])] = sub
+      var cents: Array[(Int, Int, Seq[Long])] = vecs
         .filter(col("id").isin(seedIds: _*))
         .collect()
-        .groupBy(r => (r.getInt(1), cidOf(r.getLong(0))))
-        .map { case ((sb, cid), rows) =>
-          (sb, cid, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq)
-        }.toArray
+        .flatMap { r =>
+          val cid = cidOf(r.getLong(0))
+          val full = r.getSeq[Double](1)
+          (0 until m).map(s =>
+            (s, cid, full.slice(s * d, s * d + d).map(_.toLong)))
+        }
 
-      def assign(cs: Array[(Int, Int, Seq[Long])]) = {
-        val centDf = cs.toSeq
-          .flatMap { case (sb, cid, cv) =>
-            cv.zipWithIndex.map { case (v, lp) => (sb, cid, lp, v) } }
-          .toDF("sb", "cid", "lp", "cv")
-        // broadcast (m·k·d scalars) joined on (sb, lp): per element the
-        // k candidate diffs, summed per (id, sb, cid) — exact integers
-        val dists = sub.join(broadcast(centDf), Seq("sb", "lp"))
-          .groupBy(col("id"), col("sb"), col("cid"))
-          .agg(sum((col("code") - col("cv")) * (col("code") - col("cv")))
-            .as("dist"))
-        // min(struct) over exact ints: order-free, ties to lowest cid
-        dists.groupBy(col("id"), col("sb"))
-          .agg(min(struct(col("dist"), col("cid"))).as("best"))
-          .select(col("id"), col("sb"),
-            col("best.cid").as("cid"))
+      def books(cs: Array[(Int, Int, Seq[Long])]) = {
+        val arr = Array.ofDim[Array[Double]](m, k)
+        cs.foreach { case (s, c, cv) => arr(s)(c) = cv.map(_.toDouble).toArray }
+        arr
       }
 
       for (_ <- 1 to iters) {
-        val sums = assign(cents)
-          .join(sub, Seq("id", "sb"))
+        // per-(sub, cell, dim) sums collapse map-side to m·k·d scalars
+        // — the only driver traffic, exactly like pqTrain; sums of
+        // integral doubles are exact, update is integer division
+        val sums = vecs
+          .select(graft.plans.VectorFunctions.pqCodes(col("v"),
+              books(cents)).as("cids"),
+            posexplode(col("v")).as(Seq("p", "x")))
+          .select(expr(s"p div $d").cast("int").as("sb"),
+            element_at(col("cids"), expr(s"p div $d").cast("int") + 1)
+              .as("cid"),
+            expr(s"p % $d").cast("int").as("lp"), col("x"))
           .groupBy(col("sb"), col("cid"), col("lp"))
-          .agg(sum(col("code")).as("s"), count(lit(1)).as("n"))
-          .collect() // m·k·d tiny rows — the only driver traffic
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
         val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
         cents = cents.map { case (sb, cid, old) =>
           byCell.get((sb, cid)) match {
             case Some(rows) =>
               val dims = rows.map(r =>
-                r.getInt(2) -> r.getLong(3) / r.getLong(4)).toMap
+                r.getInt(2) -> r.getDouble(3).toLong / r.getLong(4)).toMap
               (sb, cid, old.indices.map(dims))
             case None => (sb, cid, old)
           }
         }
       }
-      assign(cents)
+      vecs.select(col("id"),
+          posexplode(graft.plans.VectorFunctions.pqCodes(col("v"),
+            books(cents))).as(Seq("sb", "code")))
         .select(col("id"), col("sb").cast("long").as("sb"),
-          col("cid").cast("long").as("code"))
+          col("code").cast("long").as("code"))
         .localCheckpoint(true)
-    } finally sub.unpersist()
+    } finally vecs.unpersist()
   }
 
   /** PQ encoding: vector → m codes (nearest per-subspace centroid,
