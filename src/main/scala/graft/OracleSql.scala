@@ -1346,6 +1346,42 @@ object OracleSql {
         |  AND b.rn - a.rn BETWEEN 1 AND 3
         |GROUP BY 1, 2""".stripMargin,
 
+    "q_temperature_mix" ->
+      // w = floor(sqrt(n)·1e6): IEEE sqrt is correctly rounded, the
+      // product and floor deterministic; Σw and the takes are integer
+      // arithmetic — no Σ√n double-sum fold-order exposure
+      """WITH c AS (SELECT source, count(*) AS n_avail
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_avail,
+        |    CAST(floor(sqrt(CAST(n_avail AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT) AS w_micro
+        |  FROM c),
+        |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wt FROM w)
+        |SELECT source, n_avail, w_micro,
+        |  least(n_avail, (300 * w_micro) // (SELECT wt FROM t)) AS n_take
+        |FROM w""".stripMargin,
+
+    "q_quantile_normalize" ->
+      // within-group rank r, group size ng, global rank t =
+      // ceil(r·N/ng) in integer arithmetic; the normalized value is
+      // the global value at rank t — one rank-keyed join, all exact
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer),
+        |r AS (SELECT c_custkey, c_mktsegment, cents,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents, c_custkey) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS ng
+        |  FROM c),
+        |g AS (SELECT cents AS q_cents,
+        |    CAST(row_number() OVER (ORDER BY cents, c_custkey)
+        |      AS BIGINT) AS t
+        |  FROM c),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c)
+        |SELECT r.c_custkey, r.c_mktsegment, r.cents, g.q_cents
+        |FROM r JOIN g
+        |  ON g.t = (r.r * (SELECT n FROM nn) + r.ng - 1) // r.ng""".stripMargin,
+
     "q_record_linkage" ->
       // Fellegi–Sunter with EXACT-RATIONAL likelihood ratios: u_i are
       // integer collision counts over the field distribution, the per-

@@ -1794,6 +1794,30 @@ object SparkEntry {
     graft.operators.TimeSeries.acf(daily, "day", "x", Seq(1, 2, 3, 7))
   }
 
+  /** E78: temperature-flattened mixture plan (class ∝ √n, the
+    * multilingual-LM sampling standard) — weights quantized to exact
+    * integers (IEEE sqrt is correctly rounded) so the plan carries a
+    * hash gate with zero fold-order exposure.
+    */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.temperatureMix(table(s, dir, "documents"),
+      "source", 300L)
+
+  /** C52: quantile normalization — every segment's balance
+    * distribution mapped onto the global quantile function (the
+    * classic batch-effect remover); pure integer rank arithmetic,
+    * two-level global ranks, one rank-keyed join.
+    */
+  private def qQuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer").select($"c_custkey", $"c_mktsegment",
+      floor($"c_acctbal" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.quantileNormalize(c, "c_mktsegment", "cents",
+        "c_custkey")
+      .select($"c_custkey", $"c_mktsegment", $"cents",
+        $"q_value".as("q_cents"))
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3289,6 +3313,8 @@ object SparkEntry {
     "q_seq_patterns" -> (qSeqPatterns _),
     "q_drawdown" -> (qDrawdown _),
     "q_record_linkage" -> (qRecordLinkage _),
+    "q_temperature_mix" -> (qTemperatureMix _),
+    "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

@@ -78,6 +78,36 @@ object Sampling {
     * feasible total M = min over classes of floor(n_c / w_c);
     * n_take(c) = floor(w_c · M).
     */
+  /** E78: temperature-flattened mixture plan — the multilingual-LM
+    * standard (sample class c ∝ n_c^α, α = 1/2 here: big corpora
+    * flattened, small ones boosted; Conneau & Lample 2019 / mT5 use
+    * exactly this shape). The weight is QUANTIZED to exact integers so
+    * the plan is engine-deterministic with no fold-order exposure:
+    *
+    *   w_c = ⌊√n_c · 10⁶⌋   (IEEE-754 sqrt is correctly rounded —
+    *                          bit-identical on any conforming engine;
+    *                          the ·10⁶ product and floor likewise)
+    *   take_c = min(n_c, (budget · w_c) div Σw_c)   (all integers)
+    *
+    * Σw_c is an integer sum — order-free, unlike the Σ√n_c double sum
+    * a naive formulation would shuffle-order. One count aggregate +
+    * one tiny cross-joined total; nothing collects.
+    *
+    * @return (class, n_avail, w_micro, n_take), one row per class.
+    */
+  def temperatureMix(df: DataFrame, classCol: String,
+                     budget: Long): DataFrame = {
+    val counts = df.groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_avail"))
+      .withColumn("w_micro",
+        floor(sqrt(col("n_avail").cast("double")) * 1000000.0).cast("long"))
+    val total = counts.agg(sum(col("w_micro")).as("__wt"))
+    counts.crossJoin(broadcast(total))
+      .select(col(classCol), col("n_avail"), col("w_micro"),
+        least(col("n_avail"),
+          expr(s"($budget * w_micro) div __wt")).as("n_take"))
+  }
+
   def mixturePlan(df: DataFrame, classCol: String,
                   weights: Map[String, Double]): DataFrame = {
     val weightExpr = weights.foldLeft(lit(null).cast("double")) {

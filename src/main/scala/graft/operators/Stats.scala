@@ -211,6 +211,40 @@ object Stats {
           col("__n") * lit(10000L - keepTopBp)).as("keep"))
   }
 
+  /** C52: quantile normalization across groups — map each group's
+    * values onto the GLOBAL empirical quantile function, the classic
+    * batch-effect remover (microarray lineage) and distribution-
+    * matching feature transform: after it, every group has (as close
+    * as ranks allow) the same marginal distribution.
+    *
+    * Pure integer rank arithmetic, engine-exact: within-group rank r
+    * (window per GROUP — never data-sized single-partition), group
+    * size n_g, global rank via [[globalValueRank]] (two-level, same
+    * discipline), target = the global value at rank
+    * ⌈r·N / n_g⌉ = (r·N + n_g − 1) div n_g, fetched with ONE
+    * rank-keyed equi join.
+    *
+    * @return input keys + (value, q_value) — q_value is the
+    *         quantile-normalized value.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        tieCol: String): DataFrame = {
+    val n = df.count()
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    val ranked = df
+      .withColumn("__r", row_number().over(wg).cast("long"))
+      .withColumn("__ng",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__t",
+        expr(s"(__r * ${n}L + __ng - 1) div __ng"))
+    val globalRanks = globalValueRank(
+        df.select(col(valueCol), col(tieCol)), valueCol, tieCol, "__gr")
+      .select(col("__gr").as("__t"), col(valueCol).as("q_value"))
+    ranked.join(globalRanks, "__t")
+      .drop("__r", "__ng", "__t")
+  }
+
   def globalValueRank(df: DataFrame, valueCol: String, tieCol: String,
                       rankCol: String,
                       bucketWidth: Long = 1L << 20): DataFrame = {
