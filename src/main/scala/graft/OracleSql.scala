@@ -700,6 +700,27 @@ object OracleSql {
          |  FROM scored)
          |SELECT q_id, nn_id, "rank", round(c, 4) AS cos FROM r WHERE "rank" <= 5""".stripMargin,
 
+    "q_image_dims" ->
+      // GROUND-TRUTH oracle: emits the dimensions the Spark side
+      // PLANTED into valid PNG/GIF headers, without parsing anything
+      // — hash equality proves imageDims' byte-level parse exactly
+      // inverts the container layout (24-byte PNG prefix: sig + IHDR
+      // len/tag + BE32 w/h; 10-byte GIF prefix: "GIF89a" + LE16 w/h)
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 24 + octet_length(encode(text))
+        |       WHEN doc_id % 4 = 1 THEN 10 + octet_length(encode(text))
+        |       ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'png'
+        |       WHEN doc_id % 4 = 1 THEN 'gif'
+        |       ELSE 'unknown' END AS kind,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 1024 + 16
+        |       WHEN doc_id % 4 = 1 THEN doc_id % 500 + 1 END AS BIGINT)
+        |    AS width,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN (doc_id * 7) % 1024 + 16
+        |       WHEN doc_id % 4 = 1 THEN (doc_id * 3) % 500 + 1 END AS BIGINT)
+        |    AS height
+        |FROM documents""".stripMargin,
+
     "q_multimodal_meta" ->
       """WITH b AS (
         |  SELECT doc_id, CASE WHEN doc_id % 4 = 0

@@ -2993,6 +2993,37 @@ object SparkEntry {
       "doc_id", "payload")
   }
 
+  /** E12b: byte-level image header parsing — VALID PNG and GIF headers
+    * are constructed with dimensions derived from doc_id, then
+    * Multimodal.imageDims parses them back from the raw bytes. The
+    * oracle emits the PLANTED dimensions directly (it never parses),
+    * so hash equality proves the Spark parser exactly inverts the
+    * container layout — a ground-truth check, not a mirrored
+    * computation.
+    */
+  private def qImageDims(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val wPng = ($"doc_id" % 1024 + 16).cast("long")
+    val hPng = (($"doc_id" * 7) % 1024 + 16).cast("long")
+    val wGif = ($"doc_id" % 500 + 1).cast("long")
+    val hGif = (($"doc_id" * 3) % 500 + 1).cast("long")
+    def be32(v: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(v), 8, "0"))
+    def le16(v: org.apache.spark.sql.Column) =
+      unhex(concat(lpad(hex(v % 256), 2, "0"),
+        lpad(hex(((v - v % 256) / 256).cast("long")), 2, "0")))
+    val bin = when($"doc_id" % 4 === 0,
+        concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
+          be32(wPng), be32(hPng), $"text".cast("binary")))
+      .when($"doc_id" % 4 === 1,
+        concat(unhex(lit("474946383961")), le16(wGif), le16(hGif),
+          $"text".cast("binary")))
+      .otherwise($"text".cast("binary"))
+    Multimodal.imageDims(d.select($"doc_id", bin.as("payload")),
+      "doc_id", "payload")
+  }
+
   // ---------------------------------------------------------------- F. events
 
   /** F1: gap-based sessionization (30-min gap) with per-session rollup. */
@@ -3327,6 +3358,7 @@ object SparkEntry {
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_image_dims" -> (qImageDims _),
     "q_sessionize" -> (qSessionize _),
     "q_windowed_agg" -> (qWindowedAgg _),
     "q_distinct_agg" -> (qDistinctAgg _),

@@ -48,6 +48,43 @@ object Multimodal {
       magic.as("magic"), kind.as("kind"))
   }
 
+  /** E12b: REAL byte-level image dimension parsing — pure expressions
+    * over the binary column, no decoder library involved (container
+    * headers are public fixed layouts):
+    *
+    *  - PNG: width/height are big-endian uint32 at payload bytes
+    *    17-20 / 21-24 (8-byte signature + 4-byte IHDR length +
+    *    "IHDR"), i.e. hex chars 33-40 / 41-48;
+    *  - GIF: width/height are LITTLE-endian uint16 at bytes 7-8 /
+    *    9-10 (after "GIF87a"/"GIF89a"), i.e. byte-swapped hex chars
+    *    13-16 / 17-20;
+    *  - anything else: null dims.
+    *
+    * Parsing runs on the hex string (one `hex` call shared by magic
+    * sniff and dims) with `conv(_, 16, 10)` — inside the scan stage,
+    * no shuffle, no UDF. This is the header-metadata pass a 100 TB
+    * media pipeline runs BEFORE any costly decode: size/aspect
+    * filters drop rows while only the first kilobyte is read.
+    */
+  def imageDims(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val h = upper(hex(col(binCol)))
+    def hexAt(pos: Int, len: Int) =
+      conv(substring(h, pos, len), 16, 10).cast("long")
+    val magic = lower(substring(h, 1, 8))
+    val kind = magicTable.foldRight(lit("unknown")) { case ((sig, k), acc) =>
+      when(magic.startsWith(sig), k).otherwise(acc)
+    }
+    df.select(col(idCol).as("media_id"),
+      length(col(binCol)).cast("long").as("n_bytes"),
+      kind.as("kind"),
+      when(kind === "png", hexAt(33, 8))
+        .when(kind === "gif", hexAt(13, 2) + hexAt(15, 2) * 256)
+        .as("width"),
+      when(kind === "png", hexAt(41, 8))
+        .when(kind === "gif", hexAt(17, 2) + hexAt(19, 2) * 256)
+        .as("height"))
+  }
+
   /** STUB decoder — deterministic fake. A production build replaces this
     * object behind the same (bytes → features) signature with an FFI
     * decoder; nothing else changes.
