@@ -1198,6 +1198,72 @@ object OracleSql {
          |GROUP BY a.cid, cs.centroid_sum""".stripMargin
     },
 
+    "q_kcenter" -> {
+      // Gonzalez farthest-first, k−1 UNROLLED rounds over the int8
+      // codes: each round picks argmax of the running min-distance
+      // (ties to the lowest id — ORDER BY mind DESC, vec_id LIMIT 1)
+      // and folds the new center into the running min. All distances
+      // exact integers; the final argmin assignment ties to the
+      // lowest pick order. Mirrors Similarity.kCenterSelect.
+      val k = 8
+      val rounds = (2 to k).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT vec_id FROM m${i - 1}
+           |  ORDER BY mind DESC, vec_id LIMIT 1),
+           |m$i AS MATERIALIZED (
+           |  SELECT m.vec_id, least(m.mind, d.d) AS mind
+           |  FROM m${i - 1} m JOIN (
+           |    SELECT f.vec_id,
+           |      CAST(sum((f.code - c.code) * (f.code - c.code))
+           |        AS BIGINT) AS d
+           |    FROM codes f JOIN codes c ON c.pos = f.pos
+           |      AND c.vec_id = (SELECT vec_id FROM p$i)
+           |    GROUP BY 1) d ON d.vec_id = m.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val centsUnion = (1 to k).map(i =>
+        s"SELECT CAST(${i - 1} AS BIGINT) AS cid, vec_id FROM p$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH f AS (SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+         |    CAST(embedding[u.i] AS DOUBLE) AS x
+         |  FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) AS u(i)),
+         |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM f GROUP BY 1),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, f.pos,
+         |    CASE WHEN mx = mn THEN 0
+         |      ELSE least(greatest(
+         |        CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT),
+         |        0), 255) END AS code
+         |  FROM f JOIN st USING (pos)),
+         |p1 AS MATERIALIZED (
+         |  SELECT vec_id FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+         |m1 AS MATERIALIZED (
+         |  SELECT f.vec_id,
+         |    CAST(sum((f.code - c.code) * (f.code - c.code)) AS BIGINT) AS mind
+         |  FROM codes f JOIN codes c ON c.pos = f.pos
+         |    AND c.vec_id = (SELECT vec_id FROM p1)
+         |  GROUP BY 1),
+         |$rounds,
+         |cents AS MATERIALIZED (
+         |  $centsUnion),
+         |ad AS MATERIALIZED (
+         |  SELECT f.vec_id, ct.cid,
+         |    CAST(sum((f.code - c.code) * (f.code - c.code)) AS BIGINT) AS d
+         |  FROM cents ct
+         |  JOIN codes c ON c.vec_id = ct.vec_id
+         |  JOIN codes f ON f.pos = c.pos
+         |  GROUP BY 1, 2),
+         |asg AS (SELECT vec_id, min(cid) AS cid, min(md) AS d FROM (
+         |    SELECT vec_id, cid, d, min(d) OVER (PARTITION BY vec_id) AS md
+         |    FROM ad) t
+         |  WHERE d = md GROUP BY 1)
+         |SELECT a.cid, ct.vec_id AS center_id,
+         |  count(*) AS n_assigned, CAST(max(a.d) AS BIGINT) AS max_d
+         |FROM asg a JOIN cents ct ON ct.cid = a.cid
+         |GROUP BY 1, 2""".stripMargin
+    },
+
     "q_pq_fixed" -> {
       // integer PQ: q_kmeans_fixed's unrolled Lloyd rounds with the
       // subspace id joined into every grouping key — all m=8 codebooks

@@ -2505,6 +2505,15 @@ object SparkEntry {
       "vec_id", "embedding", 8, 3)
   }
 
+  /** E79: k-center coreset — Gonzalez farthest-first on the int8
+    * grid (k=8): deterministic diverse-subset selection with cover
+    * guarantee; integer distances, md5-portable seed, argmax ties to
+    * the lowest id ⇒ hash-gateable.
+    */
+  private def qKcenter(s: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterSelect(table(s, dir, "embeddings"),
+      "vec_id", "embedding", 8)
+
   /** H28: fixed-point PQ twin — integer Lloyd training of all m=8
     * subspace codebooks (k=16, 3 iters, joint (sb)-keyed jobs) plus
     * code assignment, on the int8 grid with md5-portable init; the
@@ -3426,6 +3435,7 @@ object SparkEntry {
     "q_kmeans" -> (qKmeans _),
     "q_kmeans_fixed" -> (qKmeansFixed _),
     "q_pq_fixed" -> (qPqFixed _),
+    "q_kcenter" -> (qKcenter _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_incr_agg" -> (qIncrAgg _),
     "q_chunk_docs" -> (qChunkDocs _),

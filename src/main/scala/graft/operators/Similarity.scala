@@ -347,6 +347,74 @@ object Similarity {
     } finally vecs.unpersist()
   }
 
+  /** E79: k-center coreset selection — the Gonzalez (1985) greedy
+    * 2-approximation of the metric k-center problem, the standard
+    * DIVERSE-SUBSET selector for training data (Sener & Savarese
+    * ICLR'18 core-set active learning): start from a deterministic
+    * seed, repeatedly pick the point FARTHEST from the chosen set.
+    * Unlike hash sampling it guarantees cover (every point within the
+    * final radius of a center); unlike k-means it needs no
+    * convergence loop — exactly k scans.
+    *
+    * Runs on the int8 grid with the [[kmeansFixedTrain]] exactness
+    * ladder: integer distances (exact in double form), argmax ties to
+    * the LOWEST id, md5-portable seed — bit-identical on any
+    * engine/partitioning, hash-gateable. Each round is one argmax
+    * scan (top-1, combinable) + one O(D) driver fetch + one in-row
+    * running-min update with per-round localCheckpoint; the corpus
+    * never shuffles.
+    *
+    * @return one row per selected center: (cid = pick order 0..k−1,
+    *         center_id, n_assigned, max_d) — assignment/radius from
+    *         the final argmin (ties to the lowest cid).
+    */
+  def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecs = quantizeInt8(corpus, idCol, vecCol)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("pos"), col("code"))).as("pv"))
+      .select(col("id"),
+        transform(array_sort(col("pv")),
+          p => p.getField("code").cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = vecs
+        .orderBy(md5(col("id").cast("string")), col("id")).limit(1)
+        .collect().head
+      var centers = Vector((seed.getLong(0), seed.getSeq[Double](1)))
+      var cur = vecs.withColumn("mind",
+        sqDist(col("v"), typedLit(centers.head._2)))
+      for (_ <- 2 to k) {
+        // farthest-first: top-1 by (running min dist DESC, id ASC) —
+        // a combinable TakeOrdered, not a global sort
+        val far = cur.orderBy(col("mind").desc, col("id").asc).limit(1)
+          .select(col("id"), col("v")).collect().head
+        centers :+= ((far.getLong(0), far.getSeq[Double](1)))
+        cur = cur.withColumn("mind",
+            least(col("mind"), sqDist(col("v"), typedLit(far.getSeq[Double](1)))))
+          .localCheckpoint(true)
+      }
+      // final assignment: argmin over the k centers, ties to lowest cid
+      val dists = array(centers.map { case (_, cv) =>
+        sqDist(col("v"), typedLit(cv)) }: _*)
+      import spark.implicits._
+      val centerDf = centers.zipWithIndex
+        .map { case ((id, _), i) => (i.toLong, id) }
+        .toDF("cid", "center_id")
+      vecs.withColumn("__d", dists)
+        .select(col("id"),
+          (array_position(col("__d"), array_min(col("__d"))) - 1)
+            .cast("long").as("cid"),
+          array_min(col("__d")).cast("long").as("d"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_assigned"), max(col("d")).as("max_d"))
+        .join(centerDf, Seq("cid"))
+        .select(col("cid"), col("center_id"), col("n_assigned"),
+          col("max_d"))
+    } finally vecs.unpersist()
+  }
+
   /** Int8 scalar quantization of an embedding column — the 100 TB
     * memory/IO lever: 4× smaller vectors (float32 → uint8 codes) for
     * the candidate-scan stage of ANN, with exact rerank on the few
