@@ -2527,6 +2527,57 @@ object OracleSql {
         |FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin,
 
+    "q_cross_corr" ->
+      // q_acf's exact-moment discipline for the cross-series case:
+      // dev = n·x − S as HUGEINT, numerators exact; the denominators'
+      // PRODUCT would overflow, so each is cast-to-double (correctly
+      // rounded) and sqrt'd (IEEE-correct) in the same op order
+      """WITH d AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS HUGEINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS HUGEINT) AS y
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |             CAST(sum(x) AS HUGEINT) AS sx,
+        |             CAST(sum(y) AS HUGEINT) AS sy FROM d),
+        |v AS (SELECT day, n * x - sx AS dx, n * y - sy AS dy FROM d, t),
+        |w AS (
+        |  SELECT dx, dy,
+        |    lead(dy, 0) OVER (ORDER BY day) AS y0,
+        |    lead(dy, 1) OVER (ORDER BY day) AS y1,
+        |    lead(dy, 2) OVER (ORDER BY day) AS y2,
+        |    lead(dy, 3) OVER (ORDER BY day) AS y3
+        |  FROM v),
+        |m AS (
+        |  SELECT count(*) AS nd, sum(dx * dx) AS dx2, sum(dy * dy) AS dy2,
+        |    sum(dx * y0) AS n0, sum(dx * y1) AS n1,
+        |    sum(dx * y2) AS n2, sum(dx * y3) AS n3
+        |  FROM w)
+        |SELECT CAST(lag AS BIGINT) AS lag,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs, ccf
+        |FROM (
+        |  SELECT 0 AS lag, nd - 0 AS n_pairs,
+        |    CASE WHEN dx2 <> 0 AND dy2 <> 0 THEN CAST(n0 AS DOUBLE)
+        |      / (sqrt(CAST(dx2 AS DOUBLE)) * sqrt(CAST(dy2 AS DOUBLE))) END
+        |      AS ccf FROM m
+        |  UNION ALL SELECT 1, nd - 1,
+        |    CASE WHEN dx2 <> 0 AND dy2 <> 0 THEN CAST(n1 AS DOUBLE)
+        |      / (sqrt(CAST(dx2 AS DOUBLE)) * sqrt(CAST(dy2 AS DOUBLE))) END
+        |    FROM m
+        |  UNION ALL SELECT 2, nd - 2,
+        |    CASE WHEN dx2 <> 0 AND dy2 <> 0 THEN CAST(n2 AS DOUBLE)
+        |      / (sqrt(CAST(dx2 AS DOUBLE)) * sqrt(CAST(dy2 AS DOUBLE))) END
+        |    FROM m
+        |  UNION ALL SELECT 3, nd - 3,
+        |    CASE WHEN dx2 <> 0 AND dy2 <> 0 THEN CAST(n3 AS DOUBLE)
+        |      / (sqrt(CAST(dx2 AS DOUBLE)) * sqrt(CAST(dy2 AS DOUBLE))) END
+        |    FROM m) u""".stripMargin,
+
     "q_acf" ->
       // exact-moment ACF: dev_t = n·x_t − S as HUGEINT (≡ Spark
       // decimal(38,0)); numerators/denominator are exact integer sums,

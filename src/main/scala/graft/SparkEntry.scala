@@ -1843,6 +1843,24 @@ object SparkEntry {
     graft.operators.TimeSeries.maxDrawdown(table(s, dir, "events"),
       "event_type", "ts", "event_id", "value")
 
+  /** F23: cross-correlation of daily click vs purchase cents at lags
+    * 0–3 — the lead-lag probe; exact decimal moments, one fixed
+    * double-op order per ccf.
+    */
+  private def qCrossCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = table(s, dir, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(
+        sum(when($"event_type" === "click",
+          floor($"value" * 100 + 0.5).cast("long")).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase",
+          floor($"value" * 100 + 0.5).cast("long")).otherwise(0L)).as("y"))
+    graft.operators.TimeSeries.crossCorrelation(daily, "day", "x", "y",
+      Seq(0, 1, 2, 3))
+  }
+
   /** C45: weighted discrete quantiles — revenue-weighted p50/p90/p99
     * of order quantity per return flag ("the median DOLLAR is spent on
     * N-unit lines"), pure integer rank arithmetic on exact cents
@@ -3483,6 +3501,7 @@ object SparkEntry {
     "q_bfs" -> (qBfs _),
     "q_event_paths" -> (qEventPaths _),
     "q_acf" -> (qAcf _),
+    "q_cross_corr" -> (qCrossCorr _),
     "q_blocklist" -> (qBlocklist _),
     "q_domain_cap" -> (qDomainCap _),
     "q_weighted_quantiles" -> (qWeightedQuantiles _),

@@ -427,6 +427,49 @@ object TimeSeries {
         col("peak_cents"), col("max_drawdown_cents"))
   }
 
+  /** F23: cross-correlation at fixed lags — the lead-lag probe ("do
+    * clicks predict purchases k days out") completing [[acf]]'s
+    * self-correlation. Same exactness discipline: deviations scaled
+    * by n (dev = n·x − Σx, exact DECIMAL(38,0)), numerators and both
+    * denominators exact integer sums; each ccf is then
+    * num / (√dx²·√dy²) evaluated in one fixed double-op order — the
+    * denominators' PRODUCT would overflow 38 digits, so each is
+    * cast-to-double (correctly rounded) and √'d (IEEE sqrt, correctly
+    * rounded) first. Lag window over ord-cardinality rows only.
+    *
+    * @return one row per lag: (lag, n_pairs, ccf) — ccf of x_t
+    *         against y_{t+lag}; null for a zero-variance side.
+    */
+  def crossCorrelation(series: DataFrame, ordCol: String, xCol: String,
+                       yCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 0), s"lags must be ≥ 0: $lags")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val tot = series.agg(count(lit(1)).cast(dec).as("__n"),
+      sum(col(xCol).cast(dec)).cast(dec).as("__sx"),
+      sum(col(yCol).cast(dec)).cast(dec).as("__sy"))
+    val v = series.crossJoin(broadcast(tot))
+      .select(col(ordCol).as("__o"),
+        (col("__n") * col(xCol).cast(dec) - col("__sx")).cast(dec).as("dx"),
+        (col("__n") * col(yCol).cast(dec) - col("__sy")).cast(dec).as("dy"))
+    val w = Window.orderBy(col("__o"))
+    val withLeads = v.select(col("dx") +: col("dy") +:
+      lags.map(k => lead(col("dy"), k).over(w).as(s"__y$k")): _*)
+    val aggs = Seq(count(lit(1)).as("__nd"),
+      sum((col("dx") * col("dx")).cast(dec)).as("__dx2"),
+      sum((col("dy") * col("dy")).cast(dec)).as("__dy2")) ++
+      lags.map(k => sum((col("dx") * col(s"__y$k")).cast(dec)).as(s"__n$k"))
+    val one = withLeads.agg(aggs.head, aggs.tail: _*)
+    val rows = lags.map(k => struct(lit(k.toLong).as("lag"),
+      (col("__nd") - k).cast("long").as("n_pairs"),
+      when(col("__dx2") =!= 0 && col("__dy2") =!= 0,
+        col(s"__n$k").cast("double") /
+          (sqrt(col("__dx2").cast("double")) *
+            sqrt(col("__dy2").cast("double"))))
+        .as("ccf")))
+    one.select(inline(array(rows: _*)))
+  }
+
   def acf(series: DataFrame, ordCol: String, valCol: String,
           lags: Seq[Int]): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be ≥ 1: $lags")
