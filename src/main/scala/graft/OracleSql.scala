@@ -632,6 +632,48 @@ object OracleSql {
          |GROUP BY 1, 2""".stripMargin
     },
 
+    "q_dedup_eval" -> {
+      // the q_dedup_minhash candidate relation scored against the
+      // PLANTED ground truth (dupCorpus construction): exact integer
+      // counts + micro-unit integral ratios
+      val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(",\n    ")
+      val bandRows = (0 until 3).map { b =>
+        val cat = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
+        s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sig AS (SELECT id,
+         |    $mins
+         |  FROM sh GROUP BY id),
+         |banded AS (
+         |  $bandRows),
+         |pred AS MATERIALIZED (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |truth AS MATERIALIZED (
+         |  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id, doc_id + 2000000
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL SELECT doc_id + 1000000, doc_id + 2000000
+         |  FROM documents WHERE doc_id % 70 = 0),
+         |tp AS (SELECT count(*) AS tp FROM pred p
+         |       JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b),
+         |np AS (SELECT count(*) AS n FROM pred),
+         |nt AS (SELECT count(*) AS n FROM truth)
+         |SELECT CAST(np.n AS BIGINT) AS n_pred,
+         |  CAST(nt.n AS BIGINT) AS n_truth,
+         |  CAST(tp.tp AS BIGINT) AS tp,
+         |  CAST(np.n - tp.tp AS BIGINT) AS fp,
+         |  CAST(nt.n - tp.tp AS BIGINT) AS fn,
+         |  CAST((1000000 * tp.tp) // np.n AS BIGINT) AS precision_micro,
+         |  CAST((1000000 * tp.tp) // nt.n AS BIGINT) AS recall_micro
+         |FROM np, nt, tp""".stripMargin
+    },
+
     "q_embed_dup" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, label FROM embeddings

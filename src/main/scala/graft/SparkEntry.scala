@@ -499,6 +499,39 @@ object SparkEntry {
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshCandidates(dupCorpus(s, dir), "text", "doc_id", 5, 3, 3)
 
+  /** E80: dedup-evaluation scorecard — precision/recall of the
+    * MinHash-LSH candidate pairs against the PLANTED ground truth
+    * (dupCorpus's near/exact/transitive dup pairs are known by
+    * construction). The meta-operator every curation pipeline needs
+    * before trusting a dedup config at 100 TB: counts and micro-unit
+    * ratios are exact integers; one semi-join-shaped left join + two
+    * tiny aggregates.
+    */
+  private def qDedupEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pred = Dedup.minhashLshCandidates(dupCorpus(s, dir), "text",
+      "doc_id", 5, 3, 3).select($"id_a", $"id_b")
+    val d = table(s, dir, "documents").select($"doc_id")
+    val truth = d.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("id_a"), ($"doc_id" + 1000000).as("id_b"))
+      .unionByName(d.filter($"doc_id" % 7 === 0)
+        .select($"doc_id".as("id_a"), ($"doc_id" + 2000000).as("id_b")))
+      .unionByName(d.filter($"doc_id" % 70 === 0)
+        .select(($"doc_id" + 1000000).as("id_a"),
+          ($"doc_id" + 2000000).as("id_b")))
+    val marked = pred
+      .join(truth.withColumn("__t", lit(1L)), Seq("id_a", "id_b"), "left")
+    val predStats = marked.agg(count(lit(1)).as("n_pred"),
+      sum(coalesce($"__t", lit(0L))).as("tp"))
+    val truthStats = truth.agg(count(lit(1)).as("n_truth"))
+    predStats.crossJoin(truthStats).select(
+      $"n_pred", $"n_truth", $"tp",
+      ($"n_pred" - $"tp").as("fp"),
+      ($"n_truth" - $"tp").as("fn"),
+      expr("(1000000 * tp) div n_pred").as("precision_micro"),
+      expr("(1000000 * tp) div n_truth").as("recall_micro"))
+  }
+
   /** E45: incremental MinHash LSH — the dup-seeded extras arrive as a
     * NEW batch and are screened against the ORIGINAL corpus's
     * persisted band store: exact dups collide in every band, near
@@ -3379,6 +3412,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_eval" -> (qDedupEval _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_embed_dup" -> (qEmbedDup _),
     "q_semantic_dedup" -> (qSemanticDedup _),
