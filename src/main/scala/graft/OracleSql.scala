@@ -1490,6 +1490,26 @@ object OracleSql {
         |  least(n_avail, (300 * w_micro) // (SELECT wt FROM t)) AS n_take
         |FROM w""".stripMargin,
 
+    "q_qq_table" ->
+      // per-group exact discrete quantile values at rank ⌈q·ng/10⌉,
+      // pure integer rank arithmetic
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |r AS (SELECT c_mktsegment, cents,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents, c_custkey) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS ng
+        |  FROM c),
+        |q AS (SELECT CAST(u.q AS BIGINT) AS q
+        |      FROM unnest(generate_series(1, 9)) AS u(q))
+        |SELECT q.q,
+        |  max(CASE WHEN c_mktsegment = 'BUILDING' THEN cents END) AS v_a,
+        |  max(CASE WHEN c_mktsegment = 'MACHINERY' THEN cents END) AS v_b
+        |FROM r JOIN q ON r.r = (q.q * r.ng + 9) // 10
+        |GROUP BY 1""".stripMargin,
+
     "q_quantile_normalize" ->
       // within-group rank r, group size ng, global rank t =
       // ceil(r·N/ng) in integer arithmetic; the normalized value is

@@ -1851,6 +1851,17 @@ object SparkEntry {
         $"q_value".as("q_cents"))
   }
 
+  /** C53: Q-Q table of BUILDING vs MACHINERY balance cents at deciles
+    * — the distribution-shift diagnostic as exact integer ranks.
+    */
+  private def qQqTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer").select($"c_custkey", $"c_mktsegment",
+      floor($"c_acctbal" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.qqTable(c, "c_mktsegment", "cents", "c_custkey",
+      "BUILDING", "MACHINERY", 10)
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3406,6 +3417,7 @@ object SparkEntry {
     "q_record_linkage" -> (qRecordLinkage _),
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
+    "q_qq_table" -> (qQqTable _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

@@ -211,6 +211,38 @@ object Stats {
           col("__n") * lit(10000L - keepTopBp)).as("keep"))
   }
 
+  /** C53: Q-Q table between two groups — the distribution-shift
+    * diagnostic read as a table instead of a plot: for each quantile
+    * q/nq, the exact discrete value each group attains at rank
+    * ⌈q·n_g/nq⌉. Points on y=x ⇒ same distribution; a parallel offset
+    * ⇒ location shift; a fan ⇒ scale/tail shift. Pure integer rank
+    * arithmetic (per-group windows, a tiny broadcast quantile spine),
+    * engine-exact.
+    *
+    * @return one row per quantile point: (q, v_a, v_b).
+    */
+  def qqTable(df: DataFrame, groupCol: String, valueCol: String,
+              tieCol: String, groupA: String, groupB: String,
+              nq: Int): DataFrame = {
+    require(nq >= 2, s"nq must be ≥ 2: $nq")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val two = df.filter(col(groupCol).isin(groupA, groupB))
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    val ranked = two
+      .withColumn("__r", row_number().over(wg).cast("long"))
+      .withColumn("__ng",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val spine = (1 until nq).map(_.toLong).toDF("q")
+    val points = ranked.join(broadcast(spine),
+        col("__r") === expr(s"(q * __ng + ${nq - 1}) div $nq"))
+      .select(col("q"), col(groupCol), col(valueCol))
+    points.groupBy(col("q")).agg(
+        max(when(col(groupCol) === groupA, col(valueCol))).as("v_a"),
+        max(when(col(groupCol) === groupB, col(valueCol))).as("v_b"))
+  }
+
   /** C52: quantile normalization across groups — map each group's
     * values onto the GLOBAL empirical quantile function, the classic
     * batch-effect remover (microarray lineage) and distribution-
