@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graph, Linkage, Sampling, Sessions, Similarity,
+  Stats, TimeSeries}
+
+/** Brute-force / known-answer twins for the round-4 operators — each
+  * gate query proves engine parity; these prove the SEMANTICS against
+  * an independently-computed answer.
+  */
+class Round4OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("maxDrawdown ≡ sequential fold per key") {
+    val rows = Seq( // (key, ts-order, value)
+      ("a", 1L, 10.0), ("a", 2L, -4.0), ("a", 3L, -3.0), ("a", 4L, 5.0),
+      ("a", 5L, -9.0), ("b", 1L, -2.0), ("b", 2L, 1.0))
+    val got = TimeSeries.maxDrawdown(
+        rows.toDF("k", "t", "value"), "k", "t", "t", "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def brute(vs: Seq[Double]) = {
+      val cents = vs.map(v => math.floor(v * 100 + 0.5).toLong)
+      val cums = cents.scanLeft(0L)(_ + _).tail
+      val dds = cums.zipWithIndex.map { case (c, i) =>
+        cums.take(i + 1).max - c }
+      (cents.length.toLong, cents.sum, cums.max, dds.max)
+    }
+    // a: cum 1000,600,300,800,-100; peak 1000; max dd 1100
+    assert(got("a") == brute(Seq(10.0, -4.0, -3.0, 5.0, -9.0)))
+    assert(got("b") == brute(Seq(-2.0, 1.0)))
+    assert(got("a")._4 == 1100L)
+  }
+
+  test("gappedPairs ≡ brute-force subsequence count with gap bound") {
+    val ev = Seq((1L, 1L, "v"), (1L, 2L, "c"), (1L, 3L, "v"),
+      (1L, 4L, "p"), (2L, 1L, "v"), (2L, 2L, "p"))
+    val got = Sessions.gappedPairs(ev.toDF("u", "t", "e"),
+        "u", "e", "t", "t", 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val brute = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val s = es.sortBy(_._2).map(_._3)
+      for (i <- s.indices; j <- (i + 1) until math.min(i + 3, s.length))
+        yield ((s(i), s(j)), u)
+    }
+    val expected = brute.groupBy(_._1).map { case (p, xs) =>
+      p -> (xs.size.toLong, xs.map(_._2).distinct.size.toLong) }
+    assert(got == expected)
+  }
+
+  test("crossCorrelation: lag-0 self ccf is 1; known shifted series") {
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v, v) }
+      .toDF("o", "x", "y")
+    val self = TimeSeries.crossCorrelation(df, "o", "x", "y", Seq(0))
+      .head.getAs[Double]("ccf")
+    assert(math.abs(self - 1.0) < 1e-12)
+    // y = x shifted RIGHT cyclically (y_{t+1} = x_t) → every lag-1
+    // pair aligns dev(x_t) with dev(x_t): ccf(1) ≈ 1 (short of 1 only
+    // by the one dropped tail pair in the denominator)
+    val sh = xs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v, xs((i - 1 + xs.length) % xs.length)) }
+      .toDF("o", "x", "y")
+    val c1 = TimeSeries.crossCorrelation(sh, "o", "x", "y", Seq(1))
+      .head.getAs[Double]("ccf")
+    assert(c1 > 0.8, s"lag-1 ccf of shifted copy too low: $c1")
+  }
+
+  test("qqTable ≡ sorted-array indexing") {
+    val rows = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "A" else "B",
+        if (i % 2 == 0) i.toLong * 10 else i.toLong * 3))
+    val got = Stats.qqTable(rows.toDF("id", "g", "v"), "g", "v", "id",
+        "A", "B", 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def at(vs: Seq[Long], q: Int, nq: Int) = {
+      val s = vs.sorted
+      s(((q.toLong * s.length + nq - 1) / nq).toInt - 1)
+    }
+    val a = rows.filter(_._2 == "A").map(_._3)
+    val b = rows.filter(_._2 == "B").map(_._3)
+    (1 to 3).foreach { q =>
+      assert(got(q.toLong) == ((at(a, q, 4), at(b, q, 4))), s"q=$q")
+    }
+  }
+
+  test("quantileNormalize: each group's output is the global quantile set") {
+    val rows = (1 to 30).map(i =>
+      (i.toLong, if (i <= 10) "a" else if (i <= 20) "b" else "c",
+        (i.toLong * 7) % 31))
+    val df = rows.toDF("id", "g", "v")
+    val out = Stats.quantileNormalize(df, "g", "v", "id").collect()
+    val globalSorted = rows.map(_._3).sorted
+    // per group of size 10 over N=30: member ranks map to global ranks
+    // ceil(r*30/10) = 3r → q_values are global sorted values at 3,6,…,30
+    val expectedPerGroup = (1 to 10).map(r => globalSorted(3 * r - 1))
+    out.groupBy(_.getString(1)).foreach { case (g, grp) =>
+      assert(grp.map(_.getAs[Long]("q_value")).sorted.toSeq ==
+        expectedPerGroup, s"group $g")
+    }
+    // rank order preserved within each group
+    out.groupBy(_.getString(1)).foreach { case (_, grp) =>
+      val byV = grp.sortBy(_.getAs[Long]("v")).map(_.getAs[Long]("q_value"))
+      assert(byV.sorted.toSeq == byV.toSeq)
+    }
+  }
+
+  test("fsLinkage: LR strictly increases with agreements; exact value") {
+    // 6 records, block all-same; field f with u = collision prob
+    val rows = Seq((1L, "x", "p"), (2L, "x", "p"), (3L, "x", "q"),
+      (4L, "x", "q"), (5L, "x", "r"), (6L, "x", "s"))
+    val df = rows.toDF("id", "blk", "f")
+    // uNum = 2·1 + 2·1 = 4, uDen = 30; agree factor = 9·30/(10·4) = 27/4
+    // disagree factor = 1·30/(10·26) = 3/26
+    val got = Linkage.fsLinkage(df, "id", "blk", Seq("f"),
+        minLrMicro = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val agreeLr = BigInt(1000000) * (9 * 30) / (10 * 4)
+    val disLr = BigInt(1000000) * (1 * 30) / (10 * 26)
+    assert(got((1L, 2L)) == ((1L, agreeLr.toLong)))
+    assert(got((1L, 3L)) == ((0L, disLr.toLong)))
+    assert(got((1L, 2L))._2 > got((1L, 3L))._2)
+    assert(got.size == 15) // all C(6,2) pairs at threshold 0
+  }
+
+  test("kCenterSelect: radius is the true max-min distance; centers distinct") {
+    // embeddings from the real table keep the int8 path honest
+    val emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(60)
+    val out = Similarity.kCenterSelect(emb, "vec_id", "embedding", 4)
+      .collect()
+    val centers = out.map(_.getAs[Long]("center_id")).toSet
+    assert(centers.size == 4)
+    assert(out.map(_.getAs[Long]("n_assigned")).sum == 60L)
+    // farthest-first: radius shrinks (weakly) as k grows
+    val r4 = out.map(_.getAs[Long]("max_d")).max
+    val r2 = Similarity.kCenterSelect(emb, "vec_id", "embedding", 2)
+      .collect().map(_.getAs[Long]("max_d")).max
+    assert(r4 <= r2, s"radius grew: k=2 $r2 -> k=4 $r4")
+  }
+
+  test("localClustering: K4 members are 1.0; pendant and bridge are 0") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val got = Graph.localClustering(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(4L) == ((4L, 3L, 0.5))) // 3 tri over C(4,2)=6 wedges
+    assert(got(5L) == ((1L, 0L, 0.0)))
+  }
+
+  test("temperatureMix: integer weights, caps, budget respected") {
+    val df = (1 to 100).map(i =>
+      (i.toLong, if (i <= 81) "big" else if (i <= 97) "mid" else "tiny"))
+      .toDF("id", "cls")
+    val got = Sampling.temperatureMix(df, "cls", 50L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("big")._2 == 9000000L)   // √81 · 1e6
+    assert(got("mid")._2 == 4000000L)   // √16 · 1e6
+    // √3 = 1.7320508… → 1732050
+    assert(got("tiny")._2 == 1732050L)
+    val wt = 9000000L + 4000000L + 1732050L
+    assert(got("big")._3 == math.min(81L, 50L * 9000000L / wt))
+    assert(got("tiny")._3 == math.min(3L, 50L * 1732050L / wt))
+    // flattening: big's share of takes < big's share of docs
+    assert(got("big")._3.toDouble / 50 < 0.81)
+  }
+
+  test("readability + mojibake: known-text anchors") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "Ã© bad â€œquote"),
+      (3L, "clean text")).toDF("id", "text")
+    val r = df.select(col("id"),
+      graft.functions.TextFunctions.sentenceCount(col("text")).as("s"),
+      graft.functions.TextFunctions.syllableCount(col("text")).as("sy"),
+      graft.functions.TextFunctions.mojibakeCount(col("text")).as("m"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L)._1 == 2L) // two sentence-final runs
+    // vowel groups: The(1) cat(1) sat(1) The(1) dog(1) ran(1) = 6
+    assert(r(1L)._2 == 6L)
+    assert(r(1L)._3 == 0L)
+    assert(r(2L)._3 >= 2L) // Ã© and â€œ both fire
+    assert(r(3L)._1 == 1L) // floored at 1 despite no punctuation
+  }
+
+  test("imageDims: hand-built PNG and GIF headers parse exactly") {
+    val png = Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 0x0D, 'I', 'H', 'D', 'R',
+      0, 0, 0x01, 0x40, // width 320
+      0, 0, 0x00, 0xF0) // height 240
+      .map(_.toByte)
+    val gif = ("GIF89a".getBytes("ISO-8859-1") ++
+      Array[Int](0x40, 0x01, 0xF0, 0x00).map(_.toByte)) // 320×240 LE
+    val df = Seq((1L, png), (2L, gif), (3L, "plain".getBytes))
+      .toDF("id", "payload")
+    val got = graft.operators.Multimodal.imageDims(df, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(1L) == (("png", Some(320L), Some(240L))))
+    assert(got(2L) == (("gif", Some(320L), Some(240L))))
+    assert(got(3L) == (("unknown", None, None)))
+  }
+}
