@@ -1490,6 +1490,29 @@ object OracleSql {
         |  least(n_avail, (300 * w_micro) // (SELECT wt FROM t)) AS n_take
         |FROM w""".stripMargin,
 
+    "q_k_anonymize" ->
+      // suppression: windowed group count ≥ k
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |w AS (SELECT *, count(*) OVER (
+        |    PARTITION BY c_mktsegment, nation) AS n FROM c)
+        |SELECT c_custkey, c_mktsegment, nation, bal_band
+        |FROM w WHERE n >= 3""".stripMargin,
+
+    "q_l_diversify" ->
+      // suppress quasi groups with < 2 distinct sensitive values
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign
+        |  FROM customer),
+        |ok AS (SELECT c_mktsegment, nation
+        |  FROM c GROUP BY 1, 2
+        |  HAVING count(DISTINCT bal_sign) >= 2)
+        |SELECT c.c_custkey, c.c_mktsegment, c.nation, c.bal_sign
+        |FROM c JOIN ok USING (c_mktsegment, nation)""".stripMargin,
+
     "q_qq_table" ->
       // per-group exact discrete quantile values at rank ⌈q·ng/10⌉,
       // pure integer rank arithmetic

@@ -2924,6 +2924,34 @@ object SparkEntry {
       .filter($"n" < 5)
   }
 
+  /** A13: k-anonymity enforcement — the A7 audit's release-side
+    * companion: customers whose (segment, nation, balance-band) group
+    * has < 5 members are suppressed; every surviving row is
+    * k-anonymous by construction.
+    */
+  private def qKAnonymize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer").select($"c_custkey", $"c_mktsegment",
+      $"c_nationkey".cast("long").as("nation"),
+      floor($"c_acctbal" / 1000).cast("long").as("bal_band"))
+    // quasi = (segment, nation): coarse enough that both outcomes
+    // (kept AND suppressed rows) occur at every test SF
+    operators.Validate.kAnonymize(c, Seq("c_mktsegment", "nation"), 3L)
+  }
+
+  /** A14: l-diversity enforcement — quasi groups homogeneous in the
+    * sensitive attribute (balance sign as a stand-in) are suppressed
+    * even when k-large.
+    */
+  private def qLDiversify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer").select($"c_custkey", $"c_mktsegment",
+      $"c_nationkey".cast("long").as("nation"),
+      when($"c_acctbal" < 0, "neg").otherwise("pos").as("bal_sign"))
+    operators.Validate.lDiversify(c, Seq("c_mktsegment", "nation"),
+      "bal_sign", 2L)
+  }
+
   /** E31: corpus heavy hitters — terms with ≥2% frequency share.
     * Integer threshold test (n·10⁴ ≥ total·φ) → bit-stable membership;
     * the share itself is one double division, rounded.
@@ -3518,6 +3546,8 @@ object SparkEntry {
     "q_pagerank_fixed" -> (qPageRankFixed _),
     "q_locf" -> (qLocf _),
     "q_k_anonymity" -> (qKAnonymity _),
+    "q_k_anonymize" -> (qKAnonymize _),
+    "q_l_diversify" -> (qLDiversify _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_transitions" -> (qTransitions _),
     "q_jaro_winkler" -> (qJaroWinkler _),

@@ -142,6 +142,41 @@ object Validate {
             .as("violation_rate"))
     }.reduce(_ unionByName _)
 
+  /** A13: k-anonymity ENFORCEMENT by suppression — the release-side
+    * companion of the A7 audit: rows whose quasi-identifier group has
+    * fewer than k members are DROPPED, so every surviving row is
+    * indistinguishable from ≥ k−1 others on the quasi columns (the
+    * standard pre-publication suppression pass; generalization-based
+    * schemes trade recall for it). One per-group window count — no
+    * second scan, no join; group-cardinality state at any table size.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String],
+                 k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    df.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") >= k)
+      .drop("__n")
+  }
+
+  /** A14: l-diversity ENFORCEMENT — suppress quasi groups whose
+    * SENSITIVE attribute shows fewer than l distinct values (the A10
+    * audit's blind-spot fix applied to the release itself: a k-large
+    * group that is sensitive-homogeneous still leaks). Distinct counts
+    * need a grouped aggregate (no distinct window agg in Spark), then
+    * one semi join back.
+    */
+  def lDiversify(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 1)
+    val ok = df.groupBy(quasiCols.map(col): _*)
+      .agg(count_distinct(col(sensitiveCol)).as("__d"))
+      .filter(col("__d") >= l)
+      .drop("__d")
+    df.join(ok, quasiCols, "left_semi")
+  }
+
   /** Deterministic split assignment by content hash — reproducible
     * train/val/test partitioning with no RNG state (md5 is stable
     * across engines, versions, and cluster sizes; never use rand()
