@@ -101,6 +101,86 @@ object StreamingEtl {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** F24: gap sessionization on Spark 4's `transformWithState` — the
+    * NEW arbitrary-state API (SPARK-49825 line) that replaces
+    * flatMapGroupsWithState: typed named state handles instead of one
+    * opaque blob, first-class EVENT-TIME timers instead of
+    * processing-time timeouts, and composable state variables.
+    * Compared with [[sessionize]] (kept as the classic-API form):
+    *
+    *  - a session also closes when the WATERMARK passes last event +
+    *    gap, via a registered event-time timer — no waiting for the
+    *    user's next event to flush (flatMapGroupsWithState's
+    *    processing-time timeout can fire early/late under replay;
+    *    event-time timers replay deterministically);
+    *  - state lives in a named ValueState handle the runtime can
+    *    TTL/evolve independently — the production state-management
+    *    story at 100 TB key cardinality (RocksDB-backed).
+    */
+  private class SessionProcessor(gapSeconds: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig,
+      TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[SessionOut] = {
+      val gapUs = gapSeconds * 1000000L
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = Option(st.get())
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000L
+        cur match {
+          case Some(s) if us - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = us, n = s.n + 1,
+              total = s.total + e.value))
+          case Some(s) =>
+            out += SessionOut(key, s.startUs, s.lastUs, s.n, s.total)
+            cur = Some(SessionState(us, us, 1L, e.value))
+          case None =>
+            cur = Some(SessionState(us, us, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        // one live timer per key at (last event + gap); stale timers
+        // are ignored in handleExpiredTimer by re-checking the state
+        getHandle.registerTimer(s.lastUs / 1000L + gapSeconds * 1000L)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val s = st.get()
+      if (s == null) Iterator.empty
+      else if (info.getExpiryTimeInMs >=
+          s.lastUs / 1000L + gapSeconds * 1000L) {
+        st.clear()
+        Iterator.single(SessionOut(key, s.startUs, s.lastUs, s.n, s.total))
+      } else Iterator.empty // stale timer from a superseded session
+    }
+  }
+
+  def sessionizeTws(spark: SparkSession, events: Dataset[Event],
+                    gapSeconds: Long,
+                    watermarkDelay: String = "10 seconds")
+      : Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** F6 (streaming form): per-key EWMA over an unbounded stream —
     * mapGroupsWithState carrying (ewma, n) per key, the streaming
     * twin of operators.TimeSeries.ewmaPerKey. Emits the updated

@@ -277,6 +277,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionize: event-time timer closes idle session") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the new API requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = StreamingEtl.sessionizeTws(spark, input.toDS(),
+        gapSeconds = 300, watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(2), 7, "click", 2.0))
+      q.processAllAvailable()
+      // NO further user-7 events: the classic flatMapGroupsWithState
+      // form would hold this session open forever under event-time
+      // replay; here the WATERMARK (advanced by another user's
+      // traffic) fires the registered timer
+      input.addData(Event(3, ts(30), 8, "view", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(31), 8, "view", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("tws_out").as[SessionOut].collect()
+        .filter(_.user_id == 7)
+      assert(sessions.length == 1)
+      val s = sessions.head
+      assert(s.n_events == 2 && s.total_value == 3.0)
+      assert(s.session_end_us - s.session_start_us == 120L * 1000000L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("ledgerSink: epoch re-delivery and crash replay stay exactly-once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lsrc").toString
