@@ -1533,6 +1533,94 @@ object OracleSql {
         |FROM r JOIN q ON r.r = (q.q * r.ng + 9) // 10
         |GROUP BY 1""".stripMargin,
 
+    "q_ks_test" ->
+      // max CDF gap carried as the integral numerator
+      // |cumA·n_b − cumB·n_a|; d is ONE double division of exact ints
+      """WITH c AS (SELECT c_mktsegment AS g,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |v AS (SELECT cents,
+        |    CAST(sum(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM c GROUP BY 1),
+        |w AS (SELECT CAST(sum(ca) OVER (ORDER BY cents) AS BIGINT) AS cuma,
+        |             CAST(sum(cb) OVER (ORDER BY cents) AS BIGINT) AS cumb
+        |      FROM v),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |             CAST(sum(cb) AS BIGINT) AS n_b FROM v)
+        |SELECT t.n_a, t.n_b,
+        |  CAST(max(abs(w.cuma * t.n_b - w.cumb * t.n_a)) AS BIGINT)
+        |    AS d_num,
+        |  CAST(max(abs(w.cuma * t.n_b - w.cumb * t.n_a)) AS DOUBLE)
+        |    / CAST(t.n_a * t.n_b AS DOUBLE) AS d
+        |FROM w CROSS JOIN t GROUP BY t.n_a, t.n_b""".stripMargin,
+
+    "q_auc" ->
+      // exact ROC AUC ≡ Mann–Whitney: ties at ½ via the integral
+      // 2U = Σ p·(2·negBelow + q); auc ONE double division
+      """WITH e AS (SELECT (event_type = 'purchase') AS pos,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |v AS (SELECT cents,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS q
+        |  FROM e GROUP BY 1),
+        |w AS (SELECT p, q,
+        |    CAST(coalesce(sum(q) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS qb
+        |  FROM v)
+        |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(q) AS BIGINT) AS n_neg,
+        |  CAST(sum(p * (qb * 2 + q)) AS BIGINT) AS u2,
+        |  CAST(sum(p * (qb * 2 + q)) AS DOUBLE)
+        |    / CAST(sum(p) * sum(q) * 2 AS DOUBLE) AS auc
+        |FROM w""".stripMargin,
+
+    "q_chi_square" ->
+      // chi² term (o·N − r·c)²/(N·r·c) with integer deviation, MI term
+      // (o/N)·ln(o·N/(r·c)) dividing exact integer products; sums fold
+      // in sorted (a,b) cell order (list_reduce seeds with the first
+      // element — identical to the 0.0-seeded left fold), 6dp
+      """WITH c AS (SELECT c_mktsegment AS a,
+        |    CAST(c_nationkey AS BIGINT) AS b FROM customer),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT a, CAST(sum(o) AS BIGINT) AS rr FROM cells GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cc FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS ra,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS cb FROM cells),
+        |terms AS (SELECT cells.a, cells.b,
+        |    CAST(cells.o * t.n - r.rr * ct.cc AS DOUBLE) AS dev,
+        |    CAST(t.n AS DOUBLE) * CAST(r.rr AS DOUBLE)
+        |      * CAST(ct.cc AS DOUBLE) AS den,
+        |    CAST(cells.o AS DOUBLE) / CAST(t.n AS DOUBLE)
+        |      * ln(CAST(cells.o * t.n AS DOUBLE)
+        |            / CAST(r.rr * ct.cc AS DOUBLE)) AS mi
+        |  FROM cells JOIN r USING (a) JOIN ct USING (b) CROSS JOIN t),
+        |rc AS (SELECT CAST(sum(r.rr * ct.cc) AS BIGINT) AS src
+        |  FROM cells JOIN r USING (a) JOIN ct USING (b)),
+        |f AS (SELECT
+        |    list_reduce(list(dev * dev / den ORDER BY a, b),
+        |      (x, y) -> x + y)
+        |    + CAST((SELECT t.n * t.n FROM t) - (SELECT src FROM rc)
+        |        AS DOUBLE) / CAST((SELECT t.n FROM t) AS DOUBLE) AS chi2,
+        |    list_reduce(list(mi ORDER BY a, b), (x, y) -> x + y) AS mi2
+        |  FROM terms)
+        |SELECT t.n, t.ra AS n_rows, t.cb AS n_cols,
+        |  (t.ra - 1) * (t.cb - 1) AS dof,
+        |  round(f.chi2, 6) AS chi2,
+        |  round(CASE WHEN least(t.ra - 1, t.cb - 1) > 0
+        |    THEN sqrt(f.chi2 /
+        |      CAST(t.n * least(t.ra - 1, t.cb - 1) AS DOUBLE)) END, 6)
+        |    AS cramers_v,
+        |  round(f.mi2, 6) AS mi_nats
+        |FROM f CROSS JOIN t""".stripMargin,
+
     "q_quantile_normalize" ->
       // within-group rank r, group size ng, global rank t =
       // ceil(r·N/ng) in integer arithmetic; the normalized value is

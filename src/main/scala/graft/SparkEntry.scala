@@ -1862,6 +1862,44 @@ object SparkEntry {
       "BUILDING", "MACHINERY", 10)
   }
 
+  /** C54: exact two-sample KS distance of BUILDING vs MACHINERY
+    * balance cents — q_qq_table's scalar companion: the max CDF gap
+    * carried as the integral numerator |cumA·n_b − cumB·n_a| (pure
+    * integer arithmetic; `d` is one raw double division at the end).
+    */
+  private def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer").select($"c_mktsegment",
+      floor($"c_acctbal" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.ksDistance(c, "c_mktsegment", "cents",
+      "BUILDING", "MACHINERY")
+  }
+
+  /** C55: exact ROC AUC of event value (cents) predicting the
+    * purchase label — ≡ Mann–Whitney U via rank arithmetic with ties
+    * at ½ in the integral 2U carrier; the number every model-based
+    * curation filter (E60) reports, computed without float curves.
+    */
+  private def qAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select(
+      ($"event_type" === "purchase").as("is_purchase"),
+      floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.rocAuc(e, "is_purchase", "cents")
+  }
+
+  /** C56: contingency profile (chi-square, Cramér's V, mutual
+    * information) of market segment × nation — association strength
+    * of two categoricals from ONE contingency pass; exact integer
+    * counts, sorted-cell double folds, 6dp.
+    */
+  private def qChiSquare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer").select($"c_mktsegment",
+      $"c_nationkey".cast("long").as("nation"))
+    operators.Stats.contingencyProfile(c, "c_mktsegment", "nation")
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3446,6 +3484,9 @@ object SparkEntry {
     "q_temperature_mix" -> (qTemperatureMix _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_qq_table" -> (qQqTable _),
+    "q_ks_test" -> (qKsTest _),
+    "q_auc" -> (qAuc _),
+    "q_chi_square" -> (qChiSquare _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

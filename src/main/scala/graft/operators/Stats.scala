@@ -277,6 +277,158 @@ object Stats {
       .drop("__r", "__ng", "__t")
   }
 
+  /** C54: exact two-sample Kolmogorov–Smirnov distance — the
+    * distribution-equality test behind drift monitors and A/B sanity
+    * checks, in PURE integer arithmetic: D = max over values of
+    * |F_a(v) − F_b(v)| carried as the integral numerator
+    * `|cumA·n_b − cumB·n_a|` (denominator n_a·n_b), so the decision
+    * quantity is bit-identical on any engine or partitioning; the
+    * emitted `d` is ONE raw double division of exact ints at the end.
+    *
+    * Plan shape: one groupBy collapses the two groups to distinct
+    * values with per-group counts BEFORE any window (the
+    * discreteQuantiles rationale — the running-count window sees
+    * value-cardinality rows only), then one scalar aggregate.
+    *
+    * @return one row: (n_a, n_b, d_num, d).
+    */
+  /** Running (inclusive) sums of `sumCols` in ascending `orderCol`
+    * order WITHOUT a data-sized single-partition window — the E49/C45
+    * two-level discipline applied to running sums: integer value
+    * bucket, per-bucket totals, prefix offsets over the BUCKET-
+    * cardinality frame only, within-bucket keyed running sum. Rows
+    * must be distinct per `orderCol` (group first). Output: input
+    * columns + `__cum_<c>` per sum column.
+    */
+  private def twoLevelCumSums(d0: DataFrame, orderCol: String,
+                              sumCols: Seq[String],
+                              bucketWidth: Long = 1L << 20): DataFrame = {
+    val d = d0.withColumn("__bkt",
+      floor(col(orderCol).cast("long") / bucketWidth).cast("long"))
+    val tAggs = sumCols.map(c => sum(col(c)).as(s"__t_$c"))
+    val totals = d.groupBy(col("__bkt")).agg(tAggs.head, tAggs.tail: _*)
+    val prefix = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("__bkt") +: sumCols.map(c =>
+      coalesce(sum(col(s"__t_$c")).over(prefix), lit(0L))
+        .as(s"__off_$c")): _*)
+    val within = Window.partitionBy(col("__bkt")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.join(broadcast(offsets), "__bkt")
+      .select(d0.columns.map(col) ++ sumCols.map(c =>
+        (col(s"__off_$c") + sum(col(c)).over(within)).as(s"__cum_$c")): _*)
+  }
+
+  def ksDistance(df: DataFrame, groupCol: String, valueCol: String,
+                 groupA: String, groupB: String): DataFrame = {
+    val byVal = df.filter(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol)).agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("__cb"))
+    val cum = twoLevelCumSums(byVal, valueCol, Seq("__ca", "__cb"))
+      .select(col("__cum___ca").as("__cumA"), col("__cum___cb").as("__cumB"))
+    val tot = byVal.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(abs(col("__cumA") * col("n_b") - col("__cumB") * col("n_a")))
+          .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("d"))
+  }
+
+  /** C55: exact ROC AUC (≡ Mann–Whitney U) of a numeric score against
+    * a binary label — the evaluation number every model-based curation
+    * filter (E60) reports, computed EXACTLY by rank arithmetic instead
+    * of trapezoid-summed float curves: ties count ½, so the integral
+    * carrier is 2U = Σ_v p_v·(2·negBelow(v) + q_v) over distinct score
+    * values (p/q = positives/negatives at v). One groupBy collapse +
+    * a window over value-cardinality rows + one scalar aggregate; AUC
+    * is ONE raw double division of exact ints (raw-double safe).
+    *
+    * @return one row: (n_pos, n_neg, u2, auc).
+    */
+  def rocAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val byVal = df.groupBy(col(scoreCol)).agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+      sum(when(col(labelCol), 0L).otherwise(1L)).as("__q"))
+    val terms = twoLevelCumSums(byVal, scoreCol, Seq("__q"))
+      .select(col("__p"), col("__q"),
+        (col("__cum___q") - col("__q")).as("__qb"))
+    terms.agg(
+        sum(col("__p")).as("n_pos"), sum(col("__q")).as("n_neg"),
+        sum(col("__p") * (col("__qb") * 2 + col("__q"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        (col("u2").cast("double") /
+          (col("n_pos") * col("n_neg") * 2).cast("double")).as("auc"))
+  }
+
+  /** C56: contingency-table profile of two categorical columns —
+    * chi-square independence statistic, Cramér's V, and mutual
+    * information in ONE pass over the (tiny) contingency table.
+    *
+    * Exactness discipline: cell/row/col/total counts are exact
+    * integers; each chi² term is (o·N − r·c)²/(N·r·c) with the
+    * deviation computed in integer arithmetic first (one long), and
+    * each MI term (o/N)·ln(o·N/(r·c)) divides exact integer products
+    * — so every term is IEEE-identical on both engines, and the SUMS
+    * fold in sorted (a,b) cell order over a cell-cardinality array
+    * (categories are bounded; the corpus is not). 6dp at output (the
+    * ln-ulp rule). Long-overflow guard: o·N and r·c need N² < 9.2e18,
+    * i.e. N < 3e9 rows — beyond that, pre-aggregate or widen to
+    * decimal.
+    *
+    * @return one row: (n, n_rows, n_cols, dof, chi2, cramers_v,
+    *         mi_nats).
+    */
+  def contingencyProfile(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy(col(aCol)).agg(sum(col("__o")).as("__r"))
+    val colT = cells.groupBy(col(bCol)).agg(sum(col("__o")).as("__c"))
+    val tot = cells.agg(sum(col("__o")).as("__n"),
+      count_distinct(col(aCol)).as("__ra"),
+      count_distinct(col(bCol)).as("__cb"))
+    val dev = (col("__o") * col("__n") - col("__r") * col("__c"))
+      .cast("double")
+    val den = col("__n").cast("double") * col("__r").cast("double") *
+      col("__c").cast("double")
+    val chiT = dev * dev / den
+    val miT = (col("__o").cast("double") / col("__n").cast("double")) *
+      log((col("__o") * col("__n")).cast("double") /
+        (col("__r") * col("__c")).cast("double"))
+    val terms = cells
+      .join(broadcast(rowT), aCol).join(broadcast(colT), bCol)
+      .crossJoin(broadcast(tot))
+      .select(struct(col(aCol).as("a"), col(bCol).as("b"),
+          chiT.as("chi"), miT.as("mi")).as("s"),
+        (col("__r") * col("__c")).as("__rc"),
+        col("__n"), col("__ra"), col("__cb"))
+    def foldField(f: String) =
+      aggregate(transform(col("arr"), x => x(f)), lit(0.0), _ + _)
+    // UNOBSERVED cells still contribute e = r·c/N to chi² (each term
+    // is (0−e)²/e = e); their total has the closed form
+    // (N² − Σ_observed r·c)/N — exact integer numerator, ONE division
+    // — so zero cells never materialize. MI needs no adjustment
+    // (0·ln 0 ≡ 0).
+    val chi2 = foldField("chi") +
+      (col("__n") * col("__n") - col("__src")).cast("double") /
+        col("__n").cast("double")
+    val minDof = least(col("__ra") - 1, col("__cb") - 1)
+    terms.groupBy(col("__n"), col("__ra"), col("__cb"))
+      .agg(array_sort(collect_list(col("s"))).as("arr"),
+        sum(col("__rc")).as("__src"))
+      .select(col("__n").as("n"), col("__ra").as("n_rows"),
+        col("__cb").as("n_cols"),
+        ((col("__ra") - 1) * (col("__cb") - 1)).as("dof"),
+        round(chi2, 6).as("chi2"),
+        round(when(minDof > 0,
+          sqrt(chi2 / (col("__n") * minDof).cast("double"))), 6)
+          .as("cramers_v"),
+        round(foldField("mi"), 6).as("mi_nats"))
+  }
+
   def globalValueRank(df: DataFrame, valueCol: String, tieCol: String,
                       rankCol: String,
                       bucketWidth: Long = 1L << 20): DataFrame = {

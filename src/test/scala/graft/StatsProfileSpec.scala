@@ -190,4 +190,65 @@ class StatsProfileSpec extends AnyFunSuite {
     assert(r2 == Map(3L -> 1L, 7L -> 2L, 9L -> 3L))
   }
 
+  test("ksDistance: brute-force CDF gap, identical groups → 0") {
+    val rnd = new scala.util.Random(7)
+    val a = Seq.fill(80)(rnd.nextInt(40).toLong)
+    val b = Seq.fill(50)(rnd.nextInt(40).toLong + 10)
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    val r = Stats.ksDistance(df.repartition(7), "g", "v", "A", "B").head
+    // brute force over the union of values
+    val vals = (a ++ b).distinct.sorted
+    val dExp = vals.map(v => math.abs(
+      a.count(_ <= v).toLong * b.size - b.count(_ <= v).toLong * a.size)).max
+    assert(r.getAs[Long]("n_a") == a.size && r.getAs[Long]("n_b") == b.size)
+    assert(r.getAs[Long]("d_num") == dExp)
+    assert(r.getAs[Double]("d") ==
+      dExp.toDouble / (a.size.toLong * b.size).toDouble)
+    // a group compared against itself: every CDF gap is exactly 0
+    val same = (a.map(("A", _)) ++ a.map(("B", _))).toDF("g", "v")
+    assert(Stats.ksDistance(same, "g", "v", "A", "B").head
+      .getAs[Long]("d_num") == 0L)
+  }
+
+  test("rocAuc: brute-force pair counting with half-ties; separation → 1") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(120)((rnd.nextBoolean(), rnd.nextInt(15).toLong))
+    val df = rows.toDF("y", "s")
+    val r = Stats.rocAuc(df.repartition(5), "y", "s").head
+    val pos = rows.filter(_._1).map(_._2)
+    val neg = rows.filterNot(_._1).map(_._2)
+    val u2 = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(r.getAs[Long]("n_pos") == pos.size)
+    assert(r.getAs[Long]("n_neg") == neg.size)
+    assert(r.getAs[Long]("u2") == u2)
+    assert(r.getAs[Double]("auc") ==
+      u2.toDouble / (pos.size.toLong * neg.size * 2).toDouble)
+    // perfectly separated scores → AUC exactly 1
+    val sep = (1 to 10).map(i => (i > 5, i.toLong)).toDF("y", "s")
+    assert(Stats.rocAuc(sep, "y", "s").head.getAs[Double]("auc") == 1.0)
+  }
+
+  test("contingencyProfile: independence → 0; hand-checked 2×2") {
+    // counts o(a,b) = f(a)·g(b) — exactly independent: chi2 = mi = 0
+    val ind = (for {
+      (av, fa) <- Seq(("x", 2), ("y", 3))
+      (bv, gb) <- Seq((1L, 4), (2L, 5))
+      _ <- 1 to fa * gb
+    } yield (av, bv)).toDF("a", "b")
+    val ri = Stats.contingencyProfile(ind.repartition(6), "a", "b").head
+    assert(ri.getAs[Long]("n") == 5 * 9)
+    assert(ri.getAs[Long]("dof") == 1L)
+    assert(ri.getAs[Double]("chi2") == 0.0)
+    assert(ri.getAs[Double]("mi_nats") == 0.0)
+    assert(ri.getAs[Double]("cramers_v") == 0.0)
+    // hand-checked 2×2: cells (10,0 / 0,10) — full association
+    val assoc = ((1 to 10).map(_ => ("x", 1L)) ++
+      (1 to 10).map(_ => ("y", 2L))).toDF("a", "b")
+    val ra = Stats.contingencyProfile(assoc, "a", "b").head
+    assert(ra.getAs[Double]("chi2") == 20.0) // n·min(r-1,c-1) → V = 1
+    assert(ra.getAs[Double]("cramers_v") == 1.0)
+    assert(math.abs(ra.getAs[Double]("mi_nats") - math.log(2.0)) < 1e-6)
+  }
+
 }
