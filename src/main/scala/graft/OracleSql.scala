@@ -1621,6 +1621,105 @@ object OracleSql {
         |  round(f.mi2, 6) AS mi_nats
         |FROM f CROSS JOIN t""".stripMargin,
 
+    "q_naive_bayes" -> {
+      val norm = normOf("text")
+      // model state is exact integer counts; each likelihood divides
+      // exact ints inside one ln; per-(doc,class) scores fold in
+      // sorted-term order (list_reduce seeding ≡ 0.0-seeded fold);
+      // argmax by (score desc, class asc) — class gaps are O(1),
+      // far above ln ulp noise; 6dp at output
+      s"""WITH toks AS (SELECT doc_id, lang,
+         |    unnest(string_split($norm, ' ')) AS term FROM documents),
+         |ctk AS (SELECT lang AS k, term, CAST(count(*) AS BIGINT) AS ctk
+         |  FROM toks GROUP BY 1, 2),
+         |nk AS (SELECT k, CAST(sum(ctk) AS BIGINT) AS nk FROM ctk
+         |  GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM ctk),
+         |pri AS (SELECT lang AS k, CAST(count(*) AS BIGINT) AS dk
+         |  FROM documents GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |con AS (SELECT tf.doc_id, nk.k, tf.term,
+         |    CAST(tf.tf AS DOUBLE)
+         |      * ln(CAST(coalesce(ctk.ctk, 0) + 1 AS DOUBLE)
+         |            / CAST(nk.nk + vv.v AS DOUBLE)) AS c
+         |  FROM tf CROSS JOIN nk CROSS JOIN vv
+         |  LEFT JOIN ctk ON ctk.k = nk.k AND ctk.term = tf.term),
+         |sc AS (SELECT con.doc_id, con.k,
+         |    ln(CAST(pri.dk AS DOUBLE) / CAST(nd.nd AS DOUBLE))
+         |      + list_reduce(list(c ORDER BY term), (x, y) -> x + y) AS s
+         |  FROM con JOIN pri ON pri.k = con.k CROSS JOIN nd
+         |  GROUP BY con.doc_id, con.k, pri.dk, nd.nd),
+         |r AS (SELECT doc_id, k, s,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY s DESC, k) AS rn FROM sc)
+         |SELECT d.doc_id, d.lang, r.k AS pred, round(r.s, 6) AS score
+         |FROM r JOIN documents d USING (doc_id) WHERE r.rn = 1""".stripMargin
+    },
+
+    "q_perceptron" -> {
+      val norm = normOf("text")
+      def hv(i: Int) =
+        s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      // 3 UNROLLED batch-perceptron rounds in exact integer
+      // arithmetic: round 1 starts from w=0 (every margin 0, every
+      // doc misclassified), each later round adds Σ_mis y·tf per
+      // bucket and Σ_mis y to the bias; final row set = per-bucket
+      // weights + (−1, bias) + (−2, error count under the final
+      // weights). Integer sums are order-free ⇒ hard hash gate on
+      // supervised TRAINING. MATERIALIZED: each round reads the
+      // previous twice (the q_kcore inlining lesson).
+      s"""WITH t AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |    unnest(string_split($norm, ' ')) AS term FROM documents),
+         |x AS (SELECT doc_id, y, md5(term) AS h FROM t),
+         |f AS MATERIALIZED (SELECT doc_id, y,
+         |    CAST((16 * ${hv(7)} + ${hv(8)}) % 64 AS BIGINT) AS b,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM x GROUP BY 1, 2, 3),
+         |w1 AS MATERIALIZED (SELECT b, CAST(sum(y * tf) AS BIGINT) AS w
+         |  FROM f GROUP BY 1),
+         |bias1 AS (SELECT CAST(sum(y) AS BIGINT) AS v
+         |  FROM (SELECT DISTINCT doc_id, y FROM f)),
+         |m2 AS MATERIALIZED (SELECT f.doc_id, f.y,
+         |    CAST(sum(f.tf * coalesce(w1.w, 0)) AS BIGINT)
+         |      + (SELECT v FROM bias1) AS m
+         |  FROM f LEFT JOIN w1 USING (b) GROUP BY 1, 2),
+         |mis2 AS MATERIALIZED (SELECT doc_id, y FROM m2 WHERE y * m <= 0),
+         |d2 AS (SELECT f.b, CAST(sum(f.y * f.tf) AS BIGINT) AS d
+         |  FROM f JOIN (SELECT doc_id FROM mis2) q USING (doc_id)
+         |  GROUP BY 1),
+         |w2 AS MATERIALIZED (SELECT coalesce(w1.b, d2.b) AS b,
+         |    CAST(coalesce(w1.w, 0) + coalesce(d2.d, 0) AS BIGINT) AS w
+         |  FROM w1 FULL OUTER JOIN d2 ON w1.b = d2.b),
+         |bias2 AS (SELECT (SELECT v FROM bias1)
+         |    + CAST(coalesce((SELECT sum(y) FROM mis2), 0) AS BIGINT) AS v),
+         |m3 AS MATERIALIZED (SELECT f.doc_id, f.y,
+         |    CAST(sum(f.tf * coalesce(w2.w, 0)) AS BIGINT)
+         |      + (SELECT v FROM bias2) AS m
+         |  FROM f LEFT JOIN w2 USING (b) GROUP BY 1, 2),
+         |mis3 AS MATERIALIZED (SELECT doc_id, y FROM m3 WHERE y * m <= 0),
+         |d3 AS (SELECT f.b, CAST(sum(f.y * f.tf) AS BIGINT) AS d
+         |  FROM f JOIN (SELECT doc_id FROM mis3) q USING (doc_id)
+         |  GROUP BY 1),
+         |w3 AS MATERIALIZED (SELECT coalesce(w2.b, d3.b) AS b,
+         |    CAST(coalesce(w2.w, 0) + coalesce(d3.d, 0) AS BIGINT) AS w
+         |  FROM w2 FULL OUTER JOIN d3 ON w2.b = d3.b),
+         |bias3 AS (SELECT (SELECT v FROM bias2)
+         |    + CAST(coalesce((SELECT sum(y) FROM mis3), 0) AS BIGINT) AS v),
+         |mf AS (SELECT f.doc_id, f.y,
+         |    CAST(sum(f.tf * coalesce(w3.w, 0)) AS BIGINT)
+         |      + (SELECT v FROM bias3) AS m
+         |  FROM f LEFT JOIN w3 USING (b) GROUP BY 1, 2),
+         |errs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM mf
+         |  WHERE y * m <= 0)
+         |SELECT bk.b AS bucket, CAST(coalesce(w3.w, 0) AS BIGINT) AS weight
+         |FROM (SELECT DISTINCT b FROM f) bk LEFT JOIN w3 USING (b)
+         |UNION ALL SELECT -1, (SELECT v FROM bias3)
+         |UNION ALL SELECT -2, (SELECT v FROM errs)""".stripMargin
+    },
+
     "q_quantile_normalize" ->
       // within-group rank r, group size ng, global rank t =
       // ceil(r·N/ng) in integer arithmetic; the normalized value is

@@ -1900,6 +1900,28 @@ object SparkEntry {
     operators.Stats.contingencyProfile(c, "c_mktsegment", "nation")
   }
 
+  /** E84: multinomial Naive Bayes language classifier, trained on the
+    * documents corpus by pure counting and self-scored — exact
+    * integer model state, sorted-term ln folds (6dp), argmax via one
+    * per-doc window over class-cardinality rows.
+    */
+  private def qNaiveBayes(s: SparkSession, dir: String): DataFrame =
+    Corpus.naiveBayesScore(table(s, dir, "documents"),
+      "doc_id", "lang", "text", TextFunctions.words)
+
+  /** E85: fixed-point batch perceptron — 3 training rounds of an
+    * is-English classifier over hashed bag-of-words features, all
+    * state exact integers (bit-identical at any parallelism), so
+    * TRAINING itself is hash-gated against 3 unrolled integer oracle
+    * rounds.
+    */
+  private def qPerceptron(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.perceptronTrain(
+      table(s, dir, "documents").withColumn("is_en", $"lang" === "en"),
+      "doc_id", "is_en", "text", TextFunctions.words)
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3487,6 +3509,8 @@ object SparkEntry {
     "q_ks_test" -> (qKsTest _),
     "q_auc" -> (qAuc _),
     "q_chi_square" -> (qChiSquare _),
+    "q_naive_bayes" -> (qNaiveBayes _),
+    "q_perceptron" -> (qPerceptron _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

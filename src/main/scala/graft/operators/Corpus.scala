@@ -728,6 +728,136 @@ object Corpus {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** E84: multinomial Naive Bayes, trained and served in one pass —
+    * the canonical "training at 100 TB is COUNTING" classifier
+    * (language ID, topic routing, spam screens): all model state is
+    * exact integer counts (class-token counts, class token totals,
+    * doc priors, vocabulary size), each likelihood
+    * tf·ln((c_kt+1)/(n_k+V)) divides exact integers (add-one
+    * smoothing), and per-(doc, class) scores fold in sorted-term
+    * order over a doc-vocabulary array — the E41 ln discipline, 6dp
+    * at output. Prediction = argmax with ties to the smaller class
+    * label via one per-doc window over class-cardinality rows.
+    *
+    * Scale shape: two keyed count aggregates (class-token, doc-term),
+    * the class table (|K| rows) and scalar constants broadcast; the
+    * only data-sized shuffles are the two counts and the
+    * (class, term)-keyed smoothing join. Self-scoring here
+    * (resubstitution); a train/serve split is the same plan with two
+    * inputs.
+    *
+    * @return (doc_id, true label, pred, score 6dp).
+    */
+  def naiveBayesScore(docs: DataFrame, idCol: String, labelCol: String,
+                      textCol: String, tokens: Column => Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      col(labelCol).as("__y"), explode(tokens(col(textCol))).as("term"))
+    val ctk = toks.groupBy(col("__y").as("k"), col("term"))
+      .agg(count(lit(1)).as("__ctk"))
+    val nk = ctk.groupBy(col("k")).agg(sum(col("__ctk")).as("__nk"))
+    val vdf = ctk.agg(count_distinct(col("term")).as("__v"))
+    val prior = docs.groupBy(col(labelCol).as("k"))
+      .agg(count(lit(1)).as("__dk"))
+    val nd = docs.agg(count(lit(1)).as("__nd"))
+    val docTf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val classes = broadcast(nk.crossJoin(broadcast(vdf)))
+    val contrib = docTf.crossJoin(classes)
+      .join(ctk, Seq("k", "term"), "left")
+      .select(col("doc_id"), col("k"), col("term"),
+        (col("__tf").cast("double") *
+          log((coalesce(col("__ctk"), lit(0L)) + 1).cast("double") /
+            (col("__nk") + col("__v")).cast("double"))).as("__c"))
+    val folded = contrib
+      .groupBy(col("doc_id"), col("k"))
+      .agg(array_sort(collect_list(struct(col("term"), col("__c"))))
+        .as("arr"))
+      .select(col("doc_id"), col("k"),
+        aggregate(transform(col("arr"), x => x("__c")), lit(0.0), _ + _)
+          .as("__fold"))
+    val scored = folded
+      .join(broadcast(prior.crossJoin(broadcast(nd))), "k")
+      .select(col("doc_id"), col("k"),
+        (log(col("__dk").cast("double") / col("__nd").cast("double")) +
+          col("__fold")).as("__s"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__s").desc, col("k"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(docs.select(col(idCol).as("doc_id"), col(labelCol)), "doc_id")
+      .select(col("doc_id"), col(labelCol), col("k").as("pred"),
+        round(col("__s"), 6).as("score"))
+  }
+
+  /** E85: fixed-point batch perceptron training (Rosenblatt 1958,
+    * batch form) over hashing-trick features — the TRAINING twin of
+    * [[hashedLinearScore]]'s serving path, and the round-4 fixed-point
+    * discipline applied to an actual linear-model fit: ALL state is
+    * exact integers (weights, bias, margins = Σ tf·w), each round's
+    * update Δw_b = Σ_misclassified y·tf_db is a commutative integer
+    * sum — so training is bit-identical on any engine, partitioning,
+    * or cluster size, and the full weight table carries a HARD hash
+    * oracle with the rounds unrolled in integer DuckDB SQL (the
+    * PageRank/k-means/PQ rung, now for supervised learning).
+    *
+    * Scale shape per round: one broadcast weight join (≤ nBuckets
+    * rows) + one doc-keyed margin aggregate + one bucket-keyed update
+    * aggregate; driver traffic is nBuckets longs per round (the
+    * k-means centroid-pull discipline). The corpus never shuffles
+    * beyond its (doc, bucket) count.
+    *
+    * Output: one row per distinct feature bucket (bucket, weight),
+    * plus (−1, bias) and (−2, misclassified count under the final
+    * weights).
+    */
+  def perceptronTrain(docs: DataFrame, idCol: String, labelCol: String,
+                      textCol: String, tokens: Column => Column,
+                      nBuckets: Int = 64, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = docs.select(col(idCol).as("doc_id"),
+        when(col(labelCol), 1L).otherwise(-1L).as("y"),
+        explode(tokens(col(textCol))).as("term"))
+      .withColumn("b",
+        conv(substring(md5(col("term")), 7, 2), 16, 10).cast("long")
+          % nBuckets)
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    feats.count() // materialize once for the round loop
+    var w = Map.empty[Long, Long]
+    var bias = 0L
+    def margins = {
+      val wDf = broadcast((if (w.isEmpty) Seq((-999L, 0L)) else w.toSeq)
+        .toDF("b", "w"))
+      feats.join(wDf, Seq("b"), "left")
+        .groupBy(col("doc_id"), col("y"))
+        .agg((coalesce(sum(col("tf") * coalesce(col("w"), lit(0L))),
+          lit(0L)) + bias).as("m"))
+    }
+    for (_ <- 1 to rounds) {
+      val mis = margins.filter(col("y") * col("m") <= 0)
+        .select(col("doc_id"), col("y"))
+      val delta = feats.join(mis.select("doc_id"), "doc_id")
+        .groupBy(col("b")).agg(sum(col("y") * col("tf")).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dBias = mis.agg(coalesce(sum(col("y")), lit(0L))).head.getLong(0)
+      w = (w.keySet ++ delta.keySet).map(b =>
+        b -> (w.getOrElse(b, 0L) + delta.getOrElse(b, 0L))).toMap
+      bias += dBias
+    }
+    val errs = margins.filter(col("y") * col("m") <= 0).count()
+    val wDf = (if (w.isEmpty) Seq((-999L, 0L)) else w.toSeq).toDF("b", "wv")
+    val out = feats.select(col("b")).distinct()
+      .join(broadcast(wDf), Seq("b"), "left")
+      .select(col("b").as("bucket"),
+        coalesce(col("wv"), lit(0L)).as("weight"))
+      .union(Seq((-1L, bias), (-2L, errs)).toDF("bucket", "weight"))
+      .localCheckpoint(true)
+    feats.unpersist()
+    out
+  }
+
   /** Deterministic hashed weights for [[hashedLinearScore]] — w_b =
     * (first 6 md5 hex digits of "w‖b") mod 2001 − 1000 ∈ [−1000,
     * 1000] milli-units. Engine-portable (the oracle rebuilds the same

@@ -528,4 +528,56 @@ class CorpusSpec extends AnyFunSuite {
     assert(!got.contains(7L) && got.size == 3)
   }
 
+  test("naiveBayesScore: hand-computed smoothed likelihoods, argmax, ties") {
+    val docs = Seq(
+      (1L, "A", "cat cat dog"),
+      (2L, "B", "fish fish"),
+      (3L, "A", "cat dog")).toDF("doc_id", "lang", "text")
+    val got = Corpus.naiveBayesScore(docs, "doc_id", "lang", "text",
+        TextFunctions.words)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[String]("pred"),
+          r.getAs[Double]("score")))).toMap
+    // model: class A tokens {cat:3, dog:2} n_A=5, class B {fish:2}
+    // n_B=2, V=3, priors 2/3 and 1/3
+    def lnA(c: Long) = math.log((c + 1).toDouble / (5 + 3).toDouble)
+    // doc 1 under A: ln(2/3) + [sorted terms cat,cat? tf-folded:
+    // cat(tf 2), dog(tf 1)] = 2·ln(4/8) + 1·ln(3/8)
+    val s1A = math.log(2.0 / 3.0) + (2.0 * lnA(3) + 1.0 * lnA(2))
+    assert(got(1L)._2 == "A")
+    assert(math.abs(got(1L)._3 - s1A) < 1e-6)
+    assert(got(2L)._2 == "B" && got(3L)._2 == "A")
+    // disjoint-vocabulary classes: every doc self-classifies
+    assert(got.forall { case (_, (y, p, _)) => y == p })
+    // partition-independence: identical output at any parallelism
+    val re = Corpus.naiveBayesScore(docs.repartition(7), "doc_id", "lang",
+        "text", TextFunctions.words)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("pred"),
+        r.getAs[Double]("score"))).toSet
+    assert(re == got.map { case (id, (_, p, s)) => (id, p, s) }.toSet)
+  }
+
+  test("perceptronTrain: separable task converges to 0 errors, " +
+    "bit-identical under repartition") {
+    val docs = Seq(
+      (1L, true, "apple banana apple"),
+      (2L, true, "banana cherry"),
+      (3L, false, "zebra yak"),
+      (4L, false, "yak walrus walrus")).toDF("doc_id", "pos", "text")
+    val out = Corpus.perceptronTrain(docs, "doc_id", "pos", "text",
+        TextFunctions.words)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        r.getAs[Long]("weight")).toMap
+    // disjoint vocabularies are linearly separable: by round 3 the
+    // classifier must make zero training errors
+    assert(out(-2L) == 0L)
+    // some bucket learned a non-zero weight (the model is not trivial)
+    assert(out.exists { case (b, w) => b >= 0 && w != 0L })
+    val re = Corpus.perceptronTrain(docs.repartition(5), "doc_id", "pos",
+        "text", TextFunctions.words)
+      .collect().map(r => (r.getAs[Long]("bucket"),
+        r.getAs[Long]("weight"))).toSet
+    assert(re == out.toSet)
+  }
+
 }
