@@ -1720,6 +1720,58 @@ object OracleSql {
          |UNION ALL SELECT -2, (SELECT v FROM errs)""".stripMargin
     },
 
+    "q_kaplan_meier" ->
+      // KM: n_risk = N − cum(<t); factor = (n_risk − d)/n_risk ONE
+      // exact division; S(t) = slice-fold product in ascending t
+      // (list_reduce seeding ≡ the 1.0-seeded fold), 6dp
+      """WITH u AS (SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS fd,
+        |    max(CAST(o_orderdate AS DATE)) AS ld FROM orders GROUP BY 1),
+        |cut AS (SELECT max(CAST(o_orderdate AS DATE)) AS cd FROM orders),
+        |subj AS (SELECT CAST(ld - fd AS BIGINT) // 7 AS dur,
+        |    (cd - ld) > 365 AS ev FROM u CROSS JOIN cut),
+        |byt AS (SELECT dur AS t, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM subj GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM byt),
+        |ar AS (SELECT t,
+        |    CAST((SELECT n FROM tot) - sum(c) OVER (ORDER BY t) + c
+        |      AS BIGINT) AS n_risk, d FROM byt),
+        |ev AS (SELECT t, n_risk, d,
+        |    CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS f,
+        |    CAST(row_number() OVER (ORDER BY t) AS INTEGER) AS i
+        |  FROM ar WHERE d >= 1),
+        |l AS (SELECT list(f ORDER BY t) AS fl FROM ev)
+        |SELECT ev.t, ev.n_risk, ev.d,
+        |  round(list_reduce(fl[1:i], (x, y) -> x * y), 6) AS s
+        |FROM ev CROSS JOIN l""".stripMargin,
+
+    "q_jl_project" ->
+      // int8 codes exactly as q_quantize_int8, centered to code−128;
+      // ±1 sign from the FIRST md5 hex digit of "jl<j>_<pos>" parity;
+      // y is a pure integer dot product — bit-exact
+      """WITH f AS (SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+        |    CAST(embedding[u.i] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i)),
+        |s AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM f GROUP BY 1),
+        |codes AS (SELECT vec_id, f.pos,
+        |  CASE WHEN mx = mn THEN 0
+        |    ELSE least(greatest(
+        |      CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT),
+        |      0), 255) END AS code
+        |  FROM f JOIN s USING(pos)),
+        |signs AS (SELECT j.j, p.pos,
+        |    CAST((strpos('0123456789abcdef', substring(
+        |      md5('jl' || CAST(j.j AS VARCHAR) || '_'
+        |        || CAST(p.pos AS VARCHAR)), 1, 1)) - 1) % 2 * 2 - 1
+        |      AS BIGINT) AS sgn
+        |  FROM (SELECT CAST(u.j AS BIGINT) AS j
+        |        FROM unnest(generate_series(0, 15)) AS u(j)) j
+        |  CROSS JOIN (SELECT DISTINCT pos FROM codes) p)
+        |SELECT c.vec_id, g.j, CAST(sum(g.sgn * (c.code - 128)) AS BIGINT) AS y
+        |FROM codes c JOIN signs g USING (pos)
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_quantile_normalize" ->
       // within-group rank r, group size ng, global rank t =
       // ceil(r·N/ng) in integer arithmetic; the normalized value is

@@ -1922,6 +1922,35 @@ object SparkEntry {
       "doc_id", "is_en", "text", TextFunctions.words)
   }
 
+  /** F26: Kaplan–Meier user-lifetime curve — duration = days between
+    * a user's first and last event; users whose last event is within
+    * 7 days of the observation end are CENSORED (still alive), the
+    * bias naive average-lifetime aggregates can't avoid. Exact
+    * integer at-risk/event counts; survival products fold in fixed
+    * ascending-t order (6dp).
+    */
+  private def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val perCust = o.groupBy($"o_custkey").agg(
+      min(to_date($"o_orderdate")).as("first_d"),
+      max(to_date($"o_orderdate")).as("last_d"))
+    val cutoff = o.agg(max(to_date($"o_orderdate")).as("cut"))
+    val subj = perCust.crossJoin(broadcast(cutoff))
+      .select(expr("CAST(datediff(last_d, first_d) AS BIGINT) div 7")
+          .as("dur_weeks"),
+        (datediff($"cut", $"last_d") > 365).as("churned"))
+    TimeSeries.kaplanMeier(subj, "dur_weeks", "churned")
+  }
+
+  /** H36: JL ±1 random projection of the int8-quantized embeddings to
+    * 16 dims — exact integer dot products against md5-derived signs,
+    * hash-gated bit-for-bit.
+    */
+  private def qJlProject(s: SparkSession, dir: String): DataFrame =
+    Similarity.jlProject(table(s, dir, "embeddings"), "vec_id",
+      "embedding", 16)
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3511,6 +3540,8 @@ object SparkEntry {
     "q_chi_square" -> (qChiSquare _),
     "q_naive_bayes" -> (qNaiveBayes _),
     "q_perceptron" -> (qPerceptron _),
+    "q_kaplan_meier" -> (qKaplanMeier _),
+    "q_jl_project" -> (qJlProject _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

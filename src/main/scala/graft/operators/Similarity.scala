@@ -851,4 +851,37 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cos"), 3).as("cos"))
   }
+
+  /** H36: Johnson–Lindenstrauss random projection (Achlioptas 2003
+    * ±1 form) in EXACT integer arithmetic — the dimension-reduction
+    * rung of the ANN ladder (compress 64-d to 16-d before LSH/IVF
+    * when even int8 vectors dominate the scan): y_j = Σ_d s(j,d)·c_d
+    * over the CENTERED int8 grid (c = code − 128), with the ±1 signs
+    * md5-derived per (output dim, input dim) — no stored projection
+    * matrix, engine-portable, and the projection is a pure integer
+    * dot product: bit-identical on any engine/partitioning ⇒ hard
+    * hash gate. Distance preservation (the JL lemma) is statistical
+    * and spec-asserted, not oracled.
+    *
+    * Scale shape: the sign table is outDims×D (kilobytes, broadcast);
+    * one (id, j)-keyed sum aggregate; the corpus shuffles once.
+    *
+    * @return (vec_id, j, y) — outDims rows per vector.
+    */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                outDims: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val codes = quantizeInt8(df, idCol, vecCol)
+    val dims = (0L until outDims.toLong).toDF("j")
+    val signs = broadcast(dims.crossJoin(codes.select(col("pos")).distinct())
+      .select(col("j"), col("pos"),
+        (conv(substring(md5(concat(lit("jl"), col("j").cast("string"),
+          lit("_"), col("pos").cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 2 * 2 - 1).as("sgn")))
+    codes.join(signs, "pos")
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("sgn") * (col("code") - 128)).as("y"))
+      .select(col("id").as("vec_id"), col("j"), col("y"))
+  }
 }

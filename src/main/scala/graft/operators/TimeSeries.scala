@@ -496,4 +496,54 @@ object TimeSeries {
         .as("acf")))
     one.select(inline(array(rows: _*)))
   }
+
+  /** F26: Kaplan–Meier survival estimator (Kaplan & Meier, JASA 1958)
+    * — retention/lifetime curves with CENSORING handled correctly,
+    * which naive "average lifetime" aggregates cannot do (subjects
+    * still alive at observation end would bias every mean downward).
+    *
+    * Input: one row per subject with an integer duration and an event
+    * flag (false = right-censored at that duration). Output: one row
+    * per distinct EVENT time t — (t, n_risk, d, s) with
+    * n_risk = subjects with duration ≥ t (ties: events precede
+    * censorings, the standard convention), d = events at t, and
+    * S(t) = Π_{t_j ≤ t} (n_j − d_j)/n_j.
+    *
+    * Exactness discipline: counts are exact integers; each factor is
+    * ONE IEEE division of exact ints; the survival products fold in
+    * ascending-t order over an event-time-cardinality array (like the
+    * acf/latency day-cardinality frames, event times are bounded —
+    * durations in days — while subjects are not), via slice+fold so
+    * every S(t) is a fixed-order product, bit-identical on both
+    * engines. 6dp at output only for the product chain (documented
+    * ulp hedge); n_risk/d are hash-exact.
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byT = df.groupBy(col(durationCol).as("t")).agg(
+      count(lit(1)).as("__c"),
+      sum(when(col(eventCol), 1L).otherwise(0L)).as("d"))
+    val tot = byT.agg(sum(col("__c")).as("__nTot"))
+    // event-time-cardinality window (durations are bounded units)
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val atRisk = byT.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("n_risk", col("__nTot") - col("__cum") + col("__c"))
+      .filter(col("d") >= 1)
+      .select(col("t"), col("n_risk"), col("d"),
+        ((col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double")).as("__f"))
+    val one = atRisk
+      .agg(array_sort(collect_list(struct(col("t"), col("n_risk"),
+        col("d"), col("__f")))).as("arr"))
+    one.select(col("arr"), posexplode(col("arr")).as(Seq("__i", "__s")))
+      .select(col("__s.t").as("t"), col("__s.n_risk").as("n_risk"),
+        col("__s.d").as("d"),
+        round(aggregate(
+          transform(slice(col("arr"), lit(1), col("__i") + 1),
+            x => x("__f")),
+          lit(1.0), _ * _), 6).as("s"))
+  }
 }

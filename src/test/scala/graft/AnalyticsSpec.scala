@@ -446,4 +446,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L))
   }
 
+  test("kaplanMeier: textbook hand case, censoring convention, " +
+    "partition independence") {
+    // durations 1e, 2e, 3c, 4e, 5c → S: 4/5, then ·3/4, then ·1/2
+    val subj = Seq((1L, true), (2L, true), (3L, false), (4L, true),
+      (5L, false)).toDF("dur", "ev")
+    val got = graft.operators.TimeSeries.kaplanMeier(subj, "dur", "ev")
+      .collect().map(r => r.getAs[Long]("t") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("d"),
+          r.getAs[Double]("s")))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L)) // censored times emit no row
+    assert(got(1L) == ((5L, 1L, 0.8)))
+    assert(got(2L) == ((4L, 1L, 0.6)))
+    assert(got(4L) == ((2L, 1L, 0.3)))
+    // tie convention: a censoring AT an event time is still at risk
+    val tie = Seq((2L, true), (2L, false), (1L, true), (3L, false))
+      .toDF("dur", "ev")
+    val g2 = graft.operators.TimeSeries.kaplanMeier(tie, "dur", "ev")
+      .collect().map(r => r.getAs[Long]("t") ->
+        r.getAs[Long]("n_risk")).toMap
+    assert(g2 == Map(1L -> 4L, 2L -> 3L))
+    // bit-identical at any parallelism
+    val a = graft.operators.TimeSeries.kaplanMeier(subj.repartition(4),
+      "dur", "ev").collect().map(_.toSeq).toSet
+    val b = graft.operators.TimeSeries.kaplanMeier(subj, "dur", "ev")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
 }

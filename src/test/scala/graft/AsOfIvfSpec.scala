@@ -270,4 +270,37 @@ class AsOfIvfSpec extends AnyFunSuite {
     val recall = (exact & pq).size.toDouble / exact.size
     assert(recall >= 0.9, s"PQ recall $recall below 0.9 on clustered data")
   }
+
+  test("jlProject: integer-exact, partition-independent, JL distance band") {
+    val rows = (0 until 200).map { i =>
+      val v = (0 until 64).map(j =>
+        (((i * 131 + j * 31) % 97) / 97.0 - 0.5).toFloat)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = Similarity.jlProject(df, "vec_id", "embedding", 16)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("j")) ->
+        r.getAs[Long]("y")).toMap
+    assert(proj.size == 200 * 16)
+    // bit-identical under repartition
+    val re = Similarity.jlProject(df.repartition(7), "vec_id", "embedding", 16)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("j")) ->
+        r.getAs[Long]("y")).toMap
+    assert(re == proj)
+    // JL lemma sanity: E‖Δy‖² = k·‖Δc‖² on the centered int8 grid —
+    // the MEAN ratio over many pairs lands near 1 (±1 signs,
+    // k=16 → wide per-pair variance, tight mean)
+    val codes = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("pos")) ->
+        (r.getAs[Long]("code") - 128L)).toMap
+    val ratios = for (a <- 0L until 40L; b <- (a + 1) to 40L) yield {
+      val d2c = (0L until 64L).map(p =>
+        math.pow((codes((a, p)) - codes((b, p))).toDouble, 2)).sum
+      val d2y = (0L until 16L).map(j =>
+        math.pow((proj((a, j)) - proj((b, j))).toDouble, 2)).sum
+      d2y / (16.0 * d2c)
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean ratio $mean outside band")
+  }
 }
