@@ -1772,6 +1772,72 @@ object OracleSql {
         |FROM codes c JOIN signs g USING (pos)
         |GROUP BY 1, 2""".stripMargin,
 
+    "q_gains" ->
+      // rank by (score desc, event_id), equal-count buckets by
+      // integer rank arithmetic, capture/precision in basis points
+      // by integral division — all exact
+      """WITH e AS (SELECT (event_type = 'purchase') AS pos,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |r AS (SELECT pos, CAST(row_number() OVER
+        |    (ORDER BY -cents, event_id) AS BIGINT) AS rk FROM e),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM e),
+        |b AS (SELECT CAST(least(9, (rk - 1) * 10 // (SELECT n FROM t))
+        |    + 1 AS BIGINT) AS bucket, pos FROM r),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT bucket, n, n_pos,
+        |    CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+        |    CAST(sum(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS cum_pos
+        |  FROM g)
+        |SELECT bucket, n, n_pos, cum_n, cum_pos,
+        |  CASE WHEN (SELECT np FROM t) > 0
+        |    THEN cum_pos * 10000 // (SELECT np FROM t) END AS capture_bp,
+        |  cum_pos * 10000 // cum_n AS precision_bp
+        |FROM c""".stripMargin,
+
+    "q_power_iteration" -> {
+      // 5 UNROLLED power-iteration rounds in exact integer
+      // arithmetic over the int8 scatter matrix: matvec sums in
+      // HUGEINT, renormalization v ← sign(u)·(|u|·10⁶ // max|u|)
+      // (operands positive after abs — truncating ≡ BigInt
+      // division). MATERIALIZED per round (each referenced twice:
+      // matvec + max). Codes mirror q_quantize_int8 exactly.
+      val rounds = (1 to 5).map { i =>
+        s"""u$i AS MATERIALIZED (SELECT sm.q AS pos,
+           |    CAST(sum(sm.s * v${i - 1}.v) AS HUGEINT) AS u
+           |  FROM sm JOIN v${i - 1} ON v${i - 1}.pos = sm.p GROUP BY 1),
+           |m$i AS (SELECT max(abs(u)) AS m FROM u$i),
+           |v$i AS MATERIALIZED (SELECT pos,
+           |    CAST(CASE WHEN (SELECT m FROM m$i) = 0 THEN u
+           |      WHEN u < 0
+           |        THEN -((abs(u) * 1000000) // (SELECT m FROM m$i))
+           |      ELSE (abs(u) * 1000000) // (SELECT m FROM m$i) END
+           |      AS BIGINT) AS v
+           |  FROM u$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+         |    CAST(embedding[u.i] AS DOUBLE) AS x
+         |  FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) AS u(i)),
+         |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM f GROUP BY 1),
+         |cc AS (SELECT vec_id, f.pos,
+         |    CAST(CASE WHEN mx = mn THEN 0
+         |      ELSE least(greatest(
+         |        CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT),
+         |        0), 255) END - 128 AS BIGINT) AS c
+         |  FROM f JOIN st USING(pos)),
+         |sm AS MATERIALIZED (SELECT a.pos AS p, b.pos AS q,
+         |    CAST(sum(a.c * b.c) AS BIGINT) AS s
+         |  FROM cc a JOIN cc b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |v0 AS (SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS v FROM cc),
+         |$rounds
+         |SELECT pos, v FROM v5""".stripMargin
+    },
+
     "q_quantile_normalize" ->
       // within-group rank r, group size ng, global rank t =
       // ceil(r·N/ng) in integer arithmetic; the normalized value is

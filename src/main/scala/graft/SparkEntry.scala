@@ -1951,6 +1951,27 @@ object SparkEntry {
     Similarity.jlProject(table(s, dir, "embeddings"), "vec_id",
       "embedding", 16)
 
+  /** C57: cumulative gains table of event value predicting purchases
+    * — q_auc's operational companion ("the top decile by score
+    * captures X% of positives"); exact integer ranks, buckets,
+    * captures.
+    */
+  private def qGains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select(
+      ($"event_type" === "purchase").as("is_purchase"),
+      floor($"value" * 100 + 0.5).cast("long").as("cents"), $"event_id")
+    operators.Stats.gainsTable(e, "is_purchase", "cents", "event_id", 10)
+  }
+
+  /** H37: fixed-point power iteration — dominant eigenvector of the
+    * int8 scatter matrix in exact integer arithmetic (5 rounds),
+    * hash-gated against unrolled HUGEINT oracle rounds.
+    */
+  private def qPowerIteration(s: SparkSession, dir: String): DataFrame =
+    Similarity.powerIterationFixed(table(s, dir, "embeddings"),
+      "vec_id", "embedding", 5)
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3542,6 +3563,8 @@ object SparkEntry {
     "q_perceptron" -> (qPerceptron _),
     "q_kaplan_meier" -> (qKaplanMeier _),
     "q_jl_project" -> (qJlProject _),
+    "q_gains" -> (qGains _),
+    "q_power_iteration" -> (qPowerIteration _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

@@ -868,6 +868,50 @@ object Similarity {
     *
     * @return (vec_id, j, y) — outDims rows per vector.
     */
+  /** H37: fixed-point power iteration — the dominant eigenvector of
+    * the int8-grid scatter matrix S = Σ c·cᵀ (c = code − 128), the
+    * spectral member of the fixed-point-trainable family (PageRank /
+    * k-means / PQ / perceptron): the corpus-sized work is ONE
+    * distributed pass building S (a D×D integer matrix — the id-keyed
+    * self-join collapses to D² cells under partial aggregation); the
+    * iteration itself runs on D² driver scalars (the k-means
+    * centroid-pull discipline — 4096 longs for D=64), in BigInt matvec
+    * + truncating-division renormalization v ← sign(u)·(|u|·10⁶ div
+    * max|u|), so every round is EXACT integer arithmetic and the final
+    * eigenvector is bit-identical on any engine or partitioning ⇒
+    * hard hash gate with the rounds unrolled in HUGEINT DuckDB SQL.
+    *
+    * PCA-lite caveat (documented, not hidden): S is the scatter of the
+    * CENTERED-GRID codes (code − 128), not mean-centered per
+    * dimension — the dominant direction of the raw second moment. For
+    * whitening-grade PCA subtract per-dim means first.
+    *
+    * @return (pos, v) — the scaled (±10⁶) eigenvector, D rows.
+    */
+  def powerIterationFixed(df: DataFrame, idCol: String, vecCol: String,
+                          iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val codes = quantizeInt8(df, idCol, vecCol)
+      .select(col("id"), col("pos"), (col("code") - 128).as("c"))
+    val left = codes.select(col("id"), col("pos").as("p"), col("c").as("ca"))
+    val right = codes.select(col("id"), col("pos").as("q"), col("c").as("cb"))
+    val scatter = left.join(right, "id")
+      .groupBy(col("p"), col("q"))
+      .agg(sum(col("ca") * col("cb")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val dims = scatter.keys.map(_._1).toSeq.distinct.sorted
+    var v = dims.map(_ => BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val u = dims.map(q => dims.zip(v).map { case (p, vp) =>
+        BigInt(scatter.getOrElse((p, q), 0L)) * vp }.sum)
+      val m = u.map(_.abs).max
+      if (m > 0) v = u.map(x => BigInt(x.signum) * (x.abs * 1000000 / m))
+    }
+    dims.zip(v).map { case (p, x) => (p, x.toLong) }.toDF("pos", "v")
+  }
+
   def jlProject(df: DataFrame, idCol: String, vecCol: String,
                 outDims: Int = 16): DataFrame = {
     val spark = df.sparkSession

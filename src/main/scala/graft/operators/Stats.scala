@@ -429,6 +429,53 @@ object Stats {
         round(foldField("mi"), 6).as("mi_nats"))
   }
 
+  /** C57: cumulative gains / lift table — [[rocAuc]]'s operational
+    * companion: rank the population by score DESCENDING (ties broken
+    * by `tieCol` — deterministic at any parallelism), cut into
+    * `nBuckets` equal-count buckets, and report per bucket the
+    * cumulative positive capture and precision. The curation read:
+    * "the top 10% of scored docs captures X% of the good ones" — the
+    * number that decides where to put a model-based filter's
+    * threshold.
+    *
+    * All arithmetic exact integers: global rank via
+    * [[globalValueRank]]'s two-level plan (never a data-sized
+    * single-partition window), bucket = integer arithmetic on ranks,
+    * capture/precision in basis points by integral division; the
+    * cumulative window runs over nBuckets rows only.
+    *
+    * @return one row per bucket: (bucket, n, n_pos, cum_n, cum_pos,
+    *         capture_bp, precision_bp).
+    */
+  def gainsTable(df: DataFrame, labelCol: String, scoreCol: String,
+                 tieCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2)
+    // rank by score DESC via globalValueRank on the negated score
+    val ranked = globalValueRank(
+      df.select(col(labelCol), col(scoreCol), col(tieCol))
+        .withColumn("__neg", -col(scoreCol)), "__neg", tieCol, "__rank")
+    val tot = df.agg(count(lit(1)).as("__n"),
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("__npos"))
+    val bucketed = ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        least(lit(nBuckets.toLong - 1),
+          expr(s"(__rank - 1) * $nBuckets div __n")) + 1)
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        first(col("__npos")).as("__npos"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        when(col("__npos") > 0,
+          expr("cum_pos * 10000 div __npos")).as("capture_bp"),
+        expr("cum_pos * 10000 div cum_n").as("precision_bp"))
+  }
+
   def globalValueRank(df: DataFrame, valueCol: String, tieCol: String,
                       rankCol: String,
                       bucketWidth: Long = 1L << 20): DataFrame = {

@@ -303,4 +303,39 @@ class AsOfIvfSpec extends AnyFunSuite {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.7 && mean < 1.3, s"JL mean ratio $mean outside band")
   }
+
+  test("powerIterationFixed: finds the correlated block, bit-identical " +
+    "under repartition") {
+    // dims 0..7 carry one shared signal (perfectly correlated block),
+    // dims 8..15 independent noise — the dominant eigenvector must
+    // concentrate on the block (quantization equalizes per-dim RANGES,
+    // so only correlation structure can win)
+    val rows = (0 until 300).map { i =>
+      val s = ((i * 131) % 97) / 97.0 - 0.5
+      val v = (0 until 16).map { j =>
+        if (j < 8) s.toFloat
+        else {
+          // hashed noise — decorrelated across dims (a plain LCG in j
+          // leaks cross-dim structure that rivals the signal block)
+          val h = ((i.toLong * 1000003L + j) * 2654435761L) % 4096L
+          (((h + 4096L) % 4096L) / 4096.0 - 0.5).toFloat
+        }
+      }
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.powerIterationFixed(df, "vec_id", "embedding", 5)
+      .collect().map(r => r.getAs[Long]("pos") -> r.getAs[Long]("v")).toMap
+    assert(got.size == 16)
+    val blockMin = (0L to 7L).map(p => math.abs(got(p))).min
+    val noiseMax = (8L to 15L).map(p => math.abs(got(p))).max
+    assert(blockMin > 3 * noiseMax,
+      s"block components $blockMin not dominant over noise $noiseMax")
+    // renormalization pins the largest |component| at exactly 1e6
+    assert(got.values.map(math.abs).max == 1000000L)
+    val re = Similarity.powerIterationFixed(df.repartition(7), "vec_id",
+        "embedding", 5)
+      .collect().map(r => r.getAs[Long]("pos") -> r.getAs[Long]("v")).toMap
+    assert(re == got)
+  }
 }

@@ -251,4 +251,25 @@ class StatsProfileSpec extends AnyFunSuite {
     assert(math.abs(ra.getAs[Double]("mi_nats") - math.log(2.0)) < 1e-6)
   }
 
+  test("gainsTable: hand case — top-score positives captured first") {
+    // scores 10..1, positives at the top 3 scores
+    val df = (1 to 10).map(i => (i >= 8, i.toLong, i.toLong))
+      .toDF("y", "s", "id")
+    val got = Stats.gainsTable(df.repartition(4), "y", "s", "id", 5)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Long]("cum_pos"), r.getAs[Long]("capture_bp"),
+          r.getAs[Long]("precision_bp")))).toMap
+    // bucket 1 = scores {10, 9}: 2 positives → capture 2/3
+    assert(got(1L) == ((2L, 2L, 2L, 6666L, 10000L)))
+    // bucket 2 = scores {8, 7}: one more positive → all 3 captured
+    assert(got(2L) == ((2L, 1L, 3L, 10000L, 7500L)))
+    // remaining buckets add nothing; totals close at n=10
+    assert(got(5L)._3 == 3L && got(5L)._4 == 10000L)
+    assert(got.values.map(_._1).sum == 10L)
+    // capture is monotone non-decreasing in bucket order
+    val caps = (1L to 5L).map(got(_)._4)
+    assert(caps == caps.sorted)
+  }
+
 }
