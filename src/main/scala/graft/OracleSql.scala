@@ -1838,6 +1838,30 @@ object OracleSql {
          |SELECT pos, v FROM v5""".stripMargin
     },
 
+    "q_isotonic" ->
+      // PAV via the minimax identity fitted(i) = max_{j≤i} min_{k≥i}
+      // mean(j..k): every candidate mean ONE division of exact ints,
+      // max/min select among identical IEEE values on both engines
+      """WITH e AS (SELECT (event_type = 'purchase') AS pos,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 500 AS bin
+        |  FROM events),
+        |b AS (SELECT bin AS i, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT i, n, pos,
+        |    CAST(sum(n) OVER (ORDER BY i) AS BIGINT) AS cn,
+        |    CAST(sum(pos) OVER (ORDER BY i) AS BIGINT) AS cp FROM b),
+        |jk AS (SELECT s.i, s.n, s.pos, j.i AS j,
+        |    CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+        |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS m
+        |  FROM c s JOIN c j ON j.i <= s.i JOIN c k ON k.i >= s.i),
+        |inner_min AS (SELECT i, n, pos, j, min(m) AS mn
+        |  FROM jk GROUP BY 1, 2, 3, 4)
+        |SELECT i AS bin, n, pos AS n_pos,
+        |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        |  max(mn) AS iso
+        |FROM inner_min GROUP BY 1, 2, 3""".stripMargin,
+
     "q_quantile_normalize" ->
       // within-group rank r, group size ng, global rank t =
       // ceil(r·N/ng) in integer arithmetic; the normalized value is

@@ -1972,6 +1972,21 @@ object SparkEntry {
     Similarity.powerIterationFixed(table(s, dir, "embeddings"),
       "vec_id", "embedding", 5)
 
+  /** C58: isotonic calibration of the purchase rate over value-cent
+    * bins — PAV via the declarative minimax identity on the bin
+    * spine; every candidate mean ONE exact-int division, no driver
+    * pass.
+    */
+  private def qIsotonic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bins = table(s, dir, "events")
+      .select(($"event_type" === "purchase").as("pos"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 500").as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n"),
+        sum(when($"pos", 1L).otherwise(0L)).as("n_pos"))
+    operators.Stats.isotonicFit(bins, "bin", "n", "n_pos")
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3565,6 +3580,7 @@ object SparkEntry {
     "q_jl_project" -> (qJlProject _),
     "q_gains" -> (qGains _),
     "q_power_iteration" -> (qPowerIteration _),
+    "q_isotonic" -> (qIsotonic _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

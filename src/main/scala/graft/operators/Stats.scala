@@ -476,6 +476,52 @@ object Stats {
         expr("cum_pos * 10000 div cum_n").as("precision_bp"))
   }
 
+  /** C58: isotonic regression (PAV) of a binned positive rate — the
+    * classic score-calibration step between a ranker (C55/C57) and a
+    * probability consumer: fit the best monotone non-decreasing rate
+    * curve over ordered bins. Computed via the MINIMAX identity
+    * fitted(i) = max_{j≤i} min_{k≥i} mean(j..k) — equivalent to
+    * pool-adjacent-violators but fully DECLARATIVE: two non-equi
+    * joins + two nested aggregates over the BIN spine (bins are
+    * bounded — score buckets — while the corpus is not), so no
+    * sequential driver pass at all.
+    *
+    * Exactness: bin/cumulative counts exact integers; every candidate
+    * mean is ONE IEEE division of exact ints (raw-double safe), and
+    * max/min pick among those exact values — bit-identical on both
+    * engines, no rounding needed.
+    *
+    * @param bins one row per bin: (binCol ordered, nCol, posCol).
+    * @return (bin, n, pos, rate, iso) with iso monotone in bin.
+    */
+  def isotonicFit(bins: DataFrame, binCol: String, nCol: String,
+                  posCol: String): DataFrame = {
+    val w = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = bins.select(col(binCol).as("i"), col(nCol).as("n"),
+        col(posCol).as("pos"))
+      .withColumn("__cn", sum(col("n")).over(w))
+      .withColumn("__cp", sum(col("pos")).over(w))
+    val cj = c.select(col("i").as("j"), (col("__cn") - col("n")).as("__cnj"),
+      (col("__cp") - col("pos")).as("__cpj"))
+    val ck = c.select(col("i").as("k"), col("__cn").as("__cnk"),
+      col("__cp").as("__cpk"))
+    val spine = c.select(col("i"), col("n"), col("pos"))
+    val jk = spine.join(cj, col("j") <= col("i"))
+      .join(ck, col("k") >= col("i"))
+      .select(col("i"), col("n"), col("pos"), col("j"),
+        ((col("__cpk") - col("__cpj")).cast("double") /
+          (col("__cnk") - col("__cnj")).cast("double")).as("__m"))
+    jk.groupBy(col("i"), col("n"), col("pos"), col("j"))
+      .agg(min(col("__m")).as("__mn"))
+      .groupBy(col("i"), col("n"), col("pos"))
+      .agg(max(col("__mn")).as("iso"))
+      .select(col("i").as(binCol), col("n").as(nCol),
+        col("pos").as(posCol),
+        (col("pos").cast("double") / col("n").cast("double")).as("rate"),
+        col("iso"))
+  }
+
   def globalValueRank(df: DataFrame, valueCol: String, tieCol: String,
                       rankCol: String,
                       bucketWidth: Long = 1L << 20): DataFrame = {

@@ -251,6 +251,40 @@ class StatsProfileSpec extends AnyFunSuite {
     assert(math.abs(ra.getAs[Double]("mi_nats") - math.log(2.0)) < 1e-6)
   }
 
+  test("isotonicFit ≡ sequential pool-adjacent-violators on random bins") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val bins = (0 until 12).map { i =>
+        val n = rnd.nextInt(20) + 1L
+        (i.toLong, n, rnd.nextInt(n.toInt + 1).toLong)
+      }
+      val df = bins.toDF("bin", "n", "pos")
+      val got = Stats.isotonicFit(df.repartition(5), "bin", "n", "pos")
+        .collect().map(r => r.getAs[Long]("bin") ->
+          r.getAs[Double]("iso")).toMap
+      // classic PAV: merge adjacent pools while means decrease
+      var pools = bins.map(b => (List(b._1), b._3, b._2)).toList
+      var changed = true
+      while (changed) {
+        changed = false
+        pools = pools.foldLeft(List.empty[(List[Long], Long, Long)]) {
+          case (acc @ (pb, pp, pn) :: rest, (cb, cp, cn)) =>
+            // violation ⟺ pp/pn > cp/cn  ⟺  pp·cn > cp·pn (exact)
+            if (pp * cn > cp * pn) { changed = true
+              (pb ++ cb, pp + cp, pn + cn) :: rest }
+            else (cb, cp, cn) :: acc
+          case (Nil, c) => List((c._1, c._2, c._3))
+        }.reverse
+      }
+      val exp = pools.flatMap { case (bs, p, n) =>
+        bs.map(_ -> p.toDouble / n.toDouble) }.toMap
+      assert(got == exp, s"trial $trial: $got != $exp")
+      // fitted curve is monotone non-decreasing
+      val iso = (0L until 12L).map(got)
+      assert(iso == iso.sorted)
+    }
+  }
+
   test("gainsTable: hand case — top-score positives captured first") {
     // scores 10..1, positives at the top 3 scores
     val df = (1 to 10).map(i => (i >= 8, i.toLong, i.toLong))
