@@ -1862,6 +1862,53 @@ object OracleSql {
         |  max(mn) AS iso
         |FROM inner_min GROUP BY 1, 2, 3""".stripMargin,
 
+    "q_zipf" -> {
+      val norm = normOf("text")
+      // rank by (count desc, term asc) capped at 500; the four OLS
+      // sums fold in rank order (list_reduce seeding ≡ 0.0-seeded
+      // fold); slope/intercept fixed-order IEEE, 6dp (ln rule)
+      s"""WITH t AS (SELECT unnest(string_split($norm, ' ')) AS term
+         |  FROM documents),
+         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t
+         |  GROUP BY 1 ORDER BY n DESC, term LIMIT 500),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, term)
+         |    AS BIGINT) AS rank, n FROM c),
+         |x AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+         |    ln(CAST(n AS DOUBLE)) AS y FROM r),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |    list_reduce(list(x ORDER BY rank), (a, b) -> a + b) AS sx,
+         |    list_reduce(list(y ORDER BY rank), (a, b) -> a + b) AS sy,
+         |    list_reduce(list(x * y ORDER BY rank), (a, b) -> a + b) AS sxy,
+         |    list_reduce(list(x * x ORDER BY rank), (a, b) -> a + b) AS sxx
+         |  FROM x)
+         |SELECT k AS n_terms,
+         |  round((CAST(k AS DOUBLE) * sxy - sx * sy)
+         |    / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+         |  round((sy - (CAST(k AS DOUBLE) * sxy - sx * sy)
+         |      / (CAST(k AS DOUBLE) * sxx - sx * sx) * sx)
+         |    / CAST(k AS DOUBLE), 6) AS intercept
+         |FROM f""".stripMargin
+    },
+
+    "q_theil_sen" ->
+      // median of pairwise slopes: each ONE division of exact ints,
+      // lower-median picked by integer rank under (slope, xi, xj)
+      """WITH d AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT a.day AS xi, b.day AS xj,
+        |    CAST(b.cents - a.cents AS DOUBLE)
+        |      / CAST(b.day - a.day AS DOUBLE) AS slope
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |r AS (SELECT slope,
+        |    CAST(row_number() OVER (ORDER BY slope, xi, xj) AS BIGINT)
+        |      AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS m FROM p)
+        |SELECT m AS n_pairs, slope FROM r
+        |WHERE rk * 2 = m OR rk * 2 = m + 1""".stripMargin,
+
     "q_quantile_normalize" ->
       // within-group rank r, group size ng, global rank t =
       // ceil(r·N/ng) in integer arithmetic; the normalized value is

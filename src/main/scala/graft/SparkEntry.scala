@@ -1987,6 +1987,27 @@ object SparkEntry {
     operators.Stats.isotonicFit(bins, "bin", "n", "n_pos")
   }
 
+  /** E86: Zipf rank-frequency fit over the documents vocabulary —
+    * OLS of ln(freq) on ln(rank) for the top-500 terms; rank via
+    * TakeOrdered, fixed-order ln folds, 6dp.
+    */
+  private def qZipf(s: SparkSession, dir: String): DataFrame =
+    Corpus.zipfFit(table(s, dir, "documents"), "text",
+      TextFunctions.words, 500)
+
+  /** C59: Theil–Sen robust slope of daily revenue — the median of
+    * all pairwise day slopes; outlier days can't drag it the way
+    * they drag OLS. Exact-int divisions, integer-rank median.
+    */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = table(s, dir, "events")
+      .groupBy(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+        .cast("long").as("day"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+    TimeSeries.theilSen(daily, "day", "cents")
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3581,6 +3602,8 @@ object SparkEntry {
     "q_gains" -> (qGains _),
     "q_power_iteration" -> (qPowerIteration _),
     "q_isotonic" -> (qIsotonic _),
+    "q_zipf" -> (qZipf _),
+    "q_theil_sen" -> (qTheilSen _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

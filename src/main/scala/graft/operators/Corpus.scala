@@ -858,6 +858,43 @@ object Corpus {
     out
   }
 
+  /** E86: Zipf rank-frequency fit — the corpus-health diagnostic
+    * (natural text follows freq ∝ rank^s with s ≈ −1; template spam,
+    * boilerplate floods, and synthetic filler bend the curve): OLS of
+    * ln(freq) on ln(rank) over the top-K terms. Rank via
+    * `orderBy.limit` = TakeOrderedAndProject (per-partition heaps, no
+    * global sort) with the row_number window running on the K-row
+    * result only (the E43 discipline); each ln is a single call on an
+    * exact integer; the four OLS sums fold in rank order over the
+    * K-element array; slope/intercept are fixed-order IEEE ops, 6dp
+    * (the ln rule).
+    *
+    * @return one row: (n_terms, slope, intercept).
+    */
+  def zipfFit(docs: DataFrame, textCol: String,
+              tokens: Column => Column, topK: Int = 1000): DataFrame = {
+    val counts = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(topK)
+    val w = Window.orderBy(col("n").desc, col("term"))
+    val xy = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(struct(col("rank"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y")).as("s"))
+    def f(fld: String) =
+      aggregate(transform(col("arr"), x => x(fld)), lit(0.0), _ + _)
+    def f2(a: String, b: String) =
+      aggregate(transform(col("arr"), x => x(a) * x(b)), lit(0.0), _ + _)
+    val k = size(col("arr")).cast("double")
+    val slope = (k * f2("x", "y") - f("x") * f("y")) /
+      (k * f2("x", "x") - f("x") * f("x"))
+    xy.agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(size(col("arr")).cast("long").as("n_terms"),
+        round(slope, 6).as("slope"),
+        round((f("y") - slope * f("x")) / k, 6).as("intercept"))
+  }
+
   /** Deterministic hashed weights for [[hashedLinearScore]] — w_b =
     * (first 6 md5 hex digits of "w‖b") mod 2001 − 1000 ∈ [−1000,
     * 1000] milli-units. Engine-portable (the oracle rebuilds the same

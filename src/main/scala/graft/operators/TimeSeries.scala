@@ -497,6 +497,36 @@ object TimeSeries {
     one.select(inline(array(rows: _*)))
   }
 
+  /** C59: Theil–Sen robust trend slope (Theil 1950, Sen 1968) — the
+    * median of all pairwise slopes over an AGGREGATED series: up to
+    * ~29% contamination (outlier days, ingestion spikes) leaves the
+    * estimate untouched, where OLS follows every excursion. Pairs and
+    * the ranking window are day-cardinality² (the series is the
+    * aggregate, the corpus is not — the acf rationale squared);
+    * each slope is ONE IEEE division of exact ints and the median is
+    * picked by integer rank arithmetic under a total (slope, xi, xj)
+    * order — deterministic, raw-double safe, no interpolation.
+    *
+    * @return one row: (n_pairs, slope).
+    */
+  def theilSen(series: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = series.select(col(xCol).as("xi"), col(yCol).as("yi"))
+    val b = series.select(col(xCol).as("xj"), col(yCol).as("yj"))
+    val pairs = a.join(b, col("xi") < col("xj"))
+      .select(col("xi"), col("xj"),
+        ((col("yj") - col("yi")).cast("double") /
+          (col("xj") - col("xi")).cast("double")).as("slope"))
+    val w = Window.orderBy(col("slope"), col("xi"), col("xj"))
+    val ranked = pairs
+      .withColumn("__rk", row_number().over(w).cast("long"))
+    ranked.crossJoin(broadcast(pairs.agg(count(lit(1)).as("__m"))))
+      // lower median: rk = ⌈m/2⌉ ⟺ 2·rk − m ∈ {0, 1}
+      .filter(col("__rk") * 2 === col("__m") ||
+        col("__rk") * 2 === col("__m") + 1)
+      .select(col("__m").as("n_pairs"), col("slope"))
+  }
+
   /** F26: Kaplan–Meier survival estimator (Kaplan & Meier, JASA 1958)
     * — retention/lifetime curves with CENSORING handled correctly,
     * which naive "average lifetime" aggregates cannot do (subjects

@@ -446,6 +446,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L))
   }
 
+  test("theilSen: outlier day cannot drag the median slope") {
+    // y = 3x exactly, except one wild outlier at x=9: 36 of 45 pair
+    // slopes are exactly 3 → the median is exactly 3.0 (OLS is not)
+    val pts = (0L to 9L).map(x =>
+      (x, if (x == 9) 1000L else 3 * x)).toDF("x", "y")
+    val r = graft.operators.TimeSeries.theilSen(pts.repartition(4), "x", "y")
+      .head
+    assert(r.getAs[Long]("n_pairs") == 45L)
+    assert(r.getAs[Double]("slope") == 3.0)
+  }
+
   test("kaplanMeier: textbook hand case, censoring convention, " +
     "partition independence") {
     // durations 1e, 2e, 3c, 4e, 5c → S: 4/5, then ·3/4, then ·1/2

@@ -557,6 +557,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(re == got.map { case (id, (_, p, s)) => (id, p, s) }.toSet)
   }
 
+  test("zipfFit: slope ≈ −1 on a constructed Zipf corpus") {
+    // term i appears ⌊600/i⌋ times — frequencies ∝ 1/rank by design
+    val text = (1 to 40).flatMap(i =>
+      Seq.fill(600 / i)(f"term$i%03d")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Corpus.zipfFit(df, "text", TextFunctions.words, 100).head
+    assert(r.getAs[Long]("n_terms") == 40L)
+    val slope = r.getAs[Double]("slope")
+    assert(slope > -1.1 && slope < -0.9, s"slope $slope not ≈ −1")
+    // flat corpus (all terms equally frequent) → slope ≈ 0
+    val flat = Seq((1L, (1 to 40).flatMap(i =>
+      Seq.fill(10)(f"t$i%03d")).mkString(" "))).toDF("doc_id", "text")
+    val s2 = Corpus.zipfFit(flat, "text", TextFunctions.words, 100).head
+      .getAs[Double]("slope")
+    assert(math.abs(s2) < 0.01, s"flat-corpus slope $s2 not ≈ 0")
+  }
+
   test("perceptronTrain: separable task converges to 0 errors, " +
     "bit-identical under repartition") {
     val docs = Seq(
