@@ -742,6 +742,35 @@ object OracleSql {
          |  FROM scored)
          |SELECT q_id, nn_id, "rank", round(c, 4) AS cos FROM r WHERE "rank" <= 5""".stripMargin,
 
+    "q_ann_recall" ->
+      // exact top-5 (q_ann_topk's CTEs) left-joined to the LSH top-5
+      // (q_ann_lsh's): per-query hits are exact ints, recall ONE
+      // division
+      s"""WITH c AS (SELECT vec_id AS nn_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id % 1000 = 0),
+         |ex AS (SELECT q_id, nn_id FROM (
+         |  SELECT q_id, nn_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${cosSql("qv", "cv")} DESC, nn_id) AS rk
+         |  FROM c, q WHERE q_id <> nn_id) t WHERE rk <= 5),
+         |cb AS (SELECT nn_id, cv, ${srpSql("cv", 8, 64)} AS bucket FROM c),
+         |qb AS (SELECT q_id, qv, ${srpSql("qv", 8, 64)} AS bucket FROM q),
+         |ap AS (SELECT q_id, nn_id FROM (
+         |  SELECT q_id, nn_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY ${cosSql("qv", "cv")} DESC, nn_id) AS rk
+         |  FROM cb JOIN qb USING (bucket) WHERE q_id <> nn_id) t
+         |  WHERE rk <= 5),
+         |j AS (SELECT ex.q_id, ex.nn_id,
+         |    CASE WHEN ap.q_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id
+         |    AND ap.nn_id = ex.nn_id)
+         |SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+         |FROM j GROUP BY 1""".stripMargin,
+
     "q_image_dims" ->
       // GROUND-TRUTH oracle: emits the dimensions the Spark side
       // PLANTED into valid PNG/GIF headers, without parsing anything

@@ -2008,6 +2008,18 @@ object SparkEntry {
     TimeSeries.theilSen(daily, "day", "cents")
   }
 
+  /** H38: ANN recall pre-flight — SRP-LSH top-5 scored against the
+    * brute-force truth per query; exact integer hits, one division.
+    */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "embeddings")
+    val q = e.filter($"vec_id" % 1000 === 0)
+    Similarity.annRecall(
+      Similarity.bruteForceTopKAgg(e, q, "vec_id", "embedding", 5),
+      Similarity.lshTopK(e, q, "vec_id", "embedding", 5, 8, 64))
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3604,6 +3616,7 @@ object SparkEntry {
     "q_isotonic" -> (qIsotonic _),
     "q_zipf" -> (qZipf _),
     "q_theil_sen" -> (qTheilSen _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

@@ -852,6 +852,28 @@ object Similarity {
         round(col("cos"), 3).as("cos"))
   }
 
+  /** H38: ANN recall meta-evaluation — the fifth pre-flight number
+    * (C40 skew / C48 join size / F20 lateness / E80 dedup eval):
+    * score an approximate-NN configuration against the exact top-k
+    * BEFORE trusting it on the full corpus. Inputs are any two
+    * (q_id, nn_id, …) rankings (e.g. [[bruteForceTopKAgg]] as truth
+    * and [[lshTopK]]/[[ivfTopK]]/[[pqTopK]] as candidate); output is
+    * per-query exact-set size, hits, and recall (ONE division of
+    * exact ints — raw-double safe). One keyed left join + one
+    * aggregate, both query-set sized.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = approx.select(col("q_id"), col("nn_id"), lit(1L).as("__hit"))
+    exact.select(col("q_id"), col("nn_id"))
+      .join(hits, Seq("q_id", "nn_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
   /** H36: Johnson–Lindenstrauss random projection (Achlioptas 2003
     * ±1 form) in EXACT integer arithmetic — the dimension-reduction
     * rung of the ANN ladder (compress 64-d to 16-d before LSH/IVF

@@ -304,6 +304,22 @@ class AsOfIvfSpec extends AnyFunSuite {
     assert(mean > 0.7 && mean < 1.3, s"JL mean ratio $mean outside band")
   }
 
+  test("annRecall: identity → 1, disjoint → 0, partial counted exactly") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("q_id", "nn_id")
+    val same = Similarity.annRecall(exact, exact).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall")).toMap
+    assert(same == Map(1L -> 1.0, 2L -> 1.0))
+    val approx = Seq((1L, 10L), (1L, 99L), (1L, 12L), (2L, 98L), (2L, 97L))
+      .toDF("q_id", "nn_id")
+    val got = Similarity.annRecall(exact, approx).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("recall")))).toMap
+    assert(got(1L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+  }
+
   test("powerIterationFixed: finds the correlated block, bit-identical " +
     "under repartition") {
     // dims 0..7 carry one shared signal (perfectly correlated block),
