@@ -771,6 +771,25 @@ object OracleSql {
          |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
          |FROM j GROUP BY 1""".stripMargin,
 
+    "q_lateral" ->
+      // DuckDB's LATERAL matches the SQL-standard form directly
+      """SELECT c.c_custkey, o.o_orderkey, o.cents
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey,
+        |           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |         FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin,
+
+    "q_variant" ->
+      // GROUND-TRUTH: emits the values PLANTED into the JSON without
+      // parsing any of it — hash equality proves the VARIANT path
+      // extraction inverts the construction
+      """SELECT event_id, CAST(user_id AS BIGINT) AS uid,
+        |  event_type AS ty,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS v0
+        |FROM events""".stripMargin,
+
     "q_image_dims" ->
       // GROUND-TRUTH oracle: emits the dimensions the Spark side
       // PLANTED into valid PNG/GIF headers, without parsing anything

@@ -2020,6 +2020,42 @@ object SparkEntry {
       Similarity.lshTopK(e, q, "vec_id", "embedding", 5, 8, 64))
   }
 
+  /** C60: LATERAL correlated subquery — per-customer top-2 orders via
+    * the SQL-standard lateral join (Spark 4 surface); Catalyst plans
+    * it as a ranked window, not a per-row re-execution.
+    */
+  private def qLateral(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "orders").createOrReplaceTempView("orders_lv")
+    table(s, dir, "customer").createOrReplaceTempView("customer_lv")
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.cents
+      FROM customer_lv c,
+      LATERAL (SELECT o_orderkey,
+                      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM orders_lv
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""")
+  }
+
+  /** C61: VARIANT semi-structured extraction (new Spark 4 type) —
+    * JSON built from typed columns, parsed to VARIANT once, fields
+    * pulled back out with typed paths. GROUND-TRUTH oracle: it emits
+    * the planted values without parsing any JSON, so hash equality
+    * proves parse_json/variant_get invert the construction.
+    */
+  private def qVariant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val j = concat(lit("{\"user\":{\"id\":"), $"user_id",
+      lit(",\"ty\":\""), $"event_type", lit("\"},\"vals\":["),
+      get_json_object($"props", "$.k"), lit(",2]}"))
+    table(s, dir, "events")
+      .select($"event_id", parse_json(j).as("v"))
+      .select($"event_id",
+        variant_get($"v", "$.user.id", "long").as("uid"),
+        variant_get($"v", "$.user.ty", "string").as("ty"),
+        variant_get($"v", "$.vals[0]", "long").as("v0"))
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3617,6 +3653,8 @@ object SparkEntry {
     "q_zipf" -> (qZipf _),
     "q_theil_sen" -> (qTheilSen _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_lateral" -> (qLateral _),
+    "q_variant" -> (qVariant _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),
