@@ -790,6 +790,24 @@ object OracleSql {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS v0
         |FROM events""".stripMargin,
 
+    "q_ann_incremental" ->
+      // FULL recompute over old ∪ batch — hash equality proves the
+      // Spark side's top-k(store ∪ batch-top-k) merge is lossless
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 1000000, embedding
+         |    FROM embeddings WHERE vec_id % 20 = 0),
+         |c AS (SELECT vec_id AS nn_id, CAST(embedding AS DOUBLE[]) AS cv FROM e),
+         |q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id % 1000 = 0),
+         |scored AS (
+         |  SELECT q_id, nn_id, ${cosSql("qv", "cv")} AS c
+         |  FROM c, q WHERE q_id <> nn_id),
+         |r AS (SELECT q_id, nn_id, c,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, nn_id) AS "rank"
+         |  FROM scored)
+         |SELECT q_id, nn_id, "rank", round(c, 4) AS cos FROM r
+         |WHERE "rank" <= 5""".stripMargin,
+
     "q_image_dims" ->
       // GROUND-TRUTH oracle: emits the dimensions the Spark side
       // PLANTED into valid PNG/GIF headers, without parsing anything

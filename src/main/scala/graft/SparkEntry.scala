@@ -2056,6 +2056,19 @@ object SparkEntry {
         variant_get($"v", "$.vals[0]", "long").as("v0"))
   }
 
+  /** H39: incremental top-k maintenance — stored top-5 merged with a
+    * decorated batch; hash equality against the FULL-recompute oracle
+    * proves the merge lossless.
+    */
+  private def qAnnIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "embeddings")
+    val batch = e.filter($"vec_id" % 20 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    Similarity.incrementalTopK(e, batch,
+      e.filter($"vec_id" % 1000 === 0), "vec_id", "embedding", 5)
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3655,6 +3668,7 @@ object SparkEntry {
     "q_ann_recall" -> (qAnnRecall _),
     "q_lateral" -> (qLateral _),
     "q_variant" -> (qVariant _),
+    "q_ann_incremental" -> (qAnnIncremental _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

@@ -852,6 +852,52 @@ object Similarity {
         round(col("cos"), 3).as("cos"))
   }
 
+  /** H39: incremental top-k similarity maintenance — the E40/E45
+    * incremental-store discipline applied to ANN serving (the
+    * interactive-session top-k pattern, cf. EDBT 2020's incremental
+    * top-k framework): when a new vector batch arrives, the OLD
+    * corpus is never rescored — the stored per-query top-k (k rows
+    * per query, RAW scores) merges with the batch's top-k, and
+    * top-k(top-k(old) ∪ top-k(batch)) ≡ top-k(old ∪ batch) EXACTLY
+    * (any final member is in its side's top-k under the same total
+    * (score desc, id) order — including ties). Here the store side is
+    * computed inline for the gate; a deployment persists it and pays
+    * only the batch scan + a (queries×2k)-row merge per ingest.
+    *
+    * @return (q_id, nn_id, rank, cos 4dp) — identical to a full
+    *         recompute over the union corpus, which is what the
+    *         oracle does.
+    */
+  def incrementalTopK(oldCorpus: DataFrame, batch: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    def storedTop(corpus: DataFrame) = {
+      val c = corpus.select(col(idCol).as("nn_id"),
+        toDouble(col(vecCol)).as("cv"))
+        .withColumn("cn", l2Norm(col("cv")))
+      c.join(broadcast(q), col("q_id") =!= col("nn_id"))
+        .withColumn("cos",
+          dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .groupBy(col("q_id"))
+        .agg(graft.plans.TopKBy.topkBy(col("cos"), col("nn_id"), k)
+          .as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col.id").as("nn_id"),
+          col("col.score").as("cos")) // RAW scores — the store format
+    }
+    storedTop(oldCorpus).union(storedTop(batch))
+      .groupBy(col("q_id"))
+      .agg(graft.plans.TopKBy.topkBy(col("cos"), col("nn_id"), k)
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("nn_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(col("col.score"), 4).as("cos"))
+  }
+
   /** H38: ANN recall meta-evaluation — the fifth pre-flight number
     * (C40 skew / C48 join size / F20 lateness / E80 dedup eval):
     * score an approximate-NN configuration against the exact top-k

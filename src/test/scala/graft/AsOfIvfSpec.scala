@@ -304,6 +304,27 @@ class AsOfIvfSpec extends AnyFunSuite {
     assert(mean > 0.7 && mean < 1.3, s"JL mean ratio $mean outside band")
   }
 
+  test("incrementalTopK ≡ full recompute over the union corpus") {
+    val mk = (ids: Range, salt: Int) => ids.map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        ((((i * 131 + j * 977 + salt) * 2654435761L) % 4096 + 4096) % 4096
+          / 4096.0 - 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val old = mk(0 until 120, 0)
+    val batch = mk(1000 until 1060, 7)
+    val queries = mk(0 until 120, 0).filter(col("vec_id") % 17 === 0)
+    val inc = Similarity.incrementalTopK(old, batch, queries,
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("nn_id"), r.getAs[Double]("cos")))).toMap
+    val full = Similarity.bruteForceTopKAgg(old.union(batch), queries,
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("nn_id"), r.getAs[Double]("cos")))).toMap
+    assert(inc == full)
+    assert(inc.keys.map(_._1).toSet.size == 8) // all 8 queries served
+  }
+
   test("annRecall: identity → 1, disjoint → 0, partial counted exactly") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
       .toDF("q_id", "nn_id")
