@@ -22,7 +22,7 @@ import graft.sources.FileTracker
   *   <outDir>/_staging/<entity>      raw-string staged batch (extract)
   *   <outDir>/_transformed/<entity>  typed/cleaned batch (transform)
   *   <outDir>/<entity>               production tables (load)
-  *   <outDir>/_file_tracker          processed-file state
+  *   <outDir>/etl_file_tracker       processed-file state
   *
   * `full` runs the three phases FUSED (no intermediate writes — one
   * Spark plan end-to-end, the scale-preferred path); the split modes
@@ -74,6 +74,20 @@ object EtlMain {
   private def openLog(outDir: String, log: Option[RunLog]): RunLog =
     log.getOrElse(new RunLog(s"$outDir/_logs", RunLog.newRunId()))
 
+  /** Processed-file state path — named like the reference's
+    * `etl_file_tracker` table. NOT underscore-prefixed: Spark's
+    * streaming-metadata probe warn-logs "All paths were ignored" on
+    * every read of a `_`-named root. Pre-rename layouts migrate by a
+    * one-time directory rename.
+    */
+  private def trackerPath(spark: SparkSession, outDir: String): String = {
+    val neu = new org.apache.hadoop.fs.Path(s"$outDir/etl_file_tracker")
+    val old = new org.apache.hadoop.fs.Path(s"$outDir/_file_tracker")
+    val fs = neu.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(neu) && fs.exists(old)) fs.rename(old, neu)
+    neu.toString
+  }
+
   /** Extract phase: stage new CSV files (raw strings, PK-filtered,
     * deduped) into the staging layer and mark them processed. The
     * reference's extract.py → MySQL-staging leg.
@@ -81,7 +95,7 @@ object EtlMain {
   def runExtract(spark: SparkSession, csvDir: String, outDir: String,
                  log: Option[RunLog] = None): Unit = {
     val rl = openLog(outDir, log)
-    val tracker = new FileTracker(spark, s"$outDir/_file_tracker")
+    val tracker = new FileTracker(spark, trackerPath(spark, outDir))
     BankEtl.schemas.foreach { entity =>
       val glob = s"$csvDir/${entity.name}*.csv"
       val pending = tracker.newFiles(glob)
@@ -179,7 +193,7 @@ object EtlMain {
   def runFull(spark: SparkSession, csvDir: String, outDir: String,
               batchDate: String, log: Option[RunLog] = None): Unit = {
     val rl = openLog(outDir, log)
-    val tracker = new FileTracker(spark, s"$outDir/_file_tracker")
+    val tracker = new FileTracker(spark, trackerPath(spark, outDir))
     BankEtl.schemas.foreach { entity =>
       val glob = s"$csvDir/${entity.name}*.csv"
       val pending = tracker.newFiles(glob)

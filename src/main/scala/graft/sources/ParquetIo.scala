@@ -41,7 +41,16 @@ object ParquetIo {
     // previous table at __bak and no live target — restore it
     if (!filesystem.exists(target) && filesystem.exists(bak(path)))
       filesystem.rename(bak(path), target)
-    if (filesystem.exists(target)) Some(spark.read.parquet(path)) else None
+    // a directory holding only hidden/_-prefixed entries (e.g. a
+    // _SUCCESS marker without part files) is NO state: reading it
+    // warn-logs "All paths were ignored" on every normal run and
+    // yields an empty schema-less frame anyway
+    val hasData = filesystem.exists(target) &&
+      filesystem.listStatus(target).exists { s =>
+        val n = s.getPath.getName
+        !(n.startsWith("_") || n.startsWith("."))
+      }
+    if (hasData) Some(spark.read.parquet(path)) else None
   }
 
   /** Replace the table at `path` with `df` via write-tmp + rename. */
