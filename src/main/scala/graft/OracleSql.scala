@@ -808,6 +808,29 @@ object OracleSql {
          |SELECT q_id, nn_id, "rank", round(c, 4) AS cos FROM r
          |WHERE "rank" <= 5""".stripMargin,
 
+    "q_intrinsic_dim" ->
+      // two-NN MLE: per point the two smallest positive squared
+      // distances within its label block; ln(sq2/sq1) ONE division +
+      // ln, folded in id order; d = 2N/Σ at 6dp
+      s"""WITH v AS (SELECT vec_id AS id, label AS blk,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT a.id, ${sqDistSql("a.v", "b.v")} AS sq
+         |  FROM v a JOIN v b ON a.blk = b.blk AND a.id <> b.id
+         |  WHERE ${sqDistSql("a.v", "b.v")} > 0.0),
+         |r AS (SELECT id, sq,
+         |    row_number() OVER (PARTITION BY id ORDER BY sq) AS rn
+         |  FROM p),
+         |t AS (SELECT id,
+         |    ln(max(CASE WHEN rn = 2 THEN sq END)
+         |       / max(CASE WHEN rn = 1 THEN sq END)) AS lnmu
+         |  FROM r WHERE rn <= 2 GROUP BY id
+         |  HAVING count(*) = 2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |  round(2.0 * CAST(count(*) AS DOUBLE)
+         |    / (SELECT list_reduce(list(lnmu ORDER BY id),
+         |        (x, y) -> x + y) FROM t), 6) AS id_mle
+         |FROM t""".stripMargin,
+
     "q_image_dims" ->
       // GROUND-TRUTH oracle: emits the dimensions the Spark side
       // PLANTED into valid PNG/GIF headers, without parsing anything

@@ -2069,6 +2069,14 @@ object SparkEntry {
       e.filter($"vec_id" % 1000 === 0), "vec_id", "embedding", 5)
   }
 
+  /** H40: intrinsic dimension of the embedding space (two-NN MLE) —
+    * label-blocked exact pair search, no sqrt (the √ cancels into
+    * the factor 2), ln folds in id order at 6dp.
+    */
+  private def qIntrinsicDim(s: SparkSession, dir: String): DataFrame =
+    Similarity.intrinsicDimension(table(s, dir, "embeddings"),
+      "vec_id", "embedding", "label")
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3669,6 +3677,7 @@ object SparkEntry {
     "q_lateral" -> (qLateral _),
     "q_variant" -> (qVariant _),
     "q_ann_incremental" -> (qAnnIncremental _),
+    "q_intrinsic_dim" -> (qIntrinsicDim _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

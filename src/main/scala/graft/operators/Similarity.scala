@@ -852,6 +852,54 @@ object Similarity {
         round(col("cos"), 3).as("cos"))
   }
 
+  /** H40: intrinsic-dimension estimate (two-NN MLE — Facco et al.
+    * 2017, Sci. Rep. 7:12140) — the embedding-space health number
+    * (collapsed representations → d near 0-2; healthy text embeddings
+    * → tens; d tracking the ambient dimension → noise, ANN pruning
+    * won't work): d = 2N / Σ ln(sq2/sq1) over each point's two
+    * nearest squared distances. Each ln argument is ONE division of
+    * two per-pair IEEE-exact squared distances (no sqrt anywhere —
+    * the √ cancels into the factor 2), zero-distance pairs (exact
+    * duplicates) are discarded per the paper, and the ln sum folds in
+    * id order (6dp — the ln rule).
+    *
+    * Scale shape: the pair search is BLOCKED on the caller's key
+    * (label / SRP bucket / IVF cell — the semantic-dedup discipline),
+    * so candidates are an equi-join, never n²; per-point top-2 rides
+    * the map-side topk_by heap. At full corpus scale the same
+    * estimator runs on ANN-candidate distances (approximate
+    * neighbors bias d upward slightly — the blocked form here is
+    * exact within blocks).
+    *
+    * @return one row: (n_points, id_mle).
+    */
+  def intrinsicDimension(df: DataFrame, idCol: String, vecCol: String,
+                         blockCol: String): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      toDouble(col(vecCol)).as("v"))
+    val a = v.select(col("id"), col("blk"), col("v"))
+    val b = v.select(col("id").as("other"), col("blk"),
+      col("v").as("w"))
+    val pairs = a.join(b, Seq("blk"))
+      .filter(col("id") =!= col("other"))
+      .withColumn("sq", VectorFunctions.sqDist(col("v"), col("w")))
+      .filter(col("sq") > 0.0)
+    val top2 = pairs.groupBy(col("id"))
+      .agg(graft.plans.TopKBy.topkBy(col("sq") * -1, col("other"), 2)
+        .as("t"))
+      .filter(size(col("t")) === 2)
+      .select(col("id"),
+        log((col("t")(1)("score") * -1) / (col("t")(0)("score") * -1))
+          .as("lnmu"))
+    val one = top2
+      .agg(array_sort(collect_list(struct(col("id"), col("lnmu"))))
+        .as("arr"))
+    one.select(size(col("arr")).cast("long").as("n_points"),
+      round(lit(2.0) * size(col("arr")).cast("double") /
+        aggregate(transform(col("arr"), x => x("lnmu")), lit(0.0), _ + _),
+        6).as("id_mle"))
+  }
+
   /** H39: incremental top-k similarity maintenance — the E40/E45
     * incremental-store discipline applied to ANN serving (the
     * interactive-session top-k pattern, cf. EDBT 2020's incremental

@@ -304,6 +304,32 @@ class AsOfIvfSpec extends AnyFunSuite {
     assert(mean > 0.7 && mean < 1.3, s"JL mean ratio $mean outside band")
   }
 
+  test("intrinsicDimension: recovers the manifold dimension, not the " +
+    "ambient one") {
+    // seeded Random: a hash affine in the dim index makes "independent"
+    // coordinates perfectly correlated (the estimator caught exactly
+    // that in an earlier draft of this test — the plane WAS a line)
+    val rnd = new scala.util.Random(11)
+    // 1-D manifold (a curve) embedded in 16 dims
+    val line = (0 until 400).map { i =>
+      val t = rnd.nextDouble()
+      (i.toLong, 0L, (0 until 16).map(j =>
+        if (j == 0) t.toFloat else 0f))
+    }.toDF("vec_id", "label", "embedding")
+    val d1 = Similarity.intrinsicDimension(line, "vec_id", "embedding",
+      "label").head.getAs[Double]("id_mle")
+    assert(d1 > 0.6 && d1 < 1.5, s"line ID $d1 not ≈ 1")
+    // 2-D manifold in 16 dims
+    val plane = (0 until 400).map { i =>
+      (i.toLong, 0L, (0 until 16).map(j =>
+        if (j <= 1) rnd.nextDouble().toFloat else 0f))
+    }.toDF("vec_id", "label", "embedding")
+    val d2 = Similarity.intrinsicDimension(plane, "vec_id", "embedding",
+      "label").head.getAs[Double]("id_mle")
+    assert(d2 > 1.4 && d2 < 2.8, s"plane ID $d2 not ≈ 2")
+    assert(d2 > d1)
+  }
+
   test("incrementalTopK ≡ full recompute over the union corpus") {
     val mk = (ids: Range, salt: Int) => ids.map { i =>
       (i.toLong, (0 until 16).map(j =>
