@@ -831,6 +831,39 @@ object OracleSql {
          |        (x, y) -> x + y) FROM t), 6) AS id_mle
          |FROM t""".stripMargin,
 
+    "q_blocking_eval" ->
+      // candidate pairs from block SIZES (never materialized);
+      // completeness from the truth pairs' block agreement; micro
+      // ratios by integral division — all exact longs
+      """WITH base AS (SELECT c_custkey AS id,
+        |    CAST(c_nationkey AS BIGINT) AS blk FROM customer),
+        |vars AS (SELECT c_custkey + 1000000 AS id,
+        |    CAST(CASE WHEN c_custkey % 30 = 0
+        |      THEN (c_nationkey + 1) % 25 ELSE c_nationkey END
+        |      AS BIGINT) AS blk
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |ents AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+        |sizes AS (SELECT blk, CAST(count(*) AS BIGINT) AS n FROM ents
+        |  GROUP BY 1),
+        |bs AS (SELECT CAST(sum(n) AS BIGINT) AS n_entities,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(n * (n - 1)) AS BIGINT) // 2 AS cand_pairs
+        |  FROM sizes),
+        |tp AS (SELECT c_custkey AS id_a, c_custkey + 1000000 AS id_b
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |cov AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |    CAST(sum(CASE WHEN ea.blk = eb.blk THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_covered
+        |  FROM tp JOIN ents ea ON ea.id = tp.id_a
+        |    JOIN ents eb ON eb.id = tp.id_b)
+        |SELECT n_entities, n_blocks, cand_pairs,
+        |  n_entities * (n_entities - 1) // 2 AS total_pairs,
+        |  ((n_entities * (n_entities - 1) // 2 - cand_pairs) * 1000000)
+        |    // (n_entities * (n_entities - 1) // 2) AS reduction_micro,
+        |  n_truth, n_covered,
+        |  (1000000 * n_covered) // n_truth AS completeness_micro
+        |FROM bs CROSS JOIN cov""".stripMargin,
+
     "q_image_dims" ->
       // GROUND-TRUTH oracle: emits the dimensions the Spark side
       // PLANTED into valid PNG/GIF headers, without parsing anything

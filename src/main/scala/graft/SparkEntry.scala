@@ -2077,6 +2077,27 @@ object SparkEntry {
     Similarity.intrinsicDimension(table(s, dir, "embeddings"),
       "vec_id", "embedding", "label")
 
+  /** H41: blocking-scheme evaluation — planted customer variants
+    * (some moved to another nation, so completeness is provably < 1)
+    * scored against nation blocking: candidate-pair count from block
+    * SIZES alone, truth coverage from one two-sided block join.
+    */
+  private def qBlockingEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer")
+    val base = c.select($"c_custkey".as("id"),
+      $"c_nationkey".cast("long").as("blk"))
+    val variants = c.filter($"c_custkey" % 10 === 0)
+      .select(($"c_custkey" + 1000000L).as("id"),
+        when($"c_custkey" % 30 === 0, ($"c_nationkey" + 1) % 25)
+          .otherwise($"c_nationkey").cast("long").as("blk"))
+    val truth = c.filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey".as("id_a"),
+        ($"c_custkey" + 1000000L).as("id_b"))
+    operators.Linkage.blockingProfile(base.unionByName(variants), "id",
+      "blk", truth)
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3678,6 +3699,7 @@ object SparkEntry {
     "q_variant" -> (qVariant _),
     "q_ann_incremental" -> (qAnnIncremental _),
     "q_intrinsic_dim" -> (qIntrinsicDim _),
+    "q_blocking_eval" -> (qBlockingEval _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

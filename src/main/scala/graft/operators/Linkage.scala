@@ -91,4 +91,47 @@ object Linkage {
         agrees.map(when(_, 1L).otherwise(0L)).reduce(_ + _).as("n_agree"),
         col("lr_micro"))
   }
+
+  /** H41: blocking-scheme evaluation (Newcombe blocking quality) —
+    * the pre-flight number for [[fsLinkage]]'s ONE data-sized join:
+    * how many candidate pairs a blocking key generates (reduction
+    * ratio) and how many TRUE matches it retains (pairs
+    * completeness), computed from block SIZES and a truth-pair
+    * block-agreement join — the candidate pairs themselves are NEVER
+    * materialized (Σ n(n−1)/2 from the size table), which is the
+    * whole point of evaluating a blocking scheme before running it
+    * at 100 TB.
+    *
+    * All exact integers (long — the q_join_size precedent; the
+    * micro-unit numerators need total_pairs ≤ 9.2e12, i.e. N ≤ ~4M
+    * entities per profile run — sample or widen to decimal beyond).
+    *
+    * @param truthPairs ground-truth match pairs (id_a, id_b).
+    * @return one row: (n_entities, n_blocks, cand_pairs, total_pairs,
+    *         reduction_micro, n_truth, n_covered, completeness_micro).
+    */
+  def blockingProfile(df: DataFrame, idCol: String, blockCol: String,
+                      truthPairs: DataFrame): DataFrame = {
+    val ents = df.select(col(idCol).as("id"), col(blockCol).as("blk"))
+    val sizes = ents.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+    val blockStats = sizes.agg(
+      sum(col("n")).as("n_entities"),
+      count(lit(1)).as("n_blocks"),
+      expr("sum(n * (n - 1)) div 2").as("cand_pairs"))
+    val withTotal = blockStats.withColumn("total_pairs",
+      expr("n_entities * (n_entities - 1) div 2"))
+    val covered = truthPairs
+      .join(ents.select(col("id").as("id_a"), col("blk").as("__ba")), "id_a")
+      .join(ents.select(col("id").as("id_b"), col("blk").as("__bb")), "id_b")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("__ba") === col("__bb"), 1L).otherwise(0L))
+          .as("n_covered"))
+    withTotal.crossJoin(broadcast(covered)).select(
+      col("n_entities"), col("n_blocks"), col("cand_pairs"),
+      col("total_pairs"),
+      expr("((total_pairs - cand_pairs) * 1000000) div total_pairs")
+        .as("reduction_micro"),
+      col("n_truth"), col("n_covered"),
+      expr("(1000000 * n_covered) div n_truth").as("completeness_micro"))
+  }
 }

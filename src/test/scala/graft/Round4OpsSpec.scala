@@ -211,4 +211,21 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got(2L) == (("gif", Some(320L), Some(240L))))
     assert(got(3L) == (("unknown", None, None)))
   }
+
+  test("blockingProfile: hand-counted pairs, cross-block truth uncovered") {
+    // blocks: {1,2,3} and {4} → cand = 3 of total = 6 → reduction ½
+    val ents = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L))
+      .toDF("id", "blk")
+    // truth: (1,2) within-block, (3,4) across blocks
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = Linkage.blockingProfile(ents, "id", "blk", truth).head
+    assert(r.getAs[Long]("n_entities") == 4L)
+    assert(r.getAs[Long]("n_blocks") == 2L)
+    assert(r.getAs[Long]("cand_pairs") == 3L)
+    assert(r.getAs[Long]("total_pairs") == 6L)
+    assert(r.getAs[Long]("reduction_micro") == 500000L)
+    assert(r.getAs[Long]("n_truth") == 2L)
+    assert(r.getAs[Long]("n_covered") == 1L)
+    assert(r.getAs[Long]("completeness_micro") == 500000L)
+  }
 }
