@@ -864,6 +864,33 @@ object OracleSql {
         |  (1000000 * n_covered) // n_truth AS completeness_micro
         |FROM bs CROSS JOIN cov""".stripMargin,
 
+    "q_scc" ->
+      // SCC by definition: scc(v) = min over {v} ∪ {u : u ⇝ v ∧
+      // v ⇝ u} via the recursive reachability closure; rr
+      // MATERIALIZED so the mutual self-join doesn't recompute the
+      // closure (the q_kcore inlining lesson)
+      """WITH RECURSIVE li AS (
+        |  SELECT * FROM lineitem
+        |  WHERE l_orderkey % 200 = 1 AND l_partkey % 3 = 0),
+        |e0 AS (SELECT l_partkey AS s, l_suppkey + 1000000 AS d FROM li
+        |  UNION
+        |  SELECT l_suppkey + 1000000, l_partkey FROM li
+        |  WHERE l_linenumber % 2 = 1),
+        |e2 AS MATERIALIZED (SELECT DISTINCT CAST(s AS BIGINT) AS s,
+        |    CAST(d AS BIGINT) AS d FROM e0 WHERE s <> d),
+        |n AS (SELECT s AS id FROM e2 UNION SELECT d FROM e2),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM e2
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN e2 ON e2.s = r.d),
+        |rr AS MATERIALIZED (SELECT s, d FROM reach),
+        |mutual AS (SELECT a.s AS u, a.d AS v
+        |  FROM rr a JOIN rr b ON a.s = b.d AND a.d = b.s)
+        |SELECT n.id,
+        |  CAST(least(n.id, coalesce(min(m.u), n.id)) AS BIGINT) AS scc
+        |FROM n LEFT JOIN mutual m ON m.v = n.id
+        |GROUP BY n.id""".stripMargin,
+
     "q_image_dims" ->
       // GROUND-TRUTH oracle: emits the dimensions the Spark side
       // PLANTED into valid PNG/GIF headers, without parsing anything

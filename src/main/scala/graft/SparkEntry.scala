@@ -2098,6 +2098,23 @@ object SparkEntry {
       "blk", truth)
   }
 
+  /** E87: strongly connected components of a sparsified DIRECTED
+    * part⇄supplier graph (forward edges always, reverse edges on odd
+    * line numbers — so mutual-reachability cycles genuinely form);
+    * labels = component min id, oracle = recursive-closure mutual
+    * reachability.
+    */
+  private def qScc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+      .filter($"l_orderkey" % 200 === 1 && $"l_partkey" % 3 === 0)
+    val fwd = li.select($"l_partkey".as("s"),
+      ($"l_suppkey" + 1000000L).as("d"))
+    val back = li.filter($"l_linenumber" % 2 === 1)
+      .select(($"l_suppkey" + 1000000L).as("s"), $"l_partkey".as("d"))
+    Graph.stronglyConnectedComponents(fwd.unionByName(back), "s", "d")
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3700,6 +3717,7 @@ object SparkEntry {
     "q_ann_incremental" -> (qAnnIncremental _),
     "q_intrinsic_dim" -> (qIntrinsicDim _),
     "q_blocking_eval" -> (qBlockingEval _),
+    "q_scc" -> (qScc _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

@@ -858,4 +858,217 @@ object Graph {
     }
     spark.createDataset(dist.toSeq).toDF("id", "hop")
   }
+
+  /** E87: strongly connected components of a DIRECTED graph — the
+    * directed citizenship question CC cannot answer (a→b→a is one
+    * unit of mutual reachability; a→b alone is not): SCC(v) = the set
+    * of nodes u with u ⇝ v AND v ⇝ u, labeled by the component's min
+    * id (the CC labeling convention).
+    *
+    * Hybrid rung like CC/LPA/kCore/BFS: graphs under `localThreshold`
+    * edges run iterative Tarjan on the driver (explicit stack — no
+    * recursion depth limit), asserted equal to the distributed path.
+    * The distributed path is trim + forward-min/backward-check
+    * (the FW-BW-MIN / coloring family):
+    *   1. TRIM — nodes with zero in- or out-degree among the remaining
+    *      graph are singleton SCCs; peel to fixpoint (two degree
+    *      aggregates per round — kills the DAG skeleton fast).
+    *   2. FORWARD — f(v) = min id that can reach v, by min-label
+    *      propagation along edge direction to fixpoint (the CC loop,
+    *      directed).
+    *   3. BACKWARD CHECK — within each f-class, flags propagate from
+    *      the root r (f(r)=r) along REVERSED edges restricted to the
+    *      class: flagged ⟺ v ⇝ r through the class ⟺ v ∈ SCC(r).
+    *   4. Extract flagged nodes (scc = f), remove, repeat.
+    * Every converging loop uses the scalar-sum/count convergence +
+    * per-round localCheckpoint discipline; exhaustion THROWS rather
+    * than returning partial labels (the CC contract). Worst case
+    * (a long chain of SCCs) needs O(chain) outer rounds — the known
+    * FW-BW caveat; trimming removes the common DAG tails first.
+    *
+    * @return (id, scc) — scc = min id of the strongly connected
+    *         component; every endpoint of a non-self-loop edge
+    *         appears (self-loops are trivially strongly connected and
+    *         are dropped with their nodes if they carry no other
+    *         edge).
+    */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+                                  dstCol: String, maxIter: Int = 25,
+                                  localThreshold: Long = 2000000L): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (e0.count() <= localThreshold) {
+      val result = localTarjan(e0)
+      e0.unpersist()
+      return result
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var remaining = e0.localCheckpoint(true)
+    e0.unpersist()
+    var nodes = remaining.select(col("src").as("id"))
+      .union(remaining.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    var assigned = spark.emptyDataset[(Long, Long)].toDF("id", "scc")
+      .localCheckpoint(true)
+    var outer = 0
+    while (nodes.count() > 0 && outer < maxIter) {
+      outer += 1
+      // 1. trim to fixpoint: zero in- or out-degree ⇒ singleton SCC
+      var trimmed = true
+      while (trimmed && nodes.count() > 0) {
+        val hasIn = remaining.select(col("dst").as("id")).distinct()
+        val hasOut = remaining.select(col("src").as("id")).distinct()
+        val keep = nodes.join(hasIn, Seq("id"), "left_semi")
+          .join(hasOut, Seq("id"), "left_semi")
+          .localCheckpoint(true)
+        val dropped = nodes.join(keep, Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("scc"))
+          .localCheckpoint(true)
+        if (dropped.count() == 0) trimmed = false
+        else {
+          assigned = assigned.union(dropped).localCheckpoint(true)
+          nodes = keep
+          remaining = remaining
+            .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst"))
+            .localCheckpoint(true)
+        }
+      }
+      if (nodes.count() == 0) () // all trimmed — outer loop exits
+      else {
+        // 2. forward min-label to fixpoint (directed CC loop)
+        var f = nodes.select(col("id"), col("id").as("f"))
+          .localCheckpoint(true)
+        var prevSum = f.agg(sum(col("f"))).head.getLong(0)
+        var converged = false
+        var it = 0
+        while (!converged && it < maxIter) {
+          it += 1
+          val inMin = remaining.join(f, remaining("src") === f("id"))
+            .groupBy(remaining("dst").as("id"))
+            .agg(min(col("f")).as("inf"))
+          val next = f.as("l").join(inMin.as("n"), Seq("id"), "left")
+            .select(col("id"),
+              least(col("l.f"), coalesce(col("n.inf"), col("l.f"))).as("f"))
+            .localCheckpoint(true)
+          val s = next.agg(sum(col("f"))).head.getLong(0)
+          f = next
+          converged = s == prevSum
+          prevSum = s
+        }
+        if (!converged) throw new IllegalStateException(
+          s"scc: forward pass hit $maxIter rounds without a fixpoint")
+        // 3. backward check within f-classes from each root
+        var flagged = f.filter(col("id") === col("f"))
+          .select(col("id"), col("f")).localCheckpoint(true)
+        var prevN = flagged.count()
+        var done = false
+        var bit = 0
+        while (!done && bit < maxIter) {
+          bit += 1
+          val step = remaining
+            .join(flagged.select(col("id").as("dst"), col("f").as("fd")),
+              Seq("dst"))
+            .join(f.select(col("id").as("src"), col("f").as("fs")),
+              Seq("src"))
+            .filter(col("fs") === col("fd"))
+            .select(col("src").as("id"), col("fs").as("f"))
+          val nf = flagged.union(step).distinct().localCheckpoint(true)
+          val n = nf.count()
+          done = n == prevN
+          flagged = nf
+          prevN = n
+        }
+        if (!done) throw new IllegalStateException(
+          s"scc: backward pass hit $maxIter rounds without a fixpoint")
+        // 4. extract flagged (scc = f), remove, iterate
+        assigned = assigned
+          .union(flagged.select(col("id"), col("f").as("scc")))
+          .localCheckpoint(true)
+        nodes = nodes.join(flagged.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        remaining = remaining
+          .join(nodes.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+      }
+    }
+    if (nodes.count() > 0) throw new IllegalStateException(
+      s"scc: $maxIter outer rounds left nodes unassigned — a chain of " +
+        "SCCs longer than maxIter; raise maxIter")
+    assigned
+  }
+
+  /** Driver-side iterative Tarjan (explicit stack — no recursion
+    * limit) for small directed graphs; SCC labels remapped to the
+    * component min id to match the distributed labeling exactly.
+    */
+  private def localTarjan(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val es = e.as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.ArrayBuffer[Long]]
+    val allNodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+    es.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+      allNodes += s; allNodes += d
+    }
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    allNodes.foreach { root =>
+      if (!index.contains(root)) {
+        // explicit DFS stack of (node, next-child cursor)
+        val work = scala.collection.mutable.ArrayBuffer[(Long, Int)]((root, 0))
+        index(root) = counter; low(root) = counter; counter += 1
+        stack += root; onStack += root
+        while (work.nonEmpty) {
+          val (v, ci) = work.last
+          val kids = adj.getOrElse(v,
+            scala.collection.mutable.ArrayBuffer.empty)
+          if (ci < kids.length) {
+            work(work.length - 1) = (v, ci + 1)
+            val w = kids(ci)
+            if (!index.contains(w)) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack += w; onStack += w
+              work += ((w, 0))
+            } else if (onStack(w)) {
+              low(v) = math.min(low(v), index(w))
+            }
+          } else {
+            work.remove(work.length - 1)
+            if (work.nonEmpty) {
+              val p = work.last._1
+              low(p) = math.min(low(p), low(v))
+            }
+            if (low(v) == index(v)) {
+              // pop the SCC; label by min id
+              var members = List.empty[Long]
+              var w = 0L
+              do {
+                w = stack.remove(stack.length - 1)
+                onStack -= w
+                members = w :: members
+              } while (w != v)
+              val label = members.min
+              members.foreach(m => comp(m) = label)
+            }
+          }
+        }
+      }
+    }
+    spark.createDataset(comp.toSeq).toDF("id", "scc")
+      .repartition(col("scc"))
+  }
 }

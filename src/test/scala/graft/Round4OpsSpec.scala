@@ -212,6 +212,47 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got(3L) == (("unknown", None, None)))
   }
 
+  test("scc: hand case + randomized ≡ brute-force mutual reachability; " +
+    "local ≡ distributed") {
+    // hand case: cycle {1,2,3}, 2-cycle {10,11}, chain tail 20→21
+    val hand = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 10L),
+      (3L, 10L), (20L, 21L), (21L, 1L)).toDF("s", "d")
+    val gotH = Graph.stronglyConnectedComponents(hand, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotH == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 21L))
+    // randomized graphs vs brute-force mutual reachability
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val es = (1 to 70).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val df = es.toDF("s", "d")
+      // brute force: boolean closure, scc = min{u: reach(u,v) ∧ reach(v,u)}
+      val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val m = nodes.length
+      val reach = Array.fill(m, m)(false)
+      nodes.indices.foreach(i => reach(i)(i) = true)
+      es.foreach { case (a, b) => reach(idx(a))(idx(b)) = true }
+      for (k <- 0 until m; i <- 0 until m; j <- 0 until m)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val exp = nodes.map { v =>
+        v -> nodes.filter(u =>
+          reach(idx(u))(idx(v)) && reach(idx(v))(idx(u))).min
+      }.toMap
+      val local = Graph.stronglyConnectedComponents(df, "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == exp, s"trial $trial local != brute force")
+      // distributed path (threshold 0) must agree exactly
+      val dist = Graph.stronglyConnectedComponents(df.repartition(5),
+          "s", "d", maxIter = 40, localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == exp, s"trial $trial distributed != brute force")
+    }
+  }
+
   test("blockingProfile: hand-counted pairs, cross-block truth uncovered") {
     // blocks: {1,2,3} and {4} → cand = 3 of total = 6 → reduction ½
     val ents = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L))
