@@ -891,6 +891,38 @@ object OracleSql {
         |FROM n LEFT JOIN mutual m ON m.v = n.id
         |GROUP BY n.id""".stripMargin,
 
+    "q_shortest_path" -> {
+      // 6 UNROLLED Bellman–Ford relaxation rounds in exact integer
+      // min-plus (the distributed loop's early fixpoint exit yields
+      // the same values — costs are monotone); parallel edges
+      // pre-collapsed to min weight, like the Spark side
+      val rounds = (1 to 6).map { i =>
+        s"""r$i AS (SELECT e.d AS id,
+           |    CAST(min(d${i - 1}.cost + e.w) AS BIGINT) AS cand
+           |  FROM e JOIN d${i - 1} ON d${i - 1}.id = e.s GROUP BY 1),
+           |d$i AS MATERIALIZED (SELECT coalesce(d${i - 1}.id, r$i.id) AS id,
+           |    CAST(least(coalesce(d${i - 1}.cost, r$i.cand),
+           |      coalesce(r$i.cand, d${i - 1}.cost)) AS BIGINT) AS cost
+           |  FROM d${i - 1} FULL OUTER JOIN r$i
+           |    ON d${i - 1}.id = r$i.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH li AS (SELECT * FROM lineitem
+         |  WHERE l_orderkey % 200 = 1 AND l_partkey % 3 = 0),
+         |e0 AS (SELECT l_partkey AS s, l_suppkey + 1000000 AS d,
+         |    CAST(l_quantity AS BIGINT) AS w FROM li
+         |  UNION ALL
+         |  SELECT l_suppkey + 1000000, l_partkey,
+         |    CAST(l_quantity AS BIGINT) FROM li WHERE l_linenumber % 2 = 1),
+         |e AS MATERIALIZED (SELECT CAST(s AS BIGINT) AS s,
+         |    CAST(d AS BIGINT) AS d, CAST(min(w) AS BIGINT) AS w
+         |  FROM e0 WHERE s <> d GROUP BY 1, 2),
+         |d0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS id,
+         |    CAST(0 AS BIGINT) AS cost
+         |  FROM li WHERE l_partkey % 30 = 0),
+         |$rounds
+         |SELECT id, cost FROM d6""".stripMargin
+    },
+
     "q_image_dims" ->
       // GROUND-TRUTH oracle: emits the dimensions the Spark side
       // PLANTED into valid PNG/GIF headers, without parsing anything

@@ -2115,6 +2115,25 @@ object SparkEntry {
     Graph.stronglyConnectedComponents(fwd.unionByName(back), "s", "d")
   }
 
+  /** E88: weighted shortest paths (bounded Bellman–Ford) over the
+    * q_scc directed graph with quantity weights — exact integer
+    * min-plus, 6 relaxation rounds, unrolled-round oracle.
+    */
+  private def qShortestPath(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+      .filter($"l_orderkey" % 200 === 1 && $"l_partkey" % 3 === 0)
+    val fwd = li.select($"l_partkey".as("s"),
+      ($"l_suppkey" + 1000000L).as("d"), $"l_quantity".cast("long").as("w"))
+    val back = li.filter($"l_linenumber" % 2 === 1)
+      .select(($"l_suppkey" + 1000000L).as("s"), $"l_partkey".as("d"),
+        $"l_quantity".cast("long").as("w"))
+    val edges = fwd.unionByName(back)
+    val seeds = li.filter($"l_partkey" % 30 === 0)
+      .select($"l_partkey".as("id")).distinct()
+    Graph.shortestPaths(edges, "s", "d", "w", seeds, "id", 6)
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3718,6 +3737,7 @@ object SparkEntry {
     "q_intrinsic_dim" -> (qIntrinsicDim _),
     "q_blocking_eval" -> (qBlockingEval _),
     "q_scc" -> (qScc _),
+    "q_shortest_path" -> (qShortestPath _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

@@ -1005,6 +1005,92 @@ object Graph {
     assigned
   }
 
+  /** E88: weighted shortest paths from a seed set (bounded
+    * Bellman–Ford) — E51's WEIGHTED sibling: cheapest cost within
+    * `maxHops` relaxation rounds, integer weights so every distance
+    * is an EXACT long (min-plus semiring over integers — order-free,
+    * hash-gateable; the hop bound both bounds work and makes the
+    * semantics well-defined even with negative edge weights). Per
+    * round: one keyed join + min aggregate + min-merge, scalar-sum
+    * convergence for early exit, per-round localCheckpoint; driver
+    * fast path under `localThreshold` runs the same rounds in a hash
+    * map, asserted identical.
+    *
+    * @return (id, cost) — min total weight over paths of ≤ maxHops
+    *         edges from any seed; seeds at cost 0; unreached nodes
+    *         absent.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    wCol: String, seeds: DataFrame, seedCol: String,
+                    maxHops: Int,
+                    localThreshold: Long = 2000000L): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be ≥ 0: $maxHops")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+    if (e.count() <= localThreshold) {
+      val result = localBellmanFord(e, seed, maxHops)
+      e.unpersist()
+      return result
+    }
+    var dist = seed.select(col("id"), lit(0L).as("cost"))
+      .localCheckpoint(true)
+    var prevSum = dist.agg(coalesce(sum(col("cost")), lit(0L)))
+      .head.getLong(0)
+    var prevN = dist.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxHops) {
+      round += 1
+      val relax = e.join(dist, e("src") === dist("id"))
+        .groupBy(e("dst").as("id"))
+        .agg(min(col("cost") + col("w")).as("cand"))
+      val next = dist.as("d").join(relax.as("r"), Seq("id"), "full_outer")
+        .select(col("id"),
+          least(coalesce(col("d.cost"), col("r.cand")),
+            coalesce(col("r.cand"), col("d.cost"))).as("cost"))
+        .localCheckpoint(true)
+      val s = next.agg(coalesce(sum(col("cost")), lit(0L))).head.getLong(0)
+      val n = next.count()
+      converged = s == prevSum && n == prevN
+      dist = next
+      prevSum = s
+      prevN = n
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** Driver-side bounded Bellman–Ford — identical rounds in a hash
+    * map; integer state only.
+    */
+  private def localBellmanFord(e: DataFrame, seed: DataFrame,
+                               maxHops: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val es = e.as[(Long, Long, Long)].collect()
+    var dist = seed.as[Long].collect().map(_ -> 0L).toMap
+    var round = 0
+    var changed = true
+    while (changed && round < maxHops) {
+      round += 1
+      val relaxed = es.flatMap { case (s, d, w) =>
+        dist.get(s).map(c => d -> (c + w))
+      }.groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).min }
+      val next = (dist.keySet ++ relaxed.keySet).map { k =>
+        k -> math.min(dist.getOrElse(k, Long.MaxValue),
+          relaxed.getOrElse(k, Long.MaxValue))
+      }.toMap
+      changed = next != dist
+      dist = next
+    }
+    spark.createDataset(dist.toSeq).toDF("id", "cost")
+  }
+
   /** Driver-side iterative Tarjan (explicit stack — no recursion
     * limit) for small directed graphs; SCC labels remapped to the
     * component min id to match the distributed labeling exactly.

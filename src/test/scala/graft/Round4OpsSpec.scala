@@ -253,6 +253,54 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shortestPaths: hand case, hop bound, negative edge, " +
+    "local ≡ distributed ≡ sequential DP") {
+    // 1→2 (10), 1→3 (1), 3→2 (2): cheapest to 2 is 3 via the detour
+    val hand = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L))
+      .toDF("s", "d", "w")
+    val seeds1 = Seq(1L).toDF("id")
+    val g1 = Graph.shortestPaths(hand, "s", "d", "w", seeds1, "id", 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g1 == Map(1L -> 0L, 2L -> 3L, 3L -> 1L))
+    // hop bound 1: the detour is out of reach, direct edge wins
+    val g2 = Graph.shortestPaths(hand, "s", "d", "w", seeds1, "id", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
+    // negative edge (no cycle): still exact
+    val neg = Seq((1L, 2L, 5L), (2L, 3L, -7L)).toDF("s", "d", "w")
+    val g3 = Graph.shortestPaths(neg, "s", "d", "w", seeds1, "id", 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g3 == Map(1L -> 0L, 2L -> 5L, 3L -> -2L))
+    // randomized: local ≡ distributed ≡ sequential DP over ≤ h hops
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 2) {
+      val n = 25
+      val es = (1 to 60).map(_ => (rnd.nextInt(n).toLong,
+          rnd.nextInt(n).toLong, rnd.nextInt(20).toLong + 1))
+        .filter { case (a, b, _) => a != b }
+        .groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq
+      val df = es.toDF("s", "d", "w")
+      val seeds = Seq(0L, 7L).toDF("id")
+      val h = 5
+      var dp = Map(0L -> 0L, 7L -> 0L)
+      for (_ <- 1 to h) {
+        val relax = es.flatMap { case (s, d, w) =>
+          dp.get(s).map(c => d -> (c + w)) }
+          .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).min }
+        dp = (dp.keySet ++ relax.keySet).map(k => k ->
+          math.min(dp.getOrElse(k, Long.MaxValue),
+            relax.getOrElse(k, Long.MaxValue))).toMap
+      }
+      val local = Graph.shortestPaths(df, "s", "d", "w", seeds, "id", h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dp, s"trial $trial local != DP")
+      val distd = Graph.shortestPaths(df.repartition(5), "s", "d", "w",
+          seeds, "id", h, localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(distd == dp, s"trial $trial distributed != DP")
+    }
+  }
+
   test("blockingProfile: hand-counted pairs, cross-block truth uncovered") {
     // blocks: {1,2,3} and {4} → cand = 3 of total = 6 → reduction ½
     val ents = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L))
