@@ -923,6 +923,54 @@ object OracleSql {
          |SELECT id, cost FROM d6""".stripMargin
     },
 
+    "q_psi" -> {
+      val qs = (1 to 9).map(i =>
+        s"min(CASE WHEN cum * 10 >= n * $i THEN cents END) AS q$i")
+        .mkString(",\n         |    ")
+      val ladder = (1 to 9).map(i =>
+        s"(CASE WHEN cents > q$i THEN 1 ELSE 0 END)").mkString(" + ")
+      // baseline-decile boundaries by exact integer rank arithmetic
+      // (cum·10 ≥ n·i ⟺ the discreteQuantiles test at p = i·1000bp);
+      // add-one p's are exact-integer ratios; ln fold in bucket order
+      s"""WITH av AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+         |    AS BIGINT) AS cents FROM orders
+         |  WHERE o_orderdate < '1998-01-01'),
+         |bv AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+         |    AS BIGINT) AS cents FROM orders
+         |  WHERE o_orderdate >= '1998-01-01'),
+         |v AS (SELECT cents, CAST(count(*) AS BIGINT) AS c FROM av
+         |  GROUP BY 1),
+         |w AS (SELECT cents,
+         |    CAST(sum(c) OVER (ORDER BY cents) AS BIGINT) AS cum,
+         |    CAST((SELECT count(*) FROM av) AS BIGINT) AS n FROM v),
+         |bnd AS (SELECT $qs
+         |  FROM w),
+         |ac AS (SELECT CAST(1 + $ladder AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS ca FROM av CROSS JOIN bnd
+         |  GROUP BY 1),
+         |bc AS (SELECT CAST(1 + $ladder AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cb FROM bv CROSS JOIN bnd
+         |  GROUP BY 1),
+         |sp AS (SELECT CAST(u.b AS BIGINT) AS bucket
+         |  FROM unnest(generate_series(1, 10)) AS u(b)),
+         |byb AS (SELECT sp.bucket, coalesce(ac.ca, 0) AS ca,
+         |    coalesce(bc.cb, 0) AS cb
+         |  FROM sp LEFT JOIN ac USING (bucket) LEFT JOIN bc USING (bucket)),
+         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |    CAST(sum(cb) AS BIGINT) AS n_b FROM byb),
+         |terms AS (SELECT byb.bucket,
+         |    (CAST(ca + 1 AS DOUBLE) / CAST(t.n_a + 10 AS DOUBLE)
+         |     - CAST(cb + 1 AS DOUBLE) / CAST(t.n_b + 10 AS DOUBLE))
+         |    * ln((CAST(ca + 1 AS DOUBLE) / CAST(t.n_a + 10 AS DOUBLE))
+         |        / (CAST(cb + 1 AS DOUBLE) / CAST(t.n_b + 10 AS DOUBLE)))
+         |      AS tm
+         |  FROM byb CROSS JOIN t)
+         |SELECT t.n_a, t.n_b,
+         |  round((SELECT list_reduce(list(tm ORDER BY bucket),
+         |    (x, y) -> x + y) FROM terms), 6) AS psi
+         |FROM t""".stripMargin
+    },
+
     "q_image_dims" ->
       // GROUND-TRUTH oracle: emits the dimensions the Spark side
       // PLANTED into valid PNG/GIF headers, without parsing anything

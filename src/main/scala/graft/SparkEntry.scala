@@ -2134,6 +2134,21 @@ object SparkEntry {
     Graph.shortestPaths(edges, "s", "d", "w", seeds, "id", 6)
   }
 
+  /** C62: PSI of order value cents between the pre/post-1998 halves —
+    * baseline-decile buckets in exact integer rank arithmetic,
+    * add-one smoothing, bucket-ordered ln fold at 6dp.
+    */
+  private def qPsi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders").select(
+      floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+      $"o_orderdate")
+    operators.Stats.psi(
+      o.filter($"o_orderdate" < "1998-01-01").select($"cents"),
+      o.filter($"o_orderdate" >= "1998-01-01").select($"cents"),
+      "cents", 10)
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3738,6 +3753,7 @@ object SparkEntry {
     "q_blocking_eval" -> (qBlockingEval _),
     "q_scc" -> (qScc _),
     "q_shortest_path" -> (qShortestPath _),
+    "q_psi" -> (qPsi _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

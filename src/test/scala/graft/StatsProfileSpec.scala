@@ -285,6 +285,22 @@ class StatsProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("psi: identical halves ≈ 0, shifted distribution fires") {
+    val rnd = new scala.util.Random(17)
+    val base = Seq.fill(2000)(rnd.nextInt(10000).toLong)
+    val a = base.toDF("v")
+    // same distribution resampled → psi well under the 0.1 folklore cut
+    val b1 = Seq.fill(2000)(rnd.nextInt(10000).toLong).toDF("v")
+    val p1 = Stats.psi(a, b1, "v").head
+    assert(p1.getAs[Long]("n_a") == 2000L && p1.getAs[Long]("n_b") == 2000L)
+    assert(math.abs(p1.getAs[Double]("psi")) < 0.1)
+    // hard location shift → psi far above 0.25
+    val b2 = base.map(_ + 5000L).toDF("v")
+    assert(Stats.psi(a, b2, "v").head.getAs[Double]("psi") > 0.25)
+    // self-comparison: every bucket identical → psi exactly 0
+    assert(Stats.psi(a, a, "v").head.getAs[Double]("psi") == 0.0)
+  }
+
   test("gainsTable: hand case — top-score positives captured first") {
     // scores 10..1, positives at the top 3 scores
     val df = (1 to 10).map(i => (i >= 8, i.toLong, i.toLong))
