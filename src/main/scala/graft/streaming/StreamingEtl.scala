@@ -346,4 +346,49 @@ object StreamingEtl {
   def parquetStream(spark: SparkSession, path: String,
                     schemaFrom: DataFrame): DataFrame =
     spark.readStream.schema(schemaFrom.schema).parquet(path)
+
+  /** F27: running per-key top-k over an unbounded stream —
+    * `transformWithState`'s LIST state exercised for real (F24's
+    * ValueState holds one struct; a bounded collection belongs in
+    * ListState, not a re-serialized blob): state = the current top-k
+    * values per key, merged with each micro-batch's arrivals under
+    * (value desc) order and re-capped; the updated top-k is emitted
+    * per key per batch (Update mode). State is O(keys·k); no timers,
+    * no watermark — pure accumulation, the streaming twin of the
+    * TopKBy map-side heap aggregate.
+    */
+  final case class TopKOut(event_type: String, topk: Seq[Double])
+
+  def topKStream(spark: SparkSession, events: Dataset[Event],
+                 k: Int): Dataset[TopKOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.event_type)
+      .transformWithState(new TopKProcessor(k), TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  private class TopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, TopKOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig, TimeMode,
+      TimerValues}
+    @transient private var st: ListState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[Double]("topk", Encoders.scalaDouble,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[TopKOut] = {
+      val cur = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val it = st.get()
+      while (it.hasNext) cur += it.next()
+      val merged = (cur.toSeq ++ rows.map(_.value))
+        .sorted(Ordering[Double].reverse).take(k)
+      st.put(merged.toArray)
+      Iterator.single(TopKOut(key, merged))
+    }
+  }
 }

@@ -318,6 +318,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState ListState: running top-k accumulates across " +
+    "micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = StreamingEtl.topKStream(spark, input.toDS(), 3)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 5.0),
+        Event(2, ts(0), 2, "click", 9.0),
+        Event(3, ts(0), 3, "click", 1.0),
+        Event(4, ts(0), 4, "click", 7.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(5, ts(1), 5, "click", 8.0),
+        Event(6, ts(1), 6, "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("topk_out")
+        .as[StreamingEtl.TopKOut].collect()
+        .filter(_.event_type == "click").map(_.topk.toList)
+      // batch 1's emission: top-3 of {5,9,1,7}; batch 2: merged with
+      // {8,2} — 1.0 and 5.0 must have been evicted from state
+      assert(rows.contains(List(9.0, 7.0, 5.0)))
+      assert(rows.contains(List(9.0, 8.0, 7.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("ledgerSink: epoch re-delivery and crash replay stay exactly-once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lsrc").toString
