@@ -368,6 +368,50 @@ object StreamingEtl {
         OutputMode.Update())
   }
 
+  /** F28: streaming per-key categorical histogram —
+    * `transformWithState`'s MAP state, completing the three state
+    * faces (F24 ValueState + timers, F27 ListState): per user a
+    * MapState[event_type → count] is point-updated for the types
+    * arriving in the micro-batch — only TOUCHED entries are read or
+    * written (the point of MapState over a re-serialized whole-map
+    * ValueState at large per-key cardinality); emits the updated
+    * (user, type, n) triples per batch.
+    */
+  final case class TypeCountOut(user_id: Long, event_type: String, n: Long)
+
+  def typeHistogramStream(spark: SparkSession,
+                          events: Dataset[Event]): Dataset[TypeCountOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeHistProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  private class TypeHistProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, TypeCountOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode,
+      TimerValues}
+    @transient private var st: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("hist", Encoders.STRING,
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[TypeCountOut] = {
+      val touched = rows.toSeq.groupBy(_.event_type)
+        .map { case (t, es) => t -> es.size.toLong }
+      touched.map { case (t, add) =>
+        val n = (if (st.containsKey(t)) st.getValue(t) else 0L) + add
+        st.updateValue(t, n)
+        TypeCountOut(key, t, n)
+      }.iterator
+    }
+  }
+
   private class TopKProcessor(k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, Event, TopKOut] {

@@ -357,6 +357,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState MapState: per-type counts accumulate, " +
+    "untouched entries persist") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = StreamingEtl.typeHistogramStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("hist_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(0), 7, "click", 1.0),
+        Event(3, ts(0), 7, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2 touches only "click": the "view" entry must persist
+      // untouched, and click continues from its stored count
+      input.addData(Event(4, ts(1), 7, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(2), 7, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("hist_out").as[StreamingEtl.TypeCountOut]
+        .collect().filter(_.user_id == 7)
+        .map(r => (r.event_type, r.n)).toSet
+      assert(rows.contains(("click", 2L))) // batch 1
+      assert(rows.contains(("click", 3L))) // batch 2 continuation
+      assert(rows.contains(("view", 1L)))  // batch 1
+      assert(rows.contains(("view", 2L)))  // batch 3: persisted across
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("ledgerSink: epoch re-delivery and crash replay stay exactly-once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lsrc").toString
