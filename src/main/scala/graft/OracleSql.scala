@@ -971,6 +971,51 @@ object OracleSql {
          |FROM t""".stripMargin
     },
 
+    "q_runs_test" ->
+      // exact above/below-median runs (ties dropped); z in the same
+      // fixed IEEE op order as the Spark side, 6dp
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT cents, CAST(count(*) AS BIGINT) AS c FROM d
+        |  GROUP BY 1),
+        |w AS (SELECT cents,
+        |    CAST(sum(c) OVER (ORDER BY cents) AS BIGINT) AS cum,
+        |    CAST((SELECT count(*) FROM d) AS BIGINT) AS n FROM v),
+        |med AS (SELECT min(CASE WHEN cum * 2 >= n THEN cents END) AS m
+        |  FROM w),
+        |sg AS (SELECT day, (cents > (SELECT m FROM med)) AS up
+        |  FROM d WHERE cents <> (SELECT m FROM med)),
+        |rn AS (SELECT up,
+        |    CASE WHEN lag(up) OVER (ORDER BY day) IS NULL THEN 1
+        |      WHEN lag(up) OVER (ORDER BY day) <> up THEN 1
+        |      ELSE 0 END AS nw
+        |  FROM sg),
+        |agg AS (SELECT
+        |    CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS b,
+        |    CAST(sum(nw) AS BIGINT) AS r FROM rn)
+        |SELECT a AS n_pos, b AS n_neg, r AS n_runs,
+        |  round(CASE WHEN a > 0 AND b > 0 AND
+        |      2.0 * CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+        |        * (2.0 * CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+        |           - CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |        / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+        |           * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+        |           * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) - 1.0)) > 0
+        |    THEN (CAST(r AS DOUBLE)
+        |      - (2.0 * CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+        |         / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) + 1.0))
+        |      / sqrt(2.0 * CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+        |        * (2.0 * CAST(a AS DOUBLE) * CAST(b AS DOUBLE)
+        |           - CAST(a AS DOUBLE) - CAST(b AS DOUBLE))
+        |        / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+        |           * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+        |           * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) - 1.0)))
+        |    END, 6) AS z
+        |FROM agg""".stripMargin,
+
     "q_image_dims" ->
       // GROUND-TRUTH oracle: emits the dimensions the Spark side
       // PLANTED into valid PNG/GIF headers, without parsing anything

@@ -2149,6 +2149,17 @@ object SparkEntry {
       "cents", 10)
   }
 
+  /** C63: runs test on daily revenue — exact above/below-median run
+    * counts, fixed-order z at 6dp.
+    */
+  private def qRunsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = table(s, dir, "events")
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+    TimeSeries.runsTest(daily, "day", "cents")
+  }
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3754,6 +3765,7 @@ object SparkEntry {
     "q_scc" -> (qScc _),
     "q_shortest_path" -> (qShortestPath _),
     "q_psi" -> (qPsi _),
+    "q_runs_test" -> (qRunsTest _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

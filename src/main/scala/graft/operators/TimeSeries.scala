@@ -497,6 +497,48 @@ object TimeSeries {
     one.select(inline(array(rows: _*)))
   }
 
+  /** C63: Wald–Wolfowitz runs test — "is the series random around its
+    * median, or does it trend/oscillate": runs of above/below-median
+    * values counted exactly (ties to the median dropped, the standard
+    * convention), z-score against the run-count null in fixed IEEE op
+    * order (6dp). Too FEW runs ⇒ trending/sticky regimes; too MANY ⇒
+    * oscillation. The median is an exact discrete quantile (integer
+    * rank arithmetic), the lag pass runs over the AGGREGATED
+    * day-cardinality series only (the acf rationale).
+    *
+    * @return one row: (n_pos, n_neg, n_runs, z).
+    */
+  def runsTest(series: DataFrame, ordCol: String,
+               valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val med = graft.operators.Stats.discreteQuantiles(
+      series.select(col(valCol)).withColumn("__g", lit(1)),
+      Seq("__g"), valCol, Seq(5000)).drop("__g")
+    val signed = series.crossJoin(broadcast(med))
+      .filter(col(valCol) =!= col("q5000"))
+      .select(col(ordCol).as("__o"),
+        (col(valCol) > col("q5000")).as("__up"))
+    val w = Window.orderBy(col("__o"))
+    val runs = signed
+      .withColumn("__new",
+        when(lag(col("__up"), 1).over(w).isNull, 1L)
+          .when(lag(col("__up"), 1).over(w) =!= col("__up"), 1L)
+          .otherwise(0L))
+      .agg(sum(when(col("__up"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("__up"), 0L).otherwise(1L)).as("n_neg"),
+        sum(col("__new")).as("n_runs"))
+    // z = (R − μ)/σ, μ = 2ab/(a+b) + 1,
+    // σ² = 2ab(2ab − a − b) / ((a+b)²(a+b−1)) — fixed op order
+    val a = col("n_pos").cast("double")
+    val b = col("n_neg").cast("double")
+    val mu = lit(2.0) * a * b / (a + b) + 1.0
+    val s2 = lit(2.0) * a * b * (lit(2.0) * a * b - a - b) /
+      ((a + b) * (a + b) * (a + b - 1.0))
+    runs.select(col("n_pos"), col("n_neg"), col("n_runs"),
+      round(when(col("n_pos") > 0 && col("n_neg") > 0 && s2 > 0,
+        (col("n_runs").cast("double") - mu) / sqrt(s2)), 6).as("z"))
+  }
+
   /** C59: Theil–Sen robust trend slope (Theil 1950, Sen 1968) — the
     * median of all pairwise slopes over an AGGREGATED series: up to
     * ~29% contamination (outlier days, ingestion spikes) leaves the

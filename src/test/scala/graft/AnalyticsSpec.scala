@@ -446,6 +446,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L))
   }
 
+  test("runsTest: alternating → many runs (z>0), blocks → few (z<0)") {
+    // distinct values, odd count: the discrete median is the last
+    // small value (dropped as a tie), leaving 20 perfectly
+    // alternating rows → runs = 20
+    val alt = (1 to 21).map(i =>
+      (f"d$i%02d", if (i % 2 == 1) i.toLong else 100L + i)).toDF("day", "v")
+    val ra = graft.operators.TimeSeries.runsTest(alt, "day", "v").head
+    assert(ra.getAs[Long]("n_pos") == 10L && ra.getAs[Long]("n_neg") == 10L)
+    assert(ra.getAs[Long]("n_runs") == 20L)
+    assert(ra.getAs[Double]("z") > 3.0)
+    // two solid blocks (median row dropped): exactly 2 runs
+    val blk = (1 to 21).map(i =>
+      (f"d$i%02d", if (i <= 10) i.toLong else 100L + i)).toDF("day", "v")
+    val rb = graft.operators.TimeSeries.runsTest(blk, "day", "v").head
+    assert(rb.getAs[Long]("n_runs") == 2L)
+    assert(rb.getAs[Double]("z") < -3.0)
+    // ties to the median are dropped (standard convention)
+    val tie = Seq(("d1", 5L), ("d2", 5L), ("d3", 1L), ("d4", 9L))
+      .toDF("day", "v")
+    val rt = graft.operators.TimeSeries.runsTest(tie, "day", "v").head
+    assert(rt.getAs[Long]("n_pos") + rt.getAs[Long]("n_neg") == 2L)
+  }
+
   test("theilSen: outlier day cannot drag the median slope") {
     // y = 3x exactly, except one wild outlier at x=9: 36 of 45 pair
     // slopes are exactly 3 → the median is exactly 3.0 (OLS is not)
