@@ -1016,6 +1016,24 @@ object OracleSql {
         |    END, 6) AS z
         |FROM agg""".stripMargin,
 
+    "q_burstiness" -> {
+      val norm = normOf("text")
+      // D = (N·S2 − S1²)/(N·S1): exact integer moments, zeros folded
+      // in via the identity; ONE double division per term
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(string_split($norm, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM t GROUP BY 1, 2),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |  CAST(sum(tf) AS BIGINT) AS total_tf,
+         |  CAST((SELECT n FROM nn) * sum(tf * tf)
+         |      - sum(tf) * sum(tf) AS DOUBLE)
+         |    / CAST((SELECT n FROM nn) * sum(tf) AS DOUBLE) AS dispersion
+         |FROM tf GROUP BY 1
+         |ORDER BY total_tf DESC, term LIMIT 20""".stripMargin
+    },
+
     "q_image_dims" ->
       // GROUND-TRUTH oracle: emits the dimensions the Spark side
       // PLANTED into valid PNG/GIF headers, without parsing anything

@@ -2160,6 +2160,14 @@ object SparkEntry {
     TimeSeries.runsTest(daily, "day", "cents")
   }
 
+  /** E89: burstiness (Fano dispersion) of the top-20 corpus terms —
+    * exact integer moments with zeros folded in via the identity,
+    * one raw division per term.
+    */
+  private def qBurstiness(s: SparkSession, dir: String): DataFrame =
+    Corpus.burstiness(table(s, dir, "documents"), "doc_id", "text",
+      TextFunctions.words, 20)
+
   /** H33: Fellegi–Sunter probabilistic record linkage — nation-blocked
     * customer pairs scored by the exact-rational likelihood ratio
     * (u-probabilities estimated from the data as exact collision
@@ -3766,6 +3774,7 @@ object SparkEntry {
     "q_shortest_path" -> (qShortestPath _),
     "q_psi" -> (qPsi _),
     "q_runs_test" -> (qRunsTest _),
+    "q_burstiness" -> (qBurstiness _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

@@ -895,6 +895,36 @@ object Corpus {
         round((f("y") - slope * f("x")) / k, 6).as("intercept"))
   }
 
+  /** E89: term burstiness (index of dispersion / Fano factor, Church &
+    * Gale 1995 lineage) — the statistic that separates CONTENT words
+    * (bursty: absent from most docs, repeated where present, D ≫ 1)
+    * from FUNCTION words (Poisson-like, D ≈ 1) without any stopword
+    * list; feeds keyword extraction and stopword induction. Per term
+    * over ALL N docs (zeros included — via the moment identity, never
+    * a dense join): D = var/mean = (N·S2 − S1²)/(N·S1) with
+    * S1 = Σ tf, S2 = Σ tf² exact integer sums, ONE raw double
+    * division (raw-double safe). Top-K terms by (S1 desc, term) via
+    * TakeOrderedAndProject.
+    *
+    * @return (term, df, total_tf, dispersion) for the top-K terms.
+    */
+  def burstiness(docs: DataFrame, idCol: String, textCol: String,
+                 tokens: Column => Column, topK: Int = 20): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+        sum(col("tf") * col("tf")).as("__s2"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("df"), col("total_tf"),
+        ((col("__n") * col("__s2") - col("total_tf") * col("total_tf"))
+          .cast("double") /
+          (col("__n") * col("total_tf")).cast("double")).as("dispersion"))
+      .orderBy(col("total_tf").desc, col("term")).limit(topK)
+  }
+
   /** Deterministic hashed weights for [[hashedLinearScore]] — w_b =
     * (first 6 md5 hex digits of "w‖b") mod 2001 − 1000 ∈ [−1000,
     * 1000] milli-units. Engine-portable (the oracle rebuilds the same

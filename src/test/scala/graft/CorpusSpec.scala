@@ -574,6 +574,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(math.abs(s2) < 0.01, s"flat-corpus slope $s2 not ≈ 0")
   }
 
+  test("burstiness: Poisson-like uniform term ≈ 1, bursty term ≫ 1") {
+    // "the" once in every doc → D = (N·S2 − S1²)/(N·S1)
+    // = (20·20 − 400)/(20·20) = 0; "zap" 10× in one doc:
+    // (20·100 − 100)/(20·10) = 9.5
+    val docs = (1 to 20).map { i =>
+      (i.toLong, if (i == 1) "the " + Seq.fill(10)("zap").mkString(" ")
+      else "the")
+    }.toDF("doc_id", "text")
+    val got = Corpus.burstiness(docs, "doc_id", "text",
+        TextFunctions.words, 10)
+      .collect().map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("total_tf"),
+          r.getAs[Double]("dispersion")))).toMap
+    assert(got("the") == ((20L, 20L, 0.0))) // perfectly uniform
+    assert(got("zap")._1 == 1L && got("zap")._2 == 10L)
+    assert(got("zap")._3 == 9.5)
+  }
+
   test("perceptronTrain: separable task converges to 0 errors, " +
     "bit-identical under repartition") {
     val docs = Seq(
