@@ -4998,6 +4998,111 @@ object OracleSql {
         |  min(us) AS start_us, max(us) AS end_us
         |FROM z GROUP BY 1, 2, 3""".stripMargin,
 
+    "q_itemsets3" ->
+      // direct triple count ≥ ceil(n·35bp) — downward closure makes
+      // this identical to the Spark side's Apriori-pruned plan; all
+      // counts exact BIGINT, support one IEEE division at 6dp
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets,
+        |    CAST((count(DISTINCT bk) * 35 + 9999) // 10000 AS BIGINT)
+        |      AS minsup FROM b),
+        |t AS (SELECT a.it AS item_a, b2.it AS item_b, c.it AS item_c,
+        |    CAST(count(*) AS BIGINT) AS supp_abc
+        |  FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it
+        |    JOIN b c ON a.bk = c.bk AND b2.it < c.it
+        |  GROUP BY 1, 2, 3)
+        |SELECT item_a, item_b, item_c, supp_abc,
+        |  round(CAST(supp_abc AS DOUBLE) / CAST(n.n_baskets AS DOUBLE), 6)
+        |    AS support
+        |FROM t CROSS JOIN n WHERE supp_abc >= n.minsup""".stripMargin,
+
+    "q_stump" ->
+      // exact integer stump fit: per-dollar (pos, n) counts, prefix
+      // sums, accuracy argmax by (correct desc, threshold asc); the
+      // single IEEE division happens at output (6dp)
+      """WITH e AS (SELECT (event_type = 'purchase') AS isp,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS x
+        |  FROM events),
+        |g AS (SELECT x,
+        |    CAST(sum(CASE WHEN isp THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+        |    CAST(sum(n) AS BIGINT) AS tn FROM g),
+        |c AS (SELECT x AS threshold,
+        |    CAST(sum(pos) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS clp,
+        |    CAST(sum(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cln FROM g),
+        |s AS (SELECT threshold, clp AS left_pos, cln - clp AS left_neg,
+        |    tp - clp AS right_pos, tn - cln - tp + clp AS right_neg, tn,
+        |    greatest(clp, cln - clp) +
+        |      greatest(tp - clp, tn - cln - tp + clp) AS correct
+        |  FROM c CROSS JOIN tot),
+        |r AS (SELECT *, row_number()
+        |    OVER (ORDER BY correct DESC, threshold) AS rn FROM s)
+        |SELECT threshold, left_pos, left_neg, right_pos, right_neg,
+        |  correct,
+        |  round(CAST(correct AS DOUBLE) / CAST(tn AS DOUBLE), 6)
+        |    AS accuracy,
+        |  left_pos > left_neg AS predict_left,
+        |  right_pos > right_neg AS predict_right
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_mann_whitney" ->
+      // 2×rank carriers keep tied ranks integral (lo+hi per tie run);
+      // u2_a exact BIGINT; z mirrors the Spark fixed IEEE op order:
+      // sig2 = na*nb/12 * ((N+1) − T/(N(N−1))), z = (U−μ)/σ, 6dp
+      """WITH d AS (SELECT (event_type = 'purchase') AS isa,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ta
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT t, ta,
+        |    CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS hi FROM g),
+        |a AS (SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+        |    CAST(sum(t - ta) AS BIGINT) AS n_b,
+        |    CAST(sum(ta * (2 * hi - t + 1)) AS BIGINT) AS r2_a,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum FROM r),
+        |u AS (SELECT n_a, n_b,
+        |    CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a, tie_sum
+        |  FROM a)
+        |SELECT n_a, n_b, u2_a, CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
+        |  round(CASE WHEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |      / 12.0 * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+        |        - CAST(tie_sum AS DOUBLE)
+        |          / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+        |      > 0
+        |    THEN (CAST(u2_a AS DOUBLE) / 2.0
+        |        - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+        |      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |        * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+        |          - CAST(tie_sum AS DOUBLE)
+        |            / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |              * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+        |                - 1.0))))
+        |    END, 6) AS z
+        |FROM u""".stripMargin,
+
+    "q_spatial_join" ->
+      // brute-force cross join — the Spark grid plan is exact by
+      // construction (cell side = radius covers every ≤r pair), so
+      // both emit the identical pair set; distances exact BIGINT
+      """WITH p AS (SELECT vec_id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS x,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000 + 0.5)
+        |      AS BIGINT) AS y FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    AS BIGINT) AS dist2
+        |FROM p a JOIN p b ON a.vec_id < b.vec_id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |  <= 900""".stripMargin,
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

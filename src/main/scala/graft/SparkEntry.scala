@@ -3719,6 +3719,66 @@ object SparkEntry {
       10000L)
   }
 
+  /** C60: frequent 3-itemsets at 35bp relative support over
+    * order-brand baskets — basketLift's pair mining extended one
+    * Apriori level, with the downward-closure prune bounding the
+    * triple-candidate join (operators.Analytics.frequentTriples).
+    * The oracle counts triples directly; downward closure makes the
+    * two answer sets provably identical.
+    */
+  private def qItemsets3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baskets = table(s, dir, "lineitem")
+      .join(broadcast(table(s, dir, "part")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand")
+    operators.Analytics.frequentTriples(baskets, "l_orderkey", "p_brand",
+      35)
+  }
+
+  /** C61: decision-stump fit — the dollar threshold on event value
+    * that best separates purchases from everything else by training
+    * accuracy; model FITTING as exact integer argmax, so the trained
+    * model itself is hash-gated (operators.Stats.decisionStump).
+    */
+  private def qStump(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select(
+      ($"event_type" === "purchase").as("is_purchase"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 100")
+        .as("dollar"))
+    operators.Stats.decisionStump(e, "is_purchase", "dollar")
+  }
+
+  /** C62: Mann–Whitney U rank-sum test, purchase vs view event values
+    * in integer cents — the nonparametric sibling of q_ab_test's Welch
+    * z; 2×rank carriers keep tied ranks exact BIGINTs
+    * (operators.Stats.mannWhitney).
+    */
+  private def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select($"event_type",
+      floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.mannWhitney(e, "event_type", "cents", "purchase",
+      "view")
+  }
+
+  /** H38: grid-blocked spatial radius self-join — all embedding pairs
+    * within integer distance 30 in the (dim0, dim1) plane quantized to
+    * milli-units; the geohash-bucket join pattern, exact by
+    * construction (operators.Spatial.gridRadiusJoin), oracled against
+    * DuckDB's brute-force cross join.
+    */
+  private def qSpatialJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = table(s, dir, "embeddings").select($"vec_id",
+      floor(element_at($"embedding", 1).cast("double") * 1000 + 0.5)
+        .cast("long").as("x"),
+      floor(element_at($"embedding", 2).cast("double") * 1000 + 0.5)
+        .cast("long").as("y"))
+    operators.Spatial.gridRadiusJoin(p, "vec_id", "x", "y", 30L)
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3775,6 +3835,10 @@ object SparkEntry {
     "q_psi" -> (qPsi _),
     "q_runs_test" -> (qRunsTest _),
     "q_burstiness" -> (qBurstiness _),
+    "q_itemsets3" -> (qItemsets3 _),
+    "q_stump" -> (qStump _),
+    "q_mann_whitney" -> (qMannWhitney _),
+    "q_spatial_join" -> (qSpatialJoin _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

@@ -207,6 +207,75 @@ object Analytics {
     out
   }
 
+  /** Frequent 3-itemsets with RELATIVE minimum support (Agrawal &
+    * Srikant, VLDB 1994 Apriori level 3): itemsets {a,b,c} present in
+    * at least `minSupportBp`/10000 of all baskets. Extends
+    * [[basketLift]]'s pair mining one level up the lattice.
+    *
+    * Scale shape — the Apriori downward-closure prune is applied where
+    * it bounds the join, not after it: (1) items below minsup are
+    * dropped BEFORE any pairing; (2) per-basket pair occurrences are
+    * semi-joined against the frequent-PAIR set (broadcast: pair count
+    * is bounded by frequent-item²) before the third item joins, so the
+    * triple-candidate stream is |frequent pair occurrences| × basket
+    * width, never |basket width|³ per basket. Final counts are one
+    * hash aggregate; a triple is emitted iff its own count clears
+    * minsup — which, by downward closure, is exactly the set a direct
+    * unpruned triple count would emit, so the DuckDB oracle can count
+    * triples directly.
+    *
+    * Relative (basis-point) support keeps the answer stable across
+    * scale factors; the threshold is ceil(n_baskets·bp/10000) in exact
+    * integer arithmetic.
+    *
+    * @return (item_a, item_b, item_c, supp_abc, support) with
+    *         item_a < item_b < item_c and support = supp/n at 6dp.
+    */
+  def frequentTriples(baskets: DataFrame, basketCol: String,
+                      itemCol: String, minSupportBp: Int): DataFrame = {
+    require(minSupportBp > 0 && minSupportBp <= 10000)
+    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = b.select(col("bk")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+      .select(col("n_baskets"),
+        ((col("n_baskets") * minSupportBp + 9999L)
+          .divide(10000L)).cast("long").as("minsup"))
+    // level 1: frequent items, pruned before any pairing
+    val f1 = b.groupBy(col("it")).agg(count(lit(1)).as("s1"))
+      .crossJoin(broadcast(n)).filter(col("s1") >= col("minsup"))
+      .select(col("it").as("f1_it"))
+    val bf = b.join(broadcast(f1), col("it") === col("f1_it"))
+      .select(col("bk"), col("it"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // level 2: frequent pairs (bounded by frequent-item²)
+    val p2 = bf.as("a").join(bf.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("pa"), col("b.it").as("pb"))
+      .agg(count(lit(1)).as("s2"))
+      .crossJoin(broadcast(n)).filter(col("s2") >= col("minsup"))
+      .select(col("pa"), col("pb"))
+    // per-basket occurrences of frequent pairs only, then one more item
+    val occ2 = bf.as("a").join(bf.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .select(col("a.bk").as("bk"), col("a.it").as("ia"),
+        col("b.it").as("ib"))
+      .join(broadcast(p2),
+        col("ia") === col("pa") && col("ib") === col("pb"), "left_semi")
+    val triples = occ2.join(bf.as("c"),
+        occ2("bk") === col("c.bk") && col("c.it") > occ2("ib"))
+      .groupBy(col("ia").as("item_a"), col("ib").as("item_b"),
+        col("c.it").as("item_c"))
+      .agg(count(lit(1)).as("supp_abc"))
+      .crossJoin(broadcast(n)).filter(col("supp_abc") >= col("minsup"))
+    val out = triples.select(col("item_a"), col("item_b"), col("item_c"),
+      col("supp_abc"),
+      round(col("supp_abc").cast("double") /
+        col("n_baskets").cast("double"), 6).as("support"))
+    out
+  }
+
   /** A/B experiment read-out: per variant the metric moments, the
     * two-sample Welch z statistic on the metric, and a Wilson score
     * interval (z=1.96) on the conversion rate. The experiment-

@@ -574,6 +574,112 @@ object Stats {
           lit(0.0), _ + _), 6).as("psi"))
   }
 
+  /** Decision-stump training (Holte 1993's 1R weak learner, the
+    * AdaBoost base classifier): the single integer threshold t on
+    * `xCol` that maximizes TRAINING ACCURACY when each side of the
+    * split predicts its own majority label. The whole fit is exact
+    * integer counting — candidate evaluation is an argmax over
+    * (correct desc, threshold asc), so the trained model is
+    * bit-identical at any parallelism and on any engine: model FITTING
+    * itself is hash-gateable (the perceptron/k-means-fixed
+    * discipline, SURVEY §7).
+    *
+    * Plan shape: one map-combinable groupBy collapses the fact table
+    * to x-cardinality (pos, n) rows; prefix sums + the argmax window
+    * run over that bounded domain (integer-cent / bucketed features),
+    * never over the data. Accuracy is ONE IEEE division at output.
+    *
+    * @return one row: (threshold, left_pos, left_neg, right_pos,
+    *         right_neg, correct, accuracy, predict_left,
+    *         predict_right) — x <= threshold routes left; a side
+    *         predicts positive iff pos strictly exceeds neg.
+    */
+  def decisionStump(df: DataFrame, labelCol: String,
+                    xCol: String): DataFrame = {
+    val g = df.groupBy(col(xCol).as("x")).agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
+      count(lit(1)).as("n"))
+    val tot = g.agg(sum(col("pos")).as("tp"), sum(col("n")).as("tn"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.withColumn("clp", sum(col("pos")).over(w))
+      .withColumn("cln", sum(col("n")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("x").as("threshold"),
+        col("clp").as("left_pos"), (col("cln") - col("clp")).as("left_neg"),
+        (col("tp") - col("clp")).as("right_pos"),
+        (col("tn") - col("cln") - col("tp") + col("clp")).as("right_neg"),
+        col("tn"))
+    val scored = cum.withColumn("correct",
+      greatest(col("left_pos"), col("left_neg")) +
+        greatest(col("right_pos"), col("right_neg")))
+    val best = Window.orderBy(col("correct").desc, col("threshold"))
+    scored.withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(col("threshold"), col("left_pos"), col("left_neg"),
+        col("right_pos"), col("right_neg"), col("correct"),
+        round(col("correct").cast("double") / col("tn").cast("double"), 6)
+          .as("accuracy"),
+        (col("left_pos") > col("left_neg")).as("predict_left"),
+        (col("right_pos") > col("right_neg")).as("predict_right"))
+  }
+
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) between two
+    * groups of an integer-valued metric — the nonparametric two-sample
+    * test that, unlike the Welch z in [[Analytics.abReadout]]'s family,
+    * needs no moment assumptions; completes the KS/AUC/contingency
+    * block (C54-C56).
+    *
+    * Exactness discipline: tied ranks are kept integral by carrying
+    * 2×rank (lo+hi of each tie run), so the rank sum 2R and the U
+    * carrier 2U = 2R − n_a(n_a+1) are exact BIGINTs — hash-stable at
+    * any parallelism. The normal approximation applies the standard
+    * tie correction: σ² = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N(N−1))),
+    * with Σ(t³−t) an exact integer aggregate; z folds in fixed IEEE
+    * op order (6dp).
+    *
+    * Plan shape: one groupBy collapses to distinct metric values
+    * (bounded domain — the discreteQuantiles rationale), prefix sums
+    * over that value-cardinality frame, one final 1-row fold. The
+    * data is never sorted globally row-by-row.
+    *
+    * @return one row: (n_a, n_b, u2_a, u_a, z) — u2_a = 2·U_a exact,
+    *         u_a its half as double (exact .5 steps).
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    val d = df.filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .select((col(groupCol) === groupA).as("isa"),
+        col(valueCol).as("v"))
+    val g = d.groupBy(col("v")).agg(
+      count(lit(1)).as("t"),
+      sum(when(col("isa"), 1L).otherwise(0L)).as("ta"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // 2×avg-rank of a tie run ending at cumulative count hi with t
+    // members: lo + hi = (hi − t + 1) + hi
+    val ranked = g.withColumn("hi", sum(col("t")).over(w))
+      .select(col("t"), col("ta"),
+        (col("hi") * 2 - col("t") + 1).as("r2"),
+        (col("t") * col("t") * col("t") - col("t")).as("tc"))
+    val agg = ranked.agg(
+      sum(col("ta")).as("n_a"),
+      sum(col("t") - col("ta")).as("n_b"),
+      sum(col("ta") * col("r2")).as("r2_a"),
+      sum(col("tc")).as("tie_sum"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val nn = na + nb
+    val u2 = col("r2_a") - col("n_a") * (col("n_a") + 1)
+    val sig2 = na * nb / lit(12.0) *
+      ((nn + 1.0) - col("tie_sum").cast("double") / (nn * (nn - 1.0)))
+    agg.select(col("n_a"), col("n_b"), u2.as("u2_a"),
+      (u2.cast("double") / 2.0).as("u_a"),
+      round(when(sig2 > 0,
+        (u2.cast("double") / 2.0 - na * nb / 2.0) / sqrt(sig2)), 6)
+        .as("z"))
+  }
+
   def globalValueRank(df: DataFrame, valueCol: String, tieCol: String,
                       rankCol: String,
                       bucketWidth: Long = 1L << 20): DataFrame = {

@@ -317,4 +317,111 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_covered") == 1L)
     assert(r.getAs[Long]("completeness_micro") == 500000L)
   }
+
+  test("frequentTriples ≡ brute-force triple enumeration") {
+    val rnd = new scala.util.Random(11)
+    val baskets = (1 to 60).flatMap { bk =>
+      rnd.shuffle((1 to 8).toList).take(2 + rnd.nextInt(4))
+        .map(it => (bk.toLong, s"i$it"))
+    }
+    val bp = 800 // minsup = ceil(60·0.08) = 5
+    val got = operators.Analytics
+      .frequentTriples(baskets.toDF("bk", "it"), "bk", "it", bp)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    val perBasket = baskets.distinct.groupBy(_._1).values
+      .map(_.map(_._2).sorted)
+    val minsup = (60 * bp + 9999) / 10000
+    val brute = perBasket.toSeq.flatMap { its =>
+      for (a <- its; b <- its if a < b; c <- its if b < c)
+        yield (a, b, c)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= minsup)
+    assert(got == brute)
+    // support column is supp/n at 6dp
+    val sup = operators.Analytics
+      .frequentTriples(baskets.toDF("bk", "it"), "bk", "it", bp)
+      .collect()
+      .map(r => r.getLong(3) -> r.getDouble(4))
+    sup.foreach { case (s, f) =>
+      assert(math.abs(f - math.round(s / 60.0 * 1e6) / 1e6) < 1e-12)
+    }
+  }
+
+  test("decisionStump ≡ brute-force threshold scan") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      val x = rnd.nextInt(20).toLong
+      // positives concentrate above 12 with noise
+      (rnd.nextDouble() < (if (x > 12) 0.8 else 0.2), x)
+    }
+    val got = operators.Stats
+      .decisionStump(rows.toDF("y", "x"), "y", "x").head
+    val xs = rows.map(_._2).distinct.sorted
+    val brute = xs.map { t =>
+      val (l, r) = rows.partition(_._2 <= t)
+      val lp = l.count(_._1).toLong; val lneg = l.size - lp
+      val rp = r.count(_._1).toLong; val rneg = r.size - rp
+      (math.max(lp, lneg) + math.max(rp, rneg), t, lp, lneg, rp, rneg)
+    }.max(Ordering.by((v: (Long, Long, Long, Long, Long, Long)) =>
+      (v._1, -v._2))) // max correct, then SMALLEST threshold
+    assert(got.getAs[Long]("threshold") == brute._2)
+    assert(got.getAs[Long]("correct") == brute._1)
+    assert(got.getAs[Long]("left_pos") == brute._3)
+    assert(got.getAs[Long]("left_neg") == brute._4)
+    assert(got.getAs[Long]("right_pos") == brute._5)
+    assert(got.getAs[Long]("right_neg") == brute._6)
+    assert(got.getAs[Boolean]("predict_left") == (brute._3 > brute._4))
+    assert(got.getAs[Boolean]("predict_right") == (brute._5 > brute._6))
+  }
+
+  test("mannWhitney ≡ brute-force midrank computation, ties exact") {
+    // hand sample with heavy ties across groups
+    val a = Seq(1L, 2L, 2L, 3L, 5L, 5L, 5L)
+    val b = Seq(2L, 3L, 3L, 4L, 5L, 6L)
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    val got = operators.Stats.mannWhitney(df, "g", "v", "A", "B").head
+    val all = (a ++ b).sorted
+    def midrank2(v: Long): Long = { // 2×average rank = lo + hi
+      val lo = all.count(_ < v) + 1L
+      val hi = all.count(_ <= v).toLong
+      lo + hi
+    }
+    val r2a = a.map(midrank2).sum
+    val u2a = r2a - a.size.toLong * (a.size + 1)
+    assert(got.getAs[Long]("n_a") == a.size.toLong)
+    assert(got.getAs[Long]("n_b") == b.size.toLong)
+    assert(got.getAs[Long]("u2_a") == u2a)
+    assert(got.getAs[Double]("u_a") == u2a / 2.0)
+    // z against the standard tie-corrected normal approximation
+    val na = a.size.toDouble; val nb = b.size.toDouble
+    val nn = na + nb
+    val t3 = all.groupBy(identity).values
+      .map(g => g.size.toLong * g.size * g.size - g.size).sum
+    val sig2 = na * nb / 12.0 * ((nn + 1.0) - t3 / (nn * (nn - 1.0)))
+    val z = (u2a / 2.0 - na * nb / 2.0) / math.sqrt(sig2)
+    assert(math.abs(got.getAs[Double]("z") -
+      math.round(z * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("gridRadiusJoin ≡ brute-force pairs, negative coords covered") {
+    val rnd = new scala.util.Random(3)
+    val pts = (1 to 200).map(i =>
+      (i.toLong, (rnd.nextInt(400) - 200).toLong,
+        (rnd.nextInt(400) - 200).toLong))
+    val r = 25L
+    val got = operators.Spatial
+      .gridRadiusJoin(pts.toDF("id", "x", "y"), "id", "x", "y", r)
+      .collect().map(q => (q.getLong(0), q.getLong(1)) -> q.getLong(2))
+      .toMap
+    val brute = (for {
+      (i, xi, yi) <- pts; (j, xj, yj) <- pts
+      if i < j
+      d2 = (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj)
+      if d2 <= r * r
+    } yield (i, j) -> d2).toMap
+    assert(got == brute)
+    assert(brute.nonEmpty) // the case actually exercises matches
+  }
 }
