@@ -5103,6 +5103,160 @@ object OracleSql {
         |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
         |  <= 900""".stripMargin,
 
+    "q_boost" ->
+      // both boosting rounds unrolled: round-1 stump on unit weights,
+      // misclassified weights ×2 (exact BIGINT), round-2 weighted
+      // refit; argmax by (weighted correct desc, threshold asc) in
+      // both rounds; err_micro is exact integer floor division
+      """WITH e AS (SELECT (event_type = 'purchase') AS y,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS x
+        |  FROM events),
+        |g1 AS (SELECT x,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |t1 AS (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+        |    CAST(sum(n) AS BIGINT) AS tn FROM g1),
+        |c1 AS (SELECT x AS th,
+        |    CAST(sum(pos) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS clp,
+        |    CAST(sum(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cln FROM g1),
+        |s1 AS (SELECT th, clp AS lp, cln - clp AS lneg, tp - clp AS rp,
+        |    tn - cln - tp + clp AS rneg, tn,
+        |    greatest(clp, cln - clp) +
+        |      greatest(tp - clp, tn - cln - tp + clp) AS wc
+        |  FROM c1 CROSS JOIN t1),
+        |f1 AS (SELECT th, wc, tn, lp > lneg AS pl, rp > rneg AS pr
+        |  FROM (SELECT *, row_number()
+        |      OVER (ORDER BY wc DESC, th) AS rn FROM s1) z1
+        |  WHERE rn = 1),
+        |w2 AS (SELECT e.y, e.x,
+        |    CASE WHEN (e.x <= f1.th AND e.y = f1.pl)
+        |      OR (e.x > f1.th AND e.y = f1.pr)
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS w
+        |  FROM e CROSS JOIN f1),
+        |g2 AS (SELECT x,
+        |    CAST(sum(CASE WHEN y THEN w ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(w) AS BIGINT) AS n FROM w2 GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+        |    CAST(sum(n) AS BIGINT) AS tn FROM g2),
+        |c2 AS (SELECT x AS th,
+        |    CAST(sum(pos) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS clp,
+        |    CAST(sum(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cln FROM g2),
+        |s2 AS (SELECT th, clp AS lp, cln - clp AS lneg, tp - clp AS rp,
+        |    tn - cln - tp + clp AS rneg, tn,
+        |    greatest(clp, cln - clp) +
+        |      greatest(tp - clp, tn - cln - tp + clp) AS wc
+        |  FROM c2 CROSS JOIN t2),
+        |f2 AS (SELECT th, wc, tn, lp > lneg AS pl, rp > rneg AS pr
+        |  FROM (SELECT *, row_number()
+        |      OVER (ORDER BY wc DESC, th) AS rn FROM s2) z2
+        |  WHERE rn = 1)
+        |SELECT CAST(1 AS BIGINT) AS round, th AS threshold,
+        |  wc AS w_correct, tn AS w_total,
+        |  CAST((tn - wc) * 1000000 // tn AS BIGINT) AS err_micro,
+        |  pl AS predict_left, pr AS predict_right FROM f1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), th, wc, tn,
+        |  CAST((tn - wc) * 1000000 // tn AS BIGINT), pl, pr
+        |FROM f2""".stripMargin,
+
+    "q_bootstrap" -> {
+      def hv(i: Int) =
+        s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      val h6 = s"(16*(16*(16*(16*(16*${hv(1)} + ${hv(2)}) + ${hv(3)}) + " +
+        s"${hv(4)}) + ${hv(5)}) + ${hv(6)})"
+      // per-(row, replica) pseudo-Poisson(1) counts from md5 mod 10⁴
+      // against the Poisson CDF ladder; replica means in exact
+      // floor-div micro-units; 5th/95th picks = integer ranks 2/38 of
+      // 40 (ceil(40·p)); ties broken by replica id in both engines
+      s"""WITH e AS (SELECT event_id AS id,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+         |fl AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS mean_micro
+         |  FROM e),
+         |d AS (SELECT id, v, CAST(u.b AS BIGINT) AS b,
+         |    md5(CAST(id AS VARCHAR) || ':' || CAST(u.b AS VARCHAR)) AS h
+         |  FROM e, unnest(generate_series(1, 40)) AS u(b)),
+         |hh AS (SELECT v, b, $h6 % 10000 AS hm FROM d),
+         |c AS (SELECT v, b, CASE WHEN hm < 3679 THEN 0
+         |    WHEN hm < 7358 THEN 1 WHEN hm < 9197 THEN 2
+         |    WHEN hm < 9810 THEN 3 ELSE 4 END AS cnt FROM hh),
+         |r AS (SELECT b, CAST(sum(cnt * v) AS BIGINT) AS s,
+         |    CAST(sum(cnt) AS BIGINT) AS m FROM c GROUP BY 1),
+         |rm AS (SELECT b, CAST(s * 1000000 // m AS BIGINT) AS rep_mean
+         |  FROM r WHERE m > 0),
+         |rk AS (SELECT rep_mean,
+         |    row_number() OVER (ORDER BY rep_mean, b) AS rn FROM rm),
+         |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+         |    CAST(max(CASE WHEN rn = 2 THEN rep_mean END) AS BIGINT)
+         |      AS ci_lo_micro,
+         |    CAST(max(CASE WHEN rn = 38 THEN rep_mean END) AS BIGINT)
+         |      AS ci_hi_micro FROM rk)
+         |SELECT n_rows, mean_micro, n_reps, ci_lo_micro, ci_hi_micro
+         |FROM fl CROSS JOIN ci""".stripMargin
+    },
+
+    "q_calibration" -> {
+      val qs = (1 to 9).map(i =>
+        s"min(CASE WHEN cum * 10 >= n * $i THEN s END) AS q$i")
+        .mkString(",\n         |    ")
+      val ladder = (1 to 9).map(i =>
+        s"(CASE WHEN s > q$i THEN 1 ELSE 0 END)").mkString(" + ")
+      // exact-rank decile bounds (the q_psi discipline); per-bucket
+      // integer sums; micro-unit means by floor division — no floats
+      s"""WITH e AS (SELECT (event_type = 'purchase') AS y,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS s FROM events),
+         |v AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM e
+         |  GROUP BY 1),
+         |w AS (SELECT s, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cum,
+         |    CAST((SELECT count(*) FROM e) AS BIGINT) AS n FROM v),
+         |bnd AS (SELECT $qs
+         |  FROM w),
+         |b AS (SELECT CAST(1 + $ladder AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(s) AS BIGINT) AS ssum
+         |  FROM e CROSS JOIN bnd GROUP BY 1)
+         |SELECT bucket, n, n_pos,
+         |  CAST(ssum * 1000000 // n AS BIGINT) AS mean_score_micro,
+         |  CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_micro
+         |FROM b""".stripMargin
+    },
+
+    "q_label_centroids" ->
+      // centroid carriers are per-label per-dim integer SUMS of
+      // once-quantized coordinates (cosine is scale-invariant, so the
+      // un-divided sums give the same value); dot/norms exact BIGINT,
+      // one sqrt·sqrt division at output (6dp)
+      """WITH f AS (SELECT CAST(label AS BIGINT) AS lab,
+        |    CAST(u.i AS BIGINT) AS d,
+        |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 10000 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i)),
+        |s AS (SELECT lab, d, CAST(sum(q) AS BIGINT) AS sv
+        |  FROM f GROUP BY 1, 2),
+        |meta AS (SELECT CAST(label AS BIGINT) AS lab,
+        |    CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+        |nm AS (SELECT s.lab, CAST(sum(sv * sv) AS BIGINT) AS norm2
+        |  FROM s GROUP BY 1),
+        |p AS (SELECT a.lab AS label_a, b.lab AS label_b,
+        |    CAST(sum(a.sv * b.sv) AS BIGINT) AS dot
+        |  FROM s a JOIN s b ON a.d = b.d AND a.lab < b.lab
+        |  GROUP BY 1, 2)
+        |SELECT p.label_a, p.label_b, ma.n AS n_a, mb.n AS n_b, p.dot,
+        |  round(CAST(p.dot AS DOUBLE) /
+        |    (sqrt(CAST(na.norm2 AS DOUBLE)) *
+        |      sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cosine
+        |FROM p
+        |  JOIN nm na ON na.lab = p.label_a
+        |  JOIN nm nb ON nb.lab = p.label_b
+        |  JOIN meta ma ON ma.lab = p.label_a
+        |  JOIN meta mb ON mb.lab = p.label_b""".stripMargin,
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

@@ -3779,6 +3779,56 @@ object SparkEntry {
     operators.Spatial.gridRadiusJoin(p, "vec_id", "x", "y", 30L)
   }
 
+  /** C64: 2-round boosted stumps over the q_stump feature — ensemble
+    * TRAINING hash-gated end to end: integer ×2 reweighting of
+    * misclassified rows keeps every round's model state exact BIGINT
+    * (operators.Stats.boostedStumps); the oracle unrolls both rounds.
+    */
+  private def qBoost(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select(
+      ($"event_type" === "purchase").as("is_purchase"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 100")
+        .as("dollar"))
+    operators.Stats.boostedStumps(e, "is_purchase", "dollar", 2)
+  }
+
+  /** C65: Poisson-bootstrap 5–95% CI on mean event value — the
+    * resampling itself is md5-derived and therefore deterministic, so
+    * statistical INFERENCE is hash-gated; per-row draws need no global
+    * n, the property that lets the bootstrap map over an arbitrarily
+    * large table (operators.Stats.bootstrapMeanCI).
+    */
+  private def qBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select($"event_id",
+      floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.bootstrapMeanCI(e, "event_id", "cents", 40)
+  }
+
+  /** C66: calibration (reliability) table of event value predicting
+    * purchases — q_auc tells discrimination, q_gains tells capture;
+    * this tells WHERE along the score the implied probability is
+    * honest. All-integer deciles and micro-unit rates
+    * (operators.Stats.calibrationTable).
+    */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select(
+      ($"event_type" === "purchase").as("is_purchase"),
+      floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.calibrationTable(e, "is_purchase", "cents")
+  }
+
+  /** H39: pairwise label-centroid cosine over the embeddings table —
+    * embedding-space class-separation health; sum-vector carriers
+    * make the whole matrix exact-integer up to one final sqrt/division
+    * (operators.Similarity.labelCentroidCosine).
+    */
+  private def qLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.labelCentroidCosine(
+      table(s, dir, "embeddings"), "label", "embedding")
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3839,6 +3889,10 @@ object SparkEntry {
     "q_stump" -> (qStump _),
     "q_mann_whitney" -> (qMannWhitney _),
     "q_spatial_join" -> (qSpatialJoin _),
+    "q_boost" -> (qBoost _),
+    "q_bootstrap" -> (qBootstrap _),
+    "q_calibration" -> (qCalibration _),
+    "q_label_centroids" -> (qLabelCentroids _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

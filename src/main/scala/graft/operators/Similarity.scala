@@ -1044,4 +1044,52 @@ object Similarity {
       .agg(sum(col("sgn") * (col("code") - 128)).as("y"))
       .select(col("id").as("vec_id"), col("j"), col("y"))
   }
+
+  /** Pairwise cosine similarity between LABEL CENTROIDS of an
+    * embedding column — the class-separation health check run before
+    * trusting labels for curation or eval splits (collapsed or
+    * near-duplicate classes show up as cosine → 1).
+    *
+    * Exactness: each float coordinate is quantized once to an integer
+    * (scale 10⁴, floor(x·s+0.5) on exactly-widened doubles); per-label
+    * per-dim SUMS of those integers are the centroid carriers
+    * (mean = sum/n shares n, and cosine is scale-invariant, so the
+    * un-divided sum vectors give the SAME cosine — no float folds
+    * anywhere). Dot products and norms of sum-vectors are exact
+    * BIGINTs; the only IEEE ops are the final sqrt/division (6dp).
+    *
+    * Plan shape: posexplode → one (label, dim) aggregate collapses the
+    * corpus to |labels|·D rows; the pair join runs on that tiny frame
+    * keyed by dim, never on the corpus.
+    *
+    * @return per label pair a<b: (label_a, label_b, n_a, n_b, dot,
+    *         cosine).
+    */
+  def labelCentroidCosine(df: DataFrame, labelCol: String,
+                          vecCol: String, scale: Int = 10000): DataFrame = {
+    val f = df.select(col(labelCol).cast("long").as("lab"),
+        posexplode(col(vecCol)).as(Seq("d", "e")))
+      .select(col("lab"), col("d"),
+        floor(col("e").cast("double") * scale + 0.5).cast("long").as("q"))
+    val s = f.groupBy(col("lab"), col("d")).agg(sum(col("q")).as("sv"))
+    val meta = df.groupBy(col(labelCol).cast("long").as("lab"))
+      .agg(count(lit(1)).as("n"))
+    val norms = s.groupBy(col("lab"))
+      .agg(sum(col("sv") * col("sv")).as("norm2"))
+      .join(meta, "lab")
+    val pairs = s.as("a").join(s.as("b"),
+        col("a.d") === col("b.d") && col("a.lab") < col("b.lab"))
+      .groupBy(col("a.lab").as("label_a"), col("b.lab").as("label_b"))
+      .agg(sum(col("a.sv") * col("b.sv")).as("dot"))
+    pairs
+      .join(broadcast(norms.select(col("lab").as("label_a"),
+        col("n").as("n_a"), col("norm2").as("na2"))), "label_a")
+      .join(broadcast(norms.select(col("lab").as("label_b"),
+        col("n").as("n_b"), col("norm2").as("nb2"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) *
+            sqrt(col("nb2").cast("double"))), 6).as("cosine"))
+  }
 }

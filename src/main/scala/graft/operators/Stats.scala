@@ -624,6 +624,171 @@ object Stats {
         (col("right_pos") > col("right_neg")).as("predict_right"))
   }
 
+  /** One round of a WEIGHT-aware stump fit: per-x weighted (pos, n)
+    * counts, prefix sums, argmax by (weighted correct desc, threshold
+    * asc). Factored out so [[boostedStumps]] can refit under updated
+    * integer weights; all state exact BIGINT.
+    */
+  private def weightedStumpFit(wdf: DataFrame): DataFrame = {
+    val g = wdf.groupBy(col("x")).agg(
+      sum(when(col("y"), col("w")).otherwise(0L)).as("pos"),
+      sum(col("w")).as("n"))
+    val tot = g.agg(sum(col("pos")).as("tp"), sum(col("n")).as("tn"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.withColumn("clp", sum(col("pos")).over(w))
+      .withColumn("cln", sum(col("n")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("x").as("threshold"), col("clp").as("lp"),
+        (col("cln") - col("clp")).as("lneg"),
+        (col("tp") - col("clp")).as("rp"),
+        (col("tn") - col("cln") - col("tp") + col("clp")).as("rneg"),
+        col("tn"))
+    val scored = cum.withColumn("w_correct",
+      greatest(col("lp"), col("lneg")) + greatest(col("rp"), col("rneg")))
+    val best = Window.orderBy(col("w_correct").desc, col("threshold"))
+    scored.withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(col("threshold"), col("w_correct"), col("tn").as("w_total"),
+        (col("lp") > col("lneg")).as("predict_left"),
+        (col("rp") > col("rneg")).as("predict_right"))
+  }
+
+  /** Boosted decision stumps with INTEGER reweighting — a
+    * deterministic ensemble trainer in the fixed-point-twin discipline
+    * (SURVEY §7): each round fits the accuracy-maximal weighted stump
+    * ([[weightedStumpFit]]), then DOUBLES the weight of every
+    * misclassified row (the boosting-by-majority simplification of
+    * AdaBoost's exp(±α) — Freund 1995 — chosen because ×2 keeps every
+    * weight an exact BIGINT, so multi-round ensemble TRAINING is
+    * hash-gateable on any engine; exp-weights would be float folds).
+    *
+    * Plan shape per round: one map-combinable weighted groupBy to
+    * x-cardinality rows + the argmax window (the decisionStump
+    * rationale), then one broadcast of the 1-row fit back onto the
+    * data to reweight. `rounds` is a small constant, so lineage depth
+    * is bounded.
+    *
+    * @return one row per round: (round, threshold, w_correct, w_total,
+    *         err_micro, predict_left, predict_right) — err_micro =
+    *         ⌊(w_total−w_correct)·10⁶ / w_total⌋ exact integer.
+    */
+  def boostedStumps(df: DataFrame, labelCol: String, xCol: String,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 4)
+    var cur = df.select(col(labelCol).as("y"), col(xCol).as("x"),
+      lit(1L).as("w"))
+    var outs = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val fit = weightedStumpFit(cur)
+      outs :+= fit.withColumn("round", lit(r.toLong))
+      if (r < rounds) {
+        val f = fit.select(col("threshold").as("__t"),
+          col("predict_left").as("__pl"), col("predict_right").as("__pr"))
+        cur = cur.crossJoin(broadcast(f))
+          .withColumn("w",
+            when((col("x") <= col("__t") && col("y") === col("__pl")) ||
+              (col("x") > col("__t") && col("y") === col("__pr")),
+              col("w")).otherwise(col("w") * 2))
+          .select(col("y"), col("x"), col("w"))
+      }
+    }
+    outs.reduce(_ unionByName _)
+      .select(col("round"), col("threshold"), col("w_correct"),
+        col("w_total"),
+        expr("(w_total - w_correct) * 1000000 div w_total")
+          .as("err_micro"),
+        col("predict_left"), col("predict_right"))
+  }
+
+  /** Percentile-bootstrap confidence interval for a mean, with the
+    * resampling DERIVED from md5 — deterministic, so the whole
+    * inference is hash-gateable cross-engine (the q_feature_hash /
+    * quality-classifier md5 discipline applied to RESAMPLING). Each of
+    * `reps` replicas draws a pseudo-Poisson(1) count per row from
+    * md5(id:replica) mod 10⁴ against the Poisson CDF ladder
+    * (.3679/.7358/.9197/.9810 → 0..4) — the standard Poisson
+    * bootstrap (Chamandy et al. 2012), the resampling scheme that
+    * needs NO global n and therefore maps over a 100 TB table (each
+    * row draws independently; classic resampling needs n i.i.d.
+    * index draws = a global shuffle).
+    *
+    * All replica state is exact integers: sums of cnt·v, means in
+    * floor-div micro-units, CI endpoints picked by integer rank over
+    * the replica frame (ties broken by replica id).
+    *
+    * @return one row: (n_rows, mean_micro, n_reps, ci_lo_micro,
+    *         ci_hi_micro) — 5th/95th percentile replica means.
+    */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+                      reps: Int = 40): DataFrame = {
+    require(reps >= 10 && reps <= 200)
+    val base = df.select(col(idCol).as("id"), col(valueCol).as("v"))
+    val full = base.agg(count(lit(1)).as("n_rows"),
+      expr("sum(v) * 1000000 div count(*)").as("mean_micro"))
+    val h = conv(substring(md5(
+      concat(col("id").cast("string"), lit(":"),
+        col("b").cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 10000
+    val drawn = base
+      .withColumn("b", explode(lit((1 to reps).map(_.toLong).toArray)))
+      .withColumn("h", h)
+      .withColumn("cnt",
+        when(col("h") < 3679, 0L).when(col("h") < 7358, 1L)
+          .when(col("h") < 9197, 2L).when(col("h") < 9810, 3L)
+          .otherwise(4L))
+    val repMeans = drawn.groupBy(col("b")).agg(
+        sum(col("cnt") * col("v")).as("s"), sum(col("cnt")).as("m"))
+      .filter(col("m") > 0)
+      .select(col("b"), expr("s * 1000000 div m").as("rep_mean"))
+    val loRank = (reps * 500 + 9999) / 10000
+    val hiRank = (reps * 9500 + 9999) / 10000
+    val ranked = repMeans.withColumn("rn",
+      row_number().over(Window.orderBy(col("rep_mean"), col("b"))))
+    val ci = ranked.agg(
+      count(lit(1)).as("n_reps"),
+      max(when(col("rn") === loRank, col("rep_mean"))).as("ci_lo_micro"),
+      max(when(col("rn") === hiRank, col("rep_mean"))).as("ci_hi_micro"))
+    full.crossJoin(broadcast(ci))
+      .select(col("n_rows"), col("mean_micro"), col("n_reps"),
+        col("ci_lo_micro"), col("ci_hi_micro"))
+  }
+
+  /** Calibration (reliability) table of a score against a binary
+    * outcome: rows bucketed by exact score decile, per bucket the
+    * observed positive rate next to the mean score — the diagnostic
+    * that says WHERE a ranking model's probabilities are trustworthy,
+    * complementing q_auc's single-number discrimination and q_gains'
+    * capture curve.
+    *
+    * Everything is integer: decile bounds via [[discreteQuantiles]]
+    * (exact rank arithmetic), per-bucket sums, and micro-unit means by
+    * floor division — no float folds anywhere, so the table hash-gates
+    * bit-for-bit.
+    *
+    * @return per bucket: (bucket, n, n_pos, mean_score_micro,
+    *         pos_rate_micro).
+    */
+  def calibrationTable(df: DataFrame, labelCol: String,
+                       scoreCol: String): DataFrame = {
+    val ps = (1 to 9).map(_ * 1000)
+    val d = df.select(col(labelCol).as("y"), col(scoreCol).as("s"))
+    val bounds = broadcast(discreteQuantiles(
+      d.select(col("s")).withColumn("__g", lit(1)), Seq("__g"), "s", ps)
+      .drop("__g"))
+    val bucket = (lit(1) + ps.map(p =>
+      when(col("s") > col(s"q$p"), 1).otherwise(0)).reduce(_ + _))
+      .cast("long")
+    d.crossJoin(bounds)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("s")).as("ssum"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("ssum * 1000000 div n").as("mean_score_micro"),
+        expr("n_pos * 1000000 div n").as("pos_rate_micro"))
+  }
+
   /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) between two
     * groups of an integer-valued metric — the nonparametric two-sample
     * test that, unlike the Welch z in [[Analytics.abReadout]]'s family,

@@ -424,4 +424,121 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got == brute)
     assert(brute.nonEmpty) // the case actually exercises matches
   }
+
+  test("boostedStumps ≡ brute-force weighted refit with ×2 reweighting") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 250).map { _ =>
+      val x = rnd.nextInt(15).toLong
+      (rnd.nextDouble() < (if (x > 9) 0.75 else 0.3), x)
+    }
+    val got = operators.Stats
+      .boostedStumps(rows.toDF("y", "x"), "y", "x", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getBoolean(6))).toMap
+    // brute force carries one weight PER ROW (not per distinct value)
+    var w = rows.map(_ => 1L)
+    for (round <- 1L to 2L) {
+      val xs = rows.map(_._2).distinct.sorted
+      val scored = xs.map { t =>
+        var lp = 0L; var lneg = 0L; var rp = 0L; var rneg = 0L
+        rows.zip(w).foreach { case ((y, x), wi) =>
+          if (x <= t) { if (y) lp += wi else lneg += wi }
+          else { if (y) rp += wi else rneg += wi }
+        }
+        (math.max(lp, lneg) + math.max(rp, rneg), t, lp, lneg, rp, rneg)
+      }
+      val b = scored.max(Ordering.by(
+        (v: (Long, Long, Long, Long, Long, Long)) => (v._1, -v._2)))
+      val wTotal = w.sum
+      val (wc, th, lp, lneg, rp, rneg) = b
+      val pl = lp > lneg; val pr = rp > rneg
+      assert(got(round) == (th, wc, wTotal,
+        (wTotal - wc) * 1000000L / wTotal, pl, pr))
+      w = rows.zip(w).map { case ((y, x), wi) =>
+        val pred = if (x <= th) pl else pr
+        if (pred == y) wi else wi * 2
+      }
+    }
+  }
+
+  test("bootstrapMeanCI ≡ brute-force md5 resampling") {
+    val rows = (1 to 120).map(i => (i.toLong, (i % 37).toLong * 10))
+    val got = operators.Stats
+      .bootstrapMeanCI(rows.toDF("id", "v"), "id", "v", 40).head
+    def h6(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(6), 16) % 10000
+    }
+    def cnt(h: Long): Long =
+      if (h < 3679) 0 else if (h < 7358) 1 else if (h < 9197) 2
+      else if (h < 9810) 3 else 4
+    val reps = (1 to 40).flatMap { b =>
+      val draws = rows.map { case (id, v) => (cnt(h6(s"$id:$b")), v) }
+      val m = draws.map(_._1).sum
+      if (m > 0) Some((b.toLong, draws.map(d => d._1 * d._2).sum *
+        1000000L / m)) else None
+    }
+    val sorted = reps.sortBy(r => (r._2, r._1)).map(_._2)
+    assert(got.getAs[Long]("n_rows") == 120L)
+    assert(got.getAs[Long]("mean_micro") ==
+      rows.map(_._2).sum * 1000000L / 120)
+    assert(got.getAs[Long]("n_reps") == reps.size.toLong)
+    assert(got.getAs[Long]("ci_lo_micro") == sorted(1)) // rank 2
+    assert(got.getAs[Long]("ci_hi_micro") == sorted(37)) // rank 38
+  }
+
+  test("calibrationTable ≡ brute-force exact-decile bucketing") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 500).map { _ =>
+      val s = rnd.nextInt(1000).toLong
+      (rnd.nextDouble() < s / 1000.0, s)
+    }
+    val got = operators.Stats
+      .calibrationTable(rows.toDF("y", "s"), "y", "s")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val n = rows.size
+    val sortedVals = rows.map(_._2).sorted
+    // discreteQuantiles: smallest value with cum count ≥ ceil(p·n/10⁴)
+    val qs = (1 to 9).map(i => sortedVals((i * 1000 * n + 9999) / 10000 - 1))
+    val brute = rows.groupBy { case (_, s) => 1L + qs.count(s > _) }
+      .map { case (b, rs) =>
+        val nn = rs.size.toLong
+        val pos = rs.count(_._1).toLong
+        b -> (nn, pos, rs.map(_._2).sum * 1000000L / nn,
+          pos * 1000000L / nn)
+      }
+    assert(got == brute)
+  }
+
+  test("labelCentroidCosine ≡ brute-force quantized sum-vector cosine") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (1 to 30).map(i =>
+      (i.toLong, i % 3, Array.fill(8)((rnd.nextFloat() - 0.5f) * 0.8f)))
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val got = operators.Similarity
+      .labelCentroidCosine(df, "label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val sums = vecs.groupBy(_._2).map { case (l, vs) =>
+      l.toLong -> (vs.size.toLong,
+        (0 until 8).map(d => vs.map(v =>
+          math.floor(v._3(d).toDouble * 10000 + 0.5).toLong).sum))
+    }
+    val labs = sums.keys.toSeq.sorted
+    for (a <- labs; b <- labs if a < b) {
+      val (na, sa) = sums(a); val (nb, sb) = sums(b)
+      val dot = sa.zip(sb).map { case (x, y) => x * y }.sum
+      val cos = dot.toDouble /
+        (math.sqrt(sa.map(x => x * x).sum.toDouble) *
+          math.sqrt(sb.map(x => x * x).sum.toDouble))
+      val g = got((a, b))
+      assert(g._1 == na && g._2 == nb && g._3 == dot)
+      assert(math.abs(g._4 - math.round(cos * 1e6) / 1e6) < 1e-9)
+    }
+    assert(got.size == 3)
+  }
 }
