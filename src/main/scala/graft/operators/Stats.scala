@@ -705,8 +705,8 @@ object Stats {
     * resampling DERIVED from md5 — deterministic, so the whole
     * inference is hash-gateable cross-engine (the q_feature_hash /
     * quality-classifier md5 discipline applied to RESAMPLING). Each of
-    * `reps` replicas draws a pseudo-Poisson(1) count per row from
-    * md5(id:replica) mod 10⁴ against the Poisson CDF ladder
+    * `reps` replicas draws a pseudo-Poisson(1) count per row from the
+    * row's md5-seeded integer mod 10⁴ against the Poisson CDF ladder
     * (.3679/.7358/.9197/.9810 → 0..4) — the standard Poisson
     * bootstrap (Chamandy et al. 2012), the resampling scheme that
     * needs NO global n and therefore maps over a 100 TB table (each
@@ -715,7 +715,12 @@ object Stats {
     *
     * All replica state is exact integers: sums of cnt·v, means in
     * floor-div micro-units, CI endpoints picked by integer rank over
-    * the replica frame (ties broken by replica id).
+    * the replica frame (ties broken by replica id). One md5 per ROW
+    * seeds a 48-bit integer; each replica's draw expands the seed with
+    * odd-multiplier integer mixing (seed·(2b+1)+b mod 10⁴) — one hash
+    * per row instead of one per (row × replica), which is the whole
+    * constant factor of the operator (reps× fewer digest calls), and
+    * plain BIGINT arithmetic reproduces it on any engine.
     *
     * @return one row: (n_rows, mean_micro, n_reps, ci_lo_micro,
     *         ci_hi_micro) — 5th/95th percentile replica means.
@@ -726,11 +731,11 @@ object Stats {
     val base = df.select(col(idCol).as("id"), col(valueCol).as("v"))
     val full = base.agg(count(lit(1)).as("n_rows"),
       expr("sum(v) * 1000000 div count(*)").as("mean_micro"))
-    val h = conv(substring(md5(
-      concat(col("id").cast("string"), lit(":"),
-        col("b").cast("string"))), 1, 6), 16, 10)
-      .cast("long") % 10000
+    val h = (col("seed") * (col("b") * 2 + 1) + col("b")) % 10000
     val drawn = base
+      .withColumn("seed",
+        conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10)
+          .cast("long"))
       .withColumn("b", explode(lit((1 to reps).map(_.toLong).toArray)))
       .withColumn("h", h)
       .withColumn("cnt",

@@ -466,17 +466,18 @@ class Round4OpsSpec extends AnyFunSuite {
     val rows = (1 to 120).map(i => (i.toLong, (i % 37).toLong * 10))
     val got = operators.Stats
       .bootstrapMeanCI(rows.toDF("id", "v"), "id", "v", 40).head
-    def h6(s: String): Long = {
+    def seed(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(6), 16) % 10000
+      java.lang.Long.parseLong(hex.take(12), 16)
     }
     def cnt(h: Long): Long =
       if (h < 3679) 0 else if (h < 7358) 1 else if (h < 9197) 2
       else if (h < 9810) 3 else 4
     val reps = (1 to 40).flatMap { b =>
-      val draws = rows.map { case (id, v) => (cnt(h6(s"$id:$b")), v) }
+      val draws = rows.map { case (id, v) =>
+        (cnt((seed(s"$id") * (2L * b + 1) + b) % 10000), v) }
       val m = draws.map(_._1).sum
       if (m > 0) Some((b.toLong, draws.map(d => d._1 * d._2).sum *
         1000000L / m)) else None
