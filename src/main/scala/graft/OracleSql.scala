@@ -5260,6 +5260,82 @@ object OracleSql {
         |  JOIN meta ma ON ma.lab = p.label_a
         |  JOIN meta mb ON mb.lab = p.label_b""".stripMargin,
 
+    "q_perm_test" -> {
+      def hv(i: Int) =
+        s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      val h12 = (2 to 12).foldLeft(hv(1))((acc, i) =>
+        s"(16*$acc + ${hv(i)})")
+      // md5-seeded binomial relabeling (the q_bootstrap mixing); all
+      // compared quantities exact floor-div micro integers; add-one
+      // p-value; replicate dropped if either side lands empty (both
+      // engines apply the same rule)
+      s"""WITH d AS (SELECT event_id AS id,
+         |    (event_type = 'purchase') AS isa,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+         |  FROM events WHERE event_type IN ('purchase', 'view')),
+         |sd AS (SELECT isa, v, md5(CAST(id AS VARCHAR)) AS h FROM d),
+         |ds AS (SELECT isa, v, CAST($h12 AS BIGINT) AS seed FROM sd),
+         |ob AS (SELECT
+         |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN isa THEN v ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN isa THEN 0 ELSE v END) AS BIGINT) AS sb
+         |  FROM ds),
+         |obs AS (SELECT n_a, n_b,
+         |    CAST(sa * 1000000 // n_a - sb * 1000000 // n_b AS BIGINT)
+         |      AS diff_obs_micro,
+         |    CAST(n_a * 10000 // (n_a + n_b) AS BIGINT) AS pa_bp
+         |  FROM ob),
+         |fl AS (SELECT ds.v, CAST(u.r AS BIGINT) AS r,
+         |    (ds.seed * (CAST(u.r AS BIGINT) * 2 + 1)
+         |      + CAST(u.r AS BIGINT)) % 10000 < obs.pa_bp AS toa
+         |  FROM ds CROSS JOIN obs, unnest(generate_series(1, 60)) AS u(r)),
+         |rd AS (SELECT r,
+         |    CAST(sum(CASE WHEN toa THEN 1 ELSE 0 END) AS BIGINT) AS ma,
+         |    CAST(sum(CASE WHEN toa THEN 0 ELSE 1 END) AS BIGINT) AS mb,
+         |    CAST(sum(CASE WHEN toa THEN v ELSE 0 END) AS BIGINT) AS ra,
+         |    CAST(sum(CASE WHEN toa THEN 0 ELSE v END) AS BIGINT) AS rb
+         |  FROM fl GROUP BY 1),
+         |df2 AS (SELECT
+         |    CAST(ra * 1000000 // ma - rb * 1000000 // mb AS BIGINT)
+         |      AS diff_r FROM rd WHERE ma > 0 AND mb > 0),
+         |tl AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+         |    CAST(sum(CASE WHEN abs(diff_r) >=
+         |      abs((SELECT diff_obs_micro FROM obs)) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_ge FROM df2)
+         |SELECT obs.n_a, obs.n_b, obs.diff_obs_micro, tl.n_reps, tl.n_ge,
+         |  CAST((1 + tl.n_ge) * 1000000 // (tl.n_reps + 1) AS BIGINT)
+         |    AS p_micro
+         |FROM obs CROSS JOIN tl""".stripMargin
+    },
+
+    "q_trend_test" ->
+      // level-cardinality integer carriers; z = T'·√N / √(R(N−R)·W)
+      // with the two variance factors meeting only as one double
+      // multiply (their BIGINT product overflows at large N)
+      """WITH o AS (SELECT CAST(substring(o_orderpriority, 1, 1)
+        |      AS BIGINT) AS s,
+        |    (o_orderstatus = 'F') AS y FROM orders),
+        |g AS (SELECT s, CAST(count(*) AS BIGINT) AS n_i,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS r_i
+        |  FROM o GROUP BY 1),
+        |a AS (SELECT CAST(sum(n_i) AS BIGINT) AS n,
+        |    CAST(sum(r_i) AS BIGINT) AS n_pos,
+        |    CAST(count(*) AS BIGINT) AS n_levels,
+        |    CAST(sum(s * n_i) AS BIGINT) AS sn,
+        |    CAST(sum(s * s * n_i) AS BIGINT) AS ssn,
+        |    CAST(sum(s * r_i) AS BIGINT) AS sr FROM g)
+        |SELECT n, n_pos, n_levels,
+        |  CAST(n * sr - n_pos * sn AS BIGINT) AS t_num,
+        |  round(CASE WHEN n_pos * (n - n_pos) > 0
+        |      AND n * ssn - sn * sn > 0
+        |    THEN CAST(n * sr - n_pos * sn AS DOUBLE)
+        |      * sqrt(CAST(n AS DOUBLE))
+        |      / sqrt(CAST(n_pos * (n - n_pos) AS DOUBLE)
+        |        * CAST(n * ssn - sn * sn AS DOUBLE))
+        |    END, 6) AS z
+        |FROM a""".stripMargin,
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

@@ -3829,6 +3829,33 @@ object SparkEntry {
     operators.Similarity.labelCentroidCosine(
       table(s, dir, "embeddings"), "label", "embedding")
 
+  /** C67: Monte-Carlo permutation test on purchase-vs-view mean value
+    * — the third leg of the inference triangle with q_ab_test's Welch
+    * z and q_mann_whitney's rank test; the null distribution is
+    * md5-seeded binomial relabeling, so the p-value itself hash-gates
+    * (operators.Stats.permutationTest).
+    */
+  private def qPermTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select($"event_id", $"event_type",
+      floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.permutationTest(e, "event_id", "event_type", "cents",
+      "purchase", "view", 60)
+  }
+
+  /** C68: Cochran–Armitage trend test — is the F-status rate MONOTONE
+    * in order priority (scores 1..5 from the priority prefix), the
+    * ordered question q_chi_square's omnibus statistic can't ask
+    * (operators.Stats.cochranArmitage).
+    */
+  private def qTrendTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders").select(
+      substring($"o_orderpriority", 1, 1).cast("long").as("score"),
+      ($"o_orderstatus" === "F").as("is_f"))
+    operators.Stats.cochranArmitage(o, "score", "is_f")
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3893,6 +3920,8 @@ object SparkEntry {
     "q_bootstrap" -> (qBootstrap _),
     "q_calibration" -> (qCalibration _),
     "q_label_centroids" -> (qLabelCentroids _),
+    "q_perm_test" -> (qPermTest _),
+    "q_trend_test" -> (qTrendTest _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

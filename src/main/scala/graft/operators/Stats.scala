@@ -759,6 +759,104 @@ object Stats {
         col("ci_lo_micro"), col("ci_hi_micro"))
   }
 
+  /** Monte-Carlo permutation test for a difference in group means,
+    * with the null distribution DERIVED deterministically (the
+    * [[bootstrapMeanCI]] seed-mixing discipline): replicate r
+    * reassigns each row to group A with probability n_a/N via
+    * (seed·(2r+1)+r) mod 10⁴ against the group-A share in basis
+    * points — binomial relabeling, the independent-draws Monte-Carlo
+    * approximation of the permutation null that needs no global
+    * shuffle and therefore maps over any table size. The p-value uses
+    * the standard add-one estimator (1 + #{|diff_r| ≥ |diff_obs|}) /
+    * (R+1).
+    *
+    * Every compared quantity is an exact integer: group means in
+    * floor-div micro-units, diffs and the ≥ comparisons on those
+    * integers, p in floor-div micro-units.
+    *
+    * @return one row: (n_a, n_b, diff_obs_micro, n_reps, n_ge,
+    *         p_micro).
+    */
+  def permutationTest(df: DataFrame, idCol: String, groupCol: String,
+                      valueCol: String, groupA: String, groupB: String,
+                      reps: Int = 60): DataFrame = {
+    require(reps >= 10 && reps <= 500)
+    val d = df.filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .select((col(groupCol) === groupA).as("isa"), col(valueCol).as("v"),
+        conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+          .cast("long").as("seed"))
+    val obs = d.agg(
+        sum(when(col("isa"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("isa"), 0L).otherwise(1L)).as("n_b"),
+        sum(when(col("isa"), col("v")).otherwise(0L)).as("sa"),
+        sum(when(col("isa"), 0L).otherwise(col("v"))).as("sb"))
+      .select(col("n_a"), col("n_b"),
+        (expr("sa * 1000000 div n_a") - expr("sb * 1000000 div n_b"))
+          .as("diff_obs_micro"),
+        expr("n_a * 10000 div (n_a + n_b)").as("pa_bp"))
+    val flips = d.crossJoin(broadcast(obs.select(col("pa_bp"))))
+      .withColumn("r", explode(lit((1 to reps).map(_.toLong).toArray)))
+      .withColumn("toA",
+        (col("seed") * (col("r") * 2 + 1) + col("r")) % 10000 < col("pa_bp"))
+    val repDiffs = flips.groupBy(col("r")).agg(
+        sum(when(col("toA"), 1L).otherwise(0L)).as("ma"),
+        sum(when(col("toA"), 0L).otherwise(1L)).as("mb"),
+        sum(when(col("toA"), col("v")).otherwise(0L)).as("ra"),
+        sum(when(col("toA"), 0L).otherwise(col("v"))).as("rb"))
+      .filter(col("ma") > 0 && col("mb") > 0)
+      .select((expr("ra * 1000000 div ma") - expr("rb * 1000000 div mb"))
+        .as("diff_r"))
+    val tail = repDiffs.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(when(abs(col("diff_r")) >= abs(col("diff_obs_micro")), 1L)
+          .otherwise(0L)).as("n_ge"))
+    obs.select(col("n_a"), col("n_b"), col("diff_obs_micro"))
+      .crossJoin(broadcast(tail))
+      .select(col("n_a"), col("n_b"), col("diff_obs_micro"),
+        col("n_reps"), col("n_ge"),
+        expr("(1 + n_ge) * 1000000 div (n_reps + 1)").as("p_micro"))
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955): is a
+    * binary outcome rate MONOTONE in an ordered categorical exposure —
+    * the question chi-square (which ignores order) cannot ask. The
+    * statistic is T = Σ sᵢ(rᵢ·N − R·nᵢ) over levels with integer
+    * scores sᵢ, variance N·(R/N)(1−R/N)·(N·Σsᵢ²nᵢ − (Σsᵢnᵢ)²)
+    * rearranged to exact integer carriers: every sum is BIGINT from
+    * one level-cardinality aggregate; z folds in fixed IEEE op order
+    * (6dp).
+    *
+    * Plan shape: one map-combinable groupBy to |levels| rows, one
+    * 1-row fold. Nothing else.
+    *
+    * @return one row: (n, n_pos, n_levels, t_num, z).
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      labelCol: String): DataFrame = {
+    val g = df.groupBy(col(scoreCol).as("s")).agg(
+      count(lit(1)).as("n_i"),
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("r_i"))
+    val a = g.agg(
+      sum(col("n_i")).as("n"),
+      sum(col("r_i")).as("n_pos"),
+      count(lit(1)).as("n_levels"),
+      sum(col("s") * col("n_i")).as("sn"),
+      sum(col("s") * col("s") * col("n_i")).as("ssn"),
+      sum(col("s") * col("r_i")).as("sr"))
+    // carriers: T' = N·Σsr − R·Σsn (= N·T);
+    // z = T'·√N / √(R(N−R) · (N·Σs²n − (Σsn)²)) — the two variance
+    // factors stay separate exact BIGINTs (their product would
+    // overflow int64 at large N) and meet only as one double multiply
+    val t = col("n") * col("sr") - col("n_pos") * col("sn")
+    val rnr = col("n_pos") * (col("n") - col("n_pos"))
+    val w = col("n") * col("ssn") - col("sn") * col("sn")
+    a.select(col("n"), col("n_pos"), col("n_levels"),
+      t.as("t_num"),
+      round(when(rnr > 0 && w > 0,
+        t.cast("double") * sqrt(col("n").cast("double")) /
+          sqrt(rnr.cast("double") * w.cast("double"))), 6).as("z"))
+  }
+
   /** Calibration (reliability) table of a score against a binary
     * outcome: rows bucketed by exact score decile, per bucket the
     * observed positive rate next to the mean score — the diagnostic

@@ -542,4 +542,72 @@ class Round4OpsSpec extends AnyFunSuite {
     }
     assert(got.size == 3)
   }
+
+  test("permutationTest ≡ brute-force seeded relabeling; null case") {
+    val rnd = new scala.util.Random(41)
+    // no real effect: both groups from the same distribution
+    val rows = (1 to 160).map(i =>
+      (i.toLong, if (i % 2 == 0) "A" else "B", rnd.nextInt(500).toLong))
+    val got = operators.Stats.permutationTest(
+      rows.toDF("id", "g", "v"), "id", "g", "v", "A", "B", 60).head
+    def seed(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12), 16)
+    }
+    val (as, bs) = rows.partition(_._2 == "A")
+    val na = as.size.toLong; val nb = bs.size.toLong
+    val diffObs = as.map(_._3).sum * 1000000L / na -
+      bs.map(_._3).sum * 1000000L / nb
+    val paBp = na * 10000 / (na + nb)
+    val reps = (1 to 60).flatMap { r =>
+      val (ta, tb) = rows.partition(row =>
+        (seed(s"${row._1}") * (2L * r + 1) + r) % 10000 < paBp)
+      if (ta.nonEmpty && tb.nonEmpty)
+        Some(ta.map(_._3).sum * 1000000L / ta.size -
+          tb.map(_._3).sum * 1000000L / tb.size)
+      else None
+    }
+    val nGe = reps.count(d => math.abs(d) >= math.abs(diffObs)).toLong
+    assert(got.getAs[Long]("n_a") == na)
+    assert(got.getAs[Long]("n_b") == nb)
+    assert(got.getAs[Long]("diff_obs_micro") == diffObs)
+    assert(got.getAs[Long]("n_reps") == reps.size.toLong)
+    assert(got.getAs[Long]("n_ge") == nGe)
+    assert(got.getAs[Long]("p_micro") ==
+      (1 + nGe) * 1000000L / (reps.size + 1))
+    // no planted effect → the p-value should be comfortably non-tiny
+    assert(got.getAs[Long]("p_micro") > 50000L)
+  }
+
+  test("cochranArmitage: known 2×k tables — monotone vs flat") {
+    // strongly monotone rates: z should be large positive
+    def mk(rates: Seq[(Long, Int, Int)]) = // (score, pos, neg)
+      rates.flatMap { case (s, p, n) =>
+        Seq.fill(p)((s, true)) ++ Seq.fill(n)((s, false)) }
+    val mono = operators.Stats.cochranArmitage(
+      mk(Seq((1L, 10, 90), (2L, 30, 70), (3L, 50, 50), (4L, 70, 30)))
+        .toDF("s", "y"), "s", "y").head
+    assert(mono.getAs[Long]("n") == 400L)
+    assert(mono.getAs[Long]("n_pos") == 160L)
+    assert(mono.getAs[Long]("n_levels") == 4L)
+    // brute-force z from the definition T = Σ s(r − nR/N)
+    val lv = Seq((1.0, 10.0, 100.0), (2.0, 30.0, 100.0),
+      (3.0, 50.0, 100.0), (4.0, 70.0, 100.0))
+    val nn = 400.0; val rr = 160.0
+    val t = lv.map { case (s, r, n) => s * (r - n * rr / nn) }.sum
+    val p = rr / nn
+    val v = p * (1 - p) *
+      (lv.map { case (s, _, n) => s * s * n }.sum -
+        math.pow(lv.map { case (s, _, n) => s * n }.sum, 2) / nn)
+    val zRef = t / math.sqrt(v)
+    assert(math.abs(mono.getAs[Double]("z") - zRef) < 1e-6)
+    assert(mono.getAs[Double]("z") > 8.0)
+    // flat rates: z ≈ 0 exactly (T numerator is 0 by symmetry)
+    val flat = operators.Stats.cochranArmitage(
+      mk(Seq((1L, 20, 80), (2L, 20, 80), (3L, 20, 80)))
+        .toDF("s", "y"), "s", "y").head
+    assert(flat.getAs[Long]("t_num") == 0L)
+    assert(flat.getAs[Double]("z") == 0.0)
+  }
 }
