@@ -3719,7 +3719,7 @@ object SparkEntry {
       10000L)
   }
 
-  /** C60: frequent 3-itemsets at 35bp relative support over
+  /** C69: frequent 3-itemsets at 35bp relative support over
     * order-brand baskets — basketLift's pair mining extended one
     * Apriori level, with the downward-closure prune bounding the
     * triple-candidate join (operators.Analytics.frequentTriples).
@@ -3736,7 +3736,7 @@ object SparkEntry {
       35)
   }
 
-  /** C61: decision-stump fit — the dollar threshold on event value
+  /** C70: decision-stump fit — the dollar threshold on event value
     * that best separates purchases from everything else by training
     * accuracy; model FITTING as exact integer argmax, so the trained
     * model itself is hash-gated (operators.Stats.decisionStump).
@@ -3750,7 +3750,7 @@ object SparkEntry {
     operators.Stats.decisionStump(e, "is_purchase", "dollar")
   }
 
-  /** C62: Mann–Whitney U rank-sum test, purchase vs view event values
+  /** C71: Mann–Whitney U rank-sum test, purchase vs view event values
     * in integer cents — the nonparametric sibling of q_ab_test's Welch
     * z; 2×rank carriers keep tied ranks exact BIGINTs
     * (operators.Stats.mannWhitney).
@@ -3763,7 +3763,7 @@ object SparkEntry {
       "view")
   }
 
-  /** H38: grid-blocked spatial radius self-join — all embedding pairs
+  /** H42: grid-blocked spatial radius self-join — all embedding pairs
     * within integer distance 30 in the (dim0, dim1) plane quantized to
     * milli-units; the geohash-bucket join pattern, exact by
     * construction (operators.Spatial.gridRadiusJoin), oracled against
@@ -3820,7 +3820,7 @@ object SparkEntry {
     operators.Stats.calibrationTable(e, "is_purchase", "cents")
   }
 
-  /** H39: pairwise label-centroid cosine over the embeddings table —
+  /** H43: pairwise label-centroid cosine over the embeddings table —
     * embedding-space class-separation health; sum-vector carriers
     * make the whole matrix exact-integer up to one final sqrt/division
     * (operators.Similarity.labelCentroidCosine).
