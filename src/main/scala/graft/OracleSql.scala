@@ -5336,6 +5336,106 @@ object OracleSql {
         |    END, 6) AS z
         |FROM a""".stripMargin,
 
+    "q_mi_ranking" -> {
+      // one q_chi_square block per feature (same integer cells /
+      // sorted-cell folds / unobserved-cell closed form), features as
+      // STRINGS on both engines so the fold's cell sort order is the
+      // identical binary string order
+      val feats = Seq(
+        ("nation", "CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR)"),
+        ("region", "CAST(CAST(n_regionkey AS BIGINT) AS VARCHAR)"),
+        ("bal_band", "CASE WHEN c_acctbal < 0 THEN 'neg' " +
+          "WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END"))
+      def block(i: Int, fe: String): String =
+        s"""c$i AS (SELECT $fe AS a, c_mktsegment AS b FROM src),
+           |cells$i AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+           |  FROM c$i GROUP BY 1, 2),
+           |r$i AS (SELECT a, CAST(sum(o) AS BIGINT) AS rr FROM cells$i
+           |  GROUP BY 1),
+           |ct$i AS (SELECT b, CAST(sum(o) AS BIGINT) AS cc FROM cells$i
+           |  GROUP BY 1),
+           |t$i AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+           |    CAST(count(DISTINCT a) AS BIGINT) AS ra,
+           |    CAST(count(DISTINCT b) AS BIGINT) AS cb FROM cells$i),
+           |terms$i AS (SELECT cells$i.a, cells$i.b,
+           |    CAST(cells$i.o * t$i.n - r$i.rr * ct$i.cc AS DOUBLE)
+           |      AS dev,
+           |    CAST(t$i.n AS DOUBLE) * CAST(r$i.rr AS DOUBLE)
+           |      * CAST(ct$i.cc AS DOUBLE) AS den,
+           |    CAST(cells$i.o AS DOUBLE) / CAST(t$i.n AS DOUBLE)
+           |      * ln(CAST(cells$i.o * t$i.n AS DOUBLE)
+           |            / CAST(r$i.rr * ct$i.cc AS DOUBLE)) AS mi
+           |  FROM cells$i JOIN r$i USING (a) JOIN ct$i USING (b)
+           |  CROSS JOIN t$i),
+           |rc$i AS (SELECT CAST(sum(r$i.rr * ct$i.cc) AS BIGINT) AS src
+           |  FROM cells$i JOIN r$i USING (a) JOIN ct$i USING (b)),
+           |f$i AS (SELECT
+           |    list_reduce(list(dev * dev / den ORDER BY a, b),
+           |      (x, y) -> x + y)
+           |    + CAST((SELECT t$i.n * t$i.n FROM t$i)
+           |        - (SELECT src FROM rc$i) AS DOUBLE)
+           |      / CAST((SELECT t$i.n FROM t$i) AS DOUBLE) AS chi2,
+           |    list_reduce(list(mi ORDER BY a, b), (x, y) -> x + y)
+           |      AS mi2
+           |  FROM terms$i)""".stripMargin
+      def out(i: Int, name: String): String =
+        s"""SELECT '$name' AS feature, t$i.ra AS n_levels,
+           |  round(f$i.chi2, 6) AS chi2,
+           |  round(CASE WHEN least(t$i.ra - 1, t$i.cb - 1) > 0
+           |    THEN sqrt(f$i.chi2 /
+           |      CAST(t$i.n * least(t$i.ra - 1, t$i.cb - 1) AS DOUBLE))
+           |    END, 6) AS cramers_v,
+           |  round(f$i.mi2, 6) AS mi_nats
+           |FROM f$i CROSS JOIN t$i""".stripMargin
+      val blocks = feats.zipWithIndex
+        .map { case ((_, fe), i) => block(i, fe) }.mkString(",\n")
+      val outs = feats.zipWithIndex
+        .map { case ((name, _), i) => out(i, name) }
+        .mkString("\nUNION ALL\n")
+      s"""WITH src AS (SELECT * FROM customer JOIN nation
+         |  ON c_nationkey = n_nationkey),
+         |$blocks
+         |$outs""".stripMargin
+    },
+
+    "q_uplift" ->
+      // md5-derived variant (the q_ab_test assignment); uplift is a
+      // difference of exact floor-div micro rates; pooled
+      // two-proportion z folds in fixed IEEE op order (6dp)
+      """WITH o AS (SELECT o_orderpriority AS seg,
+        |    CASE WHEN substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)
+        |      < '8' THEN 'A' ELSE 'B' END AS variant,
+        |    (o_orderstatus = 'F') AS converted FROM orders),
+        |g AS (SELECT seg AS segment,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 'A' AND converted THEN 1
+        |      ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 'B' AND converted THEN 1
+        |      ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM o GROUP BY 1)
+        |SELECT segment, n_a, conv_a, n_b, conv_b,
+        |  CAST(conv_a * 1000000 // n_a - conv_b * 1000000 // n_b
+        |    AS BIGINT) AS uplift_micro,
+        |  round(CASE WHEN CAST(conv_a + conv_b AS DOUBLE)
+        |      / CAST(n_a + n_b AS DOUBLE)
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+        |      > 0
+        |    THEN (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / sqrt(CAST(conv_a + conv_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE)
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |          / CAST(n_a + n_b AS DOUBLE))
+        |        * (1.0 / CAST(n_a AS DOUBLE)
+        |          + 1.0 / CAST(n_b AS DOUBLE)))
+        |    END, 6) AS z
+        |FROM g WHERE n_a > 0 AND n_b > 0""".stripMargin,
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

@@ -3856,6 +3856,39 @@ object SparkEntry {
     operators.Stats.cochranArmitage(o, "score", "is_f")
   }
 
+  /** C77: feature-association ranking — nation / region / balance
+    * band each scored against market segment with the full C56 triple
+    * in one table: the "which columns carry signal" feature-selection
+    * read-out (operators.Stats.miRanking).
+    */
+  private def qMiRanking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = table(s, dir, "customer")
+      .join(broadcast(table(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+    operators.Stats.miRanking(c, "c_mktsegment", Seq(
+      "nation" -> $"c_nationkey".cast("long").cast("string"),
+      "region" -> $"n_regionkey".cast("long").cast("string"),
+      "bal_band" -> when($"c_acctbal" < 0, "neg")
+        .when($"c_acctbal" < 5000, "low").otherwise("high")))
+  }
+
+  /** C78: uplift by segment — the q_ab_test experiment read out per
+    * order priority: treatment-vs-control conversion difference in
+    * exact micro rates with a pooled two-proportion z — "did it work"
+    * becomes "for whom" (operators.Stats.upliftBySegment).
+    */
+  private def qUplift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders").select(
+      $"o_orderpriority".as("seg"),
+      when(substring(md5($"o_orderkey".cast("string")), 1, 1) < "8", "A")
+        .otherwise("B").as("variant"),
+      ($"o_orderstatus" === "F").as("converted"))
+    operators.Stats.upliftBySegment(o, "seg", "variant", "converted",
+      "A", "B")
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3922,6 +3955,8 @@ object SparkEntry {
     "q_label_centroids" -> (qLabelCentroids _),
     "q_perm_test" -> (qPermTest _),
     "q_trend_test" -> (qTrendTest _),
+    "q_mi_ranking" -> (qMiRanking _),
+    "q_uplift" -> (qUplift _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

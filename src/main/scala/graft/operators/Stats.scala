@@ -429,6 +429,74 @@ object Stats {
         round(foldField("mi"), 6).as("mi_nats"))
   }
 
+  /** Feature-association ranking: every candidate feature scored
+    * against the label with the full [[contingencyProfile]] triple
+    * (chi², Cramér's V, mutual information) in ONE table — the
+    * feature-selection read-out ("which columns carry signal about
+    * y") that single-pair C56 can't give. Each feature is one
+    * independent contingency pass over the fact table; the union is
+    * feature-cardinality rows. Exactness is inherited wholesale from
+    * contingencyProfile (integer cells, sorted-cell folds, 6dp).
+    *
+    * @return per feature: (feature, n_levels, chi2, cramers_v,
+    *         mi_nats).
+    */
+  def miRanking(df: DataFrame, labelCol: String,
+                features: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    require(features.nonEmpty)
+    features.map { case (name, c) =>
+      contingencyProfile(
+        df.select(c.as("__f"), col(labelCol).as("__y")), "__f", "__y")
+        .select(lit(name).as("feature"), col("n_rows").as("n_levels"),
+          col("chi2"), col("cramers_v"), col("mi_nats"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Uplift-by-segment table: the heterogeneous-treatment-effect
+    * read-out an experiment analysis ends in — per segment the
+    * treatment-vs-control conversion-rate difference with a pooled
+    * two-proportion z. The variant-level A/B read-out
+    * ([[Analytics]]'s Welch table) answers "did it work"; this
+    * answers "for WHOM".
+    *
+    * One map-combinable groupBy collapses the fact table to segment
+    * cardinality; uplift is a difference of exact floor-div micro
+    * rates; z folds in fixed IEEE op order on exact integer counts
+    * (6dp).
+    *
+    * @return per segment: (segment, n_a, conv_a, n_b, conv_b,
+    *         uplift_micro, z).
+    */
+  def upliftBySegment(df: DataFrame, segCol: String, variantCol: String,
+                      convCol: String, variantA: String,
+                      variantB: String): DataFrame = {
+    val g = df
+      .filter(col(variantCol) === variantA || col(variantCol) === variantB)
+      .groupBy(col(segCol).as("segment"))
+      .agg(
+        sum(when(col(variantCol) === variantA, 1L).otherwise(0L))
+          .as("n_a"),
+        sum(when(col(variantCol) === variantA && col(convCol), 1L)
+          .otherwise(0L)).as("conv_a"),
+        sum(when(col(variantCol) === variantB, 1L).otherwise(0L))
+          .as("n_b"),
+        sum(when(col(variantCol) === variantB && col(convCol), 1L)
+          .otherwise(0L)).as("conv_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se2 = pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb)
+    g.filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("segment"), col("n_a"), col("conv_a"), col("n_b"),
+        col("conv_b"),
+        (expr("conv_a * 1000000 div n_a") -
+          expr("conv_b * 1000000 div n_b")).as("uplift_micro"),
+        round(when(se2 > 0, (pa - pb) / sqrt(se2)), 6).as("z"))
+  }
+
   /** C57: cumulative gains / lift table — [[rocAuc]]'s operational
     * companion: rank the population by score DESCENDING (ties broken
     * by `tieCol` — deterministic at any parallelism), cut into

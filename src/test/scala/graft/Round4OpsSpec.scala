@@ -610,4 +610,49 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(flat.getAs[Long]("t_num") == 0L)
     assert(flat.getAs[Double]("z") == 0.0)
   }
+
+  test("miRanking: perfect predictor maxes MI; pure noise floors it") {
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 400).map { _ =>
+      val y = if (rnd.nextBoolean()) "p" else "q"
+      (y, y.toUpperCase, if (rnd.nextBoolean()) "u" else "w")
+    }
+    val got = operators.Stats.miRanking(rows.toDF("y", "copy", "noise"),
+        "y", Seq("copy" -> col("copy"), "noise" -> col("noise")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(4))).toMap
+    // the label copy carries H(Y) nats of MI; both features 2 levels
+    val n = rows.size.toDouble
+    val np = rows.count(_._1 == "p").toDouble
+    val h = -(np / n * math.log(np / n) +
+      (n - np) / n * math.log((n - np) / n))
+    assert(got("copy")._1 == 2L)
+    assert(math.abs(got("copy")._2 - h) < 1e-5)
+    assert(got("noise")._2 < 0.01)
+    // per-feature rows agree with a direct contingencyProfile call
+    val direct = operators.Stats.contingencyProfile(
+      rows.toDF("y", "copy", "noise").select(col("copy").as("__f"),
+        col("y").as("__y")), "__f", "__y").head
+    assert(direct.getAs[Double]("mi_nats") == got("copy")._2)
+  }
+
+  test("upliftBySegment: hand-built segments, exact micro rates") {
+    // seg s1: A 3/4 vs B 1/4 converted; seg s2: A 0/2 vs B 2/2
+    val rows =
+      Seq.fill(3)(("s1", "A", true)) ++ Seq.fill(1)(("s1", "A", false)) ++
+      Seq.fill(1)(("s1", "B", true)) ++ Seq.fill(3)(("s1", "B", false)) ++
+      Seq.fill(2)(("s2", "A", false)) ++ Seq.fill(2)(("s2", "B", true))
+    val got = operators.Stats.upliftBySegment(
+        rows.toDF("seg", "v", "c"), "seg", "v", "c", "A", "B")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6))).toMap
+    assert(got("s1")._1 == 4L && got("s1")._2 == 3L)
+    assert(got("s1")._3 == 4L && got("s1")._4 == 1L)
+    assert(got("s1")._5 == 750000L - 250000L)
+    // z for s1: pa=.75 pb=.25 pp=.5 se=sqrt(.25*.5)=.35355 → z≈1.414
+    assert(math.abs(got("s1")._6 - 1.414214) < 1e-6)
+    assert(got("s2")._5 == -1000000L)
+    assert(got("s2")._6 < -1.9)
+  }
 }
