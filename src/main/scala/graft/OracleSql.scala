@@ -2201,6 +2201,41 @@ object OracleSql {
         |SELECT m AS n_pairs, slope FROM r
         |WHERE rk * 2 = m OR rk * 2 = m + 1""".stripMargin,
 
+    "q_mann_kendall" ->
+      // S = Σ sign over day² pairs (exact integer), tie-corrected
+      // variance from integer carriers, ±1 continuity z in the Spark
+      // fixed IEEE op order (6dp)
+      """WITH d AS (SELECT
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CAST(sign(CAST(b.cents - a.cents AS DOUBLE))
+        |      AS BIGINT)) AS BIGINT) AS s_stat
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |t AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d
+        |    GROUP BY cents) g)
+        |SELECT t.n, s.s_stat, s.n_pairs,
+        |  round(CASE WHEN (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE)
+        |        - 1.0) * (CAST(t.n AS DOUBLE) * 2 + 5.0)
+        |      - CAST(t.tsum AS DOUBLE)) / 18.0 > 0
+        |    THEN CASE WHEN s.s_stat > 0
+        |      THEN (CAST(s.s_stat AS DOUBLE) - 1.0)
+        |        / sqrt((CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE)
+        |          - 1.0) * (CAST(t.n AS DOUBLE) * 2 + 5.0)
+        |          - CAST(t.tsum AS DOUBLE)) / 18.0)
+        |      WHEN s.s_stat < 0
+        |      THEN (CAST(s.s_stat AS DOUBLE) + 1.0)
+        |        / sqrt((CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE)
+        |          - 1.0) * (CAST(t.n AS DOUBLE) * 2 + 5.0)
+        |          - CAST(t.tsum AS DOUBLE)) / 18.0)
+        |      ELSE 0.0 END
+        |    END, 6) AS z
+        |FROM s CROSS JOIN t""".stripMargin,
+
     "q_quantile_normalize" ->
       // within-group rank r, group size ng, global rank t =
       // ceil(r·N/ng) in integer arithmetic; the normalized value is

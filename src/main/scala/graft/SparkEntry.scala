@@ -3889,6 +3889,20 @@ object SparkEntry {
       "A", "B")
   }
 
+  /** C79: Mann–Kendall trend test on the daily value series — the
+    * significance half of the robust-trend pair with C59's Theil–Sen
+    * magnitude; integer S over day-cardinality² pairs, tie-corrected
+    * variance, ±1 continuity z (operators.TimeSeries.mannKendall).
+    */
+  private def qMannKendall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = table(s, dir, "events")
+      .groupBy(datediff(to_date($"ts"), to_date(lit("2024-01-01")))
+        .cast("long").as("day"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+    TimeSeries.mannKendall(daily, "day", "cents")
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3957,6 +3971,7 @@ object SparkEntry {
     "q_trend_test" -> (qTrendTest _),
     "q_mi_ranking" -> (qMiRanking _),
     "q_uplift" -> (qUplift _),
+    "q_mann_kendall" -> (qMannKendall _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

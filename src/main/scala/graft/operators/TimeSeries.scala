@@ -539,6 +539,42 @@ object TimeSeries {
         (col("n_runs").cast("double") - mu) / sqrt(s2)), 6).as("z"))
   }
 
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) — the
+    * significance half of the robust-trend pair: [[theilSen]] gives
+    * the MAGNITUDE, this gives the p-backing z for "is there a
+    * monotone trend at all", with no distribution assumption. S =
+    * Σ_{i<j} sign(y_j − y_i) is an exact integer over the AGGREGATED
+    * series (day-cardinality² pairs — the theilSen rationale); the
+    * variance applies the standard tie correction
+    * (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18 from exact integer carriers;
+    * z uses the ±1 continuity correction, fixed IEEE op order (6dp).
+    *
+    * @return one row: (n, s_stat, n_pairs, z).
+    */
+  def mannKendall(series: DataFrame, ordCol: String,
+                  valCol: String): DataFrame = {
+    val a = series.select(col(ordCol).as("xi"), col(valCol).as("yi"))
+    val b = series.select(col(ordCol).as("xj"), col(valCol).as("yj"))
+    val s = a.join(b, col("xi") < col("xj"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum((col("yj") - col("yi")).cast("double")).cast("long"))
+          .as("s_stat"))
+    val ties = series.groupBy(col(valCol).as("y"))
+      .agg(count(lit(1)).as("t"))
+      .agg(sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tsum"))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - 1.0) * (nD * 2 + 5.0) -
+      col("tsum").cast("double")) / 18.0
+    val sD = col("s_stat").cast("double")
+    s.crossJoin(broadcast(ties))
+      .select(col("n"), col("s_stat"), col("n_pairs"),
+        round(when(varS > 0,
+          when(col("s_stat") > 0, (sD - 1.0) / sqrt(varS))
+            .when(col("s_stat") < 0, (sD + 1.0) / sqrt(varS))
+            .otherwise(lit(0.0))), 6).as("z"))
+  }
+
   /** C59: Theil–Sen robust trend slope (Theil 1950, Sen 1968) — the
     * median of all pairwise slopes over an AGGREGATED series: up to
     * ~29% contamination (outlier days, ingestion spikes) leaves the

@@ -655,4 +655,31 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got("s2")._5 == -1000000L)
     assert(got("s2")._6 < -1.9)
   }
+
+  test("mannKendall: monotone series, known S; flat series z = 0") {
+    // strictly increasing: every pair concordant → S = n(n−1)/2
+    val up = (1 to 12).map(i => (i.toLong, i.toLong * 10))
+    val gu = TimeSeries.mannKendall(up.toDF("d", "v"), "d", "v").head
+    assert(gu.getAs[Long]("n") == 12L)
+    assert(gu.getAs[Long]("s_stat") == 66L)
+    assert(gu.getAs[Long]("n_pairs") == 66L)
+    // z from the definition (no ties): (S−1)/sqrt(n(n−1)(2n+5)/18)
+    val zRef = 65.0 / math.sqrt(12.0 * 11 * 29 / 18.0)
+    assert(math.abs(gu.getAs[Double]("z") -
+      math.round(zRef * 1e6) / 1e6) < 1e-9)
+    // constant series: all pairs tied → S = 0, variance 0-guard → z 0
+    val fl = (1 to 8).map(i => (i.toLong, 5L))
+    val gf = TimeSeries.mannKendall(fl.toDF("d", "v"), "d", "v").head
+    assert(gf.getAs[Long]("s_stat") == 0L)
+    // n=8 all one tie group: varS = (8·7·21 − 8·7·21)/18 = 0 → null z
+    assert(gf.isNullAt(gf.fieldIndex("z")))
+    // alternating with ties: brute-force S
+    val mix = Seq(1L, 3L, 2L, 3L, 1L, 4L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val gm = TimeSeries.mannKendall(mix.toDF("d", "v"), "d", "v").head
+    val bruteS = (for {
+      (di, vi) <- mix; (dj, vj) <- mix if di < dj
+    } yield math.signum(vj - vi)).sum
+    assert(gm.getAs[Long]("s_stat") == bruteS.toLong)
+  }
 }
