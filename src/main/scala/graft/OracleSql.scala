@@ -5471,6 +5471,36 @@ object OracleSql {
         |    END, 6) AS z
         |FROM g WHERE n_a > 0 AND n_b > 0""".stripMargin,
 
+    "q_knn_eval" -> {
+      // integer-quantized coords → integer d2; neighbor order
+      // (d2, nid) ≡ the Spark packed tie-break; vote argmax by
+      // (cnt desc, label asc); accuracy in floor-div micro-units
+      val d2 = "list_reduce(list_transform(list_zip(a.v, b.v), " +
+        "x -> (x[1]-x[2])*(x[1]-x[2])), (p,q) -> p+q)"
+      s"""WITH p AS (SELECT CAST(vec_id AS BIGINT) AS id,
+         |    CAST(label AS BIGINT) AS lab,
+         |    list_transform(embedding, e ->
+         |      CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+         |      AS v
+         |  FROM embeddings),
+         |d AS (SELECT a.id AS qid, a.lab AS qlab, b.id AS nid,
+         |    b.lab AS nlab, $d2 AS d2
+         |  FROM p a JOIN p b ON a.id <> b.id AND a.id % 5 = 0),
+         |r AS (SELECT qid, qlab, nlab, row_number()
+         |    OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM d),
+         |v AS (SELECT qid, qlab, nlab, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+         |pr AS (SELECT qid, qlab, nlab, row_number()
+         |    OVER (PARTITION BY qid ORDER BY cnt DESC, nlab) AS rn2
+         |  FROM v)
+         |SELECT qlab AS label, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS accuracy_micro
+         |FROM pr WHERE rn2 = 1 GROUP BY 1""".stripMargin
+    },
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

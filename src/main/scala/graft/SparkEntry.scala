@@ -3903,6 +3903,17 @@ object SparkEntry {
     TimeSeries.mannKendall(daily, "day", "cents")
   }
 
+  /** H44: leave-one-out 5-NN label accuracy on the embeddings table —
+    * "do these embeddings carry the labels": the local evaluation
+    * sibling of H43's centroid view, exact integer distances with
+    * packed (d2, id) tie-breaks through the map-side top-k aggregate
+    * (operators.Similarity.knnClassifyEval).
+    */
+  private def qKnnEval(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.knnClassifyEval(
+      table(s, dir, "embeddings"), "vec_id", "label", "embedding", 5,
+      queryMod = 5)
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3972,6 +3983,7 @@ object SparkEntry {
     "q_mi_ranking" -> (qMiRanking _),
     "q_uplift" -> (qUplift _),
     "q_mann_kendall" -> (qMannKendall _),
+    "q_knn_eval" -> (qKnnEval _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

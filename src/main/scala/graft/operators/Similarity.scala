@@ -1045,6 +1045,67 @@ object Similarity {
       .select(col("id").as("vec_id"), col("j"), col("y"))
   }
 
+  /** Leave-one-out k-NN label-prediction accuracy over an embedding
+    * column — the evaluation harness that answers "do these embeddings
+    * actually carry the labels" (the local sibling of [[
+    * labelCentroidCosine]]'s global separation view, and the
+    * meta-evaluation family of dedup-eval / ANN-recall: quadratic by
+    * design, run on a sample, never the corpus).
+    *
+    * Exactness: coordinates quantized once to integers (scale 10⁴), so
+    * every squared distance is an integer-valued double (≤2⁵³ —
+    * exact); neighbor selection packs (d2, id) into one orderable
+    * number (d2·2^idBits + id, exact while < 2⁵³), so the map-side
+    * partial top-k aggregate ([[graft.plans.TopKBy]] — no per-query
+    * window over the candidate stream) breaks distance ties by id
+    * identically on any engine; majority vote ties break by smallest
+    * label; accuracy in floor-div micro-units.
+    *
+    * @return per true label: (label, n, n_correct, accuracy_micro).
+    */
+  def knnClassifyEval(df: DataFrame, idCol: String, labelCol: String,
+                      vecCol: String, k: Int = 5,
+                      idBits: Int = 20, queryMod: Int = 1): DataFrame = {
+    require(k >= 1 && idBits >= 10 && idBits <= 30 && queryMod >= 1)
+    val pack = math.pow(2, idBits)
+    def quant(c: Column) = transform(c, e =>
+      floor(e.cast("double") * 10000 + 0.5).cast("double"))
+    // queryMod > 1: deterministic 1-in-mod QUERY sample (id mod) — the
+    // harness is quadratic by design; the sample bounds the query side
+    // while every query still ranks against the FULL corpus
+    val q = df
+      .filter(pmod(col(idCol).cast("long"), lit(queryMod.toLong)) === 0)
+      .select(col(idCol).cast("long").as("qid"),
+        col(labelCol).cast("long").as("qlab"), quant(col(vecCol)).as("qv"))
+    val c = df.select(col(idCol).cast("long").as("cid"),
+      quant(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("packed",
+        -(sqDist(col("qv"), col("cv")) * pack + col("cid").cast("double")))
+    val top = scored.groupBy(col("qid"), col("qlab"))
+      .agg(graft.plans.TopKBy.topkBy(col("packed"), col("cid"), k)
+        .as("top"))
+      .select(col("qid"), col("qlab"), explode(col("top")).as("t"))
+      .select(col("qid"), col("qlab"), col("t.id").as("nid"))
+    val lab = df.select(col(idCol).cast("long").as("nid"),
+      col(labelCol).cast("long").as("nlab"))
+    val votes = top.join(broadcast(lab), "nid")
+      .groupBy(col("qid"), col("qlab"), col("nlab"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cnt").desc, col("nlab"))
+    val pred = votes
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+    pred.groupBy(col("qlab").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nlab") === col("qlab"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        expr("n_correct * 1000000 div n").as("accuracy_micro"))
+  }
+
   /** Pairwise cosine similarity between LABEL CENTROIDS of an
     * embedding column — the class-separation health check run before
     * trusting labels for curation or eval splits (collapsed or

@@ -682,4 +682,35 @@ class Round4OpsSpec extends AnyFunSuite {
     } yield math.signum(vj - vi)).sum
     assert(gm.getAs[Long]("s_stat") == bruteS.toLong)
   }
+
+  test("knnClassifyEval ≡ brute-force leave-one-out vote") {
+    val rnd = new scala.util.Random(53)
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, (i % 4).toLong, Array.fill(6)(rnd.nextFloat() - 0.5f)))
+    val got = Similarity.knnClassifyEval(
+        vecs.toDF("vec_id", "label", "embedding"),
+        "vec_id", "label", "embedding", 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def q(a: Array[Float]) =
+      a.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong)
+    val qs = vecs.map(v => (v._1, v._2, q(v._3)))
+    val preds = qs.map { case (id, lab, v) =>
+      val nn = qs.filter(_._1 != id).map { case (id2, lab2, v2) =>
+        (v.zip(v2).map { case (x, y) => (x - y) * (x - y) }.sum,
+          id2, lab2)
+      }.sortBy(t => (t._1, t._2)).take(3)
+      val best = nn.groupBy(_._3).toSeq
+        .map { case (l, g) => (g.size, l) }
+        .max(Ordering.by((t: (Int, Long)) => (t._1, -t._2)))._2
+      (lab, best)
+    }
+    val brute = preds.groupBy(_._1).map { case (l, ps) =>
+      val n = ps.size.toLong
+      val c = ps.count(p => p._2 == p._1).toLong
+      l -> (n, c, c * 1000000L / n)
+    }
+    assert(got == brute)
+  }
 }
