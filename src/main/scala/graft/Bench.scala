@@ -45,6 +45,12 @@ object Bench {
     // at small SF; min is the standard stable estimator
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // operators persist() intermediates and a 250-query run never
+      // revisits them — without clearing, the block manager accretes
+      // hundreds of dead cached datasets and late-alphabet queries
+      // pay eviction churn + GC (observed: a trivial count inflating
+      // 0.4s → 3s near the end of a full run)
+      spark.catalog.clearCache()
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
