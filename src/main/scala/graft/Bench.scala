@@ -41,6 +41,20 @@ object Bench {
           System.err.println(s"warm-up failed for $name: $ex")
       }
     }
+    // validity canary (round-4 lesson: BENCH_r04 was recorded under host
+    // contention — a trivial `when`-ladder scan at 7.67s — and read as a
+    // regression until re-measured). A fixed sf-independent micro-job is
+    // timed after warm-up (floor = best of 3) and again after the sweep;
+    // a run whose canary inflates >3× its own floor, or whose floor is
+    // itself implausible for this job shape, self-flags as contended so
+    // the recorded JSON is never mistaken for a clean measurement.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, 32).selectExpr("sum(id % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // absorb codegen for the canary itself
+    val canaryFloor = (1 to 3).map(_ => canary()).min
     // best-of-N per query: local-mode timings are scheduling-noise-bound
     // at small SF; min is the standard stable estimator
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
@@ -69,6 +83,8 @@ object Bench {
     def qsMap(entries: Seq[(String, Double)]) = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val canaryPost = canary()
+    val contended = canaryFloor > 0.75 || canaryPost > 3 * canaryFloor
     val total = results.map(_._2).sum
     // The captured stdout window is a ~2000-char TAIL (observed in
     // BENCH_r0{1,2}.json), and the driver JSON-parses the last line.
@@ -78,7 +94,8 @@ object Bench {
     // summary line whose "queries" holds the slowest entries that fit
     // a 1500-char budget — the informative tail of the distribution.
     // sbt's "[success]" epilogue is suppressed via Global/showSuccess.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsMap(results)},"sf":"$sfDir"}""")
+    val canaryJson = s""""canary_floor":${fmt(canaryFloor)},"canary_post":${fmt(canaryPost)},"contended":$contended"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsMap(results)},$canaryJson,"sf":"$sfDir"}""")
     val bySlowest = results.sortBy(-_._2)
     val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var budget = 1500
@@ -86,7 +103,7 @@ object Bench {
       val cost = k.length + 12
       if (budget - cost >= 0) { keep += ((k, v)); budget -= cost }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qsMap(keep.toSeq.sortBy(_._1))},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${qsMap(keep.toSeq.sortBy(_._1))},$canaryJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5206,8 +5206,10 @@ object OracleSql {
       // one md5 per ROW seeds 48 bits; each replica draw is integer
       // mixing (seed·(2b+1)+b mod 10⁴) against the Poisson(1) CDF
       // ladder; replica means in exact floor-div micro-units; 5th/95th
-      // picks = integer ranks 2/38 of 40 (ceil(40·p)); ties broken by
-      // replica id in both engines
+      // picks = integer ranks ceil(nr·p) of the SURVIVING replica
+      // count nr (a replica that draws all-zero counts is filtered,
+      // and the ranks shift with it — mirrored in Stats
+      // .bootstrapMeanCI); ties broken by replica id in both engines
       s"""WITH e AS (SELECT event_id AS id,
          |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
          |fl AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -5227,12 +5229,13 @@ object OracleSql {
          |rm AS (SELECT b, CAST(s * 1000000 // m AS BIGINT) AS rep_mean
          |  FROM r WHERE m > 0),
          |rk AS (SELECT rep_mean,
-         |    row_number() OVER (ORDER BY rep_mean, b) AS rn FROM rm),
+         |    row_number() OVER (ORDER BY rep_mean, b) AS rn,
+         |    count(*) OVER () AS nr FROM rm),
          |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
-         |    CAST(max(CASE WHEN rn = 2 THEN rep_mean END) AS BIGINT)
-         |      AS ci_lo_micro,
-         |    CAST(max(CASE WHEN rn = 38 THEN rep_mean END) AS BIGINT)
-         |      AS ci_hi_micro FROM rk)
+         |    CAST(max(CASE WHEN rn = (nr * 500 + 9999) // 10000
+         |      THEN rep_mean END) AS BIGINT) AS ci_lo_micro,
+         |    CAST(max(CASE WHEN rn = (nr * 9500 + 9999) // 10000
+         |      THEN rep_mean END) AS BIGINT) AS ci_hi_micro FROM rk)
          |SELECT n_rows, mean_micro, n_reps, ci_lo_micro, ci_hi_micro
          |FROM fl CROSS JOIN ci""".stripMargin
     },

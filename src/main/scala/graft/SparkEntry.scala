@@ -1646,12 +1646,16 @@ object SparkEntry {
     */
   private def qRfm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // persisted: the 3 quantile passes + the main scoring pass all read
+    // this key-cardinality aggregate — without the persist each pass
+    // re-aggregates orders (harmless at any scale, wasteful everywhere)
     val per = table(s, dir, "orders")
       .groupBy($"o_custkey")
       .agg(datediff(lit("2026-08-12").cast("date"), max($"o_orderdate"))
           .cast("long").as("rec"),
         count(lit(1)).as("freq"),
         sum(($"o_totalprice" * 100).cast("long")).as("mon"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def buckets(valueCol: String, outCol: String)(df: DataFrame): DataFrame = {
       val q = Stats.discreteQuantiles(per, Nil, valueCol,
         Seq(2000, 4000, 6000, 8000))

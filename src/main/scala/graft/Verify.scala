@@ -22,6 +22,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // operators persist() intermediates that a 250-query dump never
+      // revisits — clear between queries (same discipline as Bench) so
+      // the gate run doesn't accrete hundreds of dead cached datasets
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

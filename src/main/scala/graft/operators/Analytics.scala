@@ -241,10 +241,12 @@ object Analytics {
       .groupBy(col(basketCol).as("bk"))
       .agg(sort_array(collect_set(col(itemCol))).as("items0"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact integer ceil-division (`div`), mirroring the oracle's `//`
+    // — Column.divide would round-trip through IEEE doubles
     val n = bs0.agg(count(lit(1)).as("n_baskets"))
       .select(col("n_baskets"),
-        ((col("n_baskets") * minSupportBp + 9999L)
-          .divide(10000L)).cast("long").as("minsup"))
+        expr(s"(n_baskets * $minSupportBp + 9999L) div 10000L")
+          .as("minsup"))
     // level 1: frequent items → broadcast array filtering basket sets
     val f1arr = bs0.select(explode(col("items0")).as("it"))
       .groupBy(col("it")).agg(count(lit(1)).as("s1"))

@@ -1079,6 +1079,28 @@ object Similarity {
         col(labelCol).cast("long").as("qlab"), quant(col(vecCol)).as("qv"))
     val c = df.select(col(idCol).cast("long").as("cid"),
       quant(col(vecCol)).as("cv"))
+    // loud guard (round-4 advice): the packed order is exact only while
+    // every id fits idBits AND worst-case d2·2^idBits + id < 2^53.
+    // Validate the DATA, not just the parameter — an oversized id or
+    // distance must fail here, never silently bleed into the distance
+    // bits and reorder neighbors. One cheap aggregate over the corpus
+    // (the harness is quadratic-by-design on a sample; this pass is
+    // linear and map-combined).
+    val b = c.agg(
+      min(col("cid")).as("idmin"), max(col("cid")).as("idmax"),
+      max(aggregate(transform(col("cv"), x => abs(x)), lit(0d),
+        (acc, x) => greatest(acc, x))).as("mabs"),
+      max(size(col("cv"))).as("dim")).head
+    if (!b.isNullAt(0)) {
+      val (idMin, idMax) = (b.getLong(0), b.getLong(1))
+      val d2Max = b.getInt(3) * (2 * b.getDouble(2)) * (2 * b.getDouble(2))
+      require(idMin >= 0 && idMax < pack,
+        s"knnClassifyEval: ids [$idMin,$idMax] exceed idBits=$idBits " +
+          s"(must be in [0, ${pack.toLong}))")
+      require(d2Max * pack + idMax < math.pow(2, 53),
+        s"knnClassifyEval: worst-case packed key ${d2Max * pack + idMax} " +
+          "exceeds 2^53 — lower idBits or rescale the embeddings")
+    }
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("packed",
         -(sqDist(col("qv"), col("cv")) * pack + col("cid").cast("double")))

@@ -748,7 +748,12 @@ object Stats {
       lit(1L).as("w"))
     var outs = Vector.empty[DataFrame]
     for (r <- 1 to rounds) {
+      // persist + materialize each round's 1-row fit: without it, the
+      // DataFrame lineage re-evaluates every prior round's fit on each
+      // reuse (round r would scan the base ~2^r times)
       val fit = weightedStumpFit(cur)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fit.count()
       outs :+= fit.withColumn("round", lit(r.toLong))
       if (r < rounds) {
         val f = fit.select(col("threshold").as("__t"),
@@ -814,14 +819,21 @@ object Stats {
         sum(col("cnt") * col("v")).as("s"), sum(col("cnt")).as("m"))
       .filter(col("m") > 0)
       .select(col("b"), expr("s * 1000000 div m").as("rep_mean"))
-    val loRank = (reps * 500 + 9999) / 10000
-    val hiRank = (reps * 9500 + 9999) / 10000
-    val ranked = repMeans.withColumn("rn",
-      row_number().over(Window.orderBy(col("rep_mean"), col("b"))))
+    // ranks derive from the SURVIVING replica count (after the m>0
+    // degenerate-replica filter), not the requested reps — a dropped
+    // replica must shift the percentile picks, never null them out
+    val ranked = repMeans
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("rep_mean"), col("b"))))
+      .withColumn("nr", count(lit(1)).over(
+        Window.orderBy(col("rep_mean"), col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val ci = ranked.agg(
       count(lit(1)).as("n_reps"),
-      max(when(col("rn") === loRank, col("rep_mean"))).as("ci_lo_micro"),
-      max(when(col("rn") === hiRank, col("rep_mean"))).as("ci_hi_micro"))
+      max(when(col("rn") === expr("(nr * 500 + 9999) div 10000"),
+        col("rep_mean"))).as("ci_lo_micro"),
+      max(when(col("rn") === expr("(nr * 9500 + 9999) div 10000"),
+        col("rep_mean"))).as("ci_hi_micro"))
     full.crossJoin(broadcast(ci))
       .select(col("n_rows"), col("mean_micro"), col("n_reps"),
         col("ci_lo_micro"), col("ci_hi_micro"))

@@ -82,7 +82,30 @@ final class JdbcStagingStore(url: String, props: Properties)
     } finally conn.close()
   }
 
-  override def upsert(df: DataFrame, table: String, keys: Seq[String]): Unit = {
+  /** URL-routed upsert: MySQL/MariaDB plans `ON DUPLICATE KEY UPDATE`,
+    * PostgreSQL `ON CONFLICT … DO UPDATE` — single-statement native
+    * upserts batched from the executors ([[JdbcUpsert]]), no read-back
+    * of the target and no truncate window. Every other engine takes
+    * the portable read + merge + overwrite path below (same SCD1
+    * semantics, proven on embedded Derby in SchedulerStoreSpec).
+    */
+  override def upsert(df: DataFrame, table: String, keys: Seq[String]): Unit =
+    JdbcUpsert.dialectOf(url) match {
+      case "mysql" | "postgres" if tableExists(table) =>
+        val cols = df.schema.fieldNames.toSeq
+        val sql =
+          if (JdbcUpsert.dialectOf(url) == "mysql")
+            JdbcUpsert.mysqlSql(table, cols, keys)
+          else JdbcUpsert.postgresSql(table, cols, keys)
+        JdbcUpsert.runSingle(df, url, props, sql)
+      case "mysql" | "postgres" =>
+        // first batch: nothing to merge with — a plain create+append
+        write(df, table, SaveMode.ErrorIfExists)
+      case _ => mergeOverwriteUpsert(df, table, keys)
+    }
+
+  private def mergeOverwriteUpsert(df: DataFrame, table: String,
+                                   keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     val merged =
       if (tableExists(table)) {

@@ -35,6 +35,19 @@ class LayoutBloomSpec extends AnyFunSuite {
     assert(gotSemi.toSeq == expSemi.toSeq)
   }
 
+  test("bloom anti join: rescan mode (materialize=false) is identical") {
+    // the 100 TB file-source trade: two map-side codegen'd scans, zero
+    // cache — must produce the same rows as the materialized default
+    val big = spark.range(0, 20000).select($"id".as("k"), ($"id" % 7).as("v"))
+    val keys = spark.range(0, 20000).filter($"id" % 97 === 0)
+      .select($"id".as("k"))
+    val got = Bloom.antiJoin(big, keys, "k", 0.05, materialize = false)
+      .collect().map(_.getLong(0)).sorted
+    val exp = big.join(keys, Seq("k"), "left_anti")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == exp.toSeq)
+  }
+
   test("bloom anti join keeps null-keyed rows (anti-join semantics)") {
     val big = Seq[(java.lang.Long, String)]((1L, "a"), (null, "n"),
       (5L, "b")).toDF("k", "v")
