@@ -5504,6 +5504,170 @@ object OracleSql {
          |FROM pr WHERE rn2 = 1 GROUP BY 1""".stripMargin
     },
 
+    "q_silhouette" -> {
+      // Similarity.silhouetteEval mirror: scale-100 integer coords,
+      // exact d2 sums, overflow-free split floor division for the
+      // micro-unit means, sign-explicit s division (quotient
+      // truncation is sign-sensitive across engines)
+      val d2 = "list_reduce(list_transform(list_zip(a.v, b.v), " +
+        "x -> (x[1]-x[2])*(x[1]-x[2])), (p,q) -> p+q)"
+      s"""WITH p AS (SELECT CAST(vec_id AS BIGINT) AS id,
+         |    CAST(label AS BIGINT) AS lab,
+         |    list_transform(embedding, e ->
+         |      CAST(floor(CAST(e AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |d AS (SELECT a.id AS qid, a.lab AS qlab, b.lab AS clab,
+         |    $d2 AS d2
+         |  FROM p a JOIN p b ON a.id <> b.id AND a.id % 5 = 0),
+         |g AS (SELECT qid, qlab, clab, CAST(sum(d2) AS BIGINT) AS sd,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2, 3),
+         |m AS (SELECT qid, qlab, clab,
+         |    (sd // cnt) * 1000000 + ((sd % cnt) * 1000000) // cnt AS mm
+         |  FROM g),
+         |pp AS (SELECT qid, qlab,
+         |    max(CASE WHEN clab = qlab THEN mm END) AS a_micro,
+         |    min(CASE WHEN clab <> qlab THEN mm END) AS b_micro
+         |  FROM m GROUP BY 1, 2),
+         |s AS (SELECT qid, qlab,
+         |    CASE WHEN a_micro IS NULL OR b_micro IS NULL
+         |        OR greatest(a_micro, b_micro) = 0 THEN 0
+         |      WHEN b_micro >= a_micro THEN
+         |        ((b_micro - a_micro) * 1000000) //
+         |          greatest(a_micro, b_micro)
+         |      ELSE -(((a_micro - b_micro) * 1000000) //
+         |          greatest(a_micro, b_micro)) END AS s_micro
+         |  FROM pp)
+         |SELECT qlab AS label, CAST(count(*) AS BIGINT) AS n_pts,
+         |  CAST(sum(s_micro) AS BIGINT) AS sum_sil_micro,
+         |  CAST(min(s_micro) AS BIGINT) AS min_sil_micro,
+         |  CAST(max(s_micro) AS BIGINT) AS max_sil_micro
+         |FROM s GROUP BY 1""".stripMargin
+    },
+
+    "q_mmr" -> {
+      // Similarity.mmrRerank mirror: cosSql relevance (identical op
+      // order to the Spark per-vector-norm cosine), pool = top-20 by
+      // (rel desc, cid), then the three greedy MMR argmax steps
+      // unrolled — score = 5500·rel − 4500·maxsim, ties by smallest
+      // cid, maxsim over the selected set via greatest
+      val step1Score = "5500 * rel - 4500 * 0.0"
+      s"""WITH c AS (SELECT CAST(vec_id AS BIGINT) AS cid,
+         |    CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |q AS (SELECT CAST(vec_id AS BIGINT) AS q_id,
+         |    CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id % 1000 = 0),
+         |sc AS (SELECT q_id, cid, cv, ${cosSql("qv", "cv")} AS rel
+         |  FROM c, q WHERE q_id <> cid),
+         |pool AS MATERIALIZED (SELECT q_id, cid, cv, rel FROM (
+         |  SELECT q_id, cid, cv, rel, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY rel DESC, cid) AS rn FROM sc)
+         |  WHERE rn <= 20),
+         |s1 AS MATERIALIZED (SELECT q_id, cid AS sel_id, cv AS sel_v,
+         |    $step1Score AS score FROM (
+         |  SELECT q_id, cid, cv, rel, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ($step1Score) DESC, cid) AS rn FROM pool)
+         |  WHERE rn = 1),
+         |s2 AS MATERIALIZED (SELECT q_id, sel_id, sel_v, score FROM (
+         |  SELECT p.q_id, p.cid AS sel_id, p.cv AS sel_v,
+         |    5500 * p.rel - 4500 * ${cosSql("p.cv", "s.sel_v")} AS score,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY (5500 * p.rel - 4500 * ${cosSql("p.cv", "s.sel_v")})
+         |        DESC, p.cid) AS rn
+         |  FROM pool p JOIN s1 s ON s.q_id = p.q_id AND p.cid <> s.sel_id)
+         |  WHERE rn = 1),
+         |s3 AS (SELECT q_id, sel_id, score FROM (
+         |  SELECT p.q_id, p.cid AS sel_id,
+         |    5500 * p.rel - 4500 * greatest(
+         |      ${cosSql("p.cv", "s1.sel_v")},
+         |      ${cosSql("p.cv", "s2.sel_v")}) AS score,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY (5500 * p.rel - 4500 * greatest(
+         |        ${cosSql("p.cv", "s1.sel_v")},
+         |        ${cosSql("p.cv", "s2.sel_v")})) DESC, p.cid) AS rn
+         |  FROM pool p
+         |  JOIN s1 ON s1.q_id = p.q_id AND p.cid <> s1.sel_id
+         |  JOIN s2 ON s2.q_id = p.q_id AND p.cid <> s2.sel_id)
+         |  WHERE rn = 1)
+         |SELECT q_id, CAST(1 AS BIGINT) AS pick, sel_id,
+         |  round(score / 10000.0, 6) AS score FROM s1
+         |UNION ALL SELECT q_id, CAST(2 AS BIGINT), sel_id,
+         |  round(score / 10000.0, 6) FROM s2
+         |UNION ALL SELECT q_id, CAST(3 AS BIGINT), sel_id,
+         |  round(score / 10000.0, 6) FROM s3""".stripMargin
+    },
+
+    "q_hits" -> {
+      // Graph.hitsFixedPoint mirror: deterministic doc→page edges,
+      // then 2 unrolled (auth, hub) rounds — integer sums (order-free),
+      // max-renormalization by floor division, zero-filled node frame.
+      // MATERIALIZED per round (the q_pagerank_fixed lesson); DuckDB
+      // sum(BIGINT) widens to HUGEINT → re-cast each round.
+      def round(i: Int, prevHub: String) = {
+        s"""a${i}r AS (SELECT e.dst AS id, sum(h.hub) AS s
+           |  FROM e JOIN $prevHub h ON h.id = e.src GROUP BY 1),
+           |a${i}f AS (SELECT n.id, coalesce(s, 0) AS s
+           |  FROM n LEFT JOIN a${i}r USING (id)),
+           |a$i AS MATERIALIZED (SELECT id,
+           |    CAST(CASE WHEN (SELECT max(s) FROM a${i}f) > 0
+           |      THEN (s * 1000000) // (SELECT max(s) FROM a${i}f)
+           |      ELSE 0 END AS BIGINT) AS auth FROM a${i}f),
+           |h${i}r AS (SELECT e.src AS id, sum(a.auth) AS s
+           |  FROM e JOIN a$i a ON a.id = e.dst GROUP BY 1),
+           |h${i}f AS (SELECT n.id, coalesce(s, 0) AS s
+           |  FROM n LEFT JOIN h${i}r USING (id)),
+           |h$i AS MATERIALIZED (SELECT id,
+           |    CAST(CASE WHEN (SELECT max(s) FROM h${i}f) > 0
+           |      THEN (s * 1000000) // (SELECT max(s) FROM h${i}f)
+           |      ELSE 0 END AS BIGINT) AS hub FROM h${i}f)""".stripMargin
+      }
+      s"""WITH e AS (
+         |  SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS src,
+         |    'page:' || source || ':' || CAST(doc_id % 8 AS VARCHAR) AS dst
+         |  FROM documents
+         |  UNION
+         |  SELECT 'doc:' || CAST(doc_id AS VARCHAR),
+         |    'cdn:' || CAST(doc_id % 5 AS VARCHAR) FROM documents),
+         |n AS MATERIALIZED (SELECT src AS id FROM e
+         |  UNION SELECT dst FROM e),
+         |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM n),
+         |${round(1, "h0")},
+         |${round(2, "h1")}
+         |SELECT h2.id, h2.hub AS hub_fp, a2.auth AS auth_fp
+         |FROM h2 JOIN a2 ON a2.id = h2.id""".stripMargin
+    },
+
+    "q_page_hinkley" ->
+      // TimeSeries.pageHinkley mirror: running mean via the same
+      // overflow-free split floor division (all divisions on
+      // nonnegative cumsums — truncation direction never in play),
+      // m = cumsum of terms, PH = m − running min, alarms over λ
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |w AS (SELECT event_type, us, event_id, c,
+        |    count(*) OVER win AS i, sum(c) OVER win AS cum
+        |  FROM e WINDOW win AS
+        |    (PARTITION BY event_type ORDER BY us, event_id)),
+        |t AS (SELECT event_type, us, event_id, i,
+        |    c * 1000000 - ((cum // i) * 1000000 + ((cum % i) * 1000000) // i)
+        |      - 500000000 AS term FROM w),
+        |m AS (SELECT event_type, us, event_id, i,
+        |    sum(term) OVER (PARTITION BY event_type ORDER BY us, event_id)
+        |      AS mt FROM t),
+        |ph AS (SELECT event_type, us, event_id, i,
+        |    mt - min(mt) OVER (PARTITION BY event_type ORDER BY us, event_id)
+        |      AS ph,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM m)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN ph > 20000000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms,
+        |  CAST(min(CASE WHEN ph > 20000000000 THEN i END) AS BIGINT)
+        |    AS first_alarm_idx,
+        |  CAST(max(ph) AS BIGINT) AS max_ph,
+        |  CAST(max(CASE WHEN rd = 1 THEN ph END) AS BIGINT) AS final_ph
+        |FROM ph GROUP BY 1""".stripMargin,
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

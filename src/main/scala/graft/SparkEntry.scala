@@ -3918,6 +3918,61 @@ object SparkEntry {
       table(s, dir, "embeddings"), "vec_id", "label", "embedding", 5,
       queryMod = 5)
 
+  /** H45: sampled silhouette per label — the clustering-quality
+    * member of the meta-evaluation family (knn_eval: do embeddings
+    * carry labels; this: are label clusters compact AND separated).
+    * Exact integer micro-unit a/b/s with sign-explicit divisions.
+    */
+  private def qSilhouette(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.silhouetteEval(
+      table(s, dir, "embeddings"), "vec_id", "label", "embedding",
+      queryMod = 5)
+
+  /** E92: MMR diversity re-ranking (Carbonell & Goldstein 1998) — the
+    * RAG selection step between ANN and the context window. k=3
+    * greedy picks from a 20-candidate pool at λ=0.55; the oracle
+    * unrolls the same three argmax steps.
+    */
+  private def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = table(s, dir, "embeddings")
+    operators.Similarity.mmrRerank(emb,
+      emb.filter($"vec_id" % 1000 === 0), "vec_id", "embedding",
+      k = 3, poolSize = 20, lambdaBp = 5500)
+  }
+
+  /** E90: HITS hubs & authorities over the doc→page web graph (each
+    * document links its site-section page and a shared CDN page —
+    * deterministic string edges, the E64 crawl-graph shape without
+    * re-gating extraction). Two fixed-point integer rounds,
+    * max-renormalized — order-free sums, hash-gateable.
+    */
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val edges = d.select(concat(lit("doc:"), $"doc_id").as("src"),
+        concat(lit("page:"), $"source", lit(":"),
+          ($"doc_id" % 8).cast("string")).as("dst"))
+      .unionByName(d.select(
+        concat(lit("doc:"), $"doc_id").as("src"),
+        concat(lit("cdn:"), ($"doc_id" % 5).cast("string")).as("dst")))
+    operators.Graph.hitsFixedPoint(edges, "src", "dst", rounds = 2)
+      .select($"id", $"hub_fp", $"auth_fp")
+  }
+
+  /** C80: Page–Hinkley mean-shift drift detection per event_type —
+    * the self-calibrating CUSUM sibling (no known target; deviation
+    * from the RUNNING mean). Pure window algebra, exact integers.
+    */
+  private def qPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events")
+      .select($"event_type", $"ts", $"event_id",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.TimeSeries.pageHinkley(e, "event_type", "ts", "event_id",
+      "cents", deltaMicro = 500000000L, lambdaMicro = 20000000000L)
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3988,6 +4043,10 @@ object SparkEntry {
     "q_uplift" -> (qUplift _),
     "q_mann_kendall" -> (qMannKendall _),
     "q_knn_eval" -> (qKnnEval _),
+    "q_silhouette" -> (qSilhouette _),
+    "q_mmr" -> (qMmrRerank _),
+    "q_hits" -> (qHits _),
+    "q_page_hinkley" -> (qPageHinkley _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

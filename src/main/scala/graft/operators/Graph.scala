@@ -315,6 +315,77 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over a directed
+    * edge list, fixed-point integer variant — the web-relevance pair
+    * PageRank doesn't give: a page can matter as a CURATOR (hub:
+    * points at good pages) or as a DESTINATION (authority: pointed at
+    * by good hubs). On a crawl graph the authority score ranks fetch
+    * candidates; the hub score finds link directories/boilerplate.
+    *
+    * Fixed-point discipline (the [[pageRankFixed]] trick, adapted):
+    * each round computes auth = Σ in-neighbor hub then hub = Σ
+    * out-neighbor auth, each renormalized to `scale` by the round's
+    * max via floor division — integer sums are order-free and the max
+    * is a 1-row broadcast, so the whole iteration is hash-gateable
+    * cross-engine (the oracle unrolls the same rounds). Overflow
+    * bound: per-node sums ≤ maxDegree·scale and the normalization
+    * product ≤ maxDegree·scale² — scale 10⁶ supports degrees to ~9·10⁶
+    * (document-graph hubs; lower `scale` for denser graphs).
+    *
+    * Scale design: each round = two keyed joins + two keyed aggregates
+    * + two 1-row broadcast normalizations; O(rounds) shuffles; state
+    * persisted per round, previous released. String node ids (URLs)
+    * supported directly.
+    *
+    * @return (id, hub_fp, auth_fp) in `scale`-units (round max = scale).
+    */
+  def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+                     rounds: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 8 && scale >= 1000L)
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      // full node frame (zero-fill) → renormalize so the round max is
+      // exactly `scale`; floor div, deterministic
+      val full = nodes.join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("s"))
+      val mx = full.agg(max(col("s")).as("mx"))
+      full.crossJoin(broadcast(mx))
+        .select(col("id"),
+          when(col("mx") > 0, expr(s"(s * ${scale}L) div mx"))
+            .otherwise(lit(0L)).as(outCol))
+    }
+    var hub = nodes.select(col("id"), lit(scale).as("hub_fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val aNext = normalized(
+        e.join(hub.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(sum(col("hub_fp")).as("s")),
+        "auth_fp").persist(StorageLevel.MEMORY_AND_DISK)
+      aNext.count()
+      if (auth != null) auth.unpersist()
+      auth = aNext
+      val hNext = normalized(
+        e.join(auth.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id")).agg(sum(col("auth_fp")).as("s")),
+        "hub_fp").persist(StorageLevel.MEMORY_AND_DISK)
+      hNext.count()
+      hub.unpersist()
+      hub = hNext
+    }
+    val out = hub.join(auth, Seq("id")).localCheckpoint(true)
+    hub.unpersist(); auth.unpersist(); nodes.unpersist(); e.unpersist()
+    out
+  }
+
   /** Triangle count + global clustering coefficient over an undirected
     * edge list — the density fingerprint of a near-dup / co-occurrence
     * graph (dup clusters triangulate heavily; spurious LSH chains
@@ -409,18 +480,25 @@ object Graph {
     * true duplicate-clique members (lcc ≈ 1) from LSH-chain bridge
     * nodes (lcc ≈ 0) so survivorship can distrust the bridges.
     *
-    * Per-node triangle counts come from ONE id-ordered enumeration
-    * (a<b<c via two joins + closing-edge semi join — at cluster scale
-    * the degree-ordered orientation from [[triangleStats]] bounds the
-    * wedge fan-out; the id-ordered form is exact and join-minimal) with
-    * each found triangle credited to all three corners. lcc =
+    * Per-node triangle counts come from ONE triangle enumeration with
+    * each found triangle credited to all three corners; lcc =
     * 2·T / (deg·(deg−1)) is one IEEE division of exact integers —
     * engine-deterministic, hash-gateable raw.
     *
+    * Same two orientations as [[triangleStats]], identical output
+    * (asserted in GraphSamplingSpec): `degreeOrdered = true` (default)
+    * enumerates wedges under the Schank/Ortmann forward orientation —
+    * out-degrees O(√m)-bounded by arboricity, so a hub of degree D
+    * costs O(√m·D) wedge rows, not O(D²); the sf1 rehearsal is what
+    * promoted this from "documented alternative" to default — the
+    * id-ordered form (`degreeOrdered = false`, join-minimal, fine on
+    * balanced dedup graphs) ran unbounded the moment the pair graph
+    * densified.
+    *
     * @return (id, degree, n_tri, lcc) — lcc 0.0 for degree < 2.
     */
-  def localClustering(edges: DataFrame, srcCol: String,
-                      dstCol: String): DataFrame = {
+  def localClustering(edges: DataFrame, srcCol: String, dstCol: String,
+                      degreeOrdered: Boolean = true): DataFrame = {
     val und = edges.select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("d"))
       .filter(col("s") =!= col("d"))
@@ -430,13 +508,42 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
-    val e1 = und.toDF("a", "b")
-    val e2 = und.toDF("b", "c")
-    val e3 = und.toDF("a", "c")
-    // inner (not semi) join on the closing edge: the (a,b,c) rows ARE
-    // the triangles, each exactly once under a<b<c
-    val tris = e1.join(e2, "b").join(e3, Seq("a", "c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var oriented: DataFrame = null
+    val triCorners = if (degreeOrdered) {
+      // rank r(v) = (deg v, v); orient lo-rank → hi-rank; wedges at
+      // the 2-out-edge node; INNER closing join (the rows ARE the
+      // triangles, oriented x→y by rank transitivity, each once)
+      val dd = und
+        .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+      oriented = dd.select(
+          when(col("da") < col("db") ||
+               (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("src"), col("b").as("dst"),
+              col("db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("da").as("dd"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.dd").as("dd"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val w1 = oriented.toDF("src", "x", "dx")
+      val w2 = oriented.toDF("src", "y", "dy")
+      w1.join(w2, "src")
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+        .join(oriented.select(col("src").as("x"), col("dst").as("y")),
+          Seq("x", "y"))
+        .select(col("src").as("a"), col("x").as("b"), col("y").as("c"))
+    } else {
+      val e1 = und.toDF("a", "b")
+      val e2 = und.toDF("b", "c")
+      val e3 = und.toDF("a", "c")
+      // inner (not semi) join on the closing edge: the (a,b,c) rows ARE
+      // the triangles, each exactly once under a<b<c
+      e1.join(e2, "b").join(e3, Seq("a", "c"))
+    }
+    val tris = triCorners.persist(StorageLevel.MEMORY_AND_DISK)
     val triPerNode = tris.select(explode(
         array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
@@ -449,6 +556,8 @@ object Graph {
           .otherwise(lit(0.0)).as("lcc"))
       .localCheckpoint(true)
     tris.unpersist()
+    if (oriented != null) oriented.unpersist()
+    deg.unpersist()
     und.unpersist()
     out
   }

@@ -1128,6 +1128,170 @@ object Similarity {
         expr("n_correct * 1000000 div n").as("accuracy_micro"))
   }
 
+  /** Sampled silhouette evaluation (Rousseeuw, J. Comput. Appl. Math.
+    * 1987) over a labeled embedding column — the clustering-quality
+    * member of the meta-evaluation family ([[knnClassifyEval]] asks
+    * "do the embeddings carry the labels"; this asks "are the label
+    * clusters COMPACT and SEPARATED", the number a curation pipeline
+    * checks before trusting cluster-level dedup or stratified splits).
+    *
+    * Exactness: coordinates quantized once to integers (scale 10² —
+    * coarser than [[knnClassifyEval]]'s 10⁴ because silhouette values
+    * pass through a micro-unit RATIO whose numerator carries d2·10¹²;
+    * the bound below is what makes every product fit a BIGINT) so
+    * every squared distance is an exact integer; per-(point, label)
+    * distance sums are exact BIGINTs; a = mean distance to own label
+    * (self excluded by the qid≠cid join, so the divisor is n_same−1
+    * naturally), b = min over other labels of the mean distance, both
+    * in overflow-free split floor division
+    * (⌊sd·10⁶/cnt⌋ = (sd div cnt)·10⁶ + ((sd mod cnt)·10⁶) div cnt —
+    * exact at any cluster size); s = (b−a)/max(a,b) in sign-explicit
+    * floor-div micro-units (quotient truncation is sign-sensitive
+    * across engines, so the sign is factored out before the division
+    * — mirrored in the oracle). Singleton-cluster points (no same-
+    * label neighbor) take s = 0, the sklearn convention.
+    *
+    * Data bound, validated loudly (the knnClassifyEval discipline):
+    * max d2 = dim·(2·maxAbsQuant)² must stay ≤ 9.2·10⁶ so that
+    * diff·10⁶ ≤ 9.2·10¹⁸ never wraps — true for any unit-ish
+    * embedding at scale 10² (maxAbsQuant 100, dim ≤ 57000).
+    *
+    * Plan shape: the quadratic stage is query-sample × corpus with the
+    * SAMPLE broadcast (the [[knnClassifyEval]] discipline — quadratic
+    * by design, run on a 1-in-queryMod sample, corpus never shuffles);
+    * everything after the pair aggregate is label-cardinality.
+    *
+    * @return per label: (label, n_pts, sum_sil_micro, min_sil_micro,
+    *         max_sil_micro).
+    */
+  def silhouetteEval(df: DataFrame, idCol: String, labelCol: String,
+                     vecCol: String, queryMod: Int = 1,
+                     scale: Int = 100): DataFrame = {
+    require(queryMod >= 1 && scale >= 1)
+    def quant(c: Column) = transform(c, e =>
+      floor(e.cast("double") * scale + 0.5).cast("double"))
+    val q = df
+      .filter(pmod(col(idCol).cast("long"), lit(queryMod.toLong)) === 0)
+      .select(col(idCol).cast("long").as("qid"),
+        col(labelCol).cast("long").as("qlab"), quant(col(vecCol)).as("qv"))
+    val c = df.select(col(idCol).cast("long").as("cid"),
+      col(labelCol).cast("long").as("clab"), quant(col(vecCol)).as("cv"))
+    val b = c.agg(
+      max(aggregate(transform(col("cv"), x => abs(x)), lit(0d),
+        (acc, x) => greatest(acc, x))).as("mabs"),
+      max(size(col("cv"))).as("dim")).head
+    if (!b.isNullAt(0)) {
+      val d2Max = b.getInt(1) * (2 * b.getDouble(0)) * (2 * b.getDouble(0))
+      require(d2Max <= 9.2e6,
+        s"silhouetteEval: worst-case d2 $d2Max exceeds the BIGINT-safe " +
+          "bound 9.2e6 — lower `scale` or rescale the embeddings")
+    }
+    // ⌊sd·10⁶ / cnt⌋ without the sd·10⁶ product (sd is corpus-sized)
+    val meanMicro = "((sd div cnt) * 1000000 + ((sd % cnt) * 1000000) div cnt)"
+    val perLabel = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("qlab"), col("clab"))
+      .agg(sum(sqDist(col("qv"), col("cv")).cast("long")).as("sd"),
+        count(lit(1)).as("cnt"))
+    val perPoint = perLabel.groupBy(col("qid"), col("qlab"))
+      .agg(
+        max(when(col("clab") === col("qlab"), expr(meanMicro)))
+          .as("a_micro"),
+        min(when(col("clab") =!= col("qlab"), expr(meanMicro)))
+          .as("b_micro"))
+    val s = perPoint.withColumn("s_micro",
+      when(col("a_micro").isNull || col("b_micro").isNull ||
+          greatest(col("a_micro"), col("b_micro")) === 0, lit(0L))
+        .when(col("b_micro") >= col("a_micro"),
+          expr("(b_micro - a_micro) * 1000000 div " +
+            "greatest(a_micro, b_micro)"))
+        .otherwise(-expr("(a_micro - b_micro) * 1000000 div " +
+          "greatest(a_micro, b_micro)")))
+    s.groupBy(col("qlab").as("label"))
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col("s_micro")).as("sum_sil_micro"),
+        min(col("s_micro")).as("min_sil_micro"),
+        max(col("s_micro")).as("max_sil_micro"))
+  }
+
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversity-aware selection step a RAG retrieval
+    * pipeline runs between ANN candidate generation and the context
+    * window: greedily pick k items maximizing
+    * λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s), so near-duplicate
+    * passages don't crowd out coverage.
+    *
+    * Determinism: relevance and pairwise sims are the [[bruteForceTopK]]
+    * cosine (per-vector norms, one division); the MMR objective is
+    * scored as λbp·rel − (10000−λbp)·sim — two exact-integer scalings
+    * and one subtraction of IEEE doubles, identical op order on any
+    * engine — and every argmax breaks ties by smallest id, so the
+    * selection sequence is a pure function of the inputs (the oracle
+    * unrolls the same k greedy steps in SQL).
+    *
+    * Plan shape: the only corpus-sized stage is candidate-pool
+    * generation (broadcast queries, per-partition top-k heaps — the
+    * ANN ladder's shape); the k greedy rounds run on |queries|·pool
+    * rows with broadcast-sized joins. poolSize and k are small
+    * constants, so lineage depth is bounded.
+    *
+    * @return (q_id, pick, sel_id, score) — pick = 1..k selection order,
+    *         score = the winning MMR objective at 6dp.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int = 3, poolSize: Int = 20,
+                lambdaBp: Int = 5500): DataFrame = {
+    require(k >= 1 && poolSize >= k && lambdaBp >= 0 && lambdaBp <= 10000)
+    val w = org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).cast("long").as("cid"),
+        toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
+    val pool = c.join(broadcast(q), col("q_id") =!= col("cid"))
+      .withColumn("rel", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("__rn", row_number().over(
+        w.partitionBy(col("q_id")).orderBy(col("rel").desc, col("cid"))))
+      .filter(col("__rn") <= poolSize)
+      .select(col("q_id"), col("cid"), col("cv"), col("cn"), col("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lam = lit(lambdaBp.toDouble)
+    val oneMinus = lit((10000 - lambdaBp).toDouble)
+    var selected: DataFrame = null // (q_id, pick, sel_id, sel_vec, sel_n, score)
+    for (t <- 1 to k) {
+      val cand =
+        if (selected == null) pool
+        else pool.join(
+          selected.select(col("q_id"), col("sel_id").as("cid")),
+          Seq("q_id", "cid"), "left_anti")
+      val simMax =
+        if (selected == null) cand.withColumn("maxsim", lit(0.0))
+        else {
+          // max-sim computed on (q_id, cid) keys then joined back —
+          // never grouping by the vector column itself
+          val ms = cand
+            .join(selected.select(col("q_id"), col("sel_vec"),
+              col("sel_n")), Seq("q_id"))
+            .withColumn("sim",
+              dot(col("cv"), col("sel_vec")) / (col("cn") * col("sel_n")))
+            .groupBy(col("q_id"), col("cid"))
+            .agg(max(col("sim")).as("maxsim"))
+          cand.join(ms, Seq("q_id", "cid"))
+        }
+      val next = simMax
+        .withColumn("score", lam * col("rel") - oneMinus * col("maxsim"))
+        .withColumn("__rn", row_number().over(
+          w.partitionBy(col("q_id")).orderBy(col("score").desc, col("cid"))))
+        .filter(col("__rn") === 1)
+        .select(col("q_id"), lit(t.toLong).as("pick"),
+          col("cid").as("sel_id"), col("cv").as("sel_vec"),
+          col("cn").as("sel_n"), col("score"))
+      selected = if (selected == null) next else selected.unionByName(next)
+    }
+    selected.select(col("q_id"), col("pick"), col("sel_id"),
+      round(col("score") / 10000d, 6).as("score"))
+  }
+
   /** Pairwise cosine similarity between LABEL CENTROIDS of an
     * embedding column — the class-separation health check run before
     * trusting labels for curation or eval splits (collapsed or

@@ -374,6 +374,53 @@ object TimeSeries {
         sum(when(col("s_dn") > hCents, 1L).otherwise(0L)).as("n_alarms_dn"))
   }
 
+  /** Page–Hinkley mean-shift detector (Page, Biometrika 1954) — the
+    * drift test stream monitoring reaches for when [[cusumPerKey]]'s
+    * KNOWN target doesn't exist: PH measures deviation from the
+    * RUNNING mean, so it self-calibrates to each key's own level.
+    *
+    * Pure window algebra, all exact integers:
+    * mean_i = ⌊cum_i·10⁶/i⌋ (overflow-free split floor division of the
+    * nonnegative cumulative sum — quotient truncation direction never
+    * in play), term_i = v_i·10⁶ − mean_i − δ, m_t = Σ_{i≤t} term_i,
+    * PH_t = m_t − min_{i≤t} m_i, alarm where PH_t > λ. Detects UPWARD
+    * level shifts; feed negated values for the downward test. One
+    * keyed window chain — a single exchange carries the whole
+    * computation, the [[cusumPerKey]] scale shape.
+    *
+    * @param deltaMicro  magnitude tolerance δ in micro-value units
+    * @param lambdaMicro alarm threshold λ in micro-value units
+    * @return per key: (key, n, n_alarms, first_alarm_idx, max_ph,
+    *         final_ph) — idx 1-based in (orderCol, tieCol) order;
+    *         first_alarm_idx null when no alarm fires.
+    */
+  def pageHinkley(df: DataFrame, keyCol: String, orderCol: String,
+                  tieCol: String, centsCol: String,
+                  deltaMicro: Long, lambdaMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = df
+      .withColumn("__i", count(lit(1)).over(w))
+      .withColumn("__cum", sum(col(centsCol)).over(w))
+      .withColumn("__mean",
+        expr("(__cum div __i) * 1000000 + ((__cum % __i) * 1000000) div __i"))
+      .withColumn("__term",
+        col(centsCol) * 1000000L - col("__mean") - lit(deltaMicro))
+      .withColumn("__m", sum(col("__term")).over(w))
+      .withColumn("__ph", col("__m") - min(col("__m")).over(w))
+    rows.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ph") > lambdaMicro, 1L).otherwise(0L))
+          .as("n_alarms"),
+        min(when(col("__ph") > lambdaMicro, col("__i")))
+          .as("first_alarm_idx"),
+        max(col("__ph")).as("max_ph"),
+        max_by(col("__ph"), struct(col(orderCol), col(tieCol)))
+          .as("final_ph"))
+  }
+
   /** Autocorrelation function at fixed lags (SURVEY.md §2.F17) — the
     * standard seasonality probe: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²
     * over the `ordCol`-ordered series. A high r_7 on daily totals says

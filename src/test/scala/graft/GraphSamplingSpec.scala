@@ -61,6 +61,36 @@ class GraphSamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("localClustering: degree-ordered ≡ id-ordered per node, incl. hub skew") {
+    // same shapes as the triangleStats equivalence: the sf1 rehearsal
+    // showed the id-ordered enumeration running unbounded on a dense
+    // pair graph, so the forward orientation is now the default — and
+    // must credit each corner identically
+    val rnd = new scala.util.Random(17)
+    val star = (1L to 30L).map(i => (0L, i))
+    val extra = Seq.fill(60)((rnd.nextInt(31).toLong, rnd.nextInt(31).toLong))
+      .filter(e => e._1 != e._2)
+    for (edges <- Seq(star ++ extra,
+        Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)),
+        (0L until 10L).flatMap(i => ((i + 1) until 10L).map(j => (i, j))))) {
+      val df = edges.toDF("a", "b")
+      def rows(degOrdered: Boolean) =
+        Graph.localClustering(df, "a", "b", degreeOrdered = degOrdered)
+          .collect()
+          .map(r => r.getAs[Long]("id") ->
+            ((r.getAs[Long]("degree"), r.getAs[Long]("n_tri"),
+              r.getAs[Double]("lcc")))).toMap
+      assert(rows(true) == rows(false))
+    }
+    // spot-check exact values on K4 + pendant: node 4 sees 3 triangles
+    // over deg 4 → lcc = 6/12; pendant 5 deg 2, 0 triangles → 0.0
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val m = Graph.localClustering(k4, "a", "b").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("lcc")).toMap
+    assert(m(1L) == 1.0 && m(4L) == 0.5 && m(5L) == 0.0)
+  }
+
   test("connected components: separate clusters stay separate") {
     val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,

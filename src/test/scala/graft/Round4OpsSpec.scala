@@ -713,4 +713,94 @@ class Round4OpsSpec extends AnyFunSuite {
     }
     assert(got == brute)
   }
+
+  // -------------------------------------------------- round-5 additions
+
+  test("silhouetteEval: tight separated clusters → s ≈ +1; " +
+      "interleaved labels → negative") {
+    // two tight, well-separated blobs with correct labels
+    def blob(ids: Range, lab: Long, cx: Float) = ids.map(i =>
+      (i.toLong, lab, Array(cx + 0.001f * (i % 3), 0.5f)))
+    val good = (blob(0 until 8, 0L, -1.0f) ++ blob(8 until 16, 1L, 1.0f))
+      .toDF("vec_id", "label", "embedding")
+    val g = Similarity.silhouetteEval(good, "vec_id", "label", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // mean s per label > 0.9e6 (near-perfect separation)
+    assert(g.values.forall(s => s > 900000L * 8))
+    // same points, labels swapped pairwise INSIDE each blob → each
+    // point's nearest mass is the other label → s < 0
+    val bad = (blob(0 until 8, 0L, -1.0f) ++ blob(8 until 16, 1L, 1.0f))
+      .map { case (id, lab, v) => (id, id % 2, v) }
+      .toDF("vec_id", "label", "embedding")
+    val b = Similarity.silhouetteEval(bad, "vec_id", "label", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b.values.forall(_ < 0L))
+    // singleton cluster takes s = 0 (sklearn convention)
+    val single = Seq((1L, 0L, Array(0f, 0f)), (2L, 1L, Array(1f, 0f)),
+      (3L, 1L, Array(1f, 0.1f))).toDF("vec_id", "label", "embedding")
+    val s1 = Similarity.silhouetteEval(single, "vec_id", "label",
+      "embedding").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s1(0L) == 0L)
+  }
+
+  test("silhouetteEval fails loudly past the BIGINT-safe d2 bound") {
+    val big = Seq((1L, 0L, Array(9000f, 0f)), (2L, 1L, Array(-9000f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.silhouetteEval(big, "vec_id", "label", "embedding")
+        .collect()
+    }
+  }
+
+  test("hitsFixedPoint: bipartite graph separates hubs from authorities") {
+    // docs 1..4 → pages; page A referenced by all, B by one
+    val edges = Seq(("d1", "A"), ("d2", "A"), ("d3", "A"), ("d4", "A"),
+      ("d1", "B")).toDF("s", "t")
+    val r = Graph.hitsFixedPoint(edges, "s", "t", rounds = 2)
+      .collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // pure sources have auth 0; pure sinks have hub 0
+    assert(r("A")._1 == 0L && r("d2")._2 == 0L)
+    // A is the stronger authority and pinned at the scale max
+    assert(r("A")._2 == 1000000L && r("B")._2 < r("A")._2)
+    // d1 (links A and B) is the strongest hub, pinned at max
+    assert(r("d1")._1 == 1000000L &&
+      Seq("d2", "d3", "d4").forall(d => r(d)._1 < r("d1")._1))
+  }
+
+  test("pageHinkley: planted level shift alarms at/after the shift only") {
+    // 30 flat samples then 20 shifted by +50 cents
+    val rows = (1 to 50).map(i =>
+      ("k", i.toLong, i.toLong, if (i <= 30) 100L else 150L))
+      .toDF("k", "o", "t", "cents")
+    val r = TimeSeries.pageHinkley(rows, "k", "o", "t", "cents",
+      deltaMicro = 5000000L, lambdaMicro = 100000000L).head
+    val first = r.getAs[Long]("first_alarm_idx")
+    assert(first > 30L, s"alarm before the shift: $first")
+    assert(r.getAs[Long]("n_alarms") > 0L)
+    // flat series never alarms
+    val flat = (1 to 50).map(i => ("k", i.toLong, i.toLong, 100L))
+      .toDF("k", "o", "t", "cents")
+    val fr = TimeSeries.pageHinkley(flat, "k", "o", "t", "cents",
+      5000000L, 100000000L).head
+    assert(fr.getAs[Long]("n_alarms") == 0L)
+    assert(fr.isNullAt(fr.fieldIndex("first_alarm_idx")))
+  }
+
+  test("mmrRerank: diversity term suppresses the near-duplicate candidate") {
+    // query 0; candidates: 1≈2 (near-identical, most relevant), 3
+    // moderately relevant but pointing elsewhere. Plain top-2 by
+    // relevance = {1, 2}; MMR at λ=0.5 must pick 1 then 3 — the
+    // near-dup 2 scores rel−sim ≈ 0.99−1.00 < 0 and is crowded out.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.9f, 0.11f, 0.0f)),
+      (3L, Array(0.6f, -0.8f, 0.0f))).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrRerank(vecs,
+        vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 2, poolSize = 3, lambdaBp = 5000)
+      .orderBy("pick").collect().map(_.getLong(2)).toSeq
+    assert(picks == Seq(1L, 3L), s"got $picks")
+  }
 }
