@@ -5668,6 +5668,99 @@ object OracleSql {
         |  CAST(max(CASE WHEN rd = 1 THEN ph END) AS BIGINT) AS final_ph
         |FROM ph GROUP BY 1""".stripMargin,
 
+    "q_good_turing" -> {
+      val norm = normOf("text")
+      // Corpus.goodTuring mirror: word-3-gram terms (ALL occurrences,
+      // not the dedup'd shCte), counts-of-counts spectrum, smoothed
+      // r* = (r+1)·N_{r+1}/N_r in floor-div micro-units (null at
+      // spectrum gaps), unseen mass p0 = N1/N — all exact integers
+      s"""WITH ws AS (SELECT string_split($norm, ' ') AS w
+         |  FROM documents),
+         |t AS (SELECT w[u.i]||' '||w[u.i+1]||' '||w[u.i+2] AS term
+         |  FROM ws, unnest(generate_series(1, len(w) - 2)) AS u(i)),
+         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS r FROM t
+         |  GROUP BY 1),
+         |sp AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM c
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+         |    CAST(max(CASE WHEN r = 1 THEN n_r END) AS BIGINT) AS n1
+         |  FROM sp)
+         |SELECT sp.r, sp.n_r,
+         |  CAST(((sp.r + 1) * nx.n_r * 1000000) // sp.n_r AS BIGINT)
+         |    AS r_star_micro,
+         |  CAST(coalesce((SELECT n1 FROM tot), 0) * 1000000
+         |    // (SELECT n_tokens FROM tot) AS BIGINT) AS p0_micro
+         |FROM sp LEFT JOIN sp nx ON nx.r = sp.r + 1
+         |WHERE sp.r <= 8""".stripMargin
+    },
+
+    "q_kendall_tau" ->
+      // Stats.kendallTauB mirror: exact integer S and tie counts off
+      // the i<j day-pair join; tau-b = one product+sqrt+division in
+      // fixed IEEE op order (6dp), null when a metric is constant
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT CAST(sign(b.x - a.x) AS BIGINT) AS sx,
+        |    CAST(sign(b.y - a.y) AS BIGINT) AS sy
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |s AS (SELECT CAST(sum(sx * sy) AS BIGINT) AS s_stat,
+        |    CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_x,
+        |    CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_y FROM p)
+        |SELECT n.n, s.s_stat, s.ties_x, s.ties_y,
+        |  CASE WHEN (n.n * (n.n - 1) // 2 - s.ties_x) = 0
+        |      OR (n.n * (n.n - 1) // 2 - s.ties_y) = 0 THEN NULL
+        |    ELSE round(s.s_stat / sqrt(
+        |      CAST(n.n * (n.n - 1) // 2 - s.ties_x AS DOUBLE) *
+        |      CAST(n.n * (n.n - 1) // 2 - s.ties_y AS DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM s CROSS JOIN n""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      // TimeSeries.classicalDecompose mirror: centered 7-MA trend in
+      // split floor-div micro-units (full windows only), per-phase
+      // seasonal mean with the sign factored out of the division,
+      // residual a subtraction — all exact integers
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cents,
+        |    row_number() OVER win AS rn,
+        |    count(*) OVER winr AS cnt,
+        |    CAST(sum(cents) OVER winr AS BIGINT) AS s
+        |  FROM d WINDOW
+        |    win AS (PARTITION BY event_type ORDER BY day),
+        |    winr AS (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t AS (SELECT event_type, day, cents, rn,
+        |    CASE WHEN cnt = 7 THEN
+        |      (s // 7) * 1000000 + ((s % 7) * 1000000) // 7 END
+        |      AS trend_micro
+        |  FROM w),
+        |dt AS (SELECT event_type, day, cents, trend_micro,
+        |    (rn - 1) % 7 AS phase,
+        |    cents * 1000000 - trend_micro AS detr FROM t),
+        |se AS (SELECT event_type, phase,
+        |    CASE WHEN sum(detr) >= 0 THEN
+        |        CAST(sum(detr) AS BIGINT) // count(*)
+        |      ELSE -(CAST(-sum(detr) AS BIGINT) // count(*)) END
+        |      AS seasonal_micro
+        |  FROM dt WHERE detr IS NOT NULL GROUP BY 1, 2)
+        |SELECT dt.event_type, dt.day, dt.cents,
+        |  CAST(dt.trend_micro AS BIGINT) AS trend_micro,
+        |  CAST(se.seasonal_micro AS BIGINT) AS seasonal_micro,
+        |  CAST(dt.detr - se.seasonal_micro AS BIGINT) AS resid_micro
+        |FROM dt LEFT JOIN se
+        |  ON se.event_type = dt.event_type AND se.phase = dt.phase""".stripMargin,
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

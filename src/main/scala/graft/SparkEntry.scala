@@ -3973,6 +3973,54 @@ object SparkEntry {
       "cents", deltaMicro = 500000000L, lambdaMicro = 20000000000L)
   }
 
+  /** E93: Good–Turing frequency spectrum — smoothed counts r* and the
+    * unseen-mass estimate N₁/N, the "is this corpus exhausted" number
+    * for crawl-more decisions. Exact integers, micro-unit ratios.
+    */
+  private def qGoodTuring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // word 3-grams as the term unit: the synthetic ~90-word vocabulary
+    // has NO low-frequency tail at the word level (every word occurs
+    // dozens of times), while the 3-gram space is sparse enough to
+    // carry the singleton/doubleton spectrum Good–Turing smooths
+    operators.Corpus.goodTuring(table(s, dir, "documents"), "doc_id",
+        "text", c => TextFunctions.shingles(c, 3), maxR = 8)
+      .select($"r", $"n_r", $"r_star_micro", $"p0_micro")
+  }
+
+  /** C81: Kendall τ-b between daily click volume and daily purchase
+    * revenue — rank correlation judged by pair order only (outlier-
+    * and transform-immune), with exact integer S and tie counts; run
+    * at day cardinality per the Mann–Kendall discipline.
+    */
+  private def qKendallTau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = table(s, dir, "events")
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("c"))
+      .groupBy($"day")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", $"c").otherwise(0L)).as("y"))
+    operators.Stats.kendallTauB(daily, "day", "x", "y")
+  }
+
+  /** F30: classical additive seasonal decomposition of the per-type
+    * daily value series (period 7) — trend/seasonal/residual in exact
+    * micro-units, the exploratory split before a Holt-Winters fit.
+    */
+  private def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = table(s, dir, "events")
+      .select($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"),
+        floor($"value" * 100 + 0.5).cast("long").as("c"))
+      .groupBy($"event_type", $"day").agg(sum($"c").as("cents"))
+      .withColumn("tie", lit(0L))
+    operators.TimeSeries.classicalDecompose(daily, "event_type", "day",
+        "tie", "cents", period = 7)
+      .select($"event_type", $"day", $"cents", $"trend_micro",
+        $"seasonal_micro", $"resid_micro")
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4047,6 +4095,9 @@ object SparkEntry {
     "q_mmr" -> (qMmrRerank _),
     "q_hits" -> (qHits _),
     "q_page_hinkley" -> (qPageHinkley _),
+    "q_good_turing" -> (qGoodTuring _),
+    "q_kendall_tau" -> (qKendallTau _),
+    "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

@@ -908,6 +908,46 @@ object Corpus {
     *
     * @return (term, df, total_tf, dispersion) for the top-K terms.
     */
+  /** Good–Turing frequency-spectrum smoothing (Good, Biometrika 1953)
+    * — the vocabulary statistic LM data work leans on: from the
+    * counts-of-counts spectrum N_r = |{terms seen exactly r times}|,
+    * the smoothed count r* = (r+1)·N_{r+1}/N_r estimates how much
+    * probability mass a count-r term DESERVES, and N_1/N is the
+    * Good–Turing estimate of the unseen-mass — the "how much
+    * vocabulary is this corpus still missing" number that decides
+    * whether to crawl more of a domain.
+    *
+    * Plan shape: term counts (one keyed agg) → spectrum (one agg at
+    * count-cardinality) → self-join of the TINY spectrum frame on
+    * r+1. Exact integers; r* in floor-div micro-units; the unseen
+    * mass joins in as a broadcast 1-row total.
+    *
+    * @return rows r = 1..maxR: (r, n_r, r_star_micro — null when
+    *         N_{r+1} = 0, the classic spectrum-gap cutoff) plus
+    *         p0_micro = ⌊N_1·10⁶/N⌋ repeated per row (N = total
+    *         token occurrences).
+    */
+  def goodTuring(docs: DataFrame, idCol: String, textCol: String,
+                 tokens: Column => Column, maxR: Int = 10): DataFrame = {
+    require(maxR >= 1)
+    val counts = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("r"))
+    val spectrum = counts.groupBy(col("r"))
+      .agg(count(lit(1)).as("n_r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = spectrum.agg(sum(col("r") * col("n_r")).as("n_tokens"),
+      max(when(col("r") === 1, col("n_r"))).as("n1"))
+    val next = spectrum.select((col("r") - 1).as("r"),
+      col("n_r").as("n_next"))
+    val out = spectrum.filter(col("r") <= maxR)
+      .join(next, Seq("r"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("r"), col("n_r"),
+        expr("((r + 1) * n_next * 1000000) div n_r").as("r_star_micro"),
+        expr("coalesce(n1, 0L) * 1000000 div n_tokens").as("p0_micro"))
+    out
+  }
+
   def burstiness(docs: DataFrame, idCol: String, textCol: String,
                  tokens: Column => Column, topK: Int = 20): DataFrame = {
     val tf = docs.select(col(idCol).as("doc_id"),

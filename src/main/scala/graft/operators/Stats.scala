@@ -994,6 +994,47 @@ object Stats {
     * @return one row: (n_a, n_b, u2_a, u_a, z) — u2_a = 2·U_a exact,
     *         u_a its half as double (exact .5 steps).
     */
+  /** Kendall τ-b rank correlation between two metrics (Kendall 1938;
+    * τ-b tie correction) — the robust bivariate sibling of the
+    * Mann–Kendall trend test (that one is τ against TIME): does metric
+    * y rise with metric x, judged only by pair ORDER, immune to
+    * outliers and monotone transforms. The pre-flight before trusting
+    * a Pearson r (C31) on skewed engagement/revenue metrics.
+    *
+    * Exactness: S = Σ_{i<j} sign(xⱼ−xᵢ)·sign(yⱼ−yᵢ) and both tie
+    * counts are exact integer aggregates off ONE id-ordered pair
+    * join; τ-b = S/√((n₀−n₁)(n₀−n₂)) is a product+sqrt+division in
+    * fixed IEEE op order (6dp). Quadratic in rows by design — run on
+    * an AGGREGATED series (the mannKendall discipline: day/group
+    * cardinality, never raw events).
+    *
+    * @return one row: (n, s_stat, ties_x, ties_y, tau_b — null when
+    *         either metric is constant).
+    */
+  def kendallTauB(df: DataFrame, idCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val d = df.select(col(idCol).as("i"), col(xCol).as("x"),
+      col(yCol).as("y"))
+    val a = d.toDF("i", "xa", "ya")
+    val b = d.toDF("j", "xb", "yb")
+    val pairs = a.join(b, col("i") < col("j"))
+      .select(signum(col("xb") - col("xa")).cast("long").as("sx"),
+        signum(col("yb") - col("ya")).cast("long").as("sy"))
+    val n = d.agg(count(lit(1)).as("n"))
+    pairs.agg(
+        sum(col("sx") * col("sy")).as("s_stat"),
+        sum(when(col("sx") === 0, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("sy") === 0, 1L).otherwise(0L)).as("ties_y"))
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("s_stat"), col("ties_x"), col("ties_y"),
+        expr("""CASE WHEN (n * (n - 1) div 2 - ties_x) = 0
+                 OR (n * (n - 1) div 2 - ties_y) = 0 THEN NULL
+                ELSE round(s_stat / sqrt(
+                  CAST(n * (n - 1) div 2 - ties_x AS DOUBLE) *
+                  CAST(n * (n - 1) div 2 - ties_y AS DOUBLE)), 6)
+                END""").as("tau_b"))
+  }
+
   def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
                   groupA: String, groupB: String): DataFrame = {
     val d = df.filter(col(groupCol) === groupA || col(groupCol) === groupB)

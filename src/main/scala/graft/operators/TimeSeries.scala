@@ -374,6 +374,59 @@ object TimeSeries {
         sum(when(col("s_dn") > hCents, 1L).otherwise(0L)).as("n_alarms_dn"))
   }
 
+  /** Classical additive seasonal decomposition (the moving-average
+    * method, Macaulay 1931 lineage; STL's simpler ancestor) — splits a
+    * per-key series into trend + seasonal + residual, the exploratory
+    * view BEFORE committing to a Holt-Winters fit (F14) or a
+    * seasonal-baseline anomaly rule (F15): trend = centered
+    * period-length moving average (odd period; defined only where the
+    * window is full — edges stay null, as the method prescribes),
+    * seasonal = per-phase mean of the detrended series (uncentered
+    * indices), residual = detrended − seasonal.
+    *
+    * Exactness: trend in micro-units via the overflow-free split
+    * floor division of the (nonnegative) window sum; detrended values
+    * can be negative so the per-phase seasonal mean factors the sign
+    * out before its floor division (the silhouette discipline);
+    * residual is a subtraction. All integers, hash-gateable.
+    *
+    * Plan shape: ONE keyed window chain (trend rides a single
+    * exchange), then a (key × period)-cardinality seasonal table
+    * broadcast back. The cusum/pageHinkley scale shape.
+    *
+    * @return per row: (key, ord, tie, cents, trend_micro,
+    *         seasonal_micro, resid_micro) — trend/resid null at the
+    *         half-window edges.
+    */
+  def classicalDecompose(df: DataFrame, keyCol: String, ordCol: String,
+                         tieCol: String, centsCol: String,
+                         period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1, "odd period >= 3")
+    import org.apache.spark.sql.expressions.Window
+    val h = period / 2
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol), col(tieCol))
+    val wr = w.rowsBetween(-h, h)
+    val rows = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wr))
+      .withColumn("__sum", sum(col(centsCol)).over(wr))
+      .withColumn("trend_micro", when(col("__cnt") === period,
+        expr(s"(__sum div $period) * 1000000 + " +
+          s"((__sum % $period) * 1000000) div $period")))
+      .withColumn("__detr", col(centsCol) * 1000000L - col("trend_micro"))
+      .withColumn("__phase", (col("__rn") - 1) % period)
+    val seas = rows.filter(col("__detr").isNotNull)
+      .groupBy(col(keyCol), col("__phase"))
+      .agg(sum(col("__detr")).as("__ss"), count(lit(1)).as("__sc"))
+      .select(col(keyCol), col("__phase"),
+        expr("CASE WHEN __ss >= 0 THEN __ss div __sc " +
+          "ELSE -((-__ss) div __sc) END").as("seasonal_micro"))
+    rows.join(broadcast(seas), Seq(keyCol, "__phase"), "left")
+      .select(col(keyCol), col(ordCol), col(tieCol), col(centsCol),
+        col("trend_micro"), col("seasonal_micro"),
+        (col("__detr") - col("seasonal_micro")).as("resid_micro"))
+  }
+
   /** Page–Hinkley mean-shift detector (Page, Biometrika 1954) — the
     * drift test stream monitoring reaches for when [[cusumPerKey]]'s
     * KNOWN target doesn't exist: PH measures deviation from the

@@ -787,6 +787,68 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(fr.isNullAt(fr.fieldIndex("first_alarm_idx")))
   }
 
+  test("goodTuring: known spectrum → exact smoothed counts and unseen mass") {
+    import graft.functions.TextFunctions
+    // word counts: a:3, b:2, c:1, d:1 → N1=2, N2=1, N3=1, N=7
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Corpus.goodTuring(docs, "doc_id", "text",
+        TextFunctions.words, maxR = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getLong(3)))).toMap
+    // r*=1: 2·N2/N1 = 1.0; r*=2: 3·N3/N2 = 3.0; r=3: N4=0 → null
+    assert(got(1L) == ((2L, 1000000L, 285714L)))
+    assert(got(2L) == ((1L, 3000000L, 285714L)))
+    assert(got(3L) == ((1L, -1L, 285714L))) // spectrum gap → null r*
+  }
+
+  test("kendallTauB ≡ brute-force tau with ties") {
+    val rows = Seq((1L, 10L, 5L), (2L, 20L, 9L), (3L, 20L, 7L),
+      (4L, 30L, 7L), (5L, 25L, 30L), (6L, 40L, 1L))
+    val got = Stats.kendallTauB(rows.toDF("i", "x", "y"), "i", "x", "y")
+      .head
+    val pairs = for {
+      (i, xi, yi) <- rows; (j, xj, yj) <- rows if i < j
+    } yield (math.signum(xj - xi), math.signum(yj - yi))
+    val s = pairs.map(p => p._1 * p._2).sum
+    val tx = pairs.count(_._1 == 0); val ty = pairs.count(_._2 == 0)
+    val n0 = rows.size * (rows.size - 1) / 2
+    assert(got.getAs[Long]("s_stat") == s.toLong)
+    assert(got.getAs[Long]("ties_x") == tx.toLong)
+    assert(got.getAs[Long]("ties_y") == ty.toLong)
+    val tau = math.round(s / math.sqrt((n0 - tx).toDouble * (n0 - ty)) * 1e6) / 1e6
+    assert(math.abs(got.getAs[Double]("tau_b") - tau) < 1e-9)
+    // constant metric → undefined tau (null), exact counts still out
+    val const = Stats.kendallTauB(
+      rows.map(r => (r._1, 7L, r._3)).toDF("i", "x", "y"), "i", "x", "y")
+      .head
+    assert(const.isNullAt(const.fieldIndex("tau_b")))
+  }
+
+  test("classicalDecompose: pure period-3 pattern → flat trend, " +
+      "exact seasonal, zero residual") {
+    // v = 10,20,30 repeating ×4: every full 3-window sums to 60 →
+    // trend 20; detrended = {−10,0,+10}·1e6 exactly per phase
+    val rows = (1 to 12).map(i =>
+      ("k", i.toLong, 0L, Seq(10L, 20L, 30L)((i - 1) % 3)))
+      .toDF("k", "o", "t", "cents")
+    val got = TimeSeries.classicalDecompose(rows, "k", "o", "t", "cents", 3)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    // edges (first and last row) have no full window
+    assert(got(1L)._1.isEmpty && got(12L)._1.isEmpty)
+    for (i <- 2L to 11L) {
+      assert(got(i)._1.contains(20000000L), s"trend at $i")
+      val phase = (i - 1) % 3
+      val want = Seq(-10000000L, 0L, 10000000L)(phase.toInt)
+      assert(got(i)._2.contains(want), s"seasonal at $i")
+      assert(got(i)._3.contains(0L), s"residual at $i")
+    }
+  }
+
   test("mmrRerank: diversity term suppresses the near-duplicate candidate") {
     // query 0; candidates: 1≈2 (near-identical, most relevant), 3
     // moderately relevant but pointing elsewhere. Plain top-2 by
