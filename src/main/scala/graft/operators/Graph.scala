@@ -340,7 +340,8 @@ object Graph {
     * @return (id, hub_fp, auth_fp) in `scale`-units (round max = scale).
     */
   def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-                     rounds: Int = 2, scale: Long = 1000000L): DataFrame = {
+                     rounds: Int = 2, scale: Long = 1000000L,
+                     localThreshold: Long = 2000000L): DataFrame = {
     require(rounds >= 1 && rounds <= 8 && scale >= 1000L)
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
@@ -348,6 +349,38 @@ object Graph {
         col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // hybrid small-graph rung (the CC/PageRank/LPA discipline): below
+    // the threshold the 4·rounds tiny sequential jobs are pure
+    // scheduling floor — run the identical integer recurrence on
+    // driver arrays instead (asserted bit-equal in GraphSamplingSpec;
+    // everything is exact integer arithmetic, so equality is ==)
+    if (e.count() <= localThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = e.as[(String, String)].collect()
+      e.unpersist()
+      val ids = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val idx = ids.zipWithIndex.toMap
+      val n = ids.length
+      val out = es.map { case (s, d) => (idx(s), idx(d)) }
+      var hub = Array.fill(n)(scale)
+      var auth = Array.fill(n)(0L)
+      def normalize(raw: Array[Long]): Array[Long] = {
+        val mx = if (raw.isEmpty) 0L else raw.max
+        if (mx <= 0) Array.fill(raw.length)(0L)
+        else raw.map(v => (BigInt(v) * scale / mx).toLong)
+      }
+      for (_ <- 1 to rounds) {
+        val aRaw = Array.fill(n)(0L)
+        out.foreach { case (s, d) => aRaw(d) += hub(s) }
+        auth = normalize(aRaw)
+        val hRaw = Array.fill(n)(0L)
+        out.foreach { case (s, d) => hRaw(s) += auth(d) }
+        hub = normalize(hRaw)
+      }
+      return ids.indices.map(i => (ids(i), hub(i), auth(i)))
+        .toDF("id", "hub_fp", "auth_fp")
+    }
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -1228,11 +1228,13 @@ object Similarity {
     * selection sequence is a pure function of the inputs (the oracle
     * unrolls the same k greedy steps in SQL).
     *
-    * Plan shape: the only corpus-sized stage is candidate-pool
-    * generation (broadcast queries, per-partition top-k heaps — the
-    * ANN ladder's shape); the k greedy rounds run on |queries|·pool
-    * rows with broadcast-sized joins. poolSize and k are small
-    * constants, so lineage depth is bounded.
+    * Plan shape: the only corpus-sized stages are candidate-pool
+    * generation (broadcast queries, MAP-SIDE partial top-k heaps via
+    * the topk_by aggregate — each map task ships ≤ poolSize rows per
+    * query, the corpus is never window-sorted or shuffled) and one
+    * broadcast-pruned re-scan to re-attach pool vectors; the k greedy
+    * rounds run on |queries|·pool rows with broadcast-sized joins.
+    * poolSize and k are small constants, so lineage depth is bounded.
     *
     * @return (q_id, pick, sel_id, score) — pick = 1..k selection order,
     *         score = the winning MMR objective at 6dp.
@@ -1248,11 +1250,17 @@ object Similarity {
     val q = queries.select(col(idCol).cast("long").as("q_id"),
         toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", l2Norm(col("qv")))
-    val pool = c.join(broadcast(q), col("q_id") =!= col("cid"))
+    // topk_by orders (score desc, id asc) — exactly the pool rule; the
+    // pool ids then prune a second corpus scan (broadcast semi-shape)
+    // to re-attach vectors: scan beats shuffling the corpus by cid
+    val top = c.join(broadcast(q), col("q_id") =!= col("cid"))
       .withColumn("rel", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("__rn", row_number().over(
-        w.partitionBy(col("q_id")).orderBy(col("rel").desc, col("cid"))))
-      .filter(col("__rn") <= poolSize)
+      .groupBy(col("q_id"))
+      .agg(graft.plans.TopKBy.topkBy(col("rel"), col("cid"), poolSize)
+        .as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("cid"), col("t.score").as("rel"))
+    val pool = c.join(broadcast(top), Seq("cid"))
       .select(col("q_id"), col("cid"), col("cv"), col("cn"), col("rel"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lam = lit(lambdaBp.toDouble)

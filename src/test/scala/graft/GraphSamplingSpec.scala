@@ -91,6 +91,20 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(m(1L) == 1.0 && m(4L) == 0.5 && m(5L) == 0.0)
   }
 
+  test("hitsFixedPoint: local driver rung ≡ distributed rounds, bit-exact") {
+    // all-integer recurrence → strict equality, same discipline as the
+    // CC/PageRank/LPA hybrid rungs
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(120)((s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}"))
+      .filter(e => e._1 != e._2).toDF("s", "t")
+    def run(threshold: Long) =
+      Graph.hitsFixedPoint(edges, "s", "t", rounds = 3,
+          localThreshold = threshold)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(run(2000000L) == run(0L))
+  }
+
   test("connected components: separate clusters stay separate") {
     val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,

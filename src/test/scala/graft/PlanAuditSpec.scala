@@ -410,6 +410,36 @@ class PlanAuditSpec extends AnyFunSuite {
     // orientation equivalence lives in GraphSamplingSpec)
   }
 
+  test("round-5 additions keep their scale shapes") {
+    // silhouette: the quadratic pair stage broadcasts the SAMPLE —
+    // the corpus side must never shuffle for the pair join
+    val sil = plan("q_silhouette")
+    assert(sil.contains("BroadcastExchange"), sil.take(1200))
+    assert(!sil.contains("SortMergeJoin"), sil.take(1200))
+    // page-hinkley: the whole window chain rides ONE keyed exchange
+    val ph = plan("q_page_hinkley")
+    assert("Exchange hashpartitioning".r.findAllIn(ph).size == 1,
+      ph.take(1200))
+    // kendall tau: the i<j pair join runs over the AGGREGATED day
+    // series (HashAggregate feeds the join), never raw events
+    val kt = plan("q_kendall_tau")
+    assert(kt.contains("HashAggregate"), kt.take(1200))
+    assert(!kt.contains("CartesianProduct"))
+    // seasonal decompose: per-phase seasonal table comes back as a
+    // broadcast, never a shuffle of the series
+    val sd = plan("q_seasonal_decompose")
+    assert(sd.contains("BroadcastHashJoin"), sd.take(1500))
+    // good-turing: keyed aggregates only; the spectrum self-join is
+    // count-cardinality and broadcast
+    val gt = plan("q_good_turing")
+    assert(!gt.contains("SortMergeJoin") && !gt.contains("CartesianProduct"),
+      gt.take(1200))
+    // mmr: candidate-pool generation and all greedy rounds stay free
+    // of cartesian products (every join is keyed or broadcast-pruned)
+    val mm = plan("q_mmr")
+    assert(!mm.contains("CartesianProduct"), mm.take(1500))
+  }
+
   test("round-3 batch-2 additions keep their scale shapes") {
     // linear attribution: window pass + keyed aggs only — the naive
     // per-conversion×prior-touches self-join would be a nested loop
