@@ -5761,6 +5761,92 @@ object OracleSql {
         |FROM dt LEFT JOIN se
         |  ON se.event_type = dt.event_type AND se.phase = dt.phase""".stripMargin,
 
+    "q_rag_context" -> {
+      val norm = normOf("text")
+      val k1p1 = (1.2 + 1.0).toString
+      // raw BM25 (no round) quantized by floor(x·10⁴+0.5) on BOTH
+      // sides, summed as integers (order-free — raw ln-sum would fold
+      // in partition order), top-100 then budget cumsum
+      val raw =
+        s"""ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+           |      (CAST(df AS DOUBLE) + 0.5))
+           |    * (CAST(tf AS DOUBLE) * $k1p1) /
+           |    (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+           |      0.75 * CAST(dl AS DOUBLE) /
+           |        (CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w
+         |  FROM documents),
+         |dt AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
+         |g AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+         |  FROM dt GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM g GROUP BY 1),
+         |s AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(len(w)) AS BIGINT) AS tot_len FROM t),
+         |b AS (SELECT doc_id,
+         |    CAST(floor(($raw) * 10000 + 0.5) AS BIGINT) AS s4
+         |  FROM g JOIN dfreq USING(term) CROSS JOIN s
+         |  WHERE term IN ('stream', 'join', 'vector')),
+         |sc AS (SELECT doc_id, CAST(sum(s4) AS BIGINT) AS score_4
+         |  FROM b GROUP BY 1),
+         |top AS (SELECT doc_id, score_4 FROM sc
+         |  ORDER BY score_4 DESC, doc_id LIMIT 100),
+         |tk AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens FROM documents),
+         |r AS (SELECT
+         |    row_number() OVER (ORDER BY score_4 DESC, t.doc_id)
+         |      AS "rank",
+         |    t.doc_id, score_4, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY score_4 DESC, t.doc_id)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM top t JOIN tk USING (doc_id))
+         |SELECT "rank", doc_id, score_4, n_tokens, cum_tokens
+         |FROM r WHERE cum_tokens <= 2000""".stripMargin
+    },
+
+    "q_partial_corr" -> {
+      // Stats.partialCorrelation mirror: HUGEINT moments (≡ Spark
+      // DECIMAL(38,0)), each pairwise r = exact-cov cast-to-double /
+      // sqrt(product of exact vars), partial via the Yule recursion in
+      // the same fixed op order, 6dp
+      def cov(sab: String, a: String, b: String) =
+        s"(n * $sab - s$a * s$b)"
+      def rr(sab: String, a: String, b: String) =
+        s"""(CAST(${cov(sab, a, b)} AS DOUBLE) /
+           |    sqrt(CAST(${cov(s"s$a$a", a, a)} AS DOUBLE) *
+           |         CAST(${cov(s"s$b$b", b, b)} AS DOUBLE)))""".stripMargin
+      val (rxy, rxz, ryz) = (rr("sxy", "x", "y"), rr("sxz", "x", "z"),
+        rr("syz", "y", "z"))
+      s"""WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS y,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS z
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(z) AS HUGEINT) AS sz,
+         |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(y * y) AS HUGEINT) AS syy,
+         |    CAST(sum(z * z) AS HUGEINT) AS szz,
+         |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+         |    CAST(sum(x * z) AS HUGEINT) AS sxz,
+         |    CAST(sum(y * z) AS HUGEINT) AS syz
+         |  FROM d)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  round($rxy, 6) AS r_xy,
+         |  round($rxz, 6) AS r_xz,
+         |  round($ryz, 6) AS r_yz,
+         |  round(CASE WHEN abs($rxz) < 1.0 AND abs($ryz) < 1.0 THEN
+         |    ($rxy - $rxz * $ryz) /
+         |      sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)) END, 6)
+         |    AS r_xy_z
+         |FROM m""".stripMargin
+    },
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

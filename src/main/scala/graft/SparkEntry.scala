@@ -4021,6 +4021,56 @@ object SparkEntry {
         $"seasonal_micro", $"resid_micro")
   }
 
+  /** E94: RAG context assembly (flagship composition #4) — BM25
+    * retrieval (E28) → bounded top-100 candidate set → greedy
+    * token-budget packing (the E49/E73 budget discipline) in rank
+    * order: the retrieve-then-fit step between a search index and a
+    * context window. Per-term BM25 is quantized to 0.1-milli units
+    * BEFORE the per-doc sum (sums of raw ln-derived doubles fold in
+    * partition order — the q_lm_score lesson), so the doc score is an
+    * order-free exact integer; ranking and the packing cumsum run
+    * over the top-k-bounded candidate set only.
+    */
+  private def qRagContext(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents").select($"doc_id", $"text")
+    val scored = Corpus.bm25(d, "text", "doc_id", TextFunctions.words)
+      .filter($"term".isin("stream", "join", "vector"))
+      .withColumn("s4", floor($"bm25_raw" * 10000 + 0.5).cast("long"))
+      .groupBy($"id".as("doc_id"))
+      .agg(sum($"s4").as("score_4"))
+    val toks = d.select($"doc_id",
+      TextFunctions.wsTokenCount($"text").cast("long").as("n_tokens"))
+    // bounded candidate set FIRST (TakeOrdered, no global sort of the
+    // corpus), then rank + budget cumsum over <= 100 rows
+    val top = scored.orderBy($"score_4".desc, $"doc_id").limit(100)
+    val w = Window.orderBy($"score_4".desc, $"doc_id")
+    top.join(toks, "doc_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum_tokens" <= 2000)
+      .select($"rank", $"doc_id", $"score_4", $"n_tokens", $"cum_tokens")
+  }
+
+  /** C82: partial correlation r_xy·z — does the click↔revenue
+    * relationship survive controlling for traffic volume, the
+    * confounder check before reading C31's Pearson r causally. Exact
+    * decimal moments; three r's and the partial fold in fixed IEEE op
+    * order (6dp).
+    */
+  private def qPartialCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = table(s, dir, "events")
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("c"))
+      .groupBy($"day")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", $"c").otherwise(0L)).as("y"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("z"))
+    operators.Stats.partialCorrelation(daily, "x", "y", "z")
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4098,6 +4148,8 @@ object SparkEntry {
     "q_good_turing" -> (qGoodTuring _),
     "q_kendall_tau" -> (qKendallTau _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
+    "q_rag_context" -> (qRagContext _),
+    "q_partial_corr" -> (qPartialCorr _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

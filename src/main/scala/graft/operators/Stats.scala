@@ -994,6 +994,61 @@ object Stats {
     * @return one row: (n_a, n_b, u2_a, u_a, z) — u2_a = 2·U_a exact,
     *         u_a its half as double (exact .5 steps).
     */
+  /** First-order partial correlation r_xy·z (Yule 1907 recursion) —
+    * the confounder check before reading a Pearson r causally: the
+    * x↔y correlation with the shared driver z partialled out,
+    * r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)).
+    *
+    * Exactness: all ten moments (n, three sums, three squares, three
+    * cross-products) accumulate as exact DECIMAL(38,0) in ONE
+    * map-combinable aggregate pass; each pairwise r is
+    * cov/√(var_a·var_b) with cov = n·Sab − Sa·Sb exact and the
+    * cast-to-double, product, sqrt, division in one fixed IEEE op
+    * order (the C31/F23 discipline); the partial fold is four more
+    * fixed-order double ops, 6dp. Null when any variance is zero or
+    * either control correlation is ±1 (the recursion's undefined
+    * cases).
+    *
+    * @return one row: (n, r_xy, r_xz, r_yz, r_xy_z) — pairwise r at
+    *         6dp alongside the partial.
+    */
+  def partialCorrelation(df: DataFrame, xCol: String, yCol: String,
+                         zCol: String): DataFrame = {
+    val d = df.select(col(xCol).cast("decimal(38,0)").as("x"),
+      col(yCol).cast("decimal(38,0)").as("y"),
+      col(zCol).cast("decimal(38,0)").as("z"))
+    val m = d.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("z")).as("sz"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("z") * col("z")).as("szz"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("z")).as("sxz"),
+      sum(col("y") * col("z")).as("syz"))
+    def cov(sab: String, a: String, b: String) =
+      (col("n") * col(sab) - col("s" + a) * col("s" + b))
+    def rr(sab: String, a: String, b: String) = {
+      val va = cov("s" + a + a, a, a)
+      val vb = cov("s" + b + b, b, b)
+      when(va > 0 && vb > 0,
+        cov(sab, a, b).cast("double") /
+          sqrt(va.cast("double") * vb.cast("double")))
+    }
+    m.select(col("n").cast("long").as("n"),
+        rr("sxy", "x", "y").as("__rxy"),
+        rr("sxz", "x", "z").as("__rxz"),
+        rr("syz", "y", "z").as("__ryz"))
+      .select(col("n"),
+        round(col("__rxy"), 6).as("r_xy"),
+        round(col("__rxz"), 6).as("r_xz"),
+        round(col("__ryz"), 6).as("r_yz"),
+        round(when(abs(col("__rxz")) < 1.0 && abs(col("__ryz")) < 1.0,
+          (col("__rxy") - col("__rxz") * col("__ryz")) /
+            sqrt((lit(1.0) - col("__rxz") * col("__rxz")) *
+              (lit(1.0) - col("__ryz") * col("__ryz")))), 6).as("r_xy_z"))
+  }
+
   /** Kendall τ-b rank correlation between two metrics (Kendall 1938;
     * τ-b tie correction) — the robust bivariate sibling of the
     * Mann–Kendall trend test (that one is τ against TIME): does metric

@@ -438,6 +438,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // of cartesian products (every join is keyed or broadcast-pruned)
     val mm = plan("q_mmr")
     assert(!mm.contains("CartesianProduct"), mm.take(1500))
+    // rag context: the candidate bound is a TakeOrdered (per-partition
+    // heaps), never a global sort of the scored corpus
+    val rc = plan("q_rag_context")
+    assert(rc.contains("TakeOrderedAndProject"), rc.take(1500))
+    // partial correlation: one map-combinable moment pass, no joins
+    val pc = plan("q_partial_corr")
+    assert(pc.contains("HashAggregate") && !pc.contains("Join"),
+      pc.take(1200))
   }
 
   test("round-3 batch-2 additions keep their scale shapes") {

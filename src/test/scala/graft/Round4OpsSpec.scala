@@ -849,6 +849,35 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("partialCorrelation ≡ textbook recursion on hand-computed r's") {
+    // y = x + noise, z correlated with both; brute-force the three
+    // Pearson r's in Scala and fold the same recursion
+    val rows = Seq((1L, 10L, 25L, 5L), (2L, 20L, 41L, 9L),
+      (3L, 30L, 58L, 14L), (4L, 40L, 95L, 15L), (5L, 50L, 99L, 28L),
+      (6L, 60L, 131L, 30L))
+    val got = Stats.partialCorrelation(
+      rows.toDF("i", "x", "y", "z"), "x", "y", "z").head
+    def pearson(a: Seq[Long], b: Seq[Long]): Double = {
+      val n = a.size.toDouble
+      val (sa, sb) = (a.sum.toDouble, b.sum.toDouble)
+      val cov = n * a.zip(b).map { case (p, q) => p * q }.sum - sa * sb
+      val va = n * a.map(p => p * p).sum - sa * sa
+      val vb = n * b.map(p => p * p).sum - sb * sb
+      cov / math.sqrt(va * vb)
+    }
+    val (xs, ys, zs) = (rows.map(_._2), rows.map(_._3), rows.map(_._4))
+    val (rxy, rxz, ryz) = (pearson(xs, ys), pearson(xs, zs), pearson(ys, zs))
+    val want = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    assert(math.abs(got.getAs[Double]("r_xy") - rxy) < 1e-5)
+    assert(math.abs(got.getAs[Double]("r_xy_z") - want) < 1e-5)
+    // constant control column → r_xz undefined → partial null
+    val const = Stats.partialCorrelation(
+      rows.map(r => (r._1, r._2, r._3, 7L)).toDF("i", "x", "y", "z"),
+      "x", "y", "z").head
+    assert(const.isNullAt(const.fieldIndex("r_xy_z")))
+  }
+
   test("mmrRerank: diversity term suppresses the near-duplicate candidate") {
     // query 0; candidates: 1≈2 (near-identical, most relevant), 3
     // moderately relevant but pointing elsewhere. Plain top-2 by
