@@ -419,6 +419,55 @@ object Graph {
     out
   }
 
+  /** Driver-local forward-oriented triangle enumeration for the
+    * hybrid small-graph rungs of [[triangleStats]] and
+    * [[localClustering]]: rank v by (deg, v), orient lo→hi, and for
+    * each oriented edge (u,v) intersect the sorted out-neighbor lists
+    * — each triangle found exactly once at its lowest-rank edge, all
+    * three corners credited. Pure integer counting, so the rung is
+    * asserted bit-equal to the distributed joins.
+    *
+    * @return (degree per node, triangles per node, total triangles)
+    */
+  private def localTriangleCounts(es: Array[(Long, Long)])
+      : (Map[Long, Long], scala.collection.Map[Long, Long], Long) = {
+    val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+    es.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1
+      deg(b) = deg.getOrElse(b, 0L) + 1
+    }
+    def lt(a: Long, b: Long): Boolean = {
+      val (da, db) = (deg(a), deg(b)); da < db || (da == db && a < b)
+    }
+    val out = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    es.foreach { case (a, b) =>
+      val (u, v) = if (lt(a, b)) (a, b) else (b, a)
+      out.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer
+        .empty[Long]) += v
+    }
+    val adj = out.map { case (k, v) => k -> v.toArray.sorted }
+    val tri = scala.collection.mutable.HashMap.empty[Long, Long]
+    var total = 0L
+    val empty = Array.empty[Long]
+    es.foreach { case (a, b) =>
+      val (u, v) = if (lt(a, b)) (a, b) else (b, a)
+      val (nu, nv) = (adj.getOrElse(u, empty), adj.getOrElse(v, empty))
+      var (i, j) = (0, 0)
+      while (i < nu.length && j < nv.length) {
+        if (nu(i) == nv(j)) {
+          val w = nu(i)
+          total += 1
+          tri(u) = tri.getOrElse(u, 0L) + 1
+          tri(v) = tri.getOrElse(v, 0L) + 1
+          tri(w) = tri.getOrElse(w, 0L) + 1
+          i += 1; j += 1
+        } else if (nu(i) < nv(j)) i += 1 else j += 1
+      }
+    }
+    (deg.toMap, tri, total)
+  }
+
   /** Triangle count + global clustering coefficient over an undirected
     * edge list — the density fingerprint of a near-dup / co-occurrence
     * graph (dup clusters triangulate heavily; spurious LSH chains
@@ -447,7 +496,8 @@ object Graph {
     * @return one row: (n_nodes, n_edges, n_triangles, clustering)
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String,
-                    degreeOrdered: Boolean = true): DataFrame = {
+                    degreeOrdered: Boolean = true,
+                    localThreshold: Long = 500000L): DataFrame = {
     val und = edges.select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("d"))
       .filter(col("s") =!= col("d"))
@@ -455,6 +505,23 @@ object Graph {
         greatest(col("s"), col("d")).as("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // hybrid small-graph rung (CC/PageRank/LPA/HITS discipline): the
+    // wedge joins are pure scheduling floor below the threshold — the
+    // driver enumeration is the same forward orientation, bit-equal
+    // (GraphSamplingSpec)
+    if (und.count() <= localThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = und.as[(Long, Long)].collect()
+      und.unpersist()
+      val (dg, _, total) = localTriangleCounts(es)
+      val wedges = dg.values.map(d => d * (d - 1) / 2).sum
+      val clustering =
+        if (wedges > 0) Some((total * 3).toDouble / wedges.toDouble)
+        else None
+      return Seq((dg.size.toLong, es.length.toLong, total, clustering))
+        .toDF("n_nodes", "n_edges", "n_triangles", "clustering")
+    }
     val deg = und.select(explode(array(col("a"), col("b"))).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
     // d(d−1) is even, so DIV keeps the wedge sum in exact integers —
@@ -531,7 +598,8 @@ object Graph {
     * @return (id, degree, n_tri, lcc) — lcc 0.0 for degree < 2.
     */
   def localClustering(edges: DataFrame, srcCol: String, dstCol: String,
-                      degreeOrdered: Boolean = true): DataFrame = {
+                      degreeOrdered: Boolean = true,
+                      localThreshold: Long = 500000L): DataFrame = {
     val und = edges.select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("d"))
       .filter(col("s") =!= col("d"))
@@ -539,6 +607,19 @@ object Graph {
         greatest(col("s"), col("d")).as("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // hybrid small-graph rung, same enumeration crediting all corners
+    if (und.count() <= localThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = und.as[(Long, Long)].collect()
+      und.unpersist()
+      val (dg, tri, _) = localTriangleCounts(es)
+      return dg.toSeq.map { case (id, d) =>
+        val t = tri.getOrElse(id, 0L)
+        (id, d, t,
+          if (d >= 2) (t * 2).toDouble / (d * (d - 1)).toDouble else 0.0)
+      }.toDF("id", "degree", "n_tri", "lcc")
+    }
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -52,12 +52,18 @@ class GraphSamplingSpec extends AnyFunSuite {
         Seq((1L, 2L), (2L, 3L), (3L, 1L)), // one triangle, all ranks tied
         (0L until 12L).flatMap(i => ((i + 1) until 12L).map(j => (i, j))))) { // K12
       val df = edges.toDF("a", "b")
-      val fwd = Graph.triangleStats(df, "a", "b").head
-      val ids = Graph.triangleStats(df, "a", "b", degreeOrdered = false).head
-      assert(fwd.getAs[Long]("n_triangles") == ids.getAs[Long]("n_triangles"))
-      assert(fwd.getAs[Long]("n_nodes") == ids.getAs[Long]("n_nodes"))
-      assert(fwd.getAs[Long]("n_edges") == ids.getAs[Long]("n_edges"))
-      assert(fwd.getAs[Double]("clustering") == ids.getAs[Double]("clustering"))
+      // localThreshold = 0 forces the DISTRIBUTED joins in both
+      // orientations; the default run exercises the driver-local rung
+      val fwd = Graph.triangleStats(df, "a", "b", localThreshold = 0).head
+      val ids = Graph.triangleStats(df, "a", "b", degreeOrdered = false,
+        localThreshold = 0).head
+      val loc = Graph.triangleStats(df, "a", "b").head
+      for (other <- Seq(ids, loc)) {
+        assert(fwd.getAs[Long]("n_triangles") == other.getAs[Long]("n_triangles"))
+        assert(fwd.getAs[Long]("n_nodes") == other.getAs[Long]("n_nodes"))
+        assert(fwd.getAs[Long]("n_edges") == other.getAs[Long]("n_edges"))
+        assert(fwd.getAs[Double]("clustering") == other.getAs[Double]("clustering"))
+      }
     }
   }
 
@@ -74,13 +80,16 @@ class GraphSamplingSpec extends AnyFunSuite {
         Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)),
         (0L until 10L).flatMap(i => ((i + 1) until 10L).map(j => (i, j))))) {
       val df = edges.toDF("a", "b")
-      def rows(degOrdered: Boolean) =
-        Graph.localClustering(df, "a", "b", degreeOrdered = degOrdered)
+      def rows(degOrdered: Boolean, threshold: Long) =
+        Graph.localClustering(df, "a", "b", degreeOrdered = degOrdered,
+            localThreshold = threshold)
           .collect()
           .map(r => r.getAs[Long]("id") ->
             ((r.getAs[Long]("degree"), r.getAs[Long]("n_tri"),
               r.getAs[Double]("lcc")))).toMap
-      assert(rows(true) == rows(false))
+      // both distributed orientations AND the driver-local rung agree
+      assert(rows(true, 0L) == rows(false, 0L))
+      assert(rows(true, 0L) == rows(true, 500000L))
     }
     // spot-check exact values on K4 + pendant: node 4 sees 3 triangles
     // over deg 4 → lcc = 6/12; pendant 5 deg 2, 0 triangles → 0.0
