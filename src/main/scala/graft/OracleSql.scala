@@ -5847,6 +5847,38 @@ object OracleSql {
          |FROM m""".stripMargin
     },
 
+    "q_spearman" ->
+      // Stats.spearman mirror: doubled tie-averaged ranks
+      // (2·rank + cnt − 1, exact integers), then the exact-moment
+      // Pearson fold on HUGEINT carriers, one cast-to-double
+      // product/sqrt/division (6dp)
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT
+        |    CAST(rank() OVER (ORDER BY x) * 2
+        |      + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+        |    CAST(rank() OVER (ORDER BY y) * 2
+        |      + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+        |  FROM d),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(rx) AS HUGEINT) AS sx,
+        |    CAST(sum(ry) AS HUGEINT) AS sy,
+        |    CAST(sum(rx * rx) AS HUGEINT) AS sxx,
+        |    CAST(sum(ry * ry) AS HUGEINT) AS syy,
+        |    CAST(sum(rx * ry) AS HUGEINT) AS sxy FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN (n * sxx - sx * sx) > 0
+        |      AND (n * syy - sy * sy) > 0 THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS rho
+        |FROM m""".stripMargin,
+
     "q_quality_classifier" -> {
       val norm = normOf("text")
       // bucket = two md5 hex digits mod 64 (the q_feature_hash trick);

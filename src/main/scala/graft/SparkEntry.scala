@@ -4071,6 +4071,21 @@ object SparkEntry {
     operators.Stats.partialCorrelation(daily, "x", "y", "z")
   }
 
+  /** C83: Spearman ρ between daily click volume and purchase revenue
+    * — Pearson on tie-averaged ranks (doubled to stay integer), the
+    * robust-correlation default; completes the C31/C81 family.
+    */
+  private def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = table(s, dir, "events")
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("c"))
+      .groupBy($"day")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "purchase", $"c").otherwise(0L)).as("y"))
+    operators.Stats.spearman(daily, "x", "y")
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4150,6 +4165,7 @@ object SparkEntry {
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_rag_context" -> (qRagContext _),
     "q_partial_corr" -> (qPartialCorr _),
+    "q_spearman" -> (qSpearman _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_fingerprint" -> (qFingerprint _),

@@ -1049,6 +1049,46 @@ object Stats {
               (lit(1.0) - col("__ryz") * col("__ryz")))), 6).as("r_xy_z"))
   }
 
+  /** Spearman rank correlation ρ (Spearman 1904) — completes the
+    * correlation family: C31 Pearson (linear), C81 Kendall τ-b (pair
+    * concordance), this (Pearson on RANKS — monotone association,
+    * outlier-immune, the default robust r).
+    *
+    * Exactness: tie-averaged ranks carried DOUBLED so they stay
+    * integers (avg rank of a tie group = min + (cnt−1)/2 →
+    * 2·avg = 2·rank + cnt − 1, from one rank() + one per-value count
+    * window); ρ is then the [[partialCorrelation]] moment discipline
+    * on the doubled ranks — exact DECIMAL(38,0) covariance/variances,
+    * one cast-to-double fold, 6dp. Doubling cancels in ρ (scale
+    * invariance), so the result IS Spearman's ρ.
+    *
+    * Windows run over the AGGREGATED series (day/group cardinality —
+    * the kendallTauB discipline), never raw events.
+    *
+    * @return one row: (n, rho — null when either metric is constant).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def r2(c: String) =
+      rank().over(Window.orderBy(col(c))) * 2 +
+        count(lit(1)).over(Window.partitionBy(col(c))) - 1
+    val ranked = df.select(col(xCol), col(yCol))
+      .withColumn("rx", r2(xCol).cast("decimal(38,0)"))
+      .withColumn("ry", r2(yCol).cast("decimal(38,0)"))
+    val m = ranked.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("n").cast("long").as("n"),
+      round(when(vx > 0 && vy > 0,
+        cov.cast("double") /
+          sqrt(vx.cast("double") * vy.cast("double"))), 6).as("rho"))
+  }
+
   /** Kendall τ-b rank correlation between two metrics (Kendall 1938;
     * τ-b tie correction) — the robust bivariate sibling of the
     * Mann–Kendall trend test (that one is τ against TIME): does metric

@@ -878,6 +878,34 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(const.isNullAt(const.fieldIndex("r_xy_z")))
   }
 
+  test("spearman ≡ classic 1 − 6Σd²/(n(n²−1)) on tie-free data; " +
+      "tie-averaged ranks on ties") {
+    // tie-free: the closed form applies exactly
+    val free = Seq((10L, 3L), (20L, 9L), (30L, 7L), (40L, 20L), (50L, 15L))
+    val g1 = Stats.spearman(free.toDF("x", "y"), "x", "y").head
+    val rx = free.map(_._1).sorted.zipWithIndex.map { case (v, i) => v -> (i + 1) }.toMap
+    val ry = free.map(_._2).sorted.zipWithIndex.map { case (v, i) => v -> (i + 1) }.toMap
+    val d2 = free.map { case (x, y) => val d = rx(x) - ry(y); d * d }.sum
+    val n = free.size
+    val want = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+    assert(math.abs(g1.getAs[Double]("rho") - want) < 1e-6)
+    // ties: average ranks (hand case: x = 1,2,2,3 → ranks 1, 2.5, 2.5, 4)
+    val tied = Seq((1L, 1L), (2L, 2L), (2L, 3L), (3L, 4L))
+    val g2 = Stats.spearman(tied.toDF("x", "y"), "x", "y").head
+    val rxs = Seq(1.0, 2.5, 2.5, 4.0); val rys = Seq(1.0, 2.0, 3.0, 4.0)
+    def pear(a: Seq[Double], b: Seq[Double]) = {
+      val nn = a.size
+      val cov = nn * a.zip(b).map(p => p._1 * p._2).sum - a.sum * b.sum
+      cov / math.sqrt((nn * a.map(v => v * v).sum - a.sum * a.sum) *
+        (nn * b.map(v => v * v).sum - b.sum * b.sum))
+    }
+    assert(math.abs(g2.getAs[Double]("rho") - pear(rxs, rys)) < 1e-6)
+    // constant metric → null
+    val c = Stats.spearman(Seq((7L, 1L), (7L, 2L)).toDF("x", "y"),
+      "x", "y").head
+    assert(c.isNullAt(c.fieldIndex("rho")))
+  }
+
   test("mmrRerank: diversity term suppresses the near-duplicate candidate") {
     // query 0; candidates: 1≈2 (near-identical, most relevant), 3
     // moderately relevant but pointing elsewhere. Plain top-2 by
