@@ -906,6 +906,55 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(c.isNullAt(c.fieldIndex("rho")))
   }
 
+  test("round-5 exact-integer operators are partition-independent") {
+    // the "order-free integer sums" claims, proven directly: identical
+    // output under adversarial repartitioning
+    import graft.operators.{Corpus, Graph, TimeSeries => TS}
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(71)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // silhouette
+    val vecs = (1 to 60).map(i => (i.toLong, (i % 4).toLong,
+      Array.fill(5)(rnd.nextFloat() - 0.5f))).toDF("id", "lab", "v")
+    assert(canon(Similarity.silhouetteEval(vecs, "id", "lab", "v")) ==
+      canon(Similarity.silhouetteEval(vecs.repartition(13), "id", "lab", "v")))
+    // page-hinkley
+    val series = (1 to 200).map(i => (s"k${i % 3}", i.toLong, i.toLong,
+      (rnd.nextInt(1000) + (if (i > 120) 400 else 0)).toLong))
+      .toDF("k", "o", "t", "cents")
+    assert(canon(TS.pageHinkley(series, "k", "o", "t", "cents", 5e6.toLong,
+        1e8.toLong)) ==
+      canon(TS.pageHinkley(series.repartition(11), "k", "o", "t", "cents",
+        5e6.toLong, 1e8.toLong)))
+    // seasonal decompose
+    assert(canon(TS.classicalDecompose(series, "k", "o", "t", "cents", 5)) ==
+      canon(TS.classicalDecompose(series.repartition(9), "k", "o", "t",
+        "cents", 5)))
+    // kendall / spearman / partial correlation
+    val xyz = (1 to 40).map(i => (i.toLong, rnd.nextInt(50).toLong,
+      rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .toDF("i", "x", "y", "z")
+    assert(canon(Stats.kendallTauB(xyz, "i", "x", "y")) ==
+      canon(Stats.kendallTauB(xyz.repartition(7), "i", "x", "y")))
+    assert(canon(Stats.spearman(xyz, "x", "y")) ==
+      canon(Stats.spearman(xyz.repartition(7), "x", "y")))
+    assert(canon(Stats.partialCorrelation(xyz, "x", "y", "z")) ==
+      canon(Stats.partialCorrelation(xyz.repartition(7), "x", "y", "z")))
+    // good-turing + hits
+    val docs = (1 to 50).map(i => (i.toLong,
+      (1 to 12).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(canon(Corpus.goodTuring(docs, "doc_id", "text",
+        TextFunctions.words)) ==
+      canon(Corpus.goodTuring(docs.repartition(8), "doc_id", "text",
+        TextFunctions.words)))
+    val edges = (1 to 150).map(_ => (s"a${rnd.nextInt(20)}",
+      s"b${rnd.nextInt(10)}")).toDF("s", "d")
+    assert(canon(Graph.hitsFixedPoint(edges, "s", "d")) ==
+      canon(Graph.hitsFixedPoint(edges.repartition(6), "s", "d")))
+  }
+
   test("mmrRerank: diversity term suppresses the near-duplicate candidate") {
     // query 0; candidates: 1≈2 (near-identical, most relevant), 3
     // moderately relevant but pointing elsewhere. Plain top-2 by
