@@ -5837,9 +5837,12 @@ object OracleSql {
          |    CAST(sum(y * z) AS HUGEINT) AS syz
          |  FROM d)
          |SELECT CAST(n AS BIGINT) AS n,
-         |  round($rxy, 6) AS r_xy,
-         |  round($rxz, 6) AS r_xz,
-         |  round($ryz, 6) AS r_yz,
+         |  round(CASE WHEN ${cov("sxx", "x", "x")} > 0
+         |    AND ${cov("syy", "y", "y")} > 0 THEN $rxy END, 6) AS r_xy,
+         |  round(CASE WHEN ${cov("sxx", "x", "x")} > 0
+         |    AND ${cov("szz", "z", "z")} > 0 THEN $rxz END, 6) AS r_xz,
+         |  round(CASE WHEN ${cov("syy", "y", "y")} > 0
+         |    AND ${cov("szz", "z", "z")} > 0 THEN $ryz END, 6) AS r_yz,
          |  round(CASE WHEN abs($rxz) < 1.0 AND abs($ryz) < 1.0 THEN
          |    ($rxy - $rxz * $ryz) /
          |      sqrt((1.0 - $rxz * $rxz) * (1.0 - $ryz * $ryz)) END, 6)

@@ -50,6 +50,12 @@ import org.apache.spark.sql.types.BinaryType
   * `big` is a raw 100 TB file source whose re-scan (with pushdown)
   * is cheaper than materializing it. Either way no row is ever
   * probe-evaluated through an interpreter.
+  *
+  * Cache-release contract: with `materialize = true` the marked big
+  * side stays cached for the session (the result is lazy, so the
+  * operator cannot unpersist it) — release with
+  * `spark.catalog.clearCache()` once consumed (Verify/Bench do this
+  * per query), or pass `materialize = false` for a zero-cache plan.
   */
 object Bloom {
 
@@ -59,8 +65,15 @@ object Bloom {
     * rejects larger); a clamped sketch only raises fpp, never breaks
     * correctness (the exact join decides).
     */
-  private def buildBloom(keys: DataFrame, keyCol: String, nKeys: Long,
-                         fpp: Double): Array[Byte] = {
+  /** xxhash64 is TYPE-sensitive (hashInt ≠ hashLong for the same
+    * value), so the small side's key is cast to the BIG side's key
+    * dtype before hashing — a lossy cast fails loudly under ANSI
+    * instead of silently producing false negatives. The equi-join
+    * coerces anyway, so the cast never changes which rows match.
+    */
+  private def buildBloom(keys: DataFrame, keyCol: String,
+                         keyType: org.apache.spark.sql.types.DataType,
+                         nKeys: Long, fpp: Double): Array[Byte] = {
     import org.apache.spark.sql.internal.SQLConf
     val conf = SQLConf.get
     val maxItems = conf.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
@@ -70,7 +83,7 @@ object Bloom {
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nKeys, fpp),
       maxBits)
     val agg = new BloomFilterAggregate(
-      GraftBridge.expression(xxhash64(col(keyCol))),
+      GraftBridge.expression(xxhash64(col(keyCol).cast(keyType))),
       Literal(items), Literal(bits)).toAggregateExpression()
     keys.select(GraftBridge.column(agg).as("bf")).head.getAs[Array[Byte]](0)
   }
@@ -97,7 +110,8 @@ object Bloom {
                fpp: Double = 0.01, materialize: Boolean = true): DataFrame = {
     val nKeys = keys.count()
     if (nKeys == 0) return big
-    val bits = buildBloom(keys, keyCol, nKeys, fpp)
+    val bits = buildBloom(keys, keyCol,
+      big.schema(keyCol).dataType, nKeys, fpp)
     val marked = big.withColumn("__ga_suspect", mightContain(bits, col(keyCol)))
     val src =
       if (materialize)
@@ -116,7 +130,8 @@ object Bloom {
                fpp: Double = 0.01): DataFrame = {
     val nKeys = keys.count()
     if (nKeys == 0) return big.limit(0)
-    val bits = buildBloom(keys, keyCol, nKeys, fpp)
+    val bits = buildBloom(keys, keyCol,
+      big.schema(keyCol).dataType, nKeys, fpp)
     big.filter(mightContain(bits, col(keyCol)))
       .join(keys, Seq(keyCol), "left_semi")
   }

@@ -384,6 +384,20 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // loud overflow guard (the knn/silhouette data-validation
+    // discipline): the normalization computes s·scale with
+    // s ≤ maxDegree·scale, so maxDegree must stay ≤ Long.Max/scale² —
+    // validate the GRAPH and fail instead of wrapping negative. One
+    // cheap degree aggregate; only the distributed branch needs it
+    // (the local rung goes through BigInt).
+    val maxDeg = e.select(col("src").as("n"))
+      .unionAll(e.select(col("dst").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head.getLong(0)
+    require(maxDeg <= Long.MaxValue / scale / scale,
+      s"hitsFixedPoint: max node degree $maxDeg exceeds the Long-safe " +
+        s"bound ${Long.MaxValue / scale / scale} at scale=$scale — " +
+        "lower `scale` for this graph")
     def normalized(raw: DataFrame, outCol: String): DataFrame = {
       // full node frame (zero-fill) → renormalize so the round max is
       // exactly `scale`; floor div, deterministic

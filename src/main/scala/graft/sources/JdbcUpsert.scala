@@ -98,6 +98,49 @@ object JdbcUpsert {
     require(keys.forall(cols.contains), s"keys $keys must be a subset of $cols")
   }
 
+  /** Dialect DDL adding the upsert keys as the PRIMARY KEY — the
+    * native upsert paths REQUIRE a unique constraint (PostgreSQL
+    * `ON CONFLICT` errors 42P10 without one; MySQL ODKU silently
+    * duplicates), and Spark's JDBC sink never emits one on CREATE, so
+    * the bootstrap branch must add it explicitly.
+    */
+  def primaryKeySql(dialect: String, table: String,
+                    keys: Seq[String]): String = {
+    require(keys.nonEmpty, "need key columns")
+    dialect match {
+      case "mysql" =>
+        s"ALTER TABLE $table ADD PRIMARY KEY " +
+          s"(${keys.map(k => s"`$k`").mkString(", ")})"
+      case "postgres" =>
+        s"ALTER TABLE $table ADD PRIMARY KEY " +
+          s"""(${keys.map(k => s""""$k"""").mkString(", ")})"""
+      case other =>
+        throw new IllegalArgumentException(s"no native PK DDL for $other")
+    }
+  }
+
+  /** Driver-side DDL execution (bootstrap constraint, not data). */
+  def execDdl(url: String, props: Properties, sql: String): Unit = {
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.execute(sql) finally st.close()
+    } finally conn.close()
+  }
+
+  /** NULL in a key column breaks upsert semantics everywhere (`k = ?`
+    * never matches NULL; unique indexes treat NULLs as distinct), so
+    * every replay would duplicate the row — fail loudly instead.
+    */
+  private def requireKeysNonNull(row: Row, schema: StructType,
+                                 keys: Seq[String]): Unit =
+    keys.foreach { k =>
+      if (row.isNullAt(schema.fieldIndex(k)))
+        throw new IllegalArgumentException(
+          s"null upsert key '$k': NULL never equi-matches, so the row " +
+            "can never update in place and every replay would duplicate it")
+    }
+
   /** URL → dialect tag ("mysql" | "postgres" | "generic"). */
   def dialectOf(url: String): String =
     if (url.startsWith("jdbc:mysql:") || url.startsWith("jdbc:mariadb:"))
@@ -133,7 +176,8 @@ object JdbcUpsert {
     * connection per partition, batched, transactional per partition.
     */
   def runSingle(df: DataFrame, url: String, props: Properties,
-                sql: String, batchSize: Int = 500): Unit = {
+                sql: String, keys: Seq[String],
+                batchSize: Int = 500): Unit = {
     val schema = df.schema
     val paramCols = schema.fieldNames.toSeq
     df.foreachPartition { (it: Iterator[Row]) =>
@@ -145,6 +189,7 @@ object JdbcUpsert {
           try {
             var n = 0
             it.foreach { row =>
+              requireKeysNonNull(row, schema, keys)
               bind(ps, row, schema, paramCols)
               ps.addBatch()
               n += 1
@@ -154,7 +199,11 @@ object JdbcUpsert {
             conn.commit()
           } finally ps.close()
         } catch {
-          case t: Throwable => try conn.rollback() finally (); throw t
+          // swallow a rollback failure: the ORIGINAL error must
+          // propagate, not the secondary one from a dying connection
+          case t: Throwable =>
+            try conn.rollback() catch { case _: Throwable => () }
+            throw t
         } finally conn.close()
       }
     }
@@ -181,6 +230,7 @@ object JdbcUpsert {
           val in = conn.prepareStatement(inSql)
           try {
             it.foreach { row =>
+              requireKeysNonNull(row, schema, keys)
               bind(up, row, schema, upCols)
               if (up.executeUpdate() == 0) {
                 bind(in, row, schema, cols)
@@ -190,7 +240,11 @@ object JdbcUpsert {
             conn.commit()
           } finally { up.close(); in.close() }
         } catch {
-          case t: Throwable => try conn.rollback() finally (); throw t
+          // swallow a rollback failure: the ORIGINAL error must
+          // propagate, not the secondary one from a dying connection
+          case t: Throwable =>
+            try conn.rollback() catch { case _: Throwable => () }
+            throw t
         } finally conn.close()
       }
     }

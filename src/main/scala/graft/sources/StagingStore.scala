@@ -97,10 +97,15 @@ final class JdbcStagingStore(url: String, props: Properties)
           if (JdbcUpsert.dialectOf(url) == "mysql")
             JdbcUpsert.mysqlSql(table, cols, keys)
           else JdbcUpsert.postgresSql(table, cols, keys)
-        JdbcUpsert.runSingle(df, url, props, sql)
+        JdbcUpsert.runSingle(df, url, props, sql, keys)
       case "mysql" | "postgres" =>
-        // first batch: nothing to merge with — a plain create+append
+        // first batch: create + append, then add the key constraint —
+        // Spark's JDBC sink never emits one, and without it PG's
+        // ON CONFLICT errors and MySQL's ODKU silently duplicates on
+        // every subsequent upsert
         write(df, table, SaveMode.ErrorIfExists)
+        JdbcUpsert.execDdl(url, props,
+          JdbcUpsert.primaryKeySql(JdbcUpsert.dialectOf(url), table, keys))
       case _ => mergeOverwriteUpsert(df, table, keys)
     }
 

@@ -112,6 +112,12 @@ class GraphSamplingSpec extends AnyFunSuite {
         .collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(run(2000000L) == run(0L))
+    // distributed-path overflow guard fails loudly when scale² eats
+    // the Long headroom (the wrap would otherwise be silent garbage)
+    intercept[IllegalArgumentException] {
+      Graph.hitsFixedPoint(edges, "s", "t", rounds = 1,
+        scale = 4000000000L, localThreshold = 0)
+    }
   }
 
   test("connected components: separate clusters stay separate") {

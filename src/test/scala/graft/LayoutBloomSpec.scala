@@ -48,6 +48,24 @@ class LayoutBloomSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("bloom joins are exact across MISMATCHED key dtypes (int vs long)") {
+    // xxhash64 is type-sensitive (hashInt != hashLong); the build side
+    // casts to the big side's dtype, so an int-keyed denylist against a
+    // long-keyed fact stays exact — this was a silent-false-negative
+    // hazard before the cast
+    val big = spark.range(0, 5000).select($"id".as("k"), ($"id" % 3).as("v"))
+    val keys = spark.range(0, 5000).filter($"id" % 11 === 0)
+      .select($"id".cast("int").as("k"))
+    val gotAnti = Bloom.antiJoin(big, keys, "k", 0.05)
+      .collect().map(_.getLong(0)).sorted
+    val expAnti = big.join(keys, Seq("k"), "left_anti")
+      .collect().map(_.getLong(0)).sorted
+    assert(gotAnti.toSeq == expAnti.toSeq)
+    val gotSemi = Bloom.semiJoin(big, keys, "k", 0.05)
+      .collect().map(_.getLong(0)).sorted
+    assert(gotSemi.length == big.join(keys, Seq("k"), "left_semi").count())
+  }
+
   test("bloom anti join keeps null-keyed rows (anti-join semantics)") {
     val big = Seq[(java.lang.Long, String)]((1L, "a"), (null, "n"),
       (5L, "b")).toDF("k", "v")

@@ -188,5 +188,26 @@ class SchedulerStoreSpec extends AnyFunSuite {
     // idempotent replay: converges, no duplicate keys
     JdbcUpsert.runUpdateInsert(batch, url, props, "t", Seq("k"))
     assert(spark.read.jdbc(url, "t", props).count() == 3)
+    // NULL in a key column would duplicate on every replay — loud fail
+    val nullKey = Seq((null.asInstanceOf[java.lang.Long], "x", 1.0))
+      .toDF("k", "v", "x")
+    val ex = intercept[org.apache.spark.SparkException] {
+      JdbcUpsert.runUpdateInsert(nullKey, url, props, "t", Seq("k"))
+    }
+    assert(ex.getMessage.contains("null upsert key") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null upsert key")))
+  }
+
+  test("JdbcUpsert: bootstrap PK DDL text (native upserts need the constraint)") {
+    import graft.sources.JdbcUpsert
+    // Spark's jdbc sink never emits a unique constraint; without one
+    // PG ON CONFLICT errors 42P10 and MySQL ODKU silently duplicates
+    assert(JdbcUpsert.primaryKeySql("mysql", "customers", Seq("id", "d"))
+      == "ALTER TABLE customers ADD PRIMARY KEY (`id`, `d`)")
+    assert(JdbcUpsert.primaryKeySql("postgres", "loans", Seq("id"))
+      == """ALTER TABLE loans ADD PRIMARY KEY ("id")""")
+    intercept[IllegalArgumentException] {
+      JdbcUpsert.primaryKeySql("generic", "t", Seq("id"))
+    }
   }
 }
