@@ -105,6 +105,13 @@ object Bloom {
     * either waste bits or inflate fpp — never correctness), and it
     * guards the empty case (an empty denylist just means `big` passes
     * through).
+    *
+    * @return lazy result, bit-identical to `big.join(keys, anti)`.
+    *         With `materialize = true` the probe-marked projection of
+    *         `big` stays CACHED after the caller consumes the result —
+    *         release it with `spark.catalog.clearCache()` (or
+    *         [[graft.release]]) once done, or pass
+    *         `materialize = false` for a zero-cache two-scan plan.
     */
   def antiJoin(big: DataFrame, keys: DataFrame, keyCol: String,
                fpp: Double = 0.01, materialize: Boolean = true): DataFrame = {
@@ -112,13 +119,17 @@ object Bloom {
     if (nKeys == 0) return big
     val bits = buildBloom(keys, keyCol,
       big.schema(keyCol).dataType, nKeys, fpp)
-    val marked = big.withColumn("__ga_suspect", mightContain(bits, col(keyCol)))
+    // collision-free verdict column: a user column named __ga_suspect
+    // must survive untouched, not be silently replaced then dropped
+    val suspect = Iterator.iterate("__ga_suspect")(_ + "_")
+      .dropWhile(big.columns.contains).next()
+    val marked = big.withColumn(suspect, mightContain(bits, col(keyCol)))
     val src =
       if (materialize)
         marked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else marked
-    val clean = src.filter(!col("__ga_suspect")).drop("__ga_suspect")
-    val suspects = src.filter(col("__ga_suspect")).drop("__ga_suspect")
+    val clean = src.filter(!col(suspect)).drop(suspect)
+    val suspects = src.filter(col(suspect)).drop(suspect)
     clean.unionByName(suspects.join(keys, Seq(keyCol), "left_anti"))
   }
 

@@ -341,7 +341,12 @@ object Graph {
     */
   def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
                      rounds: Int = 2, scale: Long = 1000000L,
-                     localThreshold: Long = 2000000L): DataFrame = {
+                     localThreshold: Long = 500000L): DataFrame = {
+    // 500k (not the long-id operators' 2M): node ids here are STRINGS
+    // (URLs), so a collected edge is ~10× the 16 bytes of a long pair —
+    // the conservative default of triangleStats/localClustering keeps
+    // the driver pull bounded at the same ~100 MB
+
     require(rounds >= 1 && rounds <= 8 && scale >= 1000L)
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))

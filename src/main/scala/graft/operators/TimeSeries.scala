@@ -24,6 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Loud data guard (the knn/silhouette validation discipline): the
+    * split floor divisions in [[pageHinkley]] / [[classicalDecompose]]
+    * are exact only while their running/window sums stay nonnegative —
+    * a negative value (refund cents) would silently flip the quotient
+    * truncation direction and diverge from the documented floor
+    * semantics (and from the oracle). One cheap min aggregate; fail
+    * with the remedy instead of producing plausible wrong numbers.
+    */
+  private def requireNonNegative(df: DataFrame, valCol: String,
+                                 op: String, why: String): Unit = {
+    val mn = df.agg(min(col(valCol).cast("long"))).head
+    require(mn.isNullAt(0) || mn.getLong(0) >= 0L,
+      s"$op: negative value ${mn.getLong(0)} in '$valCol' — $why; " +
+        "shift the series to a nonnegative base (or negate and re-run " +
+        "for a downward test) before calling")
+  }
+
   /** Final EWMA per key over (tsCol, tieCol)-ordered values:
     * ewma := value*alpha + ewma*(1-alpha), seeded with the first value.
     *
@@ -402,6 +419,8 @@ object TimeSeries {
                          tieCol: String, centsCol: String,
                          period: Int): DataFrame = {
     require(period >= 3 && period % 2 == 1, "odd period >= 3")
+    requireNonNegative(df, centsCol, "classicalDecompose",
+      "the trend's split floor division needs nonnegative window sums")
     import org.apache.spark.sql.expressions.Window
     val h = period / 2
     val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol), col(tieCol))
@@ -450,6 +469,9 @@ object TimeSeries {
   def pageHinkley(df: DataFrame, keyCol: String, orderCol: String,
                   tieCol: String, centsCol: String,
                   deltaMicro: Long, lambdaMicro: Long): DataFrame = {
+    requireNonNegative(df, centsCol, "pageHinkley",
+      "the running-mean split floor division needs nonnegative " +
+        "cumulative sums")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(orderCol), col(tieCol))

@@ -128,6 +128,29 @@ object JdbcUpsert {
     } finally conn.close()
   }
 
+  /** Bootstrap pre-flight: the first batch becomes the table the PK
+    * DDL is added to, so a null key or an intra-batch duplicate key
+    * would land in the data and THEN fail the `ADD PRIMARY KEY` —
+    * leaving a constraint-less table behind. Validate up front (two
+    * cheap aggregates over the batch) and fail with row evidence
+    * before anything is written.
+    */
+  def requireUpsertableBatch(df: DataFrame, keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val nullKeyed = df
+      .filter(keys.map(k => col(k).isNull).reduce(_ || _)).limit(1).count()
+    require(nullKeyed == 0L,
+      s"upsert bootstrap: batch has a NULL in a key column ${keys
+        .mkString("(", ", ", ")")} — NULL never equi-matches, so the " +
+        "row could never update in place")
+    val dup = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dup == 0L,
+      s"upsert bootstrap: batch has duplicate keys ${keys
+        .mkString("(", ", ", ")")} — the PRIMARY KEY DDL would fail " +
+        "after the data landed; dedup the batch (e.g. Loads.upsert) first")
+  }
+
   /** NULL in a key column breaks upsert semantics everywhere (`k = ?`
     * never matches NULL; unique indexes treat NULLs as distinct), so
     * every replay would duplicate the row — fail loudly instead.

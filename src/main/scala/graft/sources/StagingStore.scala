@@ -65,20 +65,59 @@ final class JdbcStagingStore(url: String, props: Properties)
     * .getTables), not by catching the read failure — a transient
     * connection error must abort, not silently drop the current rows.
     */
+  // unquoted identifiers are stored case-folded per engine (Derby/
+  // DB2/Oracle upper, Postgres lower): fold the same way or the
+  // metadata probe misses an existing table and the upsert
+  // silently degrades into an overwrite with only the new batch
+  private def foldCase(md: java.sql.DatabaseMetaData, name: String): String =
+    if (md.storesUpperCaseIdentifiers()) name.toUpperCase
+    else if (md.storesLowerCaseIdentifiers()) name.toLowerCase
+    else name
+
   private def tableExists(table: String): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val md = conn.getMetaData
-      // unquoted identifiers are stored case-folded per engine (Derby/
-      // DB2/Oracle upper, Postgres lower): fold the same way or the
-      // metadata probe misses an existing table and the upsert
-      // silently degrades into an overwrite with only the new batch
-      val name =
-        if (md.storesUpperCaseIdentifiers()) table.toUpperCase
-        else if (md.storesLowerCaseIdentifiers()) table.toLowerCase
-        else table
-      val rs = md.getTables(null, null, name, null)
+      val rs = md.getTables(null, null, foldCase(md, table), null)
       try rs.next() finally rs.close()
+    } finally conn.close()
+  }
+
+  /** Does `table` carry a unique constraint on EXACTLY the key set?
+    * The native upserts are only upserts under one: without it,
+    * PostgreSQL `ON CONFLICT (keys)` fails loudly (42P10) but MySQL
+    * `ON DUPLICATE KEY UPDATE` silently INSERTS a duplicate row on
+    * every replay — and tables created by [[write]] or by the portable
+    * merge+overwrite path never have one (Spark's JDBC sink emits no
+    * constraints). Probed via DatabaseMetaData: the declared PRIMARY
+    * KEY first, then any unique index whose column set equals the keys
+    * (set equality, case-folded — a SUBSET would make distinct keys
+    * collide, a SUPERSET would let same-key rows duplicate).
+    */
+  private[graft] def hasUniqueKey(table: String,
+                                  keys: Seq[String]): Boolean = {
+    val want = keys.map(_.toLowerCase).toSet
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val md = conn.getMetaData
+      val name = foldCase(md, table)
+      val pk = scala.collection.mutable.Buffer.empty[String]
+      val prs = md.getPrimaryKeys(null, null, name)
+      try while (prs.next()) pk += prs.getString("COLUMN_NAME")
+      finally prs.close()
+      if (pk.nonEmpty && pk.map(_.toLowerCase).toSet == want) return true
+      val byIndex =
+        scala.collection.mutable.Map.empty[String,
+          scala.collection.mutable.Buffer[String]]
+      val irs = md.getIndexInfo(null, null, name, true, false)
+      try while (irs.next()) {
+        val iname = irs.getString("INDEX_NAME")
+        val c = irs.getString("COLUMN_NAME")
+        if (iname != null && c != null)
+          byIndex.getOrElseUpdate(iname,
+            scala.collection.mutable.Buffer.empty[String]) += c
+      } finally irs.close()
+      byIndex.values.exists(_.map(_.toLowerCase).toSet == want)
     } finally conn.close()
   }
 
@@ -91,21 +130,45 @@ final class JdbcStagingStore(url: String, props: Properties)
     */
   override def upsert(df: DataFrame, table: String, keys: Seq[String]): Unit =
     JdbcUpsert.dialectOf(url) match {
-      case "mysql" | "postgres" if tableExists(table) =>
+      case d @ ("mysql" | "postgres") if tableExists(table) =>
+        // the native statements are only upserts when the key set is
+        // unique-constrained; a table without one (created by write()
+        // or the portable path) must not take this branch — repair the
+        // constraint first, and if the existing DATA already violates
+        // it, fall back to the portable merge (which dedups by key)
+        if (!hasUniqueKey(table, keys)) {
+          val repaired =
+            try {
+              JdbcUpsert.execDdl(url, props,
+                JdbcUpsert.primaryKeySql(d, table, keys))
+              true
+            } catch { case _: java.sql.SQLException => false }
+          if (!repaired) { mergeOverwriteUpsert(df, table, keys); return }
+        }
         val cols = df.schema.fieldNames.toSeq
         val sql =
-          if (JdbcUpsert.dialectOf(url) == "mysql")
-            JdbcUpsert.mysqlSql(table, cols, keys)
+          if (d == "mysql") JdbcUpsert.mysqlSql(table, cols, keys)
           else JdbcUpsert.postgresSql(table, cols, keys)
         JdbcUpsert.runSingle(df, url, props, sql, keys)
-      case "mysql" | "postgres" =>
+      case d @ ("mysql" | "postgres") =>
         // first batch: create + append, then add the key constraint —
         // Spark's JDBC sink never emits one, and without it PG's
         // ON CONFLICT errors and MySQL's ODKU silently duplicates on
-        // every subsequent upsert
+        // every subsequent upsert. Validate the batch BEFORE the write
+        // (null or intra-batch duplicate keys would make the PK DDL
+        // fail after the data landed), and if the DDL still fails,
+        // drop the half-built table so the next call re-bootstraps
+        // instead of native-upserting against a constraint-less table.
+        JdbcUpsert.requireUpsertableBatch(df, keys)
         write(df, table, SaveMode.ErrorIfExists)
-        JdbcUpsert.execDdl(url, props,
-          JdbcUpsert.primaryKeySql(JdbcUpsert.dialectOf(url), table, keys))
+        try JdbcUpsert.execDdl(url, props,
+          JdbcUpsert.primaryKeySql(d, table, keys))
+        catch {
+          case t: Throwable =>
+            try JdbcUpsert.execDdl(url, props, s"DROP TABLE $table")
+            catch { case _: Throwable => () } // original error propagates
+            throw t
+        }
       case _ => mergeOverwriteUpsert(df, table, keys)
     }
 

@@ -35,6 +35,21 @@ class LayoutBloomSpec extends AnyFunSuite {
     assert(gotSemi.toSeq == expSemi.toSeq)
   }
 
+  test("bloom anti join: a user column named __ga_suspect survives " +
+    "(ADVICE r5: verdict column must be collision-free)") {
+    val big = spark.range(0, 500).select($"id".as("k"),
+      ($"id" * 3).as("__ga_suspect"))
+    val keys = spark.range(0, 500).filter($"id" % 50 === 0)
+      .select($"id".as("k"))
+    val got = Bloom.antiJoin(big, keys, "k", 0.05)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val exp = big.join(keys, Seq("k"), "left_anti")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(got.toSeq == exp.toSeq) // values of the user column intact
+    assert(Bloom.antiJoin(big, keys, "k", 0.05).columns.toSeq ==
+      Seq("k", "__ga_suspect"))
+  }
+
   test("bloom anti join: rescan mode (materialize=false) is identical") {
     // the 100 TB file-source trade: two map-side codegen'd scans, zero
     // cache — must produce the same rows as the materialized default

@@ -787,6 +787,20 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(fr.isNullAt(fr.fieldIndex("first_alarm_idx")))
   }
 
+  test("pageHinkley / classicalDecompose: negative cents fail loudly " +
+    "(ADVICE r5: split floor division needs nonnegative sums)") {
+    val rows = Seq(("k", 1L, 1L, 100L), ("k", 2L, 2L, -5L))
+      .toDF("k", "o", "t", "cents")
+    val e1 = intercept[IllegalArgumentException] {
+      TimeSeries.pageHinkley(rows, "k", "o", "t", "cents", 0L, 1L)
+    }
+    assert(e1.getMessage.contains("negative value -5"))
+    val e2 = intercept[IllegalArgumentException] {
+      TimeSeries.classicalDecompose(rows, "k", "o", "t", "cents", 3)
+    }
+    assert(e2.getMessage.contains("negative value -5"))
+  }
+
   test("goodTuring: known spectrum → exact smoothed counts and unseen mass") {
     import graft.functions.TextFunctions
     // word counts: a:3, b:2, c:1, d:1 → N1=2, N2=1, N3=1, N=7

@@ -210,4 +210,49 @@ class SchedulerStoreSpec extends AnyFunSuite {
       JdbcUpsert.primaryKeySql("generic", "t", Seq("id"))
     }
   }
+
+  test("hasUniqueKey: detects PK / unique index on exactly the key set " +
+    "(ADVICE r5: native upsert must not assume the constraint exists)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_derby")
+    val url = s"jdbc:derby:$dir/pkdb;create=true"
+    val props = new java.util.Properties
+    val store = new graft.sources.JdbcStagingStore(url, props)
+    import graft.sources.JdbcUpsert.execDdl
+    // Spark's jdbc sink: no constraint at all
+    store.write(Seq((1L, "a")).toDF("k", "v"), "plain", SaveMode.Overwrite)
+    assert(!store.hasUniqueKey("plain", Seq("k")))
+    // declared PRIMARY KEY on exactly the keys
+    execDdl(url, props,
+      "CREATE TABLE pkt (k BIGINT NOT NULL, v VARCHAR(10), PRIMARY KEY (k))")
+    assert(store.hasUniqueKey("pkt", Seq("k")))
+    // unique INDEX (no PK) on exactly the keys
+    execDdl(url, props, "CREATE TABLE uxt (k BIGINT NOT NULL, v VARCHAR(10))")
+    execDdl(url, props, "CREATE UNIQUE INDEX uxt_k ON uxt (k)")
+    assert(store.hasUniqueKey("uxt", Seq("k")))
+    // constraint on a DIFFERENT column set is not an upsert key:
+    // subset would make distinct keys collide, superset would duplicate
+    execDdl(url, props,
+      "CREATE TABLE sub (a BIGINT NOT NULL, b BIGINT NOT NULL, " +
+        "v VARCHAR(10), PRIMARY KEY (a))")
+    assert(!store.hasUniqueKey("sub", Seq("a", "b")))
+    assert(store.hasUniqueKey("sub", Seq("a")))
+  }
+
+  test("requireUpsertableBatch: null / intra-batch duplicate keys fail " +
+    "BEFORE the bootstrap write (ADVICE r5)") {
+    import graft.sources.JdbcUpsert
+    JdbcUpsert.requireUpsertableBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k")) // clean: no-op
+    val nullKey = Seq((Some(1L), "a"), (None, "b"))
+      .toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      JdbcUpsert.requireUpsertableBatch(nullKey, Seq("k"))
+    }
+    assert(e1.getMessage.contains("NULL"))
+    val dupKey = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      JdbcUpsert.requireUpsertableBatch(dupKey, Seq("k"))
+    }
+    assert(e2.getMessage.contains("duplicate keys"))
+  }
 }
