@@ -63,8 +63,12 @@ object Bench {
       // revisits them — without clearing, the block manager accretes
       // hundreds of dead cached datasets and late-alphabet queries
       // pay eviction churn + GC (observed: a trivial count inflating
-      // 0.4s → 3s near the end of a full run)
+      // 0.4s → 3s near the end of a full run). clearCache only reaches
+      // CacheManager entries; sealed results also carry RDD-level
+      // localCheckpoint blocks — sweep those too.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

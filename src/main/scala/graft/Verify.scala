@@ -24,8 +24,12 @@ object Verify {
       .foreach { case (name, fn) =>
       // operators persist() intermediates that a 250-query dump never
       // revisits — clear between queries (same discipline as Bench) so
-      // the gate run doesn't accrete hundreds of dead cached datasets
+      // the gate run doesn't accrete hundreds of dead cached datasets.
+      // clearCache only reaches CacheManager entries; sealed results
+      // also carry RDD-level localCheckpoint blocks — sweep those too.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

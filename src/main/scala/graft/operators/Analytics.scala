@@ -204,7 +204,9 @@ object Analytics {
           .as("confidence"),
         ((col("n_baskets") * col("supp_ab")).cast("double") /
           (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
-    out
+    // bounded output (pairs above minSupport): seal — materialize,
+    // release the persisted basket table (graft.sealResult contract)
+    graft.sealResult(out, b)
   }
 
   /** Frequent 3-itemsets with RELATIVE minimum support (Agrawal &
@@ -281,10 +283,12 @@ object Analytics {
         col("ic").as("item_c"))
       .agg(count(lit(1)).as("supp_abc"))
       .crossJoin(broadcast(n)).filter(col("supp_abc") >= col("minsup"))
-    triples.select(col("item_a"), col("item_b"), col("item_c"),
-      col("supp_abc"),
-      round(col("supp_abc").cast("double") /
-        col("n_baskets").cast("double"), 6).as("support"))
+    graft.sealResult(
+      triples.select(col("item_a"), col("item_b"), col("item_c"),
+        col("supp_abc"),
+        round(col("supp_abc").cast("double") /
+          col("n_baskets").cast("double"), 6).as("support")),
+      bs0, cand)
   }
 
   /** A/B experiment read-out: per variant the metric moments, the

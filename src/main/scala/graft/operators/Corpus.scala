@@ -101,10 +101,14 @@ object Corpus {
     val tfd = col("tf").cast("double")
     val score = idf * (tfd * (k1 + 1.0)) /
       (tfd + lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / avgdl))
-    dt.join(dfreq, "term")
+    // seal: the checkpointed output is the same size as the persisted
+    // doc-term table it replaces in storage — peak footprint unchanged,
+    // but releasable (graft.release) instead of leaked
+    graft.sealResult(dt.join(dfreq, "term")
       .crossJoin(broadcast(stats))
       .select(col("id"), col("term"), col("tf"), col("df"),
-        score.as("bm25_raw"))
+        score.as("bm25_raw")),
+      dt)
   }
 
   /** Inverted index: per term, document frequency and the posting list
@@ -146,14 +150,17 @@ object Corpus {
     val spanDf = sh.groupBy(col("sh"))
       .agg(count(lit(1)).as("span_docs"))
     val frac = col("n_dup_spans").cast("double") / col("n_spans")
-    sh.join(spanDf, "sh")
+    // per-doc output (far smaller than the persisted shingle table):
+    // seal — materialize, release the shingles
+    graft.sealResult(sh.join(spanDf, "sh")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("span_docs") >= minDocs, 1L).otherwise(0L))
           .as("n_dup_spans"))
       .select(col("id"), col("n_spans"), col("n_dup_spans"),
         frac.as("dup_frac"),
-        (frac >= flagAt).as("flagged"))
+        (frac >= flagAt).as("flagged")),
+      sh)
   }
 
   /** Statistical language-model scoring (the shape of CCNet/Gopher
@@ -194,16 +201,20 @@ object Corpus {
       .agg(countDistinct(col("x")).as("v"))
     val lnp = log((col("c2") + 1).cast("double") /
       (col("c1") + col("v")).cast("double"))
-    big.join(c2, Seq("a", "b")).join(c1, Seq("a"))
-      .crossJoin(broadcast(v))
-      .select(col("id"), col("pos"), lnp.as("lnp"))
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        (aggregate(
-          transform(array_sort(collect_list(struct(col("pos"), col("lnp")))),
-            x => x.getField("lnp")),
-          lit(0.0), (acc, x) => acc + x)
-          / count(lit(1)).cast("double")).as("avg_lnp"))
+    // per-doc output: seal — materialize, release the persisted word
+    // arrays and bigram table
+    graft.sealResult(
+      big.join(c2, Seq("a", "b")).join(c1, Seq("a"))
+        .crossJoin(broadcast(v))
+        .select(col("id"), col("pos"), lnp.as("lnp"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("lnp")))),
+              x => x.getField("lnp")),
+            lit(0.0), (acc, x) => acc + x)
+            / count(lit(1)).cast("double")).as("avg_lnp")),
+      w, big)
   }
 
   /** E43: vocabulary build + token-id encoding — the string-indexer
@@ -289,12 +300,15 @@ object Corpus {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
-    dt.join(dfreq, "term")
+    // seal (same trade as [[bm25]]): checkpointed output replaces the
+    // persisted doc-term table in storage, releasable via graft.release
+    graft.sealResult(dt.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .select(col("id"), col("term"), col("tf"), col("df"),
         (col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double")))
-          .as("tfidf_raw"))
+          .as("tfidf_raw")),
+      dt)
   }
 
   /** PMI-scored bigram collocations (Church & Hanks 1990) — the
@@ -336,13 +350,17 @@ object Corpus {
       col("t1").cast(dec)).cast(dec)
     val den = (col("t2").cast(dec) * col("c_a").cast(dec) *
       col("c_b").cast(dec)).cast(dec)
-    c2.join(uni.select(col("x").as("a"), col("c1").as("c_a")), "a")
-      .join(uni.select(col("x").as("b"), col("c1").as("c_b")), "b")
-      .crossJoin(broadcast(totals))
-      .select(col("a"), col("b"), col("c_ab"),
-        log(num.cast("double") / den.cast("double")).as("pmi_raw"))
-      .orderBy(col("c_ab").desc, col("a").asc, col("b").asc)
-      .limit(k)
+    // top-k output: seal — materialize, release the persisted word
+    // arrays and bigram counts
+    graft.sealResult(
+      c2.join(uni.select(col("x").as("a"), col("c1").as("c_a")), "a")
+        .join(uni.select(col("x").as("b"), col("c1").as("c_b")), "b")
+        .crossJoin(broadcast(totals))
+        .select(col("a"), col("b"), col("c_ab"),
+          log(num.cast("double") / den.cast("double")).as("pmi_raw"))
+        .orderBy(col("c_ab").desc, col("a").asc, col("b").asc)
+        .limit(k),
+      w, c2)
   }
 
   /** Token-blocklist screen (C4/RefinedWeb-style "bad words" pass) —
@@ -945,7 +963,8 @@ object Corpus {
       .select(col("r"), col("n_r"),
         expr("((r + 1) * n_next * 1000000) div n_r").as("r_star_micro"),
         expr("coalesce(n1, 0L) * 1000000 div n_tokens").as("p0_micro"))
-    out
+    // maxR rows: seal — materialize, release the persisted spectrum
+    graft.sealResult(out, spectrum)
   }
 
   def burstiness(docs: DataFrame, idCol: String, textCol: String,

@@ -121,7 +121,9 @@ object Dedup {
     // exact verify: |∩| via array_intersect (codegen'd) over the
     // persisted per-doc arrays; the jaccard expression and filter are
     // byte-identical to the legacy self-join-count form
-    cand
+    // near-dup-pair output (corpus-small): seal — materialize, release
+    // the persisted per-doc shingle arrays
+    graft.sealResult(cand
       .join(ord.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(ord.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("inter",
@@ -130,7 +132,8 @@ object Dedup {
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard")),
+      ord)
   }
 
   /** MinHash signature column for one seed: lexicographic min of
@@ -176,11 +179,12 @@ object Dedup {
                            n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = minhashBands(df, textCol, idCol, n, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.as("a").join(banded.as("b"),
+    graft.sealResult(banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_bands"))
+      .agg(count(lit(1)).as("n_bands")),
+      banded)
   }
 
   /** E45: incremental MinHash LSH — the near-dup analog of
@@ -262,7 +266,7 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ic"))
-    withAgree
+    graft.sealResult(withAgree
       .join(inter, Seq("id_a", "id_b"), "left")
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
@@ -271,7 +275,8 @@ object Dedup {
         coalesce(col("ic"), lit(0L)).as("inter"),
         (coalesce(col("ic"), lit(0L)).cast("double") /
           (col("sa") + col("sb") - coalesce(col("ic"), lit(0L)))
-            .cast("double")).as("jaccard"))
+            .cast("double")).as("jaccard")),
+      sig)
   }
 
   /** E4: 64-bit SimHash over normalized words: bit b of the signature is

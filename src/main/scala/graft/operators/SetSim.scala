@@ -94,7 +94,9 @@ object SetSim {
     // array_intersect (codegen'd), acceptance in exact integers
     val arrs = tok.groupBy(col("id"))
       .agg(sort_array(collect_list(col("token"))).as("toks"))
-    cand
+    // near-dup-pair output (threshold survivors, corpus-small): seal —
+    // materialize, release the persisted token table
+    graft.sealResult(cand
       .join(arrs.select(col("id").as("doc_a"), col("toks").as("ta")), "doc_a")
       .join(arrs.select(col("id").as("doc_b"), col("toks").as("tb")), "doc_b")
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
@@ -103,7 +105,8 @@ object SetSim {
       .select(col("doc_a"), col("doc_b"), col("inter"),
         col("n_a"), col("n_b"),
         (col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter"))).as("jacc"))
+          (col("n_a") + col("n_b") - col("inter"))).as("jacc")),
+      tok)
   }
 
   /** Containment self-join: pairs with |A∩B| / min(|A|,|B|) ≥ τ — the
@@ -135,7 +138,7 @@ object SetSim {
         col("a.token") === col("b.token") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    graft.sealResult(inter
       .join(sizes.select(col("id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .filter(lit(tauDen) * col("inter") >=
@@ -143,7 +146,8 @@ object SetSim {
       .select(col("doc_a"), col("doc_b"), col("inter"),
         col("n_a"), col("n_b"),
         (col("inter").cast("double") /
-          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+          least(col("n_a"), col("n_b")).cast("double")).as("containment")),
+      tok)
   }
 
   /** Brute-force reference: every shared-token pair, exact filter —

@@ -1296,8 +1296,11 @@ object Similarity {
           col("cn").as("sel_n"), col("score"))
       selected = if (selected == null) next else selected.unionByName(next)
     }
-    selected.select(col("q_id"), col("pick"), col("sel_id"),
-      round(col("score") / 10000d, 6).as("score"))
+    // k rows per query: seal — materialize, release the persisted pool
+    graft.sealResult(
+      selected.select(col("q_id"), col("pick"), col("sel_id"),
+        round(col("score") / 10000d, 6).as("score")),
+      pool)
   }
 
   /** Pairwise cosine similarity between LABEL CENTROIDS of an

@@ -747,6 +747,7 @@ object Stats {
     var cur = df.select(col(labelCol).as("y"), col(xCol).as("x"),
       lit(1L).as("w"))
     var outs = Vector.empty[DataFrame]
+    var fits = Vector.empty[DataFrame]
     for (r <- 1 to rounds) {
       // persist + materialize each round's 1-row fit: without it, the
       // DataFrame lineage re-evaluates every prior round's fit on each
@@ -754,6 +755,7 @@ object Stats {
       val fit = weightedStumpFit(cur)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       fit.count()
+      fits :+= fit
       outs :+= fit.withColumn("round", lit(r.toLong))
       if (r < rounds) {
         val f = fit.select(col("threshold").as("__t"),
@@ -766,12 +768,14 @@ object Stats {
           .select(col("y"), col("x"), col("w"))
       }
     }
-    outs.reduce(_ unionByName _)
+    // `rounds` rows total: seal — materialize, release the per-round fits
+    graft.sealResult(outs.reduce(_ unionByName _)
       .select(col("round"), col("threshold"), col("w_correct"),
         col("w_total"),
         expr("(w_total - w_correct) * 1000000 div w_total")
           .as("err_micro"),
-        col("predict_left"), col("predict_right"))
+        col("predict_left"), col("predict_right")),
+      fits: _*)
   }
 
   /** Percentile-bootstrap confidence interval for a mean, with the

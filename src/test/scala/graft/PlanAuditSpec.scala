@@ -10,9 +10,33 @@ class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, dir)
-      .queryExecution.executedPlan.toString
+  /** All plans a gate query PLANS OR EXECUTES. Sealed operators
+    * (graft.sealResult) materialize inside the query fn and return a
+    * LogicalRDD-backed result whose own executedPlan is just the
+    * checkpoint scan — the real plan shape lives in the "checkpoint"
+    * action a QueryExecutionListener observes. Capture those, flush
+    * the async listener bus, and append the returned plan (still the
+    * full lazy plan for unsealed queries).
+    */
+  private def plan(name: String): String = {
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val df = SparkEntry.queries(name)(spark, dir)
+      org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
+      (plans.toArray.map(_.toString) :+
+        df.queryExecution.executedPlan.toString).mkString("\n")
+    } finally spark.listenerManager.unregister(l)
+  }
 
   test("filter + projection are pushed to the parquet scan") {
     val p = plan("q_filter_scan")
