@@ -1036,22 +1036,29 @@ object OracleSql {
 
     "q_image_dims" ->
       // GROUND-TRUTH oracle: emits the dimensions the Spark side
-      // PLANTED into valid PNG/GIF headers, without parsing anything
-      // — hash equality proves imageDims' byte-level parse exactly
-      // inverts the container layout (24-byte PNG prefix: sig + IHDR
-      // len/tag + BE32 w/h; 10-byte GIF prefix: "GIF89a" + LE16 w/h)
+      // PLANTED into valid PNG/GIF/JPEG headers, without parsing
+      // anything — hash equality proves imageDims' byte-level parse
+      // exactly inverts each container layout (24-byte PNG prefix:
+      // sig + IHDR len/tag + BE32 w/h; 10-byte GIF prefix: "GIF89a" +
+      // LE16 w/h; 45-byte JPEG prefix: SOI + APP0 + COM + SOF0 with
+      // BE16 h/w behind the variable-offset marker walk)
       """SELECT doc_id AS media_id,
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN 24 + octet_length(encode(text))
         |       WHEN doc_id % 4 = 1 THEN 10 + octet_length(encode(text))
+        |       WHEN doc_id % 4 = 2 THEN 45 + octet_length(encode(text))
         |       ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
         |  CASE WHEN doc_id % 4 = 0 THEN 'png'
         |       WHEN doc_id % 4 = 1 THEN 'gif'
+        |       WHEN doc_id % 4 = 2 THEN 'jpeg'
         |       ELSE 'unknown' END AS kind,
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 1024 + 16
-        |       WHEN doc_id % 4 = 1 THEN doc_id % 500 + 1 END AS BIGINT)
+        |       WHEN doc_id % 4 = 1 THEN doc_id % 500 + 1
+        |       WHEN doc_id % 4 = 2 THEN doc_id % 2000 + 1 END AS BIGINT)
         |    AS width,
         |  CAST(CASE WHEN doc_id % 4 = 0 THEN (doc_id * 7) % 1024 + 16
-        |       WHEN doc_id % 4 = 1 THEN (doc_id * 3) % 500 + 1 END AS BIGINT)
+        |       WHEN doc_id % 4 = 1 THEN (doc_id * 3) % 500 + 1
+        |       WHEN doc_id % 4 = 2 THEN (doc_id * 5) % 2000 + 1
+        |         END AS BIGINT)
         |    AS height
         |FROM documents""".stripMargin,
 

@@ -3402,13 +3402,15 @@ object SparkEntry {
       "doc_id", "payload")
   }
 
-  /** E12b: byte-level image header parsing — VALID PNG and GIF headers
-    * are constructed with dimensions derived from doc_id, then
+  /** E12b: byte-level image header parsing — VALID PNG, GIF, and JPEG
+    * headers are constructed with dimensions derived from doc_id, then
     * Multimodal.imageDims parses them back from the raw bytes. The
-    * oracle emits the PLANTED dimensions directly (it never parses),
-    * so hash equality proves the Spark parser exactly inverts the
-    * container layout — a ground-truth check, not a mirrored
-    * computation.
+    * JPEG plant is a real marker chain (SOI → APP0/JFIF → COM → SOF0),
+    * so the parser must WALK segments to a variable SOF offset, not
+    * read a fixed position. The oracle emits the PLANTED dimensions
+    * directly (it never parses), so hash equality proves the Spark
+    * parser exactly inverts each container layout — a ground-truth
+    * check, not a mirrored computation.
     */
   private def qImageDims(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -3417,17 +3419,30 @@ object SparkEntry {
     val hPng = (($"doc_id" * 7) % 1024 + 16).cast("long")
     val wGif = ($"doc_id" % 500 + 1).cast("long")
     val hGif = (($"doc_id" * 3) % 500 + 1).cast("long")
+    val wJpg = ($"doc_id" % 2000 + 1).cast("long")
+    val hJpg = (($"doc_id" * 5) % 2000 + 1).cast("long")
     def be32(v: org.apache.spark.sql.Column) =
       unhex(lpad(hex(v), 8, "0"))
+    def be16(v: org.apache.spark.sql.Column) =
+      unhex(lpad(hex(v), 4, "0"))
     def le16(v: org.apache.spark.sql.Column) =
       unhex(concat(lpad(hex(v % 256), 2, "0"),
         lpad(hex(((v - v % 256) / 256).cast("long")), 2, "0")))
+    // JPEG prefix (45 bytes): SOI, 18-byte APP0/JFIF, 6-byte COM
+    // ("AB CD"), SOF0 "FFC0 0011 08" + BE16 height + BE16 width +
+    // 3-component spec — a layout-faithful header the walk must chase
+    val jpgPre = "FFD8" +
+      "FFE000104A46494600010100000100010000" +
+      "FFFE0004ABCD" + "FFC0001108"
     val bin = when($"doc_id" % 4 === 0,
         concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
           be32(wPng), be32(hPng), $"text".cast("binary")))
       .when($"doc_id" % 4 === 1,
         concat(unhex(lit("474946383961")), le16(wGif), le16(hGif),
           $"text".cast("binary")))
+      .when($"doc_id" % 4 === 2,
+        concat(unhex(lit(jpgPre)), be16(hJpg), be16(wJpg),
+          unhex(lit("03011100021101031101")), $"text".cast("binary")))
       .otherwise($"text".cast("binary"))
     Multimodal.imageDims(d.select($"doc_id", bin.as("payload")),
       "doc_id", "payload")

@@ -58,30 +58,66 @@ object Multimodal {
     *  - GIF: width/height are LITTLE-endian uint16 at bytes 7-8 /
     *    9-10 (after "GIF87a"/"GIF89a"), i.e. byte-swapped hex chars
     *    13-16 / 17-20;
-    *  - anything else: null dims.
+    *  - JPEG: dims live in the frame header (SOFn segment), which
+    *    sits at a VARIABLE offset behind APPn/COM/quant segments — a
+    *    bounded marker walk (`aggregate` over ≤ maxSegments steps)
+    *    follows the `FF mk len` chain from byte 3 until an SOFn
+    *    marker (C0–CF minus C4/C8/CC), then height/width are
+    *    big-endian uint16 at SOF payload bytes 4-5 / 6-7;
+    *  - anything else (or a malformed/truncated walk): null dims.
     *
-    * Parsing runs on the hex string (one `hex` call shared by magic
-    * sniff and dims) with `conv(_, 16, 10)` — inside the scan stage,
-    * no shuffle, no UDF. This is the header-metadata pass a 100 TB
+    * Parsing runs on the hex string of the first `headBytes` bytes
+    * (one `hex` call shared by magic sniff, fixed offsets, and the
+    * walk) with `conv(_, 16, 10)` — inside the scan stage, no
+    * shuffle, no UDF. This is the header-metadata pass a 100 TB
     * media pipeline runs BEFORE any costly decode: size/aspect
-    * filters drop rows while only the first kilobyte is read.
+    * filters drop rows while only the header prefix is expanded
+    * (hex on a whole multi-MB payload would double it into chars).
     */
-  def imageDims(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val h = upper(hex(col(binCol)))
+  def imageDims(df: DataFrame, idCol: String, binCol: String,
+                headBytes: Int = 65536, maxSegments: Int = 16): DataFrame = {
+    val h = upper(hex(substring(col(binCol), 1, headBytes)))
     def hexAt(pos: Int, len: Int) =
       conv(substring(h, pos, len), 16, 10).cast("long")
     val magic = lower(substring(h, 1, 8))
     val kind = magicTable.foldRight(lit("unknown")) { case ((sig, k), acc) =>
       when(magic.startsWith(sig), k).otherwise(acc)
     }
+    // JPEG marker walk. Fold state (byte offset of the segment's 0xFF,
+    // 1-based): positive = keep walking, -p = SOFn found at byte p,
+    // 0 = malformed / SOS reached / truncated (no dims). Byte i is hex
+    // chars 2i-1..2i; a segment at p is FF(p) mk(p+1) len(p+2..p+3).
+    val sofMarkers = Seq("C0", "C1", "C2", "C3", "C5", "C6", "C7",
+      "C9", "CA", "CB", "CD", "CE", "CF")
+    val walk = aggregate(sequence(lit(1), lit(maxSegments)), lit(3L),
+      (acc, _) => {
+        val ff = h.substr((acc * 2 - 1).cast("int"), lit(2)) === "FF"
+        val mk = h.substr((acc * 2 + 1).cast("int"), lit(2))
+        val segLen = conv(h.substr((acc * 2 + 3).cast("int"), lit(4)),
+          16, 10).cast("long")
+        when(acc <= 0L, acc) // terminal: found (<0) or failed (0)
+          .when(!ff, lit(0L)) // lost marker sync (or past the prefix)
+          .when(mk.isInCollection(sofMarkers), -acc)
+          .when(mk === "DA", lit(0L)) // SOS: entropy data, SOF missed
+          .otherwise(acc + 2L + segLen)
+      })
+    val sof = -walk // byte offset of the SOF segment's FF when found
+    // SOF payload: len(2) precision(1) height(2 BE) width(2 BE) —
+    // height at bytes sof+5..6 (hex chars 2·sof+9), width at sof+7..8
+    val jH = conv(h.substr((sof * 2 + 9).cast("int"), lit(4)), 16, 10)
+      .cast("long")
+    val jW = conv(h.substr((sof * 2 + 13).cast("int"), lit(4)), 16, 10)
+      .cast("long")
     df.select(col(idCol).as("media_id"),
       length(col(binCol)).cast("long").as("n_bytes"),
       kind.as("kind"),
       when(kind === "png", hexAt(33, 8))
         .when(kind === "gif", hexAt(13, 2) + hexAt(15, 2) * 256)
+        .when(kind === "jpeg" && walk < 0L, jW)
         .as("width"),
       when(kind === "png", hexAt(41, 8))
         .when(kind === "gif", hexAt(17, 2) + hexAt(19, 2) * 256)
+        .when(kind === "jpeg" && walk < 0L, jH)
         .as("height"))
   }
 

@@ -212,6 +212,32 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got(3L) == (("unknown", None, None)))
   }
 
+  test("imageDims: JPEG SOF walk — variable offset, progressive SOF2, " +
+    "truncated and SOS-first payloads yield null dims") {
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // baseline JFIF: SOI, APP0(18B), COM(6B), SOF0 h=240 w=320
+    val base = hx("FFD8" + "FFE000104A46494600010100000100010000" +
+      "FFFE0004ABCD" + "FFC0001108" + "00F0" + "0140" +
+      "03011100021101031101")
+    // progressive: SOI, two APPn of different lengths, SOF2 h=17 w=4097
+    val prog = hx("FFD8" + "FFE10006AABBCCDD" + "FFED0004EEFF" +
+      "FFC2001108" + "0011" + "1001" + "03011100021101031101")
+    // SOS before any SOF (malformed): walk must stop with null dims
+    val sosFirst = hx("FFD8" + "FFDA0002" + "BEEF")
+    // truncated mid-walk: APP0 length points past the payload end
+    val trunc = hx("FFD8" + "FFE000FF" + "4A46")
+    val df = Seq((1L, base), (2L, prog), (3L, sosFirst), (4L, trunc))
+      .toDF("id", "payload")
+    val got = graft.operators.Multimodal.imageDims(df, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(1L) == (("jpeg", Some(320L), Some(240L))))
+    assert(got(2L) == (("jpeg", Some(4097L), Some(17L))))
+    assert(got(3L) == (("jpeg", None, None)))
+    assert(got(4L) == (("jpeg", None, None)))
+  }
+
   test("scc: hand case + randomized ≡ brute-force mutual reachability; " +
     "local ≡ distributed") {
     // hand case: cycle {1,2,3}, 2-cycle {10,11}, chain tail 20→21
