@@ -58,6 +58,15 @@ object Bench {
     // best-of-N per query: local-mode timings are scheduling-noise-bound
     // at small SF; min is the standard stable estimator
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // the kernel-bound string-similarity queries ride C2's compilation
+    // curve: their first measured iterations can be ~2× steady state
+    // (SURVEY §7 root-caused the q_setsim_join band to JIT warm-up),
+    // so they iterate more by default — recorded tails are C2-hot
+    // numbers, not warm-up-curve samples
+    val jitSensitive = Set("q_setsim_join", "q_jaro_winkler",
+      "q_fuzzy_match", "q_edit_join", "q_winnow_pairs")
+    def itersFor(name: String) =
+      if (jitSensitive(name)) math.max(iters, 4) else iters
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // operators persist() intermediates and a 250-query run never
       // revisits them — without clearing, the block manager accretes
@@ -69,7 +78,7 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      val times = (1 to iters).map { _ =>
+      val times = (1 to itersFor(name)).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case scala.util.control.NonFatal(ex) =>
