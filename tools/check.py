@@ -15,7 +15,10 @@ only = set(sys.argv[3:])
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    # driver testdata tables are single files; Spark-written rehearsal
+    # tables (tools/ScaleUp) are part-file directories
+    src = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
