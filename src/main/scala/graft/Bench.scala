@@ -48,7 +48,16 @@ object Bench {
     // a run whose canary inflates >3× its own floor, or whose floor is
     // itself implausible for this job shape, self-flags as contended so
     // the recorded JSON is never mistaken for a clean measurement.
+    // the canary must measure HOST health, not this run's own block-
+    // manager debris: sweep caches + checkpoint RDDs before timing it
+    // (same prelude every measured query gets)
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     def canary(): Double = {
+      sweep()
       val t0 = System.nanoTime()
       spark.range(0L, 20000000L, 1L, 32).selectExpr("sum(id % 7)").collect()
       (System.nanoTime() - t0) / 1e9
@@ -75,9 +84,7 @@ object Bench {
       // 0.4s → 3s near the end of a full run). clearCache only reaches
       // CacheManager entries; sealed results also carry RDD-level
       // localCheckpoint blocks — sweep those too.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      sweep()
       val times = (1 to itersFor(name)).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

@@ -259,8 +259,11 @@ object Dedup {
       .join(sig.as("a"), col("id_a") === col("a.id"))
       .join(sig.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a"), col("id_b"), agree.as("n_agree"))
-    // exact Jaccard for the candidate pairs only
+    // exact Jaccard for the candidate pairs only; the shingle table
+    // feeds three consumers (sizes + both sides of the intersection
+    // join) — persist it for the call instead of re-tokenizing thrice
     val sh = docShingles(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = withAgree.select(col("id_a"), col("id_b"))
       .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
@@ -276,7 +279,7 @@ object Dedup {
         (coalesce(col("ic"), lit(0L)).cast("double") /
           (col("sa") + col("sb") - coalesce(col("ic"), lit(0L)))
             .cast("double")).as("jaccard")),
-      sig)
+      sig, sh)
   }
 
   /** E4: 64-bit SimHash over normalized words: bit b of the signature is
