@@ -103,7 +103,13 @@ object Bench {
     def qsMap(entries: Seq[(String, Double)]) = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val canaryPost = canary()
+    // symmetric with the floor: best-of-3 after a GC. A single post
+    // sample right after 260 queries measures the run's own heap debt
+    // (observed: 0.35s single vs 0.1s floor on an idle box, while
+    // genuine host contention shows 10-70× on this job); min-of-3 on
+    // a collected heap isolates the host signal the flag exists for.
+    System.gc()
+    val canaryPost = (1 to 3).map(_ => canary()).min
     val contended = canaryFloor > 0.75 || canaryPost > 3 * canaryFloor
     val total = results.map(_._2).sum
     // The captured stdout window is a ~2000-char TAIL (observed in
