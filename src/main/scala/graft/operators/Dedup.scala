@@ -238,7 +238,14 @@ object Dedup {
                               idCol: String, n: Int, bands: Int,
                               rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = minhashSignatures(df, textCol, idCol, n, bands, rowsPerBand)
+    // ONE persisted shingle table feeds everything: the signature
+    // aggregate here AND the exact-Jaccard branch below (sizes + both
+    // sides of the intersection join) — the signature path previously
+    // re-tokenized the corpus through minhashSignatures
+    val sh = docShingles(df, textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.groupBy(col("id"))
+      .agg(minhashAgg(0), (1 until k).map(minhashAgg): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -259,11 +266,8 @@ object Dedup {
       .join(sig.as("a"), col("id_a") === col("a.id"))
       .join(sig.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a"), col("id_b"), agree.as("n_agree"))
-    // exact Jaccard for the candidate pairs only; the shingle table
-    // feeds three consumers (sizes + both sides of the intersection
-    // join) — persist it for the call instead of re-tokenizing thrice
-    val sh = docShingles(df, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact Jaccard for the candidate pairs only, from the same
+    // persisted shingle table
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = withAgree.select(col("id_a"), col("id_b"))
       .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
