@@ -86,6 +86,12 @@ object Dedup {
     // documents; prefix filtering is correct under ANY fixed global
     // order, and occurrence counts are just as rarest-first-
     // correlated as document counts, so the pruning power is the same.
+    // deliberately NOT persisted although two branches (dfreq, ord)
+    // each re-run the scan+shingle pass: the native codegen'd shingle
+    // expression over a columnar scan is CHEAPER than materializing
+    // the exploded string stream through the block manager (measured
+    // round 6: persisting raw made the four ngram-pair gate queries
+    // 1.5× slower)
     val raw = df.select(col(idCol).as("id"),
       explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
     val dfreq = raw.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
