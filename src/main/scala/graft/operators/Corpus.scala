@@ -136,17 +136,22 @@ object Corpus {
     * and quoted passages INSIDE otherwise-unique documents.
     *
     * Plan shape: shingle explode feeds (a) the span document-frequency
-    * aggregate and (b) the per-doc rollup — one persist, two keyed
-    * shuffles (shingle, then doc id), join back on the shingle. The
-    * same shape as [[tfidf]]'s df computation: state is per DISTINCT
-    * span, never per pair, so a 100 TB corpus shuffles linearly.
+    * aggregate and (b) the per-doc rollup — two keyed shuffles
+    * (shingle, then doc id), join back on the shingle. The shingle
+    * pass is deliberately RECOMPUTED for its two consumers rather than
+    * persisted: the codegen'd shingle expression over a columnar scan
+    * is cheaper than materializing the exploded string stream through
+    * the block manager (measured round 6: the persist made the query
+    * 1.7× slower), and at 100 TB caching a stream LARGER than the
+    * input is strictly worse than a second pushdown scan. State is per
+    * DISTINCT span, never per pair, so a 100 TB corpus shuffles
+    * linearly.
     * `dup_frac` is one IEEE division of exact integers — bit-identical
     * on any engine at any parallelism.
     */
   def spanDedup(df: DataFrame, textCol: String, idCol: String,
                 n: Int, minDocs: Int, flagAt: Double): DataFrame = {
     val sh = Dedup.docShingles(df, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spanDf = sh.groupBy(col("sh"))
       .agg(count(lit(1)).as("span_docs"))
     val frac = col("n_dup_spans").cast("double") / col("n_spans")
@@ -159,8 +164,7 @@ object Corpus {
           .as("n_dup_spans"))
       .select(col("id"), col("n_spans"), col("n_dup_spans"),
         frac.as("dup_frac"),
-        (frac >= flagAt).as("flagged")),
-      sh)
+        (frac >= flagAt).as("flagged")))
   }
 
   /** Statistical language-model scoring (the shape of CCNet/Gopher
@@ -184,7 +188,6 @@ object Corpus {
     import graft.functions.TextFunctions
     val w = df.select(col(idCol).as("id"),
         TextFunctions.words(col(textCol)).as("ws"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sequence(1, n-1) DESCENDS when n-1 < 1 — guard short docs to an
     // empty bigram list (DuckDB's generate_series is empty there)
     val idxs = when(size(col("ws")) >= 2,
@@ -201,8 +204,9 @@ object Corpus {
       .agg(countDistinct(col("x")).as("v"))
     val lnp = log((col("c2") + 1).cast("double") /
       (col("c1") + col("v")).cast("double"))
-    // per-doc output: seal — materialize, release the persisted word
-    // arrays and bigram table
+    // per-doc output: seal — materialize, release the persisted bigram
+    // table (the word arrays recompute for their two consumers — the
+    // spanDedup measured trade)
     graft.sealResult(
       big.join(c2, Seq("a", "b")).join(c1, Seq("a"))
         .crossJoin(broadcast(v))
@@ -214,7 +218,7 @@ object Corpus {
               x => x.getField("lnp")),
             lit(0.0), (acc, x) => acc + x)
             / count(lit(1)).cast("double")).as("avg_lnp")),
-      w, big)
+      big)
   }
 
   /** E43: vocabulary build + token-id encoding — the string-indexer
@@ -331,8 +335,9 @@ object Corpus {
   def collocations(df: DataFrame, textCol: String,
                    tokens: Column => Column, k: Int): DataFrame = {
     val dec = "decimal(38,0)"
+    // word arrays recompute for their two consumers (the spanDedup
+    // measured trade: codegen'd re-tokenize beats caching the stream)
     val w = df.select(tokens(col(textCol)).as("ws"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idxs = when(size(col("ws")) >= 2,
       sequence(lit(1), size(col("ws")) - 1))
       .otherwise(array().cast("array<int>"))
@@ -360,7 +365,7 @@ object Corpus {
           log(num.cast("double") / den.cast("double")).as("pmi_raw"))
         .orderBy(col("c_ab").desc, col("a").asc, col("b").asc)
         .limit(k),
-      w, c2)
+      c2)
   }
 
   /** Token-blocklist screen (C4/RefinedWeb-style "bad words" pass) —
