@@ -41,6 +41,24 @@ object Bench {
           System.err.println(s"warm-up failed for $name: $ex")
       }
     }
+    // equalize the OS page-cache state before timing anything: the
+    // measured sweep is the FIRST sf-dir access (warm-up reads the
+    // sf0.001 sibling), so a bench taken hours after the last sf read
+    // pays cold virtio reads concentrated in the earliest queries
+    // (observed: q_bfs 4.19s cold vs 0.85s cached — iterative queries
+    // re-read parquet per job and multiply the latency). The CPU-only
+    // canary cannot see disk state, so pre-fault the bytes instead.
+    def prefault(dir: String): Unit = {
+      val buf = new Array[Byte](1 << 20)
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet")) {
+          val in = new java.io.FileInputStream(f)
+          try { while (in.read(buf) >= 0) () } finally in.close()
+        }
+      walk(new java.io.File(dir))
+    }
+    prefault(sfDir); prefault(warmDir)
     // validity canary (round-4 lesson: BENCH_r04 was recorded under host
     // contention — a trivial `when`-ladder scan at 7.67s — and read as a
     // regression until re-measured). A fixed sf-independent micro-job is
@@ -76,7 +94,14 @@ object Bench {
       "q_fuzzy_match", "q_edit_join", "q_winnow_pairs")
     def itersFor(name: String) =
       if (jitSensitive(name)) math.max(iters, 4) else iters
-    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // endpoint canaries are blind to contention that starts and ends
+    // MID-run (observed: a 163s canary-clean run beside 141s cleans —
+    // the interference was over before the post sample); sample the
+    // canary periodically during the sweep and flag on the worst.
+    val sorted = queries.toSeq.sortBy(_._1)
+    val midSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val midEvery = math.max(1, sorted.size / 16)
+    val results = sorted.zipWithIndex.map { case ((name, fn), qi) =>
       // operators persist() intermediates and a 250-query run never
       // revisits them — without clearing, the block manager accretes
       // hundreds of dead cached datasets and late-alphabet queries
@@ -85,6 +110,10 @@ object Bench {
       // CacheManager entries; sealed results also carry RDD-level
       // localCheckpoint blocks — sweep those too.
       sweep()
+      // min-of-2 per sample point: a single GC pause dies in the min,
+      // a real interference window (seconds-long) survives it
+      if (qi > 0 && qi % midEvery == 0)
+        midSamples += math.min(canary(), canary())
       val times = (1 to itersFor(name)).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -110,7 +139,23 @@ object Bench {
     // a collected heap isolates the host signal the flag exists for.
     System.gc()
     val canaryPost = (1 to 3).map(_ => canary()).min
-    val contended = canaryFloor > 0.75 || canaryPost > 3 * canaryFloor
+    // worst min-of-2 mid sample: calibrated on observed runs —
+    // degraded sweeps (151-190s beside 141-155s cleans) showed mids
+    // of 0.44-0.68 vs 0.07-0.10 clean canaries, while endpoint
+    // canaries read clean; GC-debt singles (~0.35) die in the min.
+    // All ratios anchor on min(floor, post), NOT the floor alone: a
+    // run whose contention was already active at warm-up records an
+    // inflated floor that would absolve every later sample (observed:
+    // floor 0.153 = 2× clean, mid 0.582, post 0.077 — a 190s run that
+    // floor-relative tests called clean). The absolute bound is the
+    // sustained-contention backstop (canary inflated for the WHOLE
+    // run): clean floors on this box band 0.066-0.12 over ~12 runs,
+    // so 0.35 is ~3× the clean median with headroom for host drift.
+    val canaryMid = if (midSamples.isEmpty) canaryFloor else midSamples.max
+    val ref = math.min(canaryFloor, canaryPost)
+    val contended = ref > 0.35 ||
+      math.max(canaryFloor, canaryPost) > 3 * ref ||
+      canaryMid > 4 * ref
     val total = results.map(_._2).sum
     // The captured stdout window is a ~2000-char TAIL (observed in
     // BENCH_r0{1,2}.json), and the driver JSON-parses the last line.
@@ -120,7 +165,7 @@ object Bench {
     // summary line whose "queries" holds the slowest entries that fit
     // a 1500-char budget — the informative tail of the distribution.
     // sbt's "[success]" epilogue is suppressed via Global/showSuccess.
-    val canaryJson = s""""canary_floor":${fmt(canaryFloor)},"canary_post":${fmt(canaryPost)},"contended":$contended"""
+    val canaryJson = s""""canary_floor":${fmt(canaryFloor)},"canary_mid":${fmt(canaryMid)},"canary_post":${fmt(canaryPost)},"contended":$contended"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsMap(results)},$canaryJson,"sf":"$sfDir"}""")
     val bySlowest = results.sortBy(-_._2)
     val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
