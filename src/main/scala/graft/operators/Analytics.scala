@@ -165,48 +165,118 @@ object Analytics {
   /** C42: market-basket association rules — support / confidence /
     * lift over item pairs co-occurring in a basket (order). The
     * a-priori pruning step is built in: items below `minSupport`
-    * baskets are dropped BEFORE pairing, so the quadratic self-join
-    * runs only over frequent items (at 100 TB this is the difference
-    * between a bounded pair table and n² explosion on hot baskets —
-    * the same length-filter idea as the Jaccard join's prefix filter).
+    * baskets are dropped BEFORE pairing, so pair generation runs only
+    * over frequent items (at 100 TB this is the difference between a
+    * bounded pair table and n² explosion on hot baskets — the same
+    * length-filter idea as the Jaccard join's prefix filter).
+    *
+    * Scale shape — ONE basket-keyed aggregate collapses the fact table
+    * to (basket, sorted distinct item set) rows; pairs are generated
+    * IN-ROW over those sets (explode of i<j combinations) and counted
+    * by a hash aggregate. The original basket-keyed SELF-JOIN
+    * formulation shuffled the fact table twice more to build the same
+    * pairs through a join — the lesson [[frequentTriples]] recorded
+    * one lattice level up, now applied here too. Small inputs (total
+    * set cells after collapse ≤ `localThreshold`) count on the driver
+    * instead — one job, zero further shuffles — with both paths
+    * asserted bit-equal (Round4OpsSpec).
     *
     * All counts are exact integers; lift = (N·supp_ab)/(supp_a·supp_b)
     * and confidence = supp_ab/supp_a are each ONE double division of
     * exactly-representable integers — bit-identical on every engine,
     * raw (unrounded) by the same rule as [[keySkewProfile]].
     *
-    * @param baskets distinct (basket, item) pairs.
+    * @param baskets (basket, item) pairs; duplicates collapse.
     * @return (item_a, item_b, supp_a, supp_b, supp_ab, confidence,
     *         lift) for pairs with supp_ab ≥ minSupport, item_a < item_b.
     */
   def basketLift(baskets: DataFrame, basketCol: String, itemCol: String,
-                 minSupport: Long): DataFrame = {
-    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct()
+                 minSupport: Long,
+                 localThreshold: Long = 1000000L): DataFrame = {
+    val bs = baskets
+      .groupBy(col(basketCol).as("bk"))
+      .agg(sort_array(collect_set(col(itemCol))).as("items"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = b.select(col("bk")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val supp = b.groupBy(col("it")).agg(count(lit(1)).as("supp"))
+    val st = bs.agg(count(lit(1)),
+      coalesce(sum(size(col("items"))), lit(0L))).head
+    val nBaskets = st.getLong(0)
+    if (st.getLong(1) <= localThreshold) {
+      val out = localPairCounts(bs, nBaskets, minSupport)
+      bs.unpersist()
+      return out
+    }
+    val supp = bs.select(explode(col("items")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= minSupport) // a-priori: prune before pairing
-      .withColumnRenamed("it", "s_it")
-    val freq = b.join(broadcast(supp), col("it") === col("s_it"))
-      .select(col("bk"), col("it"), col("supp"))
-    val pairs = freq.as("a").join(freq.as("b"),
-        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
-      .agg(count(lit(1)).as("supp_ab"),
-        first(col("a.supp")).as("supp_a"), first(col("b.supp")).as("supp_b"))
+    val f1arr = supp.agg(sort_array(collect_list(col("it"))).as("f1"))
+    val pairs = bs.crossJoin(broadcast(f1arr))
+      .select(filter(col("items"), x => array_contains(col("f1"), x))
+        .as("items"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(flatten(transform(col("items"), (x, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .agg(count(lit(1)).as("supp_ab"))
       .filter(col("supp_ab") >= minSupport)
-    val out = pairs.crossJoin(broadcast(n))
+    val out = pairs
+      .join(broadcast(supp.select(col("it").as("item_a"),
+        col("supp").as("supp_a"))), "item_a")
+      .join(broadcast(supp.select(col("it").as("item_b"),
+        col("supp").as("supp_b"))), "item_b")
       .select(col("item_a"), col("item_b"),
         col("supp_a"), col("supp_b"), col("supp_ab"),
         (col("supp_ab").cast("double") / col("supp_a").cast("double"))
           .as("confidence"),
-        ((col("n_baskets") * col("supp_ab")).cast("double") /
+        // nBaskets is already an exact collected long — a literal, not
+        // another broadcast-crossJoin job
+        ((lit(nBaskets) * col("supp_ab")).cast("double") /
           (col("supp_a") * col("supp_b")).cast("double")).as("lift"))
     // bounded output (pairs above minSupport): seal — materialize,
     // release the persisted basket table (graft.sealResult contract)
-    graft.sealResult(out, b)
+    graft.sealResult(out, bs)
+  }
+
+  /** Driver-side pair counting over collected basket sets — the
+    * small-input fast path (the Graph.scala hybrid-rung pattern).
+    * Identical arithmetic to the distributed plan: exact long counts,
+    * one IEEE division each for confidence and lift; sets arrive
+    * sorted from `sort_array`, so i<j iteration preserves the
+    * item_a < item_b contract.
+    */
+  private def localPairCounts(bs: DataFrame, nBaskets: Long,
+                              minSupport: Long): DataFrame = {
+    val spark = bs.sparkSession
+    import spark.implicits._
+    val sets = bs.select(col("items")).as[Seq[String]].collect()
+    val supp = scala.collection.mutable.HashMap.empty[String, Long]
+    sets.foreach(_.foreach(it =>
+      supp.update(it, supp.getOrElse(it, 0L) + 1L)))
+    val freq = supp.filter(_._2 >= minSupport)
+    val pair = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    sets.foreach { s =>
+      val f = s.iterator.filter(freq.contains).toArray
+      var i = 0
+      while (i < f.length - 1) {
+        var j = i + 1
+        while (j < f.length) {
+          val k = (f(i), f(j))
+          pair.update(k, pair.getOrElse(k, 0L) + 1L)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val rows = pair.iterator
+      .filter(_._2 >= minSupport)
+      .map { case ((a, b), ab) =>
+        val sa = freq(a); val sb = freq(b)
+        (a, b, sa, sb, ab,
+          ab.toDouble / sa.toDouble,
+          (nBaskets * ab).toDouble / (sa * sb).toDouble)
+      }.toSeq
+    spark.createDataFrame(rows).toDF("item_a", "item_b",
+      "supp_a", "supp_b", "supp_ab", "confidence", "lift")
   }
 
   /** Frequent 3-itemsets with RELATIVE minimum support (Agrawal &
@@ -237,22 +307,32 @@ object Analytics {
     *         item_a < item_b < item_c and support = supp/n at 6dp.
     */
   def frequentTriples(baskets: DataFrame, basketCol: String,
-                      itemCol: String, minSupportBp: Int): DataFrame = {
+                      itemCol: String, minSupportBp: Int,
+                      localThreshold: Long = 1000000L): DataFrame = {
     require(minSupportBp > 0 && minSupportBp <= 10000)
     val bs0 = baskets
       .groupBy(col(basketCol).as("bk"))
       .agg(sort_array(collect_set(col(itemCol))).as("items0"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // exact integer ceil-division (`div`), mirroring the oracle's `//`
-    // — Column.divide would round-trip through IEEE doubles
-    val n = bs0.agg(count(lit(1)).as("n_baskets"))
-      .select(col("n_baskets"),
-        expr(s"(n_baskets * $minSupportBp + 9999L) div 10000L")
-          .as("minsup"))
+    val st = bs0.agg(count(lit(1)),
+      coalesce(sum(size(col("items0"))), lit(0L))).head
+    val nBaskets = st.getLong(0)
+    // exact integer ceil-division on collected longs, mirroring the
+    // oracle's `//` — a double divide would round-trip through IEEE
+    val minsup = (nBaskets * minSupportBp + 9999L) / 10000L
+    // small input (total set cells ≤ localThreshold): count the whole
+    // lattice on the driver — one job after the collapse, zero further
+    // shuffles (the Graph.scala hybrid-rung pattern; both paths
+    // asserted bit-equal in Round4OpsSpec)
+    if (st.getLong(1) <= localThreshold) {
+      val out = localTripleCounts(bs0, nBaskets, minsup)
+      bs0.unpersist()
+      return out
+    }
     // level 1: frequent items → broadcast array filtering basket sets
     val f1arr = bs0.select(explode(col("items0")).as("it"))
       .groupBy(col("it")).agg(count(lit(1)).as("s1"))
-      .crossJoin(broadcast(n)).filter(col("s1") >= col("minsup"))
+      .filter(col("s1") >= minsup)
       .agg(sort_array(collect_list(col("it"))).as("f1arr"))
     val bs = bs0.crossJoin(broadcast(f1arr))
       .select(col("bk"),
@@ -272,7 +352,7 @@ object Analytics {
     // level 2: frequent pairs (bounded by frequent-item²), broadcast
     val p2 = cand.groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("s2"))
-      .crossJoin(broadcast(n)).filter(col("s2") >= col("minsup"))
+      .filter(col("s2") >= minsup)
       .select(col("ia").as("pa"), col("ib").as("pb"))
     // level 3: third item explodes only under a frequent (a, b)
     val triples = cand
@@ -282,13 +362,75 @@ object Analytics {
       .groupBy(col("ia").as("item_a"), col("ib").as("item_b"),
         col("ic").as("item_c"))
       .agg(count(lit(1)).as("supp_abc"))
-      .crossJoin(broadcast(n)).filter(col("supp_abc") >= col("minsup"))
+      .filter(col("supp_abc") >= minsup)
     graft.sealResult(
       triples.select(col("item_a"), col("item_b"), col("item_c"),
         col("supp_abc"),
-        round(col("supp_abc").cast("double") /
-          col("n_baskets").cast("double"), 6).as("support")),
+        round(col("supp_abc").cast("double") / lit(nBaskets.toDouble), 6)
+          .as("support")),
       bs0, cand)
+  }
+
+  /** Driver-side Apriori lattice over collected basket sets — the
+    * small-input fast path of [[frequentTriples]]. Runs the identical
+    * three-level downward-closure prune (frequent items → frequent
+    * pairs gating third-item expansion) and the identical rounding:
+    * `BigDecimal(x).setScale(6, HALF_UP)` is exactly Spark's
+    * `round(double, 6)` evaluation.
+    */
+  private def localTripleCounts(bs0: DataFrame, nBaskets: Long,
+                                minsup: Long): DataFrame = {
+    val spark = bs0.sparkSession
+    import spark.implicits._
+    val sets = bs0.select(col("items0")).as[Seq[String]].collect()
+    val s1 = scala.collection.mutable.HashMap.empty[String, Long]
+    sets.foreach(_.foreach(it =>
+      s1.update(it, s1.getOrElse(it, 0L) + 1L)))
+    val f1 = s1.filter(_._2 >= minsup)
+    val filtered = sets.iterator
+      .map(_.iterator.filter(f1.contains).toArray)
+      .filter(_.length >= 2).toArray
+    val s2 = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    filtered.foreach { f =>
+      var i = 0
+      while (i < f.length - 1) {
+        var j = i + 1
+        while (j < f.length) {
+          val k = (f(i), f(j))
+          s2.update(k, s2.getOrElse(k, 0L) + 1L)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val p2 = s2.iterator.filter(_._2 >= minsup).map(_._1).toSet
+    val s3 =
+      scala.collection.mutable.HashMap.empty[(String, String, String), Long]
+    filtered.foreach { f =>
+      var i = 0
+      while (i < f.length - 2) {
+        var j = i + 1
+        while (j < f.length - 1) {
+          if (p2.contains((f(i), f(j)))) {
+            var k = j + 1
+            while (k < f.length) {
+              val t = (f(i), f(j), f(k))
+              s3.update(t, s3.getOrElse(t, 0L) + 1L)
+              k += 1
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val rows = s3.iterator.filter(_._2 >= minsup).map { case ((a, b, c), s) =>
+      (a, b, c, s,
+        BigDecimal(s.toDouble / nBaskets.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    spark.createDataFrame(rows).toDF("item_a", "item_b", "item_c",
+      "supp_abc", "support")
   }
 
   /** A/B experiment read-out: per variant the metric moments, the

@@ -375,6 +375,32 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("frequentTriples + basketLift: driver rung ≡ distributed plan") {
+    // both operators pick driver-side counting under a cell threshold;
+    // the choice must be pure execution strategy — every column
+    // (including the IEEE divisions / the 6dp round) bit-equal
+    val rnd = new scala.util.Random(13)
+    val baskets = (1 to 80).flatMap { bk =>
+      rnd.shuffle((1 to 9).toList).take(2 + rnd.nextInt(5))
+        .map(it => (bk.toLong, s"i$it"))
+    }.toDF("bk", "it")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+    val tLocal = operators.Analytics
+      .frequentTriples(baskets, "bk", "it", 600)
+    val tDist = operators.Analytics
+      .frequentTriples(baskets, "bk", "it", 600, localThreshold = 0L)
+    assert(tLocal.columns.sameElements(tDist.columns))
+    assert(rows(tLocal) == rows(tDist) && rows(tLocal).nonEmpty)
+    val bLocal = operators.Analytics
+      .basketLift(baskets, "bk", "it", minSupport = 8L)
+    val bDist = operators.Analytics
+      .basketLift(baskets, "bk", "it", minSupport = 8L,
+        localThreshold = 0L)
+    assert(bLocal.columns.sameElements(bDist.columns))
+    assert(rows(bLocal) == rows(bDist) && rows(bLocal).nonEmpty)
+  }
+
   test("decisionStump ≡ brute-force threshold scan") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 300).map { _ =>
