@@ -5919,5 +5919,157 @@ object OracleSql {
          |    (CAST(n_tokens AS DOUBLE) * 1000.0)))), 6) AS score,
          |  z_milli >= 0 AS keep
          |FROM z""".stripMargin
+    },
+
+    "q_rr3" ->
+      // RR3 disclosure control: the 2/3-1/3 coin is the first-8-hex
+      // md5 integer (positional digit sum — no conv() in DuckDB 1.0)
+      // of the quasi key, mod 3; all count arithmetic exact integers
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |    CAST(list_sum(list_transform(range(1, 9), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(c_mktsegment || '|' ||
+        |           CAST(c_nationkey AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+        |      * 2.0 ** (4 * (8 - i)))) AS BIGINT) AS h
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_mktsegment, c_nationkey,
+        |  CASE WHEN n < 6 THEN NULL
+        |       WHEN n % 3 = 0 THEN n
+        |       WHEN h % 3 < 2 THEN
+        |         (CASE WHEN n % 3 = 1 THEN n - 1 ELSE n + 1 END)
+        |       ELSE (CASE WHEN n % 3 = 1 THEN n + 2 ELSE n - 2 END)
+        |  END AS n_rr3
+        |FROM g""".stripMargin,
+
+    "q_conformal" ->
+      // split-conformal: md5-parity split, per-type floor mean on the
+      // train half, exact rank-⌈0.9(n+1)⌉ |residual| on the cal half
+      """WITH e AS (
+        |  SELECT event_type AS g, event_id AS id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    (CAST(list_sum(list_transform(range(1, 9), i ->
+        |      (strpos('0123456789abcdef',
+        |         substr(md5(CAST(event_id AS VARCHAR)),
+        |           CAST(i AS INT), 1)) - 1)
+        |      * 2.0 ** (4 * (8 - i)))) AS BIGINT) % 2 = 0) AS tr
+        |  FROM events),
+        |f AS (SELECT g, count(*) AS n_train,
+        |    CAST(sum(cents) // count(*) AS BIGINT) AS yhat_cents
+        |  FROM e WHERE tr GROUP BY 1),
+        |c AS (SELECT e.g, e.id, abs(e.cents - f.yhat_cents) AS res,
+        |    f.n_train, f.yhat_cents
+        |  FROM e JOIN f ON e.g = f.g WHERE NOT e.tr),
+        |r AS (SELECT g, n_train, yhat_cents, res,
+        |    row_number() OVER (PARTITION BY g ORDER BY res, id) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n_cal
+        |  FROM c)
+        |SELECT g AS event_type, n_train, CAST(n_cal AS BIGINT) AS n_cal,
+        |  yhat_cents, res AS q_cents
+        |FROM r
+        |WHERE rn = least((9000 * (n_cal + 1) + 9999) // 10000, n_cal)""".stripMargin,
+
+    "q_attribution_decay" ->
+      // q_attribution_linear's journey/segment frame plus integer
+      // half-life weights 2^(20−k) (bit shifts, never pow()); credit
+      // in HUGEINT micro-units so cents·10⁶·w never wraps BIGINT
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sg,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS conv_us
+        |  FROM events),
+        |t AS (SELECT user_id AS u, sg, event_type AS channel,
+        |    count(*) AS n_ch,
+        |    sum(CAST(1 AS BIGINT) <<
+        |      CAST(20 - least((conv_us - us) // 86400000000, 20) AS INT))
+        |      AS w_ch
+        |  FROM x WHERE event_type <> 'purchase' AND conv_us IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |st AS (SELECT u, sg, sum(w_ch) AS w_tot FROM t GROUP BY 1, 2),
+        |c AS (SELECT user_id AS u, sg, cents FROM x
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT c.u, c.sg, c.cents, st.w_tot
+        |  FROM c LEFT JOIN st ON c.u = st.u AND c.sg = st.sg),
+        |cr AS (
+        |  SELECT t.channel, t.n_ch,
+        |    (CAST(j.cents AS HUGEINT) * 1000000 * t.w_ch) // j.w_tot
+        |      AS micro
+        |  FROM j JOIN t ON j.u = t.u AND j.sg = t.sg
+        |  WHERE j.w_tot IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'none', 0, CAST(cents AS HUGEINT) * 1000000 FROM j
+        |  WHERE w_tot IS NULL)
+        |SELECT channel, CAST(sum(n_ch) AS BIGINT) AS n_touches,
+        |  count(*) AS n_journeys,
+        |  CAST(sum(micro) // 1000000 AS BIGINT) AS credited_cents
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    "q_hard_negatives" ->
+      // q_knn_eval's quantized-d2 frame restricted to cross-label
+      // pairs, keeping the per-neighbor rows instead of the vote
+      """WITH p AS (SELECT CAST(vec_id AS BIGINT) AS id,
+        |    CAST(label AS BIGINT) AS lab,
+        |    list_transform(embedding, e ->
+        |      CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+        |      AS v
+        |  FROM embeddings),
+        |d AS (SELECT a.id AS qid, a.lab AS qlab, b.id AS nid,
+        |    list_reduce(list_transform(list_zip(a.v, b.v),
+        |      x -> (x[1]-x[2])*(x[1]-x[2])), (p,q) -> p+q) AS d2
+        |  FROM p a JOIN p b
+        |    ON a.id <> b.id AND a.lab <> b.lab AND a.id % 5 = 0),
+        |r AS (SELECT qid, qlab, nid, d2, row_number()
+        |    OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM d)
+        |SELECT qid AS vec_id, qlab AS label, CAST(rn AS BIGINT) AS rank,
+        |  nid AS neg_id, CAST(d2 AS BIGINT) AS neg_d2
+        |FROM r WHERE rn <= 3""".stripMargin,
+
+    "q_textrank" -> {
+      // adjacent-word co-occurrence graph, then the q_pagerank_fixed
+      // integer rounds verbatim (word keys — no id indirection needed
+      // in SQL); MATERIALIZED per round against exponential inlining
+      val rounds = 5
+      val scale = "1000000000000"
+      val base = s"((15 * $scale) // (100 * (SELECT n FROM nn)))"
+      val iters = (1 to rounds).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT nd.id, CAST($base
+           |      + (85 * coalesce(s.inflow, 0)) // 100 AS BIGINT) AS rk
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT p.wb AS id, sum(r.rk // d.deg) AS inflow
+           |    FROM pairs p
+           |    JOIN r${i - 1} r ON r.id = p.wa
+           |    JOIN outdeg d ON d.src = p.wa
+           |    GROUP BY 1) s ON s.id = nd.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |pos AS (
+         |  SELECT doc_id, unnest(w) AS word,
+         |    unnest(range(1, len(w) + 1)) AS p
+         |  FROM toks),
+         |adj0 AS (
+         |  SELECT a.word AS wa, b.word AS wb
+         |  FROM pos a JOIN pos b
+         |    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |  WHERE a.word <> b.word AND a.word <> '' AND b.word <> ''),
+         |pairs AS MATERIALIZED (
+         |  SELECT wa, wb FROM adj0 UNION SELECT wb, wa FROM adj0),
+         |nodes AS MATERIALIZED (SELECT DISTINCT wa AS id FROM pairs),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |outdeg AS MATERIALIZED (
+         |  SELECT wa AS src, count(*) AS deg FROM pairs GROUP BY 1),
+         |r0 AS MATERIALIZED (
+         |  SELECT id, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS rk
+         |  FROM nodes),
+         |$iters
+         |SELECT id AS word, rk AS rank_fp FROM r$rounds
+         |ORDER BY rk DESC, id LIMIT 30""".stripMargin
     })
 }

@@ -4101,6 +4101,66 @@ object SparkEntry {
     operators.Stats.spearman(daily, "x", "y")
   }
 
+  /** A15: random rounding to base 3 — the Stats-NZ disclosure-control
+    * release: customer counts per (segment, nation) perturbed to a
+    * multiple of 3 by a content-keyed 2/3-1/3 coin, counts under 6
+    * suppressed (operators.Validate.randomRound3).
+    */
+  private def qRr3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Validate.randomRound3(table(s, dir, "customer"),
+      Seq("c_mktsegment", "c_nationkey"), suppressBelow = 6L)
+  }
+
+  /** C84: split-conformal prediction intervals on event value — the
+    * per-type floor-mean predictor fitted on the md5-even half,
+    * calibrated on the odd half at α = 10% (operators.Stats
+    * .splitConformal).
+    */
+  private def qConformal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events").select($"event_type", $"event_id",
+      floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.splitConformal(ev, "event_type", "cents", "event_id",
+      alphaBp = 1000)
+  }
+
+  /** C85: time-decay attribution — purchase value credited to prior
+    * touches with integer 2^-k half-life weights (half-life 1 day,
+    * capped at 20), the recency-weighted sibling of
+    * q_attribution_linear (operators.Analytics.timeDecayAttribution).
+    */
+  private def qAttributionDecay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        $"event_type", floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.Analytics.timeDecayAttribution(ev, "user_id", "us",
+      "event_id", "event_type", "cents", "purchase",
+      halfLifeUs = 86400000000L, maxHalfLives = 20)
+  }
+
+  /** E95: hard-negative mining — for each 1-in-5 anchor embedding, the
+    * 3 nearest cross-label neighbors by exact quantized distance
+    * (operators.Similarity.hardNegatives): the contrastive-training
+    * negative set, and the per-pair view behind q_knn_eval's accuracy.
+    */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Similarity.hardNegatives(table(s, dir, "embeddings"),
+      "vec_id", "label", "embedding", k = 3, queryMod = 5)
+  }
+
+  /** E96: TextRank corpus keywords (Mihalcea & Tarau 2004) — integer
+    * fixed-point PageRank over the adjacent-word co-occurrence graph,
+    * top 30 (operators.Corpus.textRank; reuses E30's pageRankFixed).
+    */
+  private def qTextrank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Corpus.textRank(table(s, dir, "documents"), "text",
+      iterations = 5, topK = 30)
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4363,7 +4423,12 @@ object SparkEntry {
     "q_lateness" -> (qLateness _),
     "q_table_digest" -> (qTableDigest _),
     "q_funnel_steps" -> (qFunnelSteps _),
-    "q_token_budget" -> (qTokenBudget _))
+    "q_token_budget" -> (qTokenBudget _),
+    "q_rr3" -> (qRr3 _),
+    "q_conformal" -> (qConformal _),
+    "q_attribution_decay" -> (qAttributionDecay _),
+    "q_hard_negatives" -> (qHardNegatives _),
+    "q_textrank" -> (qTextrank _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

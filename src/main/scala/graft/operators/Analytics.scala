@@ -101,6 +101,77 @@ object Analytics {
         expr("cast(sum(micro) div 1000000 as long)").as("credited_cents"))
   }
 
+  /** C85: time-decay multi-touch attribution — [[linearAttribution]]'s
+    * recency-weighted sibling, the other standard marketing model: a
+    * touch `k` half-lives before its conversion earns relative weight
+    * 2^-k, so recent touches dominate while every touch in the journey
+    * keeps nonzero credit (k capped at `maxHalfLives`).
+    *
+    * Exactness discipline: weights are the INTEGERS 2^(cap−k), never
+    * the doubles 2^-k (normalizing makes them equivalent), per-journey
+    * credit is cents·10⁶·w div Σw (floor micro-cents, remainder
+    * dropped — the C47 rule), and every sum is integer/decimal:
+    * hash-stable at any parallelism, no pow(), no float folds.
+    *
+    * Plan shape: two window passes over the per-user timeline (segment
+    * number = conversions before me; next conversion's timestamp),
+    * then channel-cardinality aggregates — O(events) per user, one
+    * keyed shuffle+sort, no event-stream self-join (C35's rationale).
+    *
+    * @param usCol epoch-microseconds column (integer, pre-extracted)
+    * @return (channel, n_touches, n_journeys, credited_cents);
+    *         conversions with no prior touch credit "none" in full.
+    */
+  def timeDecayAttribution(events: DataFrame, userCol: String,
+                           usCol: String, tieCol: String, typeCol: String,
+                           centsCol: String, conversionType: String,
+                           halfLifeUs: Long,
+                           maxHalfLives: Int = 20): DataFrame = {
+    require(halfLifeUs > 0 && maxHalfLives >= 1 && maxHalfLives <= 40)
+    val wPrev = Window.partitionBy(col(userCol))
+      .orderBy(col(usCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col(userCol))
+      .orderBy(col(usCol), col(tieCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val seg = events
+      .withColumn("__seg",
+        count(when(col(typeCol) === conversionType, lit(1))).over(wPrev))
+      .withColumn("__conv_us",
+        min(when(col(typeCol) === conversionType, col(usCol))).over(wNext))
+    // per (journey, channel): touch count + integer weight sum; a
+    // touch after the last conversion has no __conv_us and credits
+    // nothing (the linearAttribution segment rule)
+    val byChan = seg
+      .filter(col(typeCol) =!= conversionType && col("__conv_us").isNotNull)
+      .withColumn("__delta", col("__conv_us") - col(usCol))
+      .withColumn("__w", expr(
+        s"shiftleft(cast(1 as bigint), $maxHalfLives - " +
+          s"cast(least(__delta div ${halfLifeUs}L, $maxHalfLives) as int))"))
+      .groupBy(col(userCol).as("u"), col("__seg").as("sg"),
+        col(typeCol).as("channel"))
+      .agg(count(lit(1)).as("n_ch"), sum(col("__w")).as("w_ch"))
+    val segTotals = byChan.groupBy(col("u"), col("sg"))
+      .agg(sum(col("w_ch")).as("w_tot"))
+    val convs = seg.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("u"), col("__seg").as("sg"),
+        col(centsCol).as("cents"))
+    val joined = convs.join(segTotals, Seq("u", "sg"), "left")
+    val credited = joined.filter(col("w_tot").isNotNull)
+      .join(byChan, Seq("u", "sg"))
+      .select(col("channel"), col("n_ch"),
+        expr("cast(cents as decimal(38,0)) * 1000000 * w_ch div w_tot")
+          .cast("decimal(38,0)").as("micro"))
+    val none = joined.filter(col("w_tot").isNull)
+      .select(lit("none").as("channel"), lit(0L).as("n_ch"),
+        (col("cents").cast("decimal(38,0)") * lit(1000000L)).as("micro"))
+    credited.unionByName(none)
+      .groupBy(col("channel"))
+      .agg(sum(col("n_ch")).as("n_touches"),
+        count(lit(1)).as("n_journeys"),
+        expr("cast(sum(micro) div 1000000 as long)").as("credited_cents"))
+  }
+
   /** Time-bounded ordered funnel (MATCH_RECOGNIZE-lite): counts, per
     * user, conversions that complete the chain step1 → step2 → step3
     * with each hop within `maxGapUs` microseconds of the previous

@@ -1057,4 +1057,56 @@ object Corpus {
         (conv(substring(md5(concat(lit("w"), col("bucket").cast("string"))),
           1, 6), 16, 10).cast("long") % 2001 - 1000).as("w_milli"))
   }
+
+  /** E96: TextRank corpus keywords (Mihalcea & Tarau, EMNLP 2004) —
+    * PageRank over the word co-occurrence graph (adjacent-word window,
+    * the paper's window=2 default), the graph-based alternative to
+    * [[tfIdf]] frequency scoring: a word matters because it co-occurs
+    * with words that matter, which surfaces connective domain
+    * vocabulary plain counts miss.
+    *
+    * Built from the library's own pieces: adjacency pairs are generated
+    * IN-ROW (zip of the token array with its own tail — no positional
+    * self-join), symmetrized + deduped, and ranked by
+    * [[Graph.pageRankFixed]] — the exact-integer fixed-point iteration
+    * (hash-gateable; hybrid driver rung under its edge threshold for
+    * free). Words enter the graph as 48-bit md5-prefix ids so node ids
+    * never need a global dictionary sort (at web scale the vocabulary
+    * is millions of words — a row_number dictionary would single-
+    * partition it). A 48-bit collision would merge two words
+    * identically on every engine (determinism unaffected); odds at a
+    * 10⁷-word vocabulary are ~10⁻⁴ per corpus, documented here.
+    *
+    * @return top `topK` rows: (word, rank_fp), rank descending, ties
+    *         by word.
+    */
+  def textRank(docs: DataFrame, textCol: String,
+               iterations: Int = 5, topK: Int = 30): DataFrame = {
+    require(iterations >= 1 && topK >= 1)
+    def wordId(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
+    val adj = docs
+      .select(split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("wa"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("wb"))).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .filter(col("wa") =!= col("wb") &&
+        col("wa") =!= "" && col("wb") =!= "")
+    val edges = adj
+      .union(adj.select(col("wb").as("wa"), col("wa").as("wb")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranks = Graph.pageRankFixed(
+      edges.select(wordId(col("wa")).as("src"), wordId(col("wb")).as("dst")),
+      "src", "dst", iterations = iterations)
+    val vocab = edges.select(col("wa").as("word")).distinct()
+      .select(col("word"), wordId(col("word")).as("id"))
+    val out = ranks.join(vocab, "id")
+      .orderBy(col("rank_fp").desc, col("word"))
+      .limit(topK)
+      .select(col("word"), col("rank_fp"))
+    graft.sealResult(out, edges)
+  }
 }

@@ -1128,6 +1128,75 @@ object Similarity {
         expr("n_correct * 1000000 div n").as("accuracy_micro"))
   }
 
+  /** E95: hard-negative mining — for each anchor embedding, the k
+    * nearest neighbors carrying a DIFFERENT label. The contrastive-
+    * training data prep step (dense-retriever / embedding fine-tuning
+    * recipes mine exactly this: negatives the current representation
+    * already confuses are the ones worth training on), and the
+    * error-analysis view of [[knnClassifyEval]]'s accuracy number.
+    *
+    * Same exactness machinery as [[knnClassifyEval]]: integer-quantized
+    * coordinates (scale 10⁴) make every squared distance an exact
+    * integer-valued double; (d2, id) packed into one orderable number
+    * keeps the map-side partial top-k ([[graft.plans.TopKBy]])
+    * tie-broken by id identically on any engine; the data bound is
+    * validated loudly. The label constraint rides the pair-join
+    * predicate, so the top-k heaps only ever see cross-label pairs.
+    *
+    * Plan shape: anchor sample broadcast, corpus scanned once — the
+    * ANN-ladder discipline; quadratic by design on the 1-in-queryMod
+    * anchor sample, the corpus never shuffles.
+    *
+    * @return (vec_id, label, rank, neg_id, neg_d2) — rank 1..k by
+    *         ascending quantized squared distance, ties by neg_id.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, labelCol: String,
+                    vecCol: String, k: Int = 3,
+                    idBits: Int = 20, queryMod: Int = 5): DataFrame = {
+    require(k >= 1 && idBits >= 10 && idBits <= 30 && queryMod >= 1)
+    val pack = math.pow(2, idBits)
+    def quant(c: Column) = transform(c, e =>
+      floor(e.cast("double") * 10000 + 0.5).cast("double"))
+    val q = df
+      .filter(pmod(col(idCol).cast("long"), lit(queryMod.toLong)) === 0)
+      .select(col(idCol).cast("long").as("qid"),
+        col(labelCol).cast("long").as("qlab"), quant(col(vecCol)).as("qv"))
+    val c = df.select(col(idCol).cast("long").as("cid"),
+      col(labelCol).cast("long").as("clab"), quant(col(vecCol)).as("cv"))
+    // loud data-bound guard (the knnClassifyEval discipline): packed
+    // order is exact only while ids fit idBits and d2·2^idBits + id
+    // stays under 2^53
+    val b = c.agg(
+      min(col("cid")).as("idmin"), max(col("cid")).as("idmax"),
+      max(aggregate(transform(col("cv"), x => abs(x)), lit(0d),
+        (acc, x) => greatest(acc, x))).as("mabs"),
+      max(size(col("cv"))).as("dim")).head
+    if (!b.isNullAt(0)) {
+      val (idMin, idMax) = (b.getLong(0), b.getLong(1))
+      val d2Max = b.getInt(3) * (2 * b.getDouble(2)) * (2 * b.getDouble(2))
+      require(idMin >= 0 && idMax < pack,
+        s"hardNegatives: ids [$idMin,$idMax] exceed idBits=$idBits " +
+          s"(must be in [0, ${pack.toLong}))")
+      require(d2Max * pack + idMax < math.pow(2, 53),
+        s"hardNegatives: worst-case packed key ${d2Max * pack + idMax} " +
+          "exceeds 2^53 — lower idBits or rescale the embeddings")
+    }
+    val scored = c.join(broadcast(q),
+        col("qid") =!= col("cid") && col("qlab") =!= col("clab"))
+      .withColumn("packed",
+        -(sqDist(col("qv"), col("cv")) * pack + col("cid").cast("double")))
+    scored.groupBy(col("qid"), col("qlab"))
+      .agg(graft.plans.TopKBy.topkBy(col("packed"), col("cid"), k)
+        .as("top"))
+      .select(col("qid"), col("qlab"), posexplode(col("top")))
+      .select(col("qid").as("vec_id"), col("qlab").as("label"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neg_id"),
+        // unpack the exact integer d2 back out of the packed key
+        (((-col("col.score")) - col("col.id").cast("double")) / pack)
+          .cast("long").as("neg_d2"))
+  }
+
   /** Sampled silhouette evaluation (Rousseeuw, J. Comput. Appl. Math.
     * 1987) over a labeled embedding column — the clustering-quality
     * member of the meta-evaluation family ([[knnClassifyEval]] asks

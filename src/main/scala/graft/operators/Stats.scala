@@ -976,6 +976,63 @@ object Stats {
         expr("n_pos * 1000000 div n").as("pos_rate_micro"))
   }
 
+  /** C84: split-conformal prediction intervals (Vovk et al.; Lei et
+    * al., JASA 2018 "Distribution-Free Predictive Inference") — the
+    * model-agnostic way to attach finite-sample-valid intervals to ANY
+    * point predictor: fit on one half of the data (here the simplest
+    * conditional predictor, the per-group floor mean), score absolute
+    * residuals on the held-out calibration half, and release the
+    * ⌈(1−α)(n_cal+1)⌉-th smallest residual as the interval half-width.
+    * Coverage ≥ 1−α holds by exchangeability alone — no distributional
+    * assumption, which is why it became the standard ML-uncertainty
+    * wrapper.
+    *
+    * Determinism discipline: the train/calibration split is
+    * content-keyed (md5 parity of the id — [[graft.operators.Sampling]]
+    * hash-gate argument), the predictor is an integer floor mean,
+    * residuals are exact integers, and the conformal quantile is exact
+    * rank arithmetic with ties broken by id — the whole table
+    * hash-gates bit-for-bit on any engine or partitioning.
+    *
+    * Plan shape: one map-combinable aggregate for the per-group
+    * predictor (broadcast back), one window rank over calibration
+    * residuals per group — two keyed shuffles, group-cardinality
+    * output. Groups with no train rows are dropped (no predictor to
+    * calibrate).
+    *
+    * @param alphaBp miscoverage α in basis points (1000 → 90% target).
+    * @return per group: (group, n_train, n_cal, yhat_cents, q_cents) —
+    *         predict yhat_cents ± q_cents.
+    */
+  def splitConformal(df: DataFrame, groupCol: String, centsCol: String,
+                     idCol: String, alphaBp: Int = 1000): DataFrame = {
+    require(alphaBp > 0 && alphaBp < 10000)
+    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val base = df.select(col(groupCol).as("g"),
+      col(centsCol).cast("long").as("cents"),
+      col(idCol).cast("long").as("id"), (h % 2 === 0).as("__train"))
+    val fit = base.filter(col("__train"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_train"),
+        expr("sum(cents) div count(1)").as("yhat_cents"))
+    val cal = base.filter(!col("__train"))
+      .join(broadcast(fit), "g")
+      .withColumn("__res", abs(col("cents") - col("yhat_cents")))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("__res"), col("id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g"))
+    cal.withColumn("__rn", row_number().over(wRank))
+      .withColumn("__ncal", count(lit(1)).over(wAll))
+      .filter(col("__rn") === least(
+        expr(s"((10000 - $alphaBp) * (__ncal + 1) + 9999) div 10000"),
+        col("__ncal")))
+      .select(col("g").as(groupCol), col("n_train"),
+        col("__ncal").as("n_cal"), col("yhat_cents"),
+        col("__res").as("q_cents"))
+  }
+
   /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) between two
     * groups of an integer-valued metric — the nonparametric two-sample
     * test that, unlike the Welch z in [[Analytics.abReadout]]'s family,

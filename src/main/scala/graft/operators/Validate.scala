@@ -177,6 +177,45 @@ object Validate {
     df.join(ok, quasiCols, "left_semi")
   }
 
+  /** A15: random rounding to base 3 (RR3) — the disclosure-control
+    * technique national statistics offices publish under (Stats NZ's
+    * standard confidentiality method; ABS uses base-3/base-10
+    * variants): every released group count is perturbed to a multiple
+    * of 3, the NEARER multiple with probability 2/3, so no table cell
+    * reveals an exact small count yet totals stay unbiased. Counts
+    * below `suppressBelow` are suppressed outright (NULL), the
+    * standard pairing.
+    *
+    * The coin is CONTENT-KEYED, not RNG: the first 8 hex chars of
+    * md5(quasi key) drive the 2/3-1/3 choice ([[Sampling.hashGate]]'s
+    * determinism argument — same release on any engine, run, or
+    * partitioning, which is also what makes the operator
+    * oracle-checkable). Pure integer arithmetic: r = n mod 3; r = 0
+    * keeps n; otherwise h mod 3 ∈ {0,1} picks the nearer multiple,
+    * 2 the farther. One aggregate + per-row expressions — no second
+    * scan at any scale.
+    *
+    * @return one row per group: (quasiCols..., n_rr3) with n_rr3 NULL
+    *         when the true count is below `suppressBelow`.
+    */
+  def randomRound3(df: DataFrame, quasiCols: Seq[String],
+                   suppressBelow: Long = 6L): DataFrame = {
+    require(quasiCols.nonEmpty && suppressBelow >= 0)
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val h = conv(substring(md5(concat_ws("|", quasiCols.map(c =>
+        col(c).cast("string")): _*).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val r = col("__n") % 3
+    val nearer = when(r === 1, col("__n") - 1).otherwise(col("__n") + 1)
+    val farther = when(r === 1, col("__n") + 2).otherwise(col("__n") - 2)
+    val rr3 = when(r === 0, col("__n"))
+      .when(h % 3 < 2, nearer)
+      .otherwise(farther)
+    counts.select(quasiCols.map(col) :+
+      when(col("__n") >= suppressBelow, rr3).as("n_rr3"): _*)
+  }
+
   /** Deterministic split assignment by content hash — reproducible
     * train/val/test partitioning with no RNG state (md5 is stable
     * across engines, versions, and cluster sizes; never use rand()

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Analytics, Corpus, Similarity, Stats, Validate}
+
+/** Brute-force twins for the round-6 additions (A15 RR3, C84 conformal,
+  * C85 time-decay attribution, E95 hard negatives, E96 TextRank) — the
+  * gate proves engine parity; these prove the SEMANTICS against an
+  * independently-computed answer.
+  */
+class Round6OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** First-8-hex md5 integer of a UTF-8 string — the repo's
+    * content-keyed coin (Sampling.hashGate recipe), recomputed
+    * independently of Spark.
+    */
+  private def md5h8(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("randomRound3 ≡ hand RR3: multiples of 3, 2/3 coin, suppression") {
+    val rows = (1 to 400).map(i => (s"g${i % 13}", i))
+    val got = Validate.randomRound3(rows.toDF("g", "x"), Seq("g"), 6L)
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val brute = rows.groupBy(_._1).map { case (g, rs) =>
+      val n = rs.size.toLong
+      val rr3 =
+        if (n < 6) None
+        else if (n % 3 == 0) Some(n)
+        else {
+          val nearer = if (n % 3 == 1) n - 1 else n + 1
+          val farther = if (n % 3 == 1) n + 2 else n - 2
+          Some(if (md5h8(g) % 3 < 2) nearer else farther)
+        }
+      g -> rr3
+    }
+    assert(got == brute)
+    // released values are always multiples of 3 within 2 of the truth
+    got.foreach { case (g, v) =>
+      v.foreach { r =>
+        assert(r % 3 == 0 && math.abs(r - rows.count(_._1 == g)) <= 2)
+      }
+    }
+  }
+
+  test("splitConformal ≡ hand split + floor mean + rank quantile") {
+    val rows = (1 to 500).map(i =>
+      (s"t${i % 3}", i.toLong, (i * 7 % 97 + i % 11).toLong))
+    val got = Stats.splitConformal(rows.toDF("g", "id", "cents"),
+        "g", "cents", "id", alphaBp = 1000)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val brute = rows.groupBy(_._1).map { case (g, rs) =>
+      val (tr, cal) = rs.partition(r => md5h8(r._2.toString) % 2 == 0)
+      val yhat = tr.map(_._3).sum / tr.size // floor mean (all positive)
+      val res = cal.map(r => (math.abs(r._3 - yhat), r._2))
+        .sortBy(identity).map(_._1)
+      val idx = math.min((9000L * (cal.size + 1) + 9999) / 10000,
+        cal.size.toLong).toInt
+      g -> (tr.size.toLong, cal.size.toLong, yhat, res(idx - 1))
+    }
+    assert(got == brute)
+  }
+
+  test("timeDecayAttribution ≡ sequential journey fold") {
+    // one user, two journeys; second journey's touches at 0/1/3
+    // half-lives before the conversion; a trailing orphan touch
+    val hl = 100L // half-life in "us" for the test
+    val ev = Seq(
+      (1L, 0L, 1L, "click", 0L),
+      (1L, 50L, 2L, "view", 0L),
+      (1L, 100L, 3L, "purchase", 900L), // j0: click k=1, view k=0
+      (1L, 200L, 4L, "view", 0L),       // j1: k=3
+      (1L, 450L, 5L, "click", 0L),      // j1: k=1
+      (1L, 500L, 6L, "view", 0L),       // j1: k=0
+      (1L, 550L, 7L, "purchase", 1200L),
+      (1L, 600L, 8L, "click", 0L),      // orphan: no credit
+      (2L, 10L, 9L, "purchase", 77L))   // no touches: "none"
+    val got = Analytics.timeDecayAttribution(
+        ev.toDF("u", "us", "id", "et", "cents"),
+        "u", "us", "id", "et", "cents", "purchase",
+        halfLifeUs = hl, maxHalfLives = 20)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // j0: weights view 2^20, click 2^19 → total 3·2^19
+    //   view:  900·1e6·2^20 div (3·2^19) = 600000000 → 600 cents
+    //   click: 900·1e6·2^19 div (3·2^19) = 300000000 → 300 cents
+    // j1: view(k=0) 2^20, click(k=1) 2^19, view(k=3) 2^17
+    //   total = 2^17·(8+4+1) = 13·2^17
+    //   views: 1200·1e6·(2^20+2^17) div (13·2^17) = (1200·1e6·9) div 13
+    //   click: 1200·1e6·4 div 13
+    val j1v = 1200L * 1000000 * 9 / 13
+    val j1c = 1200L * 1000000 * 4 / 13
+    val brute = Map(
+      "view" -> (3L, 2L, (600000000L + j1v) / 1000000),
+      "click" -> (2L, 2L, (300000000L + j1c) / 1000000),
+      "none" -> (0L, 1L, 77L))
+    assert(got == brute)
+  }
+
+  test("hardNegatives ≡ brute cross-label k-NN with (d2, id) ties") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, (i % 4).toLong,
+        Seq.fill(6)((rnd.nextInt(2000) - 1000) / 1000.0f))
+    }
+    val got = Similarity.hardNegatives(rows.toDF("id", "lab", "v"),
+        "id", "lab", "v", k = 3, queryMod = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong)
+    val brute = rows.filter(_._1 % 5 == 0).flatMap { case (qid, qlab, qv) =>
+      val qq = quant(qv)
+      rows.filter(r => r._1 != qid && r._2 != qlab)
+        .map { case (cid, _, cv) =>
+          val d2 = quant(cv).zip(qq).map { case (a, b) =>
+            (a - b) * (a - b) }.sum
+          (d2, cid)
+        }
+        .sorted.take(3).zipWithIndex
+        .map { case ((d2, cid), i) =>
+          (qid, i + 1L) -> (cid, d2) }
+    }.toMap
+    assert(got == brute)
+  }
+
+  test("textRank ≡ local integer PageRank over the adjacency graph") {
+    val docs = Seq(
+      "spark sort merge join sort spark",
+      "merge sort table scan",
+      "join table join spark").toDF("text")
+    val got = Corpus.textRank(docs, "text", iterations = 5, topK = 30)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // brute: adjacent pairs, symmetrized + deduped, 5 integer rounds
+    val adj = docs.collect().map(_.getString(0)).flatMap { t =>
+      val w = t.split(" ")
+      w.init.zip(w.tail)
+    }.filter { case (a, b) => a != b }
+    val edges = (adj ++ adj.map(_.swap)).distinct
+    val nodes = edges.map(_._1).distinct.sorted
+    val n = nodes.length
+    val scale = 1000000000000L
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length }
+    val base = (15L * scale) / (100L * n)
+    var rank = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 5) {
+      val inflow = scala.collection.mutable.HashMap.empty[String, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (s, d) =>
+        inflow(d) += rank(s) / deg(s)
+      }
+      rank = nodes.map(w => w -> (base + (85L * inflow(w)) / 100L)).toMap
+    }
+    val brute = rank.toSeq.sortBy { case (w, r) => (-r, w) }.take(30)
+    assert(got.toSeq == brute)
+  }
+}
