@@ -6071,5 +6071,136 @@ object OracleSql {
          |$iters
          |SELECT id AS word, rk AS rank_fp FROM r$rounds
          |ORDER BY rk DESC, id LIMIT 30""".stripMargin
-    })
+    },
+
+    "q_brier" -> {
+      val qs = (1 to 9).map(i =>
+        s"min(CASE WHEN cum * 10 >= n * $i THEN s END) AS q$i")
+        .mkString(",\n         |    ")
+      val ladder = (1 to 9).map(i =>
+        s"(CASE WHEN s > q$i THEN 1 ELSE 0 END)").mkString(" + ")
+      // q_calibration's exact-rank deciles fitted on the md5-even
+      // half; out-of-sample Murphy decomposition in floor micro/pico
+      // units (HUGEINT sums; resolution expanded around the floored
+      // base rate exactly as the Spark side)
+      s"""WITH e AS (SELECT (event_type = 'purchase') AS y,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS s,
+         |    (CAST(list_sum(list_transform(range(1, 9), i ->
+         |      (strpos('0123456789abcdef',
+         |         substr(md5(CAST(event_id AS VARCHAR)),
+         |           CAST(i AS INT), 1)) - 1)
+         |      * 2.0 ** (4 * (8 - i)))) AS BIGINT) % 2 = 0) AS tr
+         |  FROM events),
+         |v AS (SELECT s, count(*) AS c FROM e WHERE tr GROUP BY 1),
+         |w AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum,
+         |    (SELECT count(*) FROM e WHERE tr) AS n FROM v),
+         |bnd AS (SELECT $qs
+         |  FROM w),
+         |f AS (SELECT CAST(1 + $ladder AS BIGINT) AS bucket,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000000
+         |      // count(*) AS BIGINT) AS f_micro
+         |  FROM e CROSS JOIN bnd WHERE tr GROUP BY 1),
+         |b AS (SELECT CAST(1 + $ladder AS BIGINT) AS bucket,
+         |    count(*) AS n_k,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos_k
+         |  FROM e CROSS JOIN bnd WHERE NOT tr GROUP BY 1),
+         |k AS (SELECT b.n_k, b.pos_k, f.f_micro,
+         |    CAST(b.pos_k * 1000000 // b.n_k AS BIGINT) AS o_micro
+         |  FROM b JOIN f ON b.bucket = f.bucket),
+         |t AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+         |    CAST(sum(pos_k) AS BIGINT) AS pos,
+         |    sum(CAST(n_k AS HUGEINT) * (f_micro - o_micro)
+         |      * (f_micro - o_micro)) AS relnum,
+         |    sum(CAST(n_k AS HUGEINT) * o_micro) AS osum,
+         |    sum(CAST(n_k AS HUGEINT) * o_micro * o_micro) AS osq
+         |  FROM k),
+         |u AS (SELECT *, CAST(pos * 1000000 // n AS BIGINT)
+         |    AS o_bar_micro FROM t)
+         |SELECT n, o_bar_micro,
+         |  o_bar_micro * (1000000 - o_bar_micro) AS uncertainty_pico,
+         |  CAST(relnum // n AS BIGINT) AS reliability_pico,
+         |  CAST((osq - 2 * o_bar_micro * osum
+         |    + CAST(n AS HUGEINT) * o_bar_micro * o_bar_micro) // n
+         |    AS BIGINT) AS resolution_pico
+         |FROM u""".stripMargin
+    },
+
+    "q_kappa" ->
+      // the q_lang_id prediction CASE vs the lang column; kappa on the
+      // common N² denominator — one division of exact integers
+      s"""WITH w AS (SELECT lang,
+         |    string_split(${normOf("text")}, ' ') AS w FROM documents),
+         |sc AS (SELECT lang,
+         |    ${langScoreSql("w", enW)} AS s_en,
+         |    ${langScoreSql("w", esW)} AS s_es,
+         |    ${langScoreSql("w", deW)} AS s_de,
+         |    ${langScoreSql("w", frW)} AS s_fr
+         |  FROM w),
+         |p AS (SELECT lang AS b,
+         |    CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+         |         WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |         WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS a
+         |  FROM sc),
+         |cells AS (SELECT a, b, count(*) AS n_ab FROM p GROUP BY 1, 2),
+         |n AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n FROM cells),
+         |ag AS (SELECT CAST(coalesce(sum(n_ab), 0) AS BIGINT) AS n_agree
+         |  FROM cells WHERE a = b),
+         |rm AS (SELECT a, sum(n_ab) AS ra FROM cells GROUP BY 1),
+         |cm AS (SELECT b, sum(n_ab) AS cb FROM cells GROUP BY 1),
+         |pe AS (SELECT coalesce(sum(CAST(ra AS HUGEINT) * cb), 0)
+         |    AS pe_num
+         |  FROM rm JOIN cm ON rm.a = cm.b)
+         |SELECT n.n, ag.n_agree,
+         |  CASE WHEN CAST(n.n AS HUGEINT) * n.n - pe.pe_num <> 0 THEN
+         |    CAST(CAST(ag.n_agree AS HUGEINT) * n.n - pe.pe_num
+         |      AS DOUBLE) /
+         |    CAST(CAST(n.n AS HUGEINT) * n.n - pe.pe_num AS DOUBLE)
+         |  END AS kappa
+         |FROM n, ag, pe""".stripMargin,
+
+    "q_tukey_fences" ->
+      // exact-rank quartiles per group (the discreteQuantiles rule:
+      // cum·10⁴ ≥ p·n), then the DOUBLED integer fence tests
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |c AS (SELECT g, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |w AS (SELECT g, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM c),
+        |q AS (SELECT g,
+        |    min(CASE WHEN cum * 10000 >= n * 2500 THEN v END) AS q1,
+        |    min(CASE WHEN cum * 10000 >= n * 7500 THEN v END) AS q3
+        |  FROM w GROUP BY 1)
+        |SELECT e.g AS event_type, count(*) AS n,
+        |  max(q.q1) AS q1, max(q.q3) AS q3,
+        |  CAST(sum(CASE WHEN e.v * 2 < q.q1 * 2 - (q.q3 - q.q1) * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN e.v * 2 > q.q3 * 2 + (q.q3 - q.q1) * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM e JOIN q ON e.g = q.g GROUP BY 1""".stripMargin,
+
+    "q_control_chart" ->
+      // daily cent sums, floor-mean center, floor milli-cent MR-bar,
+      // breach test cross-multiplied to stay integral
+      """WITH d AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d')
+        |    AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT k, day, x,
+        |    abs(x - lag(x) OVER (PARTITION BY k ORDER BY day)) AS mr
+        |  FROM d),
+        |s AS (SELECT k, count(*) AS n_days,
+        |    CAST(sum(x) // count(*) AS BIGINT) AS center_cents,
+        |    CASE WHEN count(*) > 1 THEN
+        |      CAST(sum(mr) * 1000 // (count(*) - 1) AS BIGINT)
+        |    END AS mrbar_milli
+        |  FROM m GROUP BY 1)
+        |SELECT d.k AS event_type, max(s.n_days) AS n_days,
+        |  max(s.center_cents) AS center_cents,
+        |  max(s.mrbar_milli) AS mrbar_milli,
+        |  CAST(sum(CASE WHEN abs(d.x - s.center_cents) * 1000000 >
+        |    s.mrbar_milli * 2660 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations
+        |FROM d JOIN s ON d.k = s.k GROUP BY 1""".stripMargin)
 }

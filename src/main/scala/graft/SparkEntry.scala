@@ -4161,6 +4161,53 @@ object SparkEntry {
       iterations = 5, topK = 30)
   }
 
+  /** C86: Brier decomposition — the decile-rate forecast fitted on the
+    * md5-even half, Murphy's reliability/resolution/uncertainty on the
+    * odd half, micro-quantized (operators.Stats.brierDecomposition).
+    */
+  private def qBrier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select($"event_id",
+      ($"event_type" === "purchase").as("is_purchase"),
+      floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.brierDecomposition(e, "is_purchase", "cents",
+      "event_id")
+  }
+
+  /** C87: Cohen's kappa between the E8 language-ID heuristic and the
+    * documents.lang ground truth — chance-corrected labeler scoring
+    * (operators.Stats.cohenKappa).
+    */
+  private def qKappa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents").select(
+      TextFunctions.langId($"text").as("lang_pred"), $"lang")
+    operators.Stats.cohenKappa(d, "lang_pred", "lang")
+  }
+
+  /** C89: Tukey 1.5·IQR fence outlier counts of event value cents per
+    * event type — the box-plot rule as a monitoring aggregate
+    * (operators.Stats.tukeyFences).
+    */
+  private def qTukeyFences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select($"event_type",
+      floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.tukeyFences(e, "event_type", "cents")
+  }
+
+  /** F31: Shewhart I-MR control chart over daily revenue per event
+    * type — center line, moving-range dispersion, ±2.66·MR̄ breach
+    * counts (operators.TimeSeries.controlChart).
+    */
+  private def qControlChart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select($"event_type",
+      date_format($"ts", "yyyy-MM-dd").as("day"),
+      floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.TimeSeries.controlChart(e, "event_type", "day", "cents")
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4428,7 +4475,11 @@ object SparkEntry {
     "q_conformal" -> (qConformal _),
     "q_attribution_decay" -> (qAttributionDecay _),
     "q_hard_negatives" -> (qHardNegatives _),
-    "q_textrank" -> (qTextrank _))
+    "q_textrank" -> (qTextrank _),
+    "q_brier" -> (qBrier _),
+    "q_kappa" -> (qKappa _),
+    "q_tukey_fences" -> (qTukeyFences _),
+    "q_control_chart" -> (qControlChart _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

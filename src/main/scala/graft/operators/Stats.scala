@@ -976,6 +976,140 @@ object Stats {
         expr("n_pos * 1000000 div n").as("pos_rate_micro"))
   }
 
+  /** C86: Brier-score decomposition (Murphy, J. Appl. Meteorol. 1973)
+    * — reliability / resolution / uncertainty, the three numbers that
+    * say WHY a probabilistic forecast's Brier score is what it is:
+    * reliability = how far forecast probabilities sit from observed
+    * rates (lower better), resolution = how much the forecast
+    * separates outcomes from the base rate (higher better),
+    * uncertainty = the irreducible ō(1−ō).
+    *
+    * The forecast under evaluation is the repo's honest one: per
+    * score-decile positive rates FITTED ON the md5-even train half
+    * (C84's split discipline), decomposed OUT-OF-SAMPLE on the odd
+    * half — the "is my calibrated model still calibrated on data it
+    * never saw" readout that [[calibrationTable]] (in-sample) can't
+    * give.
+    *
+    * Micro-quantized variant, documented: forecast and outcome rates
+    * are FLOOR micro-units (f_k = pos·10⁶ div n), every moment an
+    * exact integer/decimal sum, resolution expanded around the floored
+    * base rate — no float folds, hash-gates bit-for-bit. Pico-units
+    * (micro²) for the three components.
+    *
+    * @return one row: (n, o_bar_micro, uncertainty_pico,
+    *         reliability_pico, resolution_pico) over the
+    *         calibration half.
+    */
+  def brierDecomposition(df: DataFrame, labelCol: String, centsCol: String,
+                         idCol: String): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val base = df.select(col(labelCol).as("y"),
+      col(centsCol).cast("long").as("s"), (h % 2 === 0).as("__train"))
+    val tr = base.filter(col("__train"))
+    val ps = (1 to 9).map(_ * 1000)
+    val bounds = broadcast(discreteQuantiles(
+      tr.select(col("s")).withColumn("__g", lit(1)), Seq("__g"), "s", ps)
+      .drop("__g"))
+    val bucket = (lit(1) + ps.map(p =>
+      when(col("s") > col(s"q$p"), 1).otherwise(0)).reduce(_ + _))
+      .cast("long")
+    val fcast = tr.crossJoin(bounds)
+      .groupBy(bucket.as("bucket"))
+      .agg(expr("sum(case when y then 1 else 0 end) * 1000000 div count(1)")
+        .as("f_micro"))
+    val binned = base.filter(!col("__train")).crossJoin(bounds)
+      .select(bucket.as("bucket"), col("y"))
+      .join(broadcast(fcast), "bucket")
+      .groupBy(col("bucket"), col("f_micro"))
+      .agg(count(lit(1)).as("n_k"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos_k"))
+      .withColumn("o_micro", expr("pos_k * 1000000 div n_k"))
+    binned.agg(
+        sum(col("n_k")).as("n"), sum(col("pos_k")).as("pos"),
+        sum(expr("cast(n_k as decimal(38,0)) * (f_micro - o_micro) * " +
+          "(f_micro - o_micro)")).as("relnum"),
+        sum(expr("cast(n_k as decimal(38,0)) * o_micro")).as("osum"),
+        sum(expr("cast(n_k as decimal(38,0)) * o_micro * o_micro"))
+          .as("osq"))
+      .withColumn("o_bar_micro", expr("pos * 1000000 div n"))
+      .select(col("n"), col("o_bar_micro"),
+        (col("o_bar_micro") * (lit(1000000L) - col("o_bar_micro")))
+          .as("uncertainty_pico"),
+        expr("cast(relnum div n as long)").as("reliability_pico"),
+        expr("cast((osq - 2 * o_bar_micro * osum + " +
+          "n * o_bar_micro * o_bar_micro) div n as long)")
+          .as("resolution_pico"))
+  }
+
+  /** C87: Cohen's kappa (Cohen, Educ. Psychol. Meas. 1960) — chance-
+    * corrected agreement between two categorical raters, the standard
+    * way to score a heuristic labeler against ground truth (raw
+    * agreement flatters: a majority-class rater "agrees" often by
+    * chance alone). κ = (p_o − p_e)/(1 − p_e) with p_e the marginal
+    * chance-agreement rate.
+    *
+    * Exactness: one contingency aggregate (category²-cardinality),
+    * integer diagonal and margins; κ is computed on the COMMON
+    * denominator N² — (n_agree·N − Σr_i·c_i)/(N² − Σr_i·c_i), ONE
+    * division of exact decimals (raw double, the keySkewProfile rule);
+    * null when every pair lands in one cell (p_e = 1, κ undefined).
+    *
+    * @return one row: (n, n_agree, kappa).
+    */
+  def cohenKappa(df: DataFrame, raterACol: String,
+                 raterBCol: String): DataFrame = {
+    val cells = df.groupBy(col(raterACol).as("a"), col(raterBCol).as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cells.agg(sum(col("n_ab")).as("n"))
+    val agree = cells.filter(col("a") === col("b"))
+      .agg(coalesce(sum(col("n_ab")), lit(0L)).as("n_agree"))
+    val rowm = cells.groupBy(col("a")).agg(sum(col("n_ab")).as("ra"))
+    val colm = cells.groupBy(col("b")).agg(sum(col("n_ab")).as("cb"))
+    val pe = rowm.join(colm, col("a") === col("b"))
+      .agg(coalesce(sum(expr("cast(ra as decimal(38,0)) * cb")),
+        lit(0).cast("decimal(38,0)")).as("pe_num"))
+    val out = n.crossJoin(broadcast(agree)).crossJoin(broadcast(pe))
+      .select(col("n"), col("n_agree"),
+        when(expr("cast(n as decimal(38,0)) * n - pe_num") =!= 0,
+          expr("cast(cast(n_agree as decimal(38,0)) * n - pe_num " +
+            "as double)") /
+          expr("cast(cast(n as decimal(38,0)) * n - pe_num as double)"))
+          .as("kappa"))
+    graft.sealResult(out, cells)
+  }
+
+  /** C89: Tukey-fence outlier table (Tukey, EDA 1977) — per group the
+    * exact quartiles and how many points fall beyond the classic
+    * 1.5·IQR fences, the box-plot's outlier rule as a monitoring
+    * aggregate (the robust companion of C37's MAD z-scores: fences
+    * flag counts, MAD scores points).
+    *
+    * All integer: quartiles from [[discreteQuantiles]] (exact rank
+    * arithmetic), and the fence tests are DOUBLED to stay integral —
+    * 2x < 2·Q1 − 3·IQR ⟺ x < Q1 − 1.5·IQR with no halves anywhere.
+    *
+    * @return per group: (group, n, q1, q3, n_low, n_high).
+    */
+  def tukeyFences(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val d = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val q = broadcast(discreteQuantiles(d, Seq("g"), "v", Seq(2500, 7500)))
+    d.join(q, "g")
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        max(col("q2500")).as("q1"),
+        max(col("q7500")).as("q3"),
+        sum(when(col("v") * 2 <
+          col("q2500") * 2 - (col("q7500") - col("q2500")) * 3, 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("v") * 2 >
+          col("q7500") * 2 + (col("q7500") - col("q2500")) * 3, 1L)
+          .otherwise(0L)).as("n_high"))
+  }
+
   /** C84: split-conformal prediction intervals (Vovk et al.; Lei et
     * al., JASA 2018 "Distribution-Free Predictive Inference") — the
     * model-agnostic way to attach finite-sample-valid intervals to ANY

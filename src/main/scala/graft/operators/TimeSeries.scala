@@ -345,6 +345,46 @@ object TimeSeries {
         sum(col(valueCol)).as("volume"))
   }
 
+  /** F31: Shewhart individuals control chart (Shewhart 1931; the
+    * I-MR chart) — per key, the daily series' center line, the
+    * moving-range dispersion estimate, and how many days breach the
+    * standard ±2.66·MR̄ control limits (2.66 = 3/d₂ for n=2): the SPC
+    * monitoring readout ops dashboards put next to F13's CUSUM
+    * (Shewhart catches big one-day shifts; CUSUM catches small
+    * sustained drift).
+    *
+    * All integer: daily sums in cents, center = floor mean, MR̄ in
+    * floor milli-cents, and the breach test cross-multiplied —
+    * |x−center|·10⁶ > 2660·MR̄_milli ⟺ |x−center| > 2.66·MR̄ with no
+    * floats anywhere. One keyed day-aggregate, one lag window, one
+    * key-cardinality broadcast join back.
+    *
+    * @return per key: (key, n_days, center_cents, mrbar_milli,
+    *         n_violations); mrbar_milli null for single-day keys.
+    */
+  def controlChart(df: DataFrame, keyCol: String, dayCol: String,
+                   centsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(keyCol).as("k"), col(dayCol).as("day"))
+      .agg(sum(col(centsCol)).as("x"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    val stats = daily
+      .withColumn("__mr", abs(col("x") - lag(col("x"), 1).over(w)))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(x) div count(1)").as("center_cents"),
+        expr("case when count(1) > 1 then " +
+          "sum(__mr) * 1000 div (count(1) - 1) end").as("mrbar_milli"))
+    daily.join(broadcast(stats), "k")
+      .groupBy(col("k").as(keyCol))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("center_cents")).as("center_cents"),
+        max(col("mrbar_milli")).as("mrbar_milli"),
+        sum(when(abs(col("x") - col("center_cents")) * 1000000 >
+          col("mrbar_milli") * 2660, 1L).otherwise(0L))
+          .as("n_violations"))
+  }
+
   /** F13: one-sided CUSUM change-point detection (Page 1954) per key.
     *
     * The textbook form is a clamped recurrence — s_t = max(0,

@@ -137,6 +137,88 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("cohenKappa ≡ hand contingency; degenerate one-cell null") {
+    val rows = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "a"), ("c", "c"), ("c", "c"), ("b", "b"))
+    val got = Stats.cohenKappa(rows.toDF("ra", "rb"), "ra", "rb").head
+    val n = rows.size.toLong
+    val agree = rows.count(t => t._1 == t._2).toLong
+    val cats = (rows.map(_._1) ++ rows.map(_._2)).distinct
+    val pe = cats.map(c =>
+      rows.count(_._1 == c).toLong * rows.count(_._2 == c)).sum
+    val kappa = (agree * n - pe).toDouble / (n * n - pe).toDouble
+    assert(got.getLong(0) == n && got.getLong(1) == agree)
+    assert(got.getDouble(2) == kappa)
+    // all mass in one cell: p_e = 1, kappa undefined -> null
+    val degen = Stats.cohenKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("ra", "rb"), "ra", "rb").head
+    assert(degen.isNullAt(2))
+  }
+
+  test("tukeyFences ≡ hand rank quartiles + doubled fence tests") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map(i =>
+      (s"g${i % 2}", rnd.nextInt(1000).toLong + (if (i % 37 == 0) 50000L else 0L)))
+    val got = Stats.tukeyFences(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val brute = rows.groupBy(_._1).map { case (g, rs) =>
+      val vs = rs.map(_._2).sorted
+      val n = vs.size
+      def q(p: Int) = vs(vs.indices.find(i =>
+        (i + 1).toLong * 10000 >= n.toLong * p).get)
+      val (q1, q3) = (q(2500), q(7500))
+      val iqr = q3 - q1
+      g -> (n.toLong, q1, q3,
+        vs.count(v => v * 2 < q1 * 2 - 3 * iqr).toLong,
+        vs.count(v => v * 2 > q3 * 2 + 3 * iqr).toLong)
+    }
+    assert(got == brute)
+  }
+
+  test("controlChart ≡ sequential I-MR fold") {
+    val rows = Seq(
+      ("a", "d1", 100L), ("a", "d1", 20L), ("a", "d2", 130L),
+      ("a", "d3", 115L), ("a", "d4", 400L), // spike day
+      ("b", "d1", 50L)) // single-day key: null MR-bar, no violations
+    val got = graft.operators.TimeSeries.controlChart(
+        rows.toDF("k", "day", "cents"), "k", "day", "cents")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4))).toMap
+    // a: daily x = 120, 130, 115, 400; center = 765 div 4 = 191
+    // MRs = 10, 15, 285 -> mrbar_milli = 310000 div 3 = 103333
+    // violations: |x-191|*1e6 > 2660*103333 = 274,865,780
+    //   -> |Δ| > 274.86... cents: only x=400 (209) NO... 209e6 < 274.9e6
+    //   -> no violation?? recompute: 2660*103333 = 274,865,780;
+    //      |400-191|=209 -> 209,000,000 < 274,865,780 -> 0 violations
+    assert(got("a") == (4L, 191L, Some(103333L), 0L))
+    assert(got("b") == (1L, 50L, None, 0L))
+  }
+
+  test("brierDecomposition: perfect-forecast degenerate = zero reliability") {
+    // labels constant per score value and split-stable: the train
+    // forecast per decile equals the cal outcome rate exactly when
+    // every bucket is label-pure -> reliability 0, resolution =
+    // o_bar(1-o_bar) at the micro grid (up to floor quantization)
+    val rows = (1 to 400).map { i =>
+      val s = if (i % 2 == 0) 100L else 900L
+      (i.toLong, s >= 500L, s)
+    }
+    val r = Stats.brierDecomposition(rows.toDF("id", "y", "s"),
+      "y", "s", "id").head
+    val n = r.getLong(0)
+    assert(n > 0)
+    assert(r.getLong(3) == 0L, "pure buckets must have zero reliability")
+    // resolution ≈ uncertainty for a perfectly-sharp forecast; both in
+    // pico-units on the floored micro grid
+    val unc = r.getLong(2); val res = r.getLong(4)
+    assert(math.abs(res - unc) <= 2000000L,
+      s"sharp forecast: resolution $res should approach uncertainty $unc")
+  }
+
   test("textRank ≡ local integer PageRank over the adjacency graph") {
     val docs = Seq(
       "spark sort merge join sort spark",
