@@ -4208,6 +4208,25 @@ object SparkEntry {
     operators.TimeSeries.controlChart(e, "event_type", "day", "cents")
   }
 
+  /** H46: mergeable HLL distinct sketches across runs — two simulated
+    * ingestion batches of orders, per-priority distinct customers via
+    * DataSketches union (operators.Stats.hllMergeCounts). Rows-only:
+    * the sketch estimate is engine-native; Round6OpsSpec asserts the
+    * 3%-of-exact tolerance and batch-split ≡ one-shot determinism.
+    */
+  private def qHllStore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+      .select($"o_orderpriority", $"o_custkey", $"o_orderkey")
+    val run1 = operators.Stats.hllMergeCounts(
+      o.filter($"o_orderkey" % 3 =!= 0), "o_orderpriority", "o_custkey")
+    operators.Stats.hllMergeCounts(
+        o.filter($"o_orderkey" % 3 === 0), "o_orderpriority", "o_custkey",
+        prior = Some(run1.select($"o_orderpriority", $"sk")))
+      .select($"o_orderpriority", $"distinct_est".cast("long")
+        .as("distinct_est"))
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4479,7 +4498,8 @@ object SparkEntry {
     "q_brier" -> (qBrier _),
     "q_kappa" -> (qKappa _),
     "q_tukey_fences" -> (qTukeyFences _),
-    "q_control_chart" -> (qControlChart _))
+    "q_control_chart" -> (qControlChart _),
+    "q_hll_store" -> (qHllStore _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a
@@ -4487,7 +4507,7 @@ object SparkEntry {
     */
   val rowsOnly: Set[String] =
     Set("q_dedup_simhash", "q_approx_distinct", "q_kmeans", "q_pagerank",
-      "q_ann_pq")
+      "q_ann_pq", "q_hll_store")
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -152,6 +152,46 @@ object Stats {
     candidates.map(v => v -> sketch.estimateCount(v))
   }
 
+  /** H46: mergeable distinct-count sketches across ingestion runs —
+    * incremental approximate COUNT(DISTINCT key) per group WITHOUT
+    * retaining raw keys: each run reduces its batch to ONE DataSketches
+    * HLL sketch per group (`hll_sketch_agg`), merges it with the prior
+    * run's sketch table (`hll_union_agg`), and reads the estimate with
+    * `hll_sketch_estimate`. This is the sketch the incremental-store
+    * family (E40 exact fingerprints, E45 MinHash, E68 URLs) was
+    * missing: state size is O(groups·2^lgK) REGARDLESS of key
+    * cardinality, and the merge is associative — shard sketches union
+    * to exactly the sketch of the union, so a 1000-executor ingest and
+    * a replayed backfill land on the same registers.
+    *
+    * Determinism: HLL registers are per-hash MAXes — insertion order,
+    * partitioning, and batch boundaries cannot change the merged
+    * sketch (asserted batch-split ≡ one-shot in Round6OpsSpec), which
+    * is what makes a rows-only gate on the estimates meaningful.
+    *
+    * @param prior previous run's (group, sk) table, or None for the
+    *              first run.
+    * @return per group: (groupCol, sk binary — persist this as the
+    *         next run's prior — and distinct_est long).
+    */
+  def hllMergeCounts(batch: DataFrame, groupCol: String, keyCol: String,
+                     prior: Option[DataFrame] = None,
+                     lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21)
+    val b = batch.groupBy(col(groupCol).as("g"))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("sk"))
+    val merged = prior match {
+      case None => b
+      case Some(p) =>
+        b.unionByName(p.select(col(p.columns.head).as("g"),
+            col("sk")))
+          .groupBy(col("g"))
+          .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
+    }
+    merged.select(col("g").as(groupCol), col("sk"),
+      hll_sketch_estimate(col("sk")).as("distinct_est"))
+  }
+
   /** Winsorization (outlier clamping) of an integer-valued column per
     * group: values clamped to the exact discrete [pLo, pHi] quantile
     * bounds (per-10000). Bounds come from [[discreteQuantiles]] and

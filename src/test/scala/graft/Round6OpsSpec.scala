@@ -219,6 +219,26 @@ class Round6OpsSpec extends AnyFunSuite {
       s"sharp forecast: resolution $res should approach uncertainty $unc")
   }
 
+  test("hllMergeCounts: 3%-of-exact estimates; batch-split ≡ one-shot") {
+    val rows = (1 to 20000).map(i => (s"g${i % 3}", (i * 13 % 4211).toLong, i))
+    val df = rows.toDF("g", "k", "i")
+    val exact = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).distinct.size.toLong }
+    val oneShot = Stats.hllMergeCounts(df, "g", "k")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    oneShot.foreach { case (g, est) =>
+      assert(math.abs(est - exact(g)) <= 0.03 * exact(g),
+        s"$g: est $est vs exact ${exact(g)}")
+    }
+    // register-max associativity: two runs merged == one-shot sketch
+    val run1 = Stats.hllMergeCounts(df.filter(col("i") % 2 === 0), "g", "k")
+    val merged = Stats.hllMergeCounts(df.filter(col("i") % 2 =!= 0),
+        "g", "k", prior = Some(run1.select(col("g"), col("sk"))))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(merged == oneShot,
+      "batch-split estimates must equal the one-shot sketch exactly")
+  }
+
   test("textRank ≡ local integer PageRank over the adjacency graph") {
     val docs = Seq(
       "spark sort merge join sort spark",
