@@ -281,6 +281,32 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("hard negatives: anchors broadcast, corpus never exchanged, " +
+    "map-side top-k") {
+    val p = plan("q_hard_negatives")
+    // the non-equi cross-label pair join is SUPPOSED to be a broadcast
+    // nested loop — sample broadcast, corpus scanned in place (the
+    // ANN-ladder shape); what must NOT appear is a corpus shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    // candidate stream reduced by the partial top-k aggregate, not a
+    // per-query window over all pairs
+    assert(p.contains("topk_by"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("textrank: top-k via TakeOrdered, never a global sort") {
+    val p = plan("q_textrank")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("time-decay attribution is window passes — no event self-join") {
+    val p = plan("q_attribution_decay")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("interval overlap and fuzzy match avoid nested-loop joins") {
     for (name <- Seq("q_interval_overlap", "q_fuzzy_match")) {
       val p = plan(name)
