@@ -6202,5 +6202,43 @@ object OracleSql {
         |  CAST(sum(CASE WHEN abs(d.x - s.center_cents) * 1000000 >
         |    s.mrbar_milli * 2660 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_violations
-        |FROM d JOIN s ON d.k = s.k GROUP BY 1""".stripMargin)
+        |FROM d JOIN s ON d.k = s.k GROUP BY 1""".stripMargin,
+
+    "q_cross_source_dup" ->
+      // distinct (fingerprint, source) pairs, fp-equi self-join on
+      // ordered source pairs, floor micro shares of exact counts
+      s"""WITH c AS (
+         |  SELECT text, source FROM documents
+         |  UNION ALL SELECT text, 'mirror' FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |f AS (SELECT DISTINCT md5(${normOf("text")}) AS fp,
+         |    source AS src FROM c),
+         |cnt AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM f
+         |  GROUP BY 1),
+         |sh AS (SELECT a.src AS source_a, b.src AS source_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM f a JOIN f b ON a.fp = b.fp AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, ca.n AS n_a, cb.n AS n_b, n_shared,
+         |  CAST(n_shared * 1000000 // ca.n AS BIGINT) AS share_a_micro,
+         |  CAST(n_shared * 1000000 // cb.n AS BIGINT) AS share_b_micro
+         |FROM sh
+         |JOIN cnt ca ON ca.src = source_a
+         |JOIN cnt cb ON cb.src = source_b""".stripMargin,
+
+    "q_scd3" ->
+      // full-outer key merge: changed keys carry (new, old), unchanged
+      // (old, null), inserts (new, null); additive-delta updates keep
+      // cents off half-cent rounding boundaries
+      """WITH b AS (SELECT o_orderkey, o_totalprice AS price
+        |  FROM orders),
+        |u AS (SELECT o_orderkey, o_totalprice + 100000 AS price
+        |  FROM orders WHERE o_orderkey % 4 = 0)
+        |SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+        |  round(coalesce(u.price, b.price), 2) AS price,
+        |  round(CASE WHEN u.price IS NOT NULL AND b.price IS NOT NULL
+        |    AND u.price <> b.price THEN b.price END, 2) AS prev_price,
+        |  (u.price IS NOT NULL AND (b.price IS NULL
+        |    OR u.price <> b.price)) AS changed
+        |FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey""".stripMargin)
 }

@@ -4227,6 +4227,36 @@ object SparkEntry {
         .as("distinct_est"))
   }
 
+  /** E99: cross-source duplication matrix over documents plus a
+    * planted "mirror" source (doc_id % 7 exact copies) — which source
+    * pairs share content, the pre-mixing governance table
+    * (operators.Corpus.crossSourceDuplication).
+    */
+  private def qCrossSourceDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents").select($"doc_id", $"text", $"source")
+    val mirror = d.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 2000000).as("doc_id"), $"text",
+        lit("mirror").as("source"))
+    operators.Corpus.crossSourceDuplication(d.unionByName(mirror),
+      "text", "source")
+  }
+
+  /** D11: SCD type-3 merge — current price + previous price on change
+    * (the q_upsert_merge additive-delta update set, so cents stay off
+    * rounding boundaries) (operators.Loads.scd3).
+    */
+  private def qScd3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val base = o.select($"o_orderkey", $"o_totalprice".as("price"))
+    val updates = o.filter($"o_orderkey" % 4 === 0)
+      .select($"o_orderkey", ($"o_totalprice" + 100000).as("price"))
+    operators.Loads.scd3(base, updates, Seq("o_orderkey"), "price")
+      .select($"o_orderkey", round($"price", 2).as("price"),
+        round($"prev_price", 2).as("prev_price"), $"changed")
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4499,7 +4529,9 @@ object SparkEntry {
     "q_kappa" -> (qKappa _),
     "q_tukey_fences" -> (qTukeyFences _),
     "q_control_chart" -> (qControlChart _),
-    "q_hll_store" -> (qHllStore _))
+    "q_hll_store" -> (qHllStore _),
+    "q_cross_source_dup" -> (qCrossSourceDup _),
+    "q_scd3" -> (qScd3 _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native
     * hashes); the driver records the weaker rows-only check, and a

@@ -1058,6 +1058,46 @@ object Corpus {
           1, 6), 16, 10).cast("long") % 2001 - 1000).as("w_milli"))
   }
 
+  /** E99: cross-source duplication matrix — for every source pair, how
+    * much of source A's distinct content also appears in source B: the
+    * corpus-governance readout before mixing sources (cross-source
+    * duplicates silently inflate a mixture's effective weight; E1/E26
+    * FIX overlaps, this MEASURES where they come from, the table a
+    * data-governance review asks for).
+    *
+    * Keyed by content fingerprint throughout: distinct (fp, source)
+    * pairs, then an fp-equi self-join whose fan-out is bounded by the
+    * number of sources a fingerprint appears in (≤ |sources| — never
+    * corpus-quadratic), collapsing straight to source²-cardinality.
+    * Shares are floor micro-units of exact counts.
+    *
+    * @return (source_a, source_b, n_a, n_b, n_shared, share_a_micro,
+    *         share_b_micro) for source_a < source_b, only pairs with
+    *         shared content.
+    */
+  def crossSourceDuplication(docs: DataFrame, textCol: String,
+                             sourceCol: String): DataFrame = {
+    val fps = docs
+      .select(graft.functions.TextFunctions.fingerprint(col(textCol))
+        .as("fp"), col(sourceCol).as("src"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = fps.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val shared = fps.toDF("fp", "source_a")
+      .join(fps.toDF("fp", "source_b"), "fp")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = shared
+      .join(broadcast(counts.toDF("source_a", "n_a")), "source_a")
+      .join(broadcast(counts.toDF("source_b", "n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        expr("n_shared * 1000000 div n_a").as("share_a_micro"),
+        expr("n_shared * 1000000 div n_b").as("share_b_micro"))
+    graft.sealResult(out, fps)
+  }
+
   /** E96: TextRank corpus keywords (Mihalcea & Tarau, EMNLP 2004) —
     * PageRank over the word co-occurrence graph (adjacent-word window,
     * the paper's window=2 default), the graph-based alternative to

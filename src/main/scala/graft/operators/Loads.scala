@@ -41,6 +41,30 @@ object Loads {
       .drop("__graft_rn")
   }
 
+  /** D11: SCD type-3 merge — the "current + previous value" dimension
+    * shape between SCD1's overwrite (D2, history lost) and SCD2's full
+    * history (D4, row per version): one extra column remembers the
+    * value a change replaced, the warehouse pattern for "limited
+    * history, fixed width" attributes (previous address, previous
+    * plan). One full-outer key join: changed keys carry (new, old),
+    * unchanged keys (old, null), inserted keys (new, null).
+    *
+    * @return (keys..., valueCol, prev_<valueCol>, changed).
+    */
+  def scd3(base: DataFrame, updates: DataFrame, keys: Seq[String],
+           valueCol: String): DataFrame = {
+    val b = base.select((keys.map(col) :+ col(valueCol).as("__old")): _*)
+    val u = updates.select((keys.map(col) :+ col(valueCol).as("__new")): _*)
+    b.join(u, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        coalesce(col("__new"), col("__old")).as(valueCol),
+        when(col("__new").isNotNull && col("__old").isNotNull &&
+          col("__new") =!= col("__old"), col("__old"))
+          .as(s"prev_$valueCol"),
+        (col("__new").isNotNull && (col("__old").isNull ||
+          col("__new") =!= col("__old"))).as("changed")): _*)
+  }
+
   /** SCD2 history: keep EVERY version of a key, with validity interval
     * columns derived from the next version's start (lead over the key's
     * version order) — the warehouse-standard "slowly changing dimension

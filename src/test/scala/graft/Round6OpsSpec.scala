@@ -239,6 +239,37 @@ class Round6OpsSpec extends AnyFunSuite {
       "batch-split estimates must equal the one-shot sketch exactly")
   }
 
+  test("scd3: changed / unchanged / inserted keys carry the right prev") {
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val upd = Seq((2L, 99L), (3L, 30L), (4L, 40L)).toDF("k", "v")
+    val got = graft.operators.Loads.scd3(base, upd, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(3))).toMap
+    assert(got == Map(
+      1L -> (10L, None, false),        // untouched
+      2L -> (99L, Some(20L), true),    // changed: prev retained
+      3L -> (30L, None, false),        // update equal: no change
+      4L -> (40L, None, true)))        // insert: no prev
+  }
+
+  test("crossSourceDuplication ≡ hand fingerprint overlap matrix") {
+    val docs = Seq(
+      ("x", "A"), ("y", "A"), ("z", "A"),
+      ("x", "B"), ("q", "B"),
+      ("x", "C"), ("y", "C"), ("x", "C")) // in-source dup collapses
+      .toDF("text", "src")
+    val got = graft.operators.Corpus
+      .crossSourceDuplication(docs, "text", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(got == Map(
+      ("A", "B") -> (3L, 2L, 1L, 333333L, 500000L),
+      ("A", "C") -> (3L, 2L, 2L, 666666L, 1000000L),
+      ("B", "C") -> (2L, 2L, 1L, 500000L, 500000L)))
+  }
+
   test("textRank ≡ local integer PageRank over the adjacency graph") {
     val docs = Seq(
       "spark sort merge join sort spark",
