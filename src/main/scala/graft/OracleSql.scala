@@ -67,6 +67,50 @@ object OracleSql {
        |        FROM corpus) t,
        |       unnest(generate_series(1, len(w) - 4)) AS u(i))""".stripMargin
 
+  /** 48-bit integer from the first 12 hex digits of `h` — Horner over
+    * positional digits (no conv in DuckDB 1.0). Mirror of
+    * Dedup.shingleBase48; every intermediate ≤ 2^48, exact BIGINT.
+    */
+  private def hex48Sql(h: String): String = {
+    val digits = (1 to 12).map(i =>
+      s"(strpos('0123456789abcdef', substring($h, $i, 1)) - 1)")
+    digits.tail.foldLeft(digits.head)((acc, d) => s"(16*$acc + $d)")
+  }
+
+  /** Per-seed minhash aggregates over a pre-computed `hb` base column
+    * (mirror of Dedup.minhashAgg): min of (hb·(2s+1)) mod 2^48 — odd
+    * multipliers are bijections mod 2^48; products ≤ 17·2^48 < 2^53
+    * stay exact in BIGINT on both engines.
+    */
+  private def minhashMinsSql(k: Int): String =
+    (0 until k).map(s =>
+      s"CAST(min((hb * ${2 * s + 1}) % 281474976710656) AS BIGINT) AS mh$s")
+      .mkString(",\n    ")
+
+  /** Signature CTE over a (id, sh) source: one md5 per shingle, then
+    * the k seed mixes (mirror of Dedup.minhashSignatures).
+    */
+  private def minhashSigCte(name: String, shSrc: String, k: Int,
+                            materialized: Boolean = false): String = {
+    val m = if (materialized) " MATERIALIZED" else ""
+    s"""$name AS$m (SELECT id, ${minhashMinsSql(k)}
+       |  FROM (SELECT id, ${hex48Sql("h")} AS hb
+       |        FROM (SELECT id, md5(sh) AS h FROM $shSrc))
+       |  GROUP BY id)""".stripMargin
+  }
+
+  /** Band-bucket rows from a signature CTE (mirror of
+    * Dedup.minhashBands): bh = md5 of the '|'-joined decimal mins.
+    */
+  private def minhashBandRowsSql(sig: String, bands: Int,
+                                 rowsPerBand: Int): String =
+    (0 until bands).map { b =>
+      val cat = (0 until rowsPerBand)
+        .map(r => s"CAST(mh${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5($cat) AS bh FROM $sig"
+    }.mkString("\n  UNION ALL ")
+
   /** Left-fold dot/norm/cosine over double arrays (mirror of
     * Similarity.dot/l2Norm/cosine — list_reduce is a left fold, and
     * 0.0+x ≡ x, so the IEEE operation sequence is identical).
@@ -492,14 +536,9 @@ object OracleSql {
 
     "q_minhash_incremental" -> {
       // store = band rows of the ORIGINAL docs, batch = the dup-seeded
-      // extras; same md5 minhash/band construction as q_dedup_minhash,
-      // built independently for each side, then the (band, bh) screen
-      val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k")
-        .mkString(",\n    ")
-      def bandRows(sig: String) = (0 until 3).map { b =>
-        val cat = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
-        s"SELECT id, $b AS band, md5($cat) AS bh FROM $sig"
-      }.mkString("\n  UNION ALL ")
+      // extras; same one-digest minhash/band construction as
+      // q_dedup_minhash, built independently for each side, then the
+      // (band, bh) screen
       s"""WITH batch AS (
          |  SELECT doc_id + 1000000 AS id,
          |    regexp_replace(${normOf("text")}, ' [a-z0-9]+$$', '') AS text
@@ -518,10 +557,10 @@ object OracleSql {
          |  FROM (SELECT doc_id AS id, string_split(${normOf("text")}, ' ') AS w
          |        FROM documents) t,
          |       unnest(generate_series(1, len(w) - 4)) AS u(i)),
-         |sigb AS (SELECT id, $mins FROM shb GROUP BY id),
-         |sigs AS (SELECT id, $mins FROM shs GROUP BY id),
-         |bb AS (${bandRows("sigb")}),
-         |bs AS (${bandRows("sigs")}),
+         |${minhashSigCte("sigb", "shb", 9)},
+         |${minhashSigCte("sigs", "shs", 9)},
+         |bb AS (${minhashBandRowsSql("sigb", 3, 3)}),
+         |bs AS (${minhashBandRowsSql("sigs", 3, 3)}),
          |hits AS (
          |  SELECT bb.id, count(DISTINCT bs.id) AS store_hits
          |  FROM bb JOIN bs ON bb.band = bs.band AND bb.bh = bs.bh
@@ -533,24 +572,20 @@ object OracleSql {
     },
 
     "q_minhash_est" -> {
-      // same md5 minhash construction; estimate = agreeing mins / 9,
-      // exact = shingle-set Jaccard for the candidate pairs — each one
-      // exact-int division (raw-double safe)
-      val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k")
-        .mkString(",\n    ")
-      val bandRows = (0 until 3).map { b =>
-        val cat = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
-        s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
-      }.mkString("\n  UNION ALL ")
+      // same one-digest minhash construction; estimate = agreeing
+      // mins / 9, exact = shingle-set Jaccard for the candidate pairs
+      // — each one exact-int division (raw-double safe)
       val agree = (0 until 9).map(i =>
         s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
       s"""WITH $corpusCte,
          |$shCte,
-         |sig AS MATERIALIZED (SELECT id,
-         |    $mins
-         |  FROM sh GROUP BY id),
+         |shh AS MATERIALIZED (
+         |  SELECT DISTINCT id, ${hex48Sql("h")} AS hb
+         |  FROM (SELECT id, md5(sh) AS h FROM sh)),
+         |sig AS MATERIALIZED (SELECT id, ${minhashMinsSql(9)}
+         |  FROM shh GROUP BY id),
          |banded AS MATERIALIZED (
-         |  $bandRows),
+         |  ${minhashBandRowsSql("sig", 3, 3)}),
          |cand AS MATERIALIZED (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM banded a JOIN banded b
@@ -560,12 +595,12 @@ object OracleSql {
          |  FROM cand c
          |  JOIN sig a ON a.id = c.id_a
          |  JOIN sig b ON b.id = c.id_b),
-         |sizes AS MATERIALIZED (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |sizes AS MATERIALIZED (SELECT id, count(*) AS sz FROM shh GROUP BY id),
          |inter AS (
          |  SELECT c.id_a, c.id_b, count(*) AS ic
          |  FROM cand c
-         |  JOIN sh x ON x.id = c.id_a
-         |  JOIN sh y ON y.id = c.id_b AND y.sh = x.sh
+         |  JOIN shh x ON x.id = c.id_a
+         |  JOIN shh y ON y.id = c.id_b AND y.hb = x.hb
          |  GROUP BY 1, 2)
          |SELECT g.id_a, g.id_b, g.n_agree,
          |  CAST(g.n_agree AS DOUBLE) / CAST(9 AS DOUBLE) AS est_jaccard,
@@ -614,18 +649,11 @@ object OracleSql {
          |FROM tok GROUP BY 1""".stripMargin,
 
     "q_dedup_minhash" -> {
-      val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(",\n    ")
-      val bandRows = (0 until 3).map { b =>
-        val cat = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
-        s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
-      }.mkString("\n  UNION ALL ")
       s"""WITH $corpusCte,
          |$shCte,
-         |sig AS (SELECT id,
-         |    $mins
-         |  FROM sh GROUP BY id),
+         |${minhashSigCte("sig", "sh", 9)},
          |banded AS (
-         |  $bandRows)
+         |  ${minhashBandRowsSql("sig", 3, 3)})
          |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
@@ -636,18 +664,11 @@ object OracleSql {
       // the q_dedup_minhash candidate relation scored against the
       // PLANTED ground truth (dupCorpus construction): exact integer
       // counts + micro-unit integral ratios
-      val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(",\n    ")
-      val bandRows = (0 until 3).map { b =>
-        val cat = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
-        s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
-      }.mkString("\n  UNION ALL ")
       s"""WITH $corpusCte,
          |$shCte,
-         |sig AS (SELECT id,
-         |    $mins
-         |  FROM sh GROUP BY id),
+         |${minhashSigCte("sig", "sh", 9)},
          |banded AS (
-         |  $bandRows),
+         |  ${minhashBandRowsSql("sig", 3, 3)}),
          |pred AS MATERIALIZED (
          |  SELECT a.id AS id_a, b.id AS id_b
          |  FROM banded a JOIN banded b
@@ -2337,11 +2358,6 @@ object OracleSql {
         |FROM t""".stripMargin,
 
     "q_curate_neardup" -> {
-      val mins = (0 until 9).map(k => s"min(md5('$k|' || sh)) AS mh$k").mkString(",\n    ")
-      val bandRows = (0 until 3).map { b =>
-        val cat = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || '|' || ")
-        s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
-      }.mkString("\n  UNION ALL ")
       s"""WITH $corpusCte,
          |surv AS (
          |  SELECT doc_id, text FROM (
@@ -2354,11 +2370,9 @@ object OracleSql {
          |  FROM (SELECT doc_id AS id, string_split(${normOf("text")}, ' ') AS w
          |        FROM surv) t,
          |       unnest(generate_series(1, len(w) - 4)) AS u(i)),
-         |sig AS (SELECT id,
-         |    $mins
-         |  FROM sh GROUP BY id),
+         |${minhashSigCte("sig", "sh", 9)},
          |banded AS (
-         |  $bandRows),
+         |  ${minhashBandRowsSql("sig", 3, 3)}),
          |dropped AS (
          |  SELECT DISTINCT b.id AS doc_id
          |  FROM banded a JOIN banded b

@@ -142,20 +142,42 @@ object Dedup {
       ord)
   }
 
-  /** MinHash signature column for one seed: lexicographic min of
-    * md5(seed | shingle) over the doc's shingles. Hex-string min is
-    * engine-portable (no 64-bit hash parity issues with the oracle).
+  private val Mod48 = 1L << 48
+
+  /** ONE digest per shingle: the md5 hex prefix (12 chars = 48 bits)
+    * as an exact integer. All k per-seed minhash values derive from it
+    * by odd-multiplier mixing — see [[minhashAgg]]. This replaced the
+    * round-6 kernel (k md5 digests per shingle, the shared cost under
+    * the near-dup bench tail) with k integer multiplies.
+    */
+  private def shingleBase48(sh: Column): Column =
+    conv(substring(md5(sh.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** MinHash value for one seed: min over the doc's shingles of
+    * (base48 · (2·seed+1)) mod 2^48. Multiplication by an odd constant
+    * is a bijection mod 2^48, so each seed induces a distinct total
+    * order on shingles (min-per-seed semantics unchanged vs the old
+    * per-seed digest). Every intermediate is ≤ 17·2^48 < 2^53 —
+    * exact in BIGINT and in IEEE doubles, so the DuckDB oracle mirrors
+    * it bit-for-bit. Expects the pre-computed `hb` base column.
     */
   private def minhashAgg(seed: Int): Column =
-    min(md5(concat(lit(s"$seed|"), col("sh")).cast("binary"))).as(s"mh$seed")
+    min((col("hb") * lit(2L * seed + 1)) % lit(Mod48)).as(s"mh$seed")
 
   /** E3: MinHash signatures (k = bands × rowsPerBand mins per doc),
-    * computed in ONE aggregation pass over the exploded shingles.
+    * computed in ONE aggregation pass over the RAW exploded shingles —
+    * one digest per shingle, k seed mixes (exact integer arithmetic).
+    * No distinct: min over a multiset equals min over its set, so the
+    * per-doc dedup shuffle of the shingle stream is pure waste here —
+    * the aggregation partials map-side over the scan instead (the
+    * signature values are identical to the distinct form).
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    docShingles(df, textCol, idCol, n)
+    df.select(col(idCol).as("id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .withColumn("hb", shingleBase48(col("sh")))
       .groupBy(col("id"))
       .agg(minhashAgg(0), (1 until k).map(minhashAgg): _*)
   }
@@ -244,14 +266,27 @@ object Dedup {
                               idCol: String, n: Int, bands: Int,
                               rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    // ONE persisted shingle table feeds everything: the signature
-    // aggregate here AND the exact-Jaccard branch below (sizes + both
-    // sides of the intersection join) — the signature path previously
-    // re-tokenized the corpus through minhashSignatures
-    val sh = docShingles(df, textCol, idCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.groupBy(col("id"))
-      .agg(minhashAgg(0), (1 until k).map(minhashAgg): _*)
+    // ONE aggregation over the raw hashed shingles builds the per-doc
+    // 48-bit hash SET; signatures, sizes, and exact intersections all
+    // derive from it IN-ROW — no distinct shuffle, no second
+    // aggregation pass, no intersection double-join (the
+    // ngramJaccardPairs shape, moved into hash space). Set sizes and
+    // intersections are DEFINED over hashed shingles (a shingle IS
+    // its hash in any at-scale dedup pipeline); the oracle mirrors
+    // the same md5-prefix space bit-for-bit — exact parity, not
+    // approximate. Per-seed mins come from array_min over the mixed
+    // set: identical values to a grouped min aggregate.
+    val sig = df.select(col(idCol).as("id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
+      .select(col("id"), shingleBase48(col("sh")).as("hb"))
+      .groupBy(col("id"))
+      .agg(collect_set(col("hb")).as("hs"))
+      .select(col("id") +: col("hs") +:
+        size(col("hs")).cast("long").as("sz") +:
+        (0 until k).map { s =>
+          array_min(transform(col("hs"),
+            h => (h * lit(2L * s + 1)) % lit(Mod48))).as(s"mh$s")
+        }: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -268,28 +303,16 @@ object Dedup {
     val agree = (0 until k).map(i =>
       when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val withAgree = cand
+    val inter = size(array_intersect(col("a.hs"), col("b.hs"))).cast("long")
+    graft.sealResult(cand
       .join(sig.as("a"), col("id_a") === col("a.id"))
       .join(sig.as("b"), col("id_b") === col("b.id"))
-      .select(col("id_a"), col("id_b"), agree.as("n_agree"))
-    // exact Jaccard for the candidate pairs only, from the same
-    // persisted shingle table
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = withAgree.select(col("id_a"), col("id_b"))
-      .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ic"))
-    graft.sealResult(withAgree
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sa")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("n_agree"),
-        (col("n_agree").cast("double") / lit(k.toDouble)).as("est_jaccard"),
-        coalesce(col("ic"), lit(0L)).as("inter"),
-        (coalesce(col("ic"), lit(0L)).cast("double") /
-          (col("sa") + col("sb") - coalesce(col("ic"), lit(0L)))
-            .cast("double")).as("jaccard")),
-      sig, sh)
+      .select(col("id_a"), col("id_b"), agree.as("n_agree"),
+        (agree.cast("double") / lit(k.toDouble)).as("est_jaccard"),
+        inter.as("inter"),
+        (inter.cast("double") /
+          (col("a.sz") + col("b.sz") - inter).cast("double")).as("jaccard")),
+      sig)
   }
 
   /** E4: 64-bit SimHash over normalized words: bit b of the signature is
