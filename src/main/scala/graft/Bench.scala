@@ -51,7 +51,10 @@ object Bench {
     def prefault(dir: String): Unit = {
       val buf = new Array[Byte](1 << 20)
       def walk(f: java.io.File): Unit =
-        if (f.isDirectory) f.listFiles().foreach(walk)
+        // listFiles() is null for unreadable/missing dirs (e.g. a bad
+        // SPARK_GRAFT_WARM_DIR) — skip rather than NPE before measuring
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
         else if (f.getName.endsWith(".parquet")) {
           val in = new java.io.FileInputStream(f)
           try { while (in.read(buf) >= 0) () } finally in.close()
@@ -81,7 +84,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     canary() // absorb codegen for the canary itself
-    val canaryFloor = (1 to 3).map(_ => canary()).min
     // best-of-N per query: local-mode timings are scheduling-noise-bound
     // at small SF; min is the standard stable estimator
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
