@@ -84,6 +84,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     canary() // absorb codegen for the canary itself
+    val canaryFloor = (1 to 3).map(_ => canary()).min
     // best-of-N per query: local-mode timings are scheduling-noise-bound
     // at small SF; min is the standard stable estimator
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt

@@ -90,14 +90,11 @@ object OracleSql {
   /** Signature CTE over a (id, sh) source: one md5 per shingle, then
     * the k seed mixes (mirror of Dedup.minhashSignatures).
     */
-  private def minhashSigCte(name: String, shSrc: String, k: Int,
-                            materialized: Boolean = false): String = {
-    val m = if (materialized) " MATERIALIZED" else ""
-    s"""$name AS$m (SELECT id, ${minhashMinsSql(k)}
+  private def minhashSigCte(name: String, shSrc: String, k: Int): String =
+    s"""$name AS (SELECT id, ${minhashMinsSql(k)}
        |  FROM (SELECT id, ${hex48Sql("h")} AS hb
        |        FROM (SELECT id, md5(sh) AS h FROM $shSrc))
        |  GROUP BY id)""".stripMargin
-  }
 
   /** Band-bucket rows from a signature CTE (mirror of
     * Dedup.minhashBands): bh = md5 of the '|'-joined decimal mins.

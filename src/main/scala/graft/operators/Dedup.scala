@@ -261,6 +261,15 @@ object Dedup {
     * est and exact are each ONE IEEE division of exact integers
     * (raw-double safe); err = est − exact is a single further op,
     * deterministic on both engines.
+    *
+    * Semantics note (deliberate, round 7): `sz`/`inter`/`jaccard` are
+    * defined over the per-doc SET of 48-bit md5-prefix shingle hashes,
+    * not raw shingle strings. A within-doc 48-bit collision would
+    * shrink `sz`; by birthday bound that's ≤ n²/2^49 per doc
+    * (n = distinct shingles — at n=10⁴ that's ~1.8e-10), and the
+    * oracle mirrors the identical hash space so gate parity is exact
+    * either way. At 100 TB a shingle IS its hash — no pipeline ships
+    * raw shingle strings to a join.
     */
   def minhashJaccardEstimates(df: DataFrame, textCol: String,
                               idCol: String, n: Int, bands: Int,

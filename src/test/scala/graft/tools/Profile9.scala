@@ -22,7 +22,11 @@ object Profile9 {
     time("warm sf0.001")(Dedup.minhashJaccardEstimates(dup("/root/testdata/sf0.001"), "text", "doc_id", 5, 3, 3).count())
     for (i <- 1 to 3)
       time(s"sf0.1 full #$i")(Dedup.minhashJaccardEstimates(dup("/root/testdata/sf0.1"), "text", "doc_id", 5, 3, 3).count())
-    // internal stages of the CURRENT est pipeline, sf0.1
+    // staged breakdown of the round-6 BASELINE pipeline shape
+    // (distinct+persist raw hashes, grouped-min signatures, banded
+    // double-join) — kept for comparison against the shipped in-row
+    // collect_set/array_min/array_intersect plan timed above; these
+    // stage timings do NOT decompose the current plan
     val df = dup("/root/testdata/sf0.1")
     val mod = 1L << 48
     for (i <- 1 to 2) {
