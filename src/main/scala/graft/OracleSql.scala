@@ -2600,6 +2600,89 @@ object OracleSql {
          |SELECT id AS doc_id, rk AS rank_fp FROM r$rounds""".stripMargin
     },
 
+    "q_ppr" -> {
+      // Graph.pprFixed mirror on the same near-dup pair graph as
+      // q_pagerank_fixed: identical integer-round algebra, but the
+      // teleport mass lands ONLY on the seed (min node id, |S| = 1) —
+      // base and the r0 init are seed-conditional, everything else is
+      // the q_pagerank_fixed unroll verbatim.
+      val rounds = 5
+      val scale = "1000000000000"
+      val base = s"((15 * $scale) // 100)"
+      val iters = (1 to rounds).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT nd.id, CAST(
+           |      (CASE WHEN nd.id = (SELECT sid FROM seed)
+           |            THEN $base ELSE 0 END)
+           |      + (85 * coalesce(s.inflow, 0)) // 100 AS BIGINT) AS rk
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT p.id_b AS id, sum(r.rk // d.deg) AS inflow
+           |    FROM pairs p
+           |    JOIN r${i - 1} r ON r.id = p.id_a
+           |    JOIN outdeg d ON d.src = p.id_a
+           |    GROUP BY 1) s ON s.id = nd.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ic
+         |  FROM sh a
+         |  JOIN sizes sa ON sa.id = a.id
+         |  JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  JOIN sizes sb ON sb.id = b.id
+         |  WHERE CAST(sa.sz AS DOUBLE) <= sb.sz / CAST(0.6 AS DOUBLE)
+         |    AND CAST(sb.sz AS DOUBLE) <= sa.sz / CAST(0.6 AS DOUBLE)
+         |  GROUP BY 1, 2),
+         |pairs AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 4) AS jaccard
+         |    FROM inter
+         |    JOIN sizes sa ON sa.id = id_a
+         |    JOIN sizes sb ON sb.id = id_b) j
+         |  WHERE jaccard >= 0.6),
+         |nodes AS MATERIALIZED (SELECT id_a AS id FROM pairs
+         |         UNION SELECT id_b FROM pairs),
+         |seed AS MATERIALIZED (SELECT min(id) AS sid FROM nodes),
+         |outdeg AS MATERIALIZED (
+         |  SELECT id_a AS src, count(*) AS deg FROM pairs GROUP BY 1),
+         |r0 AS MATERIALIZED (
+         |  SELECT id, CAST(CASE WHEN id = (SELECT sid FROM seed)
+         |      THEN $scale ELSE 0 END AS BIGINT) AS rk
+         |  FROM nodes),
+         |$iters
+         |SELECT id AS doc_id, rk AS rank_fp FROM r$rounds""".stripMargin
+    },
+
+    "q_link_predict" ->
+      // Graph.linkPrediction mirror on the support-2 co-purchase
+      // graph: wedge join through degree-capped hubs, exact integer
+      // common-neighbor counts + Σ⌊10⁶/deg⌋ resource-allocation
+      // micro-units, existing edges anti-joined away, top-100 under
+      // the total (cn desc, ra_micro desc, a, b) order
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1 HAVING count(*) <= 1000),
+        |hop AS MATERIALIZED (
+        |  SELECT s.b AS z, s.a AS a, d.deg
+        |  FROM sym s JOIN deg d ON d.z = s.b),
+        |w AS (SELECT h1.a AS a, h2.a AS b, h1.deg AS deg
+        |  FROM hop h1 JOIN hop h2 ON h1.z = h2.z AND h1.a < h2.a),
+        |sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(1000000 // deg) AS BIGINT) AS ra_micro
+        |  FROM w GROUP BY 1, 2),
+        |cand AS (SELECT sc.a, sc.b, sc.cn, sc.ra_micro FROM sc
+        |  LEFT JOIN e ON e.a = sc.a AND e.b = sc.b WHERE e.a IS NULL)
+        |SELECT a AS id_a, b AS id_b, cn, ra_micro FROM cand
+        |ORDER BY cn DESC, ra_micro DESC, a, b LIMIT 100""".stripMargin,
+
     "q_dedup_cluster" -> {
       // same corpus/shingle/pair fragments as q_dedup_ngram, then the
       // transitive closure: min reachable id over symmetrized pairs ≡

@@ -1178,6 +1178,39 @@ object SparkEntry {
       .select($"id".as("doc_id"), $"rank_fp")
   }
 
+  /** E101: personalized PageRank over the SAME near-dup graph, seeded
+    * at the minimum node id — proximity-to-seed relevance scores
+    * under the pageRankFixed exact-integer discipline (hard hash
+    * gate: DuckDB unrolls the same 5 seed-conditional rounds).
+    */
+  private def qPpr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.ngramJaccardPairs(dupCorpus(s, dir), "text", "doc_id",
+      5, 0.6)
+    val seed = pairs.select($"id_a".as("id"))
+      .union(pairs.select($"id_b".as("id")))
+      .agg(min($"id").as("id"))
+    Graph.pprFixed(pairs, "id_a", "id_b", seed)
+      .select($"id".as("doc_id"), $"rank_fp")
+  }
+
+  /** E100: link prediction over the support-2 co-purchase graph —
+    * part pairs co-ordered in ≥2 distinct orders form the edges (the
+    * support threshold drops one-off noise AND sparsifies the wedge
+    * join's Σdeg² fan-out); scores are exact-integer common-neighbor
+    * counts and resource-allocation micro-units.
+    */
+  private def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+    val a = li.toDF("ok", "a")
+    val b = li.toDF("ok", "b")
+    val edges = a.join(b, Seq("ok")).filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(countDistinct($"ok").as("sup"))
+      .filter($"sup" >= 2).select($"a", $"b")
+    Graph.linkPrediction(edges, "a", "b")
+  }
+
   /** E76: per-node local clustering coefficient over the near-dup
     * graph — lcc ≈ 1 marks true duplicate-clique members, lcc ≈ 0
     * marks LSH-chain bridges survivorship should distrust. Exact
@@ -4435,6 +4468,8 @@ object SparkEntry {
     "q_winsorize" -> (qWinsorize _),
     "q_pagerank" -> (qPageRank _),
     "q_pagerank_fixed" -> (qPageRankFixed _),
+    "q_ppr" -> (qPpr _),
+    "q_link_predict" -> (qLinkPredict _),
     "q_locf" -> (qLocf _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_k_anonymize" -> (qKAnonymize _),

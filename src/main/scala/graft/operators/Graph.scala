@@ -1399,4 +1399,160 @@ object Graph {
     spark.createDataset(comp.toSeq).toDF("id", "scc")
       .repartition(col("scc"))
   }
+
+  /** E100: neighborhood link prediction (Liben-Nowell & Kleinberg,
+    * CIKM 2003) — for node pairs NOT yet connected, how strongly the
+    * graph suggests they will be: common-neighbor count plus the
+    * resource-allocation index RA = Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z)
+    * (Zhou, Lü & Zhang, Eur. Phys. J. B 2009 — RA ≥ Adamic–Adar in
+    * their benchmarks, and unlike AA's 1/ln(deg) it is EXACT integer
+    * arithmetic here: each z contributes ⌊10⁶/deg(z)⌋ micro-units,
+    * engine-portable with no transcendental in sight).
+    *
+    * Plan shape (100 TB): symmetrize once, then candidate pairs are
+    * the 2-hop wedge join sym(a,z)⋈sym(z,b) — fan-out Σ_z deg(z)²,
+    * the standard bound. Hub nodes both blow that bound up and carry
+    * the least signal (RA weight → 0), so z is capped at `maxDeg`
+    * BEFORE the wedge join — the classic hub-exclusion mitigation,
+    * which also makes the join skew-resistant. Existing edges drop
+    * via one anti-join; top-k is TakeOrderedAndProject (per-partition
+    * heaps, never a global sort).
+    *
+    * @param edges one orientation per undirected edge (src < dst)
+    * @return top-k (id_a, id_b, cn, ra_micro) by (cn desc, ra_micro
+    *         desc, id_a, id_b) — a total, engine-portable order.
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxDeg: Long = 1000L, topK: Int = 100): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("z"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDeg)
+    // wedges a–z–b through capped-degree hubs only; a < b halves the
+    // pair space (scores are symmetric)
+    val hop = sym.select(col("b").as("z"), col("a"))
+      .join(deg, "z")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = hop.select(col("z"), col("a"), col("deg"))
+      .join(hop.select(col("z"), col("a").as("b")), "z")
+      .filter(col("a") < col("b"))
+    val scored = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000L div deg")).as("ra_micro"))
+      .join(e, Seq("a", "b"), "left_anti")
+      .orderBy(col("cn").desc, col("ra_micro").desc, col("a"), col("b"))
+      .limit(topK)
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        col("cn"), col("ra_micro"))
+    graft.sealResult(scored, e, hop)
+  }
+
+  /** E101: personalized PageRank (fixed-point) — [[pageRankFixed]]'s
+    * exact-integer discipline with the teleport vector concentrated on
+    * a SEED set instead of uniform: rank mass restarts only at seeds,
+    * so scores measure proximity to the seeds (the "related items" /
+    * query-biased relevance PageRank can't give — Haveliwala, WWW
+    * 2002). Same per-round algebra, only `base` becomes seed-
+    * conditional:
+    *
+    *   rank'(v) = [v ∈ S]·((dampDen−dampNum)·scale) div (dampDen·|S|)
+    *            + (dampNum·inflow(v)) div dampDen
+    *
+    * with init rank = scale div |S| on seeds, 0 elsewhere. Integer
+    * sums are order-free → hash-gateable cross-engine; dangling nodes
+    * leak mass exactly as in [[pageRankFixed]]. Same hybrid driver /
+    * two-shuffle-per-round distributed execution with localCheckpoint
+    * lineage truncation.
+    *
+    * @param seeds one `id` column; rows not present in the graph are
+    *              ignored for mass but still divide |S| — pass graph
+    *              nodes.
+    * @return (id, rank_fp) over graph nodes, rank in scale-units.
+    */
+  def pprFixed(edges: DataFrame, srcCol: String, dstCol: String,
+               seeds: DataFrame,
+               dampNum: Long = 85L, dampDen: Long = 100L,
+               iterations: Int = 5,
+               scale: Long = 1000000000000L,
+               localThreshold: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sd = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .distinct()
+    if (e.count() <= localThreshold) {
+      import spark.implicits._
+      val es = e.as[(Long, Long)].collect()
+      e.unpersist()
+      val seedSet = sd.as[Long].collect().toSet
+      val nSeeds = seedSet.size.toLong
+      require(nSeeds > 0, "pprFixed needs a non-empty seed set")
+      val ids = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+      val idx = ids.zipWithIndex.toMap
+      val n = ids.length
+      val degA = new Array[Long](n)
+      es.foreach { case (s, _) => degA(idx(s)) += 1 }
+      val adj = es.map { case (s, d) => (idx(s), idx(d)) }
+        .groupBy(_._1).map { case (s, arr) => s -> arr.map(_._2) }
+      val base = ((dampDen - dampNum) * scale) / (dampDen * nSeeds)
+      var rank = ids.map(id =>
+        if (seedSet(id)) scale / nSeeds else 0L)
+      for (_ <- 1 to iterations) {
+        val inflow = new Array[Long](n)
+        adj.foreach { case (s, ds) =>
+          val c = rank(s) / degA(s)
+          ds.foreach(d => inflow(d) += c)
+        }
+        rank = ids.indices.toArray.map { i =>
+          (if (seedSet(ids(i))) base else 0L) +
+            (dampNum * inflow(i)) / dampDen
+        }
+      }
+      return spark.createDataset(ids.toSeq.map(id => (id, rank(idx(id)))))
+        .toDF("id", "rank_fp")
+    }
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedNodes = sd.persist(StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = seedNodes.count()
+    require(nSeeds > 0, "pprFixed needs a non-empty seed set")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(outdeg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = ((dampDen - dampNum) * scale) / (dampDen * nSeeds)
+    val isSeed = nodes.join(seedNodes.select(col("id"),
+        lit(true).as("__s")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(false)).as("is_seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = isSeed.select(col("id"),
+        when(col("is_seed"), lit(scale / nSeeds)).otherwise(lit(0L))
+          .as("rank_fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iterations) {
+      val contribs = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("rank_fp div deg")).as("inflow"))
+      val next = isSeed.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampNum * coalesce(inflow, 0L)) div $dampDen"))
+            .as("rank_fp"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    nodes.unpersist()
+    isSeed.unpersist()
+    seedNodes.unpersist()
+    withDeg.unpersist()
+    e.unpersist()
+    ranks
+  }
 }

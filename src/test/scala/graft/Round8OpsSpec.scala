@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Brute-force twins for the round-8 additions (E100 link prediction,
+  * E101 personalized PageRank) — the gate proves engine parity; these
+  * prove the SEMANTICS against independently-computed answers.
+  */
+class Round8OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("linkPrediction ≡ brute-force CN + RA on a hand graph") {
+    // 1-2, 1-3, 2-3 (triangle) plus 3-4, 4-5, 2-5: predictions exist
+    // for the open wedges (1,4) via 3, (2,4) via {3,5}, (3,5) via
+    // {2,4}, (1,5) via 2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (2L, 5L))
+    val got = Graph.linkPrediction(edges.toDF("a", "b"), "a", "b")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // independent adjacency-set computation
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val nodes = adj.keys.toSeq.sorted
+    val existing = edges.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    val brute = (for {
+      a <- nodes; b <- nodes if a < b && !existing((a, b))
+      common = adj(a) intersect adj(b) if common.nonEmpty
+    } yield (a, b) ->
+      (common.size.toLong,
+        common.toSeq.map(z => 1000000L / adj(z).size).sum)).toMap
+    assert(got == brute)
+    // sanity: (2,4) shares {3,5} — two common neighbors, top score
+    assert(got((2L, 4L))._1 == 2L)
+  }
+
+  test("linkPrediction drops hub wedges above maxDeg") {
+    // star: hub 0 connected to 1..5 — every leaf pair is a wedge
+    // through the hub; with the hub excluded no prediction survives
+    val star = (1L to 5L).map(i => (0L, i))
+    val all = Graph.linkPrediction(star.toDF("a", "b"), "a", "b")
+    assert(all.count() == 10) // C(5,2) leaf pairs via the hub
+    val capped = Graph.linkPrediction(star.toDF("a", "b"), "a", "b",
+      maxDeg = 4L)
+    assert(capped.count() == 0)
+  }
+
+  test("pprFixed with seeds = all nodes ≡ pageRankFixed") {
+    // uniform teleport IS PageRank: base and init collapse to the
+    // pageRankFixed constants when |S| = n
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L),
+      (2L, 4L)).toDF("s", "d")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val pr = Graph.pageRankFixed(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ppr = Graph.pprFixed(edges, "s", "d", nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == pr)
+  }
+
+  test("pprFixed driver rung ≡ distributed rung, seed-proximal mass") {
+    // path 1→2→3→4→5 with restart at node 1: mass decays with
+    // distance from the seed
+    val edges = (1L to 4L).map(i => (i, i + 1)).toDF("s", "d")
+    val seed = Seq(1L).toDF("id")
+    val local = Graph.pprFixed(edges, "s", "d", seed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.pprFixed(edges, "s", "d", seed, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local(1L) > local(2L) && local(2L) > local(3L) &&
+      local(3L) > local(4L))
+    // the dangling sink (node 5) absorbs the initial pulse but still
+    // holds less than the seed's direct successor at steady state
+    assert(local(5L) < local(2L))
+  }
+
+  test("pprFixed brute-force integer replay on the path graph") {
+    val seedId = 1L
+    val edges = (1L to 4L).map(i => (i, i + 1))
+    val got = Graph.pprFixed(edges.toDF("s", "d"), "s", "d",
+        Seq(seedId).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scale = 1000000000000L
+    val ids = (1L to 5L).toSeq
+    val out = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._2)
+    }
+    var rank = ids.map(id => id -> (if (id == seedId) scale else 0L)).toMap
+    for (_ <- 1 to 5) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      out.foreach { case (s, ds) =>
+        val c = rank(s) / ds.size
+        ds.foreach(d => inflow(d) += c)
+      }
+      rank = ids.map { id =>
+        id -> ((if (id == seedId) (15L * scale) / 100L else 0L) +
+          (85L * inflow(id)) / 100L)
+      }.toMap
+    }
+    assert(got == rank)
+  }
+}
