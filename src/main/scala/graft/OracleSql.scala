@@ -5795,6 +5795,69 @@ object OracleSql {
          |WHERE sp.r <= 8""".stripMargin
     },
 
+    "q_heaps_law" -> {
+      val norm = normOf("text")
+      // Corpus.heapsLaw mirror: 16 doc-id prefix slices, per-term
+      // first bucket, cumulative tokens/vocab (exact integers), and
+      // the log-log β fit rounded to 6dp (ln sums over ≤16 points —
+      // the q_lm_score rounding rule)
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w
+         |  FROM documents),
+         |bw AS (SELECT min(doc_id) AS mn,
+         |    ((max(doc_id) - min(doc_id)) // 16) + 1 AS width
+         |  FROM documents),
+         |tok AS (SELECT (t.doc_id - bw.mn) // bw.width AS bucket,
+         |    w[u.i]||' '||w[u.i+1]||' '||w[u.i+2] AS term
+         |  FROM t, bw, unnest(generate_series(1, len(w) - 2)) AS u(i)),
+         |bt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM tok GROUP BY 1),
+         |nv AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nv FROM (
+         |    SELECT term, min(bucket) AS bucket FROM tok GROUP BY 1)
+         |  GROUP BY 1),
+         |curve AS (SELECT bt.bucket, bt.n_tokens,
+         |    CAST(sum(bt.n_tokens) OVER (ORDER BY bt.bucket) AS BIGINT)
+         |      AS cum_tokens,
+         |    CAST(sum(coalesce(nv.nv, 0)) OVER (ORDER BY bt.bucket)
+         |      AS BIGINT) AS cum_vocab
+         |  FROM bt LEFT JOIN nv ON nv.bucket = bt.bucket),
+         |fit AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    sum(ln(cum_tokens)) AS sx, sum(ln(cum_vocab)) AS sy,
+         |    sum(ln(cum_tokens) * ln(cum_vocab)) AS sxy,
+         |    sum(ln(cum_tokens) * ln(cum_tokens)) AS sxx
+         |  FROM curve)
+         |SELECT c.bucket, c.n_tokens, c.cum_tokens, c.cum_vocab,
+         |  round((f.n * f.sxy - f.sx * f.sy) /
+         |    (f.n * f.sxx - f.sx * f.sx), 6) AS beta_6
+         |FROM curve c, fit f""".stripMargin
+    },
+
+    "q_script_mix" -> {
+      // SparkEntry.qScriptMix mirror: the per-script counts strip the
+      // class complement with the IDENTICAL \x{...}-range pattern the
+      // Spark side uses (generated from the same ScriptClasses
+      // constant — one source of truth for both engines)
+      val cls = graft.functions.TextFunctions.ScriptClasses
+        .map { case (n, c) =>
+          s"length(regexp_replace(text, '[^$c]', '', 'g')) AS c_$n"
+        }.mkString(",\n    ")
+      s"""WITH per AS (SELECT lang, length(text) AS n_chars,
+         |    $cls
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(c_latin) AS BIGINT) AS n_latin,
+         |  CAST(sum(c_digit) AS BIGINT) AS n_digit,
+         |  CAST(sum(c_cyrillic + c_greek + c_arabic + c_cjk) AS BIGINT)
+         |    AS n_nonlatin_script,
+         |  CAST(sum(CASE WHEN c_latin > 0
+         |    AND c_cyrillic + c_greek + c_arabic + c_cjk > 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+         |  CASE WHEN sum(n_chars) > 0 THEN
+         |    CAST(sum(c_latin) * 1000000 // sum(n_chars) AS BIGINT)
+         |  END AS latin_micro
+         |FROM per GROUP BY 1""".stripMargin
+    },
+
     "q_kendall_tau" ->
       // Stats.kendallTauB mirror: exact integer S and tie counts off
       // the i<j day-pair join; tau-b = one product+sqrt+division in

@@ -4036,6 +4036,51 @@ object SparkEntry {
       .select($"r", $"n_r", $"r_star_micro", $"p0_micro")
   }
 
+  /** E102: Heaps'-law vocabulary-growth curve — cumulative distinct
+    * vocabulary vs cumulative tokens over 16 doc-id prefix slices via
+    * the distributed first-occurrence method, plus the log-log β fit
+    * (β ≈ 0.5 healthy text; ≈ 0 exhausted/templated corpus).
+    */
+  private def qHeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // word 3-grams as the vocabulary unit, the q_good_turing rationale:
+    // the synthetic ~30-word vocabulary saturates inside the FIRST
+    // prefix slice at the unigram level (flat curve ⇒ the β regression
+    // degenerates to a 0/−0 cancellation), while the 3-gram space is
+    // sparse enough to keep growing
+    operators.Corpus.heapsLaw(table(s, dir, "documents"), "doc_id",
+      "text", c => TextFunctions.shingles(c, 3))
+  }
+
+  /** E103: Unicode script-mix profile per labeled language — exact
+    * per-script code-point counts over explicit BMP ranges (identical
+    * regex semantics cross-engine), with mixed-script doc counts (the
+    * confusable-spoofing / encoding-damage signal) and the Latin
+    * share in micro-units.
+    */
+  private def qScriptMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = TextFunctions.ScriptClasses.map { case (n, cls) =>
+      TextFunctions.charClassCount($"text", cls).cast("long").as(s"c_$n")
+    }
+    val nonLatin = $"c_cyrillic" + $"c_greek" + $"c_arabic" + $"c_cjk"
+    table(s, dir, "documents")
+      .select($"lang" +: length($"text").cast("long").as("n_chars") +:
+        counts: _*)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars"),
+        sum($"c_latin").as("n_latin"),
+        sum($"c_digit").as("n_digit"),
+        sum(nonLatin).as("n_nonlatin_script"),
+        sum(when($"c_latin" > 0 && nonLatin > 0, 1L).otherwise(0L))
+          .as("n_mixed"))
+      .select($"lang", $"n_docs", $"n_chars", $"n_latin", $"n_digit",
+        $"n_nonlatin_script", $"n_mixed",
+        expr("case when n_chars > 0 then n_latin * 1000000L div n_chars end")
+          .as("latin_micro"))
+  }
+
   /** C81: Kendall τ-b between daily click volume and daily purchase
     * revenue — rank correlation judged by pair order only (outlier-
     * and transform-immune), with exact integer S and tie counts; run
@@ -4365,6 +4410,8 @@ object SparkEntry {
     "q_hits" -> (qHits _),
     "q_page_hinkley" -> (qPageHinkley _),
     "q_good_turing" -> (qGoodTuring _),
+    "q_heaps_law" -> (qHeapsLaw _),
+    "q_script_mix" -> (qScriptMix _),
     "q_kendall_tau" -> (qKendallTau _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_rag_context" -> (qRagContext _),

@@ -331,4 +331,29 @@ object TextFunctions {
     }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** E103: Unicode script classes for the script-mix profile — each
+    * is an EXPLICIT BMP codepoint range written with `\x{...}`
+    * escapes, a syntax Java regex (Spark) and RE2 (the DuckDB oracle)
+    * both accept with identical semantics. Named script properties
+    * (`\p{IsCyrillic}` vs `\p{Cyrillic}`) spell differently per
+    * engine and can disagree at Unicode-version edges — explicit
+    * ranges cannot. BMP-only by construction: no surrogate-pair
+    * ambiguity between code-unit and code-point regex engines.
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "digit" -> "0-9",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "cjk" -> "\\x{4E00}-\\x{9FFF}")
+
+  /** Characters of `c` inside the character class `cls` (a range body
+    * for a `[...]` class) — counted by stripping the complement.
+    * Pure map-side column work; both engines count CODE POINTS via
+    * `length`.
+    */
+  def charClassCount(c: Column, cls: String): Column =
+    length(regexp_replace(c, s"[^$cls]", ""))
 }

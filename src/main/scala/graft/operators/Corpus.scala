@@ -1149,4 +1149,54 @@ object Corpus {
       .select(col("word"), col("rank_fp"))
     graft.sealResult(out, edges)
   }
+
+  /** E102: Heaps'-law vocabulary-growth curve (Heaps 1978) — distinct
+    * vocabulary V as a function of corpus size N, the "is more data
+    * still buying new language?" readout behind crawl-more and
+    * tokenizer-sizing decisions (V ≈ K·N^β, β ≈ 0.5 for natural
+    * text; a β near 0 says the corpus is exhausted/templated, near 1
+    * says it's unboundedly diverse — or noise).
+    *
+    * The naive form (running distinct over an ordered doc stream) is a
+    * sequential scan; the FIRST-OCCURRENCE method distributes it:
+    * docs bucket by id range into `nBuckets` prefix slices, each
+    * term's first bucket is ONE min-aggregate at term cardinality,
+    * and V(prefix b) = Σ_{fb ≤ b} new-term counts — a cumulative sum
+    * over bucket-cardinality rows (the only window, ≤ nBuckets rows,
+    * single partition by construction and by design). β comes from
+    * the log-log regression over the curve points, rounded to 6dp
+    * (ln sums over ≤ nBuckets values — the q_lm_score rounding rule).
+    *
+    * @return per observed bucket: (bucket, n_tokens, cum_tokens,
+    *         cum_vocab, beta_6) with beta_6 repeated on every row.
+    */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+               tokens: Column => Column, nBuckets: Int = 16): DataFrame = {
+    require(nBuckets >= 2)
+    val ids = docs.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx"))
+      .select(col("mn"),
+        expr(s"((mx - mn) div $nBuckets) + 1L").as("width"))
+    val tok = docs.crossJoin(broadcast(ids))
+      .select(expr(s"($idCol - mn) div width").as("bucket"),
+        explode(tokens(col(textCol))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bt = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val nv = tok.groupBy(col("term")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = bt.join(nv, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        sum(coalesce(col("nv"), lit(0L))).over(w).as("cum_vocab"))
+    val fit = curve.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(log(col("cum_tokens"))).as("sx"),
+        sum(log(col("cum_vocab"))).as("sy"),
+        sum(log(col("cum_tokens")) * log(col("cum_vocab"))).as("sxy"),
+        sum(log(col("cum_tokens")) * log(col("cum_tokens"))).as("sxx"))
+      .select(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("beta_6"))
+    graft.sealResult(curve.crossJoin(broadcast(fit)), tok)
+  }
 }

@@ -2,7 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Graph
+import graft.operators.{Corpus, Graph}
+import graft.functions.TextFunctions
 
 /** Brute-force twins for the round-8 additions (E100 link prediction,
   * E101 personalized PageRank) — the gate proves engine parity; these
@@ -82,6 +83,70 @@ class Round8OpsSpec extends AnyFunSuite {
     // the dangling sink (node 5) absorbs the initial pulse but still
     // holds less than the seed's direct successor at steady state
     assert(local(5L) < local(2L))
+  }
+
+  test("heapsLaw ≡ brute first-occurrence curve on a hand corpus") {
+    // ids 0..7, 4 buckets of width 2; vocabulary grows by one word
+    // per bucket pair
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "alpha beta"),
+      (2L, "alpha gamma"), (3L, "beta gamma"),
+      (4L, "delta alpha"), (5L, "delta beta"),
+      (6L, "epsilon"), (7L, "epsilon alpha"))
+    val got = Corpus.heapsLaw(docs.toDF("doc_id", "text"), "doc_id",
+        "text", TextFunctions.words, nBuckets = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute: bucket = id div 2 (width = (7-0) div 4 + 1 = 2)
+    val byBucket = docs.groupBy(_._1 / 2)
+    val tokensPer = byBucket.view.mapValues(
+      _.map(_._2.split(" ").length).sum.toLong).toMap
+    var seen = Set.empty[String]
+    var cumTok = 0L
+    (0L to 3L).foreach { b =>
+      val words = byBucket(b).flatMap(_._2.split(" "))
+      val newWords = words.toSet -- seen
+      seen = seen ++ newWords
+      cumTok += tokensPer(b)
+      assert(got(b) == ((tokensPer(b), cumTok, seen.size.toLong)),
+        s"bucket $b")
+    }
+    // vocabulary still growing ⇒ β strictly positive
+    val beta = Corpus.heapsLaw(docs.toDF("doc_id", "text"), "doc_id",
+        "text", TextFunctions.words, nBuckets = 4)
+      .select("beta_6").head().getDouble(0)
+    assert(beta > 0.0 && beta <= 1.0)
+  }
+
+  test("charClassCount counts code points per explicit script range") {
+    val df = Seq(
+      ("ascii only 123", "en"),
+      ("привет мир", "ru"),        // Cyrillic
+      ("汉字文本", "zh"),           // CJK
+      ("mixed текст with 中文 and 7", "xx"))
+      .toDF("text", "lang")
+    val cls = TextFunctions.ScriptClasses.toMap
+    val got = df.select(
+      TextFunctions.charClassCount($"text", cls("latin")).as("latin"),
+      TextFunctions.charClassCount($"text", cls("digit")).as("digit"),
+      TextFunctions.charClassCount($"text", cls("cyrillic")).as("cyr"),
+      TextFunctions.charClassCount($"text", cls("cjk")).as("cjk"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getInt(3)))
+    // independent code-point counts
+    def cnt(s: String, p: Int => Boolean) = s.codePoints().toArray
+      .count(p)
+    val want = Seq("ascii only 123", "привет мир", "汉字文本",
+      "mixed текст with 中文 and 7").map { s =>
+      (cnt(s, c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')),
+        cnt(s, c => c >= '0' && c <= '9'),
+        cnt(s, c => c >= 0x0400 && c <= 0x04FF),
+        cnt(s, c => c >= 0x4E00 && c <= 0x9FFF))
+    }
+    assert(got.toSeq == want)
+    // the mixed row really is mixed: latin AND ≥2 non-latin scripts
+    assert(got(3)._1 > 0 && got(3)._3 > 0 && got(3)._4 > 0)
   }
 
   test("pprFixed brute-force integer replay on the path graph") {
