@@ -5831,6 +5831,78 @@ object OracleSql {
          |FROM curve c, fit f""".stripMargin
     },
 
+    "q_ndcg" -> {
+      val norm = normOf("text")
+      val k1p1 = (1.2 + 1.0).toString
+      // Corpus.ndcgAtK mirror: the q_rag_context quantized-BM25 CTEs
+      // per (term, doc), rankings under the total (s4 desc, doc_id) /
+      // (tf desc, doc_id) orders, and the driver-computed micro
+      // discount weights injected as SHARED literals — DCG/IDCG are
+      // exact integer dot products, NDCG one floor division
+      val raw =
+        s"""ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+           |      (CAST(df AS DOUBLE) + 0.5))
+           |    * (CAST(tf AS DOUBLE) * $k1p1) /
+           |    (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+           |      0.75 * CAST(dl AS DOUBLE) /
+           |        (CAST(tot_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
+      val wt = graft.operators.Corpus.ndcgWeights(10).zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, ${w})" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') AS w
+         |  FROM documents),
+         |dt AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
+         |g AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+         |  FROM dt GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM g GROUP BY 1),
+         |s AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(len(w)) AS BIGINT) AS tot_len FROM t),
+         |b AS (SELECT term, doc_id, tf,
+         |    CAST(floor(($raw) * 10000 + 0.5) AS BIGINT) AS s4
+         |  FROM g JOIN dfreq USING(term) CROSS JOIN s
+         |  WHERE term IN ('stream', 'join', 'vector')),
+         |wt(rn, w) AS (VALUES $wt),
+         |rk AS (SELECT term, tf,
+         |    row_number() OVER (PARTITION BY term
+         |      ORDER BY s4 DESC, doc_id) AS rn FROM b),
+         |ik AS (SELECT term, tf,
+         |    row_number() OVER (PARTITION BY term
+         |      ORDER BY tf DESC, doc_id) AS rn FROM b),
+         |dcg AS (SELECT term, CAST(sum(tf * w) AS BIGINT) AS dcg_micro
+         |  FROM rk JOIN wt USING (rn) GROUP BY 1),
+         |idcg AS (SELECT term, CAST(sum(tf * w) AS BIGINT) AS idcg_micro
+         |  FROM ik JOIN wt USING (rn) GROUP BY 1)
+         |SELECT term, dcg_micro, idcg_micro,
+         |  CAST(dcg_micro * 1000000 // idcg_micro AS BIGINT) AS ndcg_micro
+         |FROM dcg JOIN idcg USING (term)""".stripMargin
+    },
+
+    "q_kneser_ney" -> {
+      val norm = normOf("text")
+      // Corpus.kneserNeyScore mirror: bigram/context/continuation
+      // counts as exact integers, each P(v|u) one BIGINT-rational
+      // division + ln, per-doc fold in position order (list_reduce —
+      // the q_lm_score idiom), 6dp
+      s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws
+         |  FROM documents),
+         |big AS (SELECT doc_id, u.i AS pos, ws[u.i] AS a, ws[u.i+1] AS b
+         |  FROM w, unnest(generate_series(1, len(ws) - 1)) u(i)),
+         |c2 AS (SELECT a, b, count(*) AS c2 FROM big GROUP BY 1, 2),
+         |cu AS (SELECT a, count(*) AS cu FROM big GROUP BY 1),
+         |fwd AS (SELECT a, count(*) AS fwd FROM c2 GROUP BY 1),
+         |back AS (SELECT b, count(*) AS back FROM c2 GROUP BY 1),
+         |bt AS (SELECT count(*) AS bt FROM c2),
+         |sc AS (SELECT big.doc_id, big.pos,
+         |    ln(CAST(bt.bt * (4 * c2.c2 - 3)
+         |        + 3 * fwd.fwd * back.back AS DOUBLE) /
+         |      CAST(4 * cu.cu * bt.bt AS DOUBLE)) AS lnp
+         |  FROM big JOIN c2 USING (a, b) JOIN cu USING (a)
+         |  JOIN fwd USING (a) JOIN back USING (b) CROSS JOIN bt)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(list_reduce(list(lnp ORDER BY pos), (p, q) -> p + q)
+         |    / CAST(count(*) AS DOUBLE), 6) AS kn_avg_lnp
+         |FROM sc GROUP BY doc_id""".stripMargin
+    },
+
     "q_script_mix" -> {
       // SparkEntry.qScriptMix mirror: the per-script counts strip the
       // class complement with the IDENTICAL \x{...}-range pattern the

@@ -4036,6 +4036,29 @@ object SparkEntry {
       .select($"r", $"n_r", $"r_star_micro", $"p0_micro")
   }
 
+  /** E104: NDCG@10 over the three-term query set the RAG flagship
+    * retrieves — graded-relevance ranking quality of quantized-BM25
+    * retrieval against the ideal (tf-ordered) ranking, as exact
+    * integer micro-unit dot products with driver-shared discount
+    * literals.
+    */
+  private def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Corpus.ndcgAtK(table(s, dir, "documents"), "text",
+      "doc_id", TextFunctions.words, Seq("stream", "join", "vector"))
+  }
+
+  /** E105: interpolated Kneser–Ney bigram scoring — the
+    * continuation-count smoothing next to E41's add-one baseline;
+    * exact-rational probabilities, position-ordered ln fold, 6dp.
+    */
+  private def qKneserNey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Corpus.kneserNeyScore(table(s, dir, "documents"), "text",
+        "doc_id")
+      .select($"id".as("doc_id"), $"n_bigrams", $"kn_avg_lnp")
+  }
+
   /** E102: Heaps'-law vocabulary-growth curve — cumulative distinct
     * vocabulary vs cumulative tokens over 16 doc-id prefix slices via
     * the distributed first-occurrence method, plus the log-log β fit
@@ -4412,6 +4435,8 @@ object SparkEntry {
     "q_good_turing" -> (qGoodTuring _),
     "q_heaps_law" -> (qHeapsLaw _),
     "q_script_mix" -> (qScriptMix _),
+    "q_ndcg" -> (qNdcg _),
+    "q_kneser_ney" -> (qKneserNey _),
     "q_kendall_tau" -> (qKendallTau _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_rag_context" -> (qRagContext _),

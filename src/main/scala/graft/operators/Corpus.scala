@@ -1150,6 +1150,124 @@ object Corpus {
     graft.sealResult(out, edges)
   }
 
+  /** E104: NDCG@k ranking evaluation (Järvelin & Kekäläinen, TOIS
+    * 2002) — how close a retrieval ranking comes to the ideal one,
+    * with graded relevance and rank discounting. Retrieval here is
+    * the E94 quantized-BM25 discipline (floor(raw·10⁴+0.5) BEFORE any
+    * ordering — raw ln scores are not a cross-engine sort key);
+    * relevance is the exact term frequency.
+    *
+    * The discount table 1/log₂(i+1) is transcendental, so it is
+    * computed ONCE on the driver as ⌊10⁶/log₂(i+1)⌋ micro-weights and
+    * the SAME literals feed both engines — DCG/IDCG become exact
+    * integer dot products and NDCG one integer floor division.
+    * Per-term ranking runs as a window over docs-containing-term; the
+    * 100 TB form swaps it for the TopKBy map-side heap (H3) with a
+    * packed (s4, id) score, same result by construction.
+    *
+    * @return per query term: (term, dcg_micro, idcg_micro,
+    *         ndcg_micro = ⌊dcg·10⁶/idcg⌋).
+    */
+  def ndcgAtK(df: DataFrame, textCol: String, idCol: String,
+              tokens: Column => Column, queryTerms: Seq[String],
+              k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1)
+    val sc = bm25(df, textCol, idCol, tokens)
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col("term"), col("id"), col("tf"),
+        floor(col("bm25_raw") * 10000 + 0.5).cast("long").as("s4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wArr = array(ndcgWeights(k).map(lit): _*)
+    val ranked = Window.partitionBy(col("term"))
+      .orderBy(col("s4").desc, col("id"))
+    val ideal = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("id"))
+    val dcg = sc.withColumn("rn", row_number().over(ranked))
+      .filter(col("rn") <= k)
+      .groupBy(col("term"))
+      .agg(sum(col("tf") * element_at(wArr, col("rn"))).as("dcg_micro"))
+    val idcg = sc.withColumn("rn", row_number().over(ideal))
+      .filter(col("rn") <= k)
+      .groupBy(col("term"))
+      .agg(sum(col("tf") * element_at(wArr, col("rn"))).as("idcg_micro"))
+    graft.sealResult(dcg.join(idcg, "term")
+      .select(col("term"), col("dcg_micro"), col("idcg_micro"),
+        expr("dcg_micro * 1000000L div idcg_micro").as("ndcg_micro")),
+      sc)
+  }
+
+  /** Driver-computed micro discount weights ⌊10⁶/log₂(i+1)⌋ for ranks
+    * 1..k — the single source of truth for Spark AND the oracle SQL
+    * (literal equality, no cross-engine transcendental).
+    */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1000000.0 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
+  /** E105: interpolated Kneser–Ney bigram LM scoring (Kneser & Ney,
+    * ICASSP 1995; Chen & Goodman 1999) — the smoothing real LM data
+    * work uses where E41's add-one is the baseline: mass discounted
+    * from seen bigrams is redistributed by CONTINUATION counts (how
+    * many contexts a word follows), not raw frequency — "Francisco"
+    * is frequent but predicts poorly outside "San _".
+    *
+    * With discount d = 3/4 every probability is the exact rational
+    *
+    *   P(v|u) = (c(uv) − 3/4)/c(u•) + (3/4)·N₁₊(u•)/c(u•) · N₁₊(•v)/B
+    *          = (B·(4·c(uv) − 3) + 3·N₁₊(u•)·N₁₊(•v)) / (4·c(u•)·B)
+    *
+    * (c(uv) ≥ 1 in self-scoring so the (c−d)⁺ clamp never binds; B =
+    * distinct bigram types). Numerator and denominator are exact
+    * BIGINTs — safe while B·c(uv) < 2.3e18, i.e. far past any single
+    * corpus shard — so each bigram's ln(P) is ONE IEEE division + ln,
+    * and the per-doc sum folds in position order over the doc's own
+    * bigram array (the E41 ln discipline), 6dp at output.
+    *
+    * Plan shape: one bigram explode feeds four keyed count aggregates
+    * (bigram, context, forward-distinct, backward-distinct) + a 1-row
+    * B broadcast; the per-doc fold is one more keyed agg.
+    *
+    * @return (doc_id, n_bigrams, kn_avg_lnp 6dp).
+    */
+  def kneserNeyScore(df: DataFrame, textCol: String,
+                     idCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val w = df.select(col(idCol).as("id"),
+      TextFunctions.words(col(textCol)).as("ws"))
+    val idxs = when(size(col("ws")) >= 2,
+      sequence(lit(1), size(col("ws")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val big = w.select(col("id"), explode(transform(idxs, i =>
+        struct(i.as("pos"), element_at(col("ws"), i).as("a"),
+          element_at(col("ws"), i + 1).as("b")))).as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.a").as("a"),
+        col("g.b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cu = big.groupBy(col("a")).agg(count(lit(1)).as("cu"))
+    val fwd = c2.groupBy(col("a")).agg(count(lit(1)).as("fwd"))
+    val back = c2.groupBy(col("b")).agg(count(lit(1)).as("back"))
+    val btot = c2.agg(count(lit(1)).as("bt"))
+    val lnp = log(
+      (col("bt") * (lit(4L) * col("c2") - 3L) +
+        lit(3L) * col("fwd") * col("back")).cast("double") /
+        (lit(4L) * col("cu") * col("bt")).cast("double"))
+    graft.sealResult(
+      big.join(c2, Seq("a", "b")).join(cu, Seq("a"))
+        .join(fwd, Seq("a")).join(back, Seq("b"))
+        .crossJoin(broadcast(btot))
+        .select(col("id"), col("pos"), lnp.as("lnp"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("lnp")))),
+              x => x.getField("lnp")),
+            lit(0.0), (acc, x) => acc + x)
+            / count(lit(1)).cast("double"), 6).as("kn_avg_lnp")),
+      big, c2)
+  }
+
   /** E102: Heaps'-law vocabulary-growth curve (Heaps 1978) — distinct
     * vocabulary V as a function of corpus size N, the "is more data
     * still buying new language?" readout behind crawl-more and

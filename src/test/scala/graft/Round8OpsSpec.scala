@@ -149,6 +149,93 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got(3)._1 > 0 && got(3)._3 > 0 && got(3)._4 > 0)
   }
 
+  test("ndcgAtK: equal-length docs rank by tf ⇒ NDCG exactly 10⁶") {
+    // equal dl over the matching docs makes BM25 monotone in tf — but
+    // ONLY with positive idf: df must stay below N/2 (at df > N/2 the
+    // Robertson idf goes negative and reverses the ranking), hence the
+    // four distractor docs
+    val docs = Seq(
+      (1L, "apple apple apple pear"), (2L, "apple apple pear pear"),
+      (3L, "apple pear pear pear"), (4L, "pear kiwi kiwi kiwi"),
+      (5L, "kiwi plum plum plum"), (6L, "plum kiwi kiwi plum"),
+      (7L, "plum plum pear kiwi"))
+    val got = Corpus.ndcgAtK(docs.toDF("doc_id", "text"), "text",
+        "doc_id", TextFunctions.words, Seq("apple"), k = 3)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(3) == 1000000L)
+    // and DCG is the exact dot product of tfs with the micro weights
+    val wts = Corpus.ndcgWeights(3)
+    val expected = Seq(3L, 2L, 1L).zip(wts).map { case (r, w) => r * w }.sum
+    assert(got(0).getLong(1) == expected)
+  }
+
+  test("ndcgAtK penalizes a length-skewed ranking below the ideal") {
+    // doc 11 has tf=2 buried in a long doc: BM25 length normalization
+    // ranks it below tf=1 docs, so NDCG < 1 and equals the brute dot
+    // product ratio
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, "target alpha beta"),
+      (11L, s"target target $filler"),
+      (12L, "target gamma delta"),
+      // distractors keep df < N/2 so idf stays positive
+      (13L, "alpha beta gamma"), (14L, "beta gamma delta"),
+      (15L, "gamma delta alpha"), (16L, "delta alpha beta"))
+    val out = Corpus.ndcgAtK(docs.toDF("doc_id", "text"), "text",
+        "doc_id", TextFunctions.words, Seq("target"), k = 3)
+      .collect()(0)
+    assert(out.getLong(3) < 1000000L)
+    val wts = Corpus.ndcgWeights(3)
+    // ideal: tf (2,1,1); ranked: doc 11 last ⇒ tf order (1,1,2)
+    val idcg = Seq(2L, 1L, 1L).zip(wts).map { case (r, w) => r * w }.sum
+    val dcg = Seq(1L, 1L, 2L).zip(wts).map { case (r, w) => r * w }.sum
+    assert(out.getLong(1) == dcg && out.getLong(2) == idcg)
+    assert(out.getLong(3) == dcg * 1000000L / idcg)
+  }
+
+  test("kneserNeyScore ≡ brute KN probabilities on a hand corpus") {
+    val docs = Seq((1L, "a b a b c"), (2L, "b c a c"), (3L, "c a b a"))
+    val got = Corpus.kneserNeyScore(docs.toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // independent computation over scala collections
+    val bigrams = docs.flatMap { case (id, t) =>
+      val w = t.split(" "); w.toSeq.zip(w.tail).map(p => (id, p))
+    }
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cu = bigrams.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
+    val fwd = c2.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong)
+      .toMap
+    val back = c2.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong)
+      .toMap
+    val bt = c2.size.toLong
+    docs.foreach { case (id, t) =>
+      val w = t.split(" ")
+      val pairs = w.toSeq.zip(w.tail)
+      val lnSum = pairs.map { p =>
+        val num = bt * (4L * c2(p) - 3L) + 3L * fwd(p._1) * back(p._2)
+        val den = 4L * cu(p._1) * bt
+        math.log(num.toDouble / den.toDouble)
+      }.sum
+      val expect = BigDecimal(lnSum / pairs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 == pairs.size.toLong, s"doc $id n_bigrams")
+      assert(math.abs(got(id)._2 - expect) < 2e-6, s"doc $id score")
+    }
+    // KN probabilities are proper: Σ_v P(v|u) = 1 for every context u
+    val vocab = docs.flatMap(_._2.split(" ")).distinct
+    cu.keys.foreach { u =>
+      val mass = vocab.map { v =>
+        val cuv = c2.getOrElse((u, v), 0L)
+        val seen = if (cuv > 0) (cuv.toDouble - 0.75) / cu(u) else 0.0
+        seen + 0.75 * fwd(u) / cu(u) * (back.getOrElse(v, 0L).toDouble / bt)
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"context $u mass $mass")
+    }
+  }
+
   test("pprFixed brute-force integer replay on the path graph") {
     val seedId = 1L
     val edges = (1L to 4L).map(i => (i, i + 1))
