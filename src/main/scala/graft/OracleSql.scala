@@ -5831,6 +5831,70 @@ object OracleSql {
          |FROM curve c, fit f""".stripMargin
     },
 
+    "q_ewma_chart" ->
+      // TimeSeries.ewmaChart mirror: the q_control_chart daily/stats
+      // CTEs, then the quantized z-recurrence replayed by PREFIX
+      // slice-folds (the q_kaplan_meier idiom) — z_i over xl[1:i]
+      // with a scalar lambda that reads the accumulator exactly ONCE.
+      // (A single struct-building fold that recomputes z inside a
+      // second field reads the MUTATED accumulator in DuckDB —
+      // its list_reduce updates acc fields in place — so the breach
+      // test must live OUTSIDE the lambda.) The synthetic list head
+      // carries z₀ = center·10⁶.
+      """WITH d AS (SELECT event_type AS k, strftime(ts, '%Y-%m-%d')
+        |    AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT k, day, x,
+        |    abs(x - lag(x) OVER (PARTITION BY k ORDER BY day)) AS mr
+        |  FROM d),
+        |s AS (SELECT k, count(*) AS n_days,
+        |    CAST(sum(x) // count(*) AS BIGINT) AS center_cents,
+        |    CASE WHEN count(*) > 1 THEN
+        |      CAST(sum(mr) * 1000 // (count(*) - 1) AS BIGINT)
+        |    END AS mrbar_milli
+        |  FROM m GROUP BY 1),
+        |f AS (SELECT d.k, s.n_days, s.center_cents, s.mrbar_milli,
+        |    [s.center_cents * 1000000] ||
+        |      list(d.x * 1000000 ORDER BY d.day) AS xl
+        |  FROM d JOIN s ON d.k = s.k
+        |  GROUP BY d.k, s.n_days, s.center_cents, s.mrbar_milli),
+        |p AS (SELECT k, n_days, center_cents, mrbar_milli, t.i,
+        |    len(xl) AS nl,
+        |    list_reduce(xl[1:t.i], (a, e) -> (e + 4 * a) // 5) AS z
+        |  FROM f, unnest(generate_series(2, len(xl))) AS t(i))
+        |SELECT k AS event_type, max(n_days) AS n_days,
+        |  max(center_cents) AS center_cents,
+        |  max(mrbar_milli) AS mrbar_milli,
+        |  CAST(arg_max(z, i) AS BIGINT) AS ewma_micro,
+        |  CAST(sum(CASE WHEN mrbar_milli IS NOT NULL
+        |    AND abs(z - center_cents * 1000000) * 1128
+        |      > mrbar_milli * 1000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_breaches
+        |FROM p GROUP BY 1""".stripMargin,
+
+    "q_nelson_aalen" ->
+      // TimeSeries.nelsonAalen mirror: the q_kaplan_meier at-risk
+      // CTEs, then the cumulative SUM of floor micro increments —
+      // hash-exact integers end to end (no 6dp product chain)
+      """WITH u AS (SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS fd,
+        |    max(CAST(o_orderdate AS DATE)) AS ld FROM orders GROUP BY 1),
+        |cut AS (SELECT max(CAST(o_orderdate AS DATE)) AS cd FROM orders),
+        |subj AS (SELECT CAST(ld - fd AS BIGINT) // 7 AS dur,
+        |    (cd - ld) > 365 AS ev FROM u CROSS JOIN cut),
+        |byt AS (SELECT dur AS t, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM subj GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM byt),
+        |ar AS (SELECT t,
+        |    CAST((SELECT n FROM tot) - sum(c) OVER (ORDER BY t) + c
+        |      AS BIGINT) AS n_risk, d FROM byt)
+        |SELECT t, n_risk, d,
+        |  CAST(sum(d * 1000000 // n_risk) OVER (ORDER BY t) AS BIGINT)
+        |    AS h_micro
+        |FROM ar WHERE d >= 1""".stripMargin,
+
     "q_ndcg" -> {
       val norm = normOf("text")
       val k1p1 = (1.2 + 1.0).toString

@@ -4036,6 +4036,37 @@ object SparkEntry {
       .select($"r", $"n_r", $"r_star_micro", $"p0_micro")
   }
 
+  /** F32: EWMA control chart over the same daily revenue series as
+    * the Shewhart chart — quantized integer z-recurrence (λ = 1/5),
+    * exact 1/3 steady-state limit factor, hash-exact breach counts.
+    */
+  private def qEwmaChart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select($"event_type",
+      date_format($"ts", "yyyy-MM-dd").as("day"),
+      floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.TimeSeries.ewmaChart(e, "event_type", "day", "cents")
+  }
+
+  /** F33: Nelson–Aalen cumulative hazard on the same censored
+    * customer-lifetime cohort as q_kaplan_meier — the additive
+    * estimator quantizes to cumulative ⌊10⁶·d/n⌋ micro-units, so
+    * unlike KM's 6dp product chain this gate is hash-exact.
+    */
+  private def qNelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val perCust = o.groupBy($"o_custkey").agg(
+      min(to_date($"o_orderdate")).as("first_d"),
+      max(to_date($"o_orderdate")).as("last_d"))
+    val cutoff = o.agg(max(to_date($"o_orderdate")).as("cut"))
+    val subj = perCust.crossJoin(broadcast(cutoff))
+      .select(expr("CAST(datediff(last_d, first_d) AS BIGINT) div 7")
+          .as("dur_weeks"),
+        (datediff($"cut", $"last_d") > 365).as("churned"))
+    operators.TimeSeries.nelsonAalen(subj, "dur_weeks", "churned")
+  }
+
   /** E104: NDCG@10 over the three-term query set the RAG flagship
     * retrieves — graded-relevance ranking quality of quantized-BM25
     * retrieval against the ideal (tf-ordered) ranking, as exact
@@ -4437,6 +4468,8 @@ object SparkEntry {
     "q_script_mix" -> (qScriptMix _),
     "q_ndcg" -> (qNdcg _),
     "q_kneser_ney" -> (qKneserNey _),
+    "q_ewma_chart" -> (qEwmaChart _),
+    "q_nelson_aalen" -> (qNelsonAalen _),
     "q_kendall_tau" -> (qKendallTau _),
     "q_seasonal_decompose" -> (qSeasonalDecompose _),
     "q_rag_context" -> (qRagContext _),

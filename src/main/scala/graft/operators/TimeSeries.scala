@@ -816,4 +816,109 @@ object TimeSeries {
             x => x("__f")),
           lit(1.0), _ * _), 6).as("s"))
   }
+
+  /** F33: Nelson–Aalen cumulative-hazard estimator (Nelson 1972;
+    * Aalen 1978) — the additive sibling of [[kaplanMeier]]: instead
+    * of the survival product Π(1 − d/n), the cumulative hazard
+    * Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ. Epidemiology and reliability work read
+    * the hazard slope directly (constant slope = constant risk; a
+    * bend = a regime change), and ln S(t) ≈ −Ĥ(t) ties the two.
+    *
+    * Exactness: same at-risk frame as KM (exact integer counts,
+    * events-precede-censorings ties), but because the estimator is a
+    * SUM — not a product — it quantizes cleanly: each increment is
+    * ⌊10⁶·d/n⌋ micro-units and Ĥ is their cumulative integer sum
+    * over the event-time-cardinality window, so unlike KM's 6dp
+    * product chain this gate is HASH-EXACT. (Per-step floor loses
+    * < 1 micro per event time vs the true rational — bounded by
+    * #event-times·1e-6, documented semantics, identical both
+    * engines.)
+    *
+    * @return one row per distinct event time: (t, n_risk, d,
+    *         h_micro = cumulative ⌊10⁶·d/n_risk⌋).
+    */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byT = df.groupBy(col(durationCol).as("t")).agg(
+      count(lit(1)).as("__c"),
+      sum(when(col(eventCol), 1L).otherwise(0L)).as("d"))
+    val tot = byT.agg(sum(col("__c")).as("__nTot"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("n_risk", col("__nTot") - col("__cum") + col("__c"))
+      .filter(col("d") >= 1)
+      .withColumn("h_micro",
+        sum(expr("d * 1000000L div n_risk")).over(w))
+      .select(col("t"), col("n_risk"), col("d"), col("h_micro"))
+  }
+
+  /** F32: EWMA control chart (Roberts 1959) — completes the SPC
+    * family: Shewhart (F31) catches big one-day shifts, CUSUM (F13)
+    * small sustained drift, EWMA sits between — a geometrically-
+    * weighted recent mean crossing its control band flags medium
+    * drifts sooner than Shewhart without CUSUM's tuning.
+    *
+    * Exact-integer discipline: λ = 1/5, so the smoothed statistic is
+    * DEFINED as the quantized micro-cent recurrence
+    *
+    *   z₀ = center·10⁶,   z_t = (x_t·10⁶ + 4·z_{t−1}) div 5
+    *
+    * (≤ 1 micro floor loss per step, geometrically damped to a ≤
+    * 1.25-micro total deviation from the real-valued EWMA — deliberate
+    * semantics, identical on both engines, and the reason this gate
+    * is HASH-EXACT where a double recurrence would need the 6dp
+    * hedge). The steady-state control half-width is ±3·σ̂·√(λ/(2−λ));
+    * at λ = 1/5 the factor √(1/9) = 1/3 is EXACT, so the limit
+    * collapses to σ̂ = MR̄/1.128 and the breach test cross-multiplies:
+    * |z − center·10⁶|·1128 > MR̄_milli·10⁶ — no floats anywhere.
+    *
+    * Plan shape: the F31 day-aggregate + stats, then ONE per-key
+    * in-row fold over the day-sorted array (day cardinality is
+    * bounded; the interpreted-HOF cost rides on ≤ hundreds of
+    * elements per key). Truncating `div` ≡ the oracle's floor `//`
+    * only on nonnegative operands — guarded loudly.
+    *
+    * @return per key: (key, n_days, center_cents, mrbar_milli,
+    *         ewma_micro — final z, n_breaches; mrbar_milli null and
+    *         n_breaches 0 for single-day keys).
+    */
+  def ewmaChart(df: DataFrame, keyCol: String, dayCol: String,
+                centsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireNonNegative(df, centsCol, "ewmaChart",
+      "the z-recurrence's truncating div matches the oracle's floor " +
+        "// only for nonnegative daily sums")
+    val daily = df.groupBy(col(keyCol).as("k"), col(dayCol).as("day"))
+      .agg(sum(col(centsCol)).as("x"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+    val stats = daily
+      .withColumn("__mr", abs(col("x") - lag(col("x"), 1).over(w)))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(x) div count(1)").as("center_cents"),
+        expr("case when count(1) > 1 then " +
+          "sum(__mr) * 1000 div (count(1) - 1) end").as("mrbar_milli"))
+    daily.join(broadcast(stats), "k")
+      .groupBy(col("k"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("center_cents")).as("center_cents"),
+        max(col("mrbar_milli")).as("mrbar_milli"),
+        array_sort(collect_list(struct(col("day"), col("x")))).as("arr"))
+      .withColumn("__st", expr(
+        """aggregate(arr,
+          |  named_struct('z', center_cents * 1000000L, 'nb', 0L),
+          |  (acc, e) -> named_struct(
+          |    'z', (e.x * 1000000L + 4L * acc.z) div 5L,
+          |    'nb', acc.nb + (case when mrbar_milli is not null
+          |      and abs((e.x * 1000000L + 4L * acc.z) div 5L
+          |        - center_cents * 1000000L) * 1128L
+          |        > mrbar_milli * 1000000L
+          |      then 1L else 0L end)))""".stripMargin))
+      .select(col("k").as(keyCol), col("n_days"), col("center_cents"),
+        col("mrbar_milli"), col("__st.z").as("ewma_micro"),
+        col("__st.nb").as("n_breaches"))
+  }
 }

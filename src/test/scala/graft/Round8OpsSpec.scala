@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Corpus, Graph}
+import graft.operators.{Corpus, Graph, TimeSeries}
 import graft.functions.TextFunctions
 
 /** Brute-force twins for the round-8 additions (E100 link prediction,
@@ -234,6 +234,62 @@ class Round8OpsSpec extends AnyFunSuite {
       }.sum
       assert(math.abs(mass - 1.0) < 1e-9, s"context $u mass $mass")
     }
+  }
+
+  test("ewmaChart ≡ sequential quantized recurrence; drift alarms") {
+    // key A: stable series then a sustained level shift the EWMA band
+    // must flag; key B: single day (mrbar null, zero breaches)
+    val a = Seq(100L, 102L, 98L, 101L, 99L, 100L, 300L, 305L, 310L,
+      308L)
+    val rows = a.zipWithIndex.map { case (v, i) =>
+      ("A", f"2026-01-${i + 1}%02d", v)
+    } :+ (("B", "2026-01-01", 50L))
+    val got = TimeSeries.ewmaChart(rows.toDF("k", "day", "cents"),
+        "k", "day", "cents")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+    // brute replay for A
+    val n = a.size
+    val center = a.sum / n
+    val mrbar = a.sliding(2).map(p => math.abs(p(1) - p(0))).sum *
+      1000 / (n - 1)
+    var z = center * 1000000L
+    var nb = 0L
+    a.foreach { x =>
+      z = (x * 1000000L + 4L * z) / 5L
+      if (math.abs(z - center * 1000000L) * 1128L > mrbar * 1000000L)
+        nb += 1
+    }
+    assert(got("A") == ((n.toLong, center, mrbar, z, nb)))
+    assert(nb > 0, "the level shift must breach the EWMA band")
+    assert(got("B") == ((1L, 50L, -1L, 50000000L, 0L)))
+  }
+
+  test("nelsonAalen ≡ brute cumulative hazard; ties precede censors") {
+    // durations with an event/censor tie at t=3: n_risk at 3 counts
+    // BOTH (events precede censorings)
+    val subj = Seq((1L, true), (2L, true), (3L, true), (3L, false),
+      (5L, true), (7L, false))
+    val got = TimeSeries.nelsonAalen(subj.toDF("dur", "ev"), "dur", "ev")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute: n_risk(t) = #subjects with dur >= t
+    val durs = subj.map(_._1)
+    var h = 0L
+    val eventTimes = subj.filter(_._2).map(_._1).distinct.sorted
+    eventTimes.foreach { t =>
+      val nRisk = durs.count(_ >= t).toLong
+      val d = subj.count(s => s._1 == t && s._2).toLong
+      h += d * 1000000L / nRisk
+      assert(got(t) == ((nRisk, d, h)), s"t=$t")
+    }
+    assert(got.keySet == eventTimes.toSet) // censor-only times absent
+    // hazard is nondecreasing by construction
+    val hs = got.toSeq.sortBy(_._1).map(_._2._3)
+    assert(hs == hs.sorted)
   }
 
   test("pprFixed brute-force integer replay on the path graph") {
