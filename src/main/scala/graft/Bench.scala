@@ -84,7 +84,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     canary() // absorb codegen for the canary itself
-    val canaryFloor = (1 to 3).map(_ => canary()).min
     // best-of-N per query: local-mode timings are scheduling-noise-bound
     // at small SF; min is the standard stable estimator
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
@@ -102,31 +101,92 @@ object Bench {
     // the interference was over before the post sample); sample the
     // canary periodically during the sweep and flag on the worst.
     val sorted = queries.toSeq.sortBy(_._1)
-    val midSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val midEvery = math.max(1, sorted.size / 16)
-    val results = sorted.zipWithIndex.map { case ((name, fn), qi) =>
-      // operators persist() intermediates and a 250-query run never
-      // revisits them — without clearing, the block manager accretes
-      // hundreds of dead cached datasets and late-alphabet queries
-      // pay eviction churn + GC (observed: a trivial count inflating
-      // 0.4s → 3s near the end of a full run). clearCache only reaches
-      // CacheManager entries; sealed results also carry RDD-level
-      // localCheckpoint blocks — sweep those too.
-      sweep()
-      // min-of-2 per sample point: a single GC pause dies in the min,
-      // a real interference window (seconds-long) survives it
-      if (qi > 0 && qi % midEvery == 0)
-        midSamples += math.min(canary(), canary())
-      val times = (1 to itersFor(name)).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case scala.util.control.NonFatal(ex) =>
-            System.err.println(s"bench run failed for $name: $ex")
+    // one full measured sweep with its own floor/mid/post canaries and
+    // contention verdict — extracted so a contended attempt can be
+    // RETRIED rather than recorded (BENCH_r04 and BENCH_r06 were both
+    // environment-corrupted driver artifacts; the canary detected the
+    // contention but the run had no way to recover)
+    case class Attempt(results: Seq[(String, Double)], floor: Double,
+                       mid: Double, post: Double, contended: Boolean)
+    def runSweep(): Attempt = {
+      val canaryFloor = (1 to 3).map(_ => canary()).min
+      val midSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val results = sorted.zipWithIndex.map { case ((name, fn), qi) =>
+        // operators persist() intermediates and a 250-query run never
+        // revisits them — without clearing, the block manager accretes
+        // hundreds of dead cached datasets and late-alphabet queries
+        // pay eviction churn + GC (observed: a trivial count inflating
+        // 0.4s → 3s near the end of a full run). clearCache only reaches
+        // CacheManager entries; sealed results also carry RDD-level
+        // localCheckpoint blocks — sweep those too.
+        sweep()
+        // min-of-2 per sample point: a single GC pause dies in the min,
+        // a real interference window (seconds-long) survives it
+        if (qi > 0 && qi % midEvery == 0)
+          midSamples += math.min(canary(), canary())
+        val times = (1 to itersFor(name)).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch {
+            case scala.util.control.NonFatal(ex) =>
+              System.err.println(s"bench run failed for $name: $ex")
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-        (System.nanoTime() - t0) / 1e9
+        name -> times.min
       }
-      name -> times.min
+      // symmetric with the floor: best-of-3 after a GC. A single post
+      // sample right after 260 queries measures the run's own heap debt
+      // (observed: 0.35s single vs 0.1s floor on an idle box, while
+      // genuine host contention shows 10-70× on this job); min-of-3 on
+      // a collected heap isolates the host signal the flag exists for.
+      System.gc()
+      val canaryPost = (1 to 3).map(_ => canary()).min
+      // worst min-of-2 mid sample: calibrated on observed runs —
+      // degraded sweeps (151-190s beside 141-155s cleans) showed mids
+      // of 0.44-0.68 vs 0.07-0.10 clean canaries, while endpoint
+      // canaries read clean; GC-debt singles (~0.35) die in the min.
+      // All ratios anchor on min(floor, post), NOT the floor alone: a
+      // run whose contention was already active at warm-up records an
+      // inflated floor that would absolve every later sample (observed:
+      // floor 0.153 = 2× clean, mid 0.582, post 0.077 — a 190s run that
+      // floor-relative tests called clean). The absolute bound is the
+      // sustained-contention backstop (canary inflated for the WHOLE
+      // run): clean floors on this box band 0.066-0.12 over ~12 runs,
+      // so 0.35 is ~3× the clean median with headroom for host drift.
+      val canaryMid =
+        if (midSamples.isEmpty) canaryFloor else midSamples.max
+      val ref = math.min(canaryFloor, canaryPost)
+      val contended = ref > 0.35 ||
+        math.max(canaryFloor, canaryPost) > 3 * ref ||
+        canaryMid > 4 * ref
+      Attempt(results, canaryFloor, canaryMid, canaryPost, contended)
     }
+    // retry the whole sweep when the canary trips (up to maxAttempts
+    // total), so the recorded artifact is clean whenever the host
+    // allows a clean window; every attempt's canary metadata survives
+    // into the JSON as proof of what the host permitted
+    val maxAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt.max(1)
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[Attempt]
+    var done = false
+    while (!done) {
+      attempts += runSweep()
+      done = !attempts.last.contended || attempts.size >= maxAttempts
+      if (!done) {
+        System.err.println(s"bench attempt ${attempts.size} contended " +
+          s"(floor=${attempts.last.floor}, mid=${attempts.last.mid}, " +
+          s"post=${attempts.last.post}) — retrying after backoff")
+        Thread.sleep(15000L * attempts.size) // let the interference pass
+      }
+    }
+    // record the first clean attempt; if the host never allowed one,
+    // the least-contended (smallest mid canary) attempt with its flag
+    val chosen = attempts.find(!_.contended)
+      .getOrElse(attempts.minBy(_.mid))
+    val results = chosen.results
+    val (canaryFloor, canaryMid, canaryPost, contended) =
+      (chosen.floor, chosen.mid, chosen.post, chosen.contended)
     // millisecond precision keeps the JSON line short enough to survive
     // log-tail truncation by whatever captures our stdout (the r01 line
     // at full double precision was ~2.9k chars and got clipped)
@@ -135,30 +195,6 @@ object Bench {
     def qsMap(entries: Seq[(String, Double)]) = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // symmetric with the floor: best-of-3 after a GC. A single post
-    // sample right after 260 queries measures the run's own heap debt
-    // (observed: 0.35s single vs 0.1s floor on an idle box, while
-    // genuine host contention shows 10-70× on this job); min-of-3 on
-    // a collected heap isolates the host signal the flag exists for.
-    System.gc()
-    val canaryPost = (1 to 3).map(_ => canary()).min
-    // worst min-of-2 mid sample: calibrated on observed runs —
-    // degraded sweeps (151-190s beside 141-155s cleans) showed mids
-    // of 0.44-0.68 vs 0.07-0.10 clean canaries, while endpoint
-    // canaries read clean; GC-debt singles (~0.35) die in the min.
-    // All ratios anchor on min(floor, post), NOT the floor alone: a
-    // run whose contention was already active at warm-up records an
-    // inflated floor that would absolve every later sample (observed:
-    // floor 0.153 = 2× clean, mid 0.582, post 0.077 — a 190s run that
-    // floor-relative tests called clean). The absolute bound is the
-    // sustained-contention backstop (canary inflated for the WHOLE
-    // run): clean floors on this box band 0.066-0.12 over ~12 runs,
-    // so 0.35 is ~3× the clean median with headroom for host drift.
-    val canaryMid = if (midSamples.isEmpty) canaryFloor else midSamples.max
-    val ref = math.min(canaryFloor, canaryPost)
-    val contended = ref > 0.35 ||
-      math.max(canaryFloor, canaryPost) > 3 * ref ||
-      canaryMid > 4 * ref
     val total = results.map(_._2).sum
     // The captured stdout window is a ~2000-char TAIL (observed in
     // BENCH_r0{1,2}.json), and the driver JSON-parses the last line.
@@ -168,11 +204,17 @@ object Bench {
     // summary line whose "queries" holds the slowest entries that fit
     // a 1500-char budget — the informative tail of the distribution.
     // sbt's "[success]" epilogue is suppressed via Global/showSuccess.
-    val canaryJson = s""""canary_floor":${fmt(canaryFloor)},"canary_mid":${fmt(canaryMid)},"canary_post":${fmt(canaryPost)},"contended":$contended"""
+    val attemptsJson = attempts
+      .map(a => s"""{"floor":${fmt(a.floor)},"mid":${fmt(a.mid)},"post":${fmt(a.post)},"contended":${a.contended}}""")
+      .mkString("[", ",", "]")
+    val canaryJson = s""""canary_floor":${fmt(canaryFloor)},"canary_mid":${fmt(canaryMid)},"canary_post":${fmt(canaryPost)},"contended":$contended,"attempts":$attemptsJson"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsMap(results)},$canaryJson,"sf":"$sfDir"}""")
     val bySlowest = results.sortBy(-_._2)
     val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    var budget = 1500
+    // attempts metadata can add ~70 chars per retry to the tail line —
+    // shave the per-query budget so the compact line still survives a
+    // 2000-char tail capture even at maxAttempts
+    var budget = 1500 - 80 * (attempts.size - 1)
     bySlowest.foreach { case (k, v) =>
       val cost = k.length + 12
       if (budget - cost >= 0) { keep += ((k, v)); budget -= cost }

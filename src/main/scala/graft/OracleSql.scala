@@ -832,9 +832,14 @@ object OracleSql {
       // ln, folded in id order; d = 2N/Σ at 6dp
       s"""WITH v AS (SELECT vec_id AS id, label AS blk,
          |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |mq AS (SELECT greatest(1, (sum(n * n) + 19999999) // 20000000)
+         |    AS md
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM v
+         |    GROUP BY blk)),
          |p AS (SELECT a.id, ${sqDistSql("a.v", "b.v")} AS sq
          |  FROM v a JOIN v b ON a.blk = b.blk AND a.id <> b.id
-         |  WHERE ${sqDistSql("a.v", "b.v")} > 0.0),
+         |  WHERE ${sqDistSql("a.v", "b.v")} > 0.0
+         |    AND a.id % (SELECT md FROM mq) = 0),
          |r AS (SELECT id, sq,
          |    row_number() OVER (PARTITION BY id ORDER BY sq) AS rn
          |  FROM p),
@@ -2682,6 +2687,124 @@ object OracleSql {
         |  LEFT JOIN e ON e.a = sc.a AND e.b = sc.b WHERE e.a IS NULL)
         |SELECT a AS id_a, b AS id_b, cn, ra_micro FROM cand
         |ORDER BY cn DESC, ra_micro DESC, a, b LIMIT 100""".stripMargin,
+
+    "q_bradley_terry" -> {
+      // Prefs.bradleyTerryFixed mirror: implicit judgments from
+      // consecutive same-user events (higher value wins), then 5
+      // exact-integer MM rounds unrolled — every division a positive
+      // floor div, clamps LEAST/GREATEST mirrored, MATERIALIZED per
+      // round against exponential CTE inlining (the q_kcore lesson)
+      val rounds = 5
+      val s2 = "1000000 * 1000000"
+      val iters = (1 to rounds).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT it.i, CAST(LEAST(1000000000000, GREATEST(1,
+           |      (it.wins * $s2) // GREATEST(d.den, 1))) AS BIGINT) AS p
+           |  FROM items it JOIN (
+           |    SELECT pr.i, sum((pr.nij * $s2) // (p1.p + p2.p)) AS den
+           |    FROM pairs pr
+           |    JOIN r${i - 1} p1 ON p1.i = pr.i
+           |    JOIN r${i - 1} p2 ON p2.i = pr.j
+           |    GROUP BY 1) d ON d.i = it.i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT event_type, value,
+         |    lead(event_type) OVER w AS nt, lead(value) OVER w AS nv
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |cmp AS (
+         |  SELECT CASE WHEN value > nv THEN event_type ELSE nt END
+         |      AS win,
+         |    CASE WHEN value > nv THEN nt ELSE event_type END AS lose
+         |  FROM seq
+         |  WHERE nt IS NOT NULL AND nt <> event_type AND value <> nv),
+         |w AS MATERIALIZED (
+         |  SELECT win, lose, CAST(count(*) AS BIGINT) AS c
+         |  FROM cmp GROUP BY 1, 2),
+         |pairs AS MATERIALIZED (
+         |  SELECT i, j, CAST(sum(c) AS BIGINT) AS nij FROM (
+         |    SELECT win AS i, lose AS j, c FROM w
+         |    UNION ALL SELECT lose, win, c FROM w)
+         |  GROUP BY 1, 2),
+         |items AS MATERIALIZED (
+         |  SELECT p.i, CAST(sum(p.nij) AS BIGINT) AS games,
+         |    CAST(coalesce(ww.wsum, 0) AS BIGINT) AS wins
+         |  FROM pairs p LEFT JOIN (
+         |    SELECT win, sum(c) AS wsum FROM w GROUP BY 1) ww
+         |    ON ww.win = p.i
+         |  GROUP BY 1, ww.wsum),
+         |r0 AS MATERIALIZED (
+         |  SELECT i, CAST(1000000 AS BIGINT) AS p FROM items),
+         |$iters
+         |SELECT it.i AS item, it.games AS n_games, it.wins AS n_wins,
+         |  r.p AS rating_fp
+         |FROM items it JOIN r$rounds r ON r.i = it.i""".stripMargin
+    },
+
+    "q_distinct_ngrams" ->
+      // Corpus.distinctNgrams mirror: per language the exact unigram/
+      // bigram totals and distincts, micro-unit floor-div ratios;
+      // bigram assembly identical to the Spark concat_ws(' ', a, b)
+      s"""WITH wd AS (
+         |  SELECT lang, string_split(${normOf("text")}, ' ') AS ws
+         |  FROM documents),
+         |uni AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_uni,
+         |    CAST(count(DISTINCT x) AS BIGINT) AS d_uni
+         |  FROM (SELECT lang, unnest(ws) AS x FROM wd) GROUP BY 1),
+         |big AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_big,
+         |    CAST(count(DISTINCT b) AS BIGINT) AS d_big
+         |  FROM (SELECT lang, ws[u.i] || ' ' || ws[u.i + 1] AS b
+         |    FROM wd, unnest(generate_series(1, len(ws) - 1)) AS u(i))
+         |  GROUP BY 1)
+         |SELECT u.lang, n_uni, d_uni,
+         |  CAST(coalesce(b.n_big, 0) AS BIGINT) AS n_big,
+         |  CAST(coalesce(b.d_big, 0) AS BIGINT) AS d_big,
+         |  d_uni * 1000000 // n_uni AS distinct1_micro,
+         |  CASE WHEN coalesce(b.n_big, 0) = 0 THEN NULL
+         |    ELSE d_big * 1000000 // n_big END AS distinct2_micro
+         |FROM uni u LEFT JOIN big b USING (lang)""".stripMargin,
+
+    "q_eb_shrinkage" ->
+      // Stats.ebShrinkage mirror: the (μ, σ², α, β) doubles come from
+      // ONE fixed expression tree over exact integer moments —
+      // parenthesization matches the Scala driver computation exactly
+      // (IEEE ops are exactly rounded; only fold ORDER is hazardous,
+      // and there is none); degenerate corpora (k<2, σ²≤0, common≤0)
+      // fall back to the raw rate with null prior, same branch both
+      // engines
+      """WITH seg AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars >= 350 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM documents GROUP BY 1, 2),
+        |sg AS (SELECT lang, source, n, x,
+        |    x * 1000000 // n AS rate_micro FROM seg),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(rate_micro) AS BIGINT) AS sr,
+        |    CAST(sum(rate_micro * rate_micro) AS BIGINT) AS srr
+        |  FROM sg),
+        |p AS (SELECT k,
+        |    CAST(sr AS DOUBLE) / (CAST(k AS DOUBLE) * 1e6) AS mu,
+        |    (CAST(k AS DOUBLE) * CAST(srr AS DOUBLE)
+        |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+        |      / (CAST(k AS DOUBLE) * CAST(k - 1 AS DOUBLE) * 1e12) AS v
+        |  FROM m),
+        |ab AS (SELECT
+        |    CASE WHEN k < 2 OR v <= 0
+        |        OR mu * (1 - mu) / v - 1 <= 0 THEN NULL
+        |      ELSE mu * (mu * (1 - mu) / v - 1) END AS alpha,
+        |    CASE WHEN k < 2 OR v <= 0
+        |        OR mu * (1 - mu) / v - 1 <= 0 THEN NULL
+        |      ELSE (1 - mu) * (mu * (1 - mu) / v - 1) END AS beta
+        |  FROM p)
+        |SELECT lang, source, n, x, rate_micro,
+        |  CASE WHEN alpha IS NULL THEN round(CAST(x AS DOUBLE) / n, 6)
+        |    ELSE round((x + alpha) / (n + (alpha + beta)), 6)
+        |  END AS shrunk_6,
+        |  round(alpha, 6) AS alpha_6, round(beta, 6) AS beta_6
+        |FROM sg CROSS JOIN ab""".stripMargin,
 
     "q_dedup_cluster" -> {
       // same corpus/shingle/pair fragments as q_dedup_ngram, then the
@@ -5587,9 +5710,12 @@ object OracleSql {
          |      CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT))
          |      AS v
          |  FROM embeddings),
+         |mq AS (SELECT greatest(1, (count(*) * count(*) + 19999999)
+         |    // 20000000) AS md FROM p),
          |d AS (SELECT a.id AS qid, a.lab AS qlab, b.id AS nid,
          |    b.lab AS nlab, $d2 AS d2
-         |  FROM p a JOIN p b ON a.id <> b.id AND a.id % 5 = 0),
+         |  FROM p a JOIN p b ON a.id <> b.id
+         |  WHERE a.id % (SELECT md FROM mq) = 0),
          |r AS (SELECT qid, qlab, nlab, row_number()
          |    OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM d),
          |v AS (SELECT qid, qlab, nlab, CAST(count(*) AS BIGINT) AS cnt
@@ -5617,9 +5743,12 @@ object OracleSql {
          |    list_transform(embedding, e ->
          |      CAST(floor(CAST(e AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS v
          |  FROM embeddings),
+         |mq AS (SELECT greatest(1, (count(*) * count(*) + 19999999)
+         |    // 20000000) AS md FROM p),
          |d AS (SELECT a.id AS qid, a.lab AS qlab, b.lab AS clab,
          |    $d2 AS d2
-         |  FROM p a JOIN p b ON a.id <> b.id AND a.id % 5 = 0),
+         |  FROM p a JOIN p b ON a.id <> b.id
+         |  WHERE a.id % (SELECT md FROM mq) = 0),
          |g AS (SELECT qid, qlab, clab, CAST(sum(d2) AS BIGINT) AS sd,
          |    CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2, 3),
          |m AS (SELECT qid, qlab, clab,
@@ -6312,11 +6441,14 @@ object OracleSql {
         |      CAST(floor(CAST(e AS DOUBLE) * 10000 + 0.5) AS BIGINT))
         |      AS v
         |  FROM embeddings),
+        |mq AS (SELECT greatest(1, (count(*) * count(*) + 19999999)
+        |    // 20000000) AS md FROM p),
         |d AS (SELECT a.id AS qid, a.lab AS qlab, b.id AS nid,
         |    list_reduce(list_transform(list_zip(a.v, b.v),
         |      x -> (x[1]-x[2])*(x[1]-x[2])), (p,q) -> p+q) AS d2
         |  FROM p a JOIN p b
-        |    ON a.id <> b.id AND a.lab <> b.lab AND a.id % 5 = 0),
+        |    ON a.id <> b.id AND a.lab <> b.lab
+        |  WHERE a.id % (SELECT md FROM mq) = 0),
         |r AS (SELECT qid, qlab, nid, d2, row_number()
         |    OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM d)
         |SELECT qid AS vec_id, qlab AS label, CAST(rn AS BIGINT) AS rank,

@@ -1211,6 +1211,50 @@ object SparkEntry {
     Graph.linkPrediction(edges, "a", "b")
   }
 
+  /** E104: Bradley–Terry strength ranking from implicit pairwise
+    * preferences — consecutive same-user events with differing types
+    * become one judgment (higher `value` wins), the classic implicit-
+    * feedback derivation; then 5 exact-integer MM rounds
+    * (operators.Prefs.bradleyTerryFixed) that the oracle unrolls
+    * bit-for-bit (the q_pagerank_fixed discipline applied to the
+    * RLHF preference-data shape).
+    */
+  private def qBradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cmp = table(s, dir, "events")
+      .withColumn("nt", lead($"event_type", 1).over(w))
+      .withColumn("nv", lead($"value", 1).over(w))
+      .filter($"nt".isNotNull && $"nt" =!= $"event_type" &&
+        $"value" =!= $"nv")
+      .select(
+        when($"value" > $"nv", $"event_type").otherwise($"nt").as("win"),
+        when($"value" > $"nv", $"nt").otherwise($"event_type").as("lose"))
+    operators.Prefs.bradleyTerryFixed(cmp, "win", "lose")
+  }
+
+  /** E105: distinct-n lexical diversity per language (Li et al. 2016
+    * distinct-1/-2) — the cross-document mode-collapse signal
+    * per-document repetition screens miss; exact micro-unit ratios
+    * (operators.Corpus.distinctNgrams).
+    */
+  private def qDistinctNgrams(s: SparkSession, dir: String): DataFrame =
+    Corpus.distinctNgrams(table(s, dir, "documents"), "lang", "text",
+      functions.TextFunctions.words)
+
+  /** C92: empirical-Bayes beta-binomial shrinkage of per-(lang,
+    * source) long-document rates — method-of-moments prior from the
+    * across-segment rate moments (exact integer inputs, one fixed
+    * double expression tree), shrunk = (x+α)/(n+α+β) at 6dp
+    * (operators.Stats.ebShrinkage).
+    */
+  private def qEbShrinkage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Stats.ebShrinkage(table(s, dir, "documents"),
+      Seq("lang", "source"), $"n_chars" >= 350)
+  }
+
   /** E76: per-node local clustering coefficient over the near-dup
     * graph — lcc ≈ 1 marks true duplicate-clique members, lcc ≈ 0
     * marks LSH-chain bridges survivorship should distrust. Exact
@@ -3962,9 +4006,11 @@ object SparkEntry {
     * (operators.Similarity.knnClassifyEval).
     */
   private def qKnnEval(s: SparkSession, dir: String): DataFrame =
+    // queryMod left at auto: the modulus derives from the corpus count
+    // so pair work stays ≤ Similarity.SamplerPairBudget at any sf (the
+    // oracle mirrors greatest(1, (n²+B−1)//B) exactly)
     operators.Similarity.knnClassifyEval(
-      table(s, dir, "embeddings"), "vec_id", "label", "embedding", 5,
-      queryMod = 5)
+      table(s, dir, "embeddings"), "vec_id", "label", "embedding", 5)
 
   /** H45: sampled silhouette per label — the clustering-quality
     * member of the meta-evaluation family (knn_eval: do embeddings
@@ -3972,9 +4018,9 @@ object SparkEntry {
     * Exact integer micro-unit a/b/s with sign-explicit divisions.
     */
   private def qSilhouette(s: SparkSession, dir: String): DataFrame =
+    // queryMod auto — the qKnnEval budget discipline
     operators.Similarity.silhouetteEval(
-      table(s, dir, "embeddings"), "vec_id", "label", "embedding",
-      queryMod = 5)
+      table(s, dir, "embeddings"), "vec_id", "label", "embedding")
 
   /** E92: MMR diversity re-ranking (Carbonell & Goldstein 1998) — the
     * RAG selection step between ANN and the context window. k=3
@@ -4279,8 +4325,9 @@ object SparkEntry {
     */
   private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // queryMod auto — the qKnnEval budget discipline
     operators.Similarity.hardNegatives(table(s, dir, "embeddings"),
-      "vec_id", "label", "embedding", k = 3, queryMod = 5)
+      "vec_id", "label", "embedding", k = 3)
   }
 
   /** E96: TextRank corpus keywords (Mihalcea & Tarau 2004) — integer
@@ -4575,6 +4622,9 @@ object SparkEntry {
     "q_pagerank_fixed" -> (qPageRankFixed _),
     "q_ppr" -> (qPpr _),
     "q_link_predict" -> (qLinkPredict _),
+    "q_bradley_terry" -> (qBradleyTerry _),
+    "q_distinct_ngrams" -> (qDistinctNgrams _),
+    "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_locf" -> (qLocf _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_k_anonymize" -> (qKAnonymize _),

@@ -1317,4 +1317,44 @@ object Corpus {
         (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("beta_6"))
     graft.sealResult(curve.crossJoin(broadcast(fit)), tok)
   }
+
+  /** E105: distinct-n lexical diversity (the distinct-1 / distinct-2
+    * metrics of Li et al., NAACL 2016) per group — the standard
+    * generation-diversity readout: a model-generated (or templated /
+    * boilerplate-heavy) corpus collapses toward few n-grams, so
+    * distinct-n = |unique n-grams| / |n-grams| drops. Curation reads
+    * it per source/language to catch mode-collapsed synthetic data and
+    * template farms that per-document repetition screens (q_repetition)
+    * miss — the repetition lives ACROSS documents, not inside one.
+    *
+    * Exactness: two keyed (count, count distinct) aggregates, ratios in
+    * floor-div micro-units — integers end to end. Scale shape: both
+    * aggregates are map-combined on (group, gram); output is
+    * group-cardinality. distinct2_micro is null for a group with no
+    * bigram (every doc < 2 tokens).
+    */
+  def distinctNgrams(docs: DataFrame, groupCol: String, textCol: String,
+                     tokens: Column => Column): DataFrame = {
+    val w = docs.select(col(groupCol).as("grp"),
+      tokens(col(textCol)).as("ws"))
+    val idxs = when(size(col("ws")) >= 2,
+      sequence(lit(1), size(col("ws")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val uni = w.select(col("grp"), explode(col("ws")).as("x"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_uni"), countDistinct(col("x")).as("d_uni"))
+    val big = w.select(col("grp"), explode(transform(idxs, i =>
+        concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1)))).as("b"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_big"), countDistinct(col("b")).as("d_big"))
+    uni.join(big, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n_uni"), col("d_uni"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("d_big"), lit(0L)).as("d_big"),
+        expr("d_uni * 1000000 div n_uni").as("distinct1_micro"),
+        when(coalesce(col("n_big"), lit(0L)) === 0, lit(null))
+          .otherwise(expr("d_big * 1000000 div n_big"))
+          .cast("long").as("distinct2_micro"))
+  }
 }

@@ -20,6 +20,46 @@ object Similarity {
     */
   def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Pair-work budget for the quadratic-by-design samplers
+    * ([[knnClassifyEval]], [[hardNegatives]], [[silhouetteEval]],
+    * [[intrinsicDimension]]): when the caller leaves `queryMod` at its
+    * auto default (0), the sampling modulus is derived so that the
+    * sample×corpus pair count stays ≤ this budget — total quadratic
+    * work is then BOUNDED (≈ budget pairs) at any corpus size, and the
+    * remaining linear passes dominate; a caller who never read the
+    * scaladoc can no longer launch a 100 TB × 20 TB pair scan by
+    * default. 2·10⁷ pairs ≈ a second of sqDist kernels at dim 64 on
+    * one core — an evaluation-precision budget, not a capacity limit;
+    * pass an explicit `queryMod` to trade cost for sample size.
+    */
+  val SamplerPairBudget: Long = 20000000L
+
+  /** mod = max(1, ⌈pairs / budget⌉) in exact integer arithmetic —
+    * mirrored verbatim in the DuckDB oracles as
+    * `greatest(1, (pairs + budget-1) // budget)`, so the auto-sampled
+    * gate queries stay hash-identical on both engines at any sf.
+    * `pairs` is n² for the broadcast samplers (every query ranks
+    * against the full corpus) and Σ n_blk² for the block-joined ones.
+    */
+  def autoQueryMod(pairs: Long, budget: Long = SamplerPairBudget): Int = {
+    require(pairs >= 0 && budget >= 1,
+      s"autoQueryMod: pairs=$pairs budget=$budget out of range")
+    math.max(1L, (pairs + budget - 1) / budget).toInt
+  }
+
+  /** Resolve a sampler's queryMod: explicit (> 0) wins; 0 = auto from
+    * the corpus count (one cheap map-combined job). n is bounded so n²
+    * stays an exact Long.
+    */
+  private def resolveQueryMod(queryMod: Int, df: DataFrame): Long =
+    if (queryMod > 0) queryMod.toLong
+    else {
+      val n = df.count()
+      require(n < 3000000000L,
+        s"auto queryMod: corpus count $n overflows the exact n² bound")
+      autoQueryMod(n * n).toLong
+    }
+
   /** Dot product — native one-pass codegen expression (plans.DotProduct).
     * [[dotComposed]] is the same fold via zip_with + aggregate, kept as
     * the executable spec: higher-order functions evaluate interpreted
@@ -869,15 +909,33 @@ object Similarity {
     * the map-side topk_by heap. At full corpus scale the same
     * estimator runs on ANN-candidate distances (approximate
     * neighbors bias d upward slightly — the blocked form here is
-    * exact within blocks).
+    * exact within blocks). A skewed block can still be quadratic, so
+    * the auto default (queryMod = 0) derives a query-side sampling
+    * modulus from Σ n_blk² — the ACTUAL pair count — keeping pair work
+    * ≤ [[SamplerPairBudget]] (the MLE is unbiased under subsampling:
+    * each sampled point's two-NN still ranks against its FULL block).
     *
     * @return one row: (n_points, id_mle).
     */
   def intrinsicDimension(df: DataFrame, idCol: String, vecCol: String,
-                         blockCol: String): DataFrame = {
+                         blockCol: String, queryMod: Int = 0): DataFrame = {
+    require(queryMod >= 0)
     val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       toDouble(col(vecCol)).as("v"))
-    val a = v.select(col("id"), col("blk"), col("v"))
+    val mod =
+      if (queryMod > 0) queryMod.toLong
+      else {
+        val pairs = v.groupBy(col("blk"))
+          .agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(col("n") * col("n")), lit(0L)).as("p"))
+          .head.getLong(0)
+        autoQueryMod(pairs).toLong
+      }
+    // only sample when the budget demands it: at mod = 1 the unfiltered
+    // frame is kept verbatim (ids need not even be numeric below budget)
+    val a =
+      if (mod > 1L) v.filter(pmod(col("id").cast("long"), lit(mod)) === 0)
+      else v
     val b = v.select(col("id").as("other"), col("blk"),
       col("v").as("w"))
     val pairs = a.join(b, Seq("blk"))
@@ -1065,16 +1123,19 @@ object Similarity {
     */
   def knnClassifyEval(df: DataFrame, idCol: String, labelCol: String,
                       vecCol: String, k: Int = 5,
-                      idBits: Int = 20, queryMod: Int = 1): DataFrame = {
-    require(k >= 1 && idBits >= 10 && idBits <= 30 && queryMod >= 1)
+                      idBits: Int = 20, queryMod: Int = 0): DataFrame = {
+    require(k >= 1 && idBits >= 10 && idBits <= 30 && queryMod >= 0)
+    val mod = resolveQueryMod(queryMod, df)
     val pack = math.pow(2, idBits)
     def quant(c: Column) = transform(c, e =>
       floor(e.cast("double") * 10000 + 0.5).cast("double"))
-    // queryMod > 1: deterministic 1-in-mod QUERY sample (id mod) — the
+    // mod > 1: deterministic 1-in-mod QUERY sample (id mod) — the
     // harness is quadratic by design; the sample bounds the query side
-    // while every query still ranks against the FULL corpus
+    // while every query still ranks against the FULL corpus. mod = 0
+    // (the default) derives the modulus from the corpus count so pair
+    // work stays ≤ [[SamplerPairBudget]].
     val q = df
-      .filter(pmod(col(idCol).cast("long"), lit(queryMod.toLong)) === 0)
+      .filter(pmod(col(idCol).cast("long"), lit(mod)) === 0)
       .select(col(idCol).cast("long").as("qid"),
         col(labelCol).cast("long").as("qlab"), quant(col(vecCol)).as("qv"))
     val c = df.select(col(idCol).cast("long").as("cid"),
@@ -1152,13 +1213,14 @@ object Similarity {
     */
   def hardNegatives(df: DataFrame, idCol: String, labelCol: String,
                     vecCol: String, k: Int = 3,
-                    idBits: Int = 20, queryMod: Int = 5): DataFrame = {
-    require(k >= 1 && idBits >= 10 && idBits <= 30 && queryMod >= 1)
+                    idBits: Int = 20, queryMod: Int = 0): DataFrame = {
+    require(k >= 1 && idBits >= 10 && idBits <= 30 && queryMod >= 0)
+    val mod = resolveQueryMod(queryMod, df)
     val pack = math.pow(2, idBits)
     def quant(c: Column) = transform(c, e =>
       floor(e.cast("double") * 10000 + 0.5).cast("double"))
     val q = df
-      .filter(pmod(col(idCol).cast("long"), lit(queryMod.toLong)) === 0)
+      .filter(pmod(col(idCol).cast("long"), lit(mod)) === 0)
       .select(col(idCol).cast("long").as("qid"),
         col(labelCol).cast("long").as("qlab"), quant(col(vecCol)).as("qv"))
     val c = df.select(col(idCol).cast("long").as("cid"),
@@ -1234,13 +1296,14 @@ object Similarity {
     *         max_sil_micro).
     */
   def silhouetteEval(df: DataFrame, idCol: String, labelCol: String,
-                     vecCol: String, queryMod: Int = 1,
+                     vecCol: String, queryMod: Int = 0,
                      scale: Int = 100): DataFrame = {
-    require(queryMod >= 1 && scale >= 1)
+    require(queryMod >= 0 && scale >= 1)
+    val mod = resolveQueryMod(queryMod, df)
     def quant(c: Column) = transform(c, e =>
       floor(e.cast("double") * scale + 0.5).cast("double"))
     val q = df
-      .filter(pmod(col(idCol).cast("long"), lit(queryMod.toLong)) === 0)
+      .filter(pmod(col(idCol).cast("long"), lit(mod)) === 0)
       .select(col(idCol).cast("long").as("qid"),
         col(labelCol).cast("long").as("qlab"), quant(col(vecCol)).as("qv"))
     val c = df.select(col(idCol).cast("long").as("cid"),

@@ -1418,4 +1418,75 @@ object Stats {
         (col("__boff") + row_number().over(within)).cast("long"))
       .drop("__bkt", "__boff")
   }
+
+  /** C92: empirical-Bayes beta-binomial shrinkage of per-segment rates
+    * (Robbins 1956 lineage; the method-of-moments beta fit every
+    * "which domain/source is actually good" table needs): a segment
+    * with 3/4 successes should NOT outrank one with 950/1000 — raw
+    * rates are noise at small n, so each rate shrinks toward the
+    * corpus prior with strength ∝ the prior's equivalent sample size
+    * (α+β): shrunk = (x + α)/(n + α + β), with (α, β) fitted from the
+    * across-segment moments μ and σ² of the raw rates via
+    * common = μ(1−μ)/σ² − 1, α = μ·common, β = (1−μ)·common.
+    *
+    * Exactness: per-segment (n, x) are exact longs; raw rates are
+    * floor-div micro-units; the moment inputs are exact integer sums
+    * (Σr, Σr², k) so the double-valued (μ, σ², α, β) come from ONE
+    * fixed expression tree over identical integers — IEEE ops are
+    * exactly rounded, so the tree is bit-identical cross-engine (the
+    * repo's float hazard is fold ORDER, absent here); the final shrunk
+    * rate is rounded 6dp. Degenerate corpora fall back loudly in-band:
+    * σ² ≤ 0 (all rates equal) or common ≤ 0 (over-dispersed beyond the
+    * beta family) → shrunk = raw rate, prior columns null.
+    *
+    * Scale shape: one keyed aggregate to segments, one 1-row moment
+    * aggregate broadcast back — segment-cardinality everywhere.
+    *
+    * @param success boolean column marking a "success" row.
+    * @return per segment: (segment key, n, x, rate_micro, shrunk_6)
+    *         plus the fitted (alpha_6, beta_6) repeated on every row
+    *         (null under the degenerate fallback).
+    */
+  def ebShrinkage(df: DataFrame, segCols: Seq[String],
+                  success: Column): DataFrame = {
+    require(segCols.nonEmpty)
+    val seg = df.groupBy(segCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("x"))
+      .withColumn("rate_micro", expr("x * 1000000 div n"))
+    val mom = seg.agg(count(lit(1)).as("k"),
+      sum(col("rate_micro")).as("sr"),
+      sum(col("rate_micro") * col("rate_micro")).as("srr")).head
+    val k = mom.getLong(0)
+    val (alpha, beta) =
+      if (k < 2) (Double.NaN, Double.NaN)
+      else {
+        val sr = mom.getLong(1)
+        val srr = mom.getLong(2)
+        // μ and σ² of the micro-unit rates, rescaled to [0,1]: exact
+        // integer numerators, one division each — a fixed tree
+        val mu = sr.toDouble / (k.toDouble * 1e6)
+        val varNum = (k.toDouble * srr.toDouble - sr.toDouble * sr.toDouble)
+        val v = varNum / (k.toDouble * (k - 1).toDouble * 1e12)
+        if (v <= 0) (Double.NaN, Double.NaN)
+        else {
+          val common = mu * (1 - mu) / v - 1
+          if (common <= 0) (Double.NaN, Double.NaN)
+          else (mu * common, (1 - mu) * common)
+        }
+      }
+    if (alpha.isNaN)
+      seg.select(segCols.map(col) ++ Seq(col("n"), col("x"),
+        col("rate_micro"),
+        round(col("x").cast("double") / col("n"), 6).as("shrunk_6"),
+        lit(null).cast("double").as("alpha_6"),
+        lit(null).cast("double").as("beta_6")): _*)
+    else
+      seg.select(segCols.map(col) ++ Seq(col("n"), col("x"),
+        col("rate_micro"),
+        round((col("x") + lit(alpha)) / (col("n") + lit(alpha + beta)), 6)
+          .as("shrunk_6"),
+        round(lit(alpha), 6).as("alpha_6"),
+        round(lit(beta), 6).as("beta_6")): _*)
+  }
 }

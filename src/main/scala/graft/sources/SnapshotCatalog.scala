@@ -65,27 +65,60 @@ object SnapshotCatalog {
   /** Publish a cross-table snapshot; returns the snapshot id. Table
     * writes happen first (atomic each, invisible until referenced);
     * the manifest rename is the commit point.
+    *
+    * Concurrency (optimistic multi-writer, the [[VersionedTable.write]]
+    * protocol at the manifest level): the manifest is staged under a
+    * writer-unique temp name, and the snapshot id is assigned by a
+    * rename that fails if `s=next` already exists. Blind publishers
+    * that lose the race rebase onto the new latest+1 and retry — the
+    * staged table versions stay valid, only the pointer moves.
+    *
+    * @param expectedParent compare-and-swap: commit only if the newest
+    *        snapshot still equals this. On mismatch the staged
+    *        manifest is withdrawn and
+    *        [[java.util.ConcurrentModificationException]] thrown; the
+    *        already-written table versions stay orphaned (invisible to
+    *        every reader) until [[vacuum]] sweeps them — a torn
+    *        cross-table set is never observable either way.
     */
-  def publish(root: String, tables: Map[String, DataFrame]): Long = {
+  def publish(root: String, tables: Map[String, DataFrame],
+              expectedParent: Option[Long] = None,
+              maxAttempts: Int = 5): Long = {
     require(tables.nonEmpty, "empty snapshot")
+    require(maxAttempts >= 1)
     val spark = tables.head._2.sparkSession
     val staged = tables.map { case (name, df) =>
       name -> VersionedTable.write(df, new Path(root, name).toString)
     }
-    val next = snapshots(spark, root).lastOption.getOrElse(0L) + 1
     val d = snapDir(root)
     val f = fs(spark, d)
     f.mkdirs(d)
-    val tmp = new Path(d, s"__s_tmp_$next")
-    val out = f.create(tmp, false)
-    try out.write(staged.toSeq.sortBy(_._1)
-      .map { case (t, v) => s"$t=$v\n" }.mkString.getBytes("UTF-8"))
-    finally out.close()
-    val dest = new Path(d, s"s=$next")
-    if (!f.rename(tmp, dest))
-      throw new java.io.IOException(
-        s"snapshot publish: cannot commit $dest (concurrent writer?)")
-    next
+    val bytes = staged.toSeq.sortBy(_._1)
+      .map { case (t, v) => s"$t=$v\n" }.mkString.getBytes("UTF-8")
+    @scala.annotation.tailrec
+    def commit(attempt: Int): Long = {
+      val last = snapshots(spark, root).lastOption.getOrElse(0L)
+      expectedParent.foreach { p =>
+        if (last != p)
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot publish: expected parent s=$p but latest is " +
+              s"s=$last under $root — rebase and retry (staged table " +
+              "versions stay orphaned until vacuum)")
+      }
+      val tmp = new Path(d, s"__s_tmp_${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      val dest = new Path(d, s"s=${last + 1}")
+      if (f.rename(tmp, dest)) last + 1
+      else {
+        f.delete(tmp, false)
+        if (attempt + 1 < maxAttempts) commit(attempt + 1)
+        else throw new java.io.IOException(
+          s"snapshot publish: lost the commit race $maxAttempts times " +
+            s"under $root")
+      }
+    }
+    commit(0)
   }
 
   /** Read one table at a pinned snapshot (newest when None). Always
@@ -130,7 +163,19 @@ object SnapshotCatalog {
           f.delete(new Path(new Path(root, t), s"v=$v"), true)
           deleted += 1
         }
+      // crashed-writer temp debris (a CAS loser cleans up after itself,
+      // a killed one cannot) — invisible to readers, but disk isn't free.
+      // vacuum must not run beside an in-flight publisher, the same
+      // retention contract the manifest sweep already carries.
+      f.listStatus(new Path(root, t)).toSeq
+        .filter(_.getPath.getName.startsWith("__v_tmp_"))
+        .foreach(s => f.delete(s.getPath, true))
     }
+    val sd = snapDir(root)
+    if (f.exists(sd))
+      f.listStatus(sd).toSeq
+        .filter(_.getPath.getName.startsWith("__s_tmp_"))
+        .foreach(s => f.delete(s.getPath, false))
     (drop, deleted)
   }
 }

@@ -38,18 +38,55 @@ object VersionedTable {
 
   /** Publish `df` as the next version; returns the version number.
     * Write → rename: the new version appears atomically.
+    *
+    * Concurrency (optimistic, the Iceberg/Delta commit protocol
+    * reduced to its essentials): data lands under a WRITER-UNIQUE temp
+    * dir, so concurrent writers never interleave bytes; the version
+    * NUMBER is assigned at commit time by a rename that fails if the
+    * destination exists. A writer that loses the race retries with the
+    * new latest+1 — the data needs no re-staging because a version is
+    * just content; crash-torn states stay invisible (temp dirs never
+    * match the `v=` listing filter) and are swept by
+    * [[SnapshotCatalog.vacuum]] or the next [[prune]].
+    *
+    * @param expectedParent compare-and-swap: commit only if the latest
+    *        version still equals this (read-modify-write safety — an
+    *        upsert derived FROM v=K must not silently clobber a
+    *        concurrent v=K+1). On mismatch the temp data is deleted
+    *        and [[java.util.ConcurrentModificationException]] is
+    *        thrown: re-derive from the new latest and retry. None =
+    *        blind append, losers rebase onto the next id automatically.
     */
-  def write(df: DataFrame, dir: String): Long = {
+  def write(df: DataFrame, dir: String,
+            expectedParent: Option[Long] = None,
+            maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1)
     val spark = df.sparkSession
-    val next = versions(spark, dir).lastOption.getOrElse(0L) + 1
-    val tmp = new Path(dir, s"__v_tmp_$next")
-    val dest = new Path(dir, s"v=$next")
+    val tmp = new Path(dir, s"__v_tmp_${java.util.UUID.randomUUID()}")
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val f = fs(spark, dest)
-    if (!f.rename(tmp, dest))
-      throw new java.io.IOException(
-        s"versioned write: cannot publish $dest (concurrent writer?)")
-    next
+    val f = fs(spark, tmp)
+    @scala.annotation.tailrec
+    def commit(attempt: Int): Long = {
+      val last = versions(spark, dir).lastOption.getOrElse(0L)
+      expectedParent.foreach { p =>
+        if (last != p) {
+          f.delete(tmp, true)
+          throw new java.util.ConcurrentModificationException(
+            s"versioned write: expected parent v=$p but latest is " +
+              s"v=$last under $dir — re-derive and retry")
+        }
+      }
+      val dest = new Path(dir, s"v=${last + 1}")
+      if (f.rename(tmp, dest)) last + 1
+      else if (attempt + 1 < maxAttempts) commit(attempt + 1)
+      else {
+        f.delete(tmp, true)
+        throw new java.io.IOException(
+          s"versioned write: lost the commit race $maxAttempts times " +
+            s"under $dir")
+      }
+    }
+    commit(0)
   }
 
   /** Read a pinned version, or the latest when `version` is None. */

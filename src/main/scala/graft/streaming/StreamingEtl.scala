@@ -388,6 +388,127 @@ object StreamingEtl {
         OutputMode.Update())
   }
 
+  /** F33: per-key running event count with state TTL — the state-
+    * BUDGET face of `transformWithState` (F24 timers, F27 list, F28
+    * map): on an unbounded key space (user ids, session tokens, IPs)
+    * un-evicted per-key state grows without bound; `TTLConfig` evicts
+    * a key's state `ttl` of processing time after its last update, so
+    * steady-state store size is (keys active within one TTL window),
+    * not (keys ever seen) — the number a 100 TB/day deployment
+    * capacity-plans its state store on. A key that returns after
+    * eviction restarts from zero BY CONTRACT (gauge, not ledger —
+    * exactly-once counts need the F21 ledger sink instead). TTL
+    * requires TimeMode.ProcessingTime.
+    */
+  final case class GaugeOut(user_id: Long, n: Long)
+
+  def countGaugeTtl(spark: SparkSession, events: Dataset[Event],
+                    ttl: java.time.Duration): Dataset[GaugeOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new CountGaugeTtlProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  private class CountGaugeTtlProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, GaugeOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues,
+      ValueState}
+    @transient private var st: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[GaugeOut] = {
+      // an expired value reads as null through the TTL wrapper — the
+      // key restarts from zero without any timer bookkeeping here
+      val prev = Option(st.get()).getOrElse(0L)
+      val n = prev + rows.size
+      st.update(n)
+      Iterator.single(GaugeOut(key, n))
+    }
+  }
+
+  /** F34: per-key visit gauge in two state-schema VERSIONS — the
+    * upgrade story `transformWithState` is sold on: V1 persists
+    * (n: Long); V2 adds a field (total: Option[Double]) and must
+    * RESTART FROM V1's CHECKPOINT reading old rows with the evolved
+    * schema (new field = None). Requires the Avro state encoding
+    * (`spark.sql.streaming.stateStore.encodingFormat = avro` — the
+    * UnsafeRow encoding is bit-positional and cannot evolve);
+    * StreamingSpec performs the live restart.
+    */
+  final case class VisitV1(n: Long)
+  final case class VisitV2(n: Long, total: Option[Double])
+  final case class VisitOut(user_id: Long, n: Long, total: Double)
+
+  def visitStreamV1(spark: SparkSession,
+                    events: Dataset[Event]): Dataset[VisitOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new VisitV1Processor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  def visitStreamV2(spark: SparkSession,
+                    events: Dataset[Event]): Dataset[VisitOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new VisitV2Processor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  private class VisitV1Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, VisitOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues,
+      ValueState}
+    @transient private var st: ValueState[VisitV1] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[VisitV1]("visit",
+        org.apache.spark.sql.Encoders.product[VisitV1], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[VisitOut] = {
+      val prev = Option(st.get()).map(_.n).getOrElse(0L)
+      val n = prev + rows.size
+      st.update(VisitV1(n))
+      Iterator.single(VisitOut(key, n, -1.0))
+    }
+  }
+
+  private class VisitV2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, VisitOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues,
+      ValueState}
+    @transient private var st: ValueState[VisitV2] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[VisitV2]("visit",
+        org.apache.spark.sql.Encoders.product[VisitV2], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[VisitOut] = {
+      val es = rows.toSeq
+      val prev = Option(st.get()).getOrElse(VisitV2(0L, None))
+      // a row written by V1 reads with total = None: the evolved field
+      // defaults, the carried count SURVIVES the upgrade
+      val n = prev.n + es.size
+      val total = prev.total.getOrElse(0.0) + es.map(_.value).sum
+      st.update(VisitV2(n, Some(total)))
+      Iterator.single(VisitOut(key, n, total))
+    }
+  }
+
   private class TypeHistProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, TypeCountOut] {

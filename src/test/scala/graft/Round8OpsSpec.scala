@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.{Corpus, Graph, TimeSeries}
 import graft.functions.TextFunctions
 
@@ -317,5 +319,161 @@ class Round8OpsSpec extends AnyFunSuite {
       }.toMap
     }
     assert(got == rank)
+  }
+
+  test("bradleyTerryFixed ≡ integer MM replay; driver ≡ distributed; " +
+    "order recovered") {
+    import graft.operators.Prefs
+    // a > b > c by construction, plus one upset
+    val cmp = Seq(
+      ("a", "b"), ("a", "b"), ("a", "b"), ("b", "a"),
+      ("b", "c"), ("b", "c"), ("a", "c"), ("a", "c"), ("c", "b"))
+    val df = cmp.toDF("win", "lose")
+    val got = Prefs.bradleyTerryFixed(df, "win", "lose")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // independent integer replay of the 5 MM rounds
+    val S = 1000000L
+    val wins = cmp.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      .withDefaultValue(0L)
+    val pairKeys = cmp.map { case (a, b) =>
+      (Seq(a, b).min, Seq(a, b).max) }.distinct
+    val nij = cmp.groupBy { case (a, b) =>
+      (Seq(a, b).min, Seq(a, b).max) }.map { case (k, v) => k -> v.size.toLong }
+    val items = Seq("a", "b", "c")
+    var p = items.map(_ -> S).toMap
+    for (_ <- 1 to 5) {
+      val den = items.map { i =>
+        i -> pairKeys.collect {
+          case (x, y) if x == i || y == i =>
+            val j = if (x == i) y else x
+            nij((Seq(i, j).min, Seq(i, j).max)) * S * S / (p(i) + p(j))
+        }.sum
+      }.toMap
+      p = items.map { i =>
+        i -> math.min(1000000000000L,
+          math.max(1L, wins(i) * S * S / math.max(1L, den(i))))
+      }.toMap
+    }
+    val games = items.map { i =>
+      i -> cmp.count(c => c._1 == i || c._2 == i).toLong }.toMap
+    items.foreach { i =>
+      assert(got(i) == ((games(i), wins(i), p(i))), s"item $i: ${got(i)}")
+    }
+    // ranking respects the planted order
+    assert(p("a") > p("b") && p("b") > p("c"))
+    // the distributed rounds are bit-equal to the driver rung
+    val dist = Prefs.bradleyTerryFixed(df, "win", "lose",
+        localThreshold = 0L)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(dist == got)
+  }
+
+  test("distinctNgrams ≡ brute unigram/bigram distinct ratios") {
+    val docs = Seq(
+      ("en", "the cat sat"), ("en", "the cat ran"), ("en", "the cat sat"),
+      ("xx", "solo")).toDF("lang", "text")
+    val got = Corpus.distinctNgrams(docs, "lang", "text",
+        TextFunctions.words)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), if (r.isNullAt(6)) -1L else r.getLong(6))).toMap
+    // en: 9 unigrams {the,cat,sat,ran}=4 distinct; 6 bigrams
+    // {the cat, cat sat, cat ran}=3 distinct
+    assert(got("en") == ((9L, 4L, 6L, 3L,
+      4L * 1000000 / 9, 3L * 1000000 / 6)))
+    // xx: one token, no bigram -> distinct2 null (read back as -1)
+    assert(got("xx") == ((1L, 1L, 0L, 0L, 1000000L, -1L)))
+  }
+
+  test("ebShrinkage: shrunk rates pull toward the prior; tiny-n moves " +
+    "most; degenerate (equal rates) falls back raw") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(7)
+    // 30 segments, true rate 0.4, binomial n=20 — plus one tiny outlier
+    // segment 2/2 that must NOT surface as the top rate after shrinkage
+    val rows = (0 until 30).flatMap { g =>
+      (0 until 20).map(i => (s"g$g", rnd.nextDouble() < 0.4))
+    } ++ Seq(("tiny", true), ("tiny", true))
+    val df = rows.toDF("seg", "ok")
+    val got = Stats.ebShrinkage(df, Seq("seg"), col("ok"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    val (tn, tx, tShrunk) = got("tiny")
+    assert((tn, tx) == ((2L, 2L)))
+    // raw rate 1.0 but shrunk well below — closer to the prior mean
+    assert(tShrunk < 0.75, s"tiny shrunk to $tShrunk")
+    // a large segment moves much less than the tiny one
+    val (n0, x0, s0) = got("g0")
+    assert(math.abs(s0 - x0.toDouble / n0) <
+      math.abs(tShrunk - 1.0))
+    // independent replay of the moment fit on the same integers
+    val segs = rows.groupBy(_._1).map { case (g, rs) =>
+      (g, rs.size.toLong, rs.count(_._2).toLong) }.toSeq
+    val rates = segs.map { case (_, n, x) => x * 1000000L / n }
+    val k = rates.size.toLong
+    val sr = rates.sum
+    val srr = rates.map(r => r * r).sum
+    val mu = sr.toDouble / (k.toDouble * 1e6)
+    val v = (k.toDouble * srr.toDouble - sr.toDouble * sr.toDouble) /
+      (k.toDouble * (k - 1).toDouble * 1e12)
+    val common = mu * (1 - mu) / v - 1
+    val (alpha, beta) = (mu * common, (1 - mu) * common)
+    val expTiny = BigDecimal((2 + alpha) / (2 + alpha + beta))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(tShrunk == expTiny)
+    // degenerate: every segment identical -> variance 0 -> raw rates
+    val flat = Seq(("a", true), ("a", false), ("b", true), ("b", false))
+      .toDF("seg", "ok")
+    val fg = Stats.ebShrinkage(flat, Seq("seg"), col("ok")).collect()
+    assert(fg.forall(r => r.getDouble(4) == 0.5 && r.isNullAt(5)))
+  }
+
+  test("autoQueryMod: exact ceil(pairs/budget), floor 1, budget bound") {
+    import graft.operators.Similarity
+    assert(Similarity.autoQueryMod(0L) == 1)
+    assert(Similarity.autoQueryMod(1L) == 1)
+    assert(Similarity.autoQueryMod(Similarity.SamplerPairBudget) == 1)
+    assert(Similarity.autoQueryMod(Similarity.SamplerPairBudget + 1) == 2)
+    // the budget contract: sampled pair work pairs/mod never exceeds
+    // the budget, for corpora far past it
+    for (n <- Seq(10000L, 50000L, 123457L)) {
+      val mod = Similarity.autoQueryMod(n * n)
+      assert(n * n / mod <= Similarity.SamplerPairBudget)
+      // and the sample is not over-shrunk: (mod-1) would blow the budget
+      if (mod > 1) assert(n * n / (mod - 1) > Similarity.SamplerPairBudget)
+    }
+    intercept[IllegalArgumentException](Similarity.autoQueryMod(-1L))
+  }
+
+  test("quadratic samplers: auto queryMod ≡ explicit derived mod, " +
+    "and the fixed override still wins") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 40).map { i =>
+      (i.toLong, (i % 3).toLong,
+        Seq.fill(5)((rnd.nextInt(2000) - 1000) / 1000.0f))
+    }
+    val df = rows.toDF("id", "lab", "v")
+    // below budget: auto resolves to mod 1 — identical to explicit 1
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(Similarity.hardNegatives(df, "id", "lab", "v", k = 2)) ==
+      canon(Similarity.hardNegatives(df, "id", "lab", "v", k = 2,
+        queryMod = 1)))
+    assert(canon(Similarity.silhouetteEval(df, "id", "lab", "v")) ==
+      canon(Similarity.silhouetteEval(df, "id", "lab", "v", queryMod = 1)))
+    assert(canon(Similarity.intrinsicDimension(df, "id", "v", "lab")) ==
+      canon(Similarity.intrinsicDimension(df, "id", "v", "lab",
+        queryMod = 1)))
+    // explicit override still samples: mod 5 keeps only id % 5 == 0
+    // anchors
+    val sampled = Similarity.hardNegatives(df, "id", "lab", "v", k = 2,
+      queryMod = 5).select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled.nonEmpty && sampled.forall(_ % 5 == 0))
   }
 }

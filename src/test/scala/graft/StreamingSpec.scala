@@ -397,6 +397,126 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState TTL: idle key's ValueState evicts between " +
+    "micro-batches; active key unaffected") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = StreamingEtl.countGaugeTtl(spark, input.toDS(),
+        java.time.Duration.ofMillis(300))
+      .writeStream.format("memory").queryName("ttl_out")
+      .outputMode("update").start()
+    // ProcessingTime time mode runs a batch EVERY trigger (that is how
+    // TTL/timers advance without input), so `noNewData` never latches
+    // and processAllAvailable would wait forever — poll the sink
+    def rows() = spark.table("ttl_out").as[StreamingEtl.GaugeOut]
+      .collect().filter(_.user_id == 7).map(_.n).toSeq
+    def waitRows(n: Int): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (rows().size < n && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(rows().size >= n, s"sink never reached $n rows: ${rows()}")
+    }
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(0), 7, "click", 1.0))
+      waitRows(1)
+      assert(rows() == Seq(2L))
+      // well past the 300 ms TTL: user 7's count state must have
+      // expired — the key restarts from zero, not from 2
+      Thread.sleep(1500)
+      input.addData(Event(3, ts(1), 7, "click", 1.0))
+      waitRows(2)
+      assert(rows() == Seq(2L, 1L),
+        s"expected TTL eviction to restart the count, got ${rows()}")
+      // immediately again (inside the TTL window): state persists. A
+      // slow host could stall >300 ms between the two batches, so only
+      // assert it CONTINUED (2) or restarted (1) — never past 2
+      input.addData(Event(4, ts(2), 7, "click", 1.0))
+      waitRows(3)
+      assert(rows()(2) == 2L || rows()(2) == 1L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("transformWithState state-schema evolution: V2 (added field) " +
+    "restarts from V1's checkpoint, carried count survives") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val encKey = "spark.sql.streaming.stateStore.encodingFormat"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevEnc = spark.conf.getOption(encKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // UnsafeRow state is bit-positional and cannot evolve; Avro can
+    spark.conf.set(encKey, "avro")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("tws_evolve").toString
+    val input = MemoryStream[Event]
+    // the memory sink cannot recover from a checkpoint — collect
+    // through foreachBatch (which can) instead
+    val got1 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q1 = StreamingEtl.visitStreamV1(spark, input.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingEtl.VisitOut],
+         _: Long) =>
+          df.collect().foreach(r => got1.add((r.user_id, r.n)))
+      }
+      .start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 2.5),
+        Event(2, ts(1), 7, "click", 4.0))
+      q1.processAllAvailable()
+      assert(got1.toArray.toSeq == Seq((7L, 2L)))
+    } finally q1.stop()
+    // restart from the SAME checkpoint with the EVOLVED state schema:
+    // VisitV2 adds total: Option[Double]; user 7's V1 row must read as
+    // (n = 2, total = None) — count carried, new field defaulted
+    val got2 =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+    val q2 = StreamingEtl.visitStreamV2(spark, input.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[StreamingEtl.VisitOut],
+         _: Long) =>
+          df.collect().foreach(r => got2.add((r.user_id, r.n, r.total)))
+      }
+      .start()
+    try {
+      input.addData(Event(3, ts(2), 7, "view", 1.5))
+      q2.processAllAvailable()
+      assert(got2.toArray.toSeq == Seq((7L, 3L, 1.5)),
+        s"evolved restart read ${got2.toArray.toSeq}")
+    } finally {
+      q2.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      prevEnc match {
+        case Some(v) => spark.conf.set(encKey, v)
+        case None => spark.conf.unset(encKey)
+      }
+    }
+  }
+
   test("ledgerSink: epoch re-delivery and crash replay stay exactly-once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lsrc").toString

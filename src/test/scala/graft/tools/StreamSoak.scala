@@ -62,8 +62,17 @@ object StreamSoak {
         .drop(1).take(nBatches - 1) // batch 1 pays state-store init
       val rows = ps.map(_.numInputRows).sum
       val ms = ps.map(_.durationMs.get("triggerExecution").toLong).sum
+      // state-store telemetry (VERDICT r6 #8): rows and bytes held per
+      // operator at the LAST observed micro-batch — the number a
+      // 100 TB/day deployment capacity-plans its state store on
+      // (rows/s says nothing about whether state is O(keys) bounded
+      // or accreting without eviction)
+      val st = ps.lastOption.toSeq.flatMap(_.stateOperators.toSeq)
+      val stateRows = st.map(_.numRowsTotal).sum
+      val stateBytes = st.map(_.memoryUsedBytes).sum
       println(f"[soak] $name%-18s batches=${ps.length} " +
-        f"rows=$rows ms=$ms rows_s=${rows * 1000.0 / ms}%,.0f")
+        f"rows=$rows ms=$ms rows_s=${rows * 1000.0 / ms}%,.0f " +
+        f"state_rows=$stateRows state_mb=${stateBytes / 1048576.0}%.1f")
     }
 
     soak("sessionize_tws", "append")(ev =>
