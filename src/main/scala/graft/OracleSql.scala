@@ -1570,6 +1570,11 @@ object OracleSql {
       // exact integers; the final argmin assignment ties to the
       // lowest pick order. Mirrors Similarity.kCenterSelect.
       val k = 8
+      // center lookup is an equi-join to the 1-row p$i CTE, NOT a
+      // scalar subquery in the join predicate — DuckDB 1.0 plans the
+      // scalar form as a re-evaluated filter and q_kcenter went from
+      // 0.7s to unbounded (>45 min, 80 GB) at sf0.1; the join form is
+      // the same rows (asserted identical at sf0.01 before switching)
       val rounds = (2 to k).map { i =>
         s"""p$i AS MATERIALIZED (
            |  SELECT vec_id FROM m${i - 1}
@@ -1580,8 +1585,9 @@ object OracleSql {
            |    SELECT f.vec_id,
            |      CAST(sum((f.code - c.code) * (f.code - c.code))
            |        AS BIGINT) AS d
-           |    FROM codes f JOIN codes c ON c.pos = f.pos
-           |      AND c.vec_id = (SELECT vec_id FROM p$i)
+           |    FROM p$i pp
+           |    JOIN codes c ON c.vec_id = pp.vec_id
+           |    JOIN codes f ON f.pos = c.pos
            |    GROUP BY 1) d ON d.vec_id = m.vec_id)""".stripMargin
       }.mkString(",\n")
       val centsUnion = (1 to k).map(i =>
@@ -1605,8 +1611,9 @@ object OracleSql {
          |m1 AS MATERIALIZED (
          |  SELECT f.vec_id,
          |    CAST(sum((f.code - c.code) * (f.code - c.code)) AS BIGINT) AS mind
-         |  FROM codes f JOIN codes c ON c.pos = f.pos
-         |    AND c.vec_id = (SELECT vec_id FROM p1)
+         |  FROM p1 pp
+         |  JOIN codes c ON c.vec_id = pp.vec_id
+         |  JOIN codes f ON f.pos = c.pos
          |  GROUP BY 1),
          |$rounds,
          |cents AS MATERIALIZED (
@@ -2805,6 +2812,82 @@ object OracleSql {
         |  END AS shrunk_6,
         |  round(alpha, 6) AS alpha_6, round(beta, 6) AS beta_6
         |FROM sg CROSS JOIN ab""".stripMargin,
+
+    "q_kruskal_wallis" ->
+      // Stats.kruskalWallis mirror: 2·midrank = 2·cum + t + 1 exact
+      // BIGINT carriers from value-cardinality tie counts; the per-
+      // group (2R)²/(4n) doubles folded in group-key order with a
+      // prepended 0.0 so the fold tree matches Spark's aggregate(init
+      // 0.0) exactly; fixed H / tie-correction expression trees, 6dp
+      """WITH d AS (SELECT CAST(event_type AS VARCHAR) AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM d
+        |  GROUP BY 1),
+        |ranked AS (SELECT v, t,
+        |    2 * coalesce(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + t + 1 AS mr2
+        |  FROM vals),
+        |rg AS (SELECT g, CAST(sum(n_gv) AS BIGINT) AS n_g,
+        |    CAST(sum(n_gv * mr2) AS BIGINT) AS r2_g
+        |  FROM (SELECT g, v, CAST(count(*) AS BIGINT) AS n_gv
+        |    FROM d GROUP BY 1, 2) gv
+        |  JOIN ranked USING (v) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS nn,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie FROM ranked),
+        |fold AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+        |        / (4.0 * CAST(n_g AS DOUBLE)) ORDER BY g)),
+        |      (a, b) -> a + b) AS s
+        |  FROM rg)
+        |SELECT nn AS n_total, k AS n_groups,
+        |  round(12.0 * s / (CAST(nn AS DOUBLE)
+        |      * (CAST(nn AS DOUBLE) + 1.0))
+        |    - 3.0 * (CAST(nn AS DOUBLE) + 1.0), 6) AS h_6,
+        |  CASE WHEN CAST(tie AS DOUBLE) = CAST(nn AS DOUBLE)
+        |      * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |      - CAST(nn AS DOUBLE) THEN NULL
+        |    ELSE round((12.0 * s / (CAST(nn AS DOUBLE)
+        |        * (CAST(nn AS DOUBLE) + 1.0))
+        |      - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+        |      / (1.0 - CAST(tie AS DOUBLE) / (CAST(nn AS DOUBLE)
+        |        * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |        - CAST(nn AS DOUBLE))), 6)
+        |  END AS h_tie_6
+        |FROM fold CROSS JOIN tot""".stripMargin,
+
+    "q_mase" ->
+      // TimeSeries.maseBaseline mirror: daily integer-cents series per
+      // event type, naive-1 and seasonal-naive-7 absolute lag errors,
+      // floor-div micro-unit MAEs and their ratio — integers end to
+      // end; keys with no seasonal lag (or a flat seasonal pattern)
+      // emit null mase
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |lagd AS (SELECT event_type,
+        |    abs(cents - lag(cents, 1) OVER w) AS e1,
+        |    abs(cents - lag(cents, 7) OVER w) AS es
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(count(e1) AS BIGINT) AS n1,
+        |    CAST(sum(e1) AS BIGINT) AS s1,
+        |    CAST(count(es) AS BIGINT) AS ns,
+        |    CAST(sum(es) AS BIGINT) AS ss
+        |  FROM lagd GROUP BY 1)
+        |SELECT event_type, n_points,
+        |  CASE WHEN n1 = 0 THEN NULL
+        |    ELSE s1 * 1000000 // n1 END AS mae1_micro,
+        |  CASE WHEN ns = 0 THEN NULL
+        |    ELSE ss * 1000000 // ns END AS mae_season_micro,
+        |  CASE WHEN ns = 0 OR ss = 0 OR n1 = 0 THEN NULL
+        |    ELSE (s1 * 1000000 // n1) * 1000000
+        |      // (ss * 1000000 // ns) END AS mase_micro
+        |FROM a""".stripMargin,
 
     "q_dedup_cluster" -> {
       // same corpus/shingle/pair fragments as q_dedup_ngram, then the

@@ -1255,6 +1255,33 @@ object SparkEntry {
       Seq("lang", "source"), $"n_chars" >= 350)
   }
 
+  /** C93: Kruskal–Wallis H across the five event types' value
+    * distributions (integer cents) — k-group rank test, exact 2·midrank
+    * carriers, group-key-ordered final fold at 6dp
+    * (operators.Stats.kruskalWallis).
+    */
+  private def qKruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Stats.kruskalWallis(
+      table(s, dir, "events")
+        .select($"event_type",
+          floor($"value" * 100 + 0.5).cast("long").as("cents")),
+      "event_type", "cents")
+  }
+
+  /** F37: MASE forecast-baseline skill per event type over the daily
+    * revenue series — naive-1 MAE vs seasonal-naive-7 MAE, exact
+    * integer micro-units (operators.TimeSeries.maseBaseline).
+    */
+  private def qMase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = table(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+    operators.TimeSeries.maseBaseline(daily, "event_type", "day",
+      "cents", season = 7)
+  }
+
   /** E76: per-node local clustering coefficient over the near-dup
     * graph — lcc ≈ 1 marks true duplicate-clique members, lcc ≈ 0
     * marks LSH-chain bridges survivorship should distrust. Exact
@@ -4625,6 +4652,8 @@ object SparkEntry {
     "q_bradley_terry" -> (qBradleyTerry _),
     "q_distinct_ngrams" -> (qDistinctNgrams _),
     "q_eb_shrinkage" -> (qEbShrinkage _),
+    "q_kruskal_wallis" -> (qKruskalWallis _),
+    "q_mase" -> (qMase _),
     "q_locf" -> (qLocf _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_k_anonymize" -> (qKAnonymize _),

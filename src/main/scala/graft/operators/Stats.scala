@@ -1419,6 +1419,70 @@ object Stats {
       .drop("__bkt", "__boff")
   }
 
+  /** C93: Kruskal–Wallis H (Kruskal & Wallis, JASA 1952) — "is ANY of
+    * k groups different", the k-group extension of C71 Mann–Whitney
+    * (which this collapses to at k = 2) and the nonparametric sibling
+    * of the C43 z read-out: rank-based, so value outliers can't buy a
+    * significant H.
+    *
+    * Exactness: mid-ranks are half-integers, so everything carries
+    * 2·midrank = 2·cum + t + 1 (exact BIGINT from value-cardinality
+    * tie counts); per-group rank sums are exact; the only floats are
+    * the final H assembly — per-group terms (2R_g)²/(4n_g) folded in
+    * GROUP-KEY order (the ln-sum rule: a fixed fold order makes the
+    * double sum engine-identical), one fixed expression tree, 6dp.
+    * Tie correction C = 1 − Σ(t³−t)/(N³−N); all-tied input → C = 0 →
+    * h_tie_6 null.
+    *
+    * Scale shape: ranks come from VALUE-cardinality tie counts (one
+    * keyed agg + a window over distinct values — never a row-level
+    * global sort); group terms are group-cardinality.
+    *
+    * @return one row: (n_total, n_groups, h_6, h_tie_6).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val d = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val vals = d.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    // distinct-value window: value-cardinality rows, tiny by
+    // construction relative to the data (the winsorize discipline)
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals
+      .withColumn("cum", coalesce(sum(col("t")).over(w), lit(0L)))
+      .select(col("v"), col("t"),
+        (lit(2L) * col("cum") + col("t") + 1L).as("mr2"))
+    val rg = d.groupBy(col("g"), col("v")).agg(count(lit(1)).as("n_gv"))
+      .join(ranked, "v")
+      .groupBy(col("g"))
+      .agg(sum(col("n_gv")).as("n_g"),
+        sum(col("n_gv") * col("mr2")).as("r2_g"))
+    val tot = ranked.agg(sum(col("t")).as("nn"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie"))
+    val folded = rg
+      .agg(array_sort(collect_list(
+        struct(col("g"), col("n_g"), col("r2_g")))).as("arr"))
+      .crossJoin(broadcast(tot))
+    val s = aggregate(transform(col("arr"), x =>
+        (x("r2_g").cast("double") * x("r2_g").cast("double")) /
+          (lit(4.0) * x("n_g").cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val nnD = col("nn").cast("double")
+    val h = lit(12.0) * col("s") / (nnD * (nnD + 1.0)) -
+      lit(3.0) * (nnD + 1.0)
+    val c = lit(1.0) - col("tie").cast("double") /
+      (nnD * nnD * nnD - nnD)
+    folded.withColumn("s", s)
+      .select(col("nn").as("n_total"),
+        size(col("arr")).cast("long").as("n_groups"),
+        round(h, 6).as("h_6"),
+        when(col("tie").cast("double") === nnD * nnD * nnD - nnD,
+          lit(null).cast("double"))
+          .otherwise(round(h / c, 6)).as("h_tie_6"))
+  }
+
   /** C92: empirical-Bayes beta-binomial shrinkage of per-segment rates
     * (Robbins 1956 lineage; the method-of-moments beta fit every
     * "which domain/source is actually good" table needs): a segment

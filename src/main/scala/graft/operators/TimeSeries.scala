@@ -921,4 +921,51 @@ object TimeSeries {
         col("mrbar_milli"), col("__st.z").as("ewma_micro"),
         col("__st.nb").as("n_breaches"))
   }
+
+  /** F37: MASE-style forecast-baseline skill (Hyndman & Koehler, IJF
+    * 2006) — before trusting F14 Holt-Winters or F10 Holt on a series,
+    * measure whether even the trivial forecasters have signal: per key
+    * the MAE of the naive-1 forecast (ŷₜ = yₜ₋₁) against the MAE of
+    * the seasonal-naive (ŷₜ = yₜ₋ₘ); mase < 10⁶ (micro-units) means
+    * the last observation already beats the seasonal repeat — a series
+    * where NEITHER beats noise isn't worth a model.
+    *
+    * Exactness: values are integer cents, absolute lag errors are
+    * exact BIGINTs, both MAEs and their ratio in floor-div micro-units
+    * — integers end to end. Per-key windows ordered by the sequence
+    * column — keyed partitions, never a global sort. Keys with fewer
+    * than season+1 points emit null mase (no seasonal error exists);
+    * a flat seasonal pattern (mae_season = 0) also emits null rather
+    * than a division blow-up.
+    *
+    * @return per key: (key, n_points, mae1_micro, mase_season_micro,
+    *         mase_micro).
+    */
+  def maseBaseline(df: DataFrame, keyCol: String, seqCol: String,
+                   centsCol: String, season: Int): DataFrame = {
+    require(season >= 2, s"maseBaseline: season $season (use ≥ 2; " +
+      "season 1 is the naive-1 numerator itself)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k")).orderBy(col("s"))
+    val d = df.select(col(keyCol).as("k"), col(seqCol).as("s"),
+        col(centsCol).cast("long").as("v"))
+      .withColumn("e1", abs(col("v") - lag(col("v"), 1).over(w)))
+      .withColumn("es", abs(col("v") - lag(col("v"), season).over(w)))
+    d.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_points"),
+        count(col("e1")).as("n1"), sum(col("e1")).as("s1"),
+        count(col("es")).as("ns"), sum(col("es")).as("ss"))
+      .select(col("k").as(keyCol), col("n_points"),
+        when(col("n1") === 0, lit(null))
+          .otherwise(expr("s1 * 1000000 div n1")).cast("long")
+          .as("mae1_micro"),
+        when(col("ns") === 0, lit(null))
+          .otherwise(expr("ss * 1000000 div ns")).cast("long")
+          .as("mae_season_micro"),
+        when(col("ns") === 0 || col("ss") === 0 || col("n1") === 0,
+          lit(null))
+          .otherwise(expr(
+            "(s1 * 1000000 div n1) * 1000000 div (ss * 1000000 div ns)"))
+          .cast("long").as("mase_micro"))
+  }
 }

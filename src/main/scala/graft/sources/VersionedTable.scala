@@ -89,15 +89,119 @@ object VersionedTable {
     commit(0)
   }
 
-  /** Read a pinned version, or the latest when `version` is None. */
+  /** Read a pinned version, or the latest when `version` is None.
+    * Deletion-vector versions ([[softDelete]]) resolve transparently:
+    * the base version is read and the chained deleted-key sets are
+    * anti-joined (broadcast — DVs are delete-request-sized, never
+    * data-sized).
+    */
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): DataFrame = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no versions under $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    spark.read.parquet(new Path(dir, s"v=$v").toString)
+    resolve(spark, dir, v, 0)
   }
+
+  private def dvBaseFile(dir: String, v: Long) =
+    new Path(new Path(dir, s"v=$v"), "_dv_base")
+
+  /** (base version, key column) when v is a deletion-vector version. */
+  private def dvInfo(spark: SparkSession, dir: String,
+                     v: Long): Option[(Long, String)] = {
+    val p = dvBaseFile(dir, v)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val line =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .next()
+        finally in.close()
+      val Array(b, k) = line.split("\t", 2)
+      Some((b.toLong, k))
+    }
+  }
+
+  private def resolve(spark: SparkSession, dir: String, v: Long,
+                      depth: Int): DataFrame = {
+    require(depth <= 64,
+      s"deletion-vector chain deeper than 64 under $dir — compact")
+    dvInfo(spark, dir, v) match {
+      case None =>
+        spark.read.parquet(new Path(dir, s"v=$v").toString)
+      case Some((base, keyCol)) =>
+        import org.apache.spark.sql.functions.broadcast
+        val keys = spark.read.parquet(
+          new Path(new Path(dir, s"v=$v"), "dv").toString)
+        resolve(spark, dir, base, depth + 1)
+          .join(broadcast(keys), Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** D12: merge-on-read delete (Delta deletion vectors / Iceberg
+    * equality deletes reduced to essentials): publish a new version
+    * that holds ONLY the deleted-key set plus a pointer to its base
+    * version — at 100 TB a thousand-row delete must not rewrite the
+    * table, and with immutable versions it must not touch the base
+    * either. Readers resolve the chain transparently ([[read]]);
+    * [[compact]] folds a long chain back into a full rewrite on YOUR
+    * schedule, not the delete's. For GDPR-grade HARD erasure use
+    * [[eraseKeys]] — a DV hides rows, the bytes remain until compact +
+    * prune.
+    *
+    * Same commit protocol as [[write]]: staged under a writer-unique
+    * temp dir, version assigned by rename CAS.
+    */
+  def softDelete(spark: SparkSession, dir: String, keyCol: String,
+                 keys: DataFrame, expectedParent: Option[Long] = None,
+                 maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1)
+    require(!keyCol.contains("\t"), "key column name cannot contain tab")
+    val tmp = new Path(dir, s"__v_tmp_${java.util.UUID.randomUUID()}")
+    keys.select(keys.columns.head).toDF(keyCol).distinct()
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new Path(tmp, "dv").toString)
+    val f = fs(spark, tmp)
+    @scala.annotation.tailrec
+    def commit(attempt: Int): Long = {
+      val last = versions(spark, dir).lastOption.getOrElse(0L)
+      require(last >= 1, s"softDelete: no base version under $dir")
+      expectedParent.foreach { p =>
+        if (last != p) {
+          f.delete(tmp, true)
+          throw new java.util.ConcurrentModificationException(
+            s"softDelete: expected parent v=$p but latest is v=$last " +
+              s"under $dir — re-derive and retry")
+        }
+      }
+      // (re)point the DV at the CURRENT latest — a CAS loser must not
+      // silently hide the racing writer's version behind a stale base
+      val mp = new Path(tmp, "_dv_base")
+      if (f.exists(mp)) f.delete(mp, false)
+      val out = f.create(mp, false)
+      try out.write(s"$last\t$keyCol".getBytes("UTF-8"))
+      finally out.close()
+      val dest = new Path(dir, s"v=${last + 1}")
+      if (f.rename(tmp, dest)) last + 1
+      else if (attempt + 1 < maxAttempts) commit(attempt + 1)
+      else {
+        f.delete(tmp, true)
+        throw new java.io.IOException(
+          s"softDelete: lost the commit race $maxAttempts times under " +
+            dir)
+      }
+    }
+    commit(0)
+  }
+
+  /** Fold the current view (base minus every chained deletion vector)
+    * into one full version — the merge-on-read debt repayment.
+    * @return the new full version number.
+    */
+  def compact(spark: SparkSession, dir: String): Long =
+    write(read(spark, dir), dir)
 
   /** Drop all but the newest `keep` versions. Readers pinned to a
     * pruned version fail on their NEXT read — retention must exceed
@@ -106,6 +210,16 @@ object VersionedTable {
   def prune(spark: SparkSession, dir: String, keep: Int): Seq[Long] = {
     val vs = versions(spark, dir)
     val drop = vs.dropRight(keep)
+    val kept = vs.takeRight(keep)
+    // a surviving deletion-vector version must not lose its base:
+    // refuse rather than leave an unreadable chain ([[compact]] first)
+    kept.foreach { v =>
+      dvInfo(spark, dir, v).foreach { case (base, _) =>
+        require(!drop.contains(base),
+          s"prune: surviving DV version v=$v references base v=$base " +
+            s"which would be dropped — compact($dir) first")
+      }
+    }
     val f = fs(spark, new Path(dir))
     drop.foreach(v => f.delete(new Path(dir, s"v=$v"), true))
     drop

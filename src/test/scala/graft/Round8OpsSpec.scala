@@ -432,6 +432,79 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(fg.forall(r => r.getDouble(4) == 0.5 && r.isNullAt(5)))
   }
 
+  test("kruskalWallis ≡ definitional H with mid-ranks and ties; " +
+    "separation orders H") {
+    import graft.operators.Stats
+    val rows = Seq(
+      ("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 4L), ("b", 5L), ("b", 5L),
+      ("c", 5L), ("c", 6L), ("c", 7L))
+    val got = Stats.kruskalWallis(rows.toDF("g", "v"), "g", "v").head
+    // brute: global mid-ranks with ties, definitional H, tie correction
+    val sorted = rows.map(_._2).sorted
+    def midrank(v: Long): Double = {
+      val first = sorted.indexOf(v) + 1
+      val last = sorted.lastIndexOf(v) + 1
+      (first + last) / 2.0
+    }
+    val n = rows.size.toDouble
+    val groups = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val s = groups.map { case (_, rs) =>
+      val r = rs.map(x => midrank(x._2)).sum
+      r * r / rs.size
+    }.sum
+    val h = 12.0 * s / (n * (n + 1)) - 3 * (n + 1)
+    val tie = rows.groupBy(_._2).map { case (_, t) =>
+      val c = t.size.toLong; c * c * c - c }.sum.toDouble
+    val hTie = h / (1 - tie / (n * n * n - n))
+    assert(got.getLong(0) == rows.size && got.getLong(1) == 3)
+    assert(math.abs(got.getDouble(2) - h) < 1e-6, s"h ${got.getDouble(2)} vs $h")
+    assert(math.abs(got.getDouble(3) - hTie) < 1e-6)
+    // fully separated groups score higher than interleaved ones
+    val sep = Stats.kruskalWallis(Seq(("a", 1L), ("a", 2L), ("b", 10L),
+      ("b", 11L), ("c", 20L), ("c", 21L)).toDF("g", "v"), "g", "v")
+      .head.getDouble(2)
+    val mix = Stats.kruskalWallis(Seq(("a", 1L), ("a", 20L), ("b", 2L),
+      ("b", 21L), ("c", 10L), ("c", 11L)).toDF("g", "v"), "g", "v")
+      .head.getDouble(2)
+    assert(sep > mix)
+    // all-tied input: correction denominator 0 -> null
+    val flat = Stats.kruskalWallis(Seq(("a", 5L), ("b", 5L), ("c", 5L))
+      .toDF("g", "v"), "g", "v").head
+    assert(flat.isNullAt(3))
+  }
+
+  test("maseBaseline ≡ brute lag errors; short/flat series null out") {
+    val series =
+      (1 to 20).map(i => ("k1", i, (100 + (i % 7) * 10 + i).toLong)) ++
+        (1 to 5).map(i => ("k2", i, 50L + i)) ++ // shorter than season
+        (1 to 12).map(i => ("k3", i, 100L)) // flat -> seasonal MAE 0
+    val got = TimeSeries.maseBaseline(series.toDF("k", "t", "cents"),
+        "k", "t", "cents", season = 7)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def brute(key: String): (Long, Option[Long], Option[Long]) = {
+      val vs = series.filter(_._1 == key).sortBy(_._2).map(_._3)
+      val e1 = vs.zip(vs.drop(1)).map { case (a, b) => math.abs(b - a) }
+      val es = vs.zip(vs.drop(7)).map { case (a, b) => math.abs(b - a) }
+      (vs.size.toLong,
+        if (e1.isEmpty) None else Some(e1.sum * 1000000L / e1.size),
+        if (es.isEmpty) None else Some(es.sum * 1000000L / es.size))
+    }
+    Seq("k1", "k2", "k3").foreach { key =>
+      val (np, m1, ms) = brute(key)
+      val r = got(key)
+      assert(r.getLong(1) == np)
+      assert((if (r.isNullAt(2)) None else Some(r.getLong(2))) == m1)
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == ms)
+    }
+    // k1 has signal: mase present and equals the integer ratio
+    val (_, Some(m1), Some(ms)) = brute("k1")
+    assert(got("k1").getLong(4) == m1 * 1000000L / ms)
+    // k2: no 7-lag pairs; k3: flat seasonal MAE — both null mase
+    assert(got("k2").isNullAt(4))
+    assert(got("k3").isNullAt(4))
+  }
+
   test("autoQueryMod: exact ceil(pairs/budget), floor 1, budget bound") {
     import graft.operators.Similarity
     assert(Similarity.autoQueryMod(0L) == 1)

@@ -155,6 +155,46 @@ class WritersSpec extends AnyFunSuite {
       .exists(_.getName.startsWith("__v_tmp")))
   }
 
+  test("versioned table: deletion vectors hide rows without rewriting; " +
+    "chain resolves, compact folds, prune refuses a broken chain") {
+    import graft.sources.VersionedTable
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft_dv").toString + "/t"
+    VersionedTable.write((1L to 10L).map(i => (i, s"row$i")).toDF("k", "s"),
+      dir)
+    // merge-on-read delete: v2 holds ONLY the key set + base pointer
+    val v2 = VersionedTable.softDelete(spark, dir, "k",
+      Seq(3L, 7L).toDF("k"))
+    assert(v2 == 2L)
+    val cur = VersionedTable.read(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(cur == (1L to 10L).toSet -- Set(3L, 7L))
+    // the base version is untouched: time travel still shows the rows
+    assert(VersionedTable.read(spark, dir, Some(1L)).count() == 10)
+    // chained DV on a DV: resolves through both
+    val v3 = VersionedTable.softDelete(spark, dir, "k", Seq(1L).toDF("k"))
+    assert(v3 == 3L)
+    assert(VersionedTable.read(spark, dir).count() == 7)
+    // pruning away the base under a surviving DV is refused
+    intercept[IllegalArgumentException] {
+      VersionedTable.prune(spark, dir, keep = 2)
+    }
+    // compact folds the chain into a full version; prune then works
+    val v4 = VersionedTable.compact(spark, dir)
+    assert(v4 == 4L)
+    assert(VersionedTable.prune(spark, dir, keep = 1) == Seq(1L, 2L, 3L))
+    val folded = VersionedTable.read(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(folded == (1L to 10L).toSet -- Set(1L, 3L, 7L))
+    // CAS: a stale expectedParent soft delete aborts cleanly
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.softDelete(spark, dir, "k", Seq(2L).toDF("k"),
+        expectedParent = Some(1L))
+    }
+    assert(VersionedTable.versions(spark, dir) == Seq(4L))
+  }
+
   test("versioned table: eraseKeys removes rows from every readable version") {
     import graft.sources.VersionedTable
     val spark2 = spark
