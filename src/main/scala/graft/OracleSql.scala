@@ -2813,6 +2813,46 @@ object OracleSql {
         |  round(alpha, 6) AS alpha_6, round(beta, 6) AS beta_6
         |FROM sg CROSS JOIN ab""".stripMargin,
 
+    "q_dsir" ->
+      // Corpus.dsirSelect mirror: hashed-unigram buckets (same 48-bit
+      // md5-prefix integers), add-one log ratios as ONE ln of an
+      // exact-integer rational, per-doc position-ordered ln fold with
+      // a prepended 0.0 (matches Spark's aggregate init), 6dp; greedy
+      // top-100 under (logw_6 desc, id)
+      s"""WITH srct AS (
+         |  SELECT id, u.i - 1 AS pos,
+         |    CAST('0x' || substring(md5(ws[u.i]), 1, 12) AS BIGINT)
+         |      % 4096 AS b
+         |  FROM (SELECT doc_id AS id,
+         |      string_split(${normOf("text")}, ' ') AS ws
+         |    FROM documents) t,
+         |    unnest(generate_series(1, len(ws))) AS u(i)),
+         |tgtt AS (
+         |  SELECT CAST('0x' || substring(md5(ws[u.i]), 1, 12) AS BIGINT)
+         |      % 4096 AS b
+         |  FROM (SELECT string_split(${normOf("text")}, ' ') AS ws
+         |    FROM documents WHERE lang = 'en') t,
+         |    unnest(generate_series(1, len(ws))) AS u(i)),
+         |sc AS (SELECT b, CAST(count(*) AS BIGINT) AS cs FROM srct
+         |  GROUP BY 1),
+         |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tgtt
+         |  GROUP BY 1),
+         |tot AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM srct) AS ts,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM tgtt) AS tt),
+         |lnrt AS MATERIALIZED (SELECT sc.b,
+         |    ln(CAST((coalesce(tc.ct, 0) + 1) * (ts + 4096) AS DOUBLE)
+         |      / CAST((sc.cs + 1) * (tt + 4096) AS DOUBLE)) AS lnr
+         |  FROM sc LEFT JOIN tc ON tc.b = sc.b CROSS JOIN tot),
+         |pd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(l.lnr ORDER BY pos)), (a, x) -> a + x), 6) AS logw_6
+         |  FROM srct JOIN lnrt l USING (b) GROUP BY 1)
+         |SELECT id AS doc_id, n_tokens, logw_6,
+         |  CAST(row_number() OVER (ORDER BY logw_6 DESC, id) AS BIGINT)
+         |    AS rank
+         |FROM pd ORDER BY logw_6 DESC, id LIMIT 100""".stripMargin,
+
     "q_kruskal_wallis" ->
       // Stats.kruskalWallis mirror: 2·midrank = 2·cum + t + 1 exact
       // BIGINT carriers from value-cardinality tie counts; the per-

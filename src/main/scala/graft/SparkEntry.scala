@@ -1243,6 +1243,18 @@ object SparkEntry {
     Corpus.distinctNgrams(table(s, dir, "documents"), "lang", "text",
       functions.TextFunctions.words)
 
+  /** E106: DSIR importance selection — target domain = the English
+    * documents, source = the whole corpus; hashed-unigram likelihood
+    * ratios, position-ordered ln folds at 6dp, deterministic greedy
+    * top-100 (operators.Corpus.dsirSelect).
+    */
+  private def qDsir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+    Corpus.dsirSelect(docs, docs.filter($"lang" === "en"), "doc_id",
+      "text", functions.TextFunctions.words, buckets = 4096, k = 100)
+  }
+
   /** C92: empirical-Bayes beta-binomial shrinkage of per-(lang,
     * source) long-document rates — method-of-moments prior from the
     * across-segment rate moments (exact integer inputs, one fixed
@@ -4654,6 +4666,7 @@ object SparkEntry {
     "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_mase" -> (qMase _),
+    "q_dsir" -> (qDsir _),
     "q_locf" -> (qLocf _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_k_anonymize" -> (qKAnonymize _),

@@ -1333,6 +1333,81 @@ object Corpus {
     * group-cardinality. distinct2_micro is null for a group with no
     * bigram (every doc < 2 tokens).
     */
+  /** E106: DSIR-style importance selection (Xie et al., NeurIPS 2023
+    * "Data Selection for Language Models via Importance Resampling") —
+    * THE modern pretraining-data curation move: pick from a huge raw
+    * SOURCE the documents that look most like a small TARGET domain,
+    * scored by a hashed bag-of-words likelihood ratio rather than a
+    * trained classifier (E60) — no labels, no training, two counting
+    * passes.
+    *
+    * Features are hashed word buckets (48-bit md5 prefix mod
+    * `buckets` — exact integers on both engines); per bucket the
+    * add-one-smoothed log ratio
+    * lnr(b) = ln( (ct(b)+1)·(Ts+B) / ((cs(b)+1)·(Tt+B)) )
+    * is ONE ln of an exact-integer rational; a document's importance
+    * log-weight is the position-ordered fold of its tokens' lnr values
+    * (the q_lm_score ln-sum discipline), rounded 6dp. Selection is the
+    * deterministic greedy form — top-k by (logw_6 desc, id) — rather
+    * than the paper's Gumbel resampling: reproducible across engines
+    * and runs, and at k ≪ n the two pick nearly the same set (the
+    * paper's noise mainly breaks ties at the boundary).
+    *
+    * Scale shape: two token-bucket count aggregates (map-combined), a
+    * broadcast bucket table (≤ `buckets` rows) joined into one source
+    * scan, top-k via orderBy+limit (TakeOrderedAndProject, no global
+    * sort). Loud guard: token totals ≤ 3·10⁹ so every smoothing
+    * product stays an exact BIGINT — at 100 TB the target is always a
+    * small domain sample anyway, and the source fold is per-doc.
+    *
+    * @return top-k source docs: (doc_id, n_tokens, logw_6, rank).
+    */
+  def dsirSelect(source: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, tokens: Column => Column,
+                 buckets: Int = 4096, k: Int = 100): DataFrame = {
+    require(buckets >= 2 && k >= 1)
+    def bucketed(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .select(col("id"), col("pos"),
+        (conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long")
+          % buckets).as("b"))
+    val src = bucketed(source)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tgt = bucketed(target)
+    val sc = src.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val tc = tgt.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = src.agg(count(lit(1)).as("ts"))
+      .crossJoin(tgt.agg(count(lit(1)).as("tt"))).head
+    val (ts, tt) = (totals.getLong(0), totals.getLong(1))
+    require(ts <= 3000000000L && tt <= 3000000000L,
+      s"dsirSelect: token totals ($ts, $tt) exceed the exact-BIGINT " +
+        "smoothing bound 3e9 — sample the corpora or shard")
+    // lnr per bucket over the SOURCE's buckets only (a bucket no
+    // source token hashes into can never contribute to a weight)
+    val lnrTab = sc.join(tc, Seq("b"), "left")
+      .select(col("b"),
+        log(((coalesce(col("ct"), lit(0L)) + 1L) * lit(ts + buckets))
+          .cast("double") /
+          ((col("cs") + 1L) * lit(tt + buckets)).cast("double"))
+          .as("lnr"))
+    val perDoc = src.join(broadcast(lnrTab), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lnr")))),
+            x => x.getField("lnr")),
+          lit(0.0), (acc, x) => acc + x), 6).as("logw_6"))
+    val top = perDoc.orderBy(col("logw_6").desc, col("id")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("logw_6").desc, col("id"))
+    graft.sealResult(
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("logw_6"),
+          col("rank")),
+      src)
+  }
+
   def distinctNgrams(docs: DataFrame, groupCol: String, textCol: String,
                      tokens: Column => Column): DataFrame = {
     val w = docs.select(col(groupCol).as("grp"),

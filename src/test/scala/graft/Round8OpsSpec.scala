@@ -432,6 +432,51 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(fg.forall(r => r.getDouble(4) == 0.5 && r.isNullAt(5)))
   }
 
+  test("dsirSelect ≡ brute hashed likelihood-ratio weights; " +
+    "target-like docs outrank off-domain ones") {
+    val source = Seq(
+      (1L, "alpha alpha beta"), (2L, "gamma delta gamma"),
+      (3L, "alpha beta beta"), (4L, "delta delta"))
+      .toDF("doc_id", "text")
+    val target = Seq((9L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val got = Corpus.dsirSelect(source, target, "doc_id", "text",
+        TextFunctions.words, buckets = 64, k = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    // brute replay: same md5-prefix bucketing, add-one ratios,
+    // position-ordered fold, HALF_UP 6dp
+    def bucket(wrd: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(wrd.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(12), 16) % 64
+    }
+    val srcToks = Seq(1L -> "alpha alpha beta", 2L -> "gamma delta gamma",
+      3L -> "alpha beta beta", 4L -> "delta delta")
+      .map { case (id, t) => id -> t.split(" ").toSeq }
+    val tgtToks = Seq("alpha", "beta", "alpha", "beta")
+    val cs = srcToks.flatMap(_._2).groupBy(bucket)
+      .map { case (b, g) => b -> g.size.toLong }.withDefaultValue(0L)
+    val ct = tgtToks.groupBy(bucket)
+      .map { case (b, g) => b -> g.size.toLong }.withDefaultValue(0L)
+    val ts = srcToks.map(_._2.size).sum.toLong
+    val tt = tgtToks.size.toLong
+    def lnr(b: Long): Double =
+      math.log(((ct(b) + 1) * (ts + 64)).toDouble /
+        ((cs(b) + 1) * (tt + 64)).toDouble)
+    srcToks.foreach { case (id, toks) =>
+      val logw = toks.foldLeft(0.0)((acc, wd) => acc + lnr(bucket(wd)))
+      val exp = BigDecimal(logw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 == toks.size.toLong)
+      assert(got(id)._2 == exp, s"doc $id: ${got(id)._2} vs $exp")
+    }
+    // domain ordering: the alpha/beta docs above the gamma/delta ones
+    assert(got(1L)._2 > got(2L)._2 && got(3L)._2 > got(4L)._2)
+    assert(Seq(got(1L)._3, got(3L)._3).max <
+      Seq(got(2L)._3, got(4L)._3).min)
+  }
+
   test("kruskalWallis ≡ definitional H with mid-ranks and ties; " +
     "separation orders H") {
     import graft.operators.Stats
