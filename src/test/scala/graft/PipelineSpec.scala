@@ -182,4 +182,51 @@ class PipelineSpec extends AnyFunSuite {
       "graft.release must free the results' checkpoint storage")
   }
 
+  test("TaskDag: deterministic topo order, failure skips exactly the " +
+    "downstream cone, retries recover, cycles named") {
+    import graft.pipeline.TaskDag
+    import TaskDag.{Task, Succeeded, Failed, SkippedUpstream}
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    def t(name: String, deps: String*) =
+      Task(name, deps, () => { ran += name; () })
+    // diamond + independent branch: order is dependency-respecting and
+    // lexicographic among ready tasks — a pure function of the graph
+    val order = TaskDag.topoOrder(Seq(
+      t("facts", "dim_a", "dim_b"), t("dim_b"), t("dim_a"),
+      t("publish", "facts", "quality"), t("quality", "facts"),
+      t("independent")))
+    // Kahn pops the lexicographically smallest READY task: facts
+    // becomes ready once dim_b lands and wins over independent
+    assert(order == Seq("dim_a", "dim_b", "facts", "independent",
+      "quality", "publish"))
+    // failure in dim_b: facts/quality/publish skipped WITH the root
+    // cause named; dim_a and independent still run
+    ran.clear()
+    val boom = new RuntimeException("boom")
+    val rep = TaskDag.run(Seq(
+      t("dim_a"), Task("dim_b", Nil, () => throw boom),
+      t("facts", "dim_a", "dim_b"), t("quality", "facts"),
+      t("publish", "facts", "quality"), t("independent")))
+    assert(ran.toSeq == Seq("dim_a", "independent"))
+    assert(rep.status("dim_b") == Failed(1, boom))
+    assert(rep.status("facts") == SkippedUpstream("dim_b"))
+    assert(rep.status("publish") == SkippedUpstream("dim_b"))
+    assert(rep.status("dim_a") == Succeeded(1) && !rep.succeeded)
+    // a transient failure recovers within maxAttempts
+    var n = 0
+    val retry = TaskDag.run(Seq(Task("flaky", Nil,
+      () => { n += 1; if (n < 3) throw new RuntimeException("transient") },
+      maxAttempts = 3)))
+    assert(retry.status("flaky") == Succeeded(3) && retry.succeeded)
+    // cycles are detected and NAMED, not just counted
+    val ex = intercept[IllegalArgumentException] {
+      TaskDag.topoOrder(Seq(t("a", "c"), t("b", "a"), t("c", "b"),
+        t("root")))
+    }
+    assert(ex.getMessage.contains("->"), ex.getMessage)
+    // unknown dependency fails loudly
+    intercept[IllegalArgumentException] {
+      TaskDag.topoOrder(Seq(t("x", "nope")))
+    }
+  }
 }

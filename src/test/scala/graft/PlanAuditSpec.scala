@@ -552,4 +552,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(nv.contains("word_shingles"))
     assert(!nv.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("round-8 ops: dsir ratio table broadcasts into one source scan " +
+    "with TakeOrdered top-k; mase windows are keyed") {
+    // dsir: the ≤buckets-row lnr table must come back as a broadcast
+    // hash join (the corpus never shuffles for it), and selection is
+    // TakeOrderedAndProject — not a global sort
+    val ds = plan("q_dsir")
+    assert(ds.contains("BroadcastHashJoin"), ds.take(1500))
+    assert(ds.contains("TakeOrderedAndProject"), ds.take(1500))
+    // mase: both lag windows ride ONE keyed partitioning — never a
+    // single-partition global window over the series
+    val ms = plan("q_mase")
+    assert(ms.contains("hashpartitioning(k#"), ms.take(1500))
+    // kruskal-wallis: the only window is over DISTINCT VALUES
+    // (value-cardinality, documented); the data-sized aggregates are
+    // hash aggregates, and nothing nested-loops
+    val kw = plan("q_kruskal_wallis")
+    assert(kw.contains("HashAggregate"), kw.take(1200))
+    assert(!kw.contains("CartesianProduct"))
+  }
 }
