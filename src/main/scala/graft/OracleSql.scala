@@ -2853,6 +2853,67 @@ object OracleSql {
          |    AS rank
          |FROM pd ORDER BY logw_6 DESC, id LIMIT 100""".stripMargin,
 
+    "q_fdr_battery" -> {
+      def hv(i: Int) =
+        s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+      val h12 = (2 to 12).foldLeft(hv(1))((acc, i) =>
+        s"(16*$acc + ${hv(i)})")
+      // Stats.permutationBatteryFdr mirror: the q_perm_test machinery
+      // with the segment threaded through every stage, then the BH
+      // step-up by exact integer cross-multiplication (p·m ≤ rank·q)
+      s"""WITH d AS (SELECT event_type AS seg,
+         |    extract(day FROM ts) <= 15 AS isa,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         |    md5(CAST(event_id AS VARCHAR)) AS h
+         |  FROM events),
+         |ds AS (SELECT seg, isa, v, CAST($h12 AS BIGINT) AS seed FROM d),
+         |ob AS (SELECT seg,
+         |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN isa THEN v ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN isa THEN 0 ELSE v END) AS BIGINT) AS sb
+         |  FROM ds GROUP BY 1),
+         |obs AS (SELECT seg, n_a, n_b,
+         |    CAST(sa * 1000000 // n_a - sb * 1000000 // n_b AS BIGINT)
+         |      AS diff_obs_micro,
+         |    CAST(n_a * 10000 // (n_a + n_b) AS BIGINT) AS pa_bp
+         |  FROM ob WHERE n_a > 0 AND n_b > 0),
+         |fl AS (SELECT ds.seg, ds.v, CAST(u.r AS BIGINT) AS r,
+         |    (ds.seed * (CAST(u.r AS BIGINT) * 2 + 1)
+         |      + CAST(u.r AS BIGINT)) % 10000 < obs.pa_bp AS toa
+         |  FROM ds JOIN obs USING (seg),
+         |    unnest(generate_series(1, 60)) AS u(r)),
+         |rd AS (SELECT seg, r,
+         |    CAST(sum(CASE WHEN toa THEN 1 ELSE 0 END) AS BIGINT) AS ma,
+         |    CAST(sum(CASE WHEN toa THEN 0 ELSE 1 END) AS BIGINT) AS mb,
+         |    CAST(sum(CASE WHEN toa THEN v ELSE 0 END) AS BIGINT) AS ra,
+         |    CAST(sum(CASE WHEN toa THEN 0 ELSE v END) AS BIGINT) AS rb
+         |  FROM fl GROUP BY 1, 2),
+         |df2 AS (SELECT seg,
+         |    CAST(ra * 1000000 // ma - rb * 1000000 // mb AS BIGINT)
+         |      AS diff_r
+         |  FROM rd WHERE ma > 0 AND mb > 0),
+         |tl AS (SELECT df2.seg, CAST(count(*) AS BIGINT) AS n_reps,
+         |    CAST(sum(CASE WHEN abs(diff_r) >= abs(obs.diff_obs_micro)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+         |  FROM df2 JOIN obs USING (seg) GROUP BY 1),
+         |pv AS (SELECT obs.seg, obs.n_a, obs.n_b, obs.diff_obs_micro,
+         |    CAST((1 + coalesce(tl.n_ge, 0)) * 1000000
+         |      // (coalesce(tl.n_reps, 0) + 1) AS BIGINT) AS p_micro
+         |  FROM obs LEFT JOIN tl USING (seg)),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+         |rk AS (SELECT pv.*, m,
+         |    CAST(row_number() OVER (ORDER BY p_micro, seg) AS BIGINT)
+         |      AS "rank"
+         |  FROM pv CROSS JOIN mm),
+         |ks AS (SELECT coalesce(max(CASE
+         |    WHEN p_micro * m <= "rank" * 100000 THEN "rank" END), 0)
+         |    AS kstar FROM rk)
+         |SELECT seg AS event_type, n_a, n_b, diff_obs_micro, p_micro,
+         |  "rank", "rank" <= kstar AS rejected
+         |FROM rk CROSS JOIN ks""".stripMargin
+    },
+
     "q_kruskal_wallis" ->
       // Stats.kruskalWallis mirror: 2·midrank = 2·cum + t + 1 exact
       // BIGINT carriers from value-cardinality tie counts; the per-

@@ -1267,6 +1267,22 @@ object SparkEntry {
       Seq("lang", "source"), $"n_chars" >= 350)
   }
 
+  /** C94: permutation battery + BH FDR — per event type, did values
+    * drift between the first and second half of each month? One
+    * md5-relabeling permutation test per segment, then Benjamini-
+    * Hochberg at q = 0.1 by exact integer cross-multiplication
+    * (operators.Stats.permutationBatteryFdr).
+    */
+  private def qFdrBattery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Stats.permutationBatteryFdr(
+      table(s, dir, "events")
+        .select($"event_type", $"event_id",
+          (dayofmonth($"ts") <= 15).as("first_half"),
+          floor($"value" * 100 + 0.5).cast("long").as("cents")),
+      "event_type", "event_id", $"first_half", "cents")
+  }
+
   /** C93: Kruskal–Wallis H across the five event types' value
     * distributions (integer cents) — k-group rank test, exact 2·midrank
     * carriers, group-key-ordered final fold at 6dp
@@ -4667,6 +4683,7 @@ object SparkEntry {
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),
+    "q_fdr_battery" -> (qFdrBattery _),
     "q_locf" -> (qLocf _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_k_anonymize" -> (qKAnonymize _),

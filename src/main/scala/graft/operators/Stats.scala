@@ -1419,6 +1419,89 @@ object Stats {
       .drop("__bkt", "__boff")
   }
 
+  /** C94: grouped permutation battery + Benjamini–Hochberg step-up
+    * (Benjamini & Hochberg, JRSS-B 1995) — the multiple-testing layer
+    * every monitoring battery needs: running C75's permutation test
+    * over k segments and acting on every p < 0.05 discovers ~k/20
+    * false "drifts" on pure noise; BH bounds the EXPECTED FALSE
+    * DISCOVERY RATE at q instead.
+    *
+    * Per segment: C75's md5-seeded binomial-relabeling Monte-Carlo
+    * test verbatim (exact floor-div micro integers, add-one p-value,
+    * replicates with an empty side dropped). Across segments: ranks by
+    * (p asc, segment asc), k* = max{k : pₖ·m ≤ k·q} by exact integer
+    * cross-multiplication (never a float division), reject rank ≤ k*.
+    *
+    * Scale shape: the relabeling stage is data×reps rows but
+    * map-combines to (segment, rep) before anything wide; everything
+    * after is segment-cardinality (the only global window ranks the
+    * ≤k segment rows). A segment with either observed side empty is
+    * dropped (no test exists), same rule both engines.
+    *
+    * @param isA boolean column splitting each segment's rows into the
+    *            two compared groups.
+    * @return per segment: (segCol, n_a, n_b, diff_obs_micro, p_micro,
+    *         rank, rejected).
+    */
+  def permutationBatteryFdr(df: DataFrame, segCol: String, idCol: String,
+                            isA: Column, valueCol: String,
+                            reps: Int = 60,
+                            qMicro: Long = 100000L): DataFrame = {
+    require(reps >= 10 && reps <= 500 && qMicro >= 1 && qMicro <= 1000000L)
+    val d = df.select(col(segCol).as("seg"), isA.as("isa"),
+      col(valueCol).cast("long").as("v"),
+      conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+        .cast("long").as("seed"))
+    val obs = d.groupBy(col("seg")).agg(
+        sum(when(col("isa"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("isa"), 0L).otherwise(1L)).as("n_b"),
+        sum(when(col("isa"), col("v")).otherwise(0L)).as("sa"),
+        sum(when(col("isa"), 0L).otherwise(col("v"))).as("sb"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("seg"), col("n_a"), col("n_b"),
+        (expr("sa * 1000000 div n_a") - expr("sb * 1000000 div n_b"))
+          .as("diff_obs_micro"),
+        expr("n_a * 10000 div (n_a + n_b)").as("pa_bp"))
+    val flips = d.join(broadcast(obs.select(col("seg"), col("pa_bp"))),
+        "seg")
+      .withColumn("r", explode(lit((1 to reps).map(_.toLong).toArray)))
+      .withColumn("toA",
+        (col("seed") * (col("r") * 2 + 1) + col("r")) % 10000
+          < col("pa_bp"))
+    val repDiffs = flips.groupBy(col("seg"), col("r")).agg(
+        sum(when(col("toA"), 1L).otherwise(0L)).as("ma"),
+        sum(when(col("toA"), 0L).otherwise(1L)).as("mb"),
+        sum(when(col("toA"), col("v")).otherwise(0L)).as("ra"),
+        sum(when(col("toA"), 0L).otherwise(col("v"))).as("rb"))
+      .filter(col("ma") > 0 && col("mb") > 0)
+      .select(col("seg"),
+        (expr("ra * 1000000 div ma") - expr("rb * 1000000 div mb"))
+          .as("diff_r"))
+    val tail = repDiffs
+      .join(broadcast(obs.select(col("seg"),
+        col("diff_obs_micro").as("dobs"))), "seg")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(when(abs(col("diff_r")) >= abs(col("dobs")), 1L)
+          .otherwise(0L)).as("n_ge"))
+    val pv = obs.join(tail, Seq("seg"), "left")
+      .select(col("seg"), col("n_a"), col("n_b"), col("diff_obs_micro"),
+        expr("(1 + coalesce(n_ge, 0L)) * 1000000 div " +
+          "(coalesce(n_reps, 0L) + 1)").as("p_micro"))
+    val m = pv.agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("p_micro"), col("seg"))
+    val ranked = pv.crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val kstar = ranked
+      .agg(coalesce(max(when(
+        col("p_micro") * col("m") <= col("rank") * qMicro,
+        col("rank"))), lit(0L)).as("kstar"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("seg").as(segCol), col("n_a"), col("n_b"),
+        col("diff_obs_micro"), col("p_micro"), col("rank"),
+        (col("rank") <= col("kstar")).as("rejected"))
+  }
+
   /** C93: Kruskal–Wallis H (Kruskal & Wallis, JASA 1952) — "is ANY of
     * k groups different", the k-group extension of C71 Mann–Whitney
     * (which this collapses to at k = 2) and the nonparametric sibling

@@ -432,6 +432,42 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(fg.forall(r => r.getDouble(4) == 0.5 && r.isNullAt(5)))
   }
 
+  test("permutationBatteryFdr: planted shift rejected, null segments " +
+    "survive; BH step-up ≡ brute recompute on the returned p's") {
+    import graft.operators.Stats
+    // one truly shifted segment + three null segments
+    val rows =
+      (1 to 60).map(i => ("shifted", i.toLong, i % 2 == 0,
+        if (i % 2 == 0) 1000L else 0L)) ++
+      Seq("null_a", "null_b", "null_c").zipWithIndex.flatMap {
+        case (g, gi) =>
+          (1 to 60).map(i =>
+            (g, (1000 + gi * 100 + i).toLong, i % 2 == 0, 500L))
+      }
+    val got = Stats.permutationBatteryFdr(
+        rows.toDF("seg", "id", "isa", "v"), "seg", "id", col("isa"), "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    // the planted shift has the smallest p and is rejected at q=0.1
+    val (pShift, rankShift, rejShift) = got("shifted")
+    assert(rankShift == 1L && rejShift, got.toString)
+    // null segments: diff_obs = 0, every replicate ties or beats it →
+    // p = 1e6 exactly, never rejected
+    Seq("null_a", "null_b", "null_c").foreach { g =>
+      assert(got(g)._1 == 1000000L && !got(g)._3, s"$g: ${got(g)}")
+    }
+    assert(pShift < 1000000L)
+    // BH internal consistency: recompute k* from the RETURNED p's
+    val ps = got.values.map(_._1).toSeq.sorted
+    val m = ps.size
+    val kstar = (1 to m).filter(k => ps(k - 1) * m <= k * 100000L)
+      .lastOption.getOrElse(0)
+    got.values.foreach { case (_, rank, rej) =>
+      assert(rej == (rank <= kstar))
+    }
+  }
+
   test("dsirSelect ≡ brute hashed likelihood-ratio weights; " +
     "target-like docs outrank off-domain ones") {
     val source = Seq(
