@@ -2853,6 +2853,27 @@ object OracleSql {
          |    AS rank
          |FROM pd ORDER BY logw_6 DESC, id LIMIT 100""".stripMargin,
 
+    "q_fertility" ->
+      // Corpus.tokenizerFertility mirror: E10's two tokenizations per
+      // doc, corpus totals per language, micro floor-div ratios
+      """WITH t AS (SELECT lang, CAST(len(text) AS BIGINT) AS c,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS w,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS t
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(c) AS BIGINT) AS n_chars,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(t) AS BIGINT) AS n_tokens,
+        |  CASE WHEN sum(w) = 0 THEN NULL
+        |    ELSE CAST(sum(t) * 1000000 // sum(w) AS BIGINT)
+        |  END AS fertility_micro,
+        |  CASE WHEN sum(t) = 0 THEN NULL
+        |    ELSE CAST(sum(c) * 1000000 // sum(t) AS BIGINT)
+        |  END AS chars_per_token_micro
+        |FROM t GROUP BY 1""".stripMargin,
+
     "q_fdr_battery" -> {
       def hv(i: Int) =
         s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"

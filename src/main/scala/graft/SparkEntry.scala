@@ -1255,6 +1255,13 @@ object SparkEntry {
       "text", functions.TextFunctions.words, buckets = 4096, k = 100)
   }
 
+  /** E107: tokenizer fertility per language — tokens/word and
+    * chars/token corpus totals in exact micro-units, the tokenizer-
+    * sizing readout (operators.Corpus.tokenizerFertility).
+    */
+  private def qFertility(s: SparkSession, dir: String): DataFrame =
+    Corpus.tokenizerFertility(table(s, dir, "documents"), "lang", "text")
+
   /** C92: empirical-Bayes beta-binomial shrinkage of per-(lang,
     * source) long-document rates — method-of-moments prior from the
     * across-segment rate moments (exact integer inputs, one fixed
@@ -4684,6 +4691,7 @@ object SparkEntry {
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),
     "q_fdr_battery" -> (qFdrBattery _),
+    "q_fertility" -> (qFertility _),
     "q_locf" -> (qLocf _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_k_anonymize" -> (qKAnonymize _),

@@ -1408,6 +1408,40 @@ object Corpus {
       src)
   }
 
+  /** E107: tokenizer fertility profile per group (Rust et al., ACL
+    * 2021 "How Good is Your Tokenizer?" — fertility = subword tokens
+    * per word): per group the corpus totals of chars / whitespace
+    * words / BPE-ish regex tokens (E10's deterministic subword proxy),
+    * fertility and chars-per-token in exact floor-div micro-units. The
+    * tokenizer-SIZING readout: a language whose fertility runs high is
+    * under-served — more tokens per word means shorter effective
+    * context and more compute per character, which is exactly what a
+    * mixture planner (E24/E78) needs to weigh before fixing token
+    * budgets per language. Pure map-side column work + one keyed agg.
+    *
+    * @return per group: (groupCol, n_docs, n_chars, n_words, n_tokens,
+    *         fertility_micro, chars_per_token_micro).
+    */
+  def tokenizerFertility(docs: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    docs.select(col(groupCol).as("grp"),
+        length(col(textCol)).cast("long").as("c"),
+        TextFunctions.wsTokenCount(col(textCol)).cast("long").as("w"),
+        TextFunctions.regexTokenCount(col(textCol)).cast("long").as("t"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_chars"),
+        sum(col("w")).as("n_words"), sum(col("t")).as("n_tokens"))
+      .select(col("grp").as(groupCol), col("n_docs"), col("n_chars"),
+        col("n_words"), col("n_tokens"),
+        when(col("n_words") === 0, lit(null))
+          .otherwise(expr("n_tokens * 1000000 div n_words")).cast("long")
+          .as("fertility_micro"),
+        when(col("n_tokens") === 0, lit(null))
+          .otherwise(expr("n_chars * 1000000 div n_tokens")).cast("long")
+          .as("chars_per_token_micro"))
+  }
+
   def distinctNgrams(docs: DataFrame, groupCol: String, textCol: String,
                      tokens: Column => Column): DataFrame = {
     val w = docs.select(col(groupCol).as("grp"),

@@ -432,6 +432,21 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(fg.forall(r => r.getDouble(4) == 0.5 && r.isNullAt(5)))
   }
 
+  test("tokenizerFertility ≡ brute char/word/token totals and ratios") {
+    val docs = Seq(
+      ("en", "the cat sat."), ("en", "abc 123!"), ("zz", ""))
+      .toDF("lang", "text")
+    val got = Corpus.tokenizerFertility(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // en: chars 12+8=20; ws words 3+2=5; regex tokens
+    // (the,cat,sat,.)=4 + (abc,123,!)=3 = 7
+    assert(got("en") == Seq(2L, 20L, 5L, 7L,
+      7L * 1000000 / 5, 20L * 1000000 / 7))
+    // empty doc: split(trim(""), \s+) = [""] -> 1 word; 0 regex tokens
+    // -> chars-per-token null
+    assert(got("zz") == Seq(1L, 0L, 1L, 0L, 0L, null))
+  }
+
   test("permutationBatteryFdr: planted shift rejected, null segments " +
     "survive; BH step-up ≡ brute recompute on the returned p's") {
     import graft.operators.Stats
