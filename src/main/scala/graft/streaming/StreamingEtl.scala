@@ -434,6 +434,77 @@ object StreamingEtl {
     }
   }
 
+  /** F38: streaming PSI drift monitor — the streaming twin of the
+    * batch C62 PSI: per key the FIRST `refSize` values freeze into a
+    * reference histogram (ValueState), then every micro-batch emits
+    * the population-stability index of its own value histogram against
+    * that reference — the live "has this segment's distribution moved"
+    * alarm a 100 TB/day feed wants per source/segment, with O(keys ·
+    * nBins) state regardless of throughput. Add-one smoothing on both
+    * sides keeps the ln finite on empty bins; values bin over [0,
+    * 100) (the events value range) into `nBins` equal bins.
+    */
+  final case class PsiRef(bins: Seq[Long], total: Long, frozen: Boolean)
+  final case class PsiOut(key: String, n_ref: Long, n_batch: Long,
+                          psi_micro: Long)
+
+  def psiDriftStream(spark: SparkSession, events: Dataset[Event],
+                     nBins: Int, refSize: Long): Dataset[PsiOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.event_type)
+      .transformWithState(new PsiDriftProcessor(nBins, refSize),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  private class PsiDriftProcessor(nBins: Int, refSize: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, Event, PsiOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode,
+      TimerValues, ValueState}
+    @transient private var st: ValueState[PsiRef] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[PsiRef]("psi_ref",
+        org.apache.spark.sql.Encoders.product[PsiRef], TTLConfig.NONE)
+
+    private def bin(v: Double): Int =
+      math.min(nBins - 1, math.max(0, (v * nBins / 100.0).toInt))
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[PsiOut] = {
+      val vs = rows.map(_.value).toSeq
+      val cur = Option(st.get())
+        .getOrElse(PsiRef(Seq.fill(nBins)(0L), 0L, frozen = false))
+      if (!cur.frozen) {
+        // still building the reference: fold this batch in; freeze
+        // once enough mass arrived (the tail of the freezing batch is
+        // included — a deterministic, documented convention)
+        val b = cur.bins.toArray
+        vs.foreach(v => b(bin(v)) += 1)
+        val total = cur.total + vs.size
+        st.update(PsiRef(b.toSeq, total, total >= refSize))
+        Iterator.empty
+      } else {
+        val b = new Array[Long](nBins)
+        vs.foreach(v => b(bin(v)) += 1)
+        // PSI with add-one smoothing on both histograms
+        val refN = cur.total + nBins
+        val curN = vs.size.toLong + nBins
+        var psi = 0.0
+        var i = 0
+        while (i < nBins) {
+          val pr = (cur.bins(i) + 1).toDouble / refN
+          val pc = (b(i) + 1).toDouble / curN
+          psi += (pc - pr) * math.log(pc / pr)
+          i += 1
+        }
+        Iterator.single(PsiOut(key, cur.total, vs.size.toLong,
+          math.round(psi * 1e6)))
+      }
+    }
+  }
+
   /** F34: per-key visit gauge in two state-schema VERSIONS — the
     * upgrade story `transformWithState` is sold on: V1 persists
     * (n: Long); V2 adds a field (total: Option[Double]) and must

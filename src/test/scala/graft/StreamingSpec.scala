@@ -517,6 +517,53 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming PSI drift: reference freezes, same-distribution " +
+    "batch reads ~0, shifted batch alarms") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = StreamingEtl.psiDriftStream(spark, input.toDS(),
+        nBins = 10, refSize = 100)
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: 100 uniform values over [0,100) -> reference frozen,
+      // nothing emitted yet
+      input.addData((0 until 100).map(i =>
+        Event(i.toLong, ts(i % 50), 7, "click", i.toDouble)): _*)
+      q.processAllAvailable()
+      assert(spark.table("psi_out").count() == 0)
+      // batch 2: the SAME uniform shape -> PSI ≈ 0
+      input.addData((0 until 100).map(i =>
+        Event(1000L + i, ts(60 + i % 50), 7, "click", i.toDouble)): _*)
+      q.processAllAvailable()
+      // batch 3: all mass in one bin -> PSI large
+      input.addData((0 until 100).map(i =>
+        Event(2000L + i, ts(120 + i % 50), 7, "click", 5.0)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("psi_out").as[StreamingEtl.PsiOut]
+        .collect().filter(_.key == "click").sortBy(_.n_batch).toSeq
+      assert(rows.size == 2)
+      val Seq(same, shifted) = rows.sortBy(_.psi_micro)
+      assert(same.n_ref == 100 && same.n_batch == 100)
+      // identical histograms differ only by smoothing -> tiny PSI
+      assert(same.psi_micro < 50000L, s"same-dist PSI ${same.psi_micro}")
+      // concentrated batch: PSI well past the classic 0.25 alarm
+      assert(shifted.psi_micro > 250000L,
+        s"shifted PSI ${shifted.psi_micro}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("ledgerSink: epoch re-delivery and crash replay stay exactly-once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lsrc").toString
