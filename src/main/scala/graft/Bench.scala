@@ -1,6 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Clean-floor band for the sf-independent canary job on this host:
+    * min-of-3 floors over ~12 canary-clean runs band 0.066–0.12s
+    * (SURVEY §7g.2). Recorded in the artifact so a reader can judge
+    * the window without repo archaeology.
+    */
+  val CleanFloorBand: (Double, Double) = (0.066, 0.12)
+
+  /** Floor plausibility gate = band ceiling + 25% host-drift headroom.
+    * (r8 VERDICT #2) The endpoint-ratio tests anchor on
+    * min(floor, post) and so absolve a window that was ALREADY
+    * degraded at warm-up whenever the post sample lands clean:
+    * BENCH_r08's accepted attempt had floor 0.172 (~2× the clean
+    * band) with post 0.113 — ratio-clean, absolute-backstop-clean —
+    * and recorded per-query outliers at 4.4× their solo re-times.
+    * Past this gate the window is not clean no matter what the post
+    * says; the absolute 0.35 backstop stays as the
+    * sustained-contention catch for hosts with no recorded band.
+    */
+  val FloorGate: Double = CleanFloorBand._2 * 1.25
+
+  /** The contention verdict for one sweep attempt (unit-tested in
+    * Round9OpsSpec: a floor-0.172/post-0.113 window — BENCH_r08's —
+    * flags; a clean window passes).
+    */
+  def isContended(floor: Double, mid: Double, post: Double): Boolean = {
+    val ref = math.min(floor, post)
+    ref > 0.35 ||
+      floor > FloorGate ||
+      math.max(floor, post) > 3 * ref ||
+      mid > 4 * ref
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -156,10 +189,7 @@ object Bench {
       // so 0.35 is ~3× the clean median with headroom for host drift.
       val canaryMid =
         if (midSamples.isEmpty) canaryFloor else midSamples.max
-      val ref = math.min(canaryFloor, canaryPost)
-      val contended = ref > 0.35 ||
-        math.max(canaryFloor, canaryPost) > 3 * ref ||
-        canaryMid > 4 * ref
+      val contended = isContended(canaryFloor, canaryMid, canaryPost)
       Attempt(results, canaryFloor, canaryMid, canaryPost, contended)
     }
     // retry the whole sweep when the canary trips (up to maxAttempts
@@ -207,7 +237,7 @@ object Bench {
     val attemptsJson = attempts
       .map(a => s"""{"floor":${fmt(a.floor)},"mid":${fmt(a.mid)},"post":${fmt(a.post)},"contended":${a.contended}}""")
       .mkString("[", ",", "]")
-    val canaryJson = s""""canary_floor":${fmt(canaryFloor)},"canary_mid":${fmt(canaryMid)},"canary_post":${fmt(canaryPost)},"contended":$contended,"attempts":$attemptsJson"""
+    val canaryJson = s""""canary_floor":${fmt(canaryFloor)},"canary_mid":${fmt(canaryMid)},"canary_post":${fmt(canaryPost)},"contended":$contended,"floor_band":[${fmt(CleanFloorBand._1)},${fmt(CleanFloorBand._2)}],"floor_gate":${fmt(FloorGate)},"attempts":$attemptsJson"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsMap(results)},$canaryJson,"sf":"$sfDir"}""")
     val bySlowest = results.sortBy(-_._2)
     val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]

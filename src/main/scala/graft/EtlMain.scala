@@ -263,6 +263,10 @@ object EtlMain {
 
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args)
+    // central config (reference config/config.py analog): env/.env
+    // resolution happens ONCE here; anything logged about it is the
+    // redacted rendering — credentials never reach stdout or RunLog
+    val ec = pipeline.EtlConfig.load()
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-etl")
@@ -271,7 +275,11 @@ object EtlMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // LOG_LEVEL honored when configured (config.py:69); graft's
+    // operational default stays WARN (INFO Spark logs drown the run log)
+    spark.sparkContext.setLogLevel(
+      if (sys.env.contains("LOG_LEVEL")) ec.logLevel else "WARN")
+    println(s"[etl] config: ${ec.describe}")
 
     cfg.mode match {
       case "extract" => runExtract(spark, cfg.csvDir, cfg.outDir)

@@ -836,10 +836,10 @@ object OracleSql {
          |    AS md
          |  FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM v
          |    GROUP BY blk)),
+         |va AS (SELECT v.* FROM v CROSS JOIN mq WHERE v.id % mq.md = 0),
          |p AS (SELECT a.id, ${sqDistSql("a.v", "b.v")} AS sq
-         |  FROM v a JOIN v b ON a.blk = b.blk AND a.id <> b.id
-         |  WHERE ${sqDistSql("a.v", "b.v")} > 0.0
-         |    AND a.id % (SELECT md FROM mq) = 0),
+         |  FROM va a JOIN v b ON a.blk = b.blk AND a.id <> b.id
+         |  WHERE ${sqDistSql("a.v", "b.v")} > 0.0),
          |r AS (SELECT id, sq,
          |    row_number() OVER (PARTITION BY id ORDER BY sq) AS rn
          |  FROM p),
@@ -5917,10 +5917,10 @@ object OracleSql {
          |  FROM embeddings),
          |mq AS (SELECT greatest(1, (count(*) * count(*) + 19999999)
          |    // 20000000) AS md FROM p),
+         |pa AS (SELECT p.* FROM p CROSS JOIN mq WHERE p.id % mq.md = 0),
          |d AS (SELECT a.id AS qid, a.lab AS qlab, b.id AS nid,
          |    b.lab AS nlab, $d2 AS d2
-         |  FROM p a JOIN p b ON a.id <> b.id
-         |  WHERE a.id % (SELECT md FROM mq) = 0),
+         |  FROM pa a JOIN p b ON a.id <> b.id),
          |r AS (SELECT qid, qlab, nlab, row_number()
          |    OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM d),
          |v AS (SELECT qid, qlab, nlab, CAST(count(*) AS BIGINT) AS cnt
@@ -5950,10 +5950,10 @@ object OracleSql {
          |  FROM embeddings),
          |mq AS (SELECT greatest(1, (count(*) * count(*) + 19999999)
          |    // 20000000) AS md FROM p),
+         |pa AS (SELECT p.* FROM p CROSS JOIN mq WHERE p.id % mq.md = 0),
          |d AS (SELECT a.id AS qid, a.lab AS qlab, b.lab AS clab,
          |    $d2 AS d2
-         |  FROM p a JOIN p b ON a.id <> b.id
-         |  WHERE a.id % (SELECT md FROM mq) = 0),
+         |  FROM pa a JOIN p b ON a.id <> b.id),
          |g AS (SELECT qid, qlab, clab, CAST(sum(d2) AS BIGINT) AS sd,
          |    CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2, 3),
          |m AS (SELECT qid, qlab, clab,
@@ -6648,12 +6648,12 @@ object OracleSql {
         |  FROM embeddings),
         |mq AS (SELECT greatest(1, (count(*) * count(*) + 19999999)
         |    // 20000000) AS md FROM p),
+        |pa AS (SELECT p.* FROM p CROSS JOIN mq WHERE p.id % mq.md = 0),
         |d AS (SELECT a.id AS qid, a.lab AS qlab, b.id AS nid,
         |    list_reduce(list_transform(list_zip(a.v, b.v),
         |      x -> (x[1]-x[2])*(x[1]-x[2])), (p,q) -> p+q) AS d2
-        |  FROM p a JOIN p b
-        |    ON a.id <> b.id AND a.lab <> b.lab
-        |  WHERE a.id % (SELECT md FROM mq) = 0),
+        |  FROM pa a JOIN p b
+        |    ON a.id <> b.id AND a.lab <> b.lab),
         |r AS (SELECT qid, qlab, nid, d2, row_number()
         |    OVER (PARTITION BY qid ORDER BY d2, nid) AS rn FROM d)
         |SELECT qid AS vec_id, qlab AS label, CAST(rn AS BIGINT) AS rank,

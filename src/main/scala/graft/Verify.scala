@@ -18,6 +18,10 @@ object Verify {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // zero-interpreted-fallback gate: any CodeGenerator ERROR during the
+    // sweep (64 KB method, janino failure → silent interpreted re-run)
+    // fails Verify loudly instead of shipping a slow plan (r8 VERDICT #1)
+    val canary = CodegenCanary.install()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -52,5 +56,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (canary.errorCount > 0) {
+      System.err.println(s"[verify] CODEGEN CANARY TRIPPED: " +
+        s"${canary.errorCount} CodeGenerator error(s); first: " +
+        canary.firstError.getOrElse("<none>"))
+      canary.errors.foreach(e => System.err.println(s"[verify]   $e"))
+      sys.exit(3)
+    }
   }
 }

@@ -60,7 +60,17 @@ object Cleaning {
     * All arithmetic is explicit (`make_date`) so the DuckDB oracle can
     * reproduce it bit-for-bit — no reliance on engine format quirks.
     */
-  def parseDateMulti(c: Column, refYear: Int = 2026): Column = {
+  def parseDateMulti(c: Column, refYear: Int = 2026): Column =
+    graft.plans.DateFunctions.parseDateMulti(c, refYear)
+
+  /** The same parser as a composed Column ladder — kept as the
+    * executable spec of [[parseDateMulti]] (NativeExprSpec asserts
+    * bit-equality). Not used in pipelines: Catalyst re-inlines the
+    * ~2 KB tree at every derived-column use site, which fused six
+    * copies under one aggregate method and tripped janino's 64 KB
+    * limit → silent interpreted fallback (r8 VERDICT #1).
+    */
+  def parseDateMultiComposed(c: Column, refYear: Int = 2026): Column = {
     val s = trim(c)
     val pat = "^(\\d{1,4})[-/.](\\d{1,2})[-/.](\\d{1,4})$"
     val p1 = regexp_extract(s, pat, 1)

@@ -1423,11 +1423,25 @@ object Graph {
     *         desc, id_a, id_b) — a total, engine-portable order.
     */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
-                     maxDeg: Long = 1000L, topK: Int = 100): DataFrame = {
+                     maxDeg: Long = 1000L, topK: Int = 100,
+                     localThreshold: Long = 500000L): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // hybrid driver rung (the CC/LPA/kCore/HITS precedent, r8 VERDICT
+    // task #6): below `localThreshold` edges the wedge census runs as
+    // one driver loop — the distributed plan's cost at gate scale is
+    // pure scheduling floor (~4s for kilobyte partitions). Bit-equal
+    // by construction (Round9OpsSpec asserts local ≡ distributed);
+    // bails back to the distributed path if the candidate-pair set
+    // outgrows the in-memory bound.
+    if (e.count() <= localThreshold) {
+      localLinkPrediction(e, maxDeg, topK) match {
+        case Some(out) => e.unpersist(); return out
+        case None => // fall through to the distributed wedge join
+      }
+    }
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("z"))
       .agg(count(lit(1)).as("deg"))
@@ -1449,6 +1463,55 @@ object Graph {
       .select(col("a").as("id_a"), col("b").as("id_b"),
         col("cn"), col("ra_micro"))
     graft.sealResult(scored, e, hop)
+  }
+
+  /** [[linkPrediction]]'s driver rung: the same wedge census —
+    * Γ-multiset per capped-degree center z, ordered-pair (a<b) counts,
+    * per-z RA contribution ⌊10⁶/deg(z)⌋ in Long floor division, the
+    * identical (cn desc, ra desc, a, b) total order — so both rungs
+    * are hash-indistinguishable. Returns None (→ distributed path)
+    * if the candidate-pair map exceeds `pairBound` entries.
+    */
+  private def localLinkPrediction(e: DataFrame, maxDeg: Long, topK: Int,
+      pairBound: Int = 30000000): Option[DataFrame] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edgePairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = new scala.collection.mutable.HashMap[Long,
+      scala.collection.mutable.ArrayBuffer[Long]]
+    edgePairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a,
+        new scala.collection.mutable.ArrayBuffer[Long]) += b
+      adj.getOrElseUpdate(b,
+        new scala.collection.mutable.ArrayBuffer[Long]) += a
+    }
+    val scores =
+      new scala.collection.mutable.HashMap[(Long, Long), Array[Long]]
+    for ((_, nbrs) <- adj if nbrs.size <= maxDeg) {
+      val contrib = 1000000L / nbrs.size
+      val arr = nbrs.toArray
+      var i = 0
+      while (i < arr.length) {
+        var j = 0
+        while (j < arr.length) {
+          val a = arr(i); val b = arr(j)
+          if (a < b) {
+            val s = scores.getOrElseUpdate((a, b), Array(0L, 0L))
+            s(0) += 1L; s(1) += contrib
+            if (scores.size > pairBound) return None
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    edgePairs.foreach(p => scores.remove(p))
+    val top = scores.iterator
+      .map { case ((a, b), s) => (a, b, s(0), s(1)) }
+      .toSeq
+      .sortBy { case (a, b, cn, ra) => (-cn, -ra, a, b) }
+      .take(topK)
+    Some(top.toDF("id_a", "id_b", "cn", "ra_micro"))
   }
 
   /** E101: personalized PageRank (fixed-point) — [[pageRankFixed]]'s

@@ -41,10 +41,14 @@ object Similarity {
     * `pairs` is n² for the broadcast samplers (every query ranks
     * against the full corpus) and Σ n_blk² for the block-joined ones.
     */
-  def autoQueryMod(pairs: Long, budget: Long = SamplerPairBudget): Int = {
+  def autoQueryMod(pairs: Long, budget: Long = SamplerPairBudget): Long = {
     require(pairs >= 0 && budget >= 1,
       s"autoQueryMod: pairs=$pairs budget=$budget out of range")
-    math.max(1L, (pairs + budget - 1) / budget).toInt
+    // Long throughout: at pairs > budget·Int.MaxValue (corpus ≥ ~2.1e8
+    // rows, inside resolveQueryMod's n < 3e9 guard) an Int modulus would
+    // silently wrap — possibly to 0 (pmod → null drops every row) —
+    // while the DuckDB oracle computes it exactly in BIGINT.
+    math.max(1L, (pairs + budget - 1) / budget)
   }
 
   /** Resolve a sampler's queryMod: explicit (> 0) wins; 0 = auto from
@@ -57,7 +61,7 @@ object Similarity {
       val n = df.count()
       require(n < 3000000000L,
         s"auto queryMod: corpus count $n overflows the exact n² bound")
-      autoQueryMod(n * n).toLong
+      autoQueryMod(n * n)
     }
 
   /** Dot product — native one-pass codegen expression (plans.DotProduct).
@@ -929,7 +933,7 @@ object Similarity {
           .agg(count(lit(1)).as("n"))
           .agg(coalesce(sum(col("n") * col("n")), lit(0L)).as("p"))
           .head.getLong(0)
-        autoQueryMod(pairs).toLong
+        autoQueryMod(pairs)
       }
     // only sample when the budget demands it: at mod = 1 the unfiltered
     // frame is kept verbatim (ids need not even be numeric below budget)

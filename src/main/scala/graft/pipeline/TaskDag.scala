@@ -51,7 +51,10 @@ object TaskDag {
     }
     val remainingDeps = scala.collection.mutable.Map(
       tasks.map(t => t.name -> t.deps.toSet.size): _*)
-    val dependents = tasks.flatMap(t => t.deps.map(_ -> t.name))
+    // edges deduped to match remainingDeps' toSet counting: a task
+    // listing the same dep twice must be decremented once, not become
+    // ready early (and then crash run() on the unvisited dep's status)
+    val dependents = tasks.flatMap(t => t.deps.distinct.map(_ -> t.name))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
       .withDefaultValue(Seq.empty)
     val ready = scala.collection.mutable.SortedSet.empty[String]

@@ -144,7 +144,13 @@ object SnapshotCatalog {
     * @return (dropped snapshot ids, deleted table-version count)
     */
   def vacuum(spark: SparkSession, root: String,
-             keep: Int): (Seq[Long], Int) = {
+             keep: Int, tmpRetentionMs: Long = 24L * 3600 * 1000): (Seq[Long], Int) = {
+    // Only temp debris OLDER than the retention window is swept: a
+    // live concurrent publisher's staged __v_tmp_/__s_tmp_ dirs are
+    // seconds-to-minutes old, so vacuum no longer races its data away
+    // mid-CAS (r9 ADVICE); genuinely crashed-writer debris ages past
+    // the window and is still reclaimed.
+    val tmpCutoff = System.currentTimeMillis() - tmpRetentionMs
     val ss = snapshots(spark, root)
     val drop = ss.dropRight(keep)
     val keepSs = ss.takeRight(keep)
@@ -165,16 +171,16 @@ object SnapshotCatalog {
         }
       // crashed-writer temp debris (a CAS loser cleans up after itself,
       // a killed one cannot) — invisible to readers, but disk isn't free.
-      // vacuum must not run beside an in-flight publisher, the same
-      // retention contract the manifest sweep already carries.
       f.listStatus(new Path(root, t)).toSeq
-        .filter(_.getPath.getName.startsWith("__v_tmp_"))
+        .filter(s => s.getPath.getName.startsWith("__v_tmp_") &&
+          s.getModificationTime < tmpCutoff)
         .foreach(s => f.delete(s.getPath, true))
     }
     val sd = snapDir(root)
     if (f.exists(sd))
       f.listStatus(sd).toSeq
-        .filter(_.getPath.getName.startsWith("__s_tmp_"))
+        .filter(s => s.getPath.getName.startsWith("__s_tmp_") &&
+          s.getModificationTime < tmpCutoff)
         .foreach(s => f.delete(s.getPath, false))
     (drop, deleted)
   }

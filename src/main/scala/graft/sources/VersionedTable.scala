@@ -154,13 +154,27 @@ object VersionedTable {
     * Same commit protocol as [[write]]: staged under a writer-unique
     * temp dir, version assigned by rename CAS.
     */
+  /** Resolve the caller's key frame to the single `keyCol` column —
+    * BY NAME when present; a multi-column frame without it fails
+    * loudly instead of silently deleting by whichever column happens
+    * to be first (r9 ADVICE).
+    */
+  private def keyFrame(keys: DataFrame, keyCol: String): DataFrame =
+    if (keys.columns.contains(keyCol)) keys.select(keyCol)
+    else {
+      require(keys.columns.length == 1,
+        s"key frame columns [${keys.columns.mkString(",")}] contain no " +
+          s"'$keyCol' — pass a single-column frame or name the key column")
+      keys.select(keys.columns.head).toDF(keyCol)
+    }
+
   def softDelete(spark: SparkSession, dir: String, keyCol: String,
                  keys: DataFrame, expectedParent: Option[Long] = None,
                  maxAttempts: Int = 5): Long = {
     require(maxAttempts >= 1)
     require(!keyCol.contains("\t"), "key column name cannot contain tab")
     val tmp = new Path(dir, s"__v_tmp_${java.util.UUID.randomUUID()}")
-    keys.select(keys.columns.head).toDF(keyCol).distinct()
+    keyFrame(keys, keyCol).distinct()
       .write.mode(SaveMode.Overwrite)
       .parquet(new Path(tmp, "dv").toString)
     val f = fs(spark, tmp)
@@ -247,7 +261,7 @@ object VersionedTable {
     val cur = read(spark, dir)
     val before = cur.count()
     val next = cur.join(
-      broadcast(keys.select(keys.columns.head).toDF(keyCol)),
+      broadcast(keyFrame(keys, keyCol)),
       Seq(keyCol), "left_anti")
     val v = write(next, dir)
     val removed = before - read(spark, dir, Some(v)).count()

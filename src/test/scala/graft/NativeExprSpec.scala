@@ -27,6 +27,44 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("native parse_date_multi ≡ composed ladder on the reference's " +
+    "real date strings + adversarial cases, codegen and interpreted") {
+    import graft.functions.Cleaning
+    val adversarial = Seq(
+      "13-03-2011", "05-03-2011", "2011-03-13", "13-03-11", "13-03-99",
+      "13/03/2011", "13.03.2011", "31-04-2011", "29-02-2000", "29-02-1900",
+      "00-00-0000", "1-1-1", "12-31-2011", "31-12-2011", "2027-01-01",
+      "1899-12-31", "1900-01-01", "2026-12-31", "13-03-011", "garbage",
+      " 13-03-2011 ", "\t13-03-2011", "13 -03-2011", "", "9999-99-99",
+      "0013-03-11", "4-5-26", "4-5-27", "31-13-11", "13-13-11", null)
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val refDates = spark.read.option("header", "true")
+      .csv("/root/reference/data/customers.csv")
+      .select(monotonically_increasing_id().as("id"),
+        $"dob".as("s")).limit(2000)
+    val corpus = adversarial.toDF("id", "s").unionByName(refDates)
+    def check(): Unit = {
+      val bad = corpus.select($"id", $"s",
+        Cleaning.parseDateMulti($"s").cast("string").as("fast"),
+        Cleaning.parseDateMultiComposed($"s").cast("string").as("slow"))
+        .filter(!($"fast" <=> $"slow")).collect()
+      assert(bad.isEmpty, bad.take(5).mkString("; "))
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // spot values (the CleaningSpec table is the authority; these pin
+    // the native path specifically)
+    def p(s: String): Any = corpus.sparkSession.range(1)
+      .select(Cleaning.parseDateMulti(lit(s)).cast("string")).head.get(0)
+    assert(p("13-03-11") == "2011-03-13")
+    assert(p("13-03-99") == "1999-03-13")
+    assert(p("31-04-2011") == null) // April 31 invalid
+    assert(p("29-02-2000") == "2000-02-29") // leap
+    assert(p("29-02-1900") == null) // 1900 not leap (Gregorian)
+  }
+
   test("simhash64 survives whole-stage codegen and interpreted eval") {
     val fast = docs.select(Dedup.simhash($"text")).collect().map(_.getLong(0))
     spark.conf.set("spark.sql.codegen.wholeStage", "false")

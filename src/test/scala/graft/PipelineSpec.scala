@@ -149,6 +149,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == spark.read.parquet(s"$fused/customers").count())
   }
 
+  test("EtlMain full processes all FOUR entities (synthesized " +
+    "transactions fixture closes the reference's missing-blob gap): " +
+    "counts by construction, dirty-value semantics, idempotent re-run") {
+    import java.nio.file.{Files, Paths}
+    import graft.pipeline.RunLog
+    import graft.tools.TransactionsFixture
+    val csvDir = Files.createTempDirectory("graft_data4")
+    Seq("branches", "customers", "loans").foreach { e =>
+      Files.copy(Paths.get(s"$dataDir/$e.csv"), csvDir.resolve(s"$e.csv"))
+    }
+    val fx = TransactionsFixture.write(csvDir.resolve("transactions.csv"))
+    val out = Files.createTempDirectory("graft_out4").toString
+    val log = new RunLog(s"$out/_logs", RunLog.newRunId())
+    EtlMain.runFull(spark, csvDir.toString, out, "2026-08-14", Some(log))
+    // the reference's own target: `[etl] summary full: ok=4`
+    val full = RunLog.summarize(log.currentFile).find(_._1 == "full").get
+    assert(full._2 == 4 && full._3 == 0, s"summary: $full")
+    val tx = spark.read.parquet(s"$out/transactions")
+    // staged = total − empty-PK drops − keep-last shadows (by construction)
+    assert(tx.count() == fx.staged)
+    assert(spark.read.parquet(s"$out/customers").count() == 5022L)
+    assert(spark.read.parquet(s"$out/loans").count() == 2006L)
+    assert(spark.read.parquet(s"$out/branches").count() == 25L)
+    // planted dirty-value semantics (transform.py:430-463)
+    val byId = tx.filter(col("transaction_id").isin(
+      "2", "6", "7", "8", "9", "10", "11", "12", "21"))
+      .collect().map(r => r.getAs[String]("transaction_id") -> r).toMap
+    assert(byId("7").getAs[Double]("amount") == 12345.67) // ₹12,345.67
+    assert(byId("7").getAs[String]("transaction_category") == "Large")
+    assert(byId("8").getAs[Double]("amount") == 0.0) // safe_num junk → 0
+    assert(byId("8").getAs[String]("transaction_category") == "Small")
+    assert(byId("9").getAs[Double]("amount") == 2500.0) // $ 2,500.00
+    assert(byId("9").getAs[String]("transaction_category") == "Medium")
+    assert(byId("10").isNullAt(byId("10").fieldIndex("transaction_date")),
+      "April 31 must parse to null")
+    assert(byId("11").isNullAt(byId("11").fieldIndex("transaction_date")))
+    assert(byId("11").getAs[Boolean]("fraud_flag")) // "YES"
+    assert(!byId("2").getAs[Boolean]("fraud_flag")) // "false"
+    assert(byId("12").getAs[String]("customer_id") == "NA") // empty → NA
+    assert(byId("6").getAs[String]("customer_id") == "106") // trimmed
+    // keep-LAST dedup: the shadow row's marker amount won
+    assert(byId("21").getAs[Double]("amount") == 77777.77)
+    assert(byId("21").getAs[java.sql.Date]("transaction_date").toString
+      == "2022-06-15")
+    // production partitioning on the analysis dimension
+    val parts = new java.io.File(s"$out/transactions").list().toSeq
+    assert(Seq("Large", "Medium", "Small").forall(c =>
+      parts.contains(s"transaction_category=$c")), parts.toString)
+    // idempotent re-run: tracker skips the unchanged files, counts hold
+    EtlMain.runFull(spark, csvDir.toString, out, "2026-08-14", Some(log))
+    assert(spark.read.parquet(s"$out/transactions").count() == fx.staged)
+  }
+
   test("operator cache lifecycle: composing sealed operators leaves " +
     "no persistent RDDs once released (VERDICT r5 #1)") {
     import spark.implicits._
@@ -228,5 +281,13 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TaskDag.topoOrder(Seq(t("x", "nope")))
     }
+    // r9 ADVICE: a duplicated dep edge must not double-decrement and
+    // promote the task before its OTHER dep ran (was: NoSuchElementException
+    // in run() when "b" became ready ahead of "c")
+    assert(TaskDag.topoOrder(Seq(t("a"), t("c", "a"), t("b", "a", "a", "c")))
+      == Seq("a", "c", "b"))
+    ran.clear()
+    val dup = TaskDag.run(Seq(t("a"), t("c", "a"), t("b", "a", "a", "c")))
+    assert(dup.succeeded && ran.toSeq == Seq("a", "c", "b"))
   }
 }

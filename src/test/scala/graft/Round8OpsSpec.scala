@@ -616,6 +616,14 @@ class Round8OpsSpec extends AnyFunSuite {
       if (mod > 1) assert(n * n / (mod - 1) > Similarity.SamplerPairBudget)
     }
     intercept[IllegalArgumentException](Similarity.autoQueryMod(-1L))
+    // r9 ADVICE: past ~4.3e16 pairs the true modulus exceeds Int range;
+    // the Long return must carry it exactly (no wrap to 0/negative)
+    val n = 250000000L // 2.5e8 corpus, inside resolveQueryMod's 3e9 guard
+    val big = Similarity.autoQueryMod(n * n)
+    assert(big > Int.MaxValue.toLong)
+    assert(big == (n * n + Similarity.SamplerPairBudget - 1) /
+      Similarity.SamplerPairBudget)
+    assert(n * n / big <= Similarity.SamplerPairBudget)
   }
 
   test("quadratic samplers: auto queryMod ≡ explicit derived mod, " +

@@ -137,6 +137,27 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert(SnapshotCatalog.read(spark, r, "t").count() == 3)
   }
 
+  test("vacuum temp-debris sweep is mtime-gated: an in-flight writer's " +
+    "fresh staging dir survives, aged crash debris is reclaimed (r9 ADVICE)") {
+    val r = root()
+    SnapshotCatalog.publish(r, Map("t" -> Seq((1L, "x")).toDF("id", "v")))
+    val live = new java.io.File(s"$r/t/__v_tmp_live"); live.mkdirs()
+    val dead = new java.io.File(s"$r/t/__v_tmp_dead"); dead.mkdirs()
+    val sLive = new java.io.File(s"$r/_snapshots/__s_tmp_live"); sLive.mkdirs()
+    val sDead = new java.io.File(s"$r/_snapshots/__s_tmp_dead"); sDead.mkdirs()
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    assert(dead.setLastModified(old) && sDead.setLastModified(old))
+    SnapshotCatalog.vacuum(spark, r, keep = 1)
+    // the live publisher's staged data is untouched; the 48h-old crash
+    // debris is gone (default retention window: 24h)
+    assert(live.exists() && sLive.exists())
+    assert(!dead.exists() && !sDead.exists())
+    // an explicit zero-window sweep (the quiesced-catalog maintenance
+    // mode) still reclaims everything
+    SnapshotCatalog.vacuum(spark, r, keep = 1, tmpRetentionMs = -1L)
+    assert(!live.exists() && !sLive.exists())
+  }
+
   test("VersionedTable CAS: stale parent aborts with temp cleaned; " +
     "blind append rebases past a racing commit") {
     val r = root()

@@ -193,6 +193,20 @@ class WritersSpec extends AnyFunSuite {
         expectedParent = Some(1L))
     }
     assert(VersionedTable.versions(spark, dir) == Seq(4L))
+    // r9 ADVICE: a multi-column key frame resolves the key BY NAME —
+    // the key NOT being first no longer deletes by the wrong column
+    val v5 = VersionedTable.softDelete(spark, dir, "k",
+      Seq(("noise", 10L)).toDF("other", "k"))
+    assert(v5 == 5L)
+    assert(VersionedTable.read(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet ==
+      (1L to 10L).toSet -- Set(1L, 3L, 7L, 10L))
+    // and a multi-column frame WITHOUT the key column fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.softDelete(spark, dir, "k",
+        Seq(("x", 2L)).toDF("a", "b"))
+    }
+    assert(ex.getMessage.contains("'k'"), ex.getMessage)
   }
 
   test("versioned table: eraseKeys removes rows from every readable version") {
