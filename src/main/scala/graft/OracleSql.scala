@@ -2813,6 +2813,102 @@ object OracleSql {
         |  round(alpha, 6) AS alpha_6, round(beta, 6) AS beta_6
         |FROM sg CROSS JOIN ab""".stripMargin,
 
+    "q_token_f1" ->
+      // Corpus.tokenF1 mirror: canonical normOf tokens, multiset
+      // intersection Σ least(tf_p, tf_r), F1 = 2·ov/(lp+lr) as one
+      // exact BIGINT floor division in micro-units
+      s"""WITH pr AS (SELECT a.doc_id AS pid, a.text AS p, b.text AS r
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |pt AS (SELECT pid, tok, CAST(count(*) AS BIGINT) AS np
+         |  FROM (SELECT pid,
+         |      unnest(string_split(${normOf("p")}, ' ')) AS tok FROM pr)
+         |  WHERE len(tok) > 0 GROUP BY 1, 2),
+         |rt AS (SELECT pid, tok, CAST(count(*) AS BIGINT) AS nr
+         |  FROM (SELECT pid,
+         |      unnest(string_split(${normOf("r")}, ' ')) AS tok FROM pr)
+         |  WHERE len(tok) > 0 GROUP BY 1, 2),
+         |lp AS (SELECT pid, CAST(sum(np) AS BIGINT) AS len_pred
+         |  FROM pt GROUP BY 1),
+         |lr AS (SELECT pid, CAST(sum(nr) AS BIGINT) AS len_ref
+         |  FROM rt GROUP BY 1),
+         |ov AS (SELECT pt.pid, CAST(sum(least(np, nr)) AS BIGINT) AS ov
+         |  FROM pt JOIN rt ON pt.pid = rt.pid AND pt.tok = rt.tok
+         |  GROUP BY 1)
+         |SELECT pr.pid AS pair_id,
+         |  CAST(coalesce(lp.len_pred, 0) AS BIGINT) AS len_pred,
+         |  CAST(coalesce(lr.len_ref, 0) AS BIGINT) AS len_ref,
+         |  CAST(coalesce(ov.ov, 0) AS BIGINT) AS overlap,
+         |  CASE WHEN coalesce(lp.len_pred, 0) + coalesce(lr.len_ref, 0) = 0
+         |    THEN NULL
+         |    ELSE CAST(2000000 * coalesce(ov.ov, 0)
+         |      // (coalesce(lp.len_pred, 0) + coalesce(lr.len_ref, 0))
+         |      AS BIGINT) END AS f1_micro
+         |FROM pr
+         |LEFT JOIN lp ON lp.pid = pr.pid
+         |LEFT JOIN lr ON lr.pid = pr.pid
+         |LEFT JOIN ov ON ov.pid = pr.pid""".stripMargin,
+
+    "q_merge_full" ->
+      // Loads.mergeInto mirror: one FULL OUTER key join carries all
+      // four MERGE outcomes; matched+negative-target-balance rows are
+      // deleted, matched take source values, unmatched-source insert,
+      // unmatched-target pass through
+      """WITH cust AS (SELECT c_custkey, c_name,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |src AS (
+        |  SELECT c_custkey, c_name, bal_cents + 10000 AS bal_cents
+        |  FROM cust WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 100000000 AS c_custkey,
+        |    'NEW ' || c_name AS c_name, CAST(0 AS BIGINT) AS bal_cents
+        |  FROM cust WHERE c_custkey % 11 = 3)
+        |SELECT coalesce(t.c_custkey, s.c_custkey) AS c_custkey,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+        |    ELSE t.c_name END AS c_name,
+        |  CASE WHEN s.c_custkey IS NOT NULL THEN s.bal_cents
+        |    ELSE t.bal_cents END AS bal_cents
+        |FROM cust t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+        |WHERE NOT (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+        |  AND t.bal_cents < 0)""".stripMargin,
+
+    "q_cuped" ->
+      // Stats.cuped mirror: exact HUGEINT moment sums, θ = ONE double
+      // division of exactly-computed integers, adjusted mean the same
+      // fixed IEEE expression tree ȳ_a − θ·(x̄_a − x̄), floor(·10⁶+0.5)
+      """WITH per AS (SELECT o_custkey % 2 AS arm,
+        |    CAST(sum(CASE WHEN o_orderdate < DATE '1996-01-01'
+        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN o_orderdate < DATE '1996-01-01' THEN 0
+        |      ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      END) AS BIGINT) AS y
+        |  FROM orders GROUP BY o_custkey),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM per),
+        |th AS (SELECT
+        |    CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |        / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+        |  FROM g),
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_units,
+        |    sum(CAST(x AS HUGEINT)) AS sxa, sum(CAST(y AS HUGEINT)) AS sya
+        |  FROM per GROUP BY arm)
+        |SELECT a.arm,
+        |  a.n_units,
+        |  CAST(floor(CAST(sya AS DOUBLE) / CAST(n_units AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS mean_y_micro,
+        |  CAST(floor((CAST(sya AS DOUBLE) / CAST(n_units AS DOUBLE)
+        |    - th.theta * (CAST(sxa AS DOUBLE) / CAST(n_units AS DOUBLE)
+        |      - th.xbar)) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS mean_cuped_micro,
+        |  CAST(floor(th.theta * 1000000.0 + 0.5) AS BIGINT) AS theta_micro
+        |FROM a CROSS JOIN th""".stripMargin,
+
     "q_dsir" ->
       // Corpus.dsirSelect mirror: hashed-unigram buckets (same 48-bit
       // md5-prefix integers), add-one log ratios as ONE ln of an

@@ -1243,6 +1243,59 @@ object SparkEntry {
     Corpus.distinctNgrams(table(s, dir, "documents"), "lang", "text",
       functions.TextFunctions.words)
 
+  /** E110: token-overlap F1 between each document and its successor —
+    * the SQuAD-style generated-vs-reference eval metric: multiset
+    * token intersection, F1 = 2·ov/(len_p+len_r) as one exact floor
+    * division in micro-units (operators.Corpus.tokenF1).
+    */
+  private def qTokenF1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents").select($"doc_id", $"text")
+    val pairs = d.toDF("pair_id", "pred")
+      .join(d.toDF("rid", "ref"), col("rid") === col("pair_id") + 1)
+      .select($"pair_id", $"pred", $"ref")
+    Corpus.tokenF1(pairs, "pair_id", "pred", "ref")
+  }
+
+  /** D13: full conditional MERGE INTO over customer — source batch =
+    * balance bumps for every 7th key plus brand-new keys; WHEN MATCHED
+    * AND target balance is negative THEN DELETE, WHEN MATCHED THEN
+    * UPDATE, WHEN NOT MATCHED THEN INSERT (operators.Loads.mergeInto).
+    */
+  private def qMergeFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = table(s, dir, "customer").select($"c_custkey", $"c_name",
+      floor($"c_acctbal" * 100 + 0.5).cast("long").as("bal_cents"))
+    val updates = cust.filter($"c_custkey" % 7 === 0)
+      .select($"c_custkey", $"c_name",
+        ($"bal_cents" + 10000L).as("bal_cents"))
+    val inserts = cust.filter($"c_custkey" % 11 === 3)
+      .select(($"c_custkey" + 100000000L).as("c_custkey"),
+        concat(lit("NEW "), $"c_name").as("c_name"),
+        lit(0L).as("bal_cents"))
+    operators.Loads.mergeInto(cust, updates.unionByName(inserts),
+      Seq("c_custkey"), Some(col("tgt_bal_cents") < 0))
+  }
+
+  /** C97: CUPED variance-reduced experiment readout — per customer,
+    * X = pre-1996 order cents (the pre-experiment covariate), Y =
+    * 1996+ cents, arms by key parity; θ from exact decimal moment
+    * sums, adjusted arm means in micro-units
+    * (operators.Stats.cuped; Deng et al., WSDM 2013).
+    */
+  private def qCuped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = table(s, dir, "orders")
+      .select($"o_custkey",
+        ($"o_orderdate" < lit("1996-01-01").cast("date")).as("pre"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"o_custkey")
+      .agg(sum(when($"pre", $"cents").otherwise(0L)).as("x"),
+        sum(when(!$"pre", $"cents").otherwise(0L)).as("y"))
+      .select(pmod($"o_custkey", lit(2)).as("arm"), $"x", $"y")
+    operators.Stats.cuped(per, "arm", "x", "y")
+  }
+
   /** E106: DSIR importance selection — target domain = the English
     * documents, source = the whole corpus; hashed-unigram likelihood
     * ratios, position-ordered ln folds at 6dp, deterministic greedy
@@ -4684,6 +4737,9 @@ object SparkEntry {
     "q_pagerank_fixed" -> (qPageRankFixed _),
     "q_ppr" -> (qPpr _),
     "q_link_predict" -> (qLinkPredict _),
+    "q_token_f1" -> (qTokenF1 _),
+    "q_merge_full" -> (qMergeFull _),
+    "q_cuped" -> (qCuped _),
     "q_bradley_terry" -> (qBradleyTerry _),
     "q_distinct_ngrams" -> (qDistinctNgrams _),
     "q_eb_shrinkage" -> (qEbShrinkage _),

@@ -1466,4 +1466,52 @@ object Corpus {
           .otherwise(expr("d_big * 1000000 div n_big"))
           .cast("long").as("distinct2_micro"))
   }
+
+  /** E110: token-overlap F1 — the SQuAD answer-overlap metric
+    * (Rajpurkar et al., EMNLP 2016), the standard cheap eval for
+    * generated-vs-reference text: per pair,
+    * overlap = Σ_t min(tf_pred(t), tf_ref(t)) (multiset intersection)
+    * and F1 = 2·overlap/(len_p + len_r) — 2PR/(P+R) collapses
+    * algebraically, so the score is ONE exact integer floor division
+    * in micro-units; no float accumulates anywhere.
+    *
+    * Plan (100 TB): explode both sides into (pair, token) count
+    * tables (two keyed map-combined aggs), inner-join on
+    * (pair, token), Σ least — everything hash-partitioned on pair_id,
+    * linear, no driver state. Tokens via the canonical
+    * [[graft.functions.TextFunctions.words]] normalization.
+    *
+    * @return (idCol, len_pred, len_ref, overlap, f1_micro); f1 null
+    *         when both sides are empty.
+    */
+  def tokenF1(pairs: DataFrame, idCol: String, predCol: String,
+              refCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    def counts(c: String, n: String) = pairs
+      .select(col(idCol).as("pid"),
+        explode(TextFunctions.words(col(c))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("pid"), col("tok"))
+      .agg(count(lit(1)).as(n))
+    val p = counts(predCol, "np")
+    val r = counts(refCol, "nr")
+    val lens = p.groupBy("pid").agg(sum(col("np")).as("len_pred"))
+      .join(r.groupBy("pid").agg(sum(col("nr")).as("len_ref")),
+        Seq("pid"), "full_outer")
+    val ov = p.join(r, Seq("pid", "tok"))
+      .groupBy("pid")
+      .agg(sum(least(col("np"), col("nr"))).as("overlap"))
+    pairs.select(col(idCol).as("pid")).distinct()
+      .join(lens, Seq("pid"), "left")
+      .join(ov, Seq("pid"), "left")
+      .select(col("pid"),
+        coalesce(col("len_pred"), lit(0L)).as("len_pred"),
+        coalesce(col("len_ref"), lit(0L)).as("len_ref"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .select(col("pid").as(idCol), col("len_pred"), col("len_ref"),
+        col("overlap"),
+        when(col("len_pred") + col("len_ref") === 0, lit(null))
+          .otherwise(expr("2000000 * overlap div (len_pred + len_ref)"))
+          .cast("long").as("f1_micro"))
+  }
 }

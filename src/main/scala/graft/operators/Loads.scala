@@ -41,6 +41,42 @@ object Loads {
       .drop("__graft_rn")
   }
 
+  /** D13: full conditional MERGE — the complete MERGE INTO statement
+    * (SQL:2003; Delta/Iceberg's workhorse) beside D2's
+    * last-writer-wins upsert: WHEN MATCHED AND <cond> THEN DELETE,
+    * WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT, absent
+    * target rows pass through. ONE full-outer key join carries all
+    * four outcomes (matched rows see both sides, so the delete
+    * predicate can reference source AND target columns); hash-
+    * partitioned on the key, AQE broadcasts a small source — the same
+    * plan at 60k rows and at 100 TB.
+    *
+    * @param deleteWhen matched-row delete predicate over columns named
+    *                   `src_<c>` / `tgt_<c>`; None = pure upsert.
+    * @return target schema; matched rows take the source's values.
+    */
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
+                deleteWhen: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    require(source.columns.sorted.sameElements(target.columns.sorted),
+      s"mergeInto: source columns [${source.columns.sorted.mkString(",")}] " +
+        s"must match target [${target.columns.sorted.mkString(",")}]")
+    val t = target.select(keys.map(col) ++
+      dataCols.map(c => col(c).as(s"tgt_$c")): _*)
+    val s = source.select(keys.map(col) ++
+      dataCols.map(c => col(c).as(s"src_$c")): _*)
+    // matched ⇔ both sides non-null on the marker (keys can be null-free
+    // by contract, but an explicit marker survives schema evolution)
+    val j = t.withColumn("__t", lit(1))
+      .join(s.withColumn("__s", lit(1)), keys, "full_outer")
+    val matched = col("__t").isNotNull && col("__s").isNotNull
+    val del = deleteWhen.map(matched && _).getOrElse(lit(false))
+    j.filter(!del)
+      .select(keys.map(col) ++ dataCols.map(c =>
+        when(col("__s").isNotNull, col(s"src_$c"))
+          .otherwise(col(s"tgt_$c")).as(c)): _*)
+  }
+
   /** D11: SCD type-3 merge — the "current + previous value" dimension
     * shape between SCD1's overwrite (D2, history lost) and SCD2's full
     * history (D4, row per version): one extra column remembers the

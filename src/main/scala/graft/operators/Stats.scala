@@ -1636,4 +1636,66 @@ object Stats {
         round(lit(alpha), 6).as("alpha_6"),
         round(lit(beta), 6).as("beta_6")): _*)
   }
+
+  /** C97: CUPED variance-reduced experiment readout (Deng, Xu, Kohavi
+    * & Walker, WSDM 2013) — the industry-standard A/B sensitivity
+    * boost: adjust each unit's outcome by its pre-experiment covariate,
+    * Y' = Y − θ(X − x̄) with θ = cov(X,Y)/var(X) pooled, which leaves
+    * every arm mean unbiased while removing the variance X explains.
+    *
+    * Exactness discipline: X/Y are integer (cents); the moment sums
+    * Σx, Σy, Σx², Σxy fold in decimal(38,0) (order-free, exact), θ is
+    * ONE double division of two exactly-computed integers, and each
+    * adjusted mean is the fixed expression ȳ_a − θ·(x̄_a − x̄) over
+    * exact-int ratios — deterministic IEEE both engines, emitted in
+    * floor(·10⁶+0.5) micro-units. Constant X (var = 0) → θ = 0 (CUPED
+    * no-op), the standard convention.
+    *
+    * Plan: one map-combined global agg (1 driver row — the documented
+    * 1-row-aggregate rung), one keyed arm agg; nothing else. Loud
+    * bound: |x|,|y| < 3·10⁹ so the long products stay exact.
+    *
+    * @return (armCol, n_units, mean_y_micro, mean_cuped_micro,
+    *          theta_micro)
+    */
+  def cuped(units: DataFrame, armCol: String, xCol: String,
+            yCol: String): DataFrame = {
+    val u = units.select(col(armCol).as("arm"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val g = u.agg(count(lit(1)).as("n"),
+      max(greatest(abs(col("x")), abs(col("y")))).as("mx"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      // try_multiply: an overflowing product nulls instead of ANSI-
+      // throwing mid-agg, so the require below reports the BOUND (with
+      // the rescale hint) rather than a bare SparkArithmeticException
+      sum(expr("try_multiply(x, x)").cast("decimal(38,0)")).as("sxx"),
+      sum(expr("try_multiply(x, y)").cast("decimal(38,0)")).as("sxy"))
+      .head()
+    val n = g.getLong(0)
+    require(n > 0, "cuped: empty input")
+    require(g.getLong(1) < 3000000000L,
+      s"cuped: |x|,|y| max ${g.getLong(1)} — long products would " +
+        "overflow past 3e9; rescale the metric units")
+    def bd(i: Int) = BigDecimal(g.getDecimal(i))
+    val (sx, sy, sxx, sxy) = (bd(2), bd(3), bd(4), bd(5))
+    val den = BigDecimal(n) * sxx - sx * sx
+    val theta =
+      if (den == 0) 0.0
+      else (BigDecimal(n) * sxy - sx * sy).doubleValue / den.doubleValue
+    val xbar = sx.doubleValue / n.toDouble
+    val arms = u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("x").cast("decimal(38,0)")).as("sxa"),
+        sum(col("y").cast("decimal(38,0)")).as("sya"))
+    val meanY = col("sya").cast("double") / col("n_units").cast("double")
+    val meanXa = col("sxa").cast("double") / col("n_units").cast("double")
+    def micro(c: Column) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+    arms.select(col("arm").as(armCol), col("n_units"),
+      micro(meanY).as("mean_y_micro"),
+      micro(meanY - lit(theta) * (meanXa - lit(xbar)))
+        .as("mean_cuped_micro"),
+      micro(lit(theta)).as("theta_micro"))
+  }
 }

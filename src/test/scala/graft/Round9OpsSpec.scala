@@ -55,6 +55,104 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(local.forall(p => !es.contains((p._1, p._2))))
   }
 
+  test("mergeInto: all four MERGE outcomes in one pass — matched-delete " +
+    "by predicate over both sides, matched-update, insert, pass-through") {
+    import graft.operators.Loads
+    val spark2 = spark
+    import spark2.implicits._
+    val target = Seq((1L, "a", 100L), (2L, "b", -50L), (3L, "c", 10L),
+      (4L, "d", -5L)).toDF("k", "name", "bal")
+    val source = Seq((1L, "a2", 200L), (2L, "b2", 999L),
+      (9L, "new", 0L)).toDF("k", "name", "bal")
+    val out = Loads.mergeInto(target, source, Seq("k"),
+      Some(org.apache.spark.sql.functions.col("tgt_bal") < 0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a2", 200L), // matched → source values
+      // 2 matched AND tgt_bal<0 → deleted
+      (3L, "c", 10L),   // untouched target passes through
+      (4L, "d", -5L),   // negative bal but NOT matched → survives
+      (9L, "new", 0L))) // not matched → inserted
+    // None deleteWhen = pure upsert: row 2 updates instead
+    val up = Loads.mergeInto(target, source, Seq("k"), None)
+      .filter($"k" === 2L).collect()
+    assert(up.head.getString(1) == "b2")
+    // mismatched source schema fails loudly
+    intercept[IllegalArgumentException] {
+      Loads.mergeInto(target, source.drop("bal"), Seq("k"), None)
+    }
+  }
+
+  test("tokenF1: multiset overlap (not set), exact micro F1, empty and " +
+    "disjoint edges") {
+    import graft.operators.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = Seq(
+      (1L, "the cat the dog", "the the the fox"), // min(3,... ) multiset
+      (2L, "same text", "same text"),             // perfect → 1e6
+      (3L, "alpha beta", "gamma delta"),          // disjoint → 0
+      (4L, "", ""),                               // both empty → null
+      (5L, "only left", "")                       // one side empty → 0
+    ).toDF("pair_id", "pred", "ref")
+    val got = Corpus.tokenF1(pairs, "pair_id", "pred", "ref")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    // pair 1: pred tf(the)=2, ref tf(the)=3 → overlap min = 2;
+    // lens 4 and 4 → F1 = 2·2/8 = 0.5
+    assert(got(1L) == ((4L, 4L, 2L, 500000L)))
+    assert(got(2L) == ((2L, 2L, 2L, 1000000L)))
+    assert(got(3L) == ((2L, 2L, 0L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L, -1L))) // null F1
+    assert(got(5L) == ((2L, 0L, 0L, 0L)))
+  }
+
+  test("cuped: θ matches the closed-form covariance ratio; adjustment " +
+    "removes the covariate-explained spread; constant X is a no-op") {
+    import graft.operators.Stats
+    val spark2 = spark
+    import spark2.implicits._
+    // y = 2x + arm-effect + noise-free: CUPED with θ=2 should collapse
+    // each arm's mean to effect + 2·x̄ (exactly computable by hand)
+    val rows = Seq(
+      (0L, 10L, 20L), (0L, 20L, 40L), (0L, 30L, 60L),
+      (1L, 10L, 25L), (1L, 20L, 45L), (1L, 30L, 65L))
+    val got = Stats.cuped(rows.toDF("arm", "x", "y"), "arm", "x", "y")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // pooled θ: cov/var with y=2x+5·arm → θ=2 exactly (arms symmetric
+    // in x, so the arm effect is orthogonal to x)
+    assert(got(0L)._4 == 2000000L && got(1L)._4 == 2000000L)
+    // arm means: 40 and 45; x̄_a = x̄ = 20 → adjustment is zero here,
+    // CUPED preserves the arm means (unbiasedness)
+    assert(got(0L)._2 == 40000000L && got(1L)._2 == 45000000L)
+    assert(got(0L)._3 == 40000000L && got(1L)._3 == 45000000L)
+    // skewed x mix: adjusted means shift by −θ(x̄_a − x̄)
+    val skew = Seq((0L, 10L, 20L), (0L, 20L, 40L),
+      (1L, 30L, 65L), (1L, 40L, 85L))
+    val g2 = Stats.cuped(skew.toDF("arm", "x", "y"), "arm", "x", "y")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // θ=2.2 (cov 275/var 125), x̄=25: arm0 ȳ=30, x̄_a=15 → adj 30+22=52
+    // arm1 ȳ=75, x̄_a=35 → adj 75−22=53 — the 45-point raw gap shrinks
+    // to 1 once the covariate mix is removed
+    assert(g2(0L) == ((30000000L, 52000000L)))
+    assert(g2(1L) == ((75000000L, 53000000L)))
+    // constant X: var=0 → θ=0, adjusted ≡ raw
+    val c = Stats.cuped(Seq((0L, 7L, 10L), (1L, 7L, 30L))
+      .toDF("arm", "x", "y"), "arm", "x", "y")
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(c.forall(_._2 == 0L))
+    assert(c.map(_._1).sorted.toSeq == Seq(10000000L, 30000000L))
+    // loud overflow bound
+    intercept[IllegalArgumentException] {
+      Stats.cuped(Seq((0L, 4000000000L, 1L)).toDF("arm", "x", "y"),
+        "arm", "x", "y")
+    }
+  }
+
   test("EtlConfig: resolution order overrides > env > dotenv > default; " +
     "dotenv parsing; secrets redacted; endpoint wiring (config.py parity)") {
     import graft.pipeline.EtlConfig
