@@ -2555,6 +2555,64 @@ object OracleSql {
          |SELECT p AS id, c AS core_deg FROM fin""".stripMargin
     },
 
+    "q_ktruss" -> {
+      // Graph.kTruss mirror: same pair fragments as q_kcore, then 5
+      // UNROLLED truss-peel rounds — oriented triangle enumeration
+      // (x<y<z once each), per-edge support via the 3-way UNION ALL,
+      // keep support ≥ k−2 (= 1 at k = 3). The Spark operator peels to
+      // FIXPOINT, so hash-equality certifies 5 rounds converge on this
+      // data. MATERIALIZED per the q_kcore lesson (each round
+      // references the previous twice — plain CTEs inline
+      // exponentially).
+      val rounds = 5
+      val peel = (1 to rounds).map { i =>
+        s"""tri$i AS MATERIALIZED (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM e${i - 1} e1 JOIN e${i - 1} e2 ON e2.a = e1.b
+           |  JOIN e${i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |sup$i AS MATERIALIZED (
+           |  SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+           |    SELECT x AS a, y AS b FROM tri$i
+           |    UNION ALL SELECT y AS a, z AS b FROM tri$i
+           |    UNION ALL SELECT x AS a, z AS b FROM tri$i) t
+           |  GROUP BY 1, 2),
+           |e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE sup >= 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $corpusCte,
+         |$shCte,
+         |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS ic
+         |  FROM sh a
+         |  JOIN sizes sa ON sa.id = a.id
+         |  JOIN sh b ON a.sh = b.sh AND a.id < b.id
+         |  JOIN sizes sb ON sb.id = b.id
+         |  WHERE CAST(sa.sz AS DOUBLE) <= sb.sz / CAST(0.6 AS DOUBLE)
+         |    AND CAST(sb.sz AS DOUBLE) <= sa.sz / CAST(0.6 AS DOUBLE)
+         |  GROUP BY 1, 2),
+         |pairs AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      round(CAST(ic AS DOUBLE) / (sa.sz + sb.sz - ic), 4) AS jaccard
+         |    FROM inter
+         |    JOIN sizes sa ON sa.id = id_a
+         |    JOIN sizes sb ON sb.id = id_b) j
+         |  WHERE jaccard >= 0.6),
+         |e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs),
+         |$peel,
+         |trif AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e$rounds e1 JOIN e$rounds e2 ON e2.a = e1.b
+         |  JOIN e$rounds e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT a AS id_a, b AS id_b, CAST(count(*) AS BIGINT) AS support
+         |FROM (
+         |  SELECT x AS a, y AS b FROM trif
+         |  UNION ALL SELECT y AS a, z AS b FROM trif
+         |  UNION ALL SELECT x AS a, z AS b FROM trif) t
+         |GROUP BY 1, 2""".stripMargin
+    },
+
     "q_pagerank_fixed" -> {
       // same pair fragments as q_dedup_ngram, then 5 UNROLLED
       // fixed-point PageRank rounds in exact integer arithmetic —

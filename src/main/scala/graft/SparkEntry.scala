@@ -2882,6 +2882,16 @@ object SparkEntry {
     Graph.kCore(pairs, "id_a", "id_b", k = 2)
   }
 
+  /** E111: 3-truss of the near-dup pair graph — edges that close at
+    * least one triangle WITHIN the surviving subgraph; the template-hub
+    * cut k-core can't make (operators.Graph.kTruss).
+    */
+  private def qKtruss(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(dupCorpus(s, dir), "text", "doc_id",
+      5, 0.6)
+    Graph.kTruss(pairs, "id_a", "id_b", k = 3)
+  }
+
   /** F11: VWAP per (event_type, day) — notional (cents × quantity)
     * accumulates as exact integers; the only float op is ONE division
     * at the end, identical on both engines. TWAP/VWAP is the standard
@@ -4794,6 +4804,7 @@ object SparkEntry {
     "q_holt_winters" -> (qHoltWinters _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_kcore" -> (qKcore _),
+    "q_ktruss" -> (qKtruss _),
     "q_temporal_join" -> (qTemporalJoin _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_train_blocks" -> (qTrainBlocks _),

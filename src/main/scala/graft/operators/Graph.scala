@@ -895,6 +895,141 @@ object Graph {
     lastDeg.select(col("p").as("id"), col("deg").as("core_deg"))
   }
 
+  /** E111: k-truss subgraph (Cohen 2008; Wang & Cheng, VLDB 2012) —
+    * the maximal subgraph where every edge closes ≥ k−2 triangles
+    * WITHIN the subgraph. The triangle-reinforced community core that
+    * k-core over-admits: a star hub has high degree but zero
+    * triangles, so it survives k-core and dies here — in a near-dup
+    * graph that is exactly the "one template linked to everything"
+    * node a cluster-quality cut wants gone.
+    *
+    * Plan (100 TB): per round, triangles enumerate ONCE each via the
+    * oriented two-hop join e(a,b)⋈e(b,c)⋉e(a,c) over canonical a<b
+    * edges; each triangle credits its three edges (one explode + keyed
+    * count); edges below k−2 support drop via one semi-join; repeat to
+    * fixpoint (edge count unchanged), loud failure past `maxRounds`
+    * (the kCore discipline — wrong answers are never returned).
+    * Support counting is exact integers → hash-gateable; the oracle
+    * unrolls the rounds MATERIALIZED, so hash-equality also certifies
+    * convergence within the unroll. Below `localThreshold` edges the
+    * standard queue-cascade peel runs on the driver (k-truss is the
+    * unique maximal subgraph, so peel order is immaterial) —
+    * bit-identical, asserted in Round9OpsSpec.
+    *
+    * @return fixpoint edges (id_a, id_b, support); support = triangle
+    *         count within the fixpoint subgraph (≥ k−2 by definition).
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+             maxRounds: Int = 30,
+             localThreshold: Long = 2000000L): DataFrame = {
+    require(k >= 3, s"k must be ≥ 3 (k=2 is the whole graph): $k")
+    val und0 = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    var cur = und0.persist(StorageLevel.MEMORY_AND_DISK)
+    var nEdges = cur.count()
+    if (nEdges <= localThreshold) {
+      val result = localKTruss(cur, k)
+      cur.unpersist()
+      return result
+    }
+    def support(e: DataFrame): DataFrame = {
+      val tri = e.select(col("a").as("x"), col("b").as("y"))
+        .join(e.select(col("a").as("y"), col("b").as("z")), "y")
+        .join(e.select(col("a").as("x"), col("b").as("z")),
+          Seq("x", "z"), "left_semi")
+      tri.select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("y").as("a"), col("z").as("b")),
+          struct(col("x").as("a"), col("z").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var round = 0
+    while (true) {
+      val sup = support(cur)
+      val next = cur.join(sup.filter(col("support") >= k - 2),
+          Seq("a", "b"), "left_semi")
+        .localCheckpoint(true)
+      val nNext = next.count()
+      if (nNext == nEdges) {
+        // fixpoint: sup was computed over the surviving set itself
+        val out = cur.join(sup, Seq("a", "b"))
+          .select(col("a").as("id_a"), col("b").as("id_b"),
+            col("support"))
+          .localCheckpoint(true)
+        cur.unpersist()
+        return out
+      }
+      cur.unpersist()
+      cur = next
+      nEdges = nNext
+      round += 1
+      if (nEdges == 0) {
+        // empty fixpoint: no edge closes k−2 triangles
+        return cur.select(col("a").as("id_a"), col("b").as("id_b"),
+          lit(0L).as("support"))
+      }
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"kTruss: no fixpoint after $maxRounds peeling rounds")
+    }
+    sys.error("unreachable")
+  }
+
+  /** [[kTruss]]'s driver rung: support = |Γ(a)∩Γ(b)| per edge, queue
+    * cascade removes below-threshold edges and decrements the two
+    * co-triangle edges; final supports recomputed over the survivor
+    * adjacency so the output is definitionally the distributed one.
+    */
+  private def localKTruss(und: DataFrame, k: Int): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    val adj = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.Set[Long]]
+    und.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    def ckey(u: Long, v: Long): (Long, Long) = if (u < v) (u, v) else (v, u)
+    def commons(u: Long, v: Long): Iterator[Long] = {
+      val (s1, s2) = (adj(u), adj(v))
+      (if (s1.size <= s2.size) s1 else s2).iterator
+        .filter(c => (if (s1.size <= s2.size) s2 else s1).contains(c))
+    }
+    val sup = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    adj.foreach { case (u, ns) => ns.foreach { v =>
+      if (u < v) sup((u, v)) = commons(u, v).size
+    } }
+    val queue = scala.collection.mutable.Queue.empty[(Long, Long)]
+    val dead = scala.collection.mutable.Set.empty[(Long, Long)]
+    sup.foreach { case (e, s) => if (s < k - 2) queue += e }
+    while (queue.nonEmpty) {
+      val e @ (a, b) = queue.dequeue()
+      if (!dead(e) && adj.contains(a) && adj(a).contains(b)) {
+        commons(a, b).toSeq.foreach { c =>
+          Seq(ckey(a, c), ckey(b, c)).foreach { f =>
+            if (!dead(f)) {
+              val s = sup(f) - 1
+              sup(f) = s
+              if (s == k - 3) queue += f // just dropped below k−2
+            }
+          }
+        }
+        dead += e
+        adj(a) -= b; adj(b) -= a
+      }
+    }
+    val out = sup.keysIterator.filterNot(dead).map { case (a, b) =>
+      (a, b, commons(a, b).size.toLong)
+    }.toSeq
+    out.toDF("id_a", "id_b", "support")
+  }
+
   /** Driver-side peel for small graphs — queue-based cascade, O(E). */
   private def localKCore(und: DataFrame, k: Int): DataFrame = {
     val spark = und.sparkSession

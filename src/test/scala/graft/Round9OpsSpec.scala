@@ -55,6 +55,43 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(local.forall(p => !es.contains((p._1, p._2))))
   }
 
+  test("kTruss: hub dies, clique survives with exact supports; driver " +
+    "rung ≡ distributed peel; cascade removal; empty fixpoint") {
+    import graft.operators.Graph
+    val spark2 = spark
+    import spark2.implicits._
+    // K5 clique (ids 1-5) + star hub 100 attached to 30 leaves + a
+    // dangling triangle 10-11-12 + a path 20-21-22 (no triangles)
+    val k5 = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i.toLong, j.toLong)
+    val star = (200 to 229).map(l => (100L, l.toLong))
+    val tri = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val path = Seq((20L, 21L), (21L, 22L))
+    val edges = (k5 ++ star ++ tri ++ path).toDF("s", "d")
+    def run(th: Long) = Graph.kTruss(edges, "s", "d", k = 3,
+        localThreshold = th)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .sortBy(_._1)
+    val local = run(2000000L)
+    val dist = run(0L)
+    assert(local.toSeq == dist.toSeq)
+    val m = local.toMap
+    // K5: every edge closes 3 triangles; dangling triangle: 1 each;
+    // star and path edges close none → gone
+    assert(m.size == 13)
+    assert(k5.forall(e => m(e) == 3L))
+    assert(tri.forall(e => m(e) == 1L))
+    // k=4: the dangling triangle's support-1 edges die, K5 survives
+    val m4 = Graph.kTruss(edges, "s", "d", k = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(m4.keySet == k5.toSet && m4.values.forall(_ == 3L))
+    // cascade: k=5 on K5-minus-one-edge must empty out (each removal
+    // drops neighbors below threshold transitively)
+    val chipped = k5.filterNot(_ == ((1L, 2L))).toDF("s", "d")
+    assert(Graph.kTruss(chipped, "s", "d", k = 5).count() == 0)
+    assert(Graph.kTruss(chipped, "s", "d", k = 5,
+      localThreshold = 0L).count() == 0)
+  }
+
   test("mergeInto: all four MERGE outcomes in one pass — matched-delete " +
     "by predicate over both sides, matched-update, insert, pass-through") {
     import graft.operators.Loads
