@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Output-side helpers (SURVEY.md §2.A3) — how graft lays data out so
   * DOWNSTREAM reads stay fast at 100 TB:
@@ -29,6 +30,44 @@ object Writers {
     sorted.write.mode(mode)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
+
+  /** D14: predicate-scoped partition overwrite (Delta's
+    * `replaceWhere` / Spark's dynamic partition overwrite, the
+    * idempotent-backfill primitive): replace EXACTLY the partitions
+    * the incoming batch touches, leave every other partition's bytes
+    * untouched — re-running a day's backfill converges instead of
+    * appending duplicates, and a full-table Overwrite (which would
+    * delete the other 10 years at 100 TB) is impossible by
+    * construction.
+    *
+    * Uses Spark's native dynamic partitionOverwriteMode for the swap
+    * (staged per-partition directory replace, atomic per partition);
+    * the batch is REQUIRED to be partition-complete: a guard fails
+    * loudly if `df` carries null partition values (they'd land in the
+    * __HIVE_DEFAULT_PARTITION__ bucket and silently clobber it).
+    */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "overwritePartitions needs partition columns")
+    val nulls = df.filter(partitionCols.map(c => col(c).isNull)
+      .reduce(_ || _)).limit(1).count()
+    require(nulls == 0,
+      s"overwritePartitions: null values in partition columns " +
+        s"${partitionCols.mkString(",")} — fix upstream, a null would " +
+        "silently replace the default partition")
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /** ORC export/import — the second columnar interchange format Spark

@@ -572,4 +572,59 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(kw.contains("HashAggregate"), kw.take(1200))
     assert(!kw.contains("CartesianProduct"))
   }
+
+  test("round-9 ops: MERGE is ONE keyed full-outer join; token-F1 " +
+    "joins stay equi-keyed; CUPED never nested-loops its 1-row moments") {
+    val mg = plan("q_merge_full")
+    // the whole statement rides one FullOuter key join — no second
+    // pass, no nested loop
+    assert(mg.contains("FullOuter"), mg.take(1500))
+    assert(!mg.contains("BroadcastNestedLoopJoin") &&
+      !mg.contains("CartesianProduct"), mg.take(1200))
+    val tf = plan("q_token_f1")
+    // (pair, token) intersection is a keyed join; per-pair reassembly
+    // keyed too — nothing nested-loops the exploded token stream
+    assert(tf.contains("SortMergeJoin") || tf.contains("ShuffledHashJoin") ||
+      tf.contains("BroadcastHashJoin"), tf.take(1500))
+    assert(!tf.contains("BroadcastNestedLoopJoin"), tf.take(1200))
+    val cu = plan("q_cuped")
+    // θ comes from a 1-row aggregate collected on the driver; the arm
+    // table is a hash aggregate — no join of any kind survives
+    assert(cu.contains("HashAggregate"), cu.take(1200))
+    assert(!cu.contains("BroadcastNestedLoopJoin") &&
+      !cu.contains("CartesianProduct"), cu.take(1200))
+    // k-truss rounds: triangle enumeration is equi-joins + semi-join
+    // peel; the driver rung seals the gate-scale result, so assert on
+    // the DISTRIBUTED path over a synthetic >threshold graph instead
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = (for (i <- 1L to 40L; j <- (i + 1) to 40L) yield (i, j))
+      .toDF("s", "d")
+    // the result is sealed (localCheckpoint), so observe the plans the
+    // peel rounds EXECUTE via the listener, same trick as plan()
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    val kt = try {
+      val df = graft.operators.Graph.kTruss(edges, "s", "d", k = 3,
+        localThreshold = 0L)
+      org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
+      df
+    } finally spark.listenerManager.unregister(l)
+    val ktPlan = plans.toArray.map(_.toString).mkString("\n")
+    assert(!ktPlan.contains("CartesianProduct") &&
+      !ktPlan.contains("BroadcastNestedLoopJoin"), ktPlan.take(1200))
+    // triangle enumeration + peel executed as keyed joins incl. the
+    // semi-join edge filter
+    assert(ktPlan.contains("LeftSemi"), ktPlan.take(1500))
+    assert(kt.count() == 40L * 39 / 2) // K40 is its own 3-truss
+  }
 }

@@ -29,6 +29,43 @@ class WritersSpec extends AnyFunSuite {
       orders.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("overwritePartitions replaces ONLY the touched partitions — " +
+    "idempotent backfill, untouched bytes intact, null guard (D14)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Files.createTempDirectory("graft_dpo").toString + "/t"
+    Seq(("2024-01-01", 1L, "orig"), ("2024-01-01", 2L, "orig"),
+      ("2024-01-02", 3L, "orig"), ("2024-01-03", 4L, "orig"))
+      .toDF("day", "id", "v")
+      .write.partitionBy("day").parquet(out)
+    val d2files = new java.io.File(s"$out/day=2024-01-02").list().toSet
+    // backfill day 1 with a CORRECTED batch (one row instead of two)
+    val fix = Seq(("2024-01-01", 9L, "fixed")).toDF("day", "id", "v")
+    Writers.overwritePartitions(fix, out, Seq("day"))
+    def rows() = spark.read.parquet(out)
+      // partition-value inference types "day" as DATE on read-back
+      .select(col("day").cast("string").as("day"), col("id"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows() == Set(("2024-01-01", 9L, "fixed"),
+      ("2024-01-02", 3L, "orig"), ("2024-01-03", 4L, "orig")))
+    // the untouched partition's FILES were not rewritten
+    assert(new java.io.File(s"$out/day=2024-01-02").list().toSet == d2files)
+    // re-running the same backfill converges (no duplicate append)
+    Writers.overwritePartitions(fix, out, Seq("day"))
+    assert(rows().size == 3)
+    // a full-table clobber is impossible: other partitions survived
+    // every call above; and nulls in the partition column fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      Writers.overwritePartitions(
+        Seq((null: String, 7L, "x")).toDF("day", "id", "v"), out, Seq("day"))
+    }
+    assert(ex.getMessage.contains("null"), ex.getMessage)
+    // the session conf was restored, not leaked
+    assert(spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode").forall(_ != "dynamic"))
+  }
+
   test("orc roundtrip: partition pruning + predicate pushdown to the stripe") {
     val out = Files.createTempDirectory("graft_orc").toString + "/orders"
     val orders = table(spark, "/root/testdata/sf0.001", "orders")
