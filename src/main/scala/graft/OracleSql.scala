@@ -3089,6 +3089,42 @@ object OracleSql {
          |FROM rk CROSS JOIN ks""".stripMargin
     },
 
+    "q_jonckheere" ->
+      // Stats.jonckheere mirror: (group, value) counts, value-spine ×
+      // groups grid, per-group running sum, 2J = Σ cnt_j·(2cum_i −
+      // cnt_i) over ordered group pairs at each value — exact HUGEINT;
+      // z from the no-tie moments with the identical IEEE tree, 6dp
+      """WITH src AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM src GROUP BY 1, 2),
+        |grid AS (SELECT x.g, x.v, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |  FROM (SELECT g, v FROM (SELECT DISTINCT v FROM c)
+        |        CROSS JOIN (SELECT DISTINCT g FROM c)) x
+        |  LEFT JOIN c ON c.g = x.g AND c.v = x.v),
+        |cum AS (SELECT g, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS cum
+        |  FROM grid),
+        |j AS (SELECT coalesce(sum(
+        |    CAST(b.cnt AS HUGEINT) * (2 * a.cum - a.cnt)),
+        |    CAST(0 AS HUGEINT)) AS j2
+        |  FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g),
+        |sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+        |  FROM src GROUP BY g),
+        |tot AS (SELECT sum(CAST(n AS HUGEINT)) AS nt,
+        |    sum(CAST(n AS HUGEINT) * n) AS sn2,
+        |    sum(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS sn23,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM sizes)
+        |SELECT CAST(nt AS BIGINT) AS n_total, k AS k_groups,
+        |  CAST(j2 AS BIGINT) AS j2,
+        |  round(CASE WHEN nt * nt * (2 * nt + 3) - sn23 = 0 THEN 0.0
+        |    ELSE CAST(j2 - (nt * nt - sn2) // 2 AS DOUBLE)
+        |      / (2.0 * sqrt(CAST(nt * nt * (2 * nt + 3) - sn23 AS DOUBLE)
+        |        / 72.0)) END, 6) AS z_6
+        |FROM j CROSS JOIN tot""".stripMargin,
+
     "q_kruskal_wallis" ->
       // Stats.kruskalWallis mirror: 2·midrank = 2·cum + t + 1 exact
       // BIGINT carriers from value-cardinality tie counts; the per-

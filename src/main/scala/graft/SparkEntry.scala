@@ -1343,6 +1343,18 @@ object SparkEntry {
       "event_type", "event_id", $"first_half", "cents")
   }
 
+  /** C98: Jonckheere–Terpstra ordered-alternative trend across the
+    * event types in ascending name order — exact 2J carrier, no-tie
+    * z at 6dp (operators.Stats.jonckheere).
+    */
+  private def qJonckheere(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Stats.jonckheere(
+      table(s, dir, "events").select($"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("cents")),
+      "event_type", "cents")
+  }
+
   /** C93: Kruskal–Wallis H across the five event types' value
     * distributions (integer cents) — k-group rank test, exact 2·midrank
     * carriers, group-key-ordered final fold at 6dp
@@ -4754,6 +4766,7 @@ object SparkEntry {
     "q_distinct_ngrams" -> (qDistinctNgrams _),
     "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
+    "q_jonckheere" -> (qJonckheere _),
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),
     "q_fdr_battery" -> (qFdrBattery _),

@@ -1637,6 +1637,72 @@ object Stats {
         round(lit(beta), 6).as("beta_6")): _*)
   }
 
+  /** C98: Jonckheere–Terpstra ordered-alternative test (Jonckheere
+    * 1954; Terpstra 1952) — the trend-aware k-group test C93
+    * Kruskal–Wallis can't be: KW asks "any difference?", JT asks "do
+    * values INCREASE with the group order?" (dose-response, cohort
+    * age, quality tier), gaining power by using the ordering.
+    * J = Σ_{i<j} U_ij over group pairs in ascending group order;
+    * ties contribute ½, so the emitted statistic is the EXACT integer
+    * 2J (the C71 Mann–Whitney carrier discipline). z uses the
+    * standard no-tie moments μ = (N²−Σn²)/4,
+    * σ² = (N²(2N+3) − Σn²(2n+3))/72 (documented approximation under
+    * heavy ties), computed from exact integers with ONE fixed IEEE
+    * expression, 6dp.
+    *
+    * Plan: one keyed (group, value) count agg collapses the data;
+    * the value spine × k groups grid (k is tiny — broadcast) gets a
+    * per-group running sum over VALUE-CARDINALITY rows only; 2J is
+    * one equi-join of the grid with itself on the value with a
+    * group-order filter — no data-sized window, no pair explosion
+    * beyond |spine|·k².
+    *
+    * @return one row (n_total, k_groups, j2, z_6); group order =
+    *         natural ascending order of `groupCol`.
+    */
+  def jonckheere(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val src = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val c = src.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val spine = c.select(col("v")).distinct()
+    val grps = c.select(col("g")).distinct()
+    val grid = spine.crossJoin(broadcast(grps))
+      .join(c, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val cum = grid.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("g")).orderBy(col("v"))))
+    val a = cum.select(col("g").as("gi"), col("v"),
+      col("cnt").as("ci"), col("cum").as("cumi"))
+    val b = cum.select(col("g").as("gj"), col("v"), col("cnt").as("cj"))
+    val j2 = a.join(b, Seq("v")).filter(col("gi") < col("gj"))
+      .agg(coalesce(sum((col("cj") * (col("cumi") * 2 - col("ci")))
+        .cast("decimal(38,0)")), lit(BigDecimal(0)).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    val sizes = src.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .select(col("n")).collect().map(_.getLong(0))
+    c.unpersist()
+    val k = sizes.length.toLong
+    val nt = BigDecimal(sizes.sum)
+    val sn2 = sizes.map(n => BigDecimal(n) * BigDecimal(n)).sum
+    val sn23 = sizes.map(n =>
+      BigDecimal(n) * BigDecimal(n) * BigDecimal(2L * n + 3)).sum
+    val m2 = (nt * nt - sn2) / 2 // always even: N²−Σn² = 2Σ_{i<j}nᵢnⱼ
+    val v72 = nt * nt * (nt * 2 + 3) - sn23
+    val z =
+      if (v72 == 0) 0.0
+      else (BigDecimal(j2) - m2).doubleValue /
+        (2.0 * math.sqrt(v72.doubleValue / 72.0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nt.toLong, k, BigDecimal(j2).toLong,
+      BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble))
+      .toDF("n_total", "k_groups", "j2", "z_6")
+  }
+
   /** C97: CUPED variance-reduced experiment readout (Deng, Xu, Kohavi
     * & Walker, WSDM 2013) — the industry-standard A/B sensitivity
     * boost: adjust each unit's outcome by its pre-experiment covariate,

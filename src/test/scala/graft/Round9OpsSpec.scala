@@ -190,6 +190,42 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("jonckheere: exact 2J vs brute pair count (ties at ½), ordered " +
+    "trend detected, moments match the closed form") {
+    import graft.operators.Stats
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(23)
+    // three ordered groups with an upward shift + planted ties
+    val data = (1 to 60).map { i =>
+      val g = i % 3 // natural order 0 < 1 < 2
+      (g.toLong, (rnd.nextInt(50) + g * 12).toLong)
+    }
+    val got = Stats.jonckheere(data.toDF("g", "v"), "g", "v")
+      .head()
+    // brute: 2J = Σ over cross-group ordered pairs of 2·[x<y] + [x=y]
+    val byG = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var j2 = 0L
+    for (i <- byG.keys; j <- byG.keys if i < j; x <- byG(i); y <- byG(j))
+      j2 += (if (x < y) 2L else if (x == y) 1L else 0L)
+    assert(got.getLong(0) == 60L && got.getLong(1) == 3L)
+    assert(got.getLong(2) == j2, s"2J ${got.getLong(2)} != brute $j2")
+    // planted upward trend → strongly positive z
+    assert(got.getDouble(3) > 2.0)
+    // closed-form moments: z recomputed by hand matches at 6dp
+    val ns = byG.values.map(_.size.toLong)
+    val nt = ns.sum.toDouble
+    val m2 = (nt * nt - ns.map(n => n.toDouble * n).sum) / 2.0
+    val v72 = nt * nt * (2 * nt + 3) - ns.map(n =>
+      n.toDouble * n * (2 * n + 3)).sum
+    val z = (j2 - m2) / (2.0 * math.sqrt(v72 / 72.0))
+    assert(math.abs(got.getDouble(3) - z) < 1e-5)
+    // flat data → z near 0; reversed trend → negative
+    val rev = data.map { case (g, v) => (2L - g, v) }
+    assert(Stats.jonckheere(rev.toDF("g", "v"), "g", "v")
+      .head().getDouble(3) < -2.0)
+  }
+
   test("EtlConfig: resolution order overrides > env > dotenv > default; " +
     "dotenv parsing; secrets redacted; endpoint wiring (config.py parity)") {
     import graft.pipeline.EtlConfig
