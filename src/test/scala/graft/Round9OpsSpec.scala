@@ -226,6 +226,50 @@ class Round9OpsSpec extends AnyFunSuite {
       .head().getDouble(3) < -2.0)
   }
 
+  test("QualityGate: in-contract batch passes; row blowup, null spike, " +
+    "range escape, and PSI shift each abort with a named breach") {
+    import graft.pipeline.{QualityGate, RunLog}
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(31)
+    def batch(n: Int, nullEvery: Int, shift: Long) = (1 to n).map { i =>
+      (if (nullEvery > 0 && i % nullEvery == 0) null
+       else s"cat${i % 5}",
+        (rnd.nextInt(1000).toLong + shift, i.toLong))
+    }.map { case (c, (v, id)) => (id, c, v) }
+    val ref = batch(2000, 100, 0).toDF("id", "cat", "v")
+    val okCur = batch(2100, 100, 0).toDF("id", "cat", "v")
+    val strs = Seq("cat"); val nums = Seq("v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qg").toString
+    val rl = new RunLog(dir, RunLog.newRunId(), echo = false)
+    val pass = QualityGate.evaluate(ref, okCur, strs, nums,
+      psiCols = Seq("v"), log = Some(rl))
+    assert(pass.pass, pass.breaches.toString)
+    pass.orAbort() // no-op on pass
+    // row-count blowup (+50% > ±20%)
+    val big = batch(3000, 100, 0).toDF("id", "cat", "v")
+    val v1 = QualityGate.evaluate(ref, big, strs, nums)
+    assert(!v1.pass && v1.breaches.exists(_.check == "row_count"))
+    // null-rate spike (1% → 25%) on cat
+    val nulls = batch(2000, 4, 0).toDF("id", "cat", "v")
+    val v2 = QualityGate.evaluate(ref, nulls, strs, nums)
+    assert(v2.breaches.exists(b => b.check == "profile_drift" &&
+      b.detail.contains("cat") && b.detail.contains("null-rate")),
+      v2.breaches.toString)
+    // numeric range escape + PSI distribution shift
+    val shifted = batch(2000, 100, 5000).toDF("id", "cat", "v")
+    val v3 = QualityGate.evaluate(ref, shifted, strs, nums,
+      psiCols = Seq("v"), log = Some(rl))
+    assert(v3.breaches.exists(b => b.check == "profile_drift" &&
+      b.detail.contains("range")), v3.breaches.toString)
+    assert(v3.breaches.exists(_.check == "psi"), v3.breaches.toString)
+    val ex = intercept[IllegalStateException](v3.orAbort())
+    assert(ex.getMessage.contains("psi"), ex.getMessage)
+    // the run log carries the named breaches
+    val logText = java.nio.file.Files.readString(rl.currentFile)
+    assert(logText.contains("quality_gate") && logText.contains("psi"))
+  }
+
   test("EtlConfig: resolution order overrides > env > dotenv > default; " +
     "dotenv parsing; secrets redacted; endpoint wiring (config.py parity)") {
     import graft.pipeline.EtlConfig
