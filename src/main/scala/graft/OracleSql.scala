@@ -3089,6 +3089,54 @@ object OracleSql {
          |FROM rk CROSS JOIN ks""".stripMargin
     },
 
+    "q_woe_iv" -> {
+      val qs = (1 to 9).map(i =>
+        s"min(CASE WHEN cum * 10 >= n * $i THEN cents END) AS q$i")
+        .mkString(",\n         |    ")
+      val ladder = (1 to 9).map(i =>
+        s"(CASE WHEN cents > q$i THEN 1 ELSE 0 END)").mkString(" + ")
+      // Stats.woeIv mirror: decile bounds by the exact integer rank
+      // test; per-bin WOE = ONE ln of ONE division of two exact
+      // integer cross products (add-one smoothing keeps empty bins
+      // finite); IV folds its 10 terms in bin order
+      s"""WITH av AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+         |    AS BIGINT) AS cents,
+         |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+         |  FROM orders),
+         |v AS (SELECT cents, CAST(count(*) AS BIGINT) AS c FROM av
+         |  GROUP BY 1),
+         |w AS (SELECT cents,
+         |    CAST(sum(c) OVER (ORDER BY cents) AS BIGINT) AS cum,
+         |    CAST((SELECT count(*) FROM av) AS BIGINT) AS n FROM v),
+         |bnd AS (SELECT $qs
+         |  FROM w),
+         |bc AS (SELECT CAST(1 + $ladder AS BIGINT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS n_bad
+         |  FROM av CROSS JOIN bnd GROUP BY 1),
+         |sp AS (SELECT CAST(u.b AS BIGINT) AS bin
+         |  FROM unnest(generate_series(1, 10)) AS u(b)),
+         |full0 AS (SELECT sp.bin, coalesce(bc.n, 0) AS n,
+         |    coalesce(bc.n - bc.n_bad, 0) AS n_good,
+         |    coalesce(bc.n_bad, 0) AS n_bad
+         |  FROM sp LEFT JOIN bc USING (bin)),
+         |t AS (SELECT CAST(sum(n_good) AS BIGINT) AS tg,
+         |    CAST(sum(n_bad) AS BIGINT) AS tb FROM full0),
+         |terms AS (SELECT f.bin, f.n, f.n_good, f.n_bad,
+         |    ln(CAST((f.n_good + 1) * (t.tb + 10) AS DOUBLE)
+         |      / CAST((f.n_bad + 1) * (t.tg + 10) AS DOUBLE)) AS woe,
+         |    (CAST(f.n_good + 1 AS DOUBLE) / CAST(t.tg + 10 AS DOUBLE)
+         |     - CAST(f.n_bad + 1 AS DOUBLE) / CAST(t.tb + 10 AS DOUBLE))
+         |    * ln(CAST((f.n_good + 1) * (t.tb + 10) AS DOUBLE)
+         |      / CAST((f.n_bad + 1) * (t.tg + 10) AS DOUBLE)) AS tm
+         |  FROM full0 f CROSS JOIN t),
+         |iv AS (SELECT round((SELECT list_reduce(list(tm ORDER BY bin),
+         |    (x, y) -> x + y) FROM terms), 6) AS iv_6)
+         |SELECT terms.bin, terms.n, terms.n_good, terms.n_bad,
+         |  round(terms.woe, 6) AS woe_6, iv.iv_6
+         |FROM terms CROSS JOIN iv""".stripMargin
+    },
+
     "q_jonckheere" ->
       // Stats.jonckheere mirror: (group, value) counts, value-spine ×
       // groups grid, per-group running sum, 2J = Σ cnt_j·(2cum_i −

@@ -1343,6 +1343,20 @@ object SparkEntry {
       "event_type", "event_id", $"first_half", "cents")
   }
 
+  /** C99: WOE/IV predictive binning of order value against the
+    * finalized-status label — decile bounds, add-one-smoothed
+    * weight-of-evidence per bin, information value total
+    * (operators.Stats.woeIv).
+    */
+  private def qWoeIv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Stats.woeIv(
+      table(s, dir, "orders").select(
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+        when($"o_orderstatus" === "F", 1L).otherwise(0L).as("y")),
+      "cents", "y")
+  }
+
   /** C98: Jonckheere–Terpstra ordered-alternative trend across the
     * event types in ascending name order — exact 2J carrier, no-tie
     * z at 6dp (operators.Stats.jonckheere).
@@ -4767,6 +4781,7 @@ object SparkEntry {
     "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_jonckheere" -> (qJonckheere _),
+    "q_woe_iv" -> (qWoeIv _),
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),
     "q_fdr_battery" -> (qFdrBattery _),

@@ -1637,6 +1637,74 @@ object Stats {
         round(lit(beta), 6).as("beta_6")): _*)
   }
 
+  /** C99: weight-of-evidence / information-value binning (the
+    * credit-scoring feature-screening standard — Siddiqi 2006): bin a
+    * numeric feature by its own exact decile bounds, per bin
+    * WOE = ln(%good/%bad), IV = Σ(%good − %bad)·WOE with the usual
+    * reading ≥0.3 strong, 0.1–0.3 medium, <0.02 useless.
+    *
+    * Exactness discipline: counts exact longs; add-one smoothing like
+    * [[psi]] (zero-count bins stay finite and the oracle mirrors it);
+    * each WOE is ONE ln of a single IEEE division of two
+    * exactly-computed integer products — 6dp; IV folds its ≤nBins
+    * terms in bin order via the psi sorted-collect fold, 6dp.
+    *
+    * Scale shape: one quantile collapse (value-cardinality window),
+    * bounds broadcast, ONE bucket-count aggregate, bin-cardinality
+    * everything after.
+    *
+    * @param labelCol 0/1 integer (1 = "bad"/event, the modeled class)
+    * @return per bin: (bin, n, n_good, n_bad, woe_6, iv_6) — iv_6 is
+    *         the feature-level total, replicated per row.
+    */
+  def woeIv(df: DataFrame, valueCol: String, labelCol: String,
+            nBins: Int = 10): DataFrame = {
+    require(nBins >= 2)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ps = (1 until nBins).map(_ * 10000 / nBins)
+    val bounds = broadcast(discreteQuantiles(
+      df.select(col(valueCol)).withColumn("__g", lit(1)),
+      Seq("__g"), valueCol, ps).drop("__g"))
+    val bucket = (lit(1) + ps.map(p =>
+      when(col(valueCol) > col(s"q$p"), 1).otherwise(0)).reduce(_ + _))
+      .cast("long")
+    val binned = df.select(col(valueCol),
+        col(labelCol).cast("long").as("__y"))
+      .crossJoin(bounds)
+      .select(bucket.as("bin"), col("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_bad"))
+      .select(col("bin"), col("n"), (col("n") - col("n_bad")).as("n_good"),
+        col("n_bad"))
+    val spine = (1L to nBins.toLong).toDF("bin")
+    val full = spine.join(binned, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_good"), lit(0L)).as("n_good"),
+        coalesce(col("n_bad"), lit(0L)).as("n_bad"))
+    val tot = full.agg(sum(col("n_good")).as("tg"),
+      sum(col("n_bad")).as("tb"))
+    // smoothed shares: pg = (g+1)/(G+k), pb = (b+1)/(B+k); WOE is ONE
+    // ln of the exact-integer cross ratio (g+1)(B+k) / ((b+1)(G+k))
+    val pgNum = (col("n_good") + 1) * (col("tb") + nBins)
+    val pbNum = (col("n_bad") + 1) * (col("tg") + nBins)
+    val woe = log(pgNum.cast("double") / pbNum.cast("double"))
+    val pg = (col("n_good") + 1).cast("double") /
+      (col("tg") + nBins).cast("double")
+    val pb = (col("n_bad") + 1).cast("double") /
+      (col("tb") + nBins).cast("double")
+    val terms = full.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_good"), col("n_bad"),
+        round(woe, 6).as("woe_6"),
+        struct(col("bin"), ((pg - pb) * woe).as("t")).as("s"))
+    val iv = terms.groupBy()
+      .agg(array_sort(collect_list(col("s"))).as("arr"))
+      .select(round(aggregate(transform(col("arr"), x => x("t")),
+        lit(0.0), _ + _), 6).as("iv_6"))
+    terms.select(col("bin"), col("n"), col("n_good"), col("n_bad"),
+      col("woe_6")).crossJoin(broadcast(iv))
+  }
+
   /** C98: Jonckheere–Terpstra ordered-alternative test (Jonckheere
     * 1954; Terpstra 1952) — the trend-aware k-group test C93
     * Kruskal–Wallis can't be: KW asks "any difference?", JT asks "do

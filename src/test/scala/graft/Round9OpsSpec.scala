@@ -226,6 +226,44 @@ class Round9OpsSpec extends AnyFunSuite {
       .head().getDouble(3) < -2.0)
   }
 
+  test("woeIv: separating feature gets monotone WOE and large IV; " +
+    "random feature IV ≈ 0; brute recompute matches; empty bins finite") {
+    import graft.operators.Stats
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    // value strongly predicts the label: y = 1 mostly when v is high
+    val sep = (1 to 5000).map { _ =>
+      val v = rnd.nextInt(1000).toLong
+      (v, if (rnd.nextInt(1000) < v) 1L else 0L)
+    }
+    val rows = Stats.woeIv(sep.toDF("v", "y"), "v", "y")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 10)
+    val iv = rows.head.getDouble(5)
+    assert(rows.forall(_.getDouble(5) == iv)) // replicated total
+    assert(iv > 0.3, s"separating feature should be strong, iv=$iv")
+    // WOE decreases with the bin (higher value → more "bad" → lower
+    // good share); check ends
+    assert(rows.head.getDouble(4) > rows.last.getDouble(4))
+    // brute recompute of bin 1's WOE from its own counts
+    val g1 = rows.head.getLong(2); val b1 = rows.head.getLong(3)
+    val tg = rows.map(_.getLong(2)).sum; val tb = rows.map(_.getLong(3)).sum
+    val woeB = math.log(((g1 + 1) * (tb + 10)).toDouble /
+      ((b1 + 1) * (tg + 10)).toDouble)
+    assert(math.abs(rows.head.getDouble(4) - woeB) < 1e-5)
+    // label independent of value → IV near zero
+    val noise = (1 to 5000).map(_ =>
+      (rnd.nextInt(1000).toLong, rnd.nextInt(2).toLong))
+    val ivN = Stats.woeIv(noise.toDF("v", "y"), "v", "y")
+      .head().getDouble(5)
+    assert(math.abs(ivN) < 0.02, s"noise IV should be ~0, got $ivN")
+    // all-good data: every bin's bad count 0, WOE finite via smoothing
+    val allGood = (1 to 100).map(i => (i.toLong, 0L))
+    val ag = Stats.woeIv(allGood.toDF("v", "y"), "v", "y").collect()
+    assert(ag.forall(r => !r.getDouble(4).isInfinite))
+  }
+
   test("QualityGate: in-contract batch passes; row blowup, null spike, " +
     "range escape, and PSI shift each abort with a named breach") {
     import graft.pipeline.{QualityGate, RunLog}
