@@ -232,4 +232,103 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mergeInto ≡ brute per-key merge over random target/source/" +
+    "delete predicates (all four outcomes randomized)") {
+    import graft.operators.Loads
+    import org.apache.spark.sql.functions.col
+    lazy val spark = SparkTestSession.spark
+    val spark2 = spark
+    import spark2.implicits._
+    val r = rng
+    for (round <- 1 to 8) {
+      val tgt = (0 until 30).filter(_ => r.nextBoolean())
+        .map(k => (k.toLong, r.nextInt(20).toLong - 10))
+      val src = (0 until 40).filter(_ => r.nextBoolean())
+        .map(k => (k.toLong, r.nextInt(20).toLong - 10))
+      val thr = r.nextInt(10).toLong - 5
+      val got = Loads.mergeInto(tgt.toDF("k", "v"), src.toDF("k", "v"),
+          Seq("k"), Some(col("tgt_v") < thr))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val tm = tgt.toMap; val sm = src.toMap
+      val brute = (tm.keySet ++ sm.keySet).flatMap { k =>
+        (tm.get(k), sm.get(k)) match {
+          case (Some(tv), Some(_)) if tv < thr => None // matched delete
+          case (Some(_), Some(sv)) => Some(k -> sv)    // matched update
+          case (Some(tv), None) => Some(k -> tv)       // pass-through
+          case (None, Some(sv)) => Some(k -> sv)       // insert
+          case _ => None
+        }
+      }
+      assert(got == brute, s"round=$round thr=$thr tgt=$tgt src=$src")
+    }
+  }
+
+  test("tokenF1 ≡ brute multiset F1 on random token streams") {
+    import graft.operators.Corpus
+    lazy val spark = SparkTestSession.spark
+    val spark2 = spark
+    import spark2.implicits._
+    val r = rng
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val pairs = (1 to 60).map { i =>
+      def txt() = Seq.fill(r.nextInt(12))(vocab(r.nextInt(vocab.size)))
+        .mkString(" ")
+      (i.toLong, txt(), txt())
+    }
+    val got = Corpus.tokenF1(pairs.toDF("pair_id", "p", "r"),
+        "pair_id", "p", "r")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) None else Some(x.getLong(4)))).toMap
+    pairs.foreach { case (id, p, rf) =>
+      def toks(s: String) = s.split(" ").filter(_.nonEmpty)
+      val (tp, tr) = (toks(p), toks(rf))
+      val ov = (tp.toSet ++ tr.toSet).toSeq.map { t =>
+        math.min(tp.count(_ == t), tr.count(_ == t)).toLong
+      }.sum
+      val f1 = if (tp.length + tr.length == 0) None
+        else Some(2000000L * ov / (tp.length + tr.length))
+      assert(got(id) == ((tp.length.toLong, tr.length.toLong, ov, f1)),
+        s"pair $id: '$p' vs '$rf'")
+    }
+  }
+
+  test("kTruss local ≡ distributed ≡ brute iterative peel on random graphs") {
+    import graft.operators.Graph
+    lazy val spark = SparkTestSession.spark
+    val spark2 = spark
+    import spark2.implicits._
+    val r = rng
+    for (round <- 1 to 4) {
+      val n = 12 + r.nextInt(8)
+      val edges = (for (i <- 0 until n; j <- (i + 1) until n
+        if r.nextInt(100) < 35) yield (i.toLong, j.toLong)).toVector
+      val k = 3 + r.nextInt(2)
+      def run(th: Long) = Graph.kTruss(edges.toDF("s", "d"), "s", "d", k,
+          localThreshold = th)
+        .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2)))
+        .toMap
+      val local = run(1000000L)
+      val dist = run(0L)
+      // brute: iterate support-recompute + filter until stable
+      var es = edges.toSet
+      var stable = false
+      while (!stable) {
+        def sup(e: (Long, Long)) = (0L until n).count(c =>
+          c != e._1 && c != e._2 &&
+            es.contains((math.min(e._1, c), math.max(e._1, c))) &&
+            es.contains((math.min(e._2, c), math.max(e._2, c))))
+        val keep = es.filter(e => sup(e) >= k - 2)
+        stable = keep == es
+        es = keep
+      }
+      val brute = es.map { e =>
+        e -> (0L until n).count(c => c != e._1 && c != e._2 &&
+          es.contains((math.min(e._1, c), math.max(e._1, c))) &&
+          es.contains((math.min(e._2, c), math.max(e._2, c)))).toLong
+      }.toMap
+      assert(local == brute, s"round=$round k=$k local≠brute")
+      assert(dist == brute, s"round=$round k=$k dist≠brute")
+    }
+  }
 }
