@@ -2049,6 +2049,54 @@ object OracleSql {
          |UNION ALL SELECT -2, (SELECT v FROM errs)""".stripMargin
     },
 
+    "q_log_rank" ->
+      // TimeSeries.logRank mirror: q_kaplan_meier's at-risk frame per
+      // group, E/V terms as fixed double expressions of exact ints,
+      // folds in event-time order with the 0.0-prepend seeding, z/χ²
+      // the identical IEEE trees, 6dp
+      """WITH u AS (SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS fd,
+        |    max(CAST(o_orderdate AS DATE)) AS ld FROM orders GROUP BY 1),
+        |cut AS (SELECT max(CAST(o_orderdate AS DATE)) AS cd FROM orders),
+        |subj AS (SELECT o_custkey % 2 AS grp,
+        |    CAST(ld - fd AS BIGINT) // 7 AS dur,
+        |    (cd - ld) > 365 AS ev FROM u CROSS JOIN cut),
+        |byt AS (SELECT dur AS t, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN ev AND grp = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1
+        |  FROM subj GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt,
+        |    CAST(sum(c1) AS BIGINT) AS n1t FROM byt),
+        |rk AS (SELECT t, d, d1, nt, n1t,
+        |    CAST(nt - sum(c) OVER (ORDER BY t) + c AS BIGINT) AS n,
+        |    CAST(n1t - sum(c1) OVER (ORDER BY t) + c1 AS BIGINT) AS n1
+        |  FROM byt CROSS JOIN tot),
+        |terms AS (SELECT t, d1, nt, n1t,
+        |    CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS e,
+        |    CASE WHEN n > 1 THEN
+        |      (CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |    ELSE 0.0 END AS v
+        |  FROM rk WHERE d >= 1),
+        |agg AS (SELECT max(nt) AS n_total, max(n1t) AS n_group1,
+        |    CAST(coalesce(sum(d1), 0) AS BIGINT) AS o1,
+        |    (SELECT list_reduce(list_prepend(0.0, list(e ORDER BY t)),
+        |      (x, y) -> x + y) FROM terms) AS e1,
+        |    (SELECT list_reduce(list_prepend(0.0, list(v ORDER BY t)),
+        |      (x, y) -> x + y) FROM terms) AS vv
+        |  FROM terms)
+        |SELECT n_total, n_group1, o1,
+        |  round(e1, 6) AS e1_6, round(vv, 6) AS v_6,
+        |  CASE WHEN vv > 0
+        |    THEN round((CAST(o1 AS DOUBLE) - e1) / sqrt(vv), 6) END AS z_6,
+        |  CASE WHEN vv > 0
+        |    THEN round(((CAST(o1 AS DOUBLE) - e1) / sqrt(vv))
+        |      * ((CAST(o1 AS DOUBLE) - e1) / sqrt(vv)), 6) END AS chi2_6
+        |FROM agg""".stripMargin,
+
     "q_kaplan_meier" ->
       // KM: n_risk = N − cum(<t); factor = (n_risk − d)/n_risk ONE
       // exact division; S(t) = slice-fold product in ascending t

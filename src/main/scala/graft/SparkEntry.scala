@@ -2165,6 +2165,26 @@ object SparkEntry {
     TimeSeries.kaplanMeier(subj, "dur_weeks", "churned")
   }
 
+  /** C100: two-group log-rank test — does the even-key customer
+    * cohort churn differently from the odd-key cohort? Same tenure/
+    * churn derivation as q_kaplan_meier, split by key parity
+    * (operators.TimeSeries.logRank).
+    */
+  private def qLogRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val perCust = o.groupBy($"o_custkey").agg(
+      min(to_date($"o_orderdate")).as("first_d"),
+      max(to_date($"o_orderdate")).as("last_d"))
+    val cutoff = o.agg(max(to_date($"o_orderdate")).as("cut"))
+    val subj = perCust.crossJoin(broadcast(cutoff))
+      .select(pmod($"o_custkey", lit(2)).as("grp"),
+        expr("CAST(datediff(last_d, first_d) AS BIGINT) div 7")
+          .as("dur_weeks"),
+        (datediff($"cut", $"last_d") > 365).as("churned"))
+    TimeSeries.logRank(subj, "grp", "dur_weeks", "churned")
+  }
+
   /** H36: JL ±1 random projection of the int8-quantized embeddings to
     * 16 dims — exact integer dot products against md5-derived signs,
     * hash-gated bit-for-bit.
@@ -4782,6 +4802,7 @@ object SparkEntry {
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_jonckheere" -> (qJonckheere _),
     "q_woe_iv" -> (qWoeIv _),
+    "q_log_rank" -> (qLogRank _),
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),
     "q_fdr_battery" -> (qFdrBattery _),

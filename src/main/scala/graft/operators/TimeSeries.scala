@@ -817,6 +817,72 @@ object TimeSeries {
           lit(1.0), _ * _), 6).as("s"))
   }
 
+  /** C100: two-group log-rank test (Mantel 1966; Peto & Peto 1972) —
+    * the comparison the survival family was missing: [[kaplanMeier]]
+    * and [[nelsonAalen]] DESCRIBE one cohort's survival; log-rank asks
+    * whether two cohorts' survival curves DIFFER (treatment vs
+    * control, segment vs segment), weighting every event time by its
+    * at-risk population. O₁ = Σ d₁(t); E₁ = Σ d·n₁/n;
+    * V = Σ d·(n₁/n)·((n−n₁)/n)·((n−d)/(n−1)); z = (O₁−E₁)/√V,
+    * χ² = z².
+    *
+    * Exactness: the same exact-integer at-risk frame as KM (counts,
+    * events at tied times), O₁ an exact long; E₁ and V are folds of
+    * per-event-time terms — each term a FIXED expression of exact
+    * ints — accumulated in event-time order via the q_ewma
+    * list-fold discipline, 6dp. V = 0 (degenerate: one group empty
+    * at every event time) → null z/χ².
+    *
+    * Plan: one (time)-keyed agg, one event-time-cardinality window,
+    * one 1-row fold. Nothing data-sized after the first agg.
+    *
+    * @param groupCol integer; group 1 is the "treatment" arm, any
+    *                 other value the comparison arm.
+    * @return one row: (n_total, n_group1, o1, e1_6, v_6, z_6, chi2_6).
+    */
+  def logRank(df: DataFrame, groupCol: String, durationCol: String,
+              eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byT = df.groupBy(col(durationCol).as("t")).agg(
+      count(lit(1)).as("c"),
+      sum(when(col(groupCol) === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col(eventCol), 1L).otherwise(0L)).as("d"),
+      sum(when(col(eventCol) && col(groupCol) === 1, 1L).otherwise(0L))
+        .as("d1"))
+    val tot = byT.agg(sum(col("c")).as("nTot"), sum(col("c1")).as("n1Tot"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val rk = byT.crossJoin(broadcast(tot))
+      .withColumn("n",
+        col("nTot") - sum(col("c")).over(w) + col("c"))
+      .withColumn("n1",
+        col("n1Tot") - sum(col("c1")).over(w) + col("c1"))
+      .filter(col("d") >= 1)
+    val eTerm = col("d").cast("double") * col("n1").cast("double") /
+      col("n").cast("double")
+    val vTerm = when(col("n") > 1,
+      (col("d").cast("double") * col("n1").cast("double") /
+        col("n").cast("double")) *
+        ((col("n") - col("n1")).cast("double") / col("n").cast("double")) *
+        ((col("n") - col("d")).cast("double") /
+          (col("n") - 1).cast("double")))
+      .otherwise(lit(0.0))
+    val one = rk.agg(
+      max(col("nTot")).as("n_total"), max(col("n1Tot")).as("n_group1"),
+      coalesce(sum(col("d1")), lit(0L)).as("o1"),
+      array_sort(collect_list(struct(col("t"), eTerm.as("e"),
+        vTerm.as("v")))).as("arr"))
+    val e1 = aggregate(transform(col("arr"), x => x("e")),
+      lit(0.0), _ + _)
+    val vv = aggregate(transform(col("arr"), x => x("v")),
+      lit(0.0), _ + _)
+    val z = (col("o1").cast("double") - e1) / sqrt(vv)
+    one.select(col("n_total"), col("n_group1"), col("o1"),
+      round(e1, 6).as("e1_6"), round(vv, 6).as("v_6"),
+      when(vv > 0, round(z, 6)).as("z_6"),
+      when(vv > 0, round(z * z, 6)).as("chi2_6"))
+  }
+
   /** F33: Nelson–Aalen cumulative-hazard estimator (Nelson 1972;
     * Aalen 1978) — the additive sibling of [[kaplanMeier]]: instead
     * of the survival product Π(1 − d/n), the cumulative hazard

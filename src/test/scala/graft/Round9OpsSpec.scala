@@ -226,6 +226,52 @@ class Round9OpsSpec extends AnyFunSuite {
       .head().getDouble(3) < -2.0)
   }
 
+  test("logRank: identical cohorts z≈0; planted hazard gap detected " +
+    "with the right sign; brute O/E/V recompute matches; degenerate V") {
+    import graft.operators.TimeSeries
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(13)
+    // group 1 churns systematically EARLIER (higher hazard)
+    def cohort(g: Long, scale: Int) = (1 to 400).map { _ =>
+      val d = rnd.nextInt(scale).toLong
+      (g, d, rnd.nextInt(100) < 70) // 30% censored
+    }
+    val gap = (cohort(1L, 40) ++ cohort(0L, 100)).toDF("g", "dur", "ev")
+    val r = TimeSeries.logRank(gap, "g", "dur", "ev").head()
+    assert(r.getLong(0) == 800L && r.getLong(1) == 400L)
+    // more observed events in group 1 than expected → z > 0, large
+    assert(r.getDouble(5) > 3.0, s"z=${r.getDouble(5)}")
+    assert(math.abs(r.getDouble(6) - r.getDouble(5) * r.getDouble(5))
+      < 1e-4)
+    // brute recompute of O, E, V from first principles
+    val subj = gap.collect().map(x =>
+      (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+    val times = subj.filter(_._3).map(_._2).distinct.sorted
+    var (o1, e1, vv) = (0L, 0.0, 0.0)
+    times.foreach { t =>
+      val at = subj.filter(_._2 >= t)
+      val n = at.length.toDouble
+      val n1 = at.count(_._1 == 1L).toDouble
+      val d = at.count(s => s._2 == t && s._3).toDouble
+      val d1 = subj.count(s => s._1 == 1L && s._2 == t && s._3)
+      o1 += d1
+      e1 += d * n1 / n
+      if (n > 1) vv += (d * n1 / n) * ((n - n1) / n) * ((n - d) / (n - 1))
+    }
+    assert(r.getLong(2) == o1)
+    assert(math.abs(r.getDouble(3) - e1) < 1e-4, s"${r.getDouble(3)} vs $e1")
+    assert(math.abs(r.getDouble(4) - vv) < 1e-4)
+    // same-distribution cohorts → |z| small
+    val same = (cohort(1L, 80) ++ cohort(0L, 80)).toDF("g", "dur", "ev")
+    assert(math.abs(TimeSeries.logRank(same, "g", "dur", "ev")
+      .head().getDouble(5)) < 2.5)
+    // single-subject degenerate input: V = 0 → null z
+    val deg = Seq((1L, 5L, true)).toDF("g", "dur", "ev")
+    val dr = TimeSeries.logRank(deg, "g", "dur", "ev").head()
+    assert(dr.isNullAt(5) && dr.isNullAt(6))
+  }
+
   test("woeIv: separating feature gets monotone WOE and large IV; " +
     "random feature IV ≈ 0; brute recompute matches; empty bins finite") {
     import graft.operators.Stats
