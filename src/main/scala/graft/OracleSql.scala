@@ -2049,6 +2049,28 @@ object OracleSql {
          |UNION ALL SELECT -2, (SELECT v FROM errs)""".stripMargin
     },
 
+    "q_corpus_card" ->
+      // qCorpusCard mirror: every metric an exact integer — counts or
+      // 1e6 floor-div micro-rates; ws token count = the proven
+      // string_split_regex parity form
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |      AS BIGINT) AS toks,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS en,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq,
+        |    CAST(sum(length(text)) AS BIGINT) AS chars
+        |  FROM documents)
+        |SELECT 'docs' AS metric, docs AS value FROM s
+        |UNION ALL SELECT 'whitespace_tokens', toks FROM s
+        |UNION ALL SELECT 'languages', langs FROM s
+        |UNION ALL SELECT 'en_rate_micro', en * 1000000 // docs FROM s
+        |UNION ALL SELECT 'exact_dup_rate_micro',
+        |  (docs - uniq) * 1000000 // docs FROM s
+        |UNION ALL SELECT 'mean_chars_micro',
+        |  chars * 1000000 // docs FROM s""".stripMargin,
+
     "q_log_rank" ->
       // TimeSeries.logRank mirror: q_kaplan_meier's at-risk frame per
       // group, E/V terms as fixed double expressions of exact ints,

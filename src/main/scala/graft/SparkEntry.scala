@@ -1357,6 +1357,36 @@ object SparkEntry {
       "cents", "y")
   }
 
+  /** E112: corpus datasheet card (flagship composition #5 — the
+    * "Datasheets for Datasets" summary, Gebru et al. 2021): the
+    * one-query corpus overview a training-data release ships — size,
+    * token volume, language mix, exact-duplication rate, length
+    * profile — every metric an exact integer (counts or micro-rates),
+    * ONE scan + one distinct-fingerprint aggregate.
+    */
+  private def qCorpusCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = table(s, dir, "documents").agg(
+      count(lit(1)).as("docs"),
+      sum(TextFunctions.wsTokenCount($"text").cast("long")).as("toks"),
+      countDistinct($"lang").as("langs"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("en"),
+      countDistinct(md5($"text")).as("uniq"),
+      sum(length($"text").cast("long")).as("chars"))
+    stats.select(explode(array(
+        struct(lit("docs").as("metric"), col("docs").as("value")),
+        struct(lit("whitespace_tokens").as("metric"),
+          col("toks").as("value")),
+        struct(lit("languages").as("metric"), col("langs").as("value")),
+        struct(lit("en_rate_micro").as("metric"),
+          expr("en * 1000000 div docs").as("value")),
+        struct(lit("exact_dup_rate_micro").as("metric"),
+          expr("(docs - uniq) * 1000000 div docs").as("value")),
+        struct(lit("mean_chars_micro").as("metric"),
+          expr("chars * 1000000 div docs").as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+  }
+
   /** C98: Jonckheere–Terpstra ordered-alternative trend across the
     * event types in ascending name order — exact 2J carrier, no-tie
     * z at 6dp (operators.Stats.jonckheere).
@@ -4803,6 +4833,7 @@ object SparkEntry {
     "q_jonckheere" -> (qJonckheere _),
     "q_woe_iv" -> (qWoeIv _),
     "q_log_rank" -> (qLogRank _),
+    "q_corpus_card" -> (qCorpusCard _),
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),
     "q_fdr_battery" -> (qFdrBattery _),
