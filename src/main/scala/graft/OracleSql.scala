@@ -2049,6 +2049,45 @@ object OracleSql {
          |UNION ALL SELECT -2, (SELECT v FROM errs)""".stripMargin
     },
 
+    "q_mcnemar" ->
+      // Stats.mcnemar mirror: 2x2 concordance from one agg; Edwards'
+      // continuity correction clamped at 0; one exact-int division
+      """WITH p AS (SELECT
+        |    ((l_discount > 0.05) = (l_returnflag = 'R')) AS a,
+        |    ((l_tax > 0.04) = (l_returnflag = 'R')) AS b
+        |  FROM lineitem),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11
+        |  FROM p)
+        |SELECT n00, n01, n10, n11,
+        |  CASE WHEN n01 + n10 > 0 THEN
+        |    round(CAST(greatest(abs(n01 - n10) - 1, 0) *
+        |      greatest(abs(n01 - n10) - 1, 0) AS DOUBLE)
+        |      / CAST(n01 + n10 AS DOUBLE), 6) END AS chi2_6
+        |FROM t""".stripMargin,
+
+    "q_pass_at_k" ->
+      // Corpus.passAtK mirror, k = 3: pass@k = 1 - C(n-c,k)/C(n,k) as
+      // pure integer products + one floor division in micro-units
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    (value >= 500.0) AS pass FROM events),
+        |bt AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type, day, n, c,
+        |  CAST(1000000 - (1000000 * greatest(n - c - 0, 0)
+        |      * greatest(n - c - 1, 0) * greatest(n - c - 2, 0))
+        |    // ((n - 0) * (n - 1) * (n - 2)) AS BIGINT)
+        |    AS pass_at_k_micro
+        |FROM bt WHERE n >= 3""".stripMargin,
+
     "q_corpus_card" ->
       // qCorpusCard mirror: every metric an exact integer — counts or
       // 1e6 floor-div micro-rates; ws token count = the proven

@@ -1387,6 +1387,32 @@ object SparkEntry {
       .select(col("m.metric").as("metric"), col("m.value").as("value"))
   }
 
+  /** C101: McNemar's paired test — do two return-flag predictors
+    * (discount rule vs tax rule) differ on the SAME lineitems?
+    * (operators.Stats.mcnemar).
+    */
+  private def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem").select(
+      ($"l_returnflag" === "R").as("t"),
+      ($"l_discount" > 0.05).as("pa"),
+      ($"l_tax" > 0.04).as("pb"))
+    operators.Stats.mcnemar(
+      li.select(($"pa" === $"t").as("a"), ($"pb" === $"t").as("b")),
+      "a", "b")
+  }
+
+  /** E113: unbiased pass@3 per (event_type, day) task — samples =
+    * the day's events, pass = value ≥ 500; exact integer product
+    * estimator (operators.Corpus.passAtK).
+    */
+  private def qPassAtK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Corpus.passAtK(table(s, dir, "events").select($"event_type",
+        to_date($"ts").as("day"), ($"value" >= 500.0).as("pass")),
+      Seq("event_type", "day"), "pass", k = 3)
+  }
+
   /** C98: Jonckheere–Terpstra ordered-alternative trend across the
     * event types in ascending name order — exact 2J carrier, no-tie
     * z at 6dp (operators.Stats.jonckheere).
@@ -4834,6 +4860,8 @@ object SparkEntry {
     "q_woe_iv" -> (qWoeIv _),
     "q_log_rank" -> (qLogRank _),
     "q_corpus_card" -> (qCorpusCard _),
+    "q_mcnemar" -> (qMcnemar _),
+    "q_pass_at_k" -> (qPassAtK _),
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),
     "q_fdr_battery" -> (qFdrBattery _),

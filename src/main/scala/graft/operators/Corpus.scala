@@ -1467,6 +1467,49 @@ object Corpus {
           .cast("long").as("distinct2_micro"))
   }
 
+  /** E113: unbiased pass@k estimator (Chen et al., "Evaluating LLMs
+    * Trained on Code", arXiv:2107.03374 §2.1) — the standard
+    * code/agent eval aggregate: per task with n samples of which c
+    * pass, pass@k = 1 − C(n−c,k)/C(n,k), the probability ≥1 of k
+    * drawn samples passes. Naive empirical k-subsampling is biased;
+    * this is the exact estimator.
+    *
+    * Exactness: C(n−c,k)/C(n,k) = Π_{i<k}(n−c−i)/(n−i) — numerator
+    * and denominator are exact long PRODUCTS (k terms; loud bound
+    * keeps them in range), so pass@k_micro = 10⁶ − (10⁶·num) div den
+    * is pure integer arithmetic, hash-gateable. A task with
+    * n−c < k has a zero factor → pass = 10⁶ exactly. Tasks with
+    * n < k are dropped (estimator undefined), counted in the caller's
+    * own pre-flight if needed.
+    *
+    * Plan: one keyed (task) count agg, then per-row integer math in
+    * the same stage — task-cardinality output, no second shuffle.
+    *
+    * @return per task: (taskCols..., n, c, pass_at_k_micro).
+    */
+  def passAtK(df: DataFrame, taskCols: Seq[String], passCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"k out of range: $k")
+    val byTask = df.groupBy(taskCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(passCol), 1L).otherwise(0L)).as("c"))
+      .filter(col("n") >= k)
+    // 10⁶·Πnum must stay an exact long: n^k ≤ 9.2·10¹², enforced
+    // loudly per row (eval suites draw 10s-1000s of samples per task,
+    // nowhere near the bound)
+    val maxN = math.pow(9.2e12, 1.0 / k).toLong
+    val prodNum = (0 until k).map(i => s"greatest(n - c - $i, 0L)")
+      .mkString(" * ")
+    val prodDen = (0 until k).map(i => s"(n - ${i}L)").mkString(" * ")
+    byTask.select(taskCols.map(col) ++ Seq(col("n"), col("c"),
+      when(col("n") > maxN,
+        raise_error(lit(s"passAtK: n exceeds the exact-product bound " +
+          s"$maxN for k=$k — reduce samples or k")).cast("long"))
+        .otherwise(expr(
+          s"1000000L - (1000000L * ($prodNum)) div ($prodDen)"))
+        .as("pass_at_k_micro")): _*)
+  }
+
   /** E110: token-overlap F1 — the SQuAD answer-overlap metric
     * (Rajpurkar et al., EMNLP 2016), the standard cheap eval for
     * generated-vs-reference text: per pair,

@@ -1637,6 +1637,38 @@ object Stats {
         round(lit(beta), 6).as("beta_6")): _*)
   }
 
+  /** C101: McNemar's paired test (McNemar 1947, continuity-corrected)
+    * — THE comparison for two classifiers evaluated on the SAME
+    * examples (model A vs model B on one eval set): only the
+    * discordant pairs carry information, χ² = (|n01−n10|−1)²/(n01+n10).
+    * An unpaired two-proportion test on the same data wastes the
+    * pairing and misses real differences — this is the eval-harness
+    * significance test.
+    *
+    * Exact: the 2×2 concordance table is four exact longs from ONE
+    * map-combined aggregate; χ² is one division of exact integers,
+    * 6dp; zero discordant pairs → null (no evidence either way).
+    *
+    * @return one row (n00, n01, n10, n11, chi2_6) where n01 = A
+    *         correct & B wrong, n10 = A wrong & B correct.
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol); val b = col(bCol)
+    val t = df.agg(
+      sum(when(!a && !b, 1L).otherwise(0L)).as("n00"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("n01"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("n10"),
+      sum(when(a && b, 1L).otherwise(0L)).as("n11"))
+    val disc = col("n01") + col("n10")
+    // Edwards' continuity correction, clamped at 0 so a perfectly
+    // balanced table reads χ² = 0 rather than the 1/(n01+n10) artifact
+    val cc = greatest(abs(col("n01") - col("n10")) - 1, lit(0L))
+    val num = cc * cc
+    t.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      when(disc > 0,
+        round(num.cast("double") / disc.cast("double"), 6)).as("chi2_6"))
+  }
+
   /** C99: weight-of-evidence / information-value binning (the
     * credit-scoring feature-screening standard — Siddiqi 2006): bin a
     * numeric feature by its own exact decile bounds, per bin

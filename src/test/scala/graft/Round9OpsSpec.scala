@@ -226,6 +226,66 @@ class Round9OpsSpec extends AnyFunSuite {
       .head().getDouble(3) < -2.0)
   }
 
+  test("mcnemar: hand 2×2 table exact; balanced discordance χ²=0; " +
+    "zero discordance null; direction-insensitive") {
+    import graft.operators.Stats
+    val spark2 = spark
+    import spark2.implicits._
+    // 3×(a,b) + 5×(a,!b) + 2×(!a,b) + 4×(!a,!b)
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(4)((false, false))
+    val r = Stats.mcnemar(rows.toDF("a", "b"), "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((4L, 5L, 2L, 3L)))
+    // χ² = (|5−2|−1)²/(5+2) = 4/7
+    assert(math.abs(r.getDouble(4) - 4.0 / 7.0) < 1e-6)
+    // swapped columns give the same statistic
+    val rs = Stats.mcnemar(rows.toDF("a", "b"), "b", "a").head()
+    assert(rs.getDouble(4) == r.getDouble(4))
+    // perfectly balanced discordance → 0 (clamped correction)
+    val bal = (Seq.fill(3)((true, false)) ++ Seq.fill(3)((false, true)))
+      .toDF("a", "b")
+    assert(Stats.mcnemar(bal, "a", "b").head().getDouble(4) == 0.0)
+    // fully concordant → null (no discordant evidence)
+    val conc = Seq.fill(4)((true, true)).toDF("a", "b")
+    assert(Stats.mcnemar(conc, "a", "b").head().isNullAt(4))
+  }
+
+  test("passAtK: exact estimator vs brute combinatorics; all-fail zero; " +
+    "n−c<k forces 10⁶; n<k dropped; overflow bound loud") {
+    import graft.operators.Corpus
+    val spark2 = spark
+    import spark2.implicits._
+    // tasks: (n, c) = (10,3), (5,0), (4,2), (3,3), (2,1 — dropped)
+    def task(id: Long, n: Int, c: Int) =
+      (1 to n).map(i => (id, i <= c))
+    val df = (task(1, 10, 3) ++ task(2, 5, 0) ++ task(3, 4, 2) ++
+      task(4, 3, 3) ++ task(5, 2, 1)).toDF("task", "pass")
+    val got = Corpus.passAtK(df, Seq("task"), "pass", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def brute(n: Long, c: Long, k: Int): Long = {
+      val num = (0 until k).map(i => math.max(n - c - i, 0L)).product
+      val den = (0 until k).map(i => n - i).product
+      1000000L - 1000000L * num / den
+    }
+    assert(got.keySet == Set(1L, 2L, 3L, 4L)) // task 5 (n<k) dropped
+    assert(got(1L) == ((10L, 3L, brute(10, 3, 3))))
+    assert(brute(10, 3, 3) == 1000000L - 1000000L * 7 * 6 * 5 / (10 * 9 * 8))
+    assert(got(2L)._3 == 0L)       // no passes → 0
+    assert(got(3L)._3 == 1000000L) // n−c = 2 < 3 → certain pass
+    assert(got(4L)._3 == 1000000L) // all pass
+    // the loud bound trips instead of silently overflowing: at k=8 the
+    // exact-product bound is ~41 samples; 50 samples must raise
+    val big = (1 to 50).map(i => (1L, i % 2 == 0)).toDF("task", "pass")
+    val ex = intercept[Exception] {
+      Corpus.passAtK(big, Seq("task"), "pass", k = 8).collect()
+    }
+    assert(ex.getMessage.contains("exact-product bound") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exact-product")),
+      ex.toString)
+  }
+
   test("logRank: identical cohorts z≈0; planted hazard gap detected " +
     "with the right sign; brute O/E/V recompute matches; degenerate V") {
     import graft.operators.TimeSeries
