@@ -2049,6 +2049,46 @@ object OracleSql {
          |UNION ALL SELECT -2, (SELECT v FROM errs)""".stripMargin
     },
 
+    "q_fleiss_kappa" ->
+      // Stats.fleissKappa mirror: exact HUGEINT count sums; pbar/pe
+      // each ONE double division of exact ints; kappa the same fixed
+      // tree on the two results; items without exactly 4 ratings drop
+      """WITH r AS (SELECT l_orderkey AS i,
+        |    CASE WHEN l_extendedprice >= 40000.0 THEN 'L'
+        |      WHEN l_extendedprice >= 20000.0 THEN 'M'
+        |      ELSE 'S' END AS cat
+        |  FROM lineitem),
+        |counts AS (SELECT i, cat, CAST(count(*) AS BIGINT) AS nic
+        |  FROM r GROUP BY 1, 2),
+        |pi AS (SELECT i, CAST(sum(nic) AS BIGINT) AS n,
+        |    sum(CAST(nic AS HUGEINT) * nic) AS sq
+        |  FROM counts GROUP BY 1),
+        |st AS (SELECT
+        |    CAST(sum(CASE WHEN n = 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ni,
+        |    CAST(sum(CASE WHEN n <> 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nd,
+        |    sum(CASE WHEN n = 4 THEN sq END) AS ssq
+        |  FROM pi),
+        |ct AS (SELECT cat, CAST(sum(nic) AS BIGINT) AS tc
+        |  FROM counts JOIN (SELECT i FROM pi WHERE n = 4) kept
+        |    USING (i)
+        |  GROUP BY 1),
+        |ca AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(tc AS HUGEINT) * tc) AS stc2 FROM ct),
+        |m AS (SELECT ni, nd, k,
+        |    CAST(ssq - ni * 4 AS DOUBLE)
+        |      / CAST(ni * 4 * 3 AS DOUBLE) AS pbar,
+        |    CAST(stc2 AS DOUBLE)
+        |      / CAST(CAST(ni AS HUGEINT) * 4 * ni * 4 AS DOUBLE) AS pe
+        |  FROM st CROSS JOIN ca)
+        |SELECT ni AS n_items, nd AS n_dropped_items,
+        |  CAST(4 AS BIGINT) AS n_raters, k AS n_categories,
+        |  round(pbar, 6) AS pbar_6, round(pe, 6) AS pe_6,
+        |  CASE WHEN pe >= 1.0 THEN NULL
+        |    ELSE round((pbar - pe) / (1.0 - pe), 6) END AS kappa_6
+        |FROM m""".stripMargin,
+
     "q_mcnemar" ->
       // Stats.mcnemar mirror: 2x2 concordance from one agg; Edwards'
       // continuity correction clamped at 0; one exact-int division

@@ -1387,6 +1387,19 @@ object SparkEntry {
       .select(col("m.metric").as("metric"), col("m.value").as("value"))
   }
 
+  /** C102: Fleiss' kappa over 4-line orders — each order's four
+    * lineitems "rate" it into a price band; do the lines agree beyond
+    * chance? (operators.Stats.fleissKappa).
+    */
+  private def qFleissKappa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = table(s, dir, "lineitem").select($"l_orderkey",
+      when($"l_extendedprice" >= 40000.0, "L")
+        .when($"l_extendedprice" >= 20000.0, "M")
+        .otherwise("S").as("band"))
+    operators.Stats.fleissKappa(li, "l_orderkey", "band", raters = 4)
+  }
+
   /** C101: McNemar's paired test — do two return-flag predictors
     * (discount rule vs tax rule) differ on the SAME lineitems?
     * (operators.Stats.mcnemar).
@@ -4861,6 +4874,7 @@ object SparkEntry {
     "q_log_rank" -> (qLogRank _),
     "q_corpus_card" -> (qCorpusCard _),
     "q_mcnemar" -> (qMcnemar _),
+    "q_fleiss_kappa" -> (qFleissKappa _),
     "q_pass_at_k" -> (qPassAtK _),
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),

@@ -1637,6 +1637,75 @@ object Stats {
         round(lit(beta), 6).as("beta_6")): _*)
   }
 
+  /** C102: Fleiss' kappa (Fleiss 1971) — chance-corrected agreement
+    * for ANY fixed number of raters per item, the k-rater
+    * generalization of C87 Cohen's κ (2 raters): the labeling-ops
+    * readout for "do my N annotators agree beyond chance?" before
+    * majority-voted labels feed a classifier.
+    *
+    * P̄ = (ΣᵢΣ_c n_ic² − N·n)/(N·n·(n−1)) and P̄e = Σ_c(Σᵢn_ic)²/(N·n)²
+    * are each ONE IEEE division of exactly-computed integers
+    * (decimal(38) where squares can outgrow longs); κ = (P̄−P̄e)/(1−P̄e)
+    * the fixed tree on those two results, 6dp; P̄e = 1 (every rating
+    * one category) → null κ. Items without exactly `raters` ratings
+    * are dropped (Fleiss requires a constant panel size) and counted.
+    *
+    * Plan: two keyed count aggs + two 1-row reductions; nothing
+    * data-sized after the first agg.
+    *
+    * @return one row (n_items, n_dropped_items, n_raters,
+    *         n_categories, pbar_6, pe_6, kappa_6).
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String,
+                  raters: Int): DataFrame = {
+    require(raters >= 2, s"raters must be ≥ 2: $raters")
+    val counts = df.groupBy(col(itemCol).as("i"),
+        col(categoryCol).as("cat"))
+      .agg(count(lit(1)).as("nic"))
+      .persist()
+    val perItem = counts.groupBy(col("i"))
+      .agg(sum(col("nic")).as("n"),
+        sum((col("nic") * col("nic")).cast("decimal(38,0)")).as("sq"))
+    val st = perItem.agg(
+      sum(when(col("n") === raters, 1L).otherwise(0L)).as("nItems"),
+      sum(when(col("n") =!= raters, 1L).otherwise(0L)).as("nDropped"),
+      sum(when(col("n") === raters, col("sq"))).as("sumSq")).head()
+    val kept = perItem.filter(col("n") === raters).select(col("i"))
+    val ca = counts.join(kept, Seq("i"), "left_semi")
+      .groupBy(col("cat")).agg(sum(col("nic")).as("tc"))
+      .agg(count(lit(1)).as("k"),
+        sum((col("tc").cast("decimal(38,0)") * col("tc"))).as("sumTc2"))
+      .head()
+    counts.unpersist()
+    val nItems = st.getLong(0)
+    val nDropped = st.getLong(1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (nItems == 0)
+      return Seq((0L, nDropped, raters.toLong, 0L,
+        null.asInstanceOf[java.lang.Double],
+        null.asInstanceOf[java.lang.Double],
+        null.asInstanceOf[java.lang.Double]))
+        .toDF("n_items", "n_dropped_items", "n_raters", "n_categories",
+          "pbar_6", "pe_6", "kappa_6")
+    val n = BigDecimal(raters)
+    val bigN = BigDecimal(nItems)
+    val sumSq = BigDecimal(st.getDecimal(2))
+    val sumTc2 = BigDecimal(ca.getDecimal(1))
+    val pbar = (sumSq - bigN * n).doubleValue /
+      (bigN * n * (n - 1)).doubleValue
+    val pe = sumTc2.doubleValue / (bigN * n * bigN * n).doubleValue
+    def r6(v: Double): java.lang.Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val kappa: java.lang.Double =
+      if (pe >= 1.0) null else r6((pbar - pe) / (1.0 - pe))
+    Seq((nItems, nDropped, raters.toLong, ca.getLong(0),
+      r6(pbar), r6(pe), kappa))
+      .toDF("n_items", "n_dropped_items", "n_raters", "n_categories",
+        "pbar_6", "pe_6", "kappa_6")
+  }
+
   /** C101: McNemar's paired test (McNemar 1947, continuity-corrected)
     * — THE comparison for two classifiers evaluated on the SAME
     * examples (model A vs model B on one eval set): only the

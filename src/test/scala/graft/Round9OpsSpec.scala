@@ -226,6 +226,58 @@ class Round9OpsSpec extends AnyFunSuite {
       .head().getDouble(3) < -2.0)
   }
 
+  test("fleissKappa: Fleiss' 1971 worked example recovered; perfect " +
+    "agreement κ=1; one-category null; uneven panels dropped") {
+    import graft.operators.Stats
+    val spark2 = spark
+    import spark2.implicits._
+    // the classic Fleiss (1971) psychiatric-diagnosis table: 30 items,
+    // 6 raters, 5 categories — published κ ≈ 0.430
+    val table1971 = Seq(
+      Seq(0,0,0,0,6), Seq(0,3,0,0,3), Seq(0,1,4,0,1), Seq(0,0,0,0,6),
+      Seq(0,3,0,3,0), Seq(2,0,4,0,0), Seq(0,0,4,0,2), Seq(2,0,3,1,0),
+      Seq(2,0,0,4,0), Seq(0,0,0,0,6), Seq(1,0,0,5,0), Seq(1,1,0,4,0),
+      Seq(0,3,3,0,0), Seq(1,0,0,5,0), Seq(0,2,0,3,1), Seq(0,0,5,0,1),
+      Seq(3,0,0,1,2), Seq(5,1,0,0,0), Seq(0,2,0,4,0), Seq(1,0,2,0,3),
+      Seq(0,0,0,0,6), Seq(0,1,0,5,0), Seq(0,2,0,1,3), Seq(2,0,0,4,0),
+      Seq(1,0,0,4,1), Seq(0,5,0,1,0), Seq(4,0,0,0,2), Seq(0,2,0,4,0),
+      Seq(1,0,0,5,0), Seq(0,0,0,0,6))
+    val ratings = table1971.zipWithIndex.flatMap { case (cnts, item) =>
+      cnts.zipWithIndex.flatMap { case (c, cat) =>
+        Seq.fill(c)((item.toLong, cat.toLong))
+      }
+    }
+    val r = Stats.fleissKappa(ratings.toDF("item", "cat"), "item", "cat",
+      raters = 6).head()
+    assert(r.getLong(0) == 30L && r.getLong(3) == 5L)
+    // brute recompute from the textbook formulas on the same table
+    val big = 30.0; val n = 6.0
+    val pbar = (table1971.map(_.map(c => c * c).sum).sum - big * n) /
+      (big * n * (n - 1))
+    val pcs = (0 until 5).map(c => table1971.map(_(c)).sum / (big * n))
+    val pe = pcs.map(p => p * p).sum
+    val kappa = (pbar - pe) / (1 - pe)
+    assert(math.abs(r.getDouble(4) - pbar) < 1e-6)
+    assert(math.abs(r.getDouble(5) - pe) < 1e-6)
+    assert(math.abs(r.getDouble(6) - kappa) < 1e-6,
+      s"kappa=${r.getDouble(6)} brute=$kappa")
+    // in the published ballpark for this classic table (~0.43)
+    assert(kappa > 0.40 && kappa < 0.46)
+    // perfect agreement → κ = 1
+    val perf = (1 to 10).flatMap(i => Seq.fill(3)((i.toLong, (i % 2).toLong)))
+    assert(Stats.fleissKappa(perf.toDF("item", "cat"), "item", "cat", 3)
+      .head().getDouble(6) == 1.0)
+    // everyone always says the same ONE category → pe = 1 → null κ
+    val mono = (1 to 5).flatMap(i => Seq.fill(3)((i.toLong, 0L)))
+    assert(Stats.fleissKappa(mono.toDF("item", "cat"), "item", "cat", 3)
+      .head().isNullAt(6))
+    // uneven panels dropped and counted
+    val uneven = perf ++ Seq((99L, 0L)) // one 1-rating item
+    val u = Stats.fleissKappa(uneven.toDF("item", "cat"), "item", "cat", 3)
+      .head()
+    assert(u.getLong(0) == 10L && u.getLong(1) == 1L)
+  }
+
   test("mcnemar: hand 2×2 table exact; balanced discordance χ²=0; " +
     "zero discordance null; direction-insensitive") {
     import graft.operators.Stats
