@@ -2049,6 +2049,27 @@ object OracleSql {
          |UNION ALL SELECT -2, (SELECT v FROM errs)""".stripMargin
     },
 
+    "q_ece" ->
+      // Stats.expectedCalibrationError mirror: exact micro integers
+      // end to end — equal-width bins via integer floor div, per-bin
+      // floor-div acc/conf, weighted-gap sum, one final floor div
+      """WITH e AS (SELECT (event_type = 'purchase') AS y,
+        |    least(CAST(floor(value * 1000 + 0.5) AS BIGINT), 1000000)
+        |      AS conf
+        |  FROM events),
+        |b AS (SELECT least(conf * 10 // 1000000, 9) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(conf) AS BIGINT) AS sconf
+        |  FROM e GROUP BY 1),
+        |g AS (SELECT bin, n,
+        |    abs(pos * 1000000 // n - sconf // n) AS gap FROM b)
+        |SELECT CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_bins_used,
+        |  CAST(sum(n * gap) // sum(n) AS BIGINT) AS ece_micro,
+        |  CAST(max(gap) AS BIGINT) AS mce_micro
+        |FROM g""".stripMargin,
+
     "q_fleiss_kappa" ->
       // Stats.fleissKappa mirror: exact HUGEINT count sums; pbar/pe
       // each ONE double division of exact ints; kappa the same fixed

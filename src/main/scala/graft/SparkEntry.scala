@@ -1387,6 +1387,19 @@ object SparkEntry {
       .select(col("m.metric").as("metric"), col("m.value").as("value"))
   }
 
+  /** C103: expected calibration error of the value-as-confidence
+    * purchase predictor — exact-integer micro bins, ECE + MCE in one
+    * row (operators.Stats.expectedCalibrationError).
+    */
+  private def qEce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select(
+      ($"event_type" === "purchase").as("hit"),
+      least(floor($"value" * 1000 + 0.5).cast("long"), lit(1000000L))
+        .as("conf_micro"))
+    operators.Stats.expectedCalibrationError(e, "hit", "conf_micro")
+  }
+
   /** C102: Fleiss' kappa over 4-line orders — each order's four
     * lineitems "rate" it into a price band; do the lines agree beyond
     * chance? (operators.Stats.fleissKappa).
@@ -4875,6 +4888,7 @@ object SparkEntry {
     "q_corpus_card" -> (qCorpusCard _),
     "q_mcnemar" -> (qMcnemar _),
     "q_fleiss_kappa" -> (qFleissKappa _),
+    "q_ece" -> (qEce _),
     "q_pass_at_k" -> (qPassAtK _),
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),

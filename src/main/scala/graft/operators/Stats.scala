@@ -1637,6 +1637,50 @@ object Stats {
         round(lit(beta), 6).as("beta_6")): _*)
   }
 
+  /** C103: expected calibration error (Naeini et al., AAAI 2015;
+    * Guo et al., ICML 2017) — the single calibration number the
+    * LLM-eval world quotes where C74's table gives the full picture:
+    * equal-width confidence bins on [0,1],
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b|, plus MCE = max_b gap.
+    *
+    * EXACT integers end to end (a hard hash gate, no 6dp hedge):
+    * confidence arrives in micro-units [0, 10⁶]; per bin
+    * acc = pos·10⁶ div n and conf = Σconf div n are floor divisions,
+    * the gap an integer |·|, ECE one final Σ(n_b·gap) div N. Per-bin
+    * floor loses < 1 micro — documented semantics, identical on any
+    * engine.
+    *
+    * @param confMicroCol confidence in [0, 10⁶] micro-units (cast
+    *                     long); out-of-range values fail loudly.
+    * @return one row: (n, n_bins_used, ece_micro, mce_micro).
+    */
+  def expectedCalibrationError(df: DataFrame, labelCol: String,
+                               confMicroCol: String,
+                               nBins: Int = 10): DataFrame = {
+    require(nBins >= 2)
+    val d = df.select(col(labelCol).as("y"),
+      col(confMicroCol).cast("long").as("conf"))
+    val guarded = d.withColumn("conf",
+      when(col("conf") < 0 || col("conf") > 1000000L,
+        raise_error(lit("expectedCalibrationError: confidence outside " +
+          "[0, 1e6] micro-units")).cast("long"))
+        .otherwise(col("conf")))
+    val bucket = least(expr(s"conf * $nBins div 1000000"),
+      lit(nBins - 1L)).cast("long")
+    val byBin = guarded.groupBy(bucket.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+        sum(col("conf")).as("sconf"))
+      .select(col("bin"), col("n"),
+        abs(expr("pos * 1000000 div n") - expr("sconf div n")).as("gap"))
+    byBin.agg(sum(col("n")).as("nTot"),
+        count(lit(1)).as("n_bins_used"),
+        sum(col("n") * col("gap")).as("wgap"),
+        max(col("gap")).as("mce_micro"))
+      .select(col("nTot").as("n"), col("n_bins_used"),
+        expr("wgap div nTot").as("ece_micro"), col("mce_micro"))
+  }
+
   /** C102: Fleiss' kappa (Fleiss 1971) — chance-corrected agreement
     * for ANY fixed number of raters per item, the k-rater
     * generalization of C87 Cohen's κ (2 raters): the labeling-ops

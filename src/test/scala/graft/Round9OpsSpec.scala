@@ -226,6 +226,43 @@ class Round9OpsSpec extends AnyFunSuite {
       .head().getDouble(3) < -2.0)
   }
 
+  test("expectedCalibrationError: hand-built bins exact; perfect " +
+    "calibration ≈ 0; anti-calibrated large; out-of-range loud") {
+    import graft.operators.Stats
+    val spark2 = spark
+    import spark2.implicits._
+    // two populated bins, hand-computable: bin 2 (conf .25): 4 rows,
+    // 1 hit, conf exactly 250000 → acc 250000 → gap 0; bin 7
+    // (conf .75): 4 rows, 1 hit → acc 250000, conf 750000 → gap 500000
+    val rows = Seq.fill(3)((false, 250000L)) ++ Seq((true, 250000L)) ++
+      Seq.fill(3)((false, 750000L)) ++ Seq((true, 750000L))
+    val r = Stats.expectedCalibrationError(rows.toDF("y", "c"), "y", "c")
+      .head()
+    assert(r.getLong(0) == 8L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 250000L) // (4·0 + 4·500000) div 8
+    assert(r.getLong(3) == 500000L) // MCE = the bad bin's gap
+    // perfectly calibrated synthetic: conf c ⇒ hit rate c
+    val rnd = new scala.util.Random(3)
+    val cal = (1 to 20000).map { _ =>
+      val c = rnd.nextInt(1000001).toLong
+      (rnd.nextInt(1000000) < c, c)
+    }
+    val ece = Stats.expectedCalibrationError(cal.toDF("y", "c"), "y", "c")
+      .head().getLong(2)
+    assert(ece < 15000L, s"calibrated data should read ~0, got $ece")
+    // anti-calibrated: hits only when confidence is LOW
+    val anti = cal.map { case (_, c) => (c < 300000L, c) }
+    assert(Stats.expectedCalibrationError(anti.toDF("y", "c"), "y", "c")
+      .head().getLong(2) > 300000L)
+    // out-of-range confidence fails loudly
+    val ex = intercept[Exception] {
+      Stats.expectedCalibrationError(
+        Seq((true, 2000000L)).toDF("y", "c"), "y", "c").collect()
+    }
+    assert(ex.toString.contains("micro") ||
+      Option(ex.getCause).exists(_.getMessage.contains("micro")))
+  }
+
   test("fleissKappa: Fleiss' 1971 worked example recovered; perfect " +
     "agreement κ=1; one-category null; uneven panels dropped") {
     import graft.operators.Stats
