@@ -55,7 +55,7 @@ object EtlMain {
       "usage: EtlMain <csvDir> <outDir> [batchDate] [--mode ...]")
     val mode = flags.getOrElse("mode", "full")
     require(Set("full", "extract", "transform", "load", "schedule",
-      "health").contains(mode), s"unknown mode: $mode")
+      "health", "grants").contains(mode), s"unknown mode: $mode")
     val sched = flags.getOrElse("schedule-type", "twice_daily")
     require(Set("twice_daily", "daily", "biweekly").contains(sched),
       s"unknown schedule-type: $sched")
@@ -233,6 +233,27 @@ object EtlMain {
     }
   }
 
+  /** Grants mode — the reference's `config/priviliges.sql:1` applied
+    * as config-driven DDL (pipeline.GrantBootstrap): prints the
+    * REDACTED statements for the resolved endpoints; applies them over
+    * JDBC only when GRAFT_APPLY_GRANTS=true (the endpoints' driver
+    * jars are absent in this container — SURVEY §7h #7 — so the
+    * default is the auditable dry run the reference's .sql file was).
+    */
+  def runGrants(ec: pipeline.EtlConfig.Resolved): Unit = {
+    val grants = pipeline.GrantBootstrap.forConfig(ec)
+    grants.foreach(g => println(s"[grants] ${g.redacted}"))
+    if (sys.env.get("GRAFT_APPLY_GRANTS").contains("true")) {
+      val mysqlGrants = grants.take(4) // CREATE USER + 2 dbs + FLUSH
+      val pgGrants = grants.drop(4)
+      pipeline.GrantBootstrap.apply(
+        ec.staging.jdbcUrl, ec.staging.props, mysqlGrants)
+      pipeline.GrantBootstrap.apply(
+        ec.production.jdbcUrl, ec.production.props, pgGrants)
+      println(s"[grants] applied ${grants.size} statements")
+    } else println("[grants] dry run (set GRAFT_APPLY_GRANTS=true to apply)")
+  }
+
   /** Schedule mode — the reference's BankingBatchScheduler.start():
     * one immediate health-check run, then full runs at each window.
     * `maxRuns` bounds the loop (reference loops forever on Ctrl-C).
@@ -275,10 +296,12 @@ object EtlMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    // LOG_LEVEL honored when configured (config.py:69); graft's
+    // LOG_LEVEL honored when configured at ANY layer EtlConfig reads
+    // (env OR .env, config.py:69) — not just the process env, so the
+    // logged config line below and the applied level agree; graft's
     // operational default stays WARN (INFO Spark logs drown the run log)
     spark.sparkContext.setLogLevel(
-      if (sys.env.contains("LOG_LEVEL")) ec.logLevel else "WARN")
+      if (ec.logLevelConfigured) ec.logLevel else "WARN")
     println(s"[etl] config: ${ec.describe}")
 
     cfg.mode match {
@@ -286,6 +309,7 @@ object EtlMain {
       case "transform" => runTransform(spark, cfg.outDir, cfg.batchDate)
       case "load" => runLoad(spark, cfg.outDir)
       case "health" => runHealth(spark, cfg.outDir)
+      case "grants" => runGrants(ec)
       case "schedule" => runSchedule(spark, cfg)
       case _ => runFull(spark, cfg.csvDir, cfg.outDir, cfg.batchDate)
     }

@@ -3300,7 +3300,8 @@ object OracleSql {
          |    * ln(CAST((f.n_good + 1) * (t.tb + 10) AS DOUBLE)
          |      / CAST((f.n_bad + 1) * (t.tg + 10) AS DOUBLE)) AS tm
          |  FROM full0 f CROSS JOIN t),
-         |iv AS (SELECT round((SELECT list_reduce(list(tm ORDER BY bin),
+         |iv AS (SELECT round((SELECT list_reduce(
+         |    list_prepend(0.0, list(tm ORDER BY bin)),
          |    (x, y) -> x + y) FROM terms), 6) AS iv_6)
          |SELECT terms.bin, terms.n, terms.n_good, terms.n_bad,
          |  round(terms.woe, 6) AS woe_6, iv.iv_6

@@ -961,10 +961,15 @@ object Graph {
           .select(col("a").as("id_a"), col("b").as("id_b"),
             col("support"))
           .localCheckpoint(true)
-        cur.unpersist()
+        graft.release(cur)
         return out
       }
-      cur.unpersist()
+      // release the superseded round's CHECKPOINT blocks, not just its
+      // CacheManager entry — plain unpersist leaves localCheckpoint RDD
+      // blocks pinned until GC, so a high-round peel would accumulate
+      // block-manager storage for the whole query (`next` is already
+      // eagerly checkpointed and does not depend on `cur`)
+      graft.release(cur)
       cur = next
       nEdges = nNext
       round += 1

@@ -51,6 +51,12 @@ object Loads {
     * partitioned on the key, AQE broadcasts a small source — the same
     * plan at 60k rows and at 100 TB.
     *
+    * A source carrying duplicate keys raises loudly (SQL:2003 MERGE's
+    * "multiple matching rows" error) — silently multiplying matched
+    * target rows would corrupt the target invisibly. The guard is a
+    * per-key window count over the source, which shuffles on the same
+    * keys the join needs, so the exchange is reused, not added.
+    *
     * @param deleteWhen matched-row delete predicate over columns named
     *                   `src_<c>` / `tgt_<c>`; None = pure upsert.
     * @return target schema; matched rows take the source's values.
@@ -66,9 +72,18 @@ object Loads {
     val s = source.select(keys.map(col) ++
       dataCols.map(c => col(c).as(s"src_$c")): _*)
     // matched ⇔ both sides non-null on the marker (keys can be null-free
-    // by contract, but an explicit marker survives schema evolution)
+    // by contract, but an explicit marker survives schema evolution);
+    // the source marker doubles as the duplicate-key guard
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val sGuarded = s.withColumn("__s",
+      when(count(lit(1)).over(wk) > 1,
+        raise_error(lit("mergeInto: duplicate source keys on " +
+          s"(${keys.mkString(",")}) — SQL:2003 MERGE requires a " +
+          "key-unique source; dedup upstream (e.g. Loads.upsert)"))
+          .cast("int"))
+        .otherwise(lit(1)))
     val j = t.withColumn("__t", lit(1))
-      .join(s.withColumn("__s", lit(1)), keys, "full_outer")
+      .join(sGuarded, keys, "full_outer")
     val matched = col("__t").isNotNull && col("__s").isNotNull
     val del = deleteWhen.map(matched && _).getOrElse(lit(false))
     j.filter(!del)

@@ -64,6 +64,49 @@ object Similarity {
       autoQueryMod(n * n)
     }
 
+  /** Per-row data-bound guard for the packed-key samplers, FOLDED INTO
+    * the corpus projection of the main job (round-9 verdict: the eager
+    * `agg().head` guard was a second linear corpus scan per call, paid
+    * even when the result plan was never executed). Per-row validation
+    * is sufficient: a pair's d2 ≤ max over its two rows of
+    * dim·(2·mabs)² (mabs_q + mabs_c ≤ 2·max of the two), so each row
+    * checks its own worst case against the worst possible id pack−1.
+    * The guard rides the quantized-vector column BELOW the pair join —
+    * evaluated once per corpus row inside the single scan, never per
+    * pair, zero extra jobs.
+    */
+  private def packGuard(op: String, cid: Column, cv: Column,
+                        pack: Double, idBits: Int): Column = {
+    val mabs = aggregate(transform(cv, x => abs(x)), lit(0d),
+      (acc, x) => greatest(acc, x))
+    val d2Bound = size(cv).cast("double") * (mabs * 2) * (mabs * 2)
+    when(cid < 0 || cid >= pack,
+      raise_error(concat(lit(s"$op: id "), cid.cast("string"),
+        lit(s" exceeds idBits=$idBits (must be in " +
+          s"[0, ${pack.toLong}))"))).cast("array<double>"))
+      .when(d2Bound * pack + (pack - 1) >= math.pow(2, 53),
+        raise_error(concat(lit(s"$op: worst-case packed key "),
+          (d2Bound * pack + (pack - 1)).cast("string"),
+          lit(" exceeds 2^53 — lower idBits or rescale the " +
+            "embeddings"))).cast("array<double>"))
+      .otherwise(cv)
+  }
+
+  /** [[packGuard]]'s un-packed sibling for [[silhouetteEval]]: the
+    * per-row worst-case d2 must fit the BIGINT-safe product bound.
+    */
+  private def d2Guard(op: String, cv: Column, maxD2: Double): Column = {
+    val mabs = aggregate(transform(cv, x => abs(x)), lit(0d),
+      (acc, x) => greatest(acc, x))
+    val d2Bound = size(cv).cast("double") * (mabs * 2) * (mabs * 2)
+    when(d2Bound > maxD2,
+      raise_error(concat(lit(s"$op: worst-case d2 "),
+        d2Bound.cast("string"),
+        lit(s" exceeds the BIGINT-safe bound $maxD2 — lower `scale` " +
+          "or rescale the embeddings"))).cast("array<double>"))
+      .otherwise(cv)
+  }
+
   /** Dot product — native one-pass codegen expression (plans.DotProduct).
     * [[dotComposed]] is the same fold via zip_with + aggregate, kept as
     * the executable spec: higher-order functions evaluate interpreted
@@ -1142,30 +1185,19 @@ object Similarity {
       .filter(pmod(col(idCol).cast("long"), lit(mod)) === 0)
       .select(col(idCol).cast("long").as("qid"),
         col(labelCol).cast("long").as("qlab"), quant(col(vecCol)).as("qv"))
-    val c = df.select(col(idCol).cast("long").as("cid"),
-      quant(col(vecCol)).as("cv"))
     // loud guard (round-4 advice): the packed order is exact only while
     // every id fits idBits AND worst-case d2·2^idBits + id < 2^53.
     // Validate the DATA, not just the parameter — an oversized id or
     // distance must fail here, never silently bleed into the distance
-    // bits and reorder neighbors. One cheap aggregate over the corpus
-    // (the harness is quadratic-by-design on a sample; this pass is
-    // linear and map-combined).
-    val b = c.agg(
-      min(col("cid")).as("idmin"), max(col("cid")).as("idmax"),
-      max(aggregate(transform(col("cv"), x => abs(x)), lit(0d),
-        (acc, x) => greatest(acc, x))).as("mabs"),
-      max(size(col("cv"))).as("dim")).head
-    if (!b.isNullAt(0)) {
-      val (idMin, idMax) = (b.getLong(0), b.getLong(1))
-      val d2Max = b.getInt(3) * (2 * b.getDouble(2)) * (2 * b.getDouble(2))
-      require(idMin >= 0 && idMax < pack,
-        s"knnClassifyEval: ids [$idMin,$idMax] exceed idBits=$idBits " +
-          s"(must be in [0, ${pack.toLong}))")
-      require(d2Max * pack + idMax < math.pow(2, 53),
-        s"knnClassifyEval: worst-case packed key ${d2Max * pack + idMax} " +
-          "exceeds 2^53 — lower idBits or rescale the embeddings")
-    }
+    // bits and reorder neighbors. Folded into the corpus projection of
+    // the main job (packGuard): one scan total, zero build-time jobs.
+    // Staged parse-once select: quant computed as an attribute first,
+    // the guard derives from it (the CLAUDE.md re-inline discipline).
+    val c = df.select(col(idCol).cast("long").as("cid"),
+        quant(col(vecCol)).as("cv"))
+      .select(col("cid"),
+        packGuard("knnClassifyEval", col("cid"), col("cv"), pack,
+          idBits).as("cv"))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("packed",
         -(sqDist(col("qv"), col("cv")) * pack + col("cid").cast("double")))
@@ -1227,26 +1259,15 @@ object Similarity {
       .filter(pmod(col(idCol).cast("long"), lit(mod)) === 0)
       .select(col(idCol).cast("long").as("qid"),
         col(labelCol).cast("long").as("qlab"), quant(col(vecCol)).as("qv"))
-    val c = df.select(col(idCol).cast("long").as("cid"),
-      col(labelCol).cast("long").as("clab"), quant(col(vecCol)).as("cv"))
     // loud data-bound guard (the knnClassifyEval discipline): packed
     // order is exact only while ids fit idBits and d2·2^idBits + id
-    // stays under 2^53
-    val b = c.agg(
-      min(col("cid")).as("idmin"), max(col("cid")).as("idmax"),
-      max(aggregate(transform(col("cv"), x => abs(x)), lit(0d),
-        (acc, x) => greatest(acc, x))).as("mabs"),
-      max(size(col("cv"))).as("dim")).head
-    if (!b.isNullAt(0)) {
-      val (idMin, idMax) = (b.getLong(0), b.getLong(1))
-      val d2Max = b.getInt(3) * (2 * b.getDouble(2)) * (2 * b.getDouble(2))
-      require(idMin >= 0 && idMax < pack,
-        s"hardNegatives: ids [$idMin,$idMax] exceed idBits=$idBits " +
-          s"(must be in [0, ${pack.toLong}))")
-      require(d2Max * pack + idMax < math.pow(2, 53),
-        s"hardNegatives: worst-case packed key ${d2Max * pack + idMax} " +
-          "exceeds 2^53 — lower idBits or rescale the embeddings")
-    }
+    // stays under 2^53 — folded into the corpus projection (packGuard)
+    val c = df.select(col(idCol).cast("long").as("cid"),
+        col(labelCol).cast("long").as("clab"),
+        quant(col(vecCol)).as("cv"))
+      .select(col("cid"), col("clab"),
+        packGuard("hardNegatives", col("cid"), col("cv"), pack,
+          idBits).as("cv"))
     val scored = c.join(broadcast(q),
         col("qid") =!= col("cid") && col("qlab") =!= col("clab"))
       .withColumn("packed",
@@ -1311,17 +1332,10 @@ object Similarity {
       .select(col(idCol).cast("long").as("qid"),
         col(labelCol).cast("long").as("qlab"), quant(col(vecCol)).as("qv"))
     val c = df.select(col(idCol).cast("long").as("cid"),
-      col(labelCol).cast("long").as("clab"), quant(col(vecCol)).as("cv"))
-    val b = c.agg(
-      max(aggregate(transform(col("cv"), x => abs(x)), lit(0d),
-        (acc, x) => greatest(acc, x))).as("mabs"),
-      max(size(col("cv"))).as("dim")).head
-    if (!b.isNullAt(0)) {
-      val d2Max = b.getInt(1) * (2 * b.getDouble(0)) * (2 * b.getDouble(0))
-      require(d2Max <= 9.2e6,
-        s"silhouetteEval: worst-case d2 $d2Max exceeds the BIGINT-safe " +
-          "bound 9.2e6 — lower `scale` or rescale the embeddings")
-    }
+        col(labelCol).cast("long").as("clab"),
+        quant(col(vecCol)).as("cv"))
+      .select(col("cid"), col("clab"),
+        d2Guard("silhouetteEval", col("cv"), 9.2e6).as("cv"))
     // ⌊sd·10⁶ / cnt⌋ without the sd·10⁶ product (sd is corpus-sized)
     val meanMicro = "((sd div cnt) * 1000000 + ((sd % cnt) * 1000000) div cnt)"
     val perLabel = c.join(broadcast(q), col("qid") =!= col("cid"))

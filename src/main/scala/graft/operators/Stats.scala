@@ -1794,6 +1794,11 @@ object Stats {
     * exactly-computed integer products — 6dp; IV folds its ≤nBins
     * terms in bin order via the psi sorted-collect fold, 6dp.
     *
+    * Null discipline ([[expectedCalibrationError]] pattern): a null
+    * `valueCol` or `labelCol` raises loudly — silently landing nulls
+    * in bin 1 (null > bound is null → otherwise(0)) while the label
+    * null skews n_good would corrupt the score invisibly.
+    *
     * Scale shape: one quantile collapse (value-cardinality window),
     * bounds broadcast, ONE bucket-count aggregate, bin-cardinality
     * everything after.
@@ -1814,8 +1819,11 @@ object Stats {
     val bucket = (lit(1) + ps.map(p =>
       when(col(valueCol) > col(s"q$p"), 1).otherwise(0)).reduce(_ + _))
       .cast("long")
-    val binned = df.select(col(valueCol),
-        col(labelCol).cast("long").as("__y"))
+    val yGuarded = when(col(valueCol).isNull || col(labelCol).isNull,
+      raise_error(lit(s"woeIv: null $valueCol or $labelCol — nulls " +
+        "are not binnable; filter or impute upstream")).cast("long"))
+      .otherwise(col(labelCol).cast("long"))
+    val binned = df.select(col(valueCol), yGuarded.as("__y"))
       .crossJoin(bounds)
       .select(bucket.as("bin"), col("__y"))
       .groupBy(col("bin"))

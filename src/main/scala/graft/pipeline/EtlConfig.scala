@@ -53,7 +53,8 @@ object EtlConfig {
 
   final case class Resolved(csvDataPath: String, logLevel: String,
                             batchSize: Int, staging: Endpoint,
-                            transformed: Endpoint, production: Endpoint) {
+                            transformed: Endpoint, production: Endpoint,
+                            logLevelConfigured: Boolean = false) {
     /** The line EtlMain logs at startup — redacted by construction. */
     def describe: String =
       s"csv=$csvDataPath logLevel=$logLevel batchSize=$batchSize " +
@@ -106,6 +107,11 @@ object EtlConfig {
     Resolved(
       csvDataPath = get("CSV_DATA_PATH", "./data"),
       logLevel = get("LOG_LEVEL", "INFO"),
+      // whether ANY layer (override / env / dotenv) set LOG_LEVEL —
+      // EtlMain applies the level only when it was actually configured,
+      // so the logged config line and the applied level agree
+      logLevelConfigured = overrides.contains("LOG_LEVEL") ||
+        env.contains("LOG_LEVEL") || dotenv.contains("LOG_LEVEL"),
       batchSize = getInt("BATCH_SIZE", 1000),
       staging = Endpoint("mysql", mysqlHost, mysqlPort,
         get("MYSQL_STAGING_DATABASE", "stagging"), // sic — config.py:17

@@ -290,4 +290,33 @@ class PipelineSpec extends AnyFunSuite {
     val dup = TaskDag.run(Seq(t("a"), t("c", "a"), t("b", "a", "a", "c")))
     assert(dup.succeeded && ran.toSeq == Seq("a", "c", "b"))
   }
+
+  test("ScaleFixture e2e: 4-entity full run at 3x reference size, " +
+    "every production count by construction (r9 VERDICT #5 rung; the " +
+    "100x run is tools.EtlScale, results in SURVEY §7j)") {
+    import java.nio.file.Files
+    import graft.tools.ScaleFixture
+    val csv = Files.createTempDirectory("graft_scale3_csv")
+    val fx = ScaleFixture.write(csv, 3)
+    val out = Files.createTempDirectory("graft_scale3_out").toString
+    val log = new graft.pipeline.RunLog(s"$out/_logs",
+      graft.pipeline.RunLog.newRunId())
+    EtlMain.runFull(spark, csv.toString, out, "2026-08-16", Some(log))
+    val full = graft.pipeline.RunLog.summarize(log.currentFile)
+      .find(_._1 == "full").get
+    assert(full._2 == 4 && full._3 == 0, s"summary: $full")
+    assert(spark.read.parquet(s"$out/branches").count() ==
+      fx.branches.staged)
+    assert(spark.read.parquet(s"$out/customers").count() ==
+      fx.customers.staged)
+    assert(spark.read.parquet(s"$out/loans").count() == fx.loans.staged)
+    assert(spark.read.parquet(s"$out/transactions").count() ==
+      fx.transactions.staged)
+    // planted keep-last semantics survive at scale: branch shadow won
+    val b1 = spark.read.parquet(s"$out/branches")
+      .filter(col("branch_id") === "QT0001").collect()
+    assert(b1.length == 1 &&
+      b1(0).getAs[String]("branch_name").toLowerCase.endsWith("last"),
+      b1.mkString(";")) // cleanTextTitle initcaps "-LAST" → "-last"
+  }
 }

@@ -627,4 +627,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ktPlan.contains("LeftSemi"), ktPlan.take(1500))
     assert(kt.count() == 40L * 39 / 2) // K40 is its own 3-truss
   }
+
+  test("samplers run ONE corpus scan: data-bound guard folded into the " +
+      "main job, no build-time jobs (round-9 verdict #7)") {
+    // with an explicit queryMod, CONSTRUCTING the sampler plan must
+    // launch zero Spark jobs — the old eager agg().head guard was a
+    // second linear corpus scan paid even when the plan never executed
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val emb = graft.table(spark, dir, "embeddings")
+    emb.count() // materialize the session/table setup outside the probe
+    spark.sparkContext.addSparkListener(l)
+    val (dfs, built) = try {
+      val a = operators.Similarity.knnClassifyEval(
+        emb, "vec_id", "label", "embedding", 5, queryMod = 7)
+      val b = operators.Similarity.hardNegatives(
+        emb, "vec_id", "label", "embedding", 3, queryMod = 7)
+      val c = operators.Similarity.silhouetteEval(
+        emb, "vec_id", "label", "embedding", queryMod = 7)
+      org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
+      (Seq(a, b, c), jobs.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(built == 0,
+      s"sampler plan construction launched $built jobs — the guard " +
+        "leaked back to build time")
+    // and the guard is IN the plan: the corpus projection below the
+    // pair join carries the raise_error branch
+    for (df <- dfs)
+      assert(df.queryExecution.analyzed.toString.contains("raise_error"),
+        "data-bound guard missing from the sampler plan")
+    // executing still works (guard passes on real data)
+    assert(dfs.head.count() > 0)
+  }
 }

@@ -798,10 +798,16 @@ class Round4OpsSpec extends AnyFunSuite {
   test("silhouetteEval fails loudly past the BIGINT-safe d2 bound") {
     val big = Seq((1L, 0L, Array(9000f, 0f)), (2L, 1L, Array(-9000f, 0f)))
       .toDF("vec_id", "label", "embedding")
-    intercept[IllegalArgumentException] {
+    // round 10: the guard is folded into the main job (raise_error in
+    // the corpus projection), so it surfaces at EXECUTION as a Spark
+    // error, not a build-time require
+    val e = intercept[Exception] {
       Similarity.silhouetteEval(big, "vec_id", "label", "embedding")
         .collect()
     }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(e).contains("BIGINT-safe"), msgs(e))
   }
 
   test("hitsFixedPoint: bipartite graph separates hubs from authorities") {
