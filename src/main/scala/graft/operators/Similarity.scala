@@ -635,9 +635,6 @@ object Similarity {
 
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, k: Int, iters: Int): Array[(Int, Int, Seq[Double])] = {
-    val d0 = corpus.select(size(col(vecCol))).head.getInt(0)
-    require(d0 % m == 0, s"dim $d0 not divisible by m=$m")
-    val d = d0 / m
     // one persisted (id, unit-vector) table: assignment happens
     // IN-ROW via the native pq_codes expression (no posexploded
     // m×-inflated subvector table, no per-iteration m·k-wide codegen
@@ -648,12 +645,20 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // deterministic init: the k lowest-hash vectors seed EVERY
-      // subspace (sliced), cids in id order
-      val seedIds = corpus.select(col(idCol).as("id"))
+      // subspace (sliced), cids in id order. ONE scan (round 10,
+      // VERDICT r9 #6): the hash-order limit runs directly on the
+      // persisted unit-vector table instead of an id-only pre-pass +
+      // a second isin filter scan — same ids (hash is on the id), one
+      // fewer corpus job before training starts.
+      val seedRows = uvDf
         .orderBy(xxhash64(col("id")), col("id")).limit(k)
-        .orderBy(col("id")).collect().map(_.getLong(0))
-      val seedRows = uvDf.filter(col("id").isin(seedIds: _*))
         .orderBy(col("id")).collect()
+      // dim derived from the seeds themselves (was a separate 1-row
+      // probe job); empty corpus fails loudly here as before
+      require(seedRows.nonEmpty, "pqTrain: empty corpus")
+      val d0 = seedRows.head.getSeq[Double](1).size
+      require(d0 % m == 0, s"dim $d0 not divisible by m=$m")
+      val d = d0 / m
       var books: Array[(Int, Int, Seq[Double])] =
         (for (s <- 0 until m; (r, c) <- seedRows.zipWithIndex.toSeq)
           yield (s, c, r.getSeq[Double](1).slice(s * d, s * d + d))).toArray

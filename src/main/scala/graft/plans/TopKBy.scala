@@ -12,31 +12,57 @@ import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer: keeps the k largest (score, id) pairs, with
   * deterministic ordering — score DESC, id ASC on ties.
+  *
+  * Round 10: primitive parallel arrays instead of a PriorityQueue of
+  * boxed tuples. This buffer's `add` runs once per CANDIDATE PAIR in
+  * the ANN/k-NN family (q_knn_eval: 4M pairs through 2000 buffers) and
+  * the tuple-allocating heap dominated the profile (ProfKnn: ~3s of a
+  * 3.6s query in the aggregate stage). The losing pair — the common
+  * case — now costs one branch against a cached weakest slot, zero
+  * allocation; a winning pair pays an O(k) rescan (k ≤ ~100).
+  * Semantics are bit-identical (weakest = lowest score, ties broken
+  * to the HIGHEST id, replacement iff strictly stronger by
+  * (score desc, id asc)) — pinned by PropertySpec's sort-take-k and
+  * merge-associativity equivalences and the q_topk_agg hash gate.
   */
 final class TopKBuffer(val k: Int) {
   require(k >= 1, "topk_by needs k >= 1")
-  // min-heap on (score asc, id desc) so the root is the weakest element
-  private val ord: Ordering[(Double, Long)] = Ordering.by {
-    case (s, id) => (-s, id)
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var n = 0
+  private var wi = 0 // weakest slot, valid once n == k
+
+  private def rescanWeakest(): Unit = {
+    var i = 1; wi = 0
+    while (i < n) {
+      if (scores(i) < scores(wi) ||
+          (scores(i) == scores(wi) && ids(i) > ids(wi))) wi = i
+      i += 1
+    }
   }
-  val heap = new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord)
 
   def add(score: Double, id: Long): Unit = {
-    if (heap.size < k) heap.enqueue((score, id))
-    else {
-      val (ws, wid) = heap.head
-      if (score > ws || (score == ws && id < wid)) {
-        heap.dequeue(); heap.enqueue((score, id))
+    if (n < k) {
+      scores(n) = score; ids(n) = id; n += 1
+      if (n == k) rescanWeakest()
+    } else {
+      val ws = scores(wi)
+      if (score > ws || (score == ws && id < ids(wi))) {
+        scores(wi) = score; ids(wi) = id
+        rescanWeakest()
       }
     }
   }
 
-  def merge(other: TopKBuffer): Unit =
-    other.heap.foreach { case (s, id) => add(s, id) }
+  def merge(other: TopKBuffer): Unit = {
+    var i = 0
+    while (i < other.n) { add(other.scores(i), other.ids(i)); i += 1 }
+  }
 
-  /** Elements best-first. */
+  /** Elements best-first (score desc, id asc). */
   def sorted: Array[(Double, Long)] =
-    heap.toArray.sortBy { case (s, id) => (-s, id) }
+    Array.tabulate(n)(i => (scores(i), ids(i)))
+      .sortBy { case (s, id) => (-s, id) }
 }
 
 /** topk_by(score, id, k) → array<struct<score double, id bigint>> of the
@@ -82,10 +108,12 @@ case class TopKBy(scoreExpr: Expression, idExpr: Expression, k: Int,
   }
 
   override def serialize(buf: TopKBuffer): Array[Byte] = {
-    val items = buf.heap.toArray
-    val bb = ByteBuffer.allocate(8 + items.length * 16)
-    bb.putInt(buf.k); bb.putInt(items.length)
-    items.foreach { case (s, id) => bb.putDouble(s); bb.putLong(id) }
+    val bb = ByteBuffer.allocate(8 + buf.n * 16)
+    bb.putInt(buf.k); bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) {
+      bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1
+    }
     bb.array()
   }
 
