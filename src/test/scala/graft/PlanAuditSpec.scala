@@ -628,6 +628,68 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(kt.count() == 40L * 39 / 2) // K40 is its own 3-truss
   }
 
+  test("top-10 bench queries: shuffle/broadcast budgets pinned " +
+      "(r9 VERDICT #8 — a plan regression fails loudly, not as seconds)") {
+    // exchange counts summed over EVERY plan the query executes
+    // (sealed/iterative operators run several), identity-deduped and
+    // AQE-aware — the PlanMetrics walk. Budgets measured at sf0.001
+    // (tools.ShuffleCount); iterative queries' round counts are
+    // data-dependent, so the pin is per-sf deterministic.
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+    def count(p: org.apache.spark.sql.execution.SparkPlan): (Int, Int) = {
+      def nodes(x: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val nested = x match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case _ => Nil
+        }
+        x +: (x.children ++ nested).flatMap(nodes)
+      }
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+      val all = nodes(p).filter(seen.add)
+      (all.count(_.isInstanceOf[ShuffleExchangeLike]),
+        all.count(_.isInstanceOf[BroadcastExchangeLike]))
+    }
+    // (query -> (shuffles, broadcasts)) — the 10 most expensive
+    // BENCH queries of the r9/r10 close
+    val budgets = Seq(
+      "q_knn_eval" -> ((5, 2)), "q_setsim_join" -> ((9, 7)),
+      "q_ann_pq" -> ((5, 3)), "q_hard_negatives" -> ((3, 1)),
+      "q_jaro_winkler" -> ((1, 1)), "q_assortativity" -> ((6, 3)),
+      "q_ks_test" -> ((4, 2)), "q_ppr" -> ((3, 3)),
+      "q_ktruss" -> ((2, 3)), "q_link_predict" -> ((2, 0)))
+    for ((name, (wantSh, wantBc)) <- budgets) {
+      val sums = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Int, Int)]())
+      val l = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = { sums.add(count(qe.executedPlan)); () }
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      try {
+        SparkEntry.queries(name)(spark, dir).count()
+        org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
+        val sh = sums.toArray.map(_.asInstanceOf[(Int, Int)])
+        val (gotSh, gotBc) = (sh.map(_._1).sum, sh.map(_._2).sum)
+        assert(gotSh == wantSh && gotBc == wantBc,
+          s"$name: shuffles=$gotSh broadcasts=$gotBc, budget " +
+            s"($wantSh, $wantBc) — the plan changed; re-audit before " +
+            "re-pinning (tools.ShuffleCount)")
+      } finally spark.listenerManager.unregister(l)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("samplers run ONE corpus scan: data-bound guard folded into the " +
       "main job, no build-time jobs (round-9 verdict #7)") {
     // with an explicit queryMod, CONSTRUCTING the sampler plan must

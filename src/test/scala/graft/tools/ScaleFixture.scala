@@ -76,7 +76,11 @@ object ScaleFixture {
         else if (i % 89 == 0) "not-a-date"
         else f"${1 + rnd.nextInt(28)}%02d-${1 + rnd.nextInt(12)}%02d-${rnd.nextInt(100)}%02d"
       val opened = f"${1 + rnd.nextInt(28)}%02d-${1 + rnd.nextInt(12)}%02d-${rnd.nextInt(25)}%02d"
-      val id = if (i % 61 == 0) s" $i " else i.toString // trimmed PK kept
+      // trimmed-PK planting stays OUTSIDE the shadow id range: the
+      // stage dedup keys on the RAW string (" 61 " ≠ "61"), so a
+      // padded base row would NOT collapse with its shadow and the
+      // by-construction count would drift (observed: +24 at 100x)
+      val id = if (i % 61 == 0 && i > dups) s" $i " else i.toString
       Seq(id, f"QT${1 + rnd.nextInt(nBranches)}%04d",
         s"First$i", s"last$i", dob, genders(rnd.nextInt(genders.size)),
         s"user$i@example.org", f"${7000000000L + i}%d",
