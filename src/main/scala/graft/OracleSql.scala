@@ -2110,6 +2110,163 @@ object OracleSql {
         |    ELSE round((pbar - pe) / (1.0 - pe), 6) END AS kappa_6
         |FROM m""".stripMargin,
 
+    "q_friedman" ->
+      // Stats.friedman mirror: per-(bucket, priority) cents sums, 2×
+      // midranks as exact integers (2·min_rank + ties − 1), rank sums
+      // over complete tasks only; χ²_F = 3·ΣR2²/(nk(k+1)) − 3n(k+1)
+      // with the identical double cast points, 6dp
+      """WITH obs AS (SELECT o_orderkey % 311 AS task,
+        |    o_orderpriority AS sys,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT sys) AS BIGINT) AS k FROM obs),
+        |tc AS (SELECT task, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(count(DISTINCT sys) AS BIGINT) AS ds
+        |  FROM obs GROUP BY 1),
+        |meta AS (SELECT
+        |    CAST(sum(CASE WHEN cnt = k AND ds = k THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn,
+        |    CAST(sum(CASE WHEN cnt = k AND ds = k THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS nd
+        |  FROM tc CROSS JOIN kk),
+        |kept AS (SELECT task FROM tc CROSS JOIN kk
+        |  WHERE cnt = k AND ds = k),
+        |ranked AS (SELECT sys,
+        |    2 * CAST(rank() OVER (PARTITION BY task ORDER BY v)
+        |      AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY task, v) AS BIGINT)
+        |      - 1 AS m2
+        |  FROM obs JOIN kept USING (task)),
+        |r2 AS (SELECT sys, CAST(sum(m2) AS BIGINT) AS r2_sum
+        |  FROM ranked GROUP BY 1),
+        |sq AS (SELECT sum(CAST(r2_sum AS HUGEINT) * r2_sum) AS sr2
+        |  FROM r2)
+        |SELECT r2.sys AS system, r2.r2_sum, meta.nn AS n_tasks,
+        |  kk.k AS k_systems, meta.nd AS n_dropped_tasks,
+        |  round(CAST(3 * sq.sr2 AS DOUBLE)
+        |      / CAST(meta.nn * kk.k * (kk.k + 1) AS DOUBLE)
+        |    - CAST(3 * meta.nn * (kk.k + 1) AS DOUBLE), 6) AS chi2_6
+        |FROM r2 CROSS JOIN meta CROSS JOIN kk CROSS JOIN sq""".stripMargin,
+
+    "q_cochran_q" ->
+      // Stats.cochranQ mirror: per-cell pass = cents-sum parity; exact
+      // T_j / u_i sums in HUGEINT; Q = (k−1)(kΣT² − N²)/(kN − Σu²),
+      // ONE double division, unanimous denominator → null, 6dp
+      """WITH cells AS (SELECT o_orderkey % 449 AS item,
+        |    o_orderpriority AS sys,
+        |    (CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) % 2) = 1 AS pass
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT sys) AS BIGINT) AS k
+        |  FROM cells),
+        |pi AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(count(DISTINCT sys) AS BIGINT) AS ds,
+        |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS u
+        |  FROM cells GROUP BY 1),
+        |st AS (SELECT
+        |    CAST(sum(CASE WHEN cnt = k AND ds = k THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ni,
+        |    CAST(sum(CASE WHEN cnt = k AND ds = k THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS nd,
+        |    CAST(sum(CASE WHEN cnt = k AND ds = k THEN u ELSE 0 END)
+        |      AS BIGINT) AS bign,
+        |    sum(CASE WHEN cnt = k AND ds = k
+        |      THEN CAST(u AS HUGEINT) * u END) AS su2
+        |  FROM pi CROSS JOIN kk),
+        |tj AS (SELECT sys,
+        |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS t
+        |  FROM cells JOIN (SELECT item FROM pi CROSS JOIN kk
+        |    WHERE cnt = k AND ds = k) kept USING (item)
+        |  GROUP BY 1),
+        |tsq AS (SELECT sum(CAST(t AS HUGEINT) * t) AS st2 FROM tj)
+        |SELECT st.ni AS n_items, st.nd AS n_dropped_items,
+        |  kk.k AS k_systems, st.bign AS n_pass,
+        |  CASE WHEN kk.k * st.bign - st.su2 = 0 THEN NULL
+        |    ELSE round(CAST((kk.k - 1) * (kk.k * tsq.st2
+        |        - CAST(st.bign AS HUGEINT) * st.bign) AS DOUBLE)
+        |      / CAST(kk.k * st.bign - st.su2 AS DOUBLE), 6)
+        |  END AS q_6
+        |FROM st CROSS JOIN kk CROSS JOIN tsq""".stripMargin,
+
+    "q_kripp_alpha" ->
+      // Stats.krippendorffAlpha mirror: per-unit disagreement floor-
+      // quantized to micros (nonneg numerator, so // ≡ Spark div),
+      // exact De; α = 1 − Do·(n−1)/(10⁶·ΣnC(n−nC)), one division, 6dp
+      """WITH r AS (SELECT event_id % 1700 AS unit, event_type AS c
+        |  FROM events),
+        |counts AS (SELECT unit, c, CAST(count(*) AS BIGINT) AS nuc
+        |  FROM r GROUP BY 1, 2),
+        |pu AS (SELECT unit, CAST(sum(nuc) AS BIGINT) AS m,
+        |    CAST(sum(nuc * (nuc - 1)) AS BIGINT) AS agr
+        |  FROM counts GROUP BY 1),
+        |st AS (SELECT
+        |    CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nu,
+        |    CAST(sum(CASE WHEN m >= 2 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS nd,
+        |    CAST(sum(CASE WHEN m >= 2 THEN m ELSE 0 END) AS BIGINT)
+        |      AS n,
+        |    sum(CASE WHEN m >= 2 THEN CAST((m * (m - 1) - agr)
+        |      * 1000000 // (m - 1) AS HUGEINT)
+        |      ELSE CAST(0 AS HUGEINT) END) AS dosum
+        |  FROM pu),
+        |ct AS (SELECT c, CAST(sum(nuc) AS BIGINT) AS nc
+        |  FROM counts JOIN (SELECT unit FROM pu WHERE m >= 2) kept
+        |    USING (unit)
+        |  GROUP BY 1),
+        |de AS (SELECT CAST(count(*) AS BIGINT) AS kcat,
+        |    sum(CAST(nc AS HUGEINT) * (st.n - nc)) AS desum
+        |  FROM ct CROSS JOIN st)
+        |SELECT st.nu AS n_units, st.nd AS n_dropped_units,
+        |  st.n AS n_ratings, de.kcat AS n_categories,
+        |  CASE WHEN de.desum = 0 THEN NULL
+        |    ELSE round(1.0 - CAST(st.dosum * (st.n - 1) AS DOUBLE)
+        |      / CAST(1000000 * de.desum AS DOUBLE), 6)
+        |  END AS alpha_6
+        |FROM st CROSS JOIN de""".stripMargin,
+
+    "q_changepoint" ->
+      // TimeSeries.changePoint mirror: exact prefix sums, s = |n·Pk −
+      // k·Pn| in HUGEINT, argmax via the identical packed key
+      // s·2²¹ + (2²¹−k) (ties → smallest k), exact unpack via
+      // subtract-mod floor; means in floor-div micros (nonneg values,
+      // // ≡ div); n < 2 keys carried with null cp fields
+      """WITH e AS (SELECT user_id % 97 AS key, event_id AS ord,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |pref AS (SELECT key, ord, v,
+        |    CAST(row_number() OVER (PARTITION BY key ORDER BY ord)
+        |      AS BIGINT) AS k,
+        |    CAST(sum(v) OVER (PARTITION BY key ORDER BY ord)
+        |      AS BIGINT) AS pk,
+        |    CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n,
+        |    CAST(sum(v) OVER (PARTITION BY key) AS BIGINT) AS pn
+        |  FROM e),
+        |splits AS (SELECT key, n, pn, k, pk,
+        |    abs(CAST(n AS HUGEINT) * pk - CAST(k AS HUGEINT) * pn) AS s
+        |  FROM pref WHERE k < n),
+        |best AS (SELECT key, max(n) AS n, max(pn) AS pn,
+        |    max(s * 2097152 + (2097152 - k)) AS bp
+        |  FROM splits GROUP BY 1),
+        |res AS (SELECT key, n,
+        |    CAST(2097152 - (bp % 2097152) AS BIGINT) AS cp_k,
+        |    (bp - (bp % 2097152)) // 2097152 AS s_max, pn
+        |  FROM best),
+        |out1 AS (SELECT res.key, res.n, res.cp_k,
+        |    CAST(res.s_max AS VARCHAR) AS s_max,
+        |    p.pk * 1000000 // res.cp_k AS mean_left_micro,
+        |    (res.pn - p.pk) * 1000000 // (res.n - res.cp_k)
+        |      AS mean_right_micro
+        |  FROM res JOIN pref p ON p.key = res.key AND p.k = res.cp_k),
+        |single AS (SELECT key, n, CAST(NULL AS BIGINT) AS cp_k,
+        |    CAST(NULL AS VARCHAR) AS s_max,
+        |    CAST(NULL AS BIGINT) AS mean_left_micro,
+        |    CAST(NULL AS BIGINT) AS mean_right_micro
+        |  FROM (SELECT key, CAST(count(*) AS BIGINT) AS n FROM e
+        |    GROUP BY 1) t
+        |  WHERE n < 2)
+        |SELECT * FROM out1 UNION ALL SELECT * FROM single""".stripMargin,
+
     "q_mcnemar" ->
       // Stats.mcnemar mirror: 2x2 concordance from one agg; Edwards'
       // continuity correction clamped at 0; one exact-int division

@@ -1387,6 +1387,62 @@ object SparkEntry {
       .select(col("m.metric").as("metric"), col("m.value").as("value"))
   }
 
+  /** C104: Friedman test — do the five order priorities ("systems")
+    * rank differently in per-bucket revenue ("tasks")? Midranks as
+    * exact 2× integers, complete blocks only, χ²_F one fixed IEEE
+    * tree (operators.Stats.friedman).
+    */
+  private def qFriedman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = table(s, dir, "orders")
+      .select(pmod($"o_orderkey", lit(311L)).as("task"),
+        $"o_orderpriority".as("sys"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"task", $"sys").agg(sum($"cents").as("v"))
+    operators.Stats.friedman(obs, "task", "sys", "v")
+  }
+
+  /** C105: Cochran's Q — five priority "systems" judged pass/fail
+    * (revenue-parity) on shared order buckets; the k-classifier
+    * McNemar, exact integers end to end (operators.Stats.cochranQ).
+    */
+  private def qCochranQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = table(s, dir, "orders")
+      .select(pmod($"o_orderkey", lit(449L)).as("item"),
+        $"o_orderpriority".as("sys"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"item", $"sys")
+      .agg((pmod(sum($"cents"), lit(2L)) === 1L).as("pass"))
+    operators.Stats.cochranQ(cells, "item", "sys", "pass")
+  }
+
+  /** C106: Krippendorff's alpha over event-bucket "units" rated with
+    * event types — variable ratings per unit, singles dropped loudly;
+    * micro-quantized Do, exact De (operators.Stats.krippendorffAlpha).
+    */
+  private def qKrippAlpha(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = table(s, dir, "events")
+      .select(pmod($"event_id", lit(1700L)).as("unit"), $"event_type")
+    operators.Stats.krippendorffAlpha(r, "unit", "event_type")
+  }
+
+  /** F34: AMOC change-point localization — per user bucket, WHERE the
+    * event-value level shifted (CUSUM argmax over the event_id order),
+    * exact integer statistic with packed deterministic tie-break
+    * (operators.TimeSeries.changePoint).
+    */
+  private def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events")
+      .select(pmod($"user_id", lit(97L)).as("key"), $"event_id",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.TimeSeries.changePoint(e, "key", "event_id", "cents")
+      .select($"key", $"n", $"cp_k", $"s_max".cast("string").as("s_max"),
+        $"mean_left_micro", $"mean_right_micro")
+  }
+
   /** C103: expected calibration error of the value-as-confidence
     * purchase predictor — exact-integer micro bins, ECE + MCE in one
     * row (operators.Stats.expectedCalibrationError).
@@ -4889,6 +4945,10 @@ object SparkEntry {
     "q_mcnemar" -> (qMcnemar _),
     "q_fleiss_kappa" -> (qFleissKappa _),
     "q_ece" -> (qEce _),
+    "q_friedman" -> (qFriedman _),
+    "q_cochran_q" -> (qCochranQ _),
+    "q_kripp_alpha" -> (qKrippAlpha _),
+    "q_changepoint" -> (qChangepoint _),
     "q_pass_at_k" -> (qPassAtK _),
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),

@@ -1985,4 +1985,221 @@ object Stats {
         .as("mean_cuped_micro"),
       micro(lit(theta)).as("theta_micro"))
   }
+
+  /** C104: Friedman test (Friedman, JASA 1937) — THE k-system × n-task
+    * comparison on a shared benchmark: Demšar (JMLR 2006) prescribes
+    * exactly this for "compare k models over n datasets" where C71
+    * Mann–Whitney handles 2 unpaired groups and C101 McNemar 2 paired
+    * classifiers. Within each task the k systems are midranked;
+    * χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) with R_j the rank sum of
+    * system j (the average-rank form; no tie correction — documented).
+    *
+    * Exactness: midranks carried as the exact INTEGER m2 = 2·midrank
+    * (= 2·min_rank + ties − 1), rank sums R2_j = Σm2 exact longs,
+    * ΣR2_j² in decimal(38,0); with R_j = R2_j/2 the statistic
+    * collapses to χ²_F = 3·ΣR2_j²/(nk(k+1)) − 3n(k+1) — ONE fixed
+    * IEEE tree over exact integers, 6dp.
+    *
+    * Complete blocks only: tasks with exactly one observation per
+    * system (and the full system set) are kept; incomplete tasks are
+    * dropped AND counted — silent drops would bias the ranks.
+    *
+    * Plan: one distinct-systems scalar, one per-task completeness agg,
+    * one task-keyed window (k rows per task) for midranks, one
+    * system-keyed rank-sum agg (k rows to the driver — the fleissKappa
+    * scalar-assembly discipline).
+    *
+    * @param valueCol integer-comparable (caller quantizes, the
+    *                 jonckheere convention); higher = better is
+    *                 irrelevant — χ² is direction-free.
+    * @return per system: (system, r2_sum) + replicated
+    *         (n_tasks, k_systems, n_dropped_tasks, chi2_6).
+    */
+  def friedman(df: DataFrame, taskCol: String, systemCol: String,
+               valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(taskCol).as("t"),
+      col(systemCol).cast("string").as("sys"),
+      col(valueCol).cast("long").as("v")).persist()
+    try {
+      val k = src.select(col("sys")).distinct().count()
+      require(k >= 2, s"friedman: needs ≥ 2 systems, got $k")
+      val taskCnt = src.groupBy(col("t"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("sys")).as("ds"))
+      val keepDrop = taskCnt.agg(
+        sum(when(col("cnt") === k && col("ds") === k, 1L).otherwise(0L)),
+        sum(when(col("cnt") === k && col("ds") === k, 0L).otherwise(1L)))
+        .head()
+      val n = keepDrop.getLong(0)
+      val nDropped = keepDrop.getLong(1)
+      if (n == 0)
+        return Seq.empty[(String, Long, Long, Long, Long,
+            java.lang.Double)]
+          .toDF("system", "r2_sum", "n_tasks", "k_systems",
+            "n_dropped_tasks", "chi2_6")
+      val kept = taskCnt.filter(col("cnt") === k && col("ds") === k)
+        .select(col("t"))
+      val wRank = Window.partitionBy(col("t")).orderBy(col("v"))
+      val wTie = Window.partitionBy(col("t"), col("v"))
+      val ranked = src.join(kept, Seq("t"), "left_semi")
+        .withColumn("m2",
+          rank().over(wRank).cast("long") * 2 +
+            count(lit(1)).over(wTie) - 1)
+      val r2 = ranked.groupBy(col("sys"))
+        .agg(sum(col("m2")).as("r2_sum"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      val sumR2Sq = r2.map(x => BigDecimal(x._2) * BigDecimal(x._2)).sum
+      val chi2 = (BigDecimal(3) * sumR2Sq).doubleValue /
+        (BigDecimal(n) * k * (k + 1)).doubleValue -
+        3.0 * n * (k + 1)
+      val chi6 = BigDecimal(chi2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r2.toSeq.map { case (s, r) =>
+        (s, r, n, k, nDropped, chi6: java.lang.Double)
+      }.toDF("system", "r2_sum", "n_tasks", "k_systems",
+        "n_dropped_tasks", "chi2_6")
+    } finally { src.unpersist(); () }
+  }
+
+  /** C105: Cochran's Q test (Cochran, Biometrika 1950) — the BINARY
+    * sibling of [[friedman]] and the k-classifier generalization of
+    * C101 McNemar (k = 2 collapses to McNemar without correction):
+    * k systems judged pass/fail on the same n items, "do the k
+    * pass rates differ?" — the eval-harness question for k model
+    * checkpoints on one benchmark.
+    *
+    * Exact end to end: with T_j = per-system pass count, u_i =
+    * per-item pass count, N = Σu_i,
+    * Q = (k−1)·(k·ΣT_j² − N²) / (k·N − Σu_i²) — every term an exact
+    * integer (decimal(38,0) squares), ONE IEEE division, 6dp; a
+    * degenerate denominator (all items unanimous) → null.
+    *
+    * Complete blocks only, dropped items counted ([[friedman]] rule).
+    *
+    * @return one row (n_items, n_dropped_items, k_systems, n_pass, q_6).
+    */
+  def cochranQ(df: DataFrame, itemCol: String, systemCol: String,
+               successCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(itemCol).as("i"),
+      col(systemCol).cast("string").as("sys"),
+      when(col(successCol), 1L).otherwise(0L).as("x")).persist()
+    try {
+      val k = src.select(col("sys")).distinct().count()
+      require(k >= 2, s"cochranQ: needs ≥ 2 systems, got $k")
+      val perItem = src.groupBy(col("i"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("sys")).as("ds"),
+          sum(col("x")).as("u"))
+      val complete = col("cnt") === k && col("ds") === k
+      val st = perItem.agg(
+        sum(when(complete, 1L).otherwise(0L)).as("nItems"),
+        sum(when(complete, 0L).otherwise(1L)).as("nDropped"),
+        sum(when(complete, col("u")).otherwise(0L)).as("bigN"),
+        sum(when(complete,
+          (col("u") * col("u")).cast("decimal(38,0)"))).as("sumU2"))
+        .head()
+      val kept = perItem.filter(complete).select(col("i"))
+      val tj = src.join(kept, Seq("i"), "left_semi")
+        .groupBy(col("sys")).agg(sum(col("x")).as("tj"))
+        .agg(sum((col("tj").cast("decimal(38,0)") * col("tj"))))
+        .head()
+      val nItems = st.getLong(0)
+      val nDropped = st.getLong(1)
+      if (nItems == 0)
+        return Seq((0L, nDropped, k, 0L,
+            null.asInstanceOf[java.lang.Double]))
+          .toDF("n_items", "n_dropped_items", "k_systems", "n_pass",
+            "q_6")
+      val bigN = BigDecimal(st.getLong(2))
+      val sumU2 = BigDecimal(st.getDecimal(3))
+      val sumTj2 = BigDecimal(tj.getDecimal(0))
+      val den = BigDecimal(k) * bigN - sumU2
+      val q: java.lang.Double =
+        if (den == 0) null
+        else BigDecimal(
+          (BigDecimal(k - 1) * (BigDecimal(k) * sumTj2 - bigN * bigN))
+            .doubleValue / den.doubleValue)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((nItems, nDropped, k, st.getLong(2), q))
+        .toDF("n_items", "n_dropped_items", "k_systems", "n_pass", "q_6")
+    } finally { src.unpersist(); () }
+  }
+
+  /** C106: Krippendorff's alpha, nominal data (Krippendorff 2004) —
+    * the agreement coefficient that handles MISSING ratings, closing
+    * the family: C87 Cohen κ (2 raters, complete), C102 Fleiss κ
+    * (k raters, complete — incomplete items dropped), α (any number
+    * of ratings per unit ≥ 2 — the real shape of crowdsourced
+    * labeling queues).
+    *
+    * Exactness (the ECE/Nelson–Aalen micro-quantization discipline —
+    * keyed aggregation at any cardinality, NO driver-side unit list):
+    * per pairable unit the disagreement term
+    * dₒ(u) = (m_u(m_u−1) − Σ_c n_uc(n_uc−1)) / (m_u−1) is quantized
+    * once to ⌊10⁶·num/(m_u−1)⌋ micro-units (≤ 1 micro floor loss per
+    * unit, documented semantics), summed exactly; with
+    * D_e ∝ Σ_c n_c(n−n_c) the coefficient collapses algebraically to
+    * α = 1 − Do_micro·(n−1) / (10⁶·Σ_c n_c(n−n_c)) — ONE IEEE
+    * division of two exact integer products (decimal(38,0)), 6dp.
+    * Units with a single rating are unpairable: dropped AND counted.
+    * D_e = 0 (one category total) → null.
+    *
+    * @return one row (n_units, n_dropped_units, n_ratings,
+    *         n_categories, alpha_6).
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String,
+                        valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(unitCol).as("u"),
+        col(valueCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("nuc"))
+      .persist()
+    try {
+      val perUnit = counts.groupBy(col("u"))
+        .agg(sum(col("nuc")).as("m"),
+          sum(col("nuc") * (col("nuc") - 1)).as("agr"))
+      val pairable = col("m") >= 2
+      // exact floor division (CaseWhen short-circuits, so the div
+      // never sees an unpairable unit's m−1 = 0 under ANSI mode)
+      val withDo = perUnit.withColumn("do_micro",
+        when(pairable,
+          expr("(m * (m - 1) - agr) * 1000000 div (m - 1)"))
+          .otherwise(0L))
+      val st = withDo.agg(
+        sum(when(pairable, 1L).otherwise(0L)).as("nUnits"),
+        sum(when(pairable, 0L).otherwise(1L)).as("nDropped"),
+        sum(when(pairable, col("m")).otherwise(0L)).as("n"),
+        sum(col("do_micro").cast("decimal(38,0)")).as("doSum"))
+        .head()
+      val keptUnits = perUnit.filter(pairable).select(col("u"))
+      val cat = counts.join(keptUnits, Seq("u"), "left_semi")
+        .groupBy(col("c")).agg(sum(col("nuc")).as("nc"))
+      val n = st.getLong(2)
+      val de = cat.agg(count(lit(1)).as("kCat"),
+          sum((col("nc").cast("decimal(38,0)") * (lit(n) - col("nc"))))
+            .as("deSum"))
+        .head()
+      val nUnits = st.getLong(0)
+      val nDropped = st.getLong(1)
+      if (nUnits == 0)
+        return Seq((0L, nDropped, 0L, 0L,
+            null.asInstanceOf[java.lang.Double]))
+          .toDF("n_units", "n_dropped_units", "n_ratings",
+            "n_categories", "alpha_6")
+      val doSum = BigDecimal(st.getDecimal(3))
+      val deSum = BigDecimal(de.getDecimal(1))
+      val alpha: java.lang.Double =
+        if (deSum == 0) null
+        else BigDecimal(1.0 -
+          (doSum * (n - 1)).doubleValue /
+            (BigDecimal(1000000L) * deSum).doubleValue)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((nUnits, nDropped, n, de.getLong(0), alpha))
+        .toDF("n_units", "n_dropped_units", "n_ratings",
+          "n_categories", "alpha_6")
+    } finally { counts.unpersist(); () }
+  }
 }

@@ -1034,4 +1034,86 @@ object TimeSeries {
             "(s1 * 1000000 div n1) * 1000000 div (ss * 1000000 div ns)"))
           .cast("long").as("mase_micro"))
   }
+
+  /** F34: at-most-one-change (AMOC) change-point LOCALIZATION
+    * (Hinkley, Biometrika 1970; the CUSUM argmax estimator) — F13's
+    * CUSUM says a key's level SHIFTED, this says WHERE: the split k
+    * maximizing the scaled mean-shift statistic
+    * s_k = |n·P_k − k·P_n| (P = prefix sums of integer values), which
+    * is n·k·(n−k)/n × |mean(left) − mean(right)| — the classic offline
+    * single-change estimator the streaming alarm can't give.
+    *
+    * Exact end to end (hash gate): values are caller-quantized longs
+    * (cents — the F-family convention), prefix sums exact, s_k in
+    * decimal(38,0); the argmax packs (s_k, n−k) into ONE orderable
+    * decimal s_k·2²¹ + (2²¹−k) so ties break to the SMALLEST k
+    * identically on any engine (loud n < 2²¹ series-length guard —
+    * per-key series at that length belong in windows/downsampling
+    * first). Left/right means in exact floor-div micro-units.
+    *
+    * Plan: ONE keyed window pass (prefix sum + per-key totals over the
+    * same partitioning — single shuffle) + one per-key max aggregate;
+    * no self-join over splits, no driver state.
+    *
+    * @param orderCol must be UNIQUE per key (ambiguous order makes the
+    *                 prefix ill-defined) — callers pack (ts, id).
+    * @return per key: (key, n, cp_k — 1-based prefix length of the
+    *         left segment, s_max as decimal, mean_left_micro,
+    *         mean_right_micro). Keys with n < 2 rows are emitted with
+    *         null cp fields (no split exists).
+    */
+  def changePoint(df: DataFrame, keyCol: String, orderCol: String,
+                  valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pack = 2097152L // 2^21
+    val w = Window.partitionBy(col("key")).orderBy(col("ord"))
+    val wAll = Window.partitionBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pref = df.select(col(keyCol).as("key"), col(orderCol).as("ord"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pk", sum(col("v")).over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("pn", sum(col("v")).over(wAll))
+    val guarded = pref.withColumn("n",
+      when(col("n") >= pack, raise_error(concat(
+        lit("changePoint: series length "), col("n").cast("string"),
+        lit(s" exceeds the packed-argmax bound $pack — window or " +
+          "downsample the series first"))).cast("long"))
+        .otherwise(col("n")))
+    // splits are 1..n−1 (a split needs both sides non-empty)
+    val splits = guarded.filter(col("k") < col("n"))
+      .withColumn("s",
+        abs(col("n").cast("decimal(38,0)") * col("pk") -
+          col("k").cast("decimal(38,0)") * col("pn")))
+      .withColumn("packed",
+        col("s") * lit(pack) + (lit(pack) - col("k")))
+    val best = splits.groupBy(col("key"))
+      .agg(max(col("n")).as("n"), max(col("packed")).as("bp"),
+        max(col("pn")).as("pn"))
+      .select(col("key"), col("n"),
+        (lit(pack) - (col("bp") % lit(pack))).cast("long").as("cp_k"),
+        // exact unpack: subtract the remainder BEFORE dividing — a bare
+        // decimal division + cast would HALF_UP round the quotient
+        ((col("bp") - col("bp") % lit(pack)) / lit(pack))
+          .cast("decimal(38,0)").as("s_max"),
+        col("pn"))
+    // recover P_cp for the means with one self-equi-join on (key, k)
+    // — both sides share the key partitioning, no extra shuffle class
+    val pkAt = pref.select(col("key"), col("k").as("cp_k"),
+      col("pk").as("p_cp"))
+    val withMeans = best.join(pkAt, Seq("key", "cp_k"), "left")
+      .select(col("key"), col("n"), col("cp_k"), col("s_max"),
+        expr("p_cp * 1000000 div cp_k").as("mean_left_micro"),
+        expr("(pn - p_cp) * 1000000 div (n - cp_k)")
+          .as("mean_right_micro"))
+    // n < 2 keys have no split: emit them with null cp fields
+    val singletons = pref.filter(col("n") < 2)
+      .select(col("key"), col("n"),
+        lit(null).cast("long").as("cp_k"),
+        lit(null).cast("decimal(38,0)").as("s_max"),
+        lit(null).cast("long").as("mean_left_micro"),
+        lit(null).cast("long").as("mean_right_micro"))
+    withMeans.unionByName(singletons)
+  }
 }

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Stats, TimeSeries}
+
+/** Round-10 operators: Friedman (C104), Cochran's Q (C105),
+  * Krippendorff's alpha (C106), AMOC change-point (F34) — each against
+  * a brute-force recompute on hand data, plus the degenerate edges.
+  */
+class Round10OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("friedman ≡ brute midrank recompute; incomplete tasks dropped; " +
+      "ties midranked") {
+    // 4 tasks × 3 systems, one tie inside t3; t5 incomplete (dropped)
+    val rows = Seq(
+      ("t1", "A", 10L), ("t1", "B", 20L), ("t1", "C", 30L),
+      ("t2", "A", 15L), ("t2", "B", 25L), ("t2", "C", 5L),
+      ("t3", "A", 7L), ("t3", "B", 7L), ("t3", "C", 9L),
+      ("t4", "A", 1L), ("t4", "B", 3L), ("t4", "C", 2L),
+      ("t5", "A", 4L), ("t5", "B", 6L))
+    val got = Stats.friedman(rows.toDF("t", "s", "v"), "t", "s", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    // brute: midranks per complete task
+    val tasks = rows.groupBy(_._1).filter(_._2.size == 3) // t1..t4
+    val rankSums = scala.collection.mutable.Map.empty[String, Double]
+    for ((_, obs) <- tasks; (sys, v) <- obs.map(o => o._2 -> o._3)) {
+      val vs = obs.map(_._3)
+      val mid = (vs.count(_ < v) + 1 + vs.count(_ <= v)) / 2.0
+      rankSums(sys) = rankSums.getOrElse(sys, 0.0) + mid
+    }
+    val n = tasks.size; val k = 3
+    val chi2 = 12.0 / (n * k * (k + 1)) *
+      rankSums.values.map(r => r * r).sum - 3.0 * n * (k + 1)
+    for ((sys, r2, nT, kS, nD, c6) <- got) {
+      assert(r2 == (rankSums(sys) * 2).toLong, sys)
+      assert(nT == n && kS == k && nD == 1)
+      assert(math.abs(c6 - chi2) < 1e-6, s"$c6 vs $chi2")
+    }
+    // all-identical values: every midrank = (k+1)/2, χ² = 0
+    val flat = Seq(("a", "A", 5L), ("a", "B", 5L), ("a", "C", 5L))
+    assert(Stats.friedman(flat.toDF("t", "s", "v"), "t", "s", "v")
+      .head().getDouble(5) == 0.0)
+  }
+
+  test("cochranQ ≡ hand Q; k=2 ≡ uncorrected McNemar; unanimous → null") {
+    // classic 3-treatment table over 6 items
+    val rows = Seq(
+      (1L, "A", true), (1L, "B", true), (1L, "C", false),
+      (2L, "A", true), (2L, "B", false), (2L, "C", false),
+      (3L, "A", true), (3L, "B", true), (3L, "C", true),
+      (4L, "A", false), (4L, "B", false), (4L, "C", false),
+      (5L, "A", true), (5L, "B", false), (5L, "C", true),
+      (6L, "A", true), (6L, "B", true), (6L, "C", false),
+      (7L, "A", true)) // incomplete → dropped
+    val r = Stats.cochranQ(rows.toDF("i", "s", "x"), "i", "s", "x").head()
+    val k = 3
+    val items = rows.groupBy(_._1).filter(_._2.size == k).values.toSeq
+    val tj = items.flatten.groupBy(_._2)
+      .map { case (_, v) => v.count(_._3).toLong }
+    val ui = items.map(_.count(_._3).toLong)
+    val nTot = ui.sum
+    val q = (k - 1).toDouble * (k * tj.map(t => t * t).sum - nTot * nTot) /
+      (k * nTot - ui.map(u => u * u).sum)
+    assert(r.getLong(0) == 6 && r.getLong(1) == 1 && r.getLong(2) == 3)
+    assert(math.abs(r.getDouble(4) - q) < 1e-6)
+    // k = 2 reduces to McNemar WITHOUT continuity correction
+    val two = Seq(
+      (1L, "A", true), (1L, "B", false),  // n01
+      (2L, "A", true), (2L, "B", false),  // n01
+      (3L, "A", false), (3L, "B", true),  // n10
+      (4L, "A", true), (4L, "B", true),
+      (5L, "A", false), (5L, "B", false))
+    val q2 = Stats.cochranQ(two.toDF("i", "s", "x"), "i", "s", "x")
+      .head().getDouble(4)
+    assert(math.abs(q2 - (2 - 1) * (2 - 1) * 1.0 / (2 + 1)) < 1e-6,
+      s"q2=$q2 vs (b-c)^2/(b+c)=1/3")
+    // unanimous items only → zero denominator → null
+    val uni = Seq((1L, "A", true), (1L, "B", true),
+      (2L, "A", false), (2L, "B", false))
+    assert(Stats.cochranQ(uni.toDF("i", "s", "x"), "i", "s", "x")
+      .head().isNullAt(4))
+  }
+
+  test("krippendorffAlpha ≡ brute coincidence recompute; singles " +
+      "dropped; perfect agreement → 1") {
+    // Krippendorff-style nominal data with missing ratings
+    val rows = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "b"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (3L, "b"),
+      (4L, "a"), (4L, "a"), (4L, "b"), (4L, "b"),
+      (5L, "b"), (5L, "b"),
+      (6L, "c")) // single rating → dropped
+    val r = Stats.krippendorffAlpha(rows.toDF("u", "v"), "u", "v").head()
+    val units = rows.groupBy(_._1).filter(_._2.size >= 2).values
+      .map(_.map(_._2))
+    val n = units.map(_.size).sum
+    val dO = units.map { vs =>
+      val m = vs.size
+      val agree = vs.groupBy(identity).values
+        .map(g => g.size.toLong * (g.size - 1)).sum
+      (m.toLong * (m - 1) - agree).toDouble / (m - 1)
+    }.sum / n
+    val catTotals = units.flatten.groupBy(identity)
+      .map { case (_, v) => v.size.toLong }
+    val dE = catTotals.map(c => c.toDouble * (n - c)).sum /
+      (n.toDouble * (n - 1))
+    val alpha = 1.0 - dO / dE
+    assert(r.getLong(0) == 5 && r.getLong(1) == 1 && r.getLong(2) == n)
+    // per-unit micro floor loses ≤ 1e-6 per unit
+    assert(math.abs(r.getDouble(4) - alpha) < 1e-4,
+      s"${r.getDouble(4)} vs $alpha")
+    // perfect agreement across units → α = 1 exactly
+    val perfect = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y"))
+    assert(Stats.krippendorffAlpha(perfect.toDF("u", "v"), "u", "v")
+      .head().getDouble(4) == 1.0)
+  }
+
+  test("changePoint: planted level shift localized exactly; ties take " +
+      "the smallest k; singleton null; partition-invariant") {
+    // key 1: 5 rows at 100 then 5 at 900 → cp at k = 5
+    val shift = (1 to 10).map(i =>
+      (1L, i.toLong, if (i <= 5) 100L else 900L))
+    // key 2: symmetric two-point series → s equal at every k, tie → k=1
+    val tie = Seq((2L, 1L, 50L), (2L, 2L, 50L))
+    // key 3: singleton
+    val single = Seq((3L, 1L, 7L))
+    val df = (shift ++ tie ++ single).toDF("key", "ord", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TimeSeries.changePoint(d, "key", "ord", "v").collect()
+        .map(r => r.getLong(0) -> r).toMap
+    val got = run(df)
+    assert(got(1L).getLong(2) == 5L) // cp_k
+    assert(got(1L).getLong(4) == 100L * 1000000) // mean_left_micro
+    assert(got(1L).getLong(5) == 900L * 1000000)
+    // brute s_max for key 1: max_k |10·P_k − k·P_10|
+    val vals = shift.map(_._3)
+    val pn = vals.sum
+    val sMax = (1 to 9).map { kk =>
+      math.abs(10L * vals.take(kk).sum - kk * pn)
+    }.max
+    assert(got(1L).getDecimal(3).longValueExact() == sMax)
+    assert(got(2L).getLong(2) == 1L) // tie → smallest k
+    assert(got(3L).isNullAt(2) && got(3L).isNullAt(3))
+    // partitioning must not change anything
+    val again = run(df.repartition(7))
+    assert(got.keySet == again.keySet &&
+      got.keySet.forall(k => got(k).toSeq == again(k).toSeq))
+    // randomized ≡ brute argmax with smallest-k ties
+    val rnd = new scala.util.Random(42)
+    val series = (1 to 40).map(i => (9L, i.toLong, rnd.nextInt(1000).toLong))
+    val g9 = run(series.toDF("key", "ord", "v"))(9L)
+    val vs = series.map(_._3); val tot = vs.sum; val nn = vs.size
+    val ss = (1 to nn - 1).map(kk =>
+      kk -> math.abs(nn.toLong * vs.take(kk).sum - kk.toLong * tot))
+    val bestS = ss.map(_._2).max
+    val bestK = ss.filter(_._2 == bestS).map(_._1).min
+    assert(g9.getLong(2) == bestK.toLong)
+    assert(g9.getDecimal(3).longValueExact() == bestS)
+  }
+
+  test("changePoint raises loudly past the packed-argmax length bound") {
+    // guard is plan-folded; a 2^21-row series is impractical to build,
+    // so assert the guard EXPRESSION is present in the plan instead
+    val df = Seq((1L, 1L, 5L), (1L, 2L, 9L)).toDF("key", "ord", "v")
+    val plan = TimeSeries.changePoint(df, "key", "ord", "v")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("raise_error"), plan.take(500))
+  }
+}
