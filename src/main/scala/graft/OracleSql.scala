@@ -2110,6 +2110,75 @@ object OracleSql {
         |    ELSE round((pbar - pe) / (1.0 - pe), 6) END AS kappa_6
         |FROM m""".stripMargin,
 
+    "q_count_min" ->
+      // Sketch.countMin mirror: bucket_i = first-12-hex md5 of
+      // "cm<i>|<key>" mod 64; cell table = keyed counts; estimate =
+      // min over the 4 rows' cells; truth joined for the gate
+      """WITH e AS (SELECT user_id FROM events),
+        |cells AS (SELECT u.i AS row_i,
+        |    CAST('0x' || substring(md5('cm' || CAST(u.i AS VARCHAR)
+        |      || '|' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT)
+        |      % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e CROSS JOIN unnest([0, 1, 2, 3]) AS u(i)
+        |  GROUP BY 1, 2),
+        |qk AS (SELECT DISTINCT user_id AS key FROM e),
+        |qc AS (SELECT key, u.i AS row_i,
+        |    CAST('0x' || substring(md5('cm' || CAST(u.i AS VARCHAR)
+        |      || '|' || CAST(key AS VARCHAR)), 1, 12) AS BIGINT)
+        |      % 64 AS bucket
+        |  FROM qk CROSS JOIN unnest([0, 1, 2, 3]) AS u(i)),
+        |est AS (SELECT key,
+        |    CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+        |  FROM qc LEFT JOIN cells USING (row_i, bucket)
+        |  GROUP BY 1),
+        |truth AS (SELECT user_id AS key, CAST(count(*) AS BIGINT)
+        |    AS true_cnt
+        |  FROM e GROUP BY 1)
+        |SELECT est.key AS user_id, est.est, truth.true_cnt
+        |FROM est JOIN truth USING (key)""".stripMargin,
+
+    "q_brown_forsythe" ->
+      // Stats.brownForsythe mirror: exact per-group median (cum·10⁴ ≥
+      // p·n rule), z = |x − med|, micro-quantized means (z ≥ 0 → //
+      // ≡ div), SSB/SSW exact HUGEINT, W one double division, 6dp
+      """WITH src AS (SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders),
+        |vc AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM src GROUP BY 1, 2),
+        |wc AS (SELECT g, v,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM vc),
+        |med AS (SELECT g, min(CASE WHEN cum * 10000 >= n * 5000
+        |    THEN v END) AS med
+        |  FROM wc GROUP BY 1),
+        |z AS (SELECT src.g, abs(src.v - med.med) AS z
+        |  FROM src JOIN med USING (g)),
+        |grp AS (SELECT g, CAST(sum(z) AS BIGINT) AS sz,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(z) AS BIGINT) * 1000000 // count(*) AS zbar
+        |  FROM z GROUP BY 1),
+        |gl AS (SELECT CAST(sum(sz) AS BIGINT) AS szall,
+        |    CAST(sum(n) AS BIGINT) AS nall,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(sz) AS BIGINT) * 1000000 // CAST(sum(n) AS BIGINT)
+        |      AS zbarall
+        |  FROM grp),
+        |ssb AS (SELECT sum(CAST(grp.zbar - gl.zbarall AS HUGEINT)
+        |    * (grp.zbar - gl.zbarall) * grp.n) AS ssb
+        |  FROM grp CROSS JOIN gl),
+        |ssw AS (SELECT sum(CAST(z.z * 1000000 - grp.zbar AS HUGEINT)
+        |    * (z.z * 1000000 - grp.zbar)) AS ssw
+        |  FROM z JOIN grp USING (g))
+        |SELECT gl.nall AS n, gl.k AS k_groups,
+        |  CASE WHEN ssw.ssw = 0 OR gl.k < 2 THEN NULL
+        |    ELSE round(CAST((gl.nall - gl.k) * ssb.ssb AS DOUBLE)
+        |      / CAST((gl.k - 1) * ssw.ssw AS DOUBLE), 6) END AS w_6
+        |FROM gl CROSS JOIN ssb CROSS JOIN ssw""".stripMargin,
+
     "q_friedman" ->
       // Stats.friedman mirror: per-(bucket, priority) cents sums, 2×
       // midranks as exact integers (2·min_rank + ties − 1), rank sums

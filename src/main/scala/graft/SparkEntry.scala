@@ -1443,6 +1443,34 @@ object SparkEntry {
         $"mean_left_micro", $"mean_right_micro")
   }
 
+  /** H47: Count-Min sketch — d=4 × w=64 exact integer cell table over
+    * event users, per-user point estimates (min over rows, always ≥
+    * the true count); md5-bucketed so the whole sketch is
+    * engine-portable and hash-gated (operators.Sketch).
+    */
+  private def qCountMin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = table(s, dir, "events").select($"user_id")
+    val sk = operators.Sketch.countMinBuild(e, "user_id", d = 4, w = 64)
+    val truth = e.groupBy($"user_id".as("key"))
+      .agg(count(lit(1)).as("true_cnt"))
+    operators.Sketch.countMinEstimate(sk, e, "user_id", d = 4, w = 64)
+      .join(truth, Seq("key"))
+      .select($"key".as("user_id"), $"est", $"true_cnt")
+  }
+
+  /** C107: Brown–Forsythe spread-homogeneity test across order
+    * priorities — exact medians, micro-quantized deviation means, W
+    * one IEEE division (operators.Stats.brownForsythe).
+    */
+  private def qBrownForsythe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+      .select($"o_orderpriority".as("g"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.brownForsythe(o, "g", "cents")
+  }
+
   /** C103: expected calibration error of the value-as-confidence
     * purchase predictor — exact-integer micro bins, ECE + MCE in one
     * row (operators.Stats.expectedCalibrationError).
@@ -4949,6 +4977,8 @@ object SparkEntry {
     "q_cochran_q" -> (qCochranQ _),
     "q_kripp_alpha" -> (qKrippAlpha _),
     "q_changepoint" -> (qChangepoint _),
+    "q_count_min" -> (qCountMin _),
+    "q_brown_forsythe" -> (qBrownForsythe _),
     "q_pass_at_k" -> (qPassAtK _),
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),

@@ -2062,6 +2062,61 @@ object Stats {
     } finally { src.unpersist(); () }
   }
 
+  /** C107: Brown–Forsythe test (Brown & Forsythe, JASA 1974 — the
+    * median-centered Levene): are the k groups' SPREADS equal? The
+    * variance-homogeneity check that gates pooled-variance methods
+    * (C43's z, ANOVA), robust to non-normality because deviations are
+    * taken from the exact per-group MEDIAN, not the mean. The
+    * dispersion sibling of C93 Kruskal–Wallis (location).
+    *
+    * Exactness: per-group medians from [[discreteQuantiles]] (exact
+    * integer, no interpolation); z = |x − med| exact longs; group/grand
+    * z-means quantized ONCE to floor-div micros (z ≥ 0, div ≡ floor on
+    * both engines; documented ≤1-micro loss); SSB = Σn_g(z̄_g−z̄)² and
+    * SSW = Σ(z·10⁶−z̄_g)² in decimal(38,0) exact; W = (N−k)·SSB /
+    * ((k−1)·SSW) — ONE IEEE division of two exact integer products,
+    * 6dp; SSW = 0 → null.
+    *
+    * Plan: one value-cardinality quantile collapse, medians broadcast
+    * back, two keyed aggs + one 1-row reduction.
+    *
+    * @param valueCol integer-quantized by the caller (cents).
+    * @return one row (n, k_groups, w_6).
+    */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val src = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val med = broadcast(discreteQuantiles(src, Seq("g"), "v", Seq(5000))
+      .select(col("g"), col("q5000").as("med")))
+    val z = src.join(med, Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("z"))
+    val grp = z.groupBy(col("g"))
+      .agg(sum(col("z")).as("sz"), count(lit(1)).as("n"))
+      .withColumn("zbar", expr("sz * 1000000 div n"))
+    val gl = grp.agg(sum(col("sz")).as("szAll"), sum(col("n")).as("nAll"),
+        count(lit(1)).as("k")).head()
+    val (nAll, k) = (gl.getLong(1), gl.getLong(2))
+    val zbarAll = gl.getLong(0) * 1000000L / nAll // z ≥ 0: div ≡ floor
+    val ssb = grp.agg(sum(
+        ((col("zbar") - zbarAll).cast("decimal(38,0)") *
+          (col("zbar") - zbarAll)) * col("n")).as("ssb"))
+      .head().getDecimal(0)
+    val ssw = z.join(broadcast(grp.select(col("g"), col("zbar"))), Seq("g"))
+      .agg(sum(((col("z") * 1000000L - col("zbar")).cast("decimal(38,0)") *
+        (col("z") * 1000000L - col("zbar")))).as("ssw"))
+      .head().getDecimal(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w6: java.lang.Double =
+      if (BigDecimal(ssw) == 0 || k < 2) null
+      else BigDecimal(
+        (BigDecimal(nAll - k) * BigDecimal(ssb)).doubleValue /
+          (BigDecimal(k - 1) * BigDecimal(ssw)).doubleValue)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nAll, k, w6)).toDF("n", "k_groups", "w_6")
+  }
+
   /** C105: Cochran's Q test (Cochran, Biometrika 1950) — the BINARY
     * sibling of [[friedman]] and the k-classifier generalization of
     * C101 McNemar (k = 2 collapses to McNemar without correction):

@@ -164,6 +164,69 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(g9.getDecimal(3).longValueExact() == bestS)
   }
 
+  test("countMin: never undercounts; exact when collision-free; " +
+      "mergeable cell-wise; absent key bounded by collisions") {
+    import graft.operators.Sketch
+    val keys = (1L to 300L).flatMap(i => Seq.fill((i % 7 + 1).toInt)(i))
+    val df = keys.toDF("id")
+    val sk = Sketch.countMinBuild(df, "id", d = 4, w = 64)
+    val est = Sketch.countMinEstimate(sk, df, "id", d = 4, w = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = keys.groupBy(identity).map { case (k, v) =>
+      k -> v.size.toLong }
+    assert(truth.forall { case (k, c) => est(k) >= c },
+      "CMS undercounted") // the one-sided guarantee
+    // wide sketch + few keys → every estimate exact
+    val few = (1L to 20L).flatMap(i => Seq.fill(3)(i)).toDF("id")
+    val skWide = Sketch.countMinBuild(few, "id", d = 4, w = 4096)
+    val estWide = Sketch.countMinEstimate(skWide, few, "id", 4, 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(estWide.forall(_._2 == 3L), estWide.toString)
+    // mergeable: sketch(a ++ b) == cell-wise sum of sketches
+    val (a, b) = (keys.take(500).toDF("id"), keys.drop(500).toDF("id"))
+    val merged = Sketch.countMinBuild(a, "id", 4, 64)
+      .unionByName(Sketch.countMinBuild(b, "id", 4, 64))
+      .groupBy("row_i", "bucket").agg(sum("cnt").as("cnt"))
+    val whole = Sketch.countMinBuild(df, "id", 4, 64)
+    assert(merged.collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        r.getLong(2)).toMap ==
+      whole.collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        r.getLong(2)).toMap)
+  }
+
+  test("brownForsythe ≡ brute recompute; spread gap detected; " +
+      "zero within-spread → null") {
+    import graft.operators.Stats
+    // tight group A around 100, wide group B around 100
+    val rows = Seq.tabulate(40)(i => ("A", 100L + (i % 3) - 1)) ++
+      Seq.tabulate(40)(i => ("B", 100L + (i % 21) - 10))
+    val r = Stats.brownForsythe(rows.toDF("g", "v"), "g", "v").head()
+    assert(r.getLong(0) == 80 && r.getLong(1) == 2)
+    // brute with the operator's documented micro quantization
+    def medianOf(vs: Seq[Long]): Long = {
+      val s = vs.sorted; s((vs.size - 1) / 2) // cum*1e4 >= n*5000 rule
+    }
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val z = byG.map { case (g, vs) =>
+      val m = medianOf(vs); g -> vs.map(v => math.abs(v - m))
+    }
+    val zbar = z.view.mapValues(zs => zs.sum * 1000000L / zs.size).toMap
+    val nAll = rows.size; val k = 2
+    val zAll = z.values.flatten.sum * 1000000L / nAll
+    val ssb = z.map { case (g, zs) =>
+      val dd = zbar(g) - zAll; BigDecimal(dd) * dd * zs.size }.sum
+    val ssw = z.flatMap { case (g, zs) =>
+      zs.map(x => { val dd = x * 1000000L - zbar(g); BigDecimal(dd) * dd })
+    }.sum
+    val w = ((nAll - k) * ssb).toDouble / ((k - 1) * ssw).toDouble
+    assert(math.abs(r.getDouble(2) - w) < 1e-5, s"${r.getDouble(2)} vs $w")
+    assert(r.getDouble(2) > 10.0, "planted spread gap must be loud")
+    // all-constant groups: z ≡ 0 → SSW = 0 → null
+    val const = Seq(("A", 5L), ("A", 5L), ("B", 9L), ("B", 9L))
+    assert(Stats.brownForsythe(const.toDF("g", "v"), "g", "v")
+      .head().isNullAt(2))
+  }
+
   test("changePoint raises loudly past the packed-argmax length bound") {
     // guard is plan-folded; a 2^21-row series is impractical to build,
     // so assert the guard EXPRESSION is present in the plan instead
