@@ -2110,6 +2110,106 @@ object OracleSql {
         |    ELSE round((pbar - pe) / (1.0 - pe), 6) END AS kappa_6
         |FROM m""".stripMargin,
 
+    "q_bleu2" ->
+      // Corpus.bleu2 mirror: canonical tokens, 1/2-gram clipped
+      // matches pooled corpus-wide; p_n one double division each,
+      // geometric mean as sqrt(p1*p2) (correctly-rounded IEEE on both
+      // engines), BP = exp of one exact ratio, 6dp
+      s"""WITH pr AS (SELECT a.doc_id AS pid,
+         |    list_filter(string_split(${normOf("a.text")}, ' '),
+         |      t -> len(t) > 0) AS pt,
+         |    list_filter(string_split(${normOf("b.text")}, ' '),
+         |      t -> len(t) > 0) AS rt
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |lens AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(coalesce(sum(len(pt)), 0) AS BIGINT) AS c,
+         |    CAST(coalesce(sum(len(rt)), 0) AS BIGINT) AS r FROM pr),
+         |p1t AS (SELECT pid, unnest(pt) AS g FROM pr),
+         |r1t AS (SELECT pid, unnest(rt) AS g FROM pr),
+         |p2t AS (SELECT pid, unnest(list_transform(
+         |    generate_series(1, len(pt) - 1),
+         |    i -> pt[i] || ' ' || pt[i + 1])) AS g FROM pr),
+         |r2t AS (SELECT pid, unnest(list_transform(
+         |    generate_series(1, len(rt) - 1),
+         |    i -> rt[i] || ' ' || rt[i + 1])) AS g FROM pr),
+         |c1 AS (SELECT
+         |    CAST(coalesce((SELECT sum(least(p.np, r.nr)) FROM
+         |      (SELECT pid, g, count(*) AS np FROM p1t GROUP BY 1, 2) p
+         |      JOIN (SELECT pid, g, count(*) AS nr FROM r1t
+         |        GROUP BY 1, 2) r USING (pid, g)), 0) AS BIGINT) AS m1,
+         |    CAST(coalesce((SELECT count(*) FROM p1t), 0) AS BIGINT)
+         |      AS t1),
+         |c2 AS (SELECT
+         |    CAST(coalesce((SELECT sum(least(p.np, r.nr)) FROM
+         |      (SELECT pid, g, count(*) AS np FROM p2t GROUP BY 1, 2) p
+         |      JOIN (SELECT pid, g, count(*) AS nr FROM r2t
+         |        GROUP BY 1, 2) r USING (pid, g)), 0) AS BIGINT) AS m2,
+         |    CAST(coalesce((SELECT count(*) FROM p2t), 0) AS BIGINT)
+         |      AS t2),
+         |f AS (SELECT lens.*, c1.*, c2.*,
+         |    CAST(c1.m1 AS DOUBLE) / c1.t1 AS p1,
+         |    CAST(c2.m2 AS DOUBLE) / c2.t2 AS p2,
+         |    CASE WHEN lens.c >= lens.r THEN 1.0
+         |      ELSE exp(1.0 - CAST(lens.r AS DOUBLE)
+         |        / CAST(lens.c AS DOUBLE)) END AS bp
+         |  FROM lens CROSS JOIN c1 CROSS JOIN c2)
+         |SELECT n_pairs, c AS c_len, r AS r_len, m1, t1, m2, t2,
+         |  CASE WHEN t1 = 0 OR t2 = 0 OR c = 0 THEN NULL
+         |    ELSE round(p1, 6) END AS p1_6,
+         |  CASE WHEN t1 = 0 OR t2 = 0 OR c = 0 THEN NULL
+         |    ELSE round(p2, 6) END AS p2_6,
+         |  CASE WHEN t1 = 0 OR t2 = 0 OR c = 0 THEN NULL
+         |    ELSE round(bp, 6) END AS bp_6,
+         |  CASE WHEN t1 = 0 OR t2 = 0 OR c = 0 THEN NULL
+         |    ELSE round(bp * sqrt(p1 * p2), 6) END AS bleu2_6
+         |FROM f""".stripMargin,
+
+    "q_cmh" ->
+      // Stats.cmh mirror: per-stratum exact 2×2 cells; per-stratum
+      // terms each ONE double division of exact integer products;
+      // cross-strata sums via the 0.0-prepend stratum-ordered fold;
+      // χ² with the clamped ½ continuity correction; OR_MH ratio
+      """WITH src AS (SELECT o_orderpriority AS s,
+        |    (o_orderkey % 2 = 0) AS e, (o_orderstatus = 'F') AS y
+        |  FROM orders),
+        |cells AS (SELECT s,
+        |    CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM src GROUP BY 1),
+        |cn AS (SELECT s, a, b, c, d, a + b + c + d AS n FROM cells
+        |  WHERE a + b + c + d >= 2),
+        |terms AS (SELECT s, n,
+        |    CAST(a * d - b * c AS DOUBLE) / CAST(n AS DOUBLE) AS td,
+        |    CAST(CAST((a + b) * (c + d) AS HUGEINT)
+        |        * ((a + c) * (b + d)) AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE) AS tv,
+        |    CAST(a * d AS DOUBLE) / CAST(n AS DOUBLE) AS tad,
+        |    CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE) AS tbc
+        |  FROM cn),
+        |f AS (SELECT CAST(sum(n) AS BIGINT) AS nall,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    (SELECT list_reduce(list_prepend(0.0, list(td ORDER BY s)),
+        |      (x, y) -> x + y) FROM terms) AS sd,
+        |    (SELECT list_reduce(list_prepend(0.0, list(tv ORDER BY s)),
+        |      (x, y) -> x + y) FROM terms) AS sv,
+        |    (SELECT list_reduce(list_prepend(0.0, list(tad ORDER BY s)),
+        |      (x, y) -> x + y) FROM terms) AS sad,
+        |    (SELECT list_reduce(list_prepend(0.0, list(tbc ORDER BY s)),
+        |      (x, y) -> x + y) FROM terms) AS sbc
+        |  FROM terms)
+        |SELECT k AS n_strata, nall AS n, round(sd, 6) AS sum_d_6,
+        |  round(sv, 6) AS sum_v_6,
+        |  CASE WHEN sv > 0 THEN round(greatest(abs(sd) - 0.5, 0.0)
+        |    * greatest(abs(sd) - 0.5, 0.0) / sv, 6) END AS chi2_6,
+        |  CASE WHEN sbc > 0 THEN round(sad / sbc, 6) END AS or_mh_6
+        |FROM f""".stripMargin,
+
     "q_count_min" ->
       // Sketch.countMin mirror: bucket_i = first-12-hex md5 of
       // "cm<i>|<key>" mod 64; cell table = keyed counts; estimate =

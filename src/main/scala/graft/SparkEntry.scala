@@ -1471,6 +1471,33 @@ object SparkEntry {
     operators.Stats.brownForsythe(o, "g", "cents")
   }
 
+  /** E114: corpus-level BLEU-2 between each document and its successor
+    * (the q_token_f1 pairing) — clipped 1/2-gram precisions pooled
+    * corpus-wide, brevity penalty, BLEU = BP·√(p₁p₂)
+    * (operators.Corpus.bleu2).
+    */
+  private def qBleu2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents").select($"doc_id", $"text")
+    val pairs = d.toDF("pair_id", "pred")
+      .join(d.toDF("rid", "ref"), col("rid") === col("pair_id") + 1)
+      .select($"pair_id", $"pred", $"ref")
+    Corpus.bleu2(pairs, "pair_id", "pred", "ref")
+  }
+
+  /** C108: CMH stratified association — does even-keyed ordering
+    * ("exposure") associate with fulfilled status ("outcome")
+    * controlling for priority strata? (operators.Stats.cmh).
+    */
+  private def qCmh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders").select(
+      $"o_orderpriority".as("stratum"),
+      (pmod($"o_orderkey", lit(2L)) === 0L).as("e"),
+      ($"o_orderstatus" === "F").as("y"))
+    operators.Stats.cmh(o, "stratum", "e", "y")
+  }
+
   /** C103: expected calibration error of the value-as-confidence
     * purchase predictor — exact-integer micro bins, ECE + MCE in one
     * row (operators.Stats.expectedCalibrationError).
@@ -4979,6 +5006,8 @@ object SparkEntry {
     "q_changepoint" -> (qChangepoint _),
     "q_count_min" -> (qCountMin _),
     "q_brown_forsythe" -> (qBrownForsythe _),
+    "q_bleu2" -> (qBleu2 _),
+    "q_cmh" -> (qCmh _),
     "q_pass_at_k" -> (qPassAtK _),
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),

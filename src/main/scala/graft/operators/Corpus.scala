@@ -1557,4 +1557,79 @@ object Corpus {
           .otherwise(expr("2000000 * overlap div (len_pred + len_ref)"))
           .cast("long").as("f1_micro"))
   }
+
+  /** E114: corpus-level BLEU-2 (Papineni et al., ACL 2002) — THE
+    * generation-eval aggregate beside [[tokenF1]]'s per-pair overlap:
+    * clipped modified n-gram precision (n = 1, 2) pooled over the
+    * corpus, brevity penalty from pooled lengths.
+    *
+    * Exactness: clipped matches mₙ = Σ min(tf_pred, tf_ref) and
+    * totals tₙ are exact longs (two keyed n-gram count aggs + one
+    * equi-join per n — the tokenF1 plan shape); pₙ = mₙ/tₙ ONE IEEE
+    * division each; the geometric mean is written √(p₁·p₂) — one
+    * multiply + one sqrt, both CORRECTLY-ROUNDED IEEE ops, engine-
+    * stable where exp((ln p₁ + ln p₂)/2) would accumulate ln ulps —
+    * and zero matches need no ln(0) special case; BP = e^(1−R/C)
+    * (one transcendental of an exact ratio, the tfidf rule) clamped
+    * at 1; BLEU = BP·√(p₁p₂), 6dp.
+    *
+    * @return one row: (n_pairs, c_len, r_len, m1, t1, m2, t2, p1_6,
+    *         p2_6, bp_6, bleu2_6) — null scores when any tₙ = 0.
+    */
+  def bleu2(pairs: DataFrame, idCol: String, predCol: String,
+            refCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    def toks(c: String) =
+      filter(TextFunctions.words(col(c)), t => length(t) > 0)
+    // n-grams with a short-array guard: sequence(1, 0) would generate
+    // DESCENDING indices, so size < n yields an explicit empty array
+    def grams(tc: org.apache.spark.sql.Column, n: Int) =
+      if (n == 1) tc
+      else when(size(tc) >= n,
+        transform(sequence(lit(1), size(tc) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(tc, i + lit(j))): _*)))
+        .otherwise(array().cast("array<string>"))
+    def clipped(n: Int): (Long, Long) = {
+      val p = pairs.select(col(idCol).as("pid"),
+          explode(grams(toks(predCol), n)).as("g"))
+        .groupBy("pid", "g").agg(count(lit(1)).as("np"))
+      val r = pairs.select(col(idCol).as("pid"),
+          explode(grams(toks(refCol), n)).as("g"))
+        .groupBy("pid", "g").agg(count(lit(1)).as("nr"))
+      val m = p.join(r, Seq("pid", "g"))
+        .agg(coalesce(sum(least(col("np"), col("nr"))), lit(0L)))
+        .head().getLong(0)
+      val t = p.agg(coalesce(sum(col("np")), lit(0L))).head().getLong(0)
+      (m, t)
+    }
+    val lens = pairs.agg(count(lit(1)).as("np"),
+      coalesce(sum(size(toks(predCol))), lit(0L)).as("c"),
+      coalesce(sum(size(toks(refCol))), lit(0L)).as("r")).head()
+    val (nPairs, cLen, rLen) =
+      (lens.getLong(0), lens.getLong(1), lens.getLong(2))
+    val (m1, t1) = clipped(1)
+    val (m2, t2) = clipped(2)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    def r6(v: Double): java.lang.Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (t1 == 0 || t2 == 0 || cLen == 0)
+      return Seq((nPairs, cLen, rLen, m1, t1, m2, t2,
+          null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Double],
+          null.asInstanceOf[java.lang.Double]))
+        .toDF("n_pairs", "c_len", "r_len", "m1", "t1", "m2", "t2",
+          "p1_6", "p2_6", "bp_6", "bleu2_6")
+    val p1 = m1.toDouble / t1
+    val p2 = m2.toDouble / t2
+    val bp = if (cLen >= rLen) 1.0
+      else math.exp(1.0 - rLen.toDouble / cLen)
+    val bleu = bp * math.sqrt(p1 * p2)
+    Seq((nPairs, cLen, rLen, m1, t1, m2, t2,
+        r6(p1), r6(p2), r6(bp), r6(bleu)))
+      .toDF("n_pairs", "c_len", "r_len", "m1", "t1", "m2", "t2",
+        "p1_6", "p2_6", "bp_6", "bleu2_6")
+  }
 }

@@ -2117,6 +2117,72 @@ object Stats {
     Seq((nAll, k, w6)).toDF("n", "k_groups", "w_6")
   }
 
+  /** C108: Cochran–Mantel–Haenszel test + MH pooled odds ratio
+    * (Mantel & Haenszel, JNCI 1959) — the STRATIFIED 2×2 layer the
+    * experimentation family was missing: C43's A/B read-out assumes
+    * one homogeneous population; CMH asks "does exposure associate
+    * with outcome CONTROLLING for the stratum" (country, cohort,
+    * device — Simpson's-paradox insurance), pooling per-stratum 2×2
+    * tables instead of collapsing them.
+    *
+    * Exactness: per-stratum cells (a,b,c,d) exact longs from ONE
+    * keyed agg; each stratum contributes terms that are single IEEE
+    * divisions of exact integer products — (ad−bc)/n (≡ a−E, exact
+    * identity), V = (a+b)(c+d)(a+c)(b+d)/(n²(n−1)), ad/n, bc/n —
+    * and the cross-strata sums fold in STRATUM ORDER via the
+    * 0.0-seeded sorted-collect fold ([[woeIv]] discipline; the list
+    * is stratum-cardinality). χ²_CMH = (|Σ(ad−bc)/n| − ½)²/ΣV with
+    * the standard continuity correction clamped at 0; OR_MH =
+    * Σ(ad/n)/Σ(bc/n); both 6dp, degenerate denominators → null.
+    *
+    * @return one row: (n_strata, n, sum_d_6, sum_v_6, chi2_6, or_mh_6).
+    */
+  def cmh(df: DataFrame, stratumCol: String, exposedCol: String,
+          outcomeCol: String): DataFrame = {
+    val e = col(exposedCol); val o = col(outcomeCol)
+    val cells = df.groupBy(col(stratumCol).cast("string").as("s"))
+      .agg(sum(when(e && o, 1L).otherwise(0L)).as("a"),
+        sum(when(e && !o, 1L).otherwise(0L)).as("b"),
+        sum(when(!e && o, 1L).otherwise(0L)).as("c"),
+        sum(when(!e && !o, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") >= 2) // n−1 divisor; degenerate strata drop
+    val dec = "decimal(38,0)"
+    val terms = cells.select(col("s"), col("n"),
+      ((col("a") * col("d") - col("b") * col("c")).cast("double") /
+        col("n").cast("double")).as("td"),
+      (((col("a") + col("b")) * (col("c") + col("d"))).cast(dec) *
+        ((col("a") + col("c")) * (col("b") + col("d"))).cast(dec))
+        .cast("double").divide(
+          (col("n").cast(dec) * col("n") * (col("n") - 1))
+            .cast("double")).as("tv"),
+      ((col("a") * col("d")).cast("double") / col("n").cast("double"))
+        .as("tad"),
+      ((col("b") * col("c")).cast("double") / col("n").cast("double"))
+        .as("tbc"))
+    val folded = terms
+      .agg(sum(col("n")).as("nAll"), count(lit(1)).as("k"),
+        array_sort(collect_list(struct(col("s"), col("td").as("td"),
+          col("tv").as("tv"), col("tad").as("tad"),
+          col("tbc").as("tbc")))).as("arr"))
+      .select(col("nAll"), col("k"),
+        aggregate(transform(col("arr"), x => x("td")), lit(0.0), _ + _)
+          .as("sd"),
+        aggregate(transform(col("arr"), x => x("tv")), lit(0.0), _ + _)
+          .as("sv"),
+        aggregate(transform(col("arr"), x => x("tad")), lit(0.0), _ + _)
+          .as("sad"),
+        aggregate(transform(col("arr"), x => x("tbc")), lit(0.0), _ + _)
+          .as("sbc"))
+    val cc = greatest(abs(col("sd")) - 0.5, lit(0.0))
+    folded.select(col("k").as("n_strata"), col("nAll").as("n"),
+      round(col("sd"), 6).as("sum_d_6"),
+      round(col("sv"), 6).as("sum_v_6"),
+      when(col("sv") > 0, round(cc * cc / col("sv"), 6)).as("chi2_6"),
+      when(col("sbc") > 0, round(col("sad") / col("sbc"), 6))
+        .as("or_mh_6"))
+  }
+
   /** C105: Cochran's Q test (Cochran, Biometrika 1950) — the BINARY
     * sibling of [[friedman]] and the k-classifier generalization of
     * C101 McNemar (k = 2 collapses to McNemar without correction):

@@ -227,6 +227,73 @@ class Round10OpsSpec extends AnyFunSuite {
       .head().isNullAt(2))
   }
 
+  test("bleu2 ≡ hand clipped counts; identity → 1; brevity penalty; " +
+      "no bigram overlap → 0") {
+    import graft.operators.Corpus
+    // pred "the cat sat", ref "the cat slept" → m1=2/3, m2=1/2
+    val pairs = Seq((1L, "the cat sat", "the cat slept"))
+      .toDF("pair_id", "pred", "ref")
+    val r = Corpus.bleu2(pairs, "pair_id", "pred", "ref").head()
+    assert(r.getLong(3) == 2 && r.getLong(4) == 3) // m1, t1
+    assert(r.getLong(5) == 1 && r.getLong(6) == 2) // m2, t2
+    val want = 1.0 * math.sqrt((2.0 / 3) * (1.0 / 2)) // c == r → BP 1
+    assert(math.abs(r.getDouble(10) - want) < 1e-6)
+    // identical pred/ref corpus → BLEU exactly 1
+    val id = Seq((1L, "a b c d", "a b c d"), (2L, "x y", "x y"))
+      .toDF("pair_id", "pred", "ref")
+    assert(Corpus.bleu2(id, "pair_id", "pred", "ref")
+      .head().getDouble(10) == 1.0)
+    // short pred → BP = exp(1 − r/c) < 1 even with perfect precision
+    val short = Seq((1L, "a b", "a b c d")).toDF("pair_id", "pred", "ref")
+    val rs = Corpus.bleu2(short, "pair_id", "pred", "ref").head()
+    assert(math.abs(rs.getDouble(9) - math.exp(1.0 - 4.0 / 2)) < 1e-6)
+    // unigram overlap but ZERO shared bigrams → sqrt(p1·0) = 0, no
+    // ln(0) blowup
+    val noBi = Seq((1L, "a x b", "a y b")).toDF("pair_id", "pred", "ref")
+    assert(Corpus.bleu2(noBi, "pair_id", "pred", "ref")
+      .head().getDouble(10) == 0.0)
+    // empty pred corpus → null scores, counts still emitted
+    val empty = Seq((1L, "", "a b")).toDF("pair_id", "pred", "ref")
+    assert(Corpus.bleu2(empty, "pair_id", "pred", "ref")
+      .head().isNullAt(10))
+  }
+
+  test("cmh ≡ brute stratified recompute; Simpson stratification " +
+      "flips the crude ratio; degenerate variance → null") {
+    import graft.operators.Stats
+    // two strata with opposite within-stratum balance (Simpson shape):
+    // raw rows expanded from per-cell counts
+    def rows(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, true, true)) ++ Seq.fill(b)((s, true, false)) ++
+        Seq.fill(c)((s, false, true)) ++ Seq.fill(d)((s, false, false))
+    val data = rows("s1", 60, 40, 20, 30) ++ rows("s2", 10, 30, 30, 40)
+    val r = Stats.cmh(data.toDF("s", "e", "y"), "s", "e", "y").head()
+    // brute per-stratum terms in stratum order with a 0.0-seeded fold
+    val cellList = Seq(("s1", 60L, 40L, 20L, 30L),
+      ("s2", 10L, 30L, 30L, 40L))
+    var sd = 0.0; var sv = 0.0; var sad = 0.0; var sbc = 0.0
+    for ((_, a, b, c, d) <- cellList) {
+      val n = a + b + c + d
+      sd += (a * d - b * c).toDouble / n
+      sv += ((a + b) * (c + d)).toDouble * ((a + c) * (b + d)) /
+        (n.toDouble * n * (n - 1))
+      sad += (a * d).toDouble / n
+      sbc += (b * c).toDouble / n
+    }
+    val cc = math.max(math.abs(sd) - 0.5, 0.0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 260)
+    assert(math.abs(r.getDouble(4) - cc * cc / sv) < 1e-5)
+    assert(math.abs(r.getDouble(5) - sad / sbc) < 1e-6)
+    // balanced single stratum: ad = bc → Σd 0 → χ² = 0, OR = 1
+    val bal = rows("x", 10, 10, 10, 10)
+    val rb = Stats.cmh(bal.toDF("s", "e", "y"), "s", "e", "y").head()
+    assert(rb.getDouble(4) == 0.0 && rb.getDouble(5) == 1.0)
+    // all-exposed stratum: V = 0 and bc = 0 → both test fields null
+    val degen = Seq(("z", true, true), ("z", true, false))
+    val rd = Stats.cmh(degen.toDF("s", "e", "y"), "s", "e", "y").head()
+    assert(rd.isNullAt(4) && rd.isNullAt(5))
+  }
+
   test("changePoint raises loudly past the packed-argmax length bound") {
     // guard is plan-folded; a 2^21-row series is impractical to build,
     // so assert the guard EXPRESSION is present in the plan instead
