@@ -2164,6 +2164,44 @@ object OracleSql {
          |    ELSE round(bp * sqrt(p1 * p2), 6) END AS bleu2_6
          |FROM f""".stripMargin,
 
+    "q_rouge_l" ->
+      // Corpus.rougeL mirror: the LCS DP replayed as a recursive CTE
+      // over pred positions, each row built by a list-accumulator
+      // fold over ref positions (init row prepended — DuckDB
+      // list_reduce seeds from the first element); 32-token caps via
+      // list slicing; P/R/F exact floor-div micros (nonneg, // ≡ div)
+      s"""WITH RECURSIVE pr AS (SELECT a.doc_id AS pid,
+         |    (list_filter(string_split(${normOf("a.text")}, ' '),
+         |      t -> len(t) > 0))[1:32] AS pt,
+         |    (list_filter(string_split(${normOf("b.text")}, ' '),
+         |      t -> len(t) > 0))[1:32] AS rt
+         |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 10 = 0),
+         |dp AS (
+         |  SELECT pid, pt, rt, 0 AS i,
+         |    list_transform(generate_series(0, len(rt)),
+         |      x -> CAST(0 AS BIGINT)) AS row
+         |  FROM pr
+         |  UNION ALL
+         |  SELECT pid, pt, rt, i + 1,
+         |    list_reduce(
+         |      list_prepend([CAST(0 AS BIGINT)],
+         |        list_transform(generate_series(1, len(rt)), j -> [j])),
+         |      (acc, x) -> list_append(acc,
+         |        CASE WHEN pt[i + 1] = rt[x[1]] THEN row[x[1]] + 1
+         |          ELSE greatest(row[x[1] + 1], acc[len(acc)]) END))
+         |  FROM dp WHERE i < len(pt)),
+         |fin AS (SELECT pid, CAST(len(pt) AS BIGINT) AS m,
+         |    CAST(len(rt) AS BIGINT) AS n,
+         |    CAST(row[len(rt) + 1] AS BIGINT) AS l
+         |  FROM dp WHERE i = len(pt))
+         |SELECT pid AS pair_id, m AS len_pred, n AS len_ref, l AS lcs,
+         |  CASE WHEN m > 0 THEN l * 1000000 // m END AS p_micro,
+         |  CASE WHEN n > 0 THEN l * 1000000 // n END AS r_micro,
+         |  CASE WHEN m + n > 0 THEN 2000000 * l // (m + n) END
+         |    AS f_micro
+         |FROM fin""".stripMargin,
+
     "q_cmh" ->
       // Stats.cmh mirror: per-stratum exact 2×2 cells; per-stratum
       // terms each ONE double division of exact integer products;

@@ -1485,6 +1485,19 @@ object SparkEntry {
     Corpus.bleu2(pairs, "pair_id", "pred", "ref")
   }
 
+  /** E115: ROUGE-L between every 10th document and its successor —
+    * LCS via the native lcs_len expression (32-token cap), P/R/F as
+    * exact floor-div micros (operators.Corpus.rougeL).
+    */
+  private def qRougeL(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = table(s, dir, "documents").select($"doc_id", $"text")
+    val pairs = d.filter($"doc_id" % 10 === 0).toDF("pair_id", "pred")
+      .join(d.toDF("rid", "ref"), col("rid") === col("pair_id") + 1)
+      .select($"pair_id", $"pred", $"ref")
+    Corpus.rougeL(pairs, "pair_id", "pred", "ref", maxTokens = 32)
+  }
+
   /** C108: CMH stratified association — does even-keyed ordering
     * ("exposure") associate with fulfilled status ("outcome")
     * controlling for priority strata? (operators.Stats.cmh).
@@ -5008,6 +5021,7 @@ object SparkEntry {
     "q_brown_forsythe" -> (qBrownForsythe _),
     "q_bleu2" -> (qBleu2 _),
     "q_cmh" -> (qCmh _),
+    "q_rouge_l" -> (qRougeL _),
     "q_pass_at_k" -> (qPassAtK _),
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),

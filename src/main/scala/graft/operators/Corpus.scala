@@ -1576,6 +1576,43 @@ object Corpus {
     * @return one row: (n_pairs, c_len, r_len, m1, t1, m2, t2, p1_6,
     *         p2_6, bp_6, bleu2_6) — null scores when any tₙ = 0.
     */
+  /** E115: ROUGE-L (Lin, ACL-W 2004) — the LCS-based generation-eval
+    * metric beside [[tokenF1]] (order-free overlap) and [[bleu2]]
+    * (local n-gram order): the longest common SUBSEQUENCE rewards
+    * in-order agreement without requiring contiguity. With β = 1 the
+    * F-measure collapses algebraically to 2L/(m+n) — ONE exact
+    * integer floor division in micro-units, no float anywhere.
+    *
+    * The O(m·n) DP runs in the native [[graft.plans.LcsLength]]
+    * expression (codegen, two rolling primitive rows); both sides are
+    * truncated to `maxTokens` (the standard ROUGE-tooling budget cap
+    * — documented semantics, and what bounds a 100 TB pass: cost per
+    * pair is capped², independent of document length). Precision /
+    * recall / F all from CAPPED lengths, exact floor-div micros.
+    *
+    * @return per pair: (idCol, len_pred, len_ref, lcs, p_micro,
+    *         r_micro, f_micro) — nulls where a side is empty.
+    */
+  def rougeL(pairs: DataFrame, idCol: String, predCol: String,
+             refCol: String, maxTokens: Int = 32): DataFrame = {
+    import graft.functions.TextFunctions
+    def toks(c: String) =
+      filter(TextFunctions.words(col(c)), t => length(t) > 0)
+    val capped = pairs.select(col(idCol),
+        toks(predCol).as("pt0"), toks(refCol).as("rt0"))
+      .select(col(idCol),
+        least(size(col("pt0")), lit(maxTokens)).cast("long").as("m"),
+        least(size(col("rt0")), lit(maxTokens)).cast("long").as("n"),
+        graft.plans.TextNativeFunctions
+          .lcsLength(col("pt0"), col("rt0"), maxTokens).as("lcs"))
+    capped.select(col(idCol), col("m").as("len_pred"),
+      col("n").as("len_ref"), col("lcs"),
+      when(col("m") > 0, expr("lcs * 1000000 div m")).as("p_micro"),
+      when(col("n") > 0, expr("lcs * 1000000 div n")).as("r_micro"),
+      when(col("m") + col("n") > 0,
+        expr("2000000 * lcs div (m + n)")).as("f_micro"))
+  }
+
   def bleu2(pairs: DataFrame, idCol: String, predCol: String,
             refCol: String): DataFrame = {
     import graft.functions.TextFunctions

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,6 +19,36 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NativeText {
   private val SPACE = UTF8String.fromString(" ")
+
+  /** LCS length of two token arrays, truncated to maxTokens each —
+    * the [[LcsLength]] kernel: two rolling primitive long rows,
+    * O(min(m,cap)·min(n,cap)) time, zero per-cell allocation.
+    */
+  def lcsLen(a: ArrayData, b: ArrayData, maxTokens: Int): Long = {
+    val m = math.min(a.numElements(), maxTokens)
+    val n = math.min(b.numElements(), maxTokens)
+    if (m == 0 || n == 0) return 0L
+    val bt = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) { bt(j) = if (b.isNullAt(j)) null else b.getUTF8String(j); j += 1 }
+    var prev = new Array[Long](n + 1)
+    var cur = new Array[Long](n + 1)
+    var i = 0
+    while (i < m) {
+      val ai = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      var jj = 0
+      while (jj < n) {
+        cur(jj + 1) =
+          if (ai != null && bt(jj) != null && ai.equals(bt(jj)))
+            prev(jj) + 1
+          else math.max(prev(jj + 1), cur(jj))
+        jj += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n)
+  }
 
   /** Count of array elements equal to any marker (duplicates counted).
     * Marker sets are tiny (≤ a few dozen stopwords) so a linear probe
@@ -434,7 +464,45 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** lcs_len(array<string>, array<string>, maxTokens) → bigint: longest
+  * common subsequence length of two token sequences, both truncated to
+  * the first `maxTokens` tokens (the eval-harness convention — LCS is
+  * O(m·n) per pair, the cap is the budget; standard ROUGE tooling caps
+  * the same way). The DP is imperative by nature (no HOF form exists:
+  * row j depends on row j−1 AND cell j−1 of the current row), so the
+  * brute-force twin lives in Round10OpsSpec rather than a composed
+  * Column. Two rolling primitive rows — no per-cell allocation; null
+  * tokens never match (a null is not equal to anything, the SQL rule).
+  */
+case class LcsLength(left: Expression, right: Expression, maxTokens: Int)
+    extends BinaryExpression {
+  require(maxTokens >= 1 && maxTokens <= 4096,
+    s"lcs_len: maxTokens $maxTokens out of [1, 4096]")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "lcs_len"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"lcs_len needs two array<string>, got $other")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NativeText.lcsLen(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], maxTokens)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.NativeText.lcsLen($a, $b, $maxTokens);")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): LcsLength = copy(left = l, right = r)
+}
+
 object TextNativeFunctions {
+  def lcsLength(a: Column, b: Column, maxTokens: Int): Column =
+    GraftBridge.column(LcsLength(GraftBridge.expression(a),
+      GraftBridge.expression(b), maxTokens))
+
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(text), k, w))
 

@@ -294,6 +294,51 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(rd.isNullAt(4) && rd.isNullAt(5))
   }
 
+  test("rougeL ≡ brute LCS DP (randomized); cap semantics; " +
+      "F = 2L/(m+n) micro anchors; native expr codegens") {
+    import graft.operators.Corpus
+    def bruteLcs(a: Seq[String], b: Seq[String]): Long = {
+      val dp = Array.ofDim[Long](a.size + 1, b.size + 1)
+      for (i <- 1 to a.size; j <- 1 to b.size)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.size)(b.size)
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val rows = (1L to 60L).map { i =>
+      val p = Seq.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(5)))
+      val r = Seq.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(5)))
+      (i, p.mkString(" "), r.mkString(" "), p, r)
+    }
+    val got = Corpus.rougeL(
+        rows.map(t => (t._1, t._2, t._3)).toDF("id", "pred", "ref"),
+        "id", "pred", "ref", maxTokens = 32)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((i, _, _, p, r) <- rows) {
+      val l = bruteLcs(p, r)
+      assert(got(i).getLong(3) == l, s"pair $i")
+      assert(got(i).getLong(6) ==
+        2000000L * l / (p.size + r.size), s"pair $i f_micro")
+    }
+    // cap: only the first maxTokens per side participate
+    val capped = Corpus.rougeL(
+      Seq((1L, "x x x x x", "y y y x x")).toDF("id", "pred", "ref"),
+      "id", "pred", "ref", maxTokens = 3).head()
+    assert(capped.getLong(1) == 3 && capped.getLong(2) == 3)
+    assert(capped.getLong(3) == 0) // "x x x" vs "y y y" — no overlap
+    // identity → P = R = F = 1e6 exactly
+    val idp = Corpus.rougeL(Seq((1L, "a b c", "a b c"))
+      .toDF("id", "pred", "ref"), "id", "pred", "ref").head()
+    assert(idp.getLong(4) == 1000000L && idp.getLong(6) == 1000000L)
+    // the LCS expression must stay inside codegen (no fallback)
+    val df = Seq(("a b", "b a")).toDF("p", "r")
+      .select(graft.plans.TextNativeFunctions.lcsLength(
+        org.apache.spark.sql.functions.split($"p", " "),
+        org.apache.spark.sql.functions.split($"r", " "), 16).as("l"))
+    assert(df.head().getLong(0) == 1L)
+  }
+
   test("changePoint raises loudly past the packed-argmax length bound") {
     // guard is plan-folded; a 2^21-row series is impractical to build,
     // so assert the guard EXPRESSION is present in the plan instead
