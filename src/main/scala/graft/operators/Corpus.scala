@@ -1618,36 +1618,48 @@ object Corpus {
     import graft.functions.TextFunctions
     def toks(c: String) =
       filter(TextFunctions.words(col(c)), t => length(t) > 0)
-    // n-grams with a short-array guard: sequence(1, 0) would generate
-    // DESCENDING indices, so size < n yields an explicit empty array
-    def grams(tc: org.apache.spark.sql.Column, n: Int) =
-      if (n == 1) tc
-      else when(size(tc) >= n,
-        transform(sequence(lit(1), size(tc) - (n - 1)),
-          i => concat_ws(" ",
-            (0 until n).map(j => element_at(tc, i + lit(j))): _*)))
-        .otherwise(array().cast("array<string>"))
-    def clipped(n: Int): (Long, Long) = {
-      val p = pairs.select(col(idCol).as("pid"),
-          explode(grams(toks(predCol), n)).as("g"))
-        .groupBy("pid", "g").agg(count(lit(1)).as("np"))
-      val r = pairs.select(col(idCol).as("pid"),
-          explode(grams(toks(refCol), n)).as("g"))
-        .groupBy("pid", "g").agg(count(lit(1)).as("nr"))
-      val m = p.join(r, Seq("pid", "g"))
-        .agg(coalesce(sum(least(col("np"), col("nr"))), lit(0L)))
-        .head().getLong(0)
-      val t = p.agg(coalesce(sum(col("np")), lit(0L))).head().getLong(0)
-      (m, t)
-    }
-    val lens = pairs.agg(count(lit(1)).as("np"),
-      coalesce(sum(size(toks(predCol))), lit(0L)).as("c"),
-      coalesce(sum(size(toks(refCol))), lit(0L)).as("r")).head()
-    val (nPairs, cLen, rLen) =
-      (lens.getLong(0), lens.getLong(1), lens.getLong(2))
-    val (m1, t1) = clipped(1)
-    val (m2, t2) = clipped(2)
-    val spark = pairs.sparkSession
+    // tokenize ONCE into a persisted frame: the corpus totals take
+    // five small jobs, and without this each re-ran the pair join +
+    // normalization from the source (observed 31s → ~3s at sf0.1)
+    val tok = pairs.select(col(idCol).as("pid"),
+        toks(predCol).as("pt"), toks(refCol).as("rt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // n-grams with a short-array guard: sequence(1, 0) would
+      // generate DESCENDING indices, so size < n yields an explicit
+      // empty array
+      def grams(tc: org.apache.spark.sql.Column, n: Int) =
+        if (n == 1) tc
+        else when(size(tc) >= n,
+          transform(sequence(lit(1), size(tc) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(tc, i + lit(j))): _*)))
+          .otherwise(array().cast("array<string>"))
+      def clipped(n: Int): (Long, Long) = {
+        val p = tok.select(col("pid"), explode(grams(col("pt"), n)).as("g"))
+          .groupBy("pid", "g").agg(count(lit(1)).as("np"))
+        val r = tok.select(col("pid"), explode(grams(col("rt"), n)).as("g"))
+          .groupBy("pid", "g").agg(count(lit(1)).as("nr"))
+        val m = p.join(r, Seq("pid", "g"))
+          .agg(coalesce(sum(least(col("np"), col("nr"))), lit(0L)))
+          .head().getLong(0)
+        val t = p.agg(coalesce(sum(col("np")), lit(0L))).head().getLong(0)
+        (m, t)
+      }
+      val lens = tok.agg(count(lit(1)).as("np"),
+        coalesce(sum(size(col("pt"))), lit(0L)).as("c"),
+        coalesce(sum(size(col("rt"))), lit(0L)).as("r")).head()
+      bleu2Assemble(pairs.sparkSession,
+        lens.getLong(0), lens.getLong(1), lens.getLong(2),
+        clipped(1), clipped(2))
+    } finally { tok.unpersist(); () }
+  }
+
+  private def bleu2Assemble(spark: org.apache.spark.sql.SparkSession,
+                            nPairs: Long, cLen: Long, rLen: Long,
+                            c1: (Long, Long), c2: (Long, Long)): DataFrame = {
+    val (m1, t1) = c1
+    val (m2, t2) = c2
     import spark.implicits._
     def r6(v: Double): java.lang.Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

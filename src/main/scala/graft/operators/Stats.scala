@@ -2089,32 +2089,41 @@ object Stats {
       col(valueCol).cast("long").as("v"))
     val med = broadcast(discreteQuantiles(src, Seq("g"), "v", Seq(5000))
       .select(col("g"), col("q5000").as("med")))
+    // persist z: the two jobs below would otherwise each re-run the
+    // quantile collapse + median join from the source (the bleu2
+    // lesson — driver-assembled stats must not re-execute their input)
     val z = src.join(med, Seq("g"))
       .select(col("g"), abs(col("v") - col("med")).as("z"))
-    val grp = z.groupBy(col("g"))
-      .agg(sum(col("z")).as("sz"), count(lit(1)).as("n"))
-      .withColumn("zbar", expr("sz * 1000000 div n"))
-    val gl = grp.agg(sum(col("sz")).as("szAll"), sum(col("n")).as("nAll"),
-        count(lit(1)).as("k")).head()
-    val (nAll, k) = (gl.getLong(1), gl.getLong(2))
-    val zbarAll = gl.getLong(0) * 1000000L / nAll // z ≥ 0: div ≡ floor
-    val ssb = grp.agg(sum(
-        ((col("zbar") - zbarAll).cast("decimal(38,0)") *
-          (col("zbar") - zbarAll)) * col("n")).as("ssb"))
-      .head().getDecimal(0)
-    val ssw = z.join(broadcast(grp.select(col("g"), col("zbar"))), Seq("g"))
-      .agg(sum(((col("z") * 1000000L - col("zbar")).cast("decimal(38,0)") *
-        (col("z") * 1000000L - col("zbar")))).as("ssw"))
-      .head().getDecimal(0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = df.sparkSession
     import spark.implicits._
-    val w6: java.lang.Double =
-      if (BigDecimal(ssw) == 0 || k < 2) null
-      else BigDecimal(
-        (BigDecimal(nAll - k) * BigDecimal(ssb)).doubleValue /
-          (BigDecimal(k - 1) * BigDecimal(ssw)).doubleValue)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    Seq((nAll, k, w6)).toDF("n", "k_groups", "w_6")
+    try {
+      // group table is k rows — collected once; SSB assembled exactly
+      // driver-side in BigDecimal (no third job)
+      val grpRows = z.groupBy(col("g"))
+        .agg(sum(col("z")).as("sz"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val k = grpRows.length.toLong
+      val nAll = grpRows.map(_._3).sum
+      val zbarAll = grpRows.map(_._2).sum * 1000000L / nAll // z ≥ 0
+      val zbar = grpRows.map { case (g, sz, n) =>
+        (g, sz * 1000000L / n) }.toMap
+      val ssb = grpRows.map { case (g, _, n) =>
+        val d = BigDecimal(zbar(g) - zbarAll); d * d * n }.sum
+      val zbarDf = broadcast(zbar.toSeq.toDF("g", "zbar"))
+      val ssw = BigDecimal(z.join(zbarDf, Seq("g"))
+        .agg(sum(((col("z") * 1000000L - col("zbar"))
+          .cast("decimal(38,0)") *
+          (col("z") * 1000000L - col("zbar")))).as("ssw"))
+        .head().getDecimal(0))
+      val w6: java.lang.Double =
+        if (ssw == 0 || k < 2) null
+        else BigDecimal(
+          (BigDecimal(nAll - k) * ssb).doubleValue /
+            (BigDecimal(k - 1) * ssw).doubleValue)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((nAll, k, w6)).toDF("n", "k_groups", "w_6")
+    } finally { z.unpersist(); () }
   }
 
   /** C108: Cochran–Mantel–Haenszel test + MH pooled odds ratio
