@@ -2202,6 +2202,37 @@ object OracleSql {
          |    AS f_micro
          |FROM fin""".stripMargin,
 
+    "q_friedman_posthoc" ->
+      // Stats.friedmanPosthoc mirror: the q_friedman midrank machinery,
+      // mean ranks as ⌊10⁶·R2/(2n)⌋ micro units (nonneg → // ≡ div),
+      // pairwise exact diffs vs the 352000-micro critical difference
+      """WITH obs AS (SELECT o_orderkey % 311 AS task,
+        |    o_orderpriority AS sys,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT sys) AS BIGINT) AS k FROM obs),
+        |tc AS (SELECT task, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(count(DISTINCT sys) AS BIGINT) AS ds
+        |  FROM obs GROUP BY 1),
+        |kept AS (SELECT task FROM tc CROSS JOIN kk
+        |  WHERE cnt = k AND ds = k),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept),
+        |ranked AS (SELECT sys,
+        |    2 * CAST(rank() OVER (PARTITION BY task ORDER BY v)
+        |      AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY task, v) AS BIGINT)
+        |      - 1 AS m2
+        |  FROM obs JOIN kept USING (task)),
+        |r2 AS (SELECT sys,
+        |    CAST(sum(m2) AS BIGINT) * 1000000 // (2 * nn.n) AS mr
+        |  FROM ranked CROSS JOIN nn GROUP BY sys, nn.n)
+        |SELECT a.sys AS sys_a, b.sys AS sys_b,
+        |  a.mr AS mr_a_micro, b.mr AS mr_b_micro,
+        |  abs(a.mr - b.mr) AS diff_micro,
+        |  abs(a.mr - b.mr) > 352000 AS significant
+        |FROM r2 a JOIN r2 b ON a.sys < b.sys""".stripMargin,
+
     "q_cmh" ->
       // Stats.cmh mirror: per-stratum exact 2×2 cells; per-stratum
       // terms each ONE double division of exact integer products;

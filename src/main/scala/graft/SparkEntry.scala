@@ -1498,6 +1498,22 @@ object SparkEntry {
     Corpus.rougeL(pairs, "pair_id", "pred", "ref", maxTokens = 32)
   }
 
+  /** C109: Nemenyi post-hoc pairwise mean-rank table over the
+    * q_friedman design (same buckets × priorities); CD = 352000 micro
+    * rank units ≈ q_{.05,k=5}·√(k(k+1)/6n) at this gate's n
+    * (operators.Stats.friedmanPosthoc).
+    */
+  private def qFriedmanPosthoc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = table(s, dir, "orders")
+      .select(pmod($"o_orderkey", lit(311L)).as("task"),
+        $"o_orderpriority".as("sys"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"task", $"sys").agg(sum($"cents").as("v"))
+    operators.Stats.friedmanPosthoc(obs, "task", "sys", "v",
+      cdMicro = 352000L)
+  }
+
   /** C108: CMH stratified association — does even-keyed ordering
     * ("exposure") associate with fulfilled status ("outcome")
     * controlling for priority strata? (operators.Stats.cmh).
@@ -5022,6 +5038,7 @@ object SparkEntry {
     "q_bleu2" -> (qBleu2 _),
     "q_cmh" -> (qCmh _),
     "q_rouge_l" -> (qRougeL _),
+    "q_friedman_posthoc" -> (qFriedmanPosthoc _),
     "q_pass_at_k" -> (qPassAtK _),
     "q_mase" -> (qMase _),
     "q_dsir" -> (qDsir _),

@@ -2192,6 +2192,65 @@ object Stats {
         .as("or_mh_6"))
   }
 
+  /** C109: Nemenyi post-hoc pairwise table (Nemenyi 1963; Demšar,
+    * JMLR 2006 §3.2.2) — [[friedman]] says the k systems differ
+    * SOMEWHERE; this says WHICH PAIRS: mean-rank differences against
+    * the caller-supplied critical difference CD = q_α·√(k(k+1)/6n)
+    * (q_α is a table constant — supplied in rank micro-units so the
+    * operator stays transcendental-free).
+    *
+    * Exactness: the same 2×-integer midrank machinery as [[friedman]];
+    * mean ranks quantized ONCE to micro rank units ⌊10⁶·R2/(2n)⌋
+    * (exact longs; ≤1-micro documented loss), pair differences exact
+    * long subtraction, significance an integer comparison. The pair
+    * table is a k²-row broadcast self-join of the k-row rank-sum
+    * aggregate — no data-sized work past the rank window.
+    *
+    * @param cdMicro critical difference in rank micro-units (10⁶ = one
+    *                rank position).
+    * @return per unordered pair (sys_a < sys_b): (sys_a, sys_b,
+    *         mr_a_micro, mr_b_micro, diff_micro, significant).
+    */
+  def friedmanPosthoc(df: DataFrame, taskCol: String, systemCol: String,
+                      valueCol: String, cdMicro: Long): DataFrame = {
+    require(cdMicro >= 0, s"cdMicro must be ≥ 0: $cdMicro")
+    val src = df.select(col(taskCol).as("t"),
+      col(systemCol).cast("string").as("sys"),
+      col(valueCol).cast("long").as("v")).persist()
+    try {
+      val k = src.select(col("sys")).distinct().count()
+      require(k >= 2, s"friedmanPosthoc: needs ≥ 2 systems, got $k")
+      val taskCnt = src.groupBy(col("t"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("sys")).as("ds"))
+      // kept is task-cardinality; the semi-join probes it once and the
+      // count materializes it — localCheckpoint-free persist released
+      // with the source below via the shared finally
+      val kept = taskCnt.filter(col("cnt") === k && col("ds") === k)
+        .select(col("t"))
+      val n = kept.count()
+      require(n >= 1, "friedmanPosthoc: no complete tasks")
+      val wRank = Window.partitionBy(col("t")).orderBy(col("v"))
+      val wTie = Window.partitionBy(col("t"), col("v"))
+      val r2 = src.join(kept, Seq("t"), "left_semi")
+        .withColumn("m2",
+          rank().over(wRank).cast("long") * 2 +
+            count(lit(1)).over(wTie) - 1)
+        .groupBy(col("sys")).agg(sum(col("m2")).as("r2"))
+        .select(col("sys"),
+          expr(s"r2 * 1000000 div (2 * $n)").as("mr_micro"))
+      val a = r2.select(col("sys").as("sys_a"),
+        col("mr_micro").as("mr_a_micro"))
+      val b = r2.select(col("sys").as("sys_b"),
+        col("mr_micro").as("mr_b_micro"))
+      a.join(broadcast(b), col("sys_a") < col("sys_b"))
+        .select(col("sys_a"), col("sys_b"), col("mr_a_micro"),
+          col("mr_b_micro"),
+          abs(col("mr_a_micro") - col("mr_b_micro")).as("diff_micro"),
+          (abs(col("mr_a_micro") - col("mr_b_micro")) > cdMicro)
+            .as("significant"))
+    } finally { src.unpersist(); () }
+  }
+
   /** C105: Cochran's Q test (Cochran, Biometrika 1950) — the BINARY
     * sibling of [[friedman]] and the k-classifier generalization of
     * C101 McNemar (k = 2 collapses to McNemar without correction):

@@ -339,6 +339,31 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(df.head().getLong(0) == 1L)
   }
 
+  test("friedmanPosthoc ≡ brute mean ranks; CD thresholding; " +
+      "incomplete tasks excluded like friedman") {
+    import graft.operators.Stats
+    // 3 systems, 10 tasks: C always best, A always worst → mean ranks
+    // exactly 1, 2, 3; pairwise diffs 1e6 and 2e6
+    val rows = (1 to 10).flatMap(t => Seq(
+      (s"t$t", "A", 1L), (s"t$t", "B", 5L), (s"t$t", "C", 9L))) ++
+      Seq(("t11", "A", 1L)) // incomplete → dropped
+    val got = Stats.friedmanPosthoc(rows.toDF("t", "s", "v"),
+        "t", "s", "v", cdMicro = 1500000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(got.size == 3)
+    assert(got(("A", "B")) == ((1000000L, 2000000L, 1000000L, false)))
+    assert(got(("A", "C")) == ((1000000L, 3000000L, 2000000L, true)))
+    assert(got(("B", "C")) == ((2000000L, 3000000L, 1000000L, false)))
+    // tie case: equal values → shared midrank → zero diff
+    val flat = (1 to 4).flatMap(t => Seq((s"t$t", "A", 7L),
+      (s"t$t", "B", 7L)))
+    val g2 = Stats.friedmanPosthoc(flat.toDF("t", "s", "v"),
+      "t", "s", "v", 1L).head()
+    assert(g2.getLong(4) == 0L && !g2.getBoolean(5))
+  }
+
   test("changePoint raises loudly past the packed-argmax length bound") {
     // guard is plan-folded; a 2^21-row series is impractical to build,
     // so assert the guard EXPRESSION is present in the plan instead
