@@ -22,6 +22,17 @@ object Bench {
     */
   val FloorGate: Double = CleanFloorBand._2 * 1.25
 
+  /** Absolute gate for the worst MID-sweep sample (VERDICT r10 #5):
+    * r9 and r10 both recorded mids above the clean-floor band ceiling
+    * (0.136, 0.164) while reporting contended=false, because the mid
+    * was only checked RELATIVE to min(floor, post) — clean endpoints
+    * absolved a degraded middle, which is exactly the window shape
+    * that manufactured the r9 q_knn_eval 3.55× scare. Mid samples are
+    * now min-of-3 (a lone GC-debt single can't fake contention), so
+    * they're held to the same absolute plausibility bar as the floor.
+    */
+  val MidGate: Double = FloorGate
+
   /** The contention verdict for one sweep attempt (unit-tested in
     * Round9OpsSpec: a floor-0.172/post-0.113 window — BENCH_r08's —
     * flags; a clean window passes).
@@ -30,6 +41,7 @@ object Bench {
     val ref = math.min(floor, post)
     ref > 0.35 ||
       floor > FloorGate ||
+      mid > MidGate ||
       math.max(floor, post) > 3 * ref ||
       mid > 4 * ref
   }
@@ -154,10 +166,12 @@ object Bench {
         // CacheManager entries; sealed results also carry RDD-level
         // localCheckpoint blocks — sweep those too.
         sweep()
-        // min-of-2 per sample point: a single GC pause dies in the min,
-        // a real interference window (seconds-long) survives it
+        // min-of-3 per sample point (r10 #5: mids are now gated
+        // ABSOLUTELY at MidGate, so one or two GC-debt singles must
+        // die in the min; a real interference window — seconds-long —
+        // still survives all three)
         if (qi > 0 && qi % midEvery == 0)
-          midSamples += math.min(canary(), canary())
+          midSamples += (1 to 3).map(_ => canary()).min
         val times = (1 to itersFor(name)).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch {
@@ -227,10 +241,15 @@ object Bench {
     // BENCH_r*.json in cwd; per-query values regex-extracted (the
     // artifact's parsed.queries holds the slow tail — exactly where
     // outliers live; sub-tail queries are too cheap to flag).
+    // newest = largest NUMERIC round, not lexicographic filename —
+    // zero-padding is what made raw sort work through r10, and
+    // BENCH_r100 vs BENCH_r99 would silently pick the stale baseline
+    val roundRe = "BENCH_r(\\d+)\\.json".r
     val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
       Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .map(_.getName).filter(n => n.startsWith("BENCH_r") &&
-          n.endsWith(".json")).sorted.lastOption
+        .map(_.getName).flatMap(n => roundRe.findFirstMatchIn(n)
+          .filter(_.matched == n).map(m => (m.group(1).toInt, n)))
+        .sortBy(_._1).lastOption.map(_._2)
     }
     val prevTimes: Map[String, Double] = prevPath.map { p =>
       try {
@@ -250,16 +269,30 @@ object Bench {
       if (!outlier) name -> t
       else {
         sweep()
+        // a failed iteration must not contribute its (near-zero)
+        // elapsed time as a "fast" sample — count it as +Inf, and if
+        // EVERY iteration failed, skip the retime and keep the
+        // original sample (the retimed field only ever records real
+        // completed runs)
         val again = (1 to itersFor(name)).map { _ =>
           val t0 = System.nanoTime()
-          try { fnByName(name)(spark, sfDir).count() } catch {
+          val ok = try { fnByName(name)(spark, sfDir).count(); true }
+          catch {
             case scala.util.control.NonFatal(ex) =>
               System.err.println(s"re-time failed for $name: $ex")
+              false
           }
-          (System.nanoTime() - t0) / 1e9
+          if (ok) (System.nanoTime() - t0) / 1e9
+          else Double.PositiveInfinity
         }.min
-        retimed += name -> ((t, again))
-        name -> math.min(t, again)
+        if (again.isInfinite) {
+          System.err.println(s"re-time of $name never completed — " +
+            "keeping the original sample")
+          name -> t
+        } else {
+          retimed += name -> ((t, again))
+          name -> math.min(t, again)
+        }
       }
     }
     val (canaryFloor, canaryMid, canaryPost, contended) =

@@ -244,12 +244,17 @@ object EtlMain {
     val grants = pipeline.GrantBootstrap.forConfig(ec)
     grants.foreach(g => println(s"[grants] ${g.redacted}"))
     if (sys.env.get("GRAFT_APPLY_GRANTS").contains("true")) {
-      val mysqlGrants = grants.take(4) // CREATE USER + 2 dbs + FLUSH
-      val pgGrants = grants.drop(4)
-      pipeline.GrantBootstrap.apply(
-        ec.staging.jdbcUrl, ec.staging.props, mysqlGrants)
-      pipeline.GrantBootstrap.apply(
-        ec.production.jdbcUrl, ec.production.props, pgGrants)
+      // dispatch by each statement's dialect tag, never by position —
+      // growing one dialect's list must not re-route DDL
+      val byDialect = grants.groupBy(_.dialect)
+      val unknown = byDialect.keySet -- Set("mysql", "postgres")
+      require(unknown.isEmpty,
+        s"runGrants: no endpoint mapped for dialect(s) $unknown")
+      byDialect.get("mysql").foreach(g => pipeline.GrantBootstrap.apply(
+        ec.staging.jdbcUrl, ec.staging.props, g))
+      byDialect.get("postgres").foreach(g =>
+        pipeline.GrantBootstrap.apply(
+          ec.production.jdbcUrl, ec.production.props, g))
       println(s"[grants] applied ${grants.size} statements")
     } else println("[grants] dry run (set GRAFT_APPLY_GRANTS=true to apply)")
   }

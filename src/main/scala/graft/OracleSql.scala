@@ -3784,6 +3784,286 @@ object OracleSql {
         |  END AS h_tie_6
         |FROM fold CROSS JOIN tot""".stripMargin,
 
+    "q_anova" ->
+      // Stats.anovaF mirror: exact HUGEINT (n, Σv, Σv²) per group
+      // (≡ Spark's DECIMAL(38,0)); SSB folds S_g²/n_g doubles in
+      // group-key order with the 0.0 prepend; SST/SSW/F are the same
+      // fixed IEEE trees — note ssw is written (q−s²/nn)−(ssbf−s²/nn),
+      // NOT algebraically simplified, to match Spark's float tree
+      """WITH d AS (SELECT CAST(event_type AS VARCHAR) AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+        |    sum(CAST(v AS HUGEINT)) AS s_g,
+        |    sum(CAST(v AS HUGEINT) * v) AS q_g
+        |  FROM d GROUP BY 1),
+        |fold AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n_g) AS BIGINT) AS nn,
+        |    CAST(sum(s_g) AS DOUBLE) AS s,
+        |    CAST(sum(q_g) AS DOUBLE) AS q,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        |        / CAST(n_g AS DOUBLE) ORDER BY g)),
+        |      (a, b) -> a + b) AS ssbf
+        |  FROM grp)
+        |SELECT nn AS n_total, k AS n_groups,
+        |  round(ssbf - s * s / CAST(nn AS DOUBLE), 6) AS ssb_6,
+        |  round((q - s * s / CAST(nn AS DOUBLE))
+        |    - (ssbf - s * s / CAST(nn AS DOUBLE)), 6) AS ssw_6,
+        |  CASE WHEN k >= 2 AND nn > k
+        |      AND (q - s * s / CAST(nn AS DOUBLE))
+        |        - (ssbf - s * s / CAST(nn AS DOUBLE)) > 0
+        |    THEN round(((ssbf - s * s / CAST(nn AS DOUBLE))
+        |        / CAST(k - 1 AS DOUBLE))
+        |      / (((q - s * s / CAST(nn AS DOUBLE))
+        |        - (ssbf - s * s / CAST(nn AS DOUBLE)))
+        |        / CAST(nn - k AS DOUBLE)), 6)
+        |  END AS f_6
+        |FROM fold""".stripMargin,
+
+    "q_cliffs_delta" ->
+      // Stats.cliffsDelta mirror: value-cardinality (ta, tb) counts,
+      // two prefix windows give #B-below / #B-above each value, pair
+      // counts as exact BIGINT sums, δ = one IEEE division, 6dp
+      """WITH d AS (SELECT (event_type = 'purchase') AS isa,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |    AND value IS NOT NULL),
+        |g AS (SELECT v,
+        |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+        |    CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS tb
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT ta, tb,
+        |    coalesce(sum(tb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS b_lt,
+        |    coalesce(sum(tb) OVER (ORDER BY v
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |      AS b_gt
+        |  FROM g)
+        |SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+        |  CAST(sum(tb) AS BIGINT) AS n_b,
+        |  CAST(sum(ta * b_lt) AS BIGINT) AS n_gt,
+        |  CAST(sum(ta * b_gt) AS BIGINT) AS n_lt,
+        |  CASE WHEN sum(ta) > 0 AND sum(tb) > 0 THEN
+        |    round(CAST(sum(ta * b_lt) - sum(ta * b_gt) AS DOUBLE)
+        |      / CAST(sum(ta) * sum(tb) AS DOUBLE), 6)
+        |  END AS delta_6
+        |FROM r""".stripMargin,
+
+    "q_mood_median" ->
+      // Stats.moodMedian mirror: pooled exact discrete q5000 median
+      // (smallest value with 2·cum ≥ nn + nn%2), k×2 observed cells
+      // exact, chi² terms folded in group-key order with 0.0 prepend
+      """WITH d AS (SELECT CAST(event_type AS VARCHAR) AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |vals AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM d
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(t) AS BIGINT) AS nn FROM vals),
+        |med AS (SELECT min(v) AS med, min(nn) AS nn FROM (
+        |    SELECT v, nn, sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM vals CROSS JOIN tot) x
+        |  WHERE cum * 2 >= nn + (nn % 2)),
+        |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a_g,
+        |    min(med) AS med, min(nn) AS nn
+        |  FROM d CROSS JOIN med GROUP BY 1),
+        |margins AS (SELECT CAST(sum(a_g) AS BIGINT) AS aa,
+        |    min(nn) AS nn2, min(med) AS med2 FROM grp),
+        |fold AS (SELECT CAST(count(*) AS BIGINT) AS k, aa, nn2, med2,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(
+        |        (CAST(a_g AS DOUBLE) - CAST(n_g AS DOUBLE)
+        |          * CAST(aa AS DOUBLE) / CAST(nn2 AS DOUBLE))
+        |        * (CAST(a_g AS DOUBLE) - CAST(n_g AS DOUBLE)
+        |          * CAST(aa AS DOUBLE) / CAST(nn2 AS DOUBLE))
+        |        / (CAST(n_g AS DOUBLE) * CAST(aa AS DOUBLE)
+        |          / CAST(nn2 AS DOUBLE))
+        |        + (CAST(n_g - a_g AS DOUBLE) - CAST(n_g AS DOUBLE)
+        |          * CAST(nn2 - aa AS DOUBLE) / CAST(nn2 AS DOUBLE))
+        |        * (CAST(n_g - a_g AS DOUBLE) - CAST(n_g AS DOUBLE)
+        |          * CAST(nn2 - aa AS DOUBLE) / CAST(nn2 AS DOUBLE))
+        |        / (CAST(n_g AS DOUBLE) * CAST(nn2 - aa AS DOUBLE)
+        |          / CAST(nn2 AS DOUBLE))
+        |        ORDER BY g)),
+        |      (a, b) -> a + b) AS chi
+        |  FROM grp CROSS JOIN margins GROUP BY aa, nn2, med2)
+        |SELECT nn2 AS n_total, k AS n_groups, med2 AS pooled_median,
+        |  aa AS n_above,
+        |  CASE WHEN aa > 0 AND aa < nn2 THEN round(chi, 6)
+        |  END AS chi2_6
+        |FROM fold""".stripMargin,
+
+    "q_effect_size" ->
+      // Stats.effectSize mirror: one conditional agg of exact HUGEINT
+      // moments; d/g are fixed IEEE trees over single casts, 6dp
+      """WITH d AS (SELECT (event_type = 'purchase') AS isa,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |    AND value IS NOT NULL),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    sum(CASE WHEN isa THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_a,
+        |    sum(CASE WHEN NOT isa THEN CAST(v AS HUGEINT) ELSE 0 END)
+        |      AS s_b,
+        |    sum(CASE WHEN isa THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+        |      AS q_a,
+        |    sum(CASE WHEN NOT isa THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+        |      AS q_b
+        |  FROM d)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN
+        |    round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+        |  END AS mean_a_6,
+        |  CASE WHEN n_b > 0 THEN
+        |    round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |  END AS mean_b_6,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 3
+        |      AND ((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+        |          * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+        |          * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |        / CAST(n_a + n_b - 2 AS DOUBLE) > 0 THEN
+        |    round((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / sqrt(((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+        |          * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+        |          * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |        / CAST(n_a + n_b - 2 AS DOUBLE)), 6)
+        |  END AS d_6,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 3
+        |      AND ((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+        |          * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+        |          * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |        / CAST(n_a + n_b - 2 AS DOUBLE) > 0 THEN
+        |    round(((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / sqrt(((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE)
+        |          * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        + (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE)
+        |          * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |        / CAST(n_a + n_b - 2 AS DOUBLE)))
+        |      * (1.0 - 3.0 / (4.0 * CAST(n_a + n_b AS DOUBLE) - 9.0)),
+        |      6)
+        |  END AS g_6
+        |FROM a""".stripMargin,
+
+    "q_pettitt" ->
+      // TimeSeries.pettitt mirror: per-key value-cardinality midrank
+      // carriers r2 = 2·hi − t + 1, ordered cumsum → exact U_t, K and
+      // the earliest argmax via the packed |U|·10⁹ − t key; p is one
+      // transcendental of the same exact ratio, clamped at 1, 6dp
+      """WITH daily AS (SELECT CAST(event_type AS VARCHAR) AS k,
+        |    CAST(ts AS DATE) AS o,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT * FROM daily WHERE k IS NOT NULL AND v IS NOT NULL),
+        |vals AS (SELECT k, v, CAST(count(*) AS BIGINT) AS t FROM d
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT k, v,
+        |    2 * sum(t) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - t + 1 AS r2
+        |  FROM vals),
+        |ser AS (SELECT d.k, d.o,
+        |    sum(r.r2) OVER (PARTITION BY d.k ORDER BY d.o
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v2,
+        |    row_number() OVER (PARTITION BY d.k ORDER BY d.o) AS tt,
+        |    count(*) OVER (PARTITION BY d.k) AS n
+        |  FROM d JOIN ranked r ON d.k = r.k AND d.v = r.v),
+        |u AS (SELECT k, o, v2 - tt * (n + 1) AS u, tt, n FROM ser
+        |  WHERE tt <= n - 1)
+        |SELECT k AS event_type, CAST(max(n) AS BIGINT) AS n_points,
+        |  CAST(max(abs(u)) AS BIGINT) AS k_stat,
+        |  CAST(arg_max(o, abs(u) * 1000000000 - tt) AS VARCHAR)
+        |    AS t_star,
+        |  round(least(1.0, 2.0 * exp(-6.0
+        |    * CAST(max(abs(u)) * max(abs(u)) AS DOUBLE)
+        |    / (CAST(max(n) AS DOUBLE) * CAST(max(n) AS DOUBLE)
+        |        * CAST(max(n) AS DOUBLE)
+        |      + CAST(max(n) AS DOUBLE) * CAST(max(n) AS DOUBLE)))), 6)
+        |    AS p_6
+        |FROM u GROUP BY 1""".stripMargin,
+
+    "q_scd4" ->
+      // Loads.scd4 mirror: the q_scd2 version stream; current = the
+      // lead-less version per key (validity columns null), history =
+      // the rest with (valid_from, valid_to) from the version order
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice AS price, 0 AS version
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 100000, 1 FROM orders
+        |  WHERE o_orderkey % 4 = 0),
+        |v AS (SELECT o_orderkey, price, version,
+        |    lead(version) OVER (PARTITION BY o_orderkey
+        |      ORDER BY version) AS nxt
+        |  FROM base)
+        |SELECT o_orderkey, round(price, 2) AS price,
+        |  CAST(version AS BIGINT) AS version,
+        |  CAST(NULL AS BIGINT) AS valid_from,
+        |  CAST(NULL AS BIGINT) AS valid_to, 'current' AS tbl
+        |FROM v WHERE nxt IS NULL
+        |UNION ALL
+        |SELECT o_orderkey, round(price, 2), CAST(version AS BIGINT),
+        |  CAST(version AS BIGINT), CAST(nxt AS BIGINT), 'history'
+        |FROM v WHERE nxt IS NOT NULL""".stripMargin,
+
+    "q_quarantine" ->
+      // Validate.quarantine mirror: declaration-ordered reason codes,
+      // null rule results don't flag; concat_ws skips the NULL CASE
+      // arms exactly like array_join over the filtered array
+      """SELECT c_custkey, reasons FROM (
+        |  SELECT c_custkey, concat_ws(',',
+        |    CASE WHEN NOT coalesce(c_acctbal >= 0, TRUE)
+        |      THEN 'balance_nonneg' END,
+        |    CASE WHEN NOT coalesce(c_acctbal < 9000, TRUE)
+        |      THEN 'balance_lt_9000' END,
+        |    CASE WHEN NOT coalesce(c_mktsegment IN ('BUILDING',
+        |        'MACHINERY', 'AUTOMOBILE', 'HOUSEHOLD', 'FURNITURE'),
+        |        TRUE)
+        |      THEN 'known_segment' END) AS reasons
+        |  FROM customer) q
+        |WHERE length(reasons) > 0""".stripMargin,
+
+    "q_chat_turns" ->
+      // Sessions.conversationStats mirror: per-user lag over (ts,
+      // event_id), exact counts/lengths, floor-div micro alternation
+      // rate and integer-µs mean gap (operands non-negative, so
+      // DuckDB // ≡ Spark div)
+      """WITH t AS (SELECT user_id, event_type AS role,
+        |    CAST(coalesce(length(props), 0) AS BIGINT) AS plen,
+        |    epoch_us(ts) AS us,
+        |    lag(event_type) OVER w AS prev_role,
+        |    lag(epoch_us(ts)) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+        |  CAST(sum(plen) AS BIGINT) AS payload_chars,
+        |  CAST(sum(CASE WHEN prev_role IS NOT NULL
+        |    AND role <> prev_role THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alternations,
+        |  CASE WHEN count(*) > 1 THEN
+        |    CAST(sum(CASE WHEN prev_role IS NOT NULL
+        |      AND role <> prev_role THEN 1 ELSE 0 END) * 1000000
+        |      // (count(*) - 1) AS BIGINT)
+        |  END AS alternation_micro,
+        |  CASE WHEN count(*) > 1 THEN
+        |    CAST(sum(CASE WHEN prev_us IS NOT NULL
+        |      THEN us - prev_us ELSE 0 END)
+        |      // (count(*) - 1) AS BIGINT)
+        |  END AS mean_gap_us
+        |FROM t GROUP BY 1""".stripMargin,
+
     "q_mase" ->
       // TimeSeries.maseBaseline mirror: daily integer-cents series per
       // event type, naive-1 and seasonal-naive-7 absolute lag errors,

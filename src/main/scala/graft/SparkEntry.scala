@@ -4829,6 +4829,127 @@ object SparkEntry {
         round($"prev_price", 2).as("prev_price"), $"changed")
   }
 
+  /** C110: one-way ANOVA F across the five event types' value
+    * distributions (integer cents) — the parametric sibling of
+    * q_kruskal_wallis on the same input, exact DECIMAL(38,0) moment
+    * sums, group-key-ordered SSB fold (operators.Stats.anovaF).
+    */
+  private def qAnova(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Stats.anovaF(
+      table(s, dir, "events").select($"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("cents")),
+      "event_type", "cents")
+  }
+
+  /** C111: Cliff's delta effect size, purchase vs view event values —
+    * the magnitude companion to q_mann_whitney on the same two
+    * groups; pair counts from value-cardinality prefix windows,
+    * never from pairs (operators.Stats.cliffsDelta).
+    */
+  private def qCliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Stats.cliffsDelta(
+      table(s, dir, "events").select($"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("cents")),
+      "event_type", "cents", "purchase", "view")
+  }
+
+  /** C112: Mood's median test across event types — pooled exact
+    * discrete median, k×2 above/≤ chi² with group-key-ordered fold
+    * (operators.Stats.moodMedian).
+    */
+  private def qMoodMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Stats.moodMedian(
+      table(s, dir, "events").select($"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("cents")),
+      "event_type", "cents")
+  }
+
+  /** C113: Cohen's d + Hedges' g, purchase vs view event values — one
+    * conditional agg of exact decimal moments, fixed IEEE trees
+    * (operators.Stats.effectSize).
+    */
+  private def qEffectSize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Stats.effectSize(
+      table(s, dir, "events").select($"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("cents")),
+      "event_type", "cents", "purchase", "view")
+  }
+
+  /** F40: Pettitt change-point test per event type over the daily
+    * revenue series — rank-based U_t scan, exact midrank carriers,
+    * earliest-argmax t*, 6dp approximate p
+    * (operators.TimeSeries.pettitt).
+    */
+  private def qPettitt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = table(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+    operators.TimeSeries.pettitt(daily, "event_type", "day", "cents")
+      .select($"event_type", $"n_points", $"k_stat",
+        $"t_star".cast("string").as("t_star"), $"p_6")
+  }
+
+  /** D15: SCD type-4 split — the q_scd2 version stream split into a
+    * lean CURRENT table and a validity-stamped HISTORY table, union-
+    * tagged for the gate (operators.Loads.scd4).
+    */
+  private def qScd4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val base = o.select($"o_orderkey", $"o_totalprice".as("price"),
+      lit(0).as("version"))
+    val updates = o.filter($"o_orderkey" % 4 === 0)
+      .select($"o_orderkey", ($"o_totalprice" + 100000).as("price"),
+        lit(1).as("version"))
+    val (cur, hist) = operators.Loads.scd4(
+      base.unionByName(updates), Seq("o_orderkey"), "version")
+    val curOut = cur.select($"o_orderkey",
+      round($"price", 2).as("price"),
+      $"version".cast("long").as("version"),
+      lit(null).cast("long").as("valid_from"),
+      lit(null).cast("long").as("valid_to"), lit("current").as("tbl"))
+    val histOut = hist.select($"o_orderkey",
+      round($"price", 2).as("price"),
+      $"version".cast("long").as("version"),
+      $"valid_from".cast("long").as("valid_from"),
+      $"valid_to".cast("long").as("valid_to"), lit("history").as("tbl"))
+    curOut.unionByName(histOut)
+  }
+
+  /** A17: rule-based row quarantine over customer — offending rows
+    * with declaration-ordered reason codes; TPC-H negative balances
+    * and a planted upper bound guarantee both rules fire
+    * (operators.Validate.quarantine).
+    */
+  private def qQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Validate.quarantine(
+      table(s, dir, "customer"),
+      Seq(
+        operators.Validate.Rule("balance_nonneg", $"c_acctbal" >= 0),
+        operators.Validate.Rule("balance_lt_9000", $"c_acctbal" < 9000),
+        operators.Validate.Rule("known_segment",
+          $"c_mktsegment".isin("BUILDING", "MACHINERY", "AUTOMOBILE",
+            "HOUSEHOLD", "FURNITURE"))))
+      .select($"c_custkey", $"reasons")
+  }
+
+  /** E117: conversation QC stats — per-user event streams read as
+    * dialogue transcripts (role = event_type, payload = props): turn
+    * counts, role balance, alternation rate, mean inter-turn gap
+    * (operators.Sessions.conversationStats).
+    */
+  private def qChatTurns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Sessions.conversationStats(table(s, dir, "events"),
+      "user_id", "ts", "event_id", "event_type", "props")
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5022,6 +5143,14 @@ object SparkEntry {
     "q_distinct_ngrams" -> (qDistinctNgrams _),
     "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
+    "q_anova" -> (qAnova _),
+    "q_cliffs_delta" -> (qCliffsDelta _),
+    "q_mood_median" -> (qMoodMedian _),
+    "q_effect_size" -> (qEffectSize _),
+    "q_pettitt" -> (qPettitt _),
+    "q_scd4" -> (qScd4 _),
+    "q_quarantine" -> (qQuarantine _),
+    "q_chat_turns" -> (qChatTurns _),
     "q_jonckheere" -> (qJonckheere _),
     "q_woe_iv" -> (qWoeIv _),
     "q_log_rank" -> (qLogRank _),

@@ -1558,24 +1558,6 @@ object Corpus {
           .cast("long").as("f1_micro"))
   }
 
-  /** E114: corpus-level BLEU-2 (Papineni et al., ACL 2002) — THE
-    * generation-eval aggregate beside [[tokenF1]]'s per-pair overlap:
-    * clipped modified n-gram precision (n = 1, 2) pooled over the
-    * corpus, brevity penalty from pooled lengths.
-    *
-    * Exactness: clipped matches mₙ = Σ min(tf_pred, tf_ref) and
-    * totals tₙ are exact longs (two keyed n-gram count aggs + one
-    * equi-join per n — the tokenF1 plan shape); pₙ = mₙ/tₙ ONE IEEE
-    * division each; the geometric mean is written √(p₁·p₂) — one
-    * multiply + one sqrt, both CORRECTLY-ROUNDED IEEE ops, engine-
-    * stable where exp((ln p₁ + ln p₂)/2) would accumulate ln ulps —
-    * and zero matches need no ln(0) special case; BP = e^(1−R/C)
-    * (one transcendental of an exact ratio, the tfidf rule) clamped
-    * at 1; BLEU = BP·√(p₁p₂), 6dp.
-    *
-    * @return one row: (n_pairs, c_len, r_len, m1, t1, m2, t2, p1_6,
-    *         p2_6, bp_6, bleu2_6) — null scores when any tₙ = 0.
-    */
   /** E115: ROUGE-L (Lin, ACL-W 2004) — the LCS-based generation-eval
     * metric beside [[tokenF1]] (order-free overlap) and [[bleu2]]
     * (local n-gram order): the longest common SUBSEQUENCE rewards
@@ -1613,46 +1595,77 @@ object Corpus {
         expr("2000000 * lcs div (m + n)")).as("f_micro"))
   }
 
+  /** E114: corpus-level BLEU-2 (Papineni et al., ACL 2002) — THE
+    * generation-eval aggregate beside [[tokenF1]]'s per-pair overlap:
+    * clipped modified n-gram precision (n = 1, 2) pooled over the
+    * corpus, brevity penalty from pooled lengths.
+    *
+    * Exactness: clipped matches mₙ = Σ min(tf_pred, tf_ref) and
+    * totals tₙ are exact longs; pₙ = mₙ/tₙ ONE IEEE division each;
+    * the geometric mean is written √(p₁·p₂) — one multiply + one
+    * sqrt, both CORRECTLY-ROUNDED IEEE ops, engine-stable where
+    * exp((ln p₁ + ln p₂)/2) would accumulate ln ulps — and zero
+    * matches need no ln(0) special case; BP = e^(1−R/C) (one
+    * transcendental of an exact ratio, the tfidf rule) clamped at 1;
+    * BLEU = BP·√(p₁p₂), 6dp.
+    *
+    * Plan (VERDICT r10 #3): BOTH gram levels AND both sides ride one
+    * union tagged by (n, side) — a single groupBy(pid, n, gram) with
+    * conditional sums yields (tf_pred, tf_ref) per gram with NO join
+    * anywhere (ref-only grams surface tf_pred = 0 and clip to 0,
+    * preserving Σ min exactly), then one tiny agg by n returns all
+    * (mₙ, tₙ) at once. One data-sized shuffle total; two driver jobs
+    * (the gram aggregate, which carries the pooled lengths as its
+    * n=1 totals, plus a tokenization-free pair count) and NO persist:
+    * at 100 TB a
+    * MEMORY_AND_DISK tokenized corpus is a full materialization,
+    * while re-tokenizing is a scan-local map the column-pruned
+    * parquet scan re-derives cheaper than it re-loads.
+    *
+    * @return one row: (n_pairs, c_len, r_len, m1, t1, m2, t2, p1_6,
+    *         p2_6, bp_6, bleu2_6) — null scores when any tₙ = 0.
+    */
   def bleu2(pairs: DataFrame, idCol: String, predCol: String,
             refCol: String): DataFrame = {
     import graft.functions.TextFunctions
     def toks(c: String) =
       filter(TextFunctions.words(col(c)), t => length(t) > 0)
-    // tokenize ONCE into a persisted frame: the corpus totals take
-    // five small jobs, and without this each re-ran the pair join +
-    // normalization from the source (observed 31s → ~3s at sf0.1)
     val tok = pairs.select(col(idCol).as("pid"),
-        toks(predCol).as("pt"), toks(refCol).as("rt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // n-grams with a short-array guard: sequence(1, 0) would
-      // generate DESCENDING indices, so size < n yields an explicit
-      // empty array
-      def grams(tc: org.apache.spark.sql.Column, n: Int) =
-        if (n == 1) tc
-        else when(size(tc) >= n,
-          transform(sequence(lit(1), size(tc) - (n - 1)),
-            i => concat_ws(" ",
-              (0 until n).map(j => element_at(tc, i + lit(j))): _*)))
-          .otherwise(array().cast("array<string>"))
-      def clipped(n: Int): (Long, Long) = {
-        val p = tok.select(col("pid"), explode(grams(col("pt"), n)).as("g"))
-          .groupBy("pid", "g").agg(count(lit(1)).as("np"))
-        val r = tok.select(col("pid"), explode(grams(col("rt"), n)).as("g"))
-          .groupBy("pid", "g").agg(count(lit(1)).as("nr"))
-        val m = p.join(r, Seq("pid", "g"))
-          .agg(coalesce(sum(least(col("np"), col("nr"))), lit(0L)))
-          .head().getLong(0)
-        val t = p.agg(coalesce(sum(col("np")), lit(0L))).head().getLong(0)
-        (m, t)
-      }
-      val lens = tok.agg(count(lit(1)).as("np"),
-        coalesce(sum(size(col("pt"))), lit(0L)).as("c"),
-        coalesce(sum(size(col("rt"))), lit(0L)).as("r")).head()
-      bleu2Assemble(pairs.sparkSession,
-        lens.getLong(0), lens.getLong(1), lens.getLong(2),
-        clipped(1), clipped(2))
-    } finally { tok.unpersist(); () }
+      toks(predCol).as("pt"), toks(refCol).as("rt"))
+    // 1-grams and 2-grams as ONE exploded (n, g) stream per side;
+    // the bigram branch keeps the short-array guard (sequence(1, 0)
+    // would generate DESCENDING indices)
+    def gramsTagged(tc: org.apache.spark.sql.Column) = {
+      val g1 = transform(tc, t => struct(lit(1).as("n"), t.as("g")))
+      val g2 = when(size(tc) >= 2,
+        transform(sequence(lit(1), size(tc) - 1),
+          i => struct(lit(2).as("n"), concat_ws(" ",
+            element_at(tc, i), element_at(tc, i + 1)).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+      concat(g1, g2)
+    }
+    def side(c: String, isPred: Int) =
+      tok.select(col("pid"), explode(gramsTagged(col(c))).as("x"),
+        lit(isPred).as("is_pred"))
+    // the pooled lengths are already IN the gram totals: C = Σ size(pt)
+    // ≡ t₁ (every pred token is one unigram instance) and R ≡ the
+    // ref-side unigram total — so the heavy job carries them for free
+    // and the only other job is a tokenization-free pairs.count()
+    val mt = side("pt", 1).unionAll(side("rt", 0))
+      .groupBy(col("pid"), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(sum(col("is_pred")).as("np"),
+        sum(lit(1) - col("is_pred")).as("nr"))
+      .groupBy(col("n"))
+      .agg(sum(least(col("np"), col("nr"))).as("m"),
+        sum(col("np")).as("t"), sum(col("nr")).as("tr"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3))))
+      .toMap
+    val (m1, t1, tr1) = mt.getOrElse(1, (0L, 0L, 0L))
+    val (m2, t2, _) = mt.getOrElse(2, (0L, 0L, 0L))
+    bleu2Assemble(pairs.sparkSession,
+      pairs.count(), t1, tr1, (m1, t1), (m2, t2))
   }
 
   private def bleu2Assemble(spark: org.apache.spark.sql.SparkSession,

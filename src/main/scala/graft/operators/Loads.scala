@@ -133,6 +133,30 @@ object Loads {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** D15: SCD type-4 split — the warehouse layout that keeps
+    * the CURRENT dimension lean (one row per key, no validity
+    * columns, every query's join target) and moves superseded
+    * versions to a separate HISTORY table with [[scd2History]]'s
+    * validity intervals. Same information as SCD2, different
+    * physical contract: the hot join never scans history, and
+    * history appends never rewrite current — at 100 TB that is the
+    * difference between a broadcast-able dim and a versioned scan.
+    *
+    * One keyed window over the version order feeds both outputs
+    * (current = is_current slice with the SCD2 columns dropped;
+    * history = the rest, valid_to always set) — Spark computes the
+    * shared scd2History subplan per output action, which is the
+    * standard two-sink tradeoff (persist the input upstream if it is
+    * expensive).
+    */
+  def scd4(history: DataFrame, keys: Seq[String],
+           versionCol: String): (DataFrame, DataFrame) = {
+    val full = scd2History(history, keys, versionCol)
+    (full.filter(col("is_current"))
+      .drop("valid_from", "valid_to", "is_current"),
+      full.filter(!col("is_current")).drop("is_current"))
+  }
+
   /** D8: temporal (point-in-time) dimension join — enrich facts with
     * the SCD2 dimension version valid AT THE FACT'S TIMESTAMP, the
     * query [[scd2History]] exists to answer and the reference's

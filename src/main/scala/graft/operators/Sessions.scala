@@ -39,6 +39,50 @@ object Sessions {
         max(unix_micros(col(tsCol))).as("end_us"),
         round(sum(col(valueCol)), 2).as("total_value"))
 
+  /** E117: conversation QC stats — the per-dialogue screening table
+    * an SFT / chat-transcript curation pass runs before training:
+    * turn count, per-role balance, role-ALTERNATION rate (a dialogue
+    * that never alternates is a monologue or a log), mean inter-turn
+    * gap, and total payload length — the "is this transcript a usable
+    * training conversation" features, over a generic
+    * (conversation, ts, role, payload) shape.
+    *
+    * Exactness: counts and byte lengths exact longs; alternation =
+    * #(consecutive pairs with different role) vs n−1 and the mean gap
+    * are exact floor-div micro-units / integer µs. One keyed window
+    * (lag over ts, event-id tie-broken) + one keyed agg — a single
+    * conversation-key shuffle, no collect_list payload assembly.
+    */
+  def conversationStats(events: DataFrame, convCol: String,
+                        tsCol: String, tieCol: String, roleCol: String,
+                        payloadCol: String): DataFrame = {
+    val w = Window.partitionBy(col(convCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val turns = events.select(col(convCol), col(tsCol), col(tieCol),
+        col(roleCol).as("role"),
+        coalesce(length(col(payloadCol)), lit(0)).cast("long")
+          .as("plen"))
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+    turns.groupBy(col(convCol)).agg(
+      count(lit(1)).as("n_turns"),
+      countDistinct(col("role")).as("n_roles"),
+      sum(col("plen")).as("payload_chars"),
+      sum(when(col("prev_role").isNotNull &&
+        col("role") =!= col("prev_role"), 1L).otherwise(0L))
+        .as("n_alternations"),
+      sum(when(col("prev_us").isNotNull,
+        unix_micros(col(tsCol)) - col("prev_us")).otherwise(0L))
+        .as("gap_us_total"))
+      .select(col(convCol), col("n_turns"), col("n_roles"),
+        col("payload_chars"), col("n_alternations"),
+        when(col("n_turns") > 1,
+          expr("n_alternations * 1000000 div (n_turns - 1)"))
+          .as("alternation_micro"),
+        when(col("n_turns") > 1,
+          expr("gap_us_total div (n_turns - 1)")).as("mean_gap_us"))
+  }
+
   /** F16: top-k session paths — the product-analytics "user flows"
     * view: the ordered event-type sequence of every session, counted
     * across sessions, top k by frequency.

@@ -2105,7 +2105,15 @@ object Stats {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       val k = grpRows.length.toLong
       val nAll = grpRows.map(_._3).sum
-      val zbarAll = grpRows.map(_._2).sum * 1000000L / nAll // z ≥ 0
+      // micro-quantization is exact Long math ONLY while Σ|z|·1e6
+      // fits — beyond ~9.2e12 cents of total deviation Spark would
+      // silently wrap where the DuckDB oracle's BIGINT errors loudly.
+      // Match the oracle: fail loudly at the same boundary.
+      val szTotal = grpRows.map(m => BigInt(m._2)).sum
+      require(szTotal <= Long.MaxValue / 1000000L,
+        s"brownForsythe: Σ|z| = $szTotal overflows the micro " +
+          "quantization (Long.MaxValue/1e6) — rescale valueCol")
+      val zbarAll = szTotal.toLong * 1000000L / nAll // z ≥ 0
       val zbar = grpRows.map { case (g, sz, n) =>
         (g, sz * 1000000L / n) }.toMap
       val ssb = grpRows.map { case (g, _, n) =>
@@ -2390,5 +2398,210 @@ object Stats {
         .toDF("n_units", "n_dropped_units", "n_ratings",
           "n_categories", "alpha_6")
     } finally { counts.unpersist(); () }
+  }
+
+  /** C110: one-way ANOVA F (Fisher 1925) — the PARAMETRIC k-group
+    * mean comparison beside C93's rank-based Kruskal–Wallis: does at
+    * least one group MEAN differ, under the equal-variance normal
+    * model. The pair (F significant, H not / vice versa) is itself a
+    * diagnostic — heavy tails or outliers split them.
+    *
+    * Exactness: per-group (n, Σv, Σv²) are exact DECIMAL(38,0) sums of
+    * an integer-quantized column (one keyed map-combined agg; no
+    * BIGINT overflow at any corpus size). SSB folds the per-group
+    * S_g²/n_g doubles in GROUP-KEY order with a 0.0 prepend (the
+    * kruskalWallis fold-parity rule); S_g → double is one
+    * deterministic cast both engines round identically. SST = Q −
+    * S²/N, SSW = SST − SSB, F = (SSB/(k−1))/(SSW/(N−k)) — fixed IEEE
+    * expression trees over identical inputs. Null F when k < 2,
+    * N ≤ k, or SSW ≤ 0 (all within-group variation zero).
+    *
+    * Plan: one keyed agg → group-cardinality rows → one 1-row fold.
+    * No window, no join; scales as a single map-combined aggregation.
+    */
+  def anovaF(df: DataFrame, groupCol: String,
+             valueCol: String): DataFrame = {
+    val d = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val grp = d.groupBy(col("g")).agg(
+      count(lit(1)).as("n_g"),
+      sum(col("v").cast("decimal(38,0)")).as("s_g"),
+      sum(col("v").cast("decimal(38,0)") * col("v")).as("q_g"))
+    val folded = grp.agg(
+      array_sort(collect_list(struct(col("g"), col("n_g"),
+        col("s_g")))).as("arr"),
+      sum(col("n_g")).as("nn"),
+      sum(col("s_g")).as("s"),
+      sum(col("q_g")).as("q"))
+    val ssbFold = aggregate(transform(col("arr"), x =>
+        (x("s_g").cast("double") * x("s_g").cast("double")) /
+          x("n_g").cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val nnD = col("nn").cast("double")
+    val sD = col("s").cast("double")
+    val ssb = col("ssb_fold") - sD * sD / nnD
+    val sst = col("q").cast("double") - sD * sD / nnD
+    val k = size(col("arr")).cast("long")
+    folded.withColumn("ssb_fold", ssbFold)
+      .select(col("nn").as("n_total"), k.as("n_groups"),
+        round(ssb, 6).as("ssb_6"),
+        round(sst - ssb, 6).as("ssw_6"),
+        when(k >= 2 && col("nn") > k && (sst - ssb) > 0,
+          round((ssb / (k - 1).cast("double")) /
+            ((sst - ssb) / (col("nn") - k).cast("double")), 6))
+          .as("f_6"))
+  }
+
+  /** C111: Cliff's delta ordinal effect size (Cliff, Psych. Bull.
+    * 1993) — the MAGNITUDE companion to C71's Mann–Whitney p-value:
+    * δ = (#{a>b} − #{a<b}) / (n_a·n_b) over all cross pairs, the
+    * probability a random A value exceeds a random B value minus the
+    * reverse. Robust (rank-only), bounded [−1, 1], the effect-size
+    * reviewers ask for when t-test deltas are meaningless.
+    *
+    * Exactness: the pair counts come from the value-cardinality
+    * table, never from pairs — #{a>b} = Σ_v ta_v · (#B below v) via
+    * two prefix windows over distinct values (the mannWhitney
+    * carrier discipline), all exact longs; δ is ONE IEEE division of
+    * exact longs, 6dp.
+    *
+    * Plan: one keyed (value) agg → value-cardinality windows → 1-row
+    * agg. The quadratic pair space is never materialized.
+    */
+  def cliffsDelta(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    val d = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .select((col(groupCol) === groupA).as("isa"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val g = d.groupBy(col("v")).agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("ta"),
+      sum(when(col("isa"), 0L).otherwise(1L)).as("tb"))
+    val wLt = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wGt = Window.orderBy(col("v"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val ranked = g
+      .withColumn("b_lt", coalesce(sum(col("tb")).over(wLt), lit(0L)))
+      .withColumn("b_gt", coalesce(sum(col("tb")).over(wGt), lit(0L)))
+    val agg = ranked.agg(
+      sum(col("ta")).as("n_a"), sum(col("tb")).as("n_b"),
+      sum(col("ta") * col("b_lt")).as("n_gt"),
+      sum(col("ta") * col("b_gt")).as("n_lt"))
+    agg.select(col("n_a"), col("n_b"), col("n_gt"), col("n_lt"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        round((col("n_gt") - col("n_lt")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6))
+        .as("delta_6"))
+  }
+
+  /** C112: Mood's median test (Mood 1950) — the k-group location test
+    * with the WEAKEST assumptions in the family: dichotomize every
+    * value at the pooled median, then chi² on the k×2 above/≤ table.
+    * Less powerful than Kruskal–Wallis but valid under arbitrary
+    * group-shape differences — the robustness rung below C93.
+    *
+    * Exactness: the pooled median is the exact discrete q5000 (the
+    * discreteQuantiles convention: smallest value whose cumulative
+    * count reaches ceil(n/2)); the k×2 observed cells are exact longs
+    * from one keyed agg; each expected cell is a single IEEE division
+    * of exact integers and the chi² terms fold in GROUP-KEY order
+    * with a 0.0 prepend. Null chi² when either margin is empty.
+    *
+    * Plan: value-cardinality median (one agg + bounded window), 1-row
+    * median broadcast-joined into the keyed agg, one fold.
+    */
+  def moodMedian(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val d = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val vals = d.groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = vals.agg(sum(col("t")).as("nn"))
+    val med = vals.withColumn("cum", sum(col("t")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * 2 >= col("nn") + (col("nn") % 2))
+      .agg(min(col("v")).as("med"), min(col("nn")).as("nn"))
+    val grp = d.crossJoin(broadcast(med))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(when(col("v") > col("med"), 1L).otherwise(0L)).as("a_g"),
+        min(col("med")).as("med"), min(col("nn")).as("nn"))
+    val folded = grp.agg(
+      array_sort(collect_list(struct(col("g"), col("n_g"),
+        col("a_g")))).as("arr"),
+      sum(col("a_g")).as("aa"), min(col("nn")).as("nn"),
+      min(col("med")).as("med"))
+    val nnD = col("nn").cast("double")
+    val aD = col("aa").cast("double")
+    val bD = (col("nn") - col("aa")).cast("double")
+    val chi = aggregate(transform(col("arr"), x => {
+        val ngD = x("n_g").cast("double")
+        val ea = ngD * aD / nnD
+        val eb = ngD * bD / nnD
+        val oa = x("a_g").cast("double")
+        val ob = (x("n_g") - x("a_g")).cast("double")
+        (oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb
+      }), lit(0.0), (acc, x) => acc + x)
+    folded.select(col("nn").as("n_total"),
+      size(col("arr")).cast("long").as("n_groups"),
+      col("med").as("pooled_median"), col("aa").as("n_above"),
+      when(col("aa") > 0 && col("aa") < col("nn"), round(chi, 6))
+        .as("chi2_6"))
+  }
+
+  /** C113: standardized mean-difference effect sizes — Cohen's d
+    * (Cohen 1969) with the Hedges small-sample bias correction g
+    * (Hedges 1981): the magnitude readout beside C43's significance
+    * z. d = (x̄_A − x̄_B)/s_pooled; g = d·J with J = 1 − 3/(4m−9),
+    * m = n_A + n_B (Hedges & Olkin's J approximation).
+    *
+    * Exactness: ONE conditional map-combined agg produces both
+    * groups' exact (n, Σv, Σv²) as DECIMAL(38,0); every derived
+    * number is a fixed IEEE expression tree over those integers
+    * (single casts, no folds — nothing order-dependent), 6dp. Null
+    * d/g when either group is empty, m < 3, or s_pooled ≤ 0.
+    */
+  def effectSize(df: DataFrame, groupCol: String, valueCol: String,
+                 groupA: String, groupB: String): DataFrame = {
+    val d = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .select((col(groupCol) === groupA).as("isa"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val vd = col("v").cast("decimal(38,0)")
+    val agg = d.agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("isa"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("isa"), vd).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("s_a"),
+      sum(when(!col("isa"), vd).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("s_b"),
+      sum(when(col("isa"), vd * col("v"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("q_a"),
+      sum(when(!col("isa"), vd * col("v"))
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("q_b"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val saD = col("s_a").cast("double")
+    val sbD = col("s_b").cast("double")
+    val meanA = saD / naD
+    val meanB = sbD / nbD
+    val ssA = col("q_a").cast("double") - saD * saD / naD
+    val ssB = col("q_b").cast("double") - sbD * sbD / nbD
+    val m = col("n_a") + col("n_b")
+    val varP = (ssA + ssB) / (m - 2).cast("double")
+    val dEff = (meanA - meanB) / sqrt(varP)
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * m.cast("double") - 9.0)
+    val ok = col("n_a") > 0 && col("n_b") > 0 && m >= 3 && varP > 0
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0, round(meanA, 6)).as("mean_a_6"),
+      when(col("n_b") > 0, round(meanB, 6)).as("mean_b_6"),
+      when(ok, round(dEff, 6)).as("d_6"),
+      when(ok, round(dEff * j, 6)).as("g_6"))
   }
 }

@@ -1116,4 +1116,60 @@ object TimeSeries {
         lit(null).cast("long").as("mean_right_micro"))
     withMeans.unionByName(singletons)
   }
+
+  /** F40: Pettitt change-point test (Pettitt, Applied Statistics
+    * 1979) — the RANK-based single change-point detector beside F34's
+    * AMOC mean-shift (CUSUM of deviations) and F13's CUSUM: where
+    * AMOC localizes a MEAN shift under roughly-constant variance,
+    * Pettitt is a Mann–Whitney scan — distribution-free, robust to
+    * outliers and variance changes, the hydrology-standard
+    * "has this gauge/metric regime-shifted, and when" test.
+    *
+    * U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i−x_j) computed WITHOUT the pair
+    * space via the rank identity U_t = 2·Σ_{i≤t}R_i − t(N+1)
+    * (midranks for ties): per key, value-cardinality midrank carriers
+    * r2 = 2R (exact longs, the mannWhitney discipline) joined back to
+    * the series, one ordered cumsum → every U_t exact. K = max|U_t|
+    * over t ∈ [1, N−1]; t* = the EARLIEST order key attaining K
+    * (packed max: |U|·10⁹ − t, deterministic); the approximate
+    * significance p ≈ 2·exp(−6K²/(N³+N²)) is one transcendental of an
+    * exact-integer ratio (the tfidf rule), clamped at 1, 6dp.
+    *
+    * Requires (key, order) unique (aggregate to your grain first —
+    * the gate feeds daily sums); keys with < 2 points emit no row.
+    * Plan: keyed value-cardinality window + keyed ordered cumsum +
+    * one keyed agg — day-cardinality state per key, no pair blowup.
+    */
+  def pettitt(df: DataFrame, keyCol: String, orderCol: String,
+              valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).as("o"), col(valueCol).cast("long").as("v"))
+      .filter(col("k").isNotNull && col("o").isNotNull &&
+        col("v").isNotNull)
+    val vals = d.groupBy(col("k"), col("v")).agg(count(lit(1)).as("t"))
+    val wv = Window.partitionBy(col("k")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = vals.withColumn("hi", sum(col("t")).over(wv))
+      .select(col("k"), col("v"), (col("hi") * 2 - col("t") + 1).as("r2"))
+    val wo = Window.partitionBy(col("k")).orderBy(col("o"))
+    val u = d.join(ranked, Seq("k", "v"))
+      .withColumn("v2", sum(col("r2"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tt", row_number().over(wo))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("tt") <= col("n") - 1)
+      .withColumn("u", col("v2") - col("tt") * (col("n") + 1))
+    val agg = u.groupBy(col("k")).agg(
+      max(col("n")).as("n_points"),
+      max(abs(col("u"))).as("k_stat"),
+      max_by(col("o"),
+        abs(col("u")) * lit(1000000000L) - col("tt")).as("t_star"))
+    val nD = col("n_points").cast("double")
+    agg.select(col("k").as(keyCol), col("n_points"), col("k_stat"),
+      col("t_star"),
+      round(least(lit(1.0), lit(2.0) *
+        exp(lit(-6.0) * (col("k_stat") * col("k_stat")).cast("double") /
+          (nD * nD * nD + nD * nD))), 6).as("p_6"))
+  }
 }

@@ -17,6 +17,31 @@ object Validate {
 
   final case class Rule(name: String, holds: Column)
 
+  /** A17: rule-based row QUARANTINE — the routing counterpart of
+    * [[report]]: where report counts violations, quarantine RETURNS
+    * the offending rows tagged with every rule they break, the
+    * "bad-rows table + reason codes" every production loader keeps
+    * beside its clean output (the reference silently coerces bad
+    * values; at 100 TB you want the rejects auditable, re-playable,
+    * and attributable to a rule).
+    *
+    * All rules evaluate in ONE projection over one scan: the reason
+    * string is the comma-join of failing rule names in DECLARATION
+    * order (deterministic, partition-independent — no set semantics).
+    * The rule array is rule-cardinality, so the interpreted HOF
+    * filter is bounded and off the per-byte hot path. Null rule
+    * results do NOT flag ([[report]]'s `count(when(!holds, 1))`
+    * convention) — write explicit isNotNull rules for null checks.
+    */
+  def quarantine(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "quarantine: no rules")
+    val reasons = array(rules.map(r =>
+      when(!coalesce(r.holds, lit(true)), lit(r.name))): _*)
+    df.withColumn("reasons",
+        array_join(filter(reasons, x => x.isNotNull), ","))
+      .filter(length(col("reasons")) > 0)
+  }
+
   /** One row per rule: (rule, n_rows, n_violations, pass). */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val aggs = count(lit(1)).as("__total") +:

@@ -29,8 +29,14 @@ import java.util.Properties
   */
 object GrantBootstrap {
 
-  /** One bootstrap statement: `sql` to execute, `redacted` to log. */
-  final case class Grant(sql: String, redacted: String) {
+  /** One bootstrap statement: `sql` to execute, `redacted` to log,
+    * `dialect` naming the endpoint family it must be applied to
+    * ("mysql" | "postgres" | "derby") — callers dispatch by this tag
+    * instead of by position, so growing one dialect's statement list
+    * can never route DDL to the wrong server.
+    */
+  final case class Grant(sql: String, redacted: String,
+                         dialect: String) {
     override def toString: String = redacted // accident-proof logging
   }
 
@@ -56,10 +62,10 @@ object GrantBootstrap {
         sqlString(password)
     val createRed =
       s"CREATE USER IF NOT EXISTS '$user'@'%' IDENTIFIED BY '***'"
-    Seq(Grant(create, createRed)) ++
+    Seq(Grant(create, createRed, "mysql")) ++
       databases.map(db => dup(
-        s"GRANT ALL PRIVILEGES ON `$db`.* TO '$user'@'%'")) :+
-      dup("FLUSH PRIVILEGES")
+        s"GRANT ALL PRIVILEGES ON `$db`.* TO '$user'@'%'", "mysql")) :+
+      dup("FLUSH PRIVILEGES", "mysql")
   }
 
   /** PostgreSQL — the role-based equivalent for the production layer:
@@ -79,13 +85,16 @@ object GrantBootstrap {
          |  END IF;
          |END $$$$""".stripMargin
     val guardRed = guard.replace(sqlString(password), "'***'")
-    Seq(Grant(guard, guardRed),
-      dup(s"""GRANT CONNECT ON DATABASE "$database" TO "$user""""),
-      dup(s"""GRANT USAGE ON SCHEMA "$schema" TO "$user""""),
+    Seq(Grant(guard, guardRed, "postgres"),
+      dup(s"""GRANT CONNECT ON DATABASE "$database" TO "$user"""",
+        "postgres"),
+      dup(s"""GRANT USAGE ON SCHEMA "$schema" TO "$user"""",
+        "postgres"),
       dup("GRANT SELECT, INSERT, UPDATE, DELETE ON ALL TABLES IN " +
-        s"""SCHEMA "$schema" TO "$user""""),
+        s"""SCHEMA "$schema" TO "$user"""", "postgres"),
       dup(s"""ALTER DEFAULT PRIVILEGES IN SCHEMA "$schema" GRANT """ +
-        s"""SELECT, INSERT, UPDATE, DELETE ON TABLES TO "$user""""))
+        s"""SELECT, INSERT, UPDATE, DELETE ON TABLES TO "$user"""",
+        "postgres"))
   }
 
   /** Derby — table-level DML grants (no SQL user creation in Derby;
@@ -95,10 +104,12 @@ object GrantBootstrap {
     requireIdent("user", user)
     tables.foreach(requireIdent("table", _))
     tables.map(t =>
-      dup(s"GRANT SELECT, INSERT, UPDATE, DELETE ON $t TO $user"))
+      dup(s"GRANT SELECT, INSERT, UPDATE, DELETE ON $t TO $user",
+        "derby"))
   }
 
-  private def dup(sql: String): Grant = Grant(sql, sql)
+  private def dup(sql: String, dialect: String): Grant =
+    Grant(sql, sql, dialect)
 
   /** The full bootstrap for a resolved config: the reference's two
     * MySQL databases for the shared staging user, plus the production

@@ -662,6 +662,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_jaro_winkler" -> ((1, 1)), "q_assortativity" -> ((6, 3)),
       "q_ks_test" -> ((4, 2)), "q_ppr" -> ((3, 3)),
       "q_ktruss" -> ((2, 3)), "q_link_predict" -> ((2, 0)))
+    // MEASUREMENT ISOLATION (VERDICT r10 #1): all suites share one
+    // forked JVM and one SparkSession, and QueryExecutionListeners on
+    // that session receive events for EVERY execution it runs — so a
+    // late async completion from an earlier suite (streaming
+    // microbatch teardown, non-blocking unpersist work) could land its
+    // onSuccess inside a pin's capture window and add a FOREIGN plan's
+    // exchanges to the sum (observed full-suite-only: q_knn_eval —
+    // first in this list, i.e. first window after suite handoff —
+    // read shuffles=6 vs the solo-stable 5, the +1sh/+0bc signature of
+    // a stray count/agg job, while every later window stayed exact).
+    // Spark's ExecutionListenerBus filters events by sessionUUID, so
+    // running the pinned queries on a FRESH newSession() makes stray
+    // events from the shared session undeliverable by construction —
+    // and resets session confs to builder defaults, closing the
+    // conf-leakage path too.
+    val isolated = spark.newSession()
     for ((name, (wantSh, wantBc)) <- budgets) {
       val sums = java.util.Collections.synchronizedList(
         new java.util.ArrayList[(Int, Int)]())
@@ -673,19 +689,19 @@ class PlanAuditSpec extends AnyFunSuite {
             qe: org.apache.spark.sql.execution.QueryExecution,
             e: Exception): Unit = ()
       }
-      spark.listenerManager.register(l)
+      isolated.listenerManager.register(l)
       try {
-        SparkEntry.queries(name)(spark, dir).count()
-        org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
+        SparkEntry.queries(name)(isolated, dir).count()
+        org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(isolated)
         val sh = sums.toArray.map(_.asInstanceOf[(Int, Int)])
         val (gotSh, gotBc) = (sh.map(_._1).sum, sh.map(_._2).sum)
         assert(gotSh == wantSh && gotBc == wantBc,
           s"$name: shuffles=$gotSh broadcasts=$gotBc, budget " +
             s"($wantSh, $wantBc) — the plan changed; re-audit before " +
             "re-pinning (tools.ShuffleCount)")
-      } finally spark.listenerManager.unregister(l)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
+      } finally isolated.listenerManager.unregister(l)
+      isolated.catalog.clearCache()
+      isolated.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
   }

@@ -13,9 +13,14 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(Bench.isContended(floor = 0.172, mid = 0.203, post = 0.113))
     // clean windows across the documented band still pass
     assert(!Bench.isContended(0.066, 0.08, 0.07))
-    assert(!Bench.isContended(0.102, 0.203, 0.088)) // judge's clean r8 run
-    assert(!Bench.isContended(0.12, 0.2, 0.1))
-    assert(!Bench.isContended(0.149, 0.2, 0.12)) // drift headroom holds
+    assert(!Bench.isContended(0.102, 0.14, 0.088))
+    assert(!Bench.isContended(0.149, 0.15, 0.12)) // drift headroom holds
+    // r10 VERDICT #5: mid above the absolute gate IS contention even
+    // when both endpoints read clean — the r9/r10 windows (mid 0.136
+    // was sub-gate; 0.164 was not) no longer slide through
+    assert(Bench.isContended(0.09, 0.164, 0.084))
+    assert(Bench.isContended(0.102, 0.203, 0.088))
+    assert(Bench.MidGate == Bench.FloorGate)
     // the pre-existing gates still fire: sustained contention (abs),
     // endpoint divergence, mid-run interference
     assert(Bench.isContended(0.4, 0.4, 0.4))
