@@ -4064,6 +4064,82 @@ object OracleSql {
         |  END AS mean_gap_us
         |FROM t GROUP BY 1""".stripMargin,
 
+    "q_gamma_somers" ->
+      // Stats.ordinalAssociation mirror: contingency cells, C/D from
+      // the cell-pair join (xa < xb) as exact BIGINT Σ n₁·n₂, T_x
+      // from the x-margin; gamma and Somers' d_yx ONE IEEE division
+      // each, 6dp
+      """WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(least(floor(l_extendedprice / 5000), 20) AS BIGINT)
+        |      AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cn FROM d
+        |  GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    coalesce(CAST(sum(CASE WHEN b.y > a.y THEN a.cn * b.cn
+        |      ELSE 0 END) AS BIGINT), 0) AS c,
+        |    coalesce(CAST(sum(CASE WHEN b.y < a.y THEN a.cn * b.cn
+        |      ELSE 0 END) AS BIGINT), 0) AS dd
+        |  FROM cells a JOIN cells b ON a.x < b.x),
+        |marg AS (SELECT CAST(sum(tx) AS BIGINT) AS nn,
+        |    CAST(sum(tx * (tx - 1)) AS BIGINT) AS tx2
+        |  FROM (SELECT CAST(sum(cn) AS BIGINT) AS tx FROM cells
+        |    GROUP BY x) m)
+        |SELECT nn AS n_rows, c AS c_pairs, dd AS d_pairs,
+        |  CASE WHEN c + dd > 0 THEN
+        |    round(CAST(c - dd AS DOUBLE) / CAST(c + dd AS DOUBLE), 6)
+        |  END AS gamma_6,
+        |  CASE WHEN nn * (nn - 1) - tx2 > 0 THEN
+        |    round(CAST(2 * (c - dd) AS DOUBLE)
+        |      / CAST(nn * (nn - 1) - tx2 AS DOUBLE), 6)
+        |  END AS somers_d_6
+        |FROM cd CROSS JOIN marg""".stripMargin,
+
+    "q_page_trend" ->
+      // Stats.pageTrend mirror: the q_friedman rank machinery with
+      // j = lexicographic system index; 2L exact BIGINT, E[2L] an
+      // exact integer half (k(k+1) even), Var[2L] ONE double
+      // division by 36.0 — identical cast points, 6dp
+      """WITH obs AS (SELECT o_orderkey % 311 AS task,
+        |    o_orderpriority AS sys,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT sys) AS BIGINT) AS k FROM obs),
+        |tc AS (SELECT task, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(count(DISTINCT sys) AS BIGINT) AS ds
+        |  FROM obs GROUP BY 1),
+        |meta AS (SELECT
+        |    CAST(sum(CASE WHEN cnt = k AND ds = k THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nn,
+        |    CAST(sum(CASE WHEN cnt = k AND ds = k THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS nd
+        |  FROM tc CROSS JOIN kk),
+        |kept AS (SELECT task FROM tc CROSS JOIN kk
+        |  WHERE cnt = k AND ds = k),
+        |ranked AS (SELECT sys,
+        |    2 * CAST(rank() OVER (PARTITION BY task ORDER BY v)
+        |      AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY task, v) AS BIGINT)
+        |      - 1 AS m2
+        |  FROM obs JOIN kept USING (task)),
+        |r2 AS (SELECT sys, CAST(sum(m2) AS BIGINT) AS r2_sum
+        |  FROM ranked GROUP BY 1),
+        |jw AS (SELECT r2_sum,
+        |    CAST(row_number() OVER (ORDER BY sys) AS BIGINT) AS j
+        |  FROM r2),
+        |l AS (SELECT CAST(sum(j * r2_sum) AS BIGINT) AS l2 FROM jw)
+        |SELECT nn AS n_tasks, k AS k_systems, nd AS n_dropped_tasks,
+        |  l2 AS l2_stat,
+        |  CASE WHEN nn * k * k * (k + 1) * (k + 1) * (k - 1) > 0 THEN
+        |    round((CAST(l2 AS DOUBLE)
+        |      - CAST(nn * k * (k + 1) * (k + 1) // 2 AS DOUBLE))
+        |      / sqrt(CAST(nn * k * k * (k + 1) * (k + 1) * (k - 1)
+        |        AS DOUBLE) / 36.0), 6)
+        |  END AS z_6
+        |FROM l CROSS JOIN meta CROSS JOIN kk""".stripMargin,
+
     "q_mase" ->
       // TimeSeries.maseBaseline mirror: daily integer-cents series per
       // event type, naive-1 and seasonal-naive-7 absolute lag errors,

@@ -4950,6 +4950,36 @@ object SparkEntry {
       "user_id", "ts", "event_id", "event_type", "props")
   }
 
+  /** C114: Goodman–Kruskal gamma + Somers' D between lineitem
+    * quantity (ordinal 1..50) and price band (capped floor buckets) —
+    * concordant/discordant pair counts from the contingency-cell
+    * pair join, never row pairs (operators.Stats.ordinalAssociation).
+    */
+  private def qGammaSomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Stats.ordinalAssociation(
+      table(s, dir, "lineitem").select(
+        $"l_quantity".cast("long").as("qty_band"),
+        least(floor($"l_extendedprice" / 5000), lit(20)).cast("long")
+          .as("price_band")),
+      "qty_band", "price_band")
+  }
+
+  /** C117: Page's L ordered-trend test over the q_friedman layout —
+    * order buckets × priority systems, hypothesized order = the
+    * priority names' lexicographic order ("1-URGENT" < … < "5-LOW"),
+    * exact 2L carrier (operators.Stats.pageTrend).
+    */
+  private def qPageTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = table(s, dir, "orders")
+      .select(pmod($"o_orderkey", lit(311L)).as("task"),
+        $"o_orderpriority".as("sys"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+      .groupBy($"task", $"sys").agg(sum($"cents").as("v"))
+    operators.Stats.pageTrend(obs, "task", "sys", "v")
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5151,6 +5181,8 @@ object SparkEntry {
     "q_scd4" -> (qScd4 _),
     "q_quarantine" -> (qQuarantine _),
     "q_chat_turns" -> (qChatTurns _),
+    "q_gamma_somers" -> (qGammaSomers _),
+    "q_page_trend" -> (qPageTrend _),
     "q_jonckheere" -> (qJonckheere _),
     "q_woe_iv" -> (qWoeIv _),
     "q_log_rank" -> (qLogRank _),

@@ -2604,4 +2604,119 @@ object Stats {
       when(ok, round(dEff, 6)).as("d_6"),
       when(ok, round(dEff * j, 6)).as("g_6"))
   }
+
+  /** C114: Goodman–Kruskal gamma + Somers' D (Goodman & Kruskal,
+    * JASA 1954; Somers, ASR 1962) — ordinal×ordinal association for
+    * BUCKETED/categorical columns, the pair C81's τ-b brackets:
+    * gamma = (C−D)/(C+D) ignores ties entirely (the optimistic
+    * bound); Somers' d_yx = (C−D)/(n₀−T_x) penalizes ties on the
+    * DEPENDENT y only (the asymmetric "does x predict y" form).
+    *
+    * Exactness + scale shape: the data collapses to CONTINGENCY
+    * CELLS first (one keyed agg); concordant/discordant pair counts
+    * come from the cell-pair join (xa < xb) as Σ n₁·n₂ exact longs —
+    * cell-cardinality², never row² (C81's row-pair join is the
+    * small-input form; this is the 100 TB form for ordinal data,
+    * which is bounded-cardinality BY DEFINITION — bucket first).
+    * T_x from the x-margin in the same pass; gamma and d_yx are ONE
+    * IEEE division each, 6dp; nulls when C+D = 0 / n₀ = T_x.
+    */
+  def ordinalAssociation(df: DataFrame, xCol: String,
+                         yCol: String): DataFrame = {
+    val cells = df.select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
+    val a = cells.toDF("xa", "ya", "na")
+    val b = cells.toDF("xb", "yb", "nb")
+    val cd = a.join(b, col("xa") < col("xb"))
+      .agg(coalesce(sum(when(col("yb") > col("ya"),
+          col("na") * col("nb")).otherwise(0L)), lit(0L)).as("c"),
+        coalesce(sum(when(col("yb") < col("ya"),
+          col("na") * col("nb")).otherwise(0L)), lit(0L)).as("d"))
+    val marg = cells.groupBy(col("x")).agg(sum(col("cn")).as("tx"))
+      .agg(sum(col("tx")).as("nn"),
+        sum(col("tx") * (col("tx") - 1)).as("tx2"))
+    cd.crossJoin(broadcast(marg))
+      .select(col("nn").as("n_rows"), col("c").as("c_pairs"),
+        col("d").as("d_pairs"),
+        when(col("c") + col("d") > 0,
+          round((col("c") - col("d")).cast("double") /
+            (col("c") + col("d")).cast("double"), 6)).as("gamma_6"),
+        when(col("nn") * (col("nn") - 1) - col("tx2") > 0,
+          round((lit(2L) * (col("c") - col("d"))).cast("double") /
+            (col("nn") * (col("nn") - 1) - col("tx2")).cast("double"),
+            6)).as("somers_d_6"))
+  }
+
+  /** C117: Page's L trend test (Page, JASA 1963) — the ORDERED
+    * alternative to C104's Friedman: Friedman asks "do the k systems
+    * differ at all"; Page asks "do they improve in a HYPOTHESIZED
+    * order" (model v1 < v2 < v3 across evaluation tasks), which is
+    * the question an iterated-model eval table actually poses. The
+    * within-task analog of C98's Jonckheere–Terpstra.
+    *
+    * The hypothesized order is the LEXICOGRAPHIC system-name order
+    * (encode the order in sortable names — v01 < v02 < …), making
+    * the statistic a pure function of the data. Reuses Friedman's
+    * exact midrank machinery: 2L = Σ_j j·R2_j exact integer; E[2L] =
+    * n·k(k+1)²/2 and Var[2L] = n·k²(k+1)²(k−1)/36 exact via
+    * BigDecimal; z = (2L−E)/√Var one IEEE division, 6dp. Incomplete
+    * tasks drop (the Friedman rule); ties midrank.
+    */
+  def pageTrend(df: DataFrame, taskCol: String, systemCol: String,
+                valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(taskCol).as("t"),
+      col(systemCol).cast("string").as("sys"),
+      col(valueCol).cast("long").as("v")).persist()
+    try {
+      val k = src.select(col("sys")).distinct().count()
+      require(k >= 2, s"pageTrend: needs >= 2 systems, got $k")
+      val taskCnt = src.groupBy(col("t"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("sys")).as("ds"))
+      val keepDrop = taskCnt.agg(
+        sum(when(col("cnt") === k && col("ds") === k, 1L).otherwise(0L)),
+        sum(when(col("cnt") === k && col("ds") === k, 0L).otherwise(1L)))
+        .head()
+      val n = keepDrop.getLong(0)
+      val nDropped = keepDrop.getLong(1)
+      if (n == 0)
+        return Seq.empty[(Long, Long, Long, Long, java.lang.Double)]
+          .toDF("n_tasks", "k_systems", "n_dropped_tasks", "l2_stat",
+            "z_6")
+      val kept = taskCnt.filter(col("cnt") === k && col("ds") === k)
+        .select(col("t"))
+      val wRank = Window.partitionBy(col("t")).orderBy(col("v"))
+      val wTie = Window.partitionBy(col("t"), col("v"))
+      val ranked = src.join(kept, Seq("t"), "left_semi")
+        .withColumn("m2",
+          rank().over(wRank).cast("long") * 2 +
+            count(lit(1)).over(wTie) - 1)
+      val r2 = ranked.groupBy(col("sys"))
+        .agg(sum(col("m2")).as("r2_sum"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      // 2L = Σ j·(2R_j) over the lexicographic system order, exact
+      val l2 = r2.zipWithIndex
+        .map { case ((_, r2s), i) => BigInt(i + 1) * BigInt(r2s) }.sum
+      require(l2.isValidLong, s"pageTrend: 2L = $l2 overflows Long")
+      // E[2L] = n·k(k+1)²/2 — k(k+1) is even, so the half is an exact
+      // integer; Var[2L] = n·k²(k+1)²(k−1)/36 as ONE double division
+      // of an exact integer (36 does not divide it in general — the
+      // oracle mirrors the same single IEEE division)
+      val e2 = BigInt(n) * k * (k + 1) * (k + 1) / 2
+      val pv = BigInt(n) * k * k * (k + 1) * (k + 1) * (k - 1)
+      require(pv.isValidLong, s"pageTrend: variance carrier $pv " +
+        "overflows Long")
+      val z: java.lang.Double =
+        if (pv == 0) null
+        else BigDecimal(
+          (l2.toDouble - e2.toDouble) / math.sqrt(pv.toDouble / 36.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((n, k, nDropped, l2.toLong, z))
+        .toDF("n_tasks", "k_systems", "n_dropped_tasks", "l2_stat",
+          "z_6")
+    } finally { src.unpersist(); () }
+  }
 }

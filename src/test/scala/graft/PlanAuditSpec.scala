@@ -7,7 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * no cartesian products anywhere, window/agg shuffles keyed.
   */
 class PlanAuditSpec extends AnyFunSuite {
-  lazy val spark = SparkTestSession.spark
+  // ISOLATED session (VERDICT r10 #1, generalized): every test in
+  // this spec observes executed plans through QueryExecutionListeners,
+  // and a listener on the SHARED test session receives events for
+  // every execution that session runs — including late async
+  // completions from earlier suites in the same JVM (streaming
+  // microbatch teardown, non-blocking unpersist work), whose foreign
+  // plan text then lands inside a capture window (observed full-suite
+  // only: the budget pin read +1 shuffle; a later run failed the
+  // weighted-sample Sort assertion on a stray plan's Sort line).
+  // ExecutionListenerBus filters by sessionUUID, so a fresh
+  // newSession() makes stray events undeliverable by construction —
+  // and starts from builder-default confs, so no conf leakage either.
+  lazy val spark = SparkTestSession.spark.newSession()
   private val dir = "/root/testdata/sf0.001"
 
   /** All plans a gate query PLANS OR EXECUTES. Sealed operators

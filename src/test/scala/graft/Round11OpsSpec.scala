@@ -197,6 +197,60 @@ class Round11OpsSpec extends AnyFunSuite {
       4L -> "under_1000"))
   }
 
+  test("ordinalAssociation ≡ brute all-pairs gamma/Somers; perfect " +
+      "monotone → gamma 1; independence-ish small") {
+    val rows = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 3L), (3L, 2L), (1L, 1L))
+    val got = Stats.ordinalAssociation(rows.toDF("x", "y"), "x", "y")
+      .head()
+    // brute over ALL row pairs
+    var (c, d, tx) = (0L, 0L, 0L)
+    for (i <- rows.indices; j <- rows.indices if i < j) {
+      val ((x1, y1), (x2, y2)) = (rows(i), rows(j))
+      if (x1 == x2) tx += 1
+      else if ((x2 - x1) * (y2 - y1) > 0) c += 1
+      else if ((x2 - x1) * (y2 - y1) < 0) d += 1
+    }
+    val n = rows.size.toLong
+    assert(got.getLong(0) == n && got.getLong(1) == c &&
+      got.getLong(2) == d, s"$got vs ($c, $d)")
+    assert(math.abs(got.getDouble(3) - (c - d).toDouble / (c + d)) < 1e-6)
+    val n0 = n * (n - 1) / 2
+    assert(math.abs(got.getDouble(4) -
+      (c - d).toDouble / (n0 - tx)) < 1e-6)
+    // perfect monotone staircase: gamma = 1 exactly
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+    assert(Stats.ordinalAssociation(mono.toDF("x", "y"), "x", "y")
+      .head().getDouble(3) == 1.0)
+  }
+
+  test("pageTrend ≡ brute ordered-L; monotone-by-order strongly " +
+      "positive; reversed order flips the sign") {
+    // 4 tasks × 3 systems, values increase along system name order
+    val up = for (t <- 1 to 4; (s, v) <- Seq(("s1", 10L), ("s2", 20L),
+      ("s3", 30L))) yield (s"t$t", s, v + t)
+    val gotUp = Stats.pageTrend(up.toDF("t", "s", "v"), "t", "s", "v")
+      .head()
+    // brute 2L: per task ranks are 1,2,3 → 2R = 2,4,6; L2 = Σ j·2R
+    val l2 = 4L * (1 * 2 + 2 * 4 + 3 * 6)
+    assert(gotUp.getLong(0) == 4 && gotUp.getLong(1) == 3 &&
+      gotUp.getLong(3) == l2)
+    val e2 = 4.0 * 3 * 16 / 2
+    val v2 = 4.0 * 9 * 16 * 2 / 36.0
+    assert(math.abs(gotUp.getDouble(4) -
+      (l2 - e2) / math.sqrt(v2)) < 1e-6)
+    assert(gotUp.getDouble(4) > 2.0)
+    val down = up.map { case (t, s, v) => (t, s, -v) }
+    val gotDown = Stats.pageTrend(down.toDF("t", "s", "v"),
+      "t", "s", "v").head()
+    assert(math.abs(gotDown.getDouble(4) + gotUp.getDouble(4)) < 1e-9)
+    // incomplete task drops (the Friedman rule)
+    val withPartial = up ++ Seq(("t9", "s1", 1L))
+    val g3 = Stats.pageTrend(withPartial.toDF("t", "s", "v"),
+      "t", "s", "v").head()
+    assert(g3.getLong(0) == 4 && g3.getLong(2) == 1)
+  }
+
   test("conversationStats ≡ brute transcript replay") {
     val base = 1700000000000000L // µs
     val rows = Seq(
