@@ -4140,6 +4140,45 @@ object OracleSql {
         |  END AS z_6
         |FROM l CROSS JOIN meta CROSS JOIN kk""".stripMargin,
 
+    "q_wilcoxon" ->
+      // Stats.wilcoxonSignedRank mirror: per-user purchase−view cents
+      // diffs (both-type users), zeros dropped, |d|-cardinality
+      // midrank carriers, exact 2W⁺, tie-corrected z in the identical
+      // 2×-carrier IEEE tree, 6dp
+      """WITH per AS (SELECT
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS p,
+        |    sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS v
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT CAST(p - v AS BIGINT) AS d FROM per
+        |  WHERE p IS NOT NULL AND v IS NOT NULL AND p - v <> 0),
+        |g AS (SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tp
+        |  FROM d GROUP BY 1),
+        |ranked AS (SELECT t, tp,
+        |    2 * sum(t) OVER (ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - t + 1 AS r2,
+        |    t * t * t - t AS tc
+        |  FROM g),
+        |a AS (SELECT coalesce(CAST(sum(t) AS BIGINT), 0) AS n,
+        |    coalesce(CAST(sum(tp * r2) AS BIGINT), 0) AS w2p,
+        |    coalesce(CAST(sum(tc) AS BIGINT), 0) AS tie
+        |  FROM ranked)
+        |SELECT n AS n_nonzero, w2p AS w_plus2, tie AS tie_sum,
+        |  CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0
+        |      - CAST(tie AS DOUBLE) / 12.0 > 0 THEN
+        |    round((CAST(w2p AS DOUBLE) - CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) + 1.0) / 2.0)
+        |      / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0
+        |        - CAST(tie AS DOUBLE) / 12.0), 6)
+        |  END AS z_6
+        |FROM a""".stripMargin,
+
     "q_mase" ->
       // TimeSeries.maseBaseline mirror: daily integer-cents series per
       // event type, naive-1 and seasonal-naive-7 absolute lag errors,

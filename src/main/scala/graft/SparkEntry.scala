@@ -4980,6 +4980,22 @@ object SparkEntry {
     operators.Stats.pageTrend(obs, "task", "sys", "v")
   }
 
+  /** C118: Wilcoxon signed-rank — per-user paired difference of
+    * purchase vs view cents (users with both), zero diffs dropped,
+    * exact 2W⁺ carrier (operators.Stats.wilcoxonSignedRank).
+    */
+  private def qWilcoxon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = floor($"value" * 100 + 0.5).cast("long")
+    val per = table(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase", cents)).as("p"),
+        sum(when($"event_type" === "view", cents)).as("v"))
+      .filter($"p".isNotNull && $"v".isNotNull)
+      .select(($"p" - $"v").as("diff"))
+    operators.Stats.wilcoxonSignedRank(per, "diff")
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5183,6 +5199,7 @@ object SparkEntry {
     "q_chat_turns" -> (qChatTurns _),
     "q_gamma_somers" -> (qGammaSomers _),
     "q_page_trend" -> (qPageTrend _),
+    "q_wilcoxon" -> (qWilcoxon _),
     "q_jonckheere" -> (qJonckheere _),
     "q_woe_iv" -> (qWoeIv _),
     "q_log_rank" -> (qLogRank _),

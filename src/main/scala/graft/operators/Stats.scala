@@ -2649,6 +2649,49 @@ object Stats {
             6)).as("somers_d_6"))
   }
 
+  /** C118: Wilcoxon signed-rank test (Wilcoxon, Biometrics 1945) —
+    * the PAIRED companion of C71's Mann–Whitney: same units measured
+    * twice (before/after, variant A/B on the same user), is the
+    * median paired difference zero. The caller supplies the integer
+    * paired-difference column; zero diffs drop (the standard
+    * convention), |d| ranks with midranks.
+    *
+    * Exactness: the mannWhitney carrier discipline on |d| —
+    * value-cardinality tie counts, 2·midrank integers, W⁺ kept as
+    * the exact 2W⁺ long; E and the tie-corrected variance enter one
+    * fixed IEEE tree (2× carriers: z = (2W⁺ − n(n+1)/2) /
+    * √(n(n+1)(2n+1)/6 − Σ(t³−t)/12)), 6dp; null z when the variance
+    * degenerates (all |d| tied at one value with n ≤ 1, or n = 0).
+    *
+    * Plan: one keyed agg to |d|-cardinality rows + one bounded
+    * window + one 1-row agg.
+    */
+  def wilcoxonSignedRank(df: DataFrame, diffCol: String): DataFrame = {
+    val d = df.select(col(diffCol).cast("long").as("d"))
+      .filter(col("d").isNotNull && col("d") =!= 0)
+    val g = d.groupBy(abs(col("d")).as("ad")).agg(
+      count(lit(1)).as("t"),
+      sum(when(col("d") > 0, 1L).otherwise(0L)).as("tp"))
+    val w = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = g.withColumn("hi", sum(col("t")).over(w))
+      .select(col("t"), col("tp"),
+        (col("hi") * 2 - col("t") + 1).as("r2"),
+        (col("t") * col("t") * col("t") - col("t")).as("tc"))
+    val agg = ranked.agg(
+      coalesce(sum(col("t")), lit(0L)).as("n"),
+      coalesce(sum(col("tp") * col("r2")), lit(0L)).as("w2p"),
+      coalesce(sum(col("tc")), lit(0L)).as("tie"))
+    val nD = col("n").cast("double")
+    val var4 = nD * (nD + 1.0) * (nD * 2.0 + 1.0) / lit(6.0) -
+      col("tie").cast("double") / lit(12.0)
+    agg.select(col("n").as("n_nonzero"), col("w2p").as("w_plus2"),
+      col("tie").as("tie_sum"),
+      when(var4 > 0, round(
+        (col("w2p").cast("double") - nD * (nD + 1.0) / 2.0) /
+          sqrt(var4), 6)).as("z_6"))
+  }
+
   /** C117: Page's L trend test (Page, JASA 1963) — the ORDERED
     * alternative to C104's Friedman: Friedman asks "do the k systems
     * differ at all"; Page asks "do they improve in a HYPOTHESIZED

@@ -251,6 +251,34 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(g3.getLong(0) == 4 && g3.getLong(2) == 1)
   }
 
+  test("wilcoxonSignedRank ≡ brute midrank W+; zeros drop; ties " +
+      "midranked; degenerate null") {
+    val diffs = Seq(5L, -3L, 3L, 8L, 0L, -8L, 8L, 2L, -1L)
+    val got = Stats.wilcoxonSignedRank(diffs.toDF("diff"), "diff")
+      .head()
+    // brute: drop zeros, midrank |d|, W+ = Σ ranks of positive d
+    val nz = diffs.filter(_ != 0)
+    val ads = nz.map(math.abs)
+    def midrank(a: Long) =
+      (ads.count(_ < a) + 1 + ads.count(_ <= a)) / 2.0
+    val wPlus = nz.filter(_ > 0).map(d => midrank(math.abs(d))).sum
+    val n = nz.size
+    val tieSum = ads.groupBy(identity).values
+      .map(g => g.size.toLong).map(t => t * t * t - t).sum
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == (wPlus * 2).toLong)
+    assert(got.getLong(2) == tieSum)
+    val z = (wPlus - n * (n + 1) / 4.0) /
+      math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tieSum / 48.0)
+    assert(math.abs(got.getDouble(3) - z) < 1e-6, s"${got.getDouble(3)} vs $z")
+    // all diffs zero → n = 0 → null z
+    assert(Stats.wilcoxonSignedRank(Seq(0L, 0L).toDF("diff"), "diff")
+      .head().isNullAt(3))
+    // strongly one-sided: z large positive
+    val pos = (1L to 30L).toDF("diff")
+    assert(Stats.wilcoxonSignedRank(pos, "diff").head().getDouble(3) > 4)
+  }
+
   test("conversationStats ≡ brute transcript replay") {
     val base = 1700000000000000L // µs
     val rows = Seq(
