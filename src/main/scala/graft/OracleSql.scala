@@ -4179,6 +4179,43 @@ object OracleSql {
         |  END AS z_6
         |FROM a""".stripMargin,
 
+    "q_croston" ->
+      // TimeSeries.crostonPerKey mirror: periods = the user's event
+      // sequence, demand rows only enter the recursion; the SAME IEEE
+      // op sequence per step with (1−α) computed as 1 − CAST(0.3 AS
+      // DOUBLE) at runtime (the q_holt_trend literal-folding rule);
+      // zero-demand users naturally absent
+      """WITH RECURSIVE seq AS (SELECT user_id AS k,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn,
+        |    CASE WHEN event_type = 'purchase' THEN CAST(value AS DOUBLE)
+        |      ELSE CAST(0 AS DOUBLE) END AS v
+        |  FROM events),
+        |np AS (SELECT k, CAST(max(rn) AS BIGINT) AS n_periods FROM seq
+        |  GROUP BY k),
+        |dem AS (SELECT k, rn, v,
+        |    row_number() OVER (PARTITION BY k ORDER BY rn) AS dn,
+        |    rn - coalesce(lag(rn) OVER (PARTITION BY k ORDER BY rn), 0)
+        |      AS q
+        |  FROM seq WHERE v <> 0),
+        |c AS (
+        |  SELECT k, dn, v AS z, CAST(q AS DOUBLE) AS p FROM dem
+        |  WHERE dn = 1
+        |  UNION ALL
+        |  SELECT d.k, d.dn,
+        |    d.v * CAST(0.3 AS DOUBLE)
+        |      + s.z * (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) AS z,
+        |    CAST(d.q AS DOUBLE) * CAST(0.3 AS DOUBLE)
+        |      + s.p * (CAST(1 AS DOUBLE) - CAST(0.3 AS DOUBLE)) AS p
+        |  FROM c s JOIN dem d ON d.k = s.k AND d.dn = s.dn + 1),
+        |fin AS (SELECT k, CAST(max(dn) AS BIGINT) AS nd FROM c
+        |  GROUP BY k)
+        |SELECT c.k AS user_id, np.n_periods, fin.nd AS n_demands,
+        |  round(c.z, 6) AS z_level, round(c.p, 6) AS p_interval,
+        |  round(c.z / c.p, 6) AS forecast
+        |FROM c JOIN fin ON c.k = fin.k AND c.dn = fin.nd
+        |JOIN np ON np.k = c.k""".stripMargin,
+
     "q_mase" ->
       // TimeSeries.maseBaseline mirror: daily integer-cents series per
       // event type, naive-1 and seasonal-naive-7 absolute lag errors,

@@ -4996,6 +4996,25 @@ object SparkEntry {
     operators.Stats.wilcoxonSignedRank(per, "diff")
   }
 
+  /** F41: Croston's intermittent-demand forecast per user — each
+    * event is a period, demand = value only on purchase events
+    * (mostly zero by construction), α = 0.3; users with no purchases
+    * emit no row (operators.TimeSeries.crostonPerKey).
+    */
+  private def qCroston(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val demand = table(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "purchase", $"value")
+          .otherwise(lit(0.0)).as("demand"))
+    operators.TimeSeries.crostonPerKey(s, demand, "user_id", "ts",
+        "event_id", "demand", alpha = 0.3)
+      .select($"user_id", $"n_periods", $"n_demands",
+        round($"z_level", 6).as("z_level"),
+        round($"p_interval", 6).as("p_interval"),
+        round($"forecast", 6).as("forecast"))
+  }
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5200,6 +5219,7 @@ object SparkEntry {
     "q_gamma_somers" -> (qGammaSomers _),
     "q_page_trend" -> (qPageTrend _),
     "q_wilcoxon" -> (qWilcoxon _),
+    "q_croston" -> (qCroston _),
     "q_jonckheere" -> (qJonckheere _),
     "q_woe_iv" -> (qWoeIv _),
     "q_log_rank" -> (qLogRank _),

@@ -155,6 +155,90 @@ object TimeSeries {
     }.toDF(keyCol, "n_events", "level", "trend", "forecast")
   }
 
+  /** F41: Croston's intermittent-demand method (Croston, Op. Res. Q.
+    * 1972) — the forecaster for series that are MOSTLY ZERO (spare
+    * parts, rare-event load, long-tail SKUs), where SES/Holt smear
+    * the zeros into a meaningless small mean: two coupled EWMAs,
+    * demand SIZE z and inter-demand INTERVAL p, updated ONLY on
+    * non-zero demand; the rate forecast is z/p.
+    *
+    * {{{
+    *   on demand v at period t (q = t − t_prev_demand):
+    *     first:  z = v,            p = q
+    *     later:  z = v·α + z·(1−α); p = q·α + p·(1−α)
+    * }}}
+    *
+    * Same mapPartitions rung as [[holtPerKey]] (recurrences have no
+    * window form): one keyed shuffle + sort, O(1) state, total fold
+    * order → bit-identical at any parallelism; the oracle replays the
+    * IDENTICAL IEEE op sequence via a recursive CTE over the non-zero
+    * demand rows only, with (1−α) computed as 1 − CAST(α) at runtime
+    * (the holt literal-folding rule). Keys with zero demand emit no
+    * row (nothing to forecast). Forecast = z/p, one IEEE division.
+    */
+  def crostonPerKey(spark: SparkSession, df: DataFrame, keyCol: String,
+                    tsCol: String, tieCol: String, valueCol: String,
+                    alpha: Double): DataFrame = {
+    import spark.implicits._
+    val a1 = 1.0 - alpha
+    val sorted = df
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("t"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("v"))
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("tie"))
+      .as[(Long, Long, Long, Double)]
+    sorted.mapPartitions { rows =>
+      new Iterator[(Long, Long, Long, Double, Double, Double)] {
+        private var pending:
+          Option[(Long, Long, Long, Double, Double, Double)] = None
+        private var lookahead: Option[(Long, Long, Long, Double)] = None
+        def hasNext: Boolean = {
+          while (pending.isEmpty && (rows.hasNext || lookahead.isDefined))
+            advance()
+          pending.isDefined
+        }
+        def next(): (Long, Long, Long, Double, Double, Double) = {
+          if (!hasNext) throw new NoSuchElementException
+          val out = pending.get
+          pending = None
+          out
+        }
+        private def advance(): Unit = {
+          val first = lookahead.getOrElse(rows.next())
+          lookahead = None
+          val key = first._1
+          var idx = 0L
+          var lastDemand = 0L
+          var nd = 0L
+          var z = 0.0
+          var p = 0.0
+          def step(v: Double): Unit = {
+            idx += 1
+            if (v != 0.0) {
+              val q = idx - lastDemand
+              lastDemand = idx
+              if (nd == 0) { z = v; p = q.toDouble }
+              else { z = v * alpha + z * a1; p = q * alpha + p * a1 }
+              nd += 1
+            }
+          }
+          step(first._4)
+          var done = false
+          while (!done && rows.hasNext) {
+            val r = rows.next()
+            if (r._1 == key) step(r._4)
+            else { lookahead = Some(r); done = true }
+          }
+          // zero-demand key: nothing to forecast, emit no row
+          if (nd > 0) pending = Some((key, idx, nd, z, p, z / p))
+        }
+      }
+    }.toDF(keyCol, "n_periods", "n_demands", "z_level", "p_interval",
+      "forecast")
+  }
+
   /** F14: additive Holt-Winters (level + trend + seasonal, Hyndman
     * formulation) — completes the EWMA → Holt → Holt-Winters ladder
     * on the same mapPartitions rung:

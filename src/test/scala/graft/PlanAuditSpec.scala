@@ -722,16 +722,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "main job, no build-time jobs (round-9 verdict #7)") {
     // with an explicit queryMod, CONSTRUCTING the sampler plan must
     // launch zero Spark jobs — the old eager agg().head guard was a
-    // second linear corpus scan paid even when the plan never executed
+    // second linear corpus scan paid even when the plan never executed.
+    // Count ONLY jobs carrying this thread's job group: the SparkContext
+    // listener bus is JVM-global, so a late async job from an earlier
+    // suite (streaming teardown, cleaner work) would otherwise land in
+    // the window and fail the ==0 assertion spuriously (the same
+    // straggler class the isolated session fixes for plan capture —
+    // job events have no sessionUUID, so the group id is the filter).
+    val group = s"sampler-probe-${System.nanoTime()}"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        if (Option(js.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group)) {
+          jobs.incrementAndGet(); ()
+        }
       }
     }
     val emb = graft.table(spark, dir, "embeddings")
     emb.count() // materialize the session/table setup outside the probe
+    spark.sparkContext.setJobGroup(group, "sampler zero-job probe")
     spark.sparkContext.addSparkListener(l)
     val (dfs, built) = try {
       val a = operators.Similarity.knnClassifyEval(
@@ -742,7 +753,10 @@ class PlanAuditSpec extends AnyFunSuite {
         emb, "vec_id", "label", "embedding", queryMod = 7)
       org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
       (Seq(a, b, c), jobs.get())
-    } finally spark.sparkContext.removeSparkListener(l)
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      spark.sparkContext.clearJobGroup()
+    }
     assert(built == 0,
       s"sampler plan construction launched $built jobs — the guard " +
         "leaked back to build time")

@@ -279,6 +279,44 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(Stats.wilcoxonSignedRank(pos, "diff").head().getDouble(3) > 4)
   }
 
+  test("crostonPerKey ≡ brute replay; zero-demand key emits no row; " +
+      "partition independence") {
+    val base = 1700000000000000L
+    // k=1: demands at periods 2, 5, 6 (values 10, 20, 30); zeros between
+    val s1 = Seq(0.0, 10.0, 0.0, 0.0, 20.0, 30.0, 0.0)
+    // k=2: all zeros → no row
+    val s2 = Seq(0.0, 0.0)
+    val rows = s1.zipWithIndex.map { case (v, i) =>
+      (1L, base + i * 1000000L, i.toLong, v) } ++
+      s2.zipWithIndex.map { case (v, i) =>
+        (2L, base + i * 1000000L, i.toLong, v) }
+    val df = rows.toDF("k", "us", "tie", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = TimeSeries.crostonPerKey(spark, df, "k", "ts", "tie", "v",
+      alpha = 0.3).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L)
+    // brute replay
+    val a = 0.3; val a1 = 1.0 - a
+    var (z, p, last) = (0.0, 0.0, 0L)
+    var nd = 0
+    for ((v, i) <- s1.zipWithIndex if v != 0) {
+      val q = (i + 1) - last; last = i + 1
+      if (nd == 0) { z = v; p = q.toDouble }
+      else { z = v * a + z * a1; p = q * a + p * a1 }
+      nd += 1
+    }
+    val r = got.head
+    assert(r.getLong(1) == s1.size && r.getLong(2) == nd)
+    assert(r.getDouble(3) == z && r.getDouble(4) == p)
+    assert(r.getDouble(5) == z / p)
+    // partition independence: repartition(7) on shuffled input, same row
+    val shuffled = df.orderBy(rand(42)).repartition(7)
+    val got2 = TimeSeries.crostonPerKey(spark, shuffled, "k", "ts",
+      "tie", "v", alpha = 0.3).collect()
+    assert(got2.length == 1 && got2.head.getDouble(3) == z &&
+      got2.head.getDouble(4) == p)
+  }
+
   test("conversationStats ≡ brute transcript replay") {
     val base = 1700000000000000L // µs
     val rows = Seq(
