@@ -33,6 +33,43 @@ object Bench {
     */
   val MidGate: Double = FloorGate
 
+  /** Clean-band median floor on this host (§7g.2: min-of-3 floors band
+    * 0.066–0.12 over ~12 canary-clean runs; 0.35 documented as ~3× the
+    * clean median). The reference point for [[windowScale]].
+    */
+  val CleanFloorRef: Double = 0.088
+
+  /** VERDICT r11 #1: per-window speed calibration. The round-10→11
+    * cross-round comparison lost its meaning to host-window luck — the
+    * r10 driver window was anomalously FAST, so r11 showed a phantom
+    * +8.8%/query with 17 untouched queries 1.2–1.54× up while the
+    * builder's close sweeps read parity. window_scale = best endpoint
+    * canary / clean-median reference: > 1 ⇒ this window's host ran
+    * slower than the recorded clean median, < 1 ⇒ faster (the r10
+    * shape). Cross-round ratios divide by it (drift-corrected ratio =
+    * (t_b / scale_b) / (t_a / scale_a)); the raw samples stay in the
+    * artifact untouched.
+    */
+  def windowScale(floor: Double, post: Double): Double =
+    math.min(floor, post) / CleanFloorRef
+
+  /** VERDICT r11 #1b: the previous artifact's top-k slowest queries —
+    * the set whose auto re-time trigger drops from 2.5× to 1.5×. A
+    * uniform ≤1.5× slow-tail drift passed unflagged through r11; the
+    * tail is where cross-round claims live, so it re-times on a
+    * tighter leash while the sub-tail keeps the 2.5× noise guard.
+    */
+  def slowTail(prevTimes: Map[String, Double], k: Int = 20): Set[String] =
+    prevTimes.toSeq.sortBy { case (n, t) => (-t, n) }
+      .take(k).map(_._1).toSet
+
+  /** Auto re-time trigger for one query given the previous artifact's
+    * slow-tail set (unit-tested with a synthetic slow window in
+    * Round12OpsSpec).
+    */
+  def retimeThreshold(name: String, tail: Set[String]): Double =
+    if (tail(name)) 1.5 else 2.5
+
   /** The contention verdict for one sweep attempt (unit-tested in
     * Round9OpsSpec: a floor-0.172/post-0.113 window — BENCH_r08's —
     * flags; a clean window passes).
@@ -263,9 +300,13 @@ object Bench {
     val fnByName = queries
     val retimed = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double)]
+    // top-20 slow tail of the previous artifact re-times at 1.5×, the
+    // rest at 2.5× (VERDICT r11 #1: a uniform ≤1.5× tail drift passed
+    // unflagged and rode host luck into the cross-round story)
+    val tail = slowTail(prevTimes)
     val results = chosen.results.map { case (name, t) =>
       val outlier = prevTimes.get(name).exists(prev =>
-        prev > 0 && t > 2.5 * prev && t > 0.5)
+        prev > 0 && t > retimeThreshold(name, tail) * prev && t > 0.5)
       if (!outlier) name -> t
       else {
         sweep()
@@ -297,6 +338,22 @@ object Bench {
     }
     val (canaryFloor, canaryMid, canaryPost, contended) =
       (chosen.floor, chosen.mid, chosen.post, chosen.contended)
+    // ---- budgeted-sampler pair budgets (VERDICT r11 #4) ------------
+    // the realized (n, mod, sampled queries, pairs) of the sampler
+    // family at THIS sf, computed after the sweep (never perturbs the
+    // timings): lets a reader decide whether a q_hard_negatives /
+    // q_knn_eval spread across windows is host drift (same pairs) or
+    // data-dependent work (different pairs)
+    val pairBudgetsJson = try {
+      val emb = graft.table(spark, sfDir, "embeddings")
+      val (n, mod, q, pairs) =
+        operators.Similarity.samplerStats(emb, "vec_id")
+      val (bn, bmod, bq, bpairs) =
+        operators.Similarity.blockSamplerStats(emb, "vec_id", "label")
+      s""""pair_budgets":{"id_mod":{"n":$n,"mod":$mod,"q":$q,"pairs":$pairs},"block":{"n":$bn,"mod":$bmod,"q":$bq,"pairs":$bpairs}},"""
+    } catch { case scala.util.control.NonFatal(ex) =>
+      System.err.println(s"pair-budget probe failed: $ex"); ""
+    }
     // millisecond precision keeps the JSON line short enough to survive
     // log-tail truncation by whatever captures our stdout (the r01 line
     // at full double precision was ~2.9k chars and got clipped)
@@ -322,14 +379,15 @@ object Bench {
       else retimed.map { case (k, (a, b)) =>
         "\"" + k + "\":[" + fmt(a) + "," + fmt(b) + "]"
       }.mkString(""""retimed":{""", ",", "},")
-    val canaryJson = s"""$retimedJson"canary_floor":${fmt(canaryFloor)},"canary_mid":${fmt(canaryMid)},"canary_post":${fmt(canaryPost)},"contended":$contended,"floor_band":[${fmt(CleanFloorBand._1)},${fmt(CleanFloorBand._2)}],"floor_gate":${fmt(FloorGate)},"attempts":$attemptsJson"""
+    val canaryJson = s"""$retimedJson$pairBudgetsJson"canary_floor":${fmt(canaryFloor)},"canary_mid":${fmt(canaryMid)},"canary_post":${fmt(canaryPost)},"window_scale":${fmt(windowScale(canaryFloor, canaryPost))},"contended":$contended,"floor_band":[${fmt(CleanFloorBand._1)},${fmt(CleanFloorBand._2)}],"floor_gate":${fmt(FloorGate)},"attempts":$attemptsJson"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsMap(results)},$canaryJson,"sf":"$sfDir"}""")
     val bySlowest = results.sortBy(-_._2)
     val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     // attempts metadata can add ~70 chars per retry to the tail line,
     // and each retimed entry ~35 — shave the per-query budget so the
     // compact line still survives a 2000-char tail capture
-    var budget = 1500 - 80 * (attempts.size - 1) - retimedJson.length
+    var budget = 1500 - 80 * (attempts.size - 1) - retimedJson.length -
+      pairBudgetsJson.length
     bySlowest.foreach { case (k, v) =>
       val cost = k.length + 12
       if (budget - cost >= 0) { keep += ((k, v)); budget -= cost }

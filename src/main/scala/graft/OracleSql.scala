@@ -3965,7 +3965,8 @@ object OracleSql {
         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
         |      AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2),
-        |d AS (SELECT * FROM daily WHERE k IS NOT NULL AND v IS NOT NULL),
+        |d AS (SELECT * FROM daily WHERE k IS NOT NULL AND v IS NOT NULL
+        |  AND o IS NOT NULL),
         |vals AS (SELECT k, v, CAST(count(*) AS BIGINT) AS t FROM d
         |  GROUP BY 1, 2),
         |ranked AS (SELECT k, v,

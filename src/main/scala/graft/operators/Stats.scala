@@ -2490,10 +2490,21 @@ object Stats {
       sum(col("ta")).as("n_a"), sum(col("tb")).as("n_b"),
       sum(col("ta") * col("b_lt")).as("n_gt"),
       sum(col("ta") * col("b_gt")).as("n_lt"))
+    // n_a·n_b wraps silently past Long.MaxValue (~3e9 rows per side);
+    // fail loudly at the same boundary where the oracle's CAST(… AS
+    // BIGINT) errors, instead of emitting a silently-wrong delta
+    // (the brownForsythe quantization-overflow discipline).
+    val pairCount = when(
+      col("n_b") > 0 && col("n_a") > lit(Long.MaxValue) / col("n_b"),
+      raise_error(concat(lit("cliffsDelta: n_a*n_b = "),
+        col("n_a").cast("string"), lit("*"), col("n_b").cast("string"),
+        lit(" overflows Long — sample or stratify the groups")))
+        .cast("long"))
+      .otherwise(col("n_a") * col("n_b"))
     agg.select(col("n_a"), col("n_b"), col("n_gt"), col("n_lt"),
       when(col("n_a") > 0 && col("n_b") > 0,
         round((col("n_gt") - col("n_lt")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double"), 6))
+          pairCount.cast("double"), 6))
         .as("delta_6"))
   }
 
@@ -2706,6 +2717,19 @@ object Stats {
     * n·k(k+1)²/2 and Var[2L] = n·k²(k+1)²(k−1)/36 exact via
     * BigDecimal; z = (2L−E)/√Var one IEEE division, 6dp. Incomplete
     * tasks drop (the Friedman rule); ties midrank.
+    *
+    * Plan (the bleu2 job-economy bar, VERDICT r11 #7): ONE driver job,
+    * no persist — per-task windows attach (cnt, ds, midrank, a
+    * first-row-of-task flag) to every row, then a single
+    * groupBy(sys, cnt, ds) collects rank sums and first-row task
+    * counts at sys × task-shape cardinality; k, the keep/drop split
+    * and 2L all fall out of that one collected table driver-side
+    * (a task is kept iff its group has cnt = ds = k, and every task's
+    * first row lands in exactly one group, so task counts are
+    * additive across groups). Degenerate inputs mirror the oracle
+    * exactly: empty input → one row (null, 0, null, null, null);
+    * k < 2 or no complete task → one row with null l2/z (no more
+    * require(k ≥ 2) throw — ADVICE r11).
     */
   def pageTrend(df: DataFrame, taskCol: String, systemCol: String,
                 valueCol: String): DataFrame = {
@@ -2713,53 +2737,317 @@ object Stats {
     import spark.implicits._
     val src = df.select(col(taskCol).as("t"),
       col(systemCol).cast("string").as("sys"),
-      col(valueCol).cast("long").as("v")).persist()
-    try {
-      val k = src.select(col("sys")).distinct().count()
-      require(k >= 2, s"pageTrend: needs >= 2 systems, got $k")
-      val taskCnt = src.groupBy(col("t"))
-        .agg(count(lit(1)).as("cnt"), countDistinct(col("sys")).as("ds"))
-      val keepDrop = taskCnt.agg(
-        sum(when(col("cnt") === k && col("ds") === k, 1L).otherwise(0L)),
-        sum(when(col("cnt") === k && col("ds") === k, 0L).otherwise(1L)))
-        .head()
-      val n = keepDrop.getLong(0)
-      val nDropped = keepDrop.getLong(1)
-      if (n == 0)
-        return Seq.empty[(Long, Long, Long, Long, java.lang.Double)]
-          .toDF("n_tasks", "k_systems", "n_dropped_tasks", "l2_stat",
-            "z_6")
-      val kept = taskCnt.filter(col("cnt") === k && col("ds") === k)
-        .select(col("t"))
-      val wRank = Window.partitionBy(col("t")).orderBy(col("v"))
-      val wTie = Window.partitionBy(col("t"), col("v"))
-      val ranked = src.join(kept, Seq("t"), "left_semi")
-        .withColumn("m2",
-          rank().over(wRank).cast("long") * 2 +
-            count(lit(1)).over(wTie) - 1)
-      val r2 = ranked.groupBy(col("sys"))
-        .agg(sum(col("m2")).as("r2_sum"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-      // 2L = Σ j·(2R_j) over the lexicographic system order, exact
-      val l2 = r2.zipWithIndex
-        .map { case ((_, r2s), i) => BigInt(i + 1) * BigInt(r2s) }.sum
-      require(l2.isValidLong, s"pageTrend: 2L = $l2 overflows Long")
-      // E[2L] = n·k(k+1)²/2 — k(k+1) is even, so the half is an exact
-      // integer; Var[2L] = n·k²(k+1)²(k−1)/36 as ONE double division
-      // of an exact integer (36 does not divide it in general — the
-      // oracle mirrors the same single IEEE division)
-      val e2 = BigInt(n) * k * (k + 1) * (k + 1) / 2
-      val pv = BigInt(n) * k * k * (k + 1) * (k + 1) * (k - 1)
-      require(pv.isValidLong, s"pageTrend: variance carrier $pv " +
-        "overflows Long")
-      val z: java.lang.Double =
-        if (pv == 0) null
-        else BigDecimal(
-          (l2.toDouble - e2.toDouble) / math.sqrt(pv.toDouble / 36.0))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      Seq((n, k, nDropped, l2.toLong, z))
+      col(valueCol).cast("long").as("v"))
+    val wT = Window.partitionBy(col("t"))
+    val wRank = Window.partitionBy(col("t")).orderBy(col("v"))
+    val wTie = Window.partitionBy(col("t"), col("v"))
+    val wFirst = Window.partitionBy(col("t"))
+      .orderBy(col("sys"), col("v"))
+    val grouped = src
+      .withColumn("cnt", count(lit(1)).over(wT))
+      .withColumn("ds",
+        size(collect_set(col("sys")).over(wT)).cast("long"))
+      .withColumn("m2", rank().over(wRank).cast("long") * 2 +
+        count(lit(1)).over(wTie) - 1)
+      .withColumn("first", row_number().over(wFirst) === 1)
+      .groupBy(col("sys"), col("cnt"), col("ds"))
+      .agg(sum(col("m2").cast("decimal(38,0)")).as("r2s"),
+        sum(when(col("first"), 1L).otherwise(0L)).as("ntasks"))
+      .collect()
+    def nullL: java.lang.Long = null
+    def nullD: java.lang.Double = null
+    if (grouped.isEmpty)
+      return Seq((nullL, 0L, nullL, nullL, nullD))
         .toDF("n_tasks", "k_systems", "n_dropped_tasks", "l2_stat",
           "z_6")
-    } finally { src.unpersist(); () }
+    val k = grouped.map(_.getString(0)).distinct.length.toLong
+    val totalTasks = grouped.map(_.getLong(4)).sum
+    val keptGroups = grouped
+      .filter(r => r.getLong(1) == k && r.getLong(2) == k)
+    val n = keptGroups.map(_.getLong(4)).sum
+    val nDropped = totalTasks - n
+    if (n == 0)
+      return Seq((0L, k, nDropped, nullL, nullD))
+        .toDF("n_tasks", "k_systems", "n_dropped_tasks", "l2_stat",
+          "z_6")
+    // 2L = Σ j·(2R_j) over the lexicographic system order, exact
+    // (every kept task carries all k systems, so the kept groups are
+    // exactly one per system)
+    val l2 = keptGroups
+      .map(r => r.getString(0) -> BigInt(r.getDecimal(3).toBigInteger))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, r2s), i) => BigInt(i + 1) * r2s }.sum
+    require(l2.isValidLong, s"pageTrend: 2L = $l2 overflows Long")
+    // E[2L] = n·k(k+1)²/2 — k(k+1) is even, so the half is an exact
+    // integer; Var[2L] = n·k²(k+1)²(k−1)/36 as ONE double division
+    // of an exact integer (36 does not divide it in general — the
+    // oracle mirrors the same single IEEE division)
+    val e2 = BigInt(n) * k * (k + 1) * (k + 1) / 2
+    val pv = BigInt(n) * k * k * (k + 1) * (k + 1) * (k - 1)
+    require(pv.isValidLong, s"pageTrend: variance carrier $pv " +
+      "overflows Long")
+    val z: java.lang.Double =
+      if (pv == 0) null
+      else BigDecimal(
+        (l2.toDouble - e2.toDouble) / math.sqrt(pv.toDouble / 36.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((java.lang.Long.valueOf(n), k, java.lang.Long.valueOf(nDropped),
+        java.lang.Long.valueOf(l2.toLong), z))
+      .toDF("n_tasks", "k_systems", "n_dropped_tasks", "l2_stat",
+        "z_6")
+  }
+
+  /** C119: G-test of independence (likelihood-ratio chi² — Woolf
+    * 1957; Sokal & Rohlf 1981 §17.4) — the LR companion of C56's
+    * Pearson chi²: G = 2·Σ O·ln(O/E) over the r×c table with
+    * E = R·C/N. G is ADDITIVE across partitions of a table (Pearson
+    * is not), which is why hierarchical log-linear analyses pool it.
+    *
+    * Exactness: O, R, C, N are exact longs from one keyed agg (the
+    * margin tables are category-cardinality, derived FROM the cell
+    * table and broadcast back); each cell term is
+    * O · ln((O·N)/(R·C)) — exact decimal products, two
+    * correctly-rounded casts, ONE IEEE division, one transcendental —
+    * folded in (row, col) key order with a 0.0 prepend; ×2 and 6dp
+    * terminal (the ln-sum rule). Cells with O = 0 never materialize
+    * (lim x·ln x = 0 — the standard convention). dof = (r−1)(c−1).
+    *
+    * @return one row: (n, n_rows, n_cols, dof, g_6).
+    */
+  def gTest(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = df.select(col(rowCol).cast("string").as("r"),
+        col(colCol).cast("string").as("c"))
+      .filter(col("r").isNotNull && col("c").isNotNull)
+    val cells = d.groupBy(col("r"), col("c"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("r")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("c")).agg(sum(col("o")).as("ct"))
+    val folded = cells
+      .join(broadcast(rt), Seq("r")).join(broadcast(ct), Seq("c"))
+      .agg(array_sort(collect_list(struct(col("r"), col("c"), col("o"),
+        col("rt"), col("ct")))).as("arr"),
+        sum(col("o")).as("n"),
+        countDistinct(col("r")).as("rr"),
+        countDistinct(col("c")).as("cc"))
+    val gFold = aggregate(transform(col("arr"), x =>
+      x("o").cast("double") *
+        log((x("o").cast(dec) * col("n")).cast("double") /
+          (x("rt").cast(dec) * x("ct")).cast("double"))),
+      lit(0.0), (acc, t) => acc + t)
+    folded.select(col("n"), col("rr").as("n_rows"),
+      col("cc").as("n_cols"),
+      ((col("rr") - 1) * (col("cc") - 1)).as("dof"),
+      when(col("rr") >= 2 && col("cc") >= 2,
+        round(gFold * 2, 6)).as("g_6"))
+  }
+
+  /** C120: Levene's variance-homogeneity test, MEAN-centered (Levene
+    * 1960) — the classical form beside C107's median-centered
+    * Brown–Forsythe: z_ij = |x_ij − x̄_i|, then one-way ANOVA on z.
+    * More powerful under near-normality, less robust to heavy tails —
+    * carrying both lets the spread-equality question be answered at
+    * either robustness rung.
+    *
+    * Exactness: the group mean is rational, so deviations are scaled
+    * by n_i — u_ij = |n_i·x_ij − S_i| is an EXACT decimal(38,0)
+    * (= n_i·z_ij); per-group carriers A_i = Σu, B_i = Σu² stay exact.
+    * Every IEEE value derives from exact carriers in a fixed tree:
+    * SSW_i = B_i/n_i² − A_i²/n_i³ (A_i cast once, squared in double —
+    * A_i² can exceed 38 digits), z̄ = (Σ A_i/n_i)/N, SSB = Σ n_i·
+    * (A_i/n_i² − z̄)², all group-key-ordered 0.0-prepend folds;
+    * W = ((N−k)·SSB)/((k−1)·SSW), 6dp. Null when k < 2, N ≤ k or
+    * SSW ≤ 0.
+    *
+    * Plan: one keyed agg → k-row broadcast join → one keyed agg →
+    * k-cardinality folds. No window, no driver job.
+    *
+    * @return one row: (n, k_groups, w_6).
+    */
+  def levene(df: DataFrame, groupCol: String,
+             valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val means = d.groupBy(col("g")).agg(count(lit(1)).as("ng"),
+      sum(col("v").cast(dec)).as("sg"))
+    val u = d.join(broadcast(means), Seq("g"))
+      .select(col("g"),
+        abs(col("ng").cast(dec) * col("v") - col("sg")).cast(dec)
+          .as("u"), col("ng"))
+    val grp = u.groupBy(col("g")).agg(min(col("ng")).as("ng"),
+      sum(col("u")).as("a"), sum(col("u") * col("u")).as("b"))
+    val folded = grp.agg(
+      array_sort(collect_list(struct(col("g"), col("ng"), col("a"),
+        col("b")))).as("arr"),
+      sum(col("ng")).as("nn"), count(lit(1)).as("k"))
+    def nD(x: Column) = x("ng").cast("double")
+    def aD(x: Column) = x("a").cast("double")
+    val sswFold = aggregate(transform(col("arr"), x =>
+      x("b").cast("double") / (nD(x) * nD(x)) -
+        aD(x) * aD(x) / (nD(x) * nD(x) * nD(x))),
+      lit(0.0), (acc, t) => acc + t)
+    val zsumFold = aggregate(transform(col("arr"), x =>
+      aD(x) / nD(x)), lit(0.0), (acc, t) => acc + t)
+    val staged = folded
+      .withColumn("ssw", sswFold)
+      .withColumn("zbar", zsumFold / col("nn").cast("double"))
+    val ssbFold = aggregate(transform(col("arr"), x =>
+      nD(x) * (aD(x) / (nD(x) * nD(x)) - col("zbar")) *
+        (aD(x) / (nD(x) * nD(x)) - col("zbar"))),
+      lit(0.0), (acc, t) => acc + t)
+    staged.withColumn("ssb", ssbFold)
+      .select(col("nn").as("n"), col("k").as("k_groups"),
+        when(col("k") >= 2 && col("nn") > col("k") && col("ssw") > 0,
+          round(((col("nn") - col("k")).cast("double") * col("ssb")) /
+            ((col("k") - 1).cast("double") * col("ssw")), 6))
+          .as("w_6"))
+  }
+
+  /** C121: Bartlett's variance-homogeneity test (Bartlett 1937) —
+    * the PARAMETRIC apex of the spread-equality trio (C107
+    * Brown–Forsythe median-robust → C120 Levene mean-centered →
+    * this): most powerful under normality, notoriously sensitive
+    * away from it — carried for the case where the normality box is
+    * already ticked.
+    *
+    * {{{
+    *   T = (N−k)·ln s_p² − Σ (n_i−1)·ln s_i²
+    *   C = 1 + (Σ 1/(n_i−1) − 1/(N−k)) / (3(k−1));  χ² = T / C
+    * }}}
+    *
+    * Exactness: per-group (n_i, S_i, Q_i) exact; s_i² =
+    * (n_i·Q_i − S_i²)/(n_i(n_i−1)) is one IEEE division of an exact
+    * decimal; s_p² and every Σ fold in group-key order with a 0.0
+    * prepend; lns enter once per group (6dp terminal — the ln-sum
+    * rule). Groups with n_i < 2 DROP (no variance); null χ² when
+    * k < 2 or any s_i² ≤ 0.
+    *
+    * @return one row: (n, k_groups, chi2_6).
+    */
+  def bartlett(df: DataFrame, groupCol: String,
+               valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val grp = d.groupBy(col("g")).agg(count(lit(1)).as("ng"),
+        sum(col("v").cast(dec)).as("s"),
+        sum(col("v").cast(dec) * col("v")).as("q"))
+      .filter(col("ng") >= 2)
+    val folded = grp.agg(
+      array_sort(collect_list(struct(col("g"), col("ng"), col("s"),
+        col("q")))).as("arr"),
+      sum(col("ng")).as("nn"), count(lit(1)).as("k"))
+    def nD(x: Column) = x("ng").cast("double")
+    def s2(x: Column) =
+      (x("ng").cast(dec) * x("q") - x("s") * x("s")).cast("double") /
+        (nD(x) * (nD(x) - 1.0))
+    val pooledFold = aggregate(transform(col("arr"), x =>
+      (nD(x) - 1.0) * s2(x)), lit(0.0), (acc, t) => acc + t)
+    val lnFold = aggregate(transform(col("arr"), x =>
+      (nD(x) - 1.0) * log(s2(x))), lit(0.0), (acc, t) => acc + t)
+    val invFold = aggregate(transform(col("arr"), x =>
+      lit(1.0) / (nD(x) - 1.0)), lit(0.0), (acc, t) => acc + t)
+    val s2min = aggregate(transform(col("arr"), x => s2(x)),
+      lit(Double.MaxValue), (acc, t) => least(acc, t))
+    val nkD = (col("nn") - col("k")).cast("double")
+    val t = nkD * log(col("pooled") / nkD) - col("lnsum")
+    val c = lit(1.0) + (col("invsum") - lit(1.0) / nkD) /
+      (lit(3.0) * (col("k") - 1).cast("double"))
+    folded
+      .withColumn("pooled", pooledFold)
+      .withColumn("lnsum", lnFold)
+      .withColumn("invsum", invFold)
+      .withColumn("s2min", s2min)
+      .select(col("nn").as("n"), col("k").as("k_groups"),
+        when(col("k") >= 2 && col("s2min") > 0,
+          round(t / c, 6)).as("chi2_6"))
+  }
+
+  /** C123: Grubbs' maximum-deviation outlier test (Grubbs 1950;
+    * Grubbs & Beck 1972) — "is the single most extreme value an
+    * outlier": G = max|x − x̄| / s, with the suspect value surfaced.
+    * The one-at-a-time companion of C89's Tukey fences (which flag a
+    * SET) and C37's MAD screen (robust center): Grubbs is the
+    * classical normal-theory form referees ask for.
+    *
+    * Exactness: deviations scaled by n — u = |n·x − S| exact
+    * decimal; the suspect is max(struct(u, x)) (largest value among
+    * maximal-deviation ties — deterministic, and what the oracle's
+    * max-filter computes); G = (max u / n) / √((n·Q − S²)/(n(n−1)))
+    * in one fixed IEEE tree of exact carriers, 6dp. Null when n < 3
+    * or zero variance.
+    *
+    * Plan: one 1-row agg broadcast back into a second agg — two
+    * scans, no window, no driver job.
+    *
+    * @return one row: (n, suspect, g_6).
+    */
+  def grubbs(df: DataFrame, valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val tot = d.agg(count(lit(1)).cast(dec).as("n0"),
+      sum(col("v").cast(dec)).as("s0"))
+    val u = d.crossJoin(broadcast(tot))
+      .select(col("v"),
+        abs(col("n0") * col("v") - col("s0")).cast(dec).as("u"))
+    val agg = u.agg(count(lit(1)).as("n"),
+      max(struct(col("u"), col("v"))).as("mx"),
+      sum(col("v").cast(dec)).as("s"),
+      sum(col("v").cast(dec) * col("v")).as("q"))
+    val nD = col("n").cast("double")
+    val varCar =
+      (col("n").cast(dec) * col("q") - col("s") * col("s"))
+        .cast("double") / (nD * (nD - 1.0))
+    agg.select(col("n"), col("mx")("v").as("suspect"),
+      when(col("n") >= 3 && varCar > 0,
+        round((col("mx")("u").cast("double") / nD) / sqrt(varCar), 6))
+        .as("g_6"))
+  }
+
+  /** C124: between-group Theil T inequality decomposition (Theil
+    * 1967; decomposability Shorrocks, Econometrica 1980) — the
+    * entropy member of the concentration family beside C95's Gini
+    * and C46's Lorenz deciles: T_between = Σ_g s_g·ln(s_g/p_g) where
+    * s_g is the group's value share and p_g its population share.
+    * Unlike Gini, Theil decomposes EXACTLY into between + within, so
+    * the between-group term is the standard "how much inequality is
+    * explained by the grouping" readout.
+    *
+    * Exactness: per-group (n_g, S_g) and totals exact; each term is
+    * (S_g/S)·ln((S_g·N)/(n_g·S)) — exact decimal products, ONE IEEE
+    * division inside the ln (the exact-ratio rule), share one more —
+    * folded in group-key order with a 0.0 prepend, 6dp. Zero-share
+    * groups contribute 0 (lim x·ln x = 0). Requires value ≥ 0
+    * semantics (shares); caller supplies non-negative integers.
+    *
+    * @return one row: (n, n_groups, total, theil_between_6).
+    */
+  def theilBetween(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val grp = d.groupBy(col("g")).agg(count(lit(1)).as("ng"),
+      sum(col("v").cast(dec)).as("sg"))
+    val folded = grp.agg(
+      array_sort(collect_list(struct(col("g"), col("ng"), col("sg"))))
+        .as("arr"),
+      sum(col("ng")).as("nn"), sum(col("sg")).as("ss"),
+      count(lit(1)).as("k"))
+    val termFold = aggregate(transform(col("arr"), x =>
+      when(x("sg") > 0,
+        (x("sg").cast("double") / col("ss").cast("double")) *
+          log((x("sg") * col("nn")).cast("double") /
+            (x("ng").cast(dec) * col("ss")).cast("double")))
+        .otherwise(lit(0.0))),
+      lit(0.0), (acc, t) => acc + t)
+    folded.select(col("nn").as("n"), col("k").as("n_groups"),
+      col("ss").cast("long").as("total"),
+      when(col("ss") > 0, round(termFold, 6)).as("theil_between_6"))
   }
 }

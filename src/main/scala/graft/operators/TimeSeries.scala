@@ -175,6 +175,13 @@ object TimeSeries {
     * demand rows only, with (1−α) computed as 1 − CAST(α) at runtime
     * (the holt literal-folding rule). Keys with zero demand emit no
     * row (nothing to forecast). Forecast = z/p, one IEEE division.
+    *
+    * Null handling mirrors the oracle exactly: a null demand value is
+    * NOT a demand (the oracle's `v <> 0` skips it) but its period
+    * still counts toward the interval — so v is coalesced to 0, never
+    * filtered; rows with a null key/ts/tie carry no usable sequence
+    * position and are dropped (they'd be absent from the oracle's
+    * final equi-join on k anyway).
     */
   def crostonPerKey(spark: SparkSession, df: DataFrame, keyCol: String,
                     tsCol: String, tieCol: String, valueCol: String,
@@ -185,7 +192,9 @@ object TimeSeries {
       .select(col(keyCol).cast("long").as("k"),
         unix_micros(col(tsCol)).as("t"),
         col(tieCol).cast("long").as("tie"),
-        col(valueCol).cast("double").as("v"))
+        coalesce(col(valueCol).cast("double"), lit(0.0)).as("v"))
+      .filter(col("k").isNotNull && col("t").isNotNull &&
+        col("tie").isNotNull)
       .repartition(col("k"))
       .sortWithinPartitions(col("k"), col("t"), col("tie"))
       .as[(Long, Long, Long, Double)]
