@@ -8093,6 +8093,454 @@ object OracleSql {
          |JOIN cnt ca ON ca.src = source_a
          |JOIN cnt cb ON cb.src = source_b""".stripMargin,
 
+    "q_g_test" ->
+      // Stats.gTest mirror: exact cells/margins, per-cell term
+      // O·ln((O·N)/(R·C)) — one IEEE division of exact integer
+      // products, one ln — folded in (row, col) cell order, ×2, 6dp
+      """WITH c AS (SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+        |    CAST(o_orderpriority AS VARCHAR) AS b FROM orders
+        |  WHERE o_orderstatus IS NOT NULL
+        |    AND o_orderpriority IS NOT NULL),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+        |  FROM c GROUP BY 1, 2),
+        |r AS (SELECT a, CAST(sum(o) AS BIGINT) AS rr FROM cells
+        |  GROUP BY 1),
+        |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cc FROM cells
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS ra,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS cb FROM cells),
+        |terms AS (SELECT cells.a, cells.b,
+        |    CAST(cells.o AS DOUBLE)
+        |      * ln(CAST(CAST(cells.o AS HUGEINT) * t.n AS DOUBLE)
+        |          / CAST(CAST(r.rr AS HUGEINT) * ct.cc AS DOUBLE)) AS g
+        |  FROM cells JOIN r USING (a) JOIN ct USING (b) CROSS JOIN t)
+        |SELECT t.n, t.ra AS n_rows, t.cb AS n_cols,
+        |  (t.ra - 1) * (t.cb - 1) AS dof,
+        |  CASE WHEN t.ra >= 2 AND t.cb >= 2 THEN
+        |    round((SELECT list_reduce(list(g ORDER BY a, b),
+        |      (x, y) -> x + y) FROM terms) * 2, 6) END AS g_6
+        |FROM t""".stripMargin,
+
+    "q_levene" ->
+      // Stats.levene mirror: n-scaled deviations u = |n·x − S| exact
+      // HUGEINT (≡ decimal(38,0)); SSW/z̄/SSB folded in group order
+      // with the IDENTICAL per-term IEEE trees; W one division, 6dp
+      """WITH d AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(v) AS HUGEINT) AS sg FROM d GROUP BY 1),
+        |u AS (SELECT d.g, abs(CAST(m.ng AS HUGEINT) * d.v - m.sg)
+        |    AS u, m.ng FROM d JOIN m USING (g)),
+        |grp AS (SELECT g, CAST(min(ng) AS BIGINT) AS ng,
+        |    CAST(sum(u) AS HUGEINT) AS a,
+        |    CAST(sum(u * u) AS HUGEINT) AS b FROM u GROUP BY 1),
+        |f AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    list_reduce(list(
+        |      CAST(b AS DOUBLE)
+        |        / (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE))
+        |      - CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+        |        / (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE)
+        |          * CAST(ng AS DOUBLE)) ORDER BY g),
+        |      (x, y) -> x + y) AS ssw,
+        |    list_reduce(list(CAST(a AS DOUBLE) / CAST(ng AS DOUBLE)
+        |      ORDER BY g), (x, y) -> x + y) AS zsum
+        |  FROM grp),
+        |f2 AS (SELECT *, zsum / CAST(nn AS DOUBLE) AS zbar FROM f),
+        |s2 AS (SELECT grp.g, CAST(grp.ng AS DOUBLE)
+        |    * (CAST(grp.a AS DOUBLE) / (CAST(grp.ng AS DOUBLE)
+        |        * CAST(grp.ng AS DOUBLE)) - f2.zbar)
+        |    * (CAST(grp.a AS DOUBLE) / (CAST(grp.ng AS DOUBLE)
+        |        * CAST(grp.ng AS DOUBLE)) - f2.zbar) AS t
+        |  FROM grp CROSS JOIN f2),
+        |f3 AS (SELECT list_reduce(list(t ORDER BY g),
+        |    (x, y) -> x + y) AS ssb FROM s2)
+        |SELECT f2.nn AS n, f2.k AS k_groups,
+        |  CASE WHEN f2.k >= 2 AND f2.nn > f2.k AND f2.ssw > 0 THEN
+        |    round((CAST(f2.nn - f2.k AS DOUBLE) * f3.ssb)
+        |      / (CAST(f2.k - 1 AS DOUBLE) * f2.ssw), 6) END AS w_6
+        |FROM f2 CROSS JOIN f3""".stripMargin,
+
+    "q_bartlett" ->
+      // Stats.bartlett mirror: per-group s² = (n·Q − S²)/(n(n−1)) one
+      // IEEE division of exact carriers; pooled/ln/1-over folds in
+      // group order; χ² = T/C 6dp; n<2 groups drop; s²≤0 → null
+      """WITH d AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(v) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+        |  FROM d GROUP BY 1 HAVING count(*) >= 2),
+        |e AS (SELECT g, ng,
+        |    CAST(CAST(ng AS HUGEINT) * q - s * s AS DOUBLE)
+        |      / (CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1.0))
+        |      AS s2 FROM grp),
+        |f AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    list_reduce(list((CAST(ng AS DOUBLE) - 1.0) * s2
+        |      ORDER BY g), (x, y) -> x + y) AS pooled,
+        |    list_reduce(list((CAST(ng AS DOUBLE) - 1.0) * ln(s2)
+        |      ORDER BY g), (x, y) -> x + y) AS lnsum,
+        |    list_reduce(list(1.0 / (CAST(ng AS DOUBLE) - 1.0)
+        |      ORDER BY g), (x, y) -> x + y) AS invsum,
+        |    min(s2) AS s2min
+        |  FROM e)
+        |SELECT nn AS n, k AS k_groups,
+        |  CASE WHEN k >= 2 AND s2min > 0 THEN
+        |    round((CAST(nn - k AS DOUBLE)
+        |        * ln(pooled / CAST(nn - k AS DOUBLE)) - lnsum)
+        |      / (1.0 + (invsum - 1.0 / CAST(nn - k AS DOUBLE))
+        |        / (3.0 * CAST(k - 1 AS DOUBLE))), 6) END AS chi2_6
+        |FROM f""".stripMargin,
+
+    "q_ansari" ->
+      // Stats.ansariBradley mirror: value-cardinality 2× midranks,
+      // scores a2 = min(R2, 2(N+1)−R2); W2/S2/Q2 exact; z via the
+      // two-sample linear-rank moments in the identical IEEE tree, 6dp
+      """WITH d AS (SELECT (event_type = 'purchase') AS isa,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |    AND value IS NOT NULL),
+        |g AS (SELECT v,
+        |    CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+        |    CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS tb
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT coalesce(CAST(sum(ta + tb) AS BIGINT), 0)
+        |  AS nn FROM g),
+        |r AS (SELECT ta, tb,
+        |    2 * sum(ta + tb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - (ta + tb) + 1 AS r2, nn
+        |  FROM g CROSS JOIN tot),
+        |a AS (SELECT ta, tb,
+        |    least(r2, (nn + 1) * 2 - r2) AS a2 FROM r),
+        |f AS (SELECT coalesce(CAST(sum(ta) AS BIGINT), 0) AS n_a,
+        |    coalesce(CAST(sum(tb) AS BIGINT), 0) AS n_b,
+        |    coalesce(CAST(sum(ta * a2) AS HUGEINT), 0) AS w2,
+        |    coalesce(CAST(sum((ta + tb) * a2) AS HUGEINT), 0) AS s2,
+        |    coalesce(CAST(sum(CAST(ta + tb AS HUGEINT) * a2 * a2)
+        |      AS HUGEINT), 0) AS q2
+        |  FROM a)
+        |SELECT n_a, n_b, CAST(w2 AS BIGINT) AS w2_stat,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |      AND CAST(CAST(n_a AS HUGEINT) * n_b
+        |          * (CAST(n_a + n_b AS HUGEINT) * q2 - s2 * s2)
+        |          AS DOUBLE)
+        |        / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+        |          * (CAST(n_a + n_b AS DOUBLE) - 1.0)) > 0 THEN
+        |    round(CAST(CAST(n_a + n_b AS HUGEINT) * w2
+        |        - CAST(n_a AS HUGEINT) * s2 AS DOUBLE)
+        |      / CAST(n_a + n_b AS DOUBLE)
+        |      / sqrt(CAST(CAST(n_a AS HUGEINT) * n_b
+        |          * (CAST(n_a + n_b AS HUGEINT) * q2 - s2 * s2)
+        |          AS DOUBLE)
+        |        / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+        |          * (CAST(n_a + n_b AS DOUBLE) - 1.0))), 6)
+        |  END AS z_6
+        |FROM f""".stripMargin,
+
+    "q_durbin_watson" ->
+      // TimeSeries.durbinWatson mirror: with x = t the residual sums
+      // collapse onto exact carriers; slope RAW (exact-int ratio),
+      // DW = (ΣΔy² − 2bΣΔy + (n−1)b²)·n / (syy − b·sxy) 6dp
+      """WITH daily AS (SELECT CAST(event_type AS VARCHAR) AS k,
+        |    CAST(ts AS DATE) AS o,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT * FROM daily WHERE k IS NOT NULL
+        |  AND o IS NOT NULL AND v IS NOT NULL),
+        |rw AS (SELECT k, v,
+        |    CAST(row_number() OVER w AS BIGINT) AS t,
+        |    v - lag(v) OVER w AS dlt
+        |  FROM d WINDOW w AS (PARTITION BY k ORDER BY o)),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q,
+        |    CAST(sum(t) AS HUGEINT) AS st,
+        |    CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt,
+        |    CAST(sum(CAST(t AS HUGEINT) * v) AS HUGEINT) AS stv,
+        |    coalesce(CAST(sum(dlt) AS HUGEINT), 0) AS d1,
+        |    coalesce(CAST(sum(CAST(dlt AS HUGEINT) * dlt) AS HUGEINT),
+        |      0) AS d2
+        |  FROM rw GROUP BY 1),
+        |e AS (SELECT k, n,
+        |    CAST(CAST(n AS HUGEINT) * stt - st * st AS DOUBLE) AS sxx,
+        |    CAST(CAST(n AS HUGEINT) * stv - st * s AS DOUBLE) AS sxy,
+        |    CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) AS syy,
+        |    CAST(d1 AS DOUBLE) AS d1, CAST(d2 AS DOUBLE) AS d2
+        |  FROM g),
+        |e2 AS (SELECT k, n, sxx,
+        |    CASE WHEN sxx > 0 THEN sxy / sxx END AS b,
+        |    CASE WHEN sxx > 0 THEN syy - sxy / sxx * sxy END AS nsse,
+        |    d1, d2 FROM e)
+        |SELECT k AS event_type, n AS n_points,
+        |  b AS slope,
+        |  CASE WHEN n >= 3 AND sxx > 0 AND nsse > 0 THEN
+        |    round((d2 - 2.0 * b * d1
+        |        + (CAST(n AS DOUBLE) - 1.0) * b * b)
+        |      * CAST(n AS DOUBLE) / nsse, 6) END AS dw_6
+        |FROM e2""".stripMargin,
+
+    "q_grubbs" ->
+      // Stats.grubbs mirror: n-scaled deviations exact; suspect =
+      // max value among maximal-deviation ties (≡ Spark's
+      // max(struct(u, v))); G one fixed IEEE tree, 6dp
+      """WITH d AS (SELECT
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+        |  FROM customer WHERE c_acctbal IS NOT NULL),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS n0,
+        |    CAST(sum(v) AS HUGEINT) AS s0 FROM d),
+        |u AS (SELECT v, abs(n0 * v - s0) AS u FROM d, t),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, max(u) AS md,
+        |    CAST(sum(v) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q FROM u),
+        |sus AS (SELECT max(u.v) AS suspect FROM u, a WHERE u.u = a.md)
+        |SELECT a.n, sus.suspect,
+        |  CASE WHEN a.n >= 3
+        |      AND CAST(CAST(a.n AS HUGEINT) * a.q - a.s * a.s
+        |          AS DOUBLE)
+        |        / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0))
+        |        > 0 THEN
+        |    round((CAST(a.md AS DOUBLE) / CAST(a.n AS DOUBLE))
+        |      / sqrt(CAST(CAST(a.n AS HUGEINT) * a.q - a.s * a.s
+        |          AS DOUBLE)
+        |        / (CAST(a.n AS DOUBLE)
+        |          * (CAST(a.n AS DOUBLE) - 1.0))), 6)
+        |  END AS g_6
+        |FROM a CROSS JOIN sus""".stripMargin,
+
+    "q_theil_index" ->
+      // Stats.theilBetween mirror: per-group term (S_g/S)·
+      // ln((S_g·N)/(n_g·S)) — exact products, one IEEE division per
+      // factor — folded in group order, 6dp; zero-share groups add 0
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT n.n_name AS g, rev.cents AS v
+        |  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_name IS NOT NULL AND rev.cents IS NOT NULL),
+        |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(v) AS HUGEINT) AS sg FROM d GROUP BY 1),
+        |f AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
+        |    CAST(sum(sg) AS HUGEINT) AS ss,
+        |    CAST(count(*) AS BIGINT) AS k FROM grp),
+        |terms AS (SELECT grp.g,
+        |    CASE WHEN grp.sg > 0 THEN
+        |      (CAST(grp.sg AS DOUBLE) / CAST(f.ss AS DOUBLE))
+        |        * ln(CAST(grp.sg * f.nn AS DOUBLE)
+        |            / CAST(CAST(grp.ng AS HUGEINT) * f.ss AS DOUBLE))
+        |    ELSE 0.0 END AS t
+        |  FROM grp CROSS JOIN f)
+        |SELECT f.nn AS n, f.k AS n_groups, CAST(f.ss AS BIGINT)
+        |    AS total,
+        |  CASE WHEN f.ss > 0 THEN
+        |    round((SELECT list_reduce(list(t ORDER BY g),
+        |      (x, y) -> x + y) FROM terms), 6) END AS theil_between_6
+        |FROM f""".stripMargin,
+
+    "q_theta" ->
+      // TimeSeries.thetaPerKey mirror: SES recurrence + the (1−α)ⁿ
+      // factor replayed step-by-step via recursive CTE (identical
+      // IEEE sequence; pow() never used), slope from exact moments,
+      // forecast = l + (b/2)·(1−w)/α in the identical tree
+      """WITH RECURSIVE seq AS (SELECT user_id AS k,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |c AS (
+        |  SELECT k, rn, CAST(v AS DOUBLE) AS l,
+        |    CAST(1 AS DOUBLE) - CAST(0.4 AS DOUBLE) AS w
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, d.rn,
+        |    CAST(d.v AS DOUBLE) * CAST(0.4 AS DOUBLE)
+        |      + s.l * (CAST(1 AS DOUBLE) - CAST(0.4 AS DOUBLE)) AS l,
+        |    s.w * (CAST(1 AS DOUBLE) - CAST(0.4 AS DOUBLE)) AS w
+        |  FROM c s JOIN seq d ON d.k = s.k AND d.rn = s.rn + 1),
+        |fin AS (SELECT k, CAST(max(rn) AS BIGINT) AS n FROM c
+        |  GROUP BY 1),
+        |ses AS (SELECT c.k, fin.n, c.l, c.w FROM c
+        |  JOIN fin ON c.k = fin.k AND c.rn = fin.n),
+        |mom AS (SELECT k, CAST(count(*) AS BIGINT) AS nm,
+        |    CAST(sum(v) AS HUGEINT) AS s,
+        |    CAST(sum(rn) AS HUGEINT) AS st,
+        |    CAST(sum(CAST(rn AS HUGEINT) * rn) AS HUGEINT) AS stt,
+        |    CAST(sum(CAST(rn AS HUGEINT) * v) AS HUGEINT) AS stv
+        |  FROM seq GROUP BY 1),
+        |j AS (SELECT ses.k, ses.n, ses.l, ses.w,
+        |    CAST(CAST(mom.nm AS HUGEINT) * mom.stt - mom.st * mom.st
+        |      AS DOUBLE) AS sxx,
+        |    CAST(CAST(mom.nm AS HUGEINT) * mom.stv - mom.st * mom.s
+        |      AS DOUBLE) AS sxy
+        |  FROM ses JOIN mom ON ses.k = mom.k)
+        |SELECT k AS user_id, n AS n_points, round(l, 6) AS level_6,
+        |  CASE WHEN sxx > 0 THEN sxy / sxx END AS slope,
+        |  round(CASE WHEN sxx > 0 THEN
+        |      l + (sxy / sxx / 2.0)
+        |        * (CAST(1 AS DOUBLE) - w) / CAST(0.4 AS DOUBLE)
+        |    ELSE l END, 6) AS forecast_6
+        |FROM j""".stripMargin,
+
+    "q_ljung_box" ->
+      // TimeSeries.ljungBox mirror: the q_acf exact-moment machinery
+      // at lags 1..7, r_k one IEEE division each, Q folds the lag
+      // terms left-associated in lag order, 6dp
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS HUGEINT) AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS s FROM d),
+        |v AS (SELECT day, n * x - s AS dev FROM d, t),
+        |w AS (SELECT dev,
+        |    lead(dev, 1) OVER wd AS d1, lead(dev, 2) OVER wd AS d2,
+        |    lead(dev, 3) OVER wd AS d3, lead(dev, 4) OVER wd AS d4,
+        |    lead(dev, 5) OVER wd AS d5, lead(dev, 6) OVER wd AS d6,
+        |    lead(dev, 7) OVER wd AS d7
+        |  FROM v WINDOW wd AS (ORDER BY day)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    sum(dev * dev) AS den,
+        |    sum(dev * d1) AS n1, sum(dev * d2) AS n2,
+        |    sum(dev * d3) AS n3, sum(dev * d4) AS n4,
+        |    sum(dev * d5) AS n5, sum(dev * d6) AS n6,
+        |    sum(dev * d7) AS n7
+        |  FROM w)
+        |SELECT nd AS n, CAST(7 AS BIGINT) AS max_lag,
+        |  CASE WHEN den <> 0 AND nd > 7 THEN
+        |    round(CAST(nd AS DOUBLE) * (CAST(nd AS DOUBLE) + 2.0) * (
+        |      (CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        / (CAST(nd AS DOUBLE) - 1.0)
+        |      + (CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        / (CAST(nd AS DOUBLE) - 2.0)
+        |      + (CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        / (CAST(nd AS DOUBLE) - 3.0)
+        |      + (CAST(n4 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(n4 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        / (CAST(nd AS DOUBLE) - 4.0)
+        |      + (CAST(n5 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(n5 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        / (CAST(nd AS DOUBLE) - 5.0)
+        |      + (CAST(n6 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(n6 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        / (CAST(nd AS DOUBLE) - 6.0)
+        |      + (CAST(n7 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        * (CAST(n7 AS DOUBLE) / CAST(den AS DOUBLE))
+        |        / (CAST(nd AS DOUBLE) - 7.0)), 6) END AS q_6
+        |FROM m""".stripMargin,
+
+    "q_self_bleu" -> {
+      val norm = normOf("text")
+      // Corpus.selfBleu2 mirror: per-(n, gram) max / attainer-count /
+      // runner-up windows give the multi-reference clip without
+      // doc×doc pairs; BP from the closest-other length on the
+      // length spine (ties → lag = shorter); p RAW exact ratios
+      s"""WITH tok AS (SELECT doc_id AS did,
+         |    list_filter(string_split($norm, ' '), t -> len(t) > 0)
+         |      AS tk FROM documents),
+         |g1 AS (SELECT did, 1 AS n, unnest(tk) AS g FROM tok),
+         |g2 AS (SELECT did, 2 AS n, unnest(list_transform(
+         |    generate_series(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i + 1])) AS g FROM tok),
+         |dg AS (SELECT did, n, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2) uu
+         |  GROUP BY 1, 2, 3),
+         |s1 AS (SELECT did, n, g, c,
+         |    max(c) OVER (PARTITION BY n, g) AS m1g FROM dg),
+         |s2 AS (SELECT *,
+         |    CAST(sum(CASE WHEN c = m1g THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY n, g) AS BIGINT) AS cnt1,
+         |    max(CASE WHEN c < m1g THEN c END)
+         |      OVER (PARTITION BY n, g) AS m2g FROM s1),
+         |cl AS (SELECT did, n, c,
+         |    least(c, CASE WHEN c = m1g AND cnt1 = 1
+         |      THEN coalesce(m2g, 0) ELSE m1g END) AS clip FROM s2),
+         |per AS (SELECT did,
+         |    CAST(sum(CASE WHEN n = 1 THEN clip ELSE 0 END) AS BIGINT)
+         |      AS m1,
+         |    CAST(sum(CASE WHEN n = 1 THEN c ELSE 0 END) AS BIGINT)
+         |      AS t1,
+         |    CAST(sum(CASE WHEN n = 2 THEN clip ELSE 0 END) AS BIGINT)
+         |      AS m2,
+         |    CAST(sum(CASE WHEN n = 2 THEN c ELSE 0 END) AS BIGINT)
+         |      AS t2
+         |  FROM cl GROUP BY 1),
+         |base AS (SELECT tok.did, CAST(len(tok.tk) AS BIGINT) AS len,
+         |    coalesce(per.m1, 0) AS m1, coalesce(per.t1, 0) AS t1,
+         |    coalesce(per.m2, 0) AS m2, coalesce(per.t2, 0) AS t2
+         |  FROM tok LEFT JOIN per ON tok.did = per.did),
+         |spine AS (SELECT len, CAST(count(*) AS BIGINT) AS docs
+         |  FROM base GROUP BY 1),
+         |rof AS (SELECT len, CASE
+         |    WHEN docs >= 2 THEN len
+         |    WHEN lag(len) OVER wl IS NULL
+         |      AND lead(len) OVER wl IS NULL THEN NULL
+         |    WHEN lag(len) OVER wl IS NULL THEN lead(len) OVER wl
+         |    WHEN lead(len) OVER wl IS NULL THEN lag(len) OVER wl
+         |    WHEN len - lag(len) OVER wl <= lead(len) OVER wl - len
+         |      THEN lag(len) OVER wl
+         |    ELSE lead(len) OVER wl END AS r
+         |  FROM spine WINDOW wl AS (ORDER BY len)),
+         |j AS (SELECT base.*, rof.r,
+         |    (base.t1 > 0 AND base.t2 > 0 AND rof.r IS NOT NULL)
+         |      AS ok,
+         |    CASE WHEN base.t1 >= rof.r THEN 1.0
+         |      ELSE exp(1.0 - CAST(rof.r AS DOUBLE)
+         |        / CAST(base.t1 AS DOUBLE)) END AS bp
+         |  FROM base JOIN rof USING (len))
+         |SELECT did AS doc_id, t1 AS c_len, r AS r_len, m1, t1, m2,
+         |  t2,
+         |  CASE WHEN ok THEN CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+         |    END AS p1,
+         |  CASE WHEN ok THEN CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+         |    END AS p2,
+         |  CASE WHEN ok THEN round(bp, 6) END AS bp_6,
+         |  CASE WHEN ok THEN round(bp
+         |    * sqrt((CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+         |      * (CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE))), 6)
+         |    END AS self_bleu_6
+         |FROM j""".stripMargin
+    },
+
+    "q_cond_entropy" -> {
+      val norm = normOf("text")
+      // Corpus.charConditionalEntropy mirror: canonical-text char
+      // bigram counts, prefix counts via one keyed window, per-doc
+      // fold of c·ln(c_a/c) in bigram order, H = fold/T 6dp
+      s"""WITH canon AS (SELECT doc_id AS did, $norm AS txt
+         |  FROM documents),
+         |grams AS (SELECT did, substr(txt, CAST(u.i AS INTEGER), 2)
+         |    AS bg
+         |  FROM canon, unnest(generate_series(1, len(txt) - 1))
+         |    AS u(i)),
+         |counts AS (SELECT did, bg, CAST(count(*) AS BIGINT) AS c
+         |  FROM grams GROUP BY 1, 2),
+         |wp AS (SELECT did, bg, c,
+         |    CAST(sum(c) OVER (PARTITION BY did, substr(bg, 1, 1))
+         |      AS BIGINT) AS ca FROM counts),
+         |f AS (SELECT did, CAST(sum(c) AS BIGINT) AS tt,
+         |    CAST(count(*) AS BIGINT) AS db,
+         |    list_reduce(list(CAST(c AS DOUBLE)
+         |      * ln(CAST(ca AS DOUBLE) / CAST(c AS DOUBLE))
+         |      ORDER BY bg), (x, y) -> x + y) AS h
+         |  FROM wp GROUP BY 1)
+         |SELECT canon.did AS doc_id, coalesce(f.tt, 0) AS n_bigrams,
+         |  coalesce(f.db, 0) AS distinct_bigrams,
+         |  round(f.h / CAST(f.tt AS DOUBLE), 6) AS h_6
+         |FROM canon LEFT JOIN f ON canon.did = f.did""".stripMargin
+    },
+
     "q_scd3" ->
       // full-outer key merge: changed keys carry (new, old), unchanged
       // (old, null), inserts (new, null); additive-delta updates keep

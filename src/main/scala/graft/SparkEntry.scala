@@ -5015,6 +5015,140 @@ object SparkEntry {
         round($"forecast", 6).as("forecast"))
   }
 
+  /** C119: G-test of independence (likelihood-ratio chi²) over the
+    * order status × priority table — exact cells/margins, one ln of
+    * an exact ratio per cell folded in (row, col) order
+    * (operators.Stats.gTest).
+    */
+  private def qGTest(s: SparkSession, dir: String): DataFrame =
+    operators.Stats.gTest(table(s, dir, "orders"),
+      "o_orderstatus", "o_orderpriority")
+
+  /** C120: Levene mean-centered spread test across order priorities —
+    * the classical rung beside q_brown_forsythe's median form, same
+    * input so the ladder reads side by side (operators.Stats.levene).
+    */
+  private def qLevene(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+      .select($"o_orderpriority".as("g"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.levene(o, "g", "cents")
+  }
+
+  /** C121: Bartlett's normal-theory spread test, same input as
+    * q_levene / q_brown_forsythe (operators.Stats.bartlett).
+    */
+  private def qBartlett(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+      .select($"o_orderpriority".as("g"),
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    operators.Stats.bartlett(o, "g", "cents")
+  }
+
+  /** C125: Ansari–Bradley rank scale test, purchase vs view event
+    * values — the nonparametric rung of the same ladder
+    * (operators.Stats.ansariBradley).
+    */
+  private def qAnsari(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Stats.ansariBradley(
+      table(s, dir, "events").select($"event_type",
+        floor($"value" * 100 + 0.5).cast("long").as("cents")),
+      "event_type", "cents", "purchase", "view")
+  }
+
+  /** C122: Durbin–Watson residual-autocorrelation statistic per event
+    * type over the daily revenue series (the q_pettitt input) —
+    * exact-moment OLS residual sums, DW one fixed IEEE tree
+    * (operators.TimeSeries.durbinWatson).
+    */
+  private def qDurbinWatson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = table(s, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+    operators.TimeSeries.durbinWatson(daily, "event_type", "day",
+      "cents")
+  }
+
+  /** C123: Grubbs' max-deviation outlier test on customer balances —
+    * n-scaled exact deviations, deterministic suspect, G one IEEE
+    * tree (operators.Stats.grubbs).
+    */
+  private def qGrubbs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    operators.Stats.grubbs(
+      table(s, dir, "customer")
+        .select(floor($"c_acctbal" * 100 + 0.5).cast("long")
+          .as("cents")), "cents")
+  }
+
+  /** C124: between-nation Theil T decomposition of customer revenue —
+    * the entropy member of the q_gini / q_lorenz concentration family
+    * (operators.Stats.theilBetween).
+    */
+  private def qTheilIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = table(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5).cast("long"))
+        .as("cents"))
+    val cust = table(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+    val nation = table(s, dir, "nation")
+      .select($"n_nationkey", $"n_name")
+    val d = rev.join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"cents")
+    operators.Stats.theilBetween(d, "n_name", "cents")
+  }
+
+  /** F42: Theta-method one-step forecast per user (θ = 2 ≡ SES +
+    * half-slope drift, Hyndman & Billah 2003) — SES on the holt
+    * mapPartitions rung with the (1−α)ⁿ factor carried in the
+    * recurrence, slope from exact moments
+    * (operators.TimeSeries.thetaPerKey).
+    */
+  private def qTheta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = table(s, dir, "events")
+      .select($"user_id", $"ts", $"event_id",
+        floor($"value" * 100 + 0.5).cast("long").as("cents"))
+    operators.TimeSeries.thetaPerKey(s, ev, "user_id", "ts",
+      "event_id", "cents", alpha = 0.4)
+  }
+
+  /** F43: Ljung–Box portmanteau whiteness test at lags 1..7 on the
+    * global daily revenue series — the q_acf machinery pooled into
+    * one Q statistic (operators.TimeSeries.ljungBox).
+    */
+  private def qLjungBox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = table(s, dir, "events")
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(floor($"value" * 100 + 0.5).cast("long")).as("cents"))
+    operators.TimeSeries.ljungBox(daily, "day", "cents", maxLag = 7)
+  }
+
+  /** E118: self-BLEU-2 corpus diversity — every document scored
+    * against the rest of the corpus as references, clipping via
+    * per-gram global max/runner-up stats instead of doc×doc pairs
+    * (operators.Corpus.selfBleu2).
+    */
+  private def qSelfBleu(s: SparkSession, dir: String): DataFrame =
+    operators.Corpus.selfBleu2(table(s, dir, "documents"), "doc_id",
+      "text")
+
+  /** E119: per-document char-bigram conditional entropy — the
+    * compressibility quality signal beside q_char_entropy's unigram
+    * view (operators.Corpus.charConditionalEntropy).
+    */
+  private def qCondEntropy(s: SparkSession, dir: String): DataFrame =
+    operators.Corpus.charConditionalEntropy(
+      table(s, dir, "documents"), "doc_id", "text")
+
   // ---------------------------------------------------------------- catalog
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5339,6 +5473,17 @@ object SparkEntry {
     "q_control_chart" -> (qControlChart _),
     "q_hll_store" -> (qHllStore _),
     "q_cross_source_dup" -> (qCrossSourceDup _),
+    "q_g_test" -> (qGTest _),
+    "q_levene" -> (qLevene _),
+    "q_bartlett" -> (qBartlett _),
+    "q_ansari" -> (qAnsari _),
+    "q_durbin_watson" -> (qDurbinWatson _),
+    "q_grubbs" -> (qGrubbs _),
+    "q_theil_index" -> (qTheilIndex _),
+    "q_theta" -> (qTheta _),
+    "q_ljung_box" -> (qLjungBox _),
+    "q_self_bleu" -> (qSelfBleu _),
+    "q_cond_entropy" -> (qCondEntropy _),
     "q_scd3" -> (qScd3 _))
 
   /** Queries whose semantics aren't DuckDB-expressible (engine-native

@@ -1625,6 +1625,22 @@ object Corpus {
     * @return one row: (n_pairs, c_len, r_len, m1, t1, m2, t2, p1_6,
     *         p2_6, bp_6, bleu2_6) — null scores when any tₙ = 0.
     */
+  /** 1-grams and 2-grams of a token array as ONE (n, g)-tagged
+    * stream — shared by [[bleu2]] and [[selfBleu2]]; the bigram
+    * branch keeps the short-array guard (sequence(1, 0) would
+    * generate DESCENDING indices).
+    */
+  private def gramsTagged12(
+      tc: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val g1 = transform(tc, t => struct(lit(1).as("n"), t.as("g")))
+    val g2 = when(size(tc) >= 2,
+      transform(sequence(lit(1), size(tc) - 1),
+        i => struct(lit(2).as("n"), concat_ws(" ",
+          element_at(tc, i), element_at(tc, i + 1)).as("g"))))
+      .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    concat(g1, g2)
+  }
+
   def bleu2(pairs: DataFrame, idCol: String, predCol: String,
             refCol: String): DataFrame = {
     import graft.functions.TextFunctions
@@ -1632,18 +1648,7 @@ object Corpus {
       filter(TextFunctions.words(col(c)), t => length(t) > 0)
     val tok = pairs.select(col(idCol).as("pid"),
       toks(predCol).as("pt"), toks(refCol).as("rt"))
-    // 1-grams and 2-grams as ONE exploded (n, g) stream per side;
-    // the bigram branch keeps the short-array guard (sequence(1, 0)
-    // would generate DESCENDING indices)
-    def gramsTagged(tc: org.apache.spark.sql.Column) = {
-      val g1 = transform(tc, t => struct(lit(1).as("n"), t.as("g")))
-      val g2 = when(size(tc) >= 2,
-        transform(sequence(lit(1), size(tc) - 1),
-          i => struct(lit(2).as("n"), concat_ws(" ",
-            element_at(tc, i), element_at(tc, i + 1)).as("g"))))
-        .otherwise(array().cast("array<struct<n:int,g:string>>"))
-      concat(g1, g2)
-    }
+    def gramsTagged(tc: org.apache.spark.sql.Column) = gramsTagged12(tc)
     def side(c: String, isPred: Int) =
       tok.select(col("pid"), explode(gramsTagged(col(c))).as("x"),
         lit(isPred).as("is_pred"))
@@ -1693,5 +1698,147 @@ object Corpus {
         r6(p1), r6(p2), r6(bp), r6(bleu)))
       .toDF("n_pairs", "c_len", "r_len", "m1", "t1", "m2", "t2",
         "p1_6", "p2_6", "bp_6", "bleu2_6")
+  }
+
+  /** E118: self-BLEU-2 corpus diversity (Zhu et al., SIGIR 2018 —
+    * the Texygen diversity metric): each document scored as BLEU-2
+    * against ALL OTHER documents as references. High self-BLEU =
+    * mode collapse / templated corpus; the generation-diversity
+    * companion of E105's distinct-n (which counts grams once,
+    * blind to per-document clustering).
+    *
+    * Multi-reference clipping without materializing doc×doc pairs:
+    * the clipped count of gram g in doc d is min(c_d, max_{d'≠d}
+    * c_{d'}) — and max-over-others is the GLOBAL max M1 unless d is
+    * its UNIQUE attainer (then the runner-up M2). Three windowed
+    * stats per (n, gram) partition — M1, its attainer count, M2 —
+    * replace the quadratic reference scan entirely: one (n, g)
+    * shuffle + one doc shuffle, linear at any corpus size.
+    *
+    * The brevity penalty uses the CLOSEST other-document length
+    * (NLTK's multi-ref rule: min |len diff|, ties → shorter), found
+    * on the length-cardinality spine: a length with ≥ 2 docs is its
+    * own closest-other; unique lengths take the nearer of their
+    * lag/lead neighbors (lag on ties — the shorter one).
+    *
+    * Exactness: clipped/total counts exact longs; p_n RAW
+    * exact-ratio doubles; BP one exp of an exact ratio and the
+    * score bp·√(p1·p2) (6dp — the bleu2 tree). Null score for docs
+    * with no unigrams/bigrams or a single-doc corpus (no reference).
+    *
+    * @return per doc: (idCol, c_len, r_len, m1, t1, m2, t2, p1, p2,
+    *         bp_6, self_bleu_6).
+    */
+  def selfBleu2(docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = filter(TextFunctions.words(col(textCol)),
+      t => length(t) > 0)
+    val tok = docs.select(col(idCol).as("did"), toks.as("tk"))
+    val dg = tok
+      .select(col("did"), explode(gramsTagged12(col("tk"))).as("x"))
+      .groupBy(col("did"), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy(col("n"), col("g"))
+    val stats = dg
+      .withColumn("m1g", max(col("c")).over(wg))
+      .withColumn("cnt1",
+        sum(when(col("c") === col("m1g"), 1L).otherwise(0L)).over(wg))
+      .withColumn("m2g",
+        max(when(col("c") < col("m1g"), col("c"))).over(wg))
+    val maxOther = when(col("c") === col("m1g") && col("cnt1") === 1,
+      coalesce(col("m2g"), lit(0L))).otherwise(col("m1g"))
+    val perDoc = stats
+      .withColumn("clip", least(col("c"), maxOther))
+      .groupBy(col("did"))
+      .agg(sum(when(col("n") === 1, col("clip")).otherwise(0L)).as("m1"),
+        sum(when(col("n") === 1, col("c")).otherwise(0L)).as("t1"),
+        sum(when(col("n") === 2, col("clip")).otherwise(0L)).as("m2"),
+        sum(when(col("n") === 2, col("c")).otherwise(0L)).as("t2"))
+    // every doc keeps a row (token-free docs have no grams)
+    val base = tok.select(col("did"),
+        size(col("tk")).cast("long").as("len"))
+      .join(perDoc, Seq("did"), "left")
+      .na.fill(0L, Seq("m1", "t1", "m2", "t2"))
+    // closest-other length on the length-cardinality spine
+    val spine = base.groupBy(col("len")).agg(count(lit(1)).as("docs"))
+    val wl = Window.orderBy(col("len"))
+    val rOf = spine
+      .withColumn("prv", lag(col("len"), 1).over(wl))
+      .withColumn("nxt", lead(col("len"), 1).over(wl))
+      .select(col("len"),
+        when(col("docs") >= 2, col("len"))
+          .when(col("prv").isNull && col("nxt").isNull, lit(null))
+          .when(col("prv").isNull, col("nxt"))
+          .when(col("nxt").isNull, col("prv"))
+          .when(col("len") - col("prv") <= col("nxt") - col("len"),
+            col("prv"))
+          .otherwise(col("nxt")).as("r"))
+    val j = base.join(broadcast(rOf), Seq("len"))
+    val ok = col("t1") > 0 && col("t2") > 0 && col("r").isNotNull
+    val p1 = col("m1").cast("double") / col("t1").cast("double")
+    val p2 = col("m2").cast("double") / col("t2").cast("double")
+    val bp = when(col("t1") >= col("r"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("r").cast("double") / col("t1").cast("double")))
+    j.select(col("did").as(idCol), col("t1").as("c_len"),
+      col("r").as("r_len"), col("m1"), col("t1"), col("m2"), col("t2"),
+      when(ok, p1).as("p1"), when(ok, p2).as("p2"),
+      when(ok, round(bp, 6)).as("bp_6"),
+      when(ok, round(bp * sqrt(p1 * p2), 6)).as("self_bleu_6"))
+  }
+
+  /** E119: per-document character-bigram conditional entropy
+    * H(next | prev) over the canonical text — the COMPRESSIBILITY
+    * quality signal: a gzip-style coder spends ≈ H bits per char, so
+    * low H flags templated/repetitive spans that H13's unigram
+    * entropy misses (a doc cycling "abcabcabc…" has maximal unigram
+    * entropy but near-zero conditional entropy). The cheap stand-in
+    * for the compression-ratio filters in C4/RefinedWeb-class
+    * pipelines, without shipping a compressor into the engine.
+    *
+    * H = (1/T)·Σ_ab c_ab·ln(c_a/c_ab), where c_ab counts the doc's
+    * canonical char bigrams, c_a = Σ_b c_ab and T = Σ c_ab. Each
+    * term is an integer weight times ONE ln of an exact integer
+    * ratio, folded per doc in bigram order with a 0.0 prepend
+    * (alphabet ≤ 37 ⇒ ≤ 1369 distinct bigrams per doc — the fold
+    * array is constant-bounded), 6dp. Canonical text is pure ASCII
+    * by construction, so both engines index identical codepoints.
+    *
+    * @return per doc: (idCol, n_bigrams, distinct_bigrams, h_6) —
+    *         null h for docs shorter than 2 canonical chars.
+    */
+  def charConditionalEntropy(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val canon = docs.select(col(idCol).as("did"),
+      TextFunctions.normalizeText(col(textCol)).as("txt"))
+    val grams = canon.select(col("did"),
+      explode(when(length(col("txt")) >= 2,
+        transform(sequence(lit(1), length(col("txt")) - 1),
+          i => col("txt").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val counts = grams.groupBy(col("did"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val wa = Window.partitionBy(col("did"), substring(col("bg"), 1, 1))
+    val withPrefix = counts.withColumn("ca", sum(col("c")).over(wa))
+    val folded = withPrefix.groupBy(col("did"))
+      .agg(array_sort(collect_list(struct(col("bg"), col("c"),
+        col("ca")))).as("arr"),
+        sum(col("c")).as("tt"))
+    val hFold = aggregate(transform(col("arr"), x =>
+      x("c").cast("double") *
+        log(x("ca").cast("double") / x("c").cast("double"))),
+      lit(0.0), (acc, t) => acc + t)
+    val scored = folded.select(col("did"), col("tt").as("n_bigrams"),
+      size(col("arr")).cast("long").as("distinct_bigrams"),
+      round(hFold / col("tt").cast("double"), 6).as("h_6"))
+    // short docs (no bigrams) keep a row with null H
+    canon.select(col("did")).join(scored, Seq("did"), "left")
+      .select(col("did").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("distinct_bigrams"), lit(0L))
+          .as("distinct_bigrams"),
+        col("h_6"))
   }
 }

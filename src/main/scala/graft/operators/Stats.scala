@@ -3008,6 +3008,75 @@ object Stats {
         .as("g_6"))
   }
 
+  /** C125: Ansari–Bradley scale test (Ansari & Bradley, AMS 1960) —
+    * the RANK rung of the spread-equality ladder (C121 Bartlett
+    * normal-theory → C120 Levene mean → C107 Brown–Forsythe median →
+    * this, fully nonparametric): score each value by its distance
+    * from the NEAREST end of the pooled ranking, a = min(R, N+1−R);
+    * a compressed group has systematically higher scores. Valid with
+    * no moment assumptions at all — the scale analog of C71's
+    * Mann–Whitney location test.
+    *
+    * Exactness: the mannWhitney 2×-carrier discipline — midranks as
+    * exact integers R2 = 2·hi − t + 1 from the value-cardinality
+    * table, scores a2 = min(R2, 2(N+1) − R2); W2 = Σ_A a2, S2 = Σ a2
+    * and Q2 = Σ a2² exact decimals. z uses the general two-sample
+    * linear-rank-statistic moments (tie-exact by construction —
+    * midranks ARE the conditional scores):
+    * {{{
+    *   z = (N·W2 − n_a·S2) / N / √(n_a·n_b·(N·Q2 − S2²)/(N²(N−1)))
+    * }}}
+    * one fixed IEEE tree (2× carriers cancel), 6dp; null when either
+    * group is empty or the variance degenerates.
+    *
+    * Plan: one keyed agg → value-cardinality window → one 1-row agg.
+    *
+    * @return one row: (n_a, n_b, w2_stat, z_6).
+    */
+  def ansariBradley(df: DataFrame, groupCol: String, valueCol: String,
+                    groupA: String, groupB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = df
+      .filter(col(groupCol) === groupA || col(groupCol) === groupB)
+      .select((col(groupCol) === groupA).as("isa"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val g = d.groupBy(col("v")).agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("ta"),
+      sum(when(col("isa"), 0L).otherwise(1L)).as("tb"))
+    val tot = g.agg(coalesce(sum(col("ta") + col("tb")), lit(0L))
+      .as("nn"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = g
+      .withColumn("hi", sum(col("ta") + col("tb")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("r2",
+        col("hi") * 2 - (col("ta") + col("tb")) + 1)
+      .withColumn("a2",
+        least(col("r2"), (col("nn") + 1) * 2 - col("r2")))
+    val agg = ranked.agg(
+      coalesce(sum(col("ta")), lit(0L)).as("n_a"),
+      coalesce(sum(col("tb")), lit(0L)).as("n_b"),
+      coalesce(sum((col("ta") * col("a2")).cast(dec)), lit(0L)
+        .cast(dec)).as("w2"),
+      coalesce(sum(((col("ta") + col("tb")) * col("a2")).cast(dec)),
+        lit(0L).cast(dec)).as("s2"),
+      coalesce(sum(((col("ta") + col("tb")).cast(dec) * col("a2")
+        * col("a2"))), lit(0L).cast(dec)).as("q2"))
+    val nDec = (col("n_a") + col("n_b")).cast(dec)
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val num = (nDec * col("w2") - col("n_a").cast(dec) * col("s2"))
+      .cast("double")
+    val varCar = (col("n_a").cast(dec) * col("n_b") *
+      (nDec * col("q2") - col("s2") * col("s2"))).cast("double") /
+      (nD * nD * (nD - 1.0))
+    agg.select(col("n_a"), col("n_b"),
+      col("w2").cast("long").as("w2_stat"),
+      when(col("n_a") > 0 && col("n_b") > 0 && varCar > 0,
+        round(num / nD / sqrt(varCar), 6)).as("z_6"))
+  }
+
   /** C124: between-group Theil T inequality decomposition (Theil
     * 1967; decomposability Shorrocks, Econometrica 1980) — the
     * entropy member of the concentration family beside C95's Gini

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequential per-key time-series scans (SURVEY.md §2.F6).
@@ -1264,5 +1265,209 @@ object TimeSeries {
       round(least(lit(1.0), lit(2.0) *
         exp(lit(-6.0) * (col("k_stat") * col("k_stat")).cast("double") /
           (nD * nD * nD + nD * nD))), 6).as("p_6"))
+  }
+
+  /** C122: Durbin–Watson first-order autocorrelation statistic
+    * (Durbin & Watson, Biometrika 1950) — the regression-residual
+    * diagnostic the trend family was missing: fit the per-key OLS
+    * time trend, then DW = Σ(e_t − e_{t−1})²/Σe_t² on its residuals
+    * (≈ 2(1−ρ̂₁); < 2 ⇒ positive serial correlation, the "my trend
+    * model is lying about its standard errors" alarm).
+    *
+    * Exactness: with x_t = t (row index), every residual sum
+    * collapses ALGEBRAICALLY onto exact integer carriers — no
+    * residual is ever materialized:
+    * {{{
+    *   Σe²        = (Syy − b·Sxy) / n,  scaled carriers
+    *   Σ(Δe)²     = ΣΔy² − 2b·ΣΔy + (n−1)b²       (Δx ≡ 1)
+    * }}}
+    * where Sxx/Sxy/Syy are the n-scaled centered moments (exact
+    * decimal(38,0)), ΣΔy/ΣΔy² exact lag-difference sums, and
+    * b = Sxy/Sxx the ONE IEEE slope. DW is a single fixed IEEE tree
+    * of those carriers, 6dp; slope emitted RAW (exact-integer ratio —
+    * bit-identical across engines). Null when n < 3, zero x-variance
+    * or zero residual variance.
+    *
+    * Plan: one keyed window pass (row index + lag) + one keyed agg.
+    *
+    * @return per key: (key, n_points, slope, dw_6).
+    */
+  def durbinWatson(series: DataFrame, keyCol: String, ordCol: String,
+                   valCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = series.select(col(keyCol).cast("string").as("k"),
+        col(ordCol).as("o"), col(valCol).cast("long").as("v"))
+      .filter(col("k").isNotNull && col("o").isNotNull &&
+        col("v").isNotNull)
+    val w = Window.partitionBy(col("k")).orderBy(col("o"))
+    val rows = d
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("dlt", col("v") - lag(col("v"), 1).over(w))
+    val g = rows.groupBy(col("k")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast(dec)).as("s"),
+      sum(col("v").cast(dec) * col("v")).as("q"),
+      sum(col("t").cast(dec)).as("st"),
+      sum(col("t").cast(dec) * col("t")).as("stt"),
+      sum(col("t").cast(dec) * col("v")).as("stv"),
+      sum(col("dlt").cast(dec)).as("d1"),
+      sum(col("dlt").cast(dec) * col("dlt")).as("d2"))
+    val nDec = col("n").cast(dec)
+    val sxx = (nDec * col("stt") - col("st") * col("st")).cast("double")
+    val sxy = (nDec * col("stv") - col("st") * col("s")).cast("double")
+    val syy = (nDec * col("q") - col("s") * col("s")).cast("double")
+    val b = sxy / sxx
+    val nD = col("n").cast("double")
+    val nSse = syy - b * sxy
+    // Σe² = (syy − b·sxy)/n ⇒ DW = (ΣΔe²)·n / (syy − b·sxy)
+    val dw = (col("d2").cast("double") - lit(2.0) * b *
+      col("d1").cast("double") + (nD - 1.0) * b * b) * nD / nSse
+    g.select(col("k").as(keyCol), col("n").as("n_points"),
+      when(sxx > 0, b).as("slope"),
+      when(col("n") >= 3 && sxx > 0 && nSse > 0, round(dw, 6))
+        .as("dw_6"))
+  }
+
+  /** F43: Ljung–Box portmanteau test (Ljung & Box, Biometrika 1978)
+    * — "is this series white noise at lags 1..m", the aggregate
+    * companion of [[acf]]'s per-lag view and the standard residual
+    * check after any of the F-family forecasters:
+    * Q = n(n+2)·Σ_k r_k²/(n−k).
+    *
+    * Exactness: the identical n-scaled exact-decimal machinery as
+    * [[acf]] (deviations n·x − Σx, numerators/denominator exact
+    * integer sums); each r_k is ONE IEEE division, and Q folds the m
+    * lag terms in lag order as a fixed left-associated chain, 6dp.
+    * Null when the series is constant (zero denominator) or n ≤ m.
+    *
+    * @return one row: (n, max_lag, q_6).
+    */
+  def ljungBox(series: DataFrame, ordCol: String, valCol: String,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be ≥ 1: $maxLag")
+    val lags = 1 to maxLag
+    val dec = "decimal(38,0)"
+    val tot = series.agg(count(lit(1)).cast(dec).as("__n"),
+      sum(col(valCol).cast(dec)).cast(dec).as("__s"))
+    val v = series.crossJoin(broadcast(tot))
+      .select(col(ordCol).as("__o"),
+        (col("__n") * col(valCol).cast(dec) - col("__s")).cast(dec)
+          .as("dev"))
+    val w = Window.orderBy(col("__o"))
+    val withLeads = v.select(col("dev") +:
+      lags.map(k => lead(col("dev"), k).over(w).as(s"__d$k")): _*)
+    val aggs = Seq(count(lit(1)).as("__nd"),
+      sum((col("dev") * col("dev")).cast(dec)).as("__den")) ++
+      lags.map(k =>
+        sum((col("dev") * col(s"__d$k")).cast(dec)).as(s"__num$k"))
+    val one = withLeads.agg(aggs.head, aggs.tail: _*)
+    val nD = col("__nd").cast("double")
+    val qSum = lags.map { k =>
+      val r = col(s"__num$k").cast("double") / col("__den").cast("double")
+      r * r / (nD - k)
+    }.reduce(_ + _)
+    one.select(col("__nd").as("n"),
+      lit(maxLag.toLong).as("max_lag"),
+      when(col("__den") =!= 0 && col("__nd") > maxLag,
+        round(nD * (nD + 2.0) * qSum, 6)).as("q_6"))
+  }
+
+  /** F42: Theta-method one-step forecast (Assimakopoulos &
+    * Nikolopoulos, IJF 2000), in the Hyndman & Billah (IJF 2003)
+    * closed form: classical theta with θ = 2 is EXACTLY simple
+    * exponential smoothing plus half the linear-trend slope as
+    * drift — the M3-winning forecaster, and the rung between
+    * [[holtPerKey]] (adaptive trend) and plain SES on this file's
+    * recurrence ladder.
+    *
+    * {{{
+    *   l_t = α·v_t + (1−α)·l_{t−1}          (seed l₁ = v₁)
+    *   ŷ_{n+1} = l_n + (b̂/2)·(1 − (1−α)ⁿ)/α
+    * }}}
+    *
+    * b̂ is the exact-moment OLS slope over the time index (the
+    * [[durbinWatson]] carriers). The recurrence rides the holt
+    * mapPartitions rung (O(1) state, total fold order); (1−α)ⁿ is
+    * carried IN the recurrence as a running product — pow() is NOT
+    * used, because libm pow differs across engines while repeated
+    * IEEE multiplication replays identically (the oracle's
+    * recursive CTE multiplies the same way). A 1-point series has
+    * no slope: slope is null and the forecast falls back to the
+    * bare level (same for any zero-x-variance degenerate).
+    *
+    * @return per key: (key, n_points, level_6, slope, forecast_6) —
+    *         slope RAW (exact-integer ratio), null for n < 2 or
+    *         zero x-variance, in which case forecast = level.
+    */
+  def thetaPerKey(spark: SparkSession, df: DataFrame, keyCol: String,
+                  tsCol: String, tieCol: String, valueCol: String,
+                  alpha: Double): DataFrame = {
+    import spark.implicits._
+    val a1 = 1.0 - alpha
+    val dec = "decimal(38,0)"
+    val base = df
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("t"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("k").isNotNull && col("t").isNotNull &&
+        col("tie").isNotNull && col("v").isNotNull)
+    val sorted = base
+      .repartition(col("k"))
+      .sortWithinPartitions(col("k"), col("t"), col("tie"))
+      .as[(Long, Long, Long, Long)]
+    val ses = sorted.mapPartitions { rows =>
+      new Iterator[(Long, Long, Double, Double)] {
+        private var pending: Option[(Long, Long, Double, Double)] = None
+        private var lookahead: Option[(Long, Long, Long, Long)] = None
+        def hasNext: Boolean = pending.isDefined || rows.hasNext ||
+          lookahead.isDefined
+        def next(): (Long, Long, Double, Double) = {
+          if (pending.isEmpty) advance()
+          val out = pending.get
+          pending = None
+          out
+        }
+        private def advance(): Unit = {
+          val first = lookahead.getOrElse(rows.next())
+          lookahead = None
+          val key = first._1
+          var level = first._4.toDouble
+          var wPow = a1 // (1−α)^n after the seed observation
+          var n = 1L
+          var done = false
+          while (!done && rows.hasNext) {
+            val r = rows.next()
+            if (r._1 == key) {
+              level = r._4.toDouble * alpha + level * a1
+              wPow = wPow * a1
+              n += 1
+            } else { lookahead = Some(r); done = true }
+          }
+          pending = Some((key, n, level, wPow))
+        }
+      }
+    }.toDF("k", "n", "level", "w_pow")
+    // exact-moment slope per key (the durbinWatson carriers)
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("tie"))
+    val mom = base.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("k")).agg(
+        sum(col("v").cast(dec)).as("s"),
+        sum(col("i").cast(dec)).as("st"),
+        sum(col("i").cast(dec) * col("i")).as("stt"),
+        sum(col("i").cast(dec) * col("v")).as("stv"),
+        count(lit(1)).as("nm"))
+    val joined = ses.join(mom, Seq("k"))
+    val nDec = col("nm").cast(dec)
+    val sxx = (nDec * col("stt") - col("st") * col("st")).cast("double")
+    val sxy = (nDec * col("stv") - col("st") * col("s")).cast("double")
+    val slope = when(sxx > 0, sxy / sxx)
+    val drift = (sxy / sxx / 2.0) * (lit(1.0) - col("w_pow")) / alpha
+    joined.select(col("k").as(keyCol), col("n").as("n_points"),
+      round(col("level"), 6).as("level_6"),
+      slope.as("slope"),
+      round(when(sxx > 0, col("level") + drift)
+        .otherwise(col("level")), 6).as("forecast_6"))
   }
 }

@@ -86,6 +86,20 @@ object StreamSoak {
         "10 seconds"))
     soak("windowed_agg", "update")(ev =>
       StreamingEtl.windowedAgg(ev.toDF()))
+    // operators added since the round-6 record (VERDICT r11 #6)
+    soak("session_native", "append")(ev =>
+      StreamingEtl.sessionWindowAgg(ev.toDF()))
+    soak("ewma_stream", "update")(ev =>
+      StreamingEtl.ewmaStream(spark, ev, alpha = 0.3).toDF())
+    soak("cusum_stream", "update")(ev =>
+      StreamingEtl.cusumStream(spark, ev, targetCents = 5000L,
+        allowanceCents = 500L, hCents = 20000L).toDF())
+    soak("gauge_ttl", "update")(ev =>
+      StreamingEtl.countGaugeTtl(spark, ev,
+        java.time.Duration.ofHours(1)).toDF())
+    soak("psi_drift", "update")(ev =>
+      StreamingEtl.psiDriftStream(spark, ev, nBins = 10,
+        refSize = 100000L).toDF())
     spark.stop()
   }
 }
