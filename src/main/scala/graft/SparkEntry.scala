@@ -1974,7 +1974,8 @@ object SparkEntry {
     // scanning (measured 12.5s vs 6.5s at sf0.1). EditJoin is the
     // right plan when near-pairs are SPARSE (real-world name linkage);
     // the scan wins when they are dense. Same result either way.
-    a.join(b, Seq("brand"))
+    // round-12: the banded-DP kernel runs in a's scan stage — spread it
+    fanOut(a, $"key_a").join(b, Seq("brand"))
       .filter($"key_a" < $"key_b" &&
         // lossless band: edit distance ≥ |length difference|
         abs(length($"name_a") - length($"name_b")) <= 2)
@@ -1999,7 +2000,8 @@ object SparkEntry {
     val p = table(s, dir, "part").select($"p_partkey", $"p_brand", $"p_name")
     val a = p.toDF("key_a", "brand", "name_a")
     val b = p.toDF("key_b", "brand", "name_b")
-    a.join(b, Seq("brand"))
+    // round-12: the JW kernel runs in a's scan stage — spread it
+    fanOut(a, $"key_a").join(b, Seq("brand"))
       .filter($"key_a" < $"key_b")
       // threshold-pruned kernel: exact value for anything that can
       // round to ≥ 0.88 (abort bound 0.8799 < any such value), −1 for

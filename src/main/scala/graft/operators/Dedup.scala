@@ -92,7 +92,10 @@ object Dedup {
     // the exploded string stream through the block manager (measured
     // round 6: persisting raw made the four ngram-pair gate queries
     // 1.5× slower)
-    val raw = df.select(col(idCol).as("id"),
+    // round-12: shingling runs in the input's scan stage — spread it
+    // across the session's cores (no-op on an already-wide scan); the
+    // exchange is shared by the dfreq and ord branches (ReusedExchange)
+    val raw = graft.fanOut(df, col(idCol)).select(col(idCol).as("id"),
       explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
     val dfreq = raw.groupBy(col("sh")).agg(count(lit(1)).as("dfreq"))
     // ONE per-doc aggregation builds the rarest-first sorted shingle

@@ -1253,8 +1253,11 @@ object Similarity {
     // the main job (packGuard): one scan total, zero build-time jobs.
     // Staged parse-once select: quant computed as an attribute first,
     // the guard derives from it (the CLAUDE.md re-inline discipline).
-    val c = df.select(col(idCol).cast("long").as("cid"),
-        quant(col(vecCol)).as("cv"))
+    // round-12: the pair kernel below runs in the corpus's SCAN stage;
+    // a single-row-group input would serialize all q·n sqDist work on
+    // one core — spread it (no-op once the scan has ≥ cores partitions)
+    val c = graft.fanOut(df.select(col(idCol).cast("long").as("cid"),
+        quant(col(vecCol)).as("cv")), col("cid"))
       .select(col("cid"),
         packGuard("knnClassifyEval", col("cid"), col("cv"), pack,
           idBits).as("cv"))
@@ -1322,9 +1325,10 @@ object Similarity {
     // loud data-bound guard (the knnClassifyEval discipline): packed
     // order is exact only while ids fit idBits and d2·2^idBits + id
     // stays under 2^53 — folded into the corpus projection (packGuard)
-    val c = df.select(col(idCol).cast("long").as("cid"),
+    // round-12: spread the pair-kernel stage (knnClassifyEval note)
+    val c = graft.fanOut(df.select(col(idCol).cast("long").as("cid"),
         col(labelCol).cast("long").as("clab"),
-        quant(col(vecCol)).as("cv"))
+        quant(col(vecCol)).as("cv")), col("cid"))
       .select(col("cid"), col("clab"),
         packGuard("hardNegatives", col("cid"), col("cv"), pack,
           idBits).as("cv"))
@@ -1391,9 +1395,10 @@ object Similarity {
       .filter(pmod(col(idCol).cast("long"), lit(mod)) === 0)
       .select(col(idCol).cast("long").as("qid"),
         col(labelCol).cast("long").as("qlab"), quant(col(vecCol)).as("qv"))
-    val c = df.select(col(idCol).cast("long").as("cid"),
+    // round-12: spread the pair-kernel stage (knnClassifyEval note)
+    val c = graft.fanOut(df.select(col(idCol).cast("long").as("cid"),
         col(labelCol).cast("long").as("clab"),
-        quant(col(vecCol)).as("cv"))
+        quant(col(vecCol)).as("cv")), col("cid"))
       .select(col("cid"), col("clab"),
         d2Guard("silhouetteEval", col("cv"), 9.2e6).as("cv"))
     // ⌊sd·10⁶ / cnt⌋ without the sd·10⁶ product (sd is corpus-sized)
@@ -1454,6 +1459,9 @@ object Similarity {
                 lambdaBp: Int = 5500): DataFrame = {
     require(k >= 1 && poolSize >= k && lambdaBp >= 0 && lambdaBp <= 10000)
     val w = org.apache.spark.sql.expressions.Window
+    // round-12 measured: fanOut here REGRESSED (+0.3s) — the relevance
+    // kernel is |queries|·n dots (tiny), while the greedy loop below is
+    // job-count-bound; an extra exchange only deepens it. Left alone.
     val c = corpus.select(col(idCol).cast("long").as("cid"),
         toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", l2Norm(col("cv")))

@@ -53,6 +53,34 @@ package object graft {
     df.unpersist()
   }
 
+  /** Spread an under-parallelized input across the session's cores
+    * before a heavy map-side stage (guide-§2.5 "unsplittable input"
+    * fix, made scale-adaptive per the round-12 optimization brief):
+    * a small table often arrives as ONE parquet row group, so every
+    * scan-stage kernel (pair joins, shingling, quantization) runs on
+    * one core no matter how many the session has. When the input's
+    * scan parallelism is already ≥ the session's core count — any
+    * real 100 TB table — this is a NO-OP: no exchange is added, the
+    * "corpus never shuffles" discipline is preserved exactly where it
+    * matters. When it fires, the exchange moves at most the
+    * under-parallelized stage's input once (bounded by
+    * partitions·maxPartitionBytes, i.e. small by construction).
+    *
+    * Keyed form hash-partitions on the given columns (no local sort);
+    * keyless form round-robins. The partition-count probe is
+    * plan-time only (no job). Results are partitioning-independent by
+    * the repo's exactness discipline (order-free integer folds,
+    * packed tie-breaks) — every fanned-out gate re-verified against
+    * its DuckDB oracle at sf0.001 + sf0.01 (round 12).
+    */
+  private[graft] def fanOut(df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")

@@ -668,10 +668,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     // (query -> (shuffles, broadcasts)) — the 10 most expensive
     // BENCH queries of the r9/r10 close
+    // round-12 re-pin (re-audited with tools.ShuffleCount): the
+    // scale-adaptive fanOut (graft.fanOut, guide-§2.5 unsplittable-
+    // input spread) adds exactly one round-robin/hash exchange to the
+    // pair-kernel queries AT SMALL SF ONLY (it is a no-op once the
+    // corpus scan has ≥ defaultParallelism partitions) — knn_eval
+    // 5→6, hard_negatives 3→4, jaro_winkler 1→2.
     val budgets = Seq(
-      "q_knn_eval" -> ((5, 2)), "q_setsim_join" -> ((9, 7)),
-      "q_ann_pq" -> ((5, 3)), "q_hard_negatives" -> ((3, 1)),
-      "q_jaro_winkler" -> ((1, 1)), "q_assortativity" -> ((6, 3)),
+      "q_knn_eval" -> ((6, 2)), "q_setsim_join" -> ((9, 7)),
+      "q_ann_pq" -> ((5, 3)), "q_hard_negatives" -> ((4, 1)),
+      "q_jaro_winkler" -> ((2, 1)), "q_assortativity" -> ((6, 3)),
       "q_ks_test" -> ((4, 2)), "q_ppr" -> ((3, 3)),
       "q_ktruss" -> ((2, 3)), "q_link_predict" -> ((2, 0)))
     // MEASUREMENT ISOLATION (VERDICT r10 #1): all suites share one

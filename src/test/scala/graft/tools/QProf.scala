@@ -85,7 +85,7 @@ object QProf {
         val dt = (System.nanoTime() - t0) / 1e9
         if (last) {
           record = false
-          spark.sparkContext.listenerBus.waitUntilEmpty()
+          org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark)
         }
         dt
       }
