@@ -156,8 +156,12 @@ object Bench {
     // (same prelude every measured query gets)
     def sweep(): Unit = {
       spark.catalog.clearCache()
+      // round-12 measurement hygiene: BLOCKING unpersist — the async
+      // form let block-removal work from one query's debris land
+      // inside the NEXT query's timed window (the sweep itself is
+      // untimed, so waiting here is free accuracy)
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     def canary(): Double = {
       sweep()

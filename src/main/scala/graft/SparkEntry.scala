@@ -480,7 +480,12 @@ object SparkEntry {
         regexp_replace(norm, " [a-z0-9]+$", "").as("text"))
     val exact = d.filter($"doc_id" % 7 === 0)
       .select(($"doc_id" + 2000000).as("doc_id"), $"text")
-    d.unionByName(near).unionByName(exact)
+    // round-12: every consumer (shingling, winnowing, span harvest)
+    // does heavy per-row text work in this frame's scan stage — spread
+    // the 3-branch narrow union once here (no-op on a wide corpus;
+    // operator-level fanOuts downstream then see ≥ cores partitions
+    // and no-op too)
+    fanOut(d.unionByName(near).unionByName(exact), $"doc_id")
   }
 
   /** Profiling hook (tools.Profile3) — not part of the driver contract. */
@@ -1203,10 +1208,17 @@ object SparkEntry {
   private def qLinkPredict(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = table(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
-    val a = li.toDF("ok", "a")
-    val b = li.toDF("ok", "b")
-    val edges = a.join(b, Seq("ok")).filter($"a" < $"b")
-      .groupBy($"a", $"b").agg(countDistinct($"ok").as("sup"))
+    // order-local pair expansion (round 12, the q_assortativity rung;
+    // measured ~1.7s of narrow-stage self-join map work at sf0.1).
+    // collect_set makes each order contribute each pair exactly once,
+    // so count(*) ≡ the legacy countDistinct(l_orderkey) support —
+    // same support-2 edge set, oracle hash unchanged.
+    val edges = li.groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"l_partkey")).as("ps"))
+      .select(explode(flatten(transform($"ps", (x, i) =>
+        transform(slice($"ps", i + 2, size($"ps")), y =>
+          struct(x.as("a"), y.as("b")))))).as("e"))
+      .groupBy($"e.a", $"e.b").agg(count(lit(1)).as("sup"))
       .filter($"sup" >= 2).select($"a", $"b")
     Graph.linkPrediction(edges, "a", "b")
   }
@@ -1303,7 +1315,8 @@ object SparkEntry {
     */
   private def qDsir(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = table(s, dir, "documents")
+    // round-12: hashed-feature tokenize runs in this scan — spread
+    val docs = fanOut(table(s, dir, "documents"), $"doc_id")
     Corpus.dsirSelect(docs, docs.filter($"lang" === "en"), "doc_id",
       "text", functions.TextFunctions.words, buckets = 4096, k = 100)
   }
@@ -1478,7 +1491,10 @@ object SparkEntry {
     */
   private def qBleu2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = table(s, dir, "documents").select($"doc_id", $"text")
+    // round-12: both gram-level tokenize passes run in this scan's
+    // stage (measured 1.1s on 2 tasks at sf0.1) — spread it
+    val d = fanOut(table(s, dir, "documents").select($"doc_id", $"text"),
+      $"doc_id")
     val pairs = d.toDF("pair_id", "pred")
       .join(d.toDF("rid", "ref"), col("rid") === col("pair_id") + 1)
       .select($"pair_id", $"pred", $"ref")
@@ -1491,7 +1507,9 @@ object SparkEntry {
     */
   private def qRougeL(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = table(s, dir, "documents").select($"doc_id", $"text")
+    // round-12: LCS kernel runs in the pred side's scan stage — spread
+    val d = fanOut(table(s, dir, "documents").select($"doc_id", $"text"),
+      $"doc_id")
     val pairs = d.filter($"doc_id" % 10 === 0).toDF("pair_id", "pred")
       .join(d.toDF("rid", "ref"), col("rid") === col("pair_id") + 1)
       .select($"pair_id", $"pred", $"ref")
@@ -1546,7 +1564,8 @@ object SparkEntry {
     */
   private def qFleissKappa(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = table(s, dir, "lineitem").select($"l_orderkey",
+    val li = fanOut(table(s, dir, "lineitem"), $"l_orderkey")
+      .select($"l_orderkey",
       when($"l_extendedprice" >= 40000.0, "L")
         .when($"l_extendedprice" >= 20000.0, "M")
         .otherwise("S").as("band"))
@@ -2167,13 +2186,21 @@ object SparkEntry {
   private def qCopurchaseDegree(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = table(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
-    val a = li.toDF("ok", "pa")
-    val b = li.toDF("ok", "pb")
+    // order-local pair expansion (the q_assortativity rung, adopted
+    // here in round 12 — measured: the self-equi-join form spent
+    // ~1.2s in a narrow scan+shuffle-write map stage at sf0.1, the
+    // keyed agg + in-row nested transform halves it; baskets are
+    // small (≤7 lines) so the quadratic blowup stays inside a
+    // bounded array instead of a shuffle). Same distinct (pa<pb)
+    // edge set as the legacy a⋈b join — oracle hash unchanged.
     // each distinct pair contributes one degree to BOTH endpoints via a
-    // single explode — a union of the two orientations would re-evaluate
-    // the (expensive, unpersisted) join+distinct once per branch
-    val pairs = a.join(b, Seq("ok")).filter($"pa" < $"pb")
-      .select($"pa", $"pb").distinct()
+    // single explode
+    val pairs = li.groupBy($"l_orderkey")
+      .agg(array_sort(collect_set($"l_partkey")).as("ps"))
+      .select(explode(flatten(transform($"ps", (x, i) =>
+        transform(slice($"ps", i + 2, size($"ps")), y =>
+          struct(x.as("pa"), y.as("pb")))))).as("e"))
+      .select($"e.pa", $"e.pb").distinct()
     val deg = pairs.select(explode(array($"pa", $"pb")).as("p"))
       .groupBy($"p").agg(count(lit(1)).as("degree"))
     deg.groupBy($"degree").agg(count(lit(1)).as("n_parts"))
@@ -2352,7 +2379,9 @@ object SparkEntry {
     * per-doc window over class-cardinality rows.
     */
   private def qNaiveBayes(s: SparkSession, dir: String): DataFrame =
-    Corpus.naiveBayesScore(table(s, dir, "documents"),
+    Corpus.naiveBayesScore(
+      fanOut(table(s, dir, "documents"),
+        org.apache.spark.sql.functions.col("doc_id")),
       "doc_id", "lang", "text", TextFunctions.words)
 
   /** E85: fixed-point batch perceptron — 3 training rounds of an
@@ -2715,6 +2744,9 @@ object SparkEntry {
   private def qWinnow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.plans.TextNativeFunctions
+    // round-12 measured: fanOut here was FLAT (0.69s both ways) and
+    // breaks the "fingerprints extract shuffle-free" plan pin — the
+    // winnow kernel is cheap relative to its output agg. Left alone.
     table(s, dir, "documents")
       .select($"doc_id", TextNativeFunctions.winnowFingerprints(
         TextFunctions.normalizeText($"text"), 8, 5).as("fps"))
@@ -3472,7 +3504,8 @@ object SparkEntry {
     // of lns is NOT bit-stable across engines the way single
     // divisions are — unlike the raw-double ratio queries, this one
     // must round (the q_ewma precedent)
-    Corpus.bigramLmScore(table(s, dir, "documents"), "text", "doc_id")
+    Corpus.bigramLmScore(
+        fanOut(table(s, dir, "documents"), $"doc_id"), "text", "doc_id")
       .select($"id".as("doc_id"), $"n_bigrams",
         round($"avg_lnp", 6).as("avg_lnp"))
   }
@@ -3633,6 +3666,10 @@ object SparkEntry {
     */
   private def qProfileDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // round-12 measured: fanOut here REGRESSED (1.5 → 2.0s) — the
+    // multi-countDistinct profile is bounded by its Expand+final-agg
+    // stages, not the scan; spreading the scan just added an exchange.
+    // Left alone (profile restructure is the real lever, deferred).
     val o = table(s, dir, "orders")
     val ref = o.filter($"o_orderkey" % 2 === 0)
     val cur = o.filter($"o_orderkey" % 2 === 1)
@@ -4219,7 +4256,10 @@ object SparkEntry {
     */
   private def qItemsets3(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val baskets = table(s, dir, "lineitem")
+    // round-12: the triple expansion runs in this scan's stage —
+    // spread the fact side before the broadcast join
+    val baskets = fanOut(table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey"), $"l_orderkey")
       .join(broadcast(table(s, dir, "part")),
         $"l_partkey" === $"p_partkey")
       .select($"l_orderkey", $"p_brand")
@@ -4526,8 +4566,8 @@ object SparkEntry {
     */
   private def qKneserNey(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    operators.Corpus.kneserNeyScore(table(s, dir, "documents"), "text",
-        "doc_id")
+    operators.Corpus.kneserNeyScore(
+        fanOut(table(s, dir, "documents"), $"doc_id"), "text", "doc_id")
       .select($"id".as("doc_id"), $"n_bigrams", $"kn_avg_lnp")
   }
 

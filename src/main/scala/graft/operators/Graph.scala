@@ -1102,8 +1102,21 @@ object Graph {
           greatest(col("s"), col("d")).as("b"))
         .distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // round-12 (measured): the final query references und from THREE
+    // independent subtrees (two broadcast-degree builds + the moment
+    // aggregate); AQE schedules them concurrently, and a lazily
+    // persisted und is recomputed by ALL of them (each starts before
+    // any completes and populates the cache). Materialize once first
+    // — the CC persist+count discipline; at scale this is the one
+    // edge pass you'd pay anyway on first use.
+    und.count()
+    // deg0 is read three times (two broadcast-degree builds + the
+    // moment aggregate) — persist the node-cardinality table so the
+    // degree aggregation over und runs once, not per consumer
     val deg0 = und.select(explode(array(col("a"), col("b"))).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    deg0.count()
     val deg = if (broadcastDegrees) broadcast(deg0) else deg0
     // moment algebra over the symmetrized pair set WITHOUT
     // materializing it — exact integer identities, so the result is
@@ -1139,6 +1152,7 @@ object Graph {
              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
           .as("assortativity"))
       .localCheckpoint(true)
+    deg0.unpersist()
     und.unpersist()
     r
   }

@@ -433,6 +433,9 @@ object Similarity {
                        k: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     val codes = quantizeInt8(corpus, idCol, vecCol)
+    // round-12 measured: pinning this cache's width (fanOutDerived)
+    // only added an exchange — the k=8 assign kernel is too light for
+    // the extra stage to pay at any tested size. Left alone.
     val vecs = codes
       .groupBy(col("id"))
       .agg(collect_list(struct(col("pos"), col("code"))).as("pv"))
@@ -696,7 +699,10 @@ object Similarity {
     // tree — the codebook rides along as a reference object, so each
     // Lloyd iteration compiles one short call instead of a fresh
     // 128-expression janino unit)
-    val uvDf = unitVec(corpus, idCol, vecCol)
+    // round-12: the per-iteration pq_codes kernel scans this cache —
+    // spread an under-parallelized corpus before caching (no-op at
+    // scale), so Lloyd iterations don't run on one core
+    val uvDf = graft.fanOut(unitVec(corpus, idCol, vecCol), col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // deterministic init: the k lowest-hash vectors seed EVERY
@@ -783,6 +789,11 @@ object Similarity {
     // expression computes is an exact integer in double form:
     // assignment is IN-ROW (pqTrain's plan shape), deterministic, no
     // per-candidate join or shuffle
+    // round-12 measured: pinning this cache's width (fanOutDerived)
+    // was a wash — the m-subspace assign kernel amortizes over few
+    // rows here and AQE sizes the shuffle correctly at scale. Left
+    // alone (pqTrain's NARROW cache keeps its fanOut: that one
+    // measured 2.39s → 1.94s on q_ann_pq).
     val vecs = quantizeInt8(corpus, idCol, vecCol)
       .groupBy(col("id"))
       .agg(collect_list(struct(col("pos"), col("code"))).as("pv"))
@@ -877,7 +888,9 @@ object Similarity {
     val m = books.map(_._1).max + 1
     val nc = books.map(_._2).max + 1
     val d = books(0)._3.length
-    val enc = pqEncode(corpus, idCol, vecCol, books)
+    // round-12: the ADC lookup scan runs in enc's scan stage — spread
+    // an under-parallelized corpus (no-op at scale)
+    val enc = graft.fanOut(pqEncode(corpus, idCol, vecCol, books), col("id"))
       .withColumnRenamed("id", "nn_id")
     // per-query LUT over the UNIT-sphere query: lut[s][c] =
     // ||q̂_s − centroid_{s,c}||² (codebooks live on the unit sphere)

@@ -81,6 +81,26 @@ package object graft {
     else df.repartition(target)
   }
 
+  /** [[fanOut]] for a frame DERIVED through a shuffle (groupBy /
+    * join) from `input`, where probing the derived frame's own
+    * partition count would materialize its AQE query stages (i.e.
+    * run the upstream shuffles as a side effect). AQE's partition
+    * coalescing correctly shrinks a tiny shuffle's output — but a
+    * heavy per-row kernel stage over that output (Lloyd assignment,
+    * ADC scans) then runs on ~one core. Probe the INPUT's scan
+    * instead (pre-shuffle, plan-time only): if the input was
+    * under-parallelized, pin the derived frame's width to the
+    * session's cores; at scale (wide input scan) this is a NO-OP —
+    * no exchange is added and AQE keeps sizing the shuffle.
+    */
+  private[graft] def fanOutDerived(derived: DataFrame, input: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = input.sparkSession.sparkContext.defaultParallelism
+    if (input.rdd.getNumPartitions >= target) derived
+    else if (keys.nonEmpty) derived.repartition(target, keys: _*)
+    else derived.repartition(target)
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
