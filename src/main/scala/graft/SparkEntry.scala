@@ -2117,6 +2117,10 @@ object SparkEntry {
         count(lit(1)).as("freq"),
         sum(($"o_totalprice" * 100).cast("long")).as("mon"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // round-12: the 3 quantile broadcasts + the scoring pass race on a
+    // lazy cache under AQE (each recomputed the orders aggregate —
+    // measured 4 × ~0.4s scan+agg jobs). Materialize once.
+    per.count()
     def buckets(valueCol: String, outCol: String)(df: DataFrame): DataFrame = {
       val q = Stats.discreteQuantiles(per, Nil, valueCol,
         Seq(2000, 4000, 6000, 8000))
@@ -2151,7 +2155,8 @@ object SparkEntry {
   private def qKeywordTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scored = Corpus.tfidf(
-        table(s, dir, "documents").select($"doc_id", $"text"),
+        fanOut(table(s, dir, "documents").select($"doc_id", $"text"),
+          $"doc_id"),
         "text", "doc_id", TextFunctions.words)
       .select($"id".as("doc_id"), $"term", round($"tfidf_raw", 4).as("tfidf"))
     val w = Window.partitionBy($"doc_id")
@@ -3285,7 +3290,8 @@ object SparkEntry {
     val v = d.filter($"key" % 5 === 0)
       .select(($"key" + 1000000).as("key"), $"lang",
         concat(lit("x"), substring($"name", 2, 39)).as("name"))
-    EditJoin.selfJoin(d.unionByName(v), "key", "name", "lang", 2)
+    EditJoin.selfJoin(fanOut(d.unionByName(v), $"key"),
+        "key", "name", "lang", 2)
       .select($"block".as("lang"), $"key_a", $"key_b", $"dist")
   }
 
@@ -3566,7 +3572,8 @@ object SparkEntry {
     */
   private def qTrainBlocks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val enc = Corpus.vocabEncode(table(s, dir, "documents"), "text",
+    val enc = Corpus.vocabEncode(
+        fanOut(table(s, dir, "documents"), $"doc_id"), "text",
         "doc_id", 64, asArray = true)
       .select($"id", $"ids")
     graft.operators.Packing
@@ -3630,7 +3637,9 @@ object SparkEntry {
     */
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Corpus.bm25(table(s, dir, "documents").select($"doc_id", $"text"),
+    Corpus.bm25(
+        fanOut(table(s, dir, "documents").select($"doc_id", $"text"),
+          $"doc_id"),
         "text", "doc_id", TextFunctions.words)
       .select($"id".as("doc_id"), $"term", $"tf", $"df",
         round($"bm25_raw", 4).as("bm25"))
@@ -4556,7 +4565,8 @@ object SparkEntry {
     */
   private def qNdcg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    operators.Corpus.ndcgAtK(table(s, dir, "documents"), "text",
+    operators.Corpus.ndcgAtK(
+      fanOut(table(s, dir, "documents"), $"doc_id"), "text",
       "doc_id", TextFunctions.words, Seq("stream", "join", "vector"))
   }
 
@@ -4661,7 +4671,8 @@ object SparkEntry {
     */
   private def qRagContext(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = table(s, dir, "documents").select($"doc_id", $"text")
+    val d = fanOut(table(s, dir, "documents")
+      .select($"doc_id", $"text"), $"doc_id")
     val scored = Corpus.bm25(d, "text", "doc_id", TextFunctions.words)
       .filter($"term".isin("stream", "join", "vector"))
       .withColumn("s4", floor($"bm25_raw" * 10000 + 0.5).cast("long"))

@@ -1103,6 +1103,8 @@ object Stats {
     val cells = df.groupBy(col(raterACol).as("a"), col(raterBCol).as("b"))
       .agg(count(lit(1)).as("n_ab"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // round-12: four consumer subtrees race on a lazy cache — materialize
+    cells.count()
     val n = cells.agg(sum(col("n_ab")).as("n"))
     val agree = cells.filter(col("a") === col("b"))
       .agg(coalesce(sum(col("n_ab")), lit(0L)).as("n_agree"))
@@ -1707,6 +1709,9 @@ object Stats {
         col(categoryCol).as("cat"))
       .agg(count(lit(1)).as("nic"))
       .persist()
+    // round-12: materialize before the concurrent consumer subtrees
+    // (the jonckheere lesson)
+    counts.count()
     val perItem = counts.groupBy(col("i"))
       .agg(sum(col("nic")).as("n"),
         sum((col("nic") * col("nic")).cast("decimal(38,0)")).as("sq"))
@@ -1888,6 +1893,11 @@ object Stats {
     val c = src.groupBy(col("g"), col("v"))
       .agg(count(lit(1)).as("cnt"))
       .persist()
+    // round-12 (measured): the J2 plan references c from several
+    // concurrent subtrees (spine, grps, grid, both cum sides) — a
+    // lazily persisted c is recomputed by ALL of them under AQE
+    // (observed: six ~0.4-1.0s scan+agg jobs). Materialize once.
+    c.count()
     val spine = c.select(col("v")).distinct()
     val grps = c.select(col("g")).distinct()
     val grid = spine.crossJoin(broadcast(grps))
@@ -2355,6 +2365,8 @@ object Stats {
       .agg(count(lit(1)).as("nuc"))
       .persist()
     try {
+      // round-12: materialize before concurrent consumers (jonckheere lesson)
+      counts.count()
       val perUnit = counts.groupBy(col("u"))
         .agg(sum(col("nuc")).as("m"),
           sum(col("nuc") * (col("nuc") - 1)).as("agr"))
