@@ -997,15 +997,26 @@ object SparkEntry {
     val corpus = dupCorpus(s, dir)
     val w = Window.partitionBy(TextFunctions.fingerprint($"text"))
       .orderBy($"doc_id")
+    // round-12: survivors feeds three consumer branches (the exact
+    // count, the minhash candidate pass, the anti-join) which raced to
+    // recompute the whole window pipeline per branch once the corpus
+    // carried a fanOut exchange — persist+count materializes the
+    // per-doc (non-exploded — the SetSim caveat doesn't apply) frame
+    // once; the count IS n_after_exact, so no extra pass is paid.
     val survivors = corpus.withColumn("__rn", row_number().over(w))
       .filter($"__rn" === 1).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nAfterExact = survivors.count()
     val dropIds = Dedup.minhashLshCandidates(survivors, "text", "doc_id",
         5, 3, 3)
       .select($"id_b".as("doc_id")).distinct()
     val finalDocs = survivors.join(dropIds, Seq("doc_id"), "left_anti")
-    corpus.agg(count(lit(1)).as("n_input"))
-      .crossJoin(survivors.agg(count(lit(1)).as("n_after_exact")))
-      .crossJoin(finalDocs.agg(count(lit(1)).as("n_after_near")))
+    graft.sealResult(
+      corpus.agg(count(lit(1)).as("n_input"))
+        .crossJoin(finalDocs.agg(count(lit(1)).as("n_after_near")))
+        .select($"n_input", lit(nAfterExact).as("n_after_exact"),
+          $"n_after_near"),
+      survivors)
   }
 
   /** C24: GROUPING SETS — the explicit grouping-set form next to
@@ -1953,8 +1964,10 @@ object SparkEntry {
       .select($"user_id", $"session_idx", $"start_us", $"end_us")
     val a = sess.toDF("user_a", "sess_a", "start_a", "end_a")
     val b = sess.toDF("user_b", "sess_b", "start_b", "end_b")
+    // round-12: pin the bucket-join width from the raw scan (measured
+    // 0.83s single-task pair explosion under AQE coalescing)
     Intervals.overlapJoin(a, "start_a", "end_a", b, "start_b", "end_b",
-        3600L * 1000000L)
+        3600L * 1000000L, width = spreadWidth(table(s, dir, "events")))
       .filter($"user_a" < $"user_b")
       .groupBy($"user_a".as("user_id"))
       .agg(count(lit(1)).as("n_overlaps"))
@@ -2732,6 +2745,9 @@ object SparkEntry {
     */
   private def qCollocations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // round-12 measured: fanOut here REGRESSED (0.97 -> 2.7s) — the
+    // operator's branches re-evaluate the input expression and the
+    // added exchange multiplied instead of sharing. Left alone.
     Corpus.collocations(table(s, dir, "documents"), "text",
         TextFunctions.words, 30)
       .select($"a", $"b", $"c_ab", round($"pmi_raw", 6).as("pmi"))
@@ -3252,7 +3268,10 @@ object SparkEntry {
     */
   private def qBasketLift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val baskets = table(s, dir, "lineitem")
+    // round-12: the basket collect_set map runs in this scan's stage
+    // (measured 0.72s on 3 tasks) — spread the fact side
+    val baskets = fanOut(table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey"), $"l_orderkey")
       .join(broadcast(table(s, dir, "part")), $"l_partkey" === $"p_partkey")
       .select($"l_orderkey".as("bk"), $"p_brand".as("it"))
     Analytics.basketLift(baskets, "bk", "it", minSupport = 20)
@@ -3564,7 +3583,8 @@ object SparkEntry {
     * of one BPE training iteration.
     */
   private def qBpePairs(s: SparkSession, dir: String): DataFrame =
-    Corpus.bpePairStats(table(s, dir, "documents"), "text", topK = 30)
+    Corpus.bpePairStats(fanOut(table(s, dir, "documents"),
+      org.apache.spark.sql.functions.col("doc_id")), "text", topK = 30)
 
   /** E49: token-stream block packing — vocab ids + EOS concatenated
     * in doc order, cut into 128-id blocks via the two-level global

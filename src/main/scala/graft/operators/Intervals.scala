@@ -32,15 +32,25 @@ object Intervals {
     * @return left row ++ right row for every overlapping pair
     *         (closed intervals: touching endpoints DO overlap).
     */
+  /** @param width when > 0, explicitly repartition both bucketized
+    *        sides to this many partitions on `__bucket` (round-12:
+    *        pins the pair-explosion stage's parallelism where AQE
+    *        would coalesce a tiny bucket shuffle to ~1 task; callers
+    *        derive it from the RAW input's scan width —
+    *        [[graft.spreadWidth]] — so it stays 0 at scale and AQE
+    *        keeps sizing the join).
+    */
   def overlapJoin(left: DataFrame, startL: String, endL: String,
                   right: DataFrame, startR: String, endR: String,
-                  widthUs: Long): DataFrame = {
-    val l = left.withColumn("__bucket",
+                  widthUs: Long, width: Int = 0): DataFrame = {
+    def pin(df: DataFrame) =
+      if (width > 0) df.repartition(width, col("__bucket")) else df
+    val l = pin(left.withColumn("__bucket",
       explode(sequence(floor(col(startL) / widthUs),
-        floor(col(endL) / widthUs))))
-    val r = right.withColumn("__bucket",
+        floor(col(endL) / widthUs)))))
+    val r = pin(right.withColumn("__bucket",
       explode(sequence(floor(col(startR) / widthUs),
-        floor(col(endR) / widthUs))))
+        floor(col(endR) / widthUs)))))
     l.join(r, Seq("__bucket"))
       .filter(col(startL) <= col(endR) && col(startR) <= col(endL))
       // first-shared-bucket gate: dedup without a distinct

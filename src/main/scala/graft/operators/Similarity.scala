@@ -1471,7 +1471,11 @@ object Similarity {
                 vecCol: String, k: Int = 3, poolSize: Int = 20,
                 lambdaBp: Int = 5500): DataFrame = {
     require(k >= 1 && poolSize >= k && lambdaBp >= 0 && lambdaBp <= 10000)
-    val w = org.apache.spark.sql.expressions.Window
+    // the unrolled in-row selection below re-embeds earlier picks'
+    // expressions (~3^k growth after projection collapse) — fine for
+    // the small-constant k MMR is for (scaladoc), fenced loudly
+    require(k <= 8, s"mmrRerank: k=$k — the unrolled selection is " +
+      "built for small k (≤ 8); larger k needs the iterative form")
     // round-12 measured: fanOut here REGRESSED (+0.3s) — the relevance
     // kernel is |queries|·n dots (tiny), while the greedy loop below is
     // job-count-bound; an extra exchange only deepens it. Left alone.
@@ -1491,47 +1495,57 @@ object Similarity {
         .as("top"))
       .select(col("q_id"), explode(col("top")).as("t"))
       .select(col("q_id"), col("t.id").as("cid"), col("t.score").as("rel"))
+    // round-12 rewrite: the k greedy rounds used to run as per-pick
+    // anti-join + sim join + aggregate + window over the persisted
+    // pool — ~25 AQE stage jobs of broadcast-sized work whose
+    // scheduling dominated the query (measured 2.3s at sf0.1 with the
+    // kernel itself trivial). The pool is ≤ poolSize rows per query BY
+    // CONSTRUCTION, so collapse it to ONE row per query (array sorted
+    // by cid — deterministic collect) and unroll the k argmax steps
+    // IN-ROW: each step filters out picked cids, scores the rest with
+    // the IDENTICAL fp expression order (λ·rel − (1−λ)·maxsim, maxsim
+    // via the same dot/norm division, 0.0 literal for step 1), and
+    // takes array_max of struct(score, −cid, el) ≡ the old window's
+    // (score DESC, cid ASC) tie-break. Per-query work is
+    // O(k·poolSize²·D) — bounded constants on the broadcast-sized
+    // side; the corpus-sized stages are unchanged. Same oracle hash
+    // (sf0.001 + sf0.01) and the Round4OpsSpec selection semantics.
     val pool = c.join(broadcast(top), Seq("cid"))
-      .select(col("q_id"), col("cid"), col("cv"), col("cn"), col("rel"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy(col("q_id"))
+      .agg(sort_array(collect_list(
+        struct(col("cid"), col("rel"), col("cn"), col("cv")))).as("pool"))
     val lam = lit(lambdaBp.toDouble)
     val oneMinus = lit((10000 - lambdaBp).toDouble)
-    var selected: DataFrame = null // (q_id, pick, sel_id, sel_vec, sel_n, score)
-    for (t <- 1 to k) {
+    def simTo(cEl: Column, sel: Column): Column =
+      dot(cEl.getField("cv"), sel.getField("el").getField("cv")) /
+        (cEl.getField("cn") * sel.getField("el").getField("cn"))
+    // one pick: max by (score desc, cid asc) over unpicked elements;
+    // null when the pool is exhausted (mirrors the loop form, where a
+    // drained candidate set simply produced no row for that pick)
+    def pick(poolC: Column, selected: Seq[Column]): Column = {
       val cand =
-        if (selected == null) pool
-        else pool.join(
-          selected.select(col("q_id"), col("sel_id").as("cid")),
-          Seq("q_id", "cid"), "left_anti")
-      val simMax =
-        if (selected == null) cand.withColumn("maxsim", lit(0.0))
-        else {
-          // max-sim computed on (q_id, cid) keys then joined back —
-          // never grouping by the vector column itself
-          val ms = cand
-            .join(selected.select(col("q_id"), col("sel_vec"),
-              col("sel_n")), Seq("q_id"))
-            .withColumn("sim",
-              dot(col("cv"), col("sel_vec")) / (col("cn") * col("sel_n")))
-            .groupBy(col("q_id"), col("cid"))
-            .agg(max(col("sim")).as("maxsim"))
-          cand.join(ms, Seq("q_id", "cid"))
-        }
-      val next = simMax
-        .withColumn("score", lam * col("rel") - oneMinus * col("maxsim"))
-        .withColumn("__rn", row_number().over(
-          w.partitionBy(col("q_id")).orderBy(col("score").desc, col("cid"))))
-        .filter(col("__rn") === 1)
-        .select(col("q_id"), lit(t.toLong).as("pick"),
-          col("cid").as("sel_id"), col("cv").as("sel_vec"),
-          col("cn").as("sel_n"), col("score"))
-      selected = if (selected == null) next else selected.unionByName(next)
+        if (selected.isEmpty) poolC
+        else filter(poolC, c => selected
+          .map(s => c.getField("cid") =!= s.getField("el").getField("cid"))
+          .reduce(_ && _))
+      val scored = transform(cand, c => {
+        val ms =
+          if (selected.isEmpty) lit(0.0)
+          else selected.map(s => simTo(c, s)).reduce(greatest(_, _))
+        struct((lam * c.getField("rel") - oneMinus * ms).as("score"),
+          (-c.getField("cid")).as("negid"), c.as("el"))
+      })
+      array_max(scored)
     }
-    // k rows per query: seal — materialize, release the persisted pool
-    graft.sealResult(
-      selected.select(col("q_id"), col("pick"), col("sel_id"),
-        round(col("score") / 10000d, 6).as("score")),
-      pool)
+    var picks = Vector.empty[Column]
+    for (_ <- 1 to k) picks :+= pick(col("pool"), picks)
+    val out = pool
+      .select(col("q_id"), posexplode(array(picks: _*)).as(Seq("i", "p")))
+      .filter(col("p").isNotNull)
+      .select(col("q_id"), (col("i") + 1).cast("long").as("pick"),
+        col("p").getField("el").getField("cid").as("sel_id"),
+        round(col("p").getField("score") / 10000d, 6).as("score"))
+    out
   }
 
   /** Pairwise cosine similarity between LABEL CENTROIDS of an

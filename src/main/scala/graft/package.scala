@@ -101,6 +101,19 @@ package object graft {
     else derived.repartition(target)
   }
 
+  /** Width to pin a derived heavy stage to, probed from a RAW (scan-
+    * stage, shuffle-free) input: 0 = input already wide, leave the
+    * derived plan to AQE (the 100 TB case); > 0 = the session's core
+    * count, for explicitly repartitioning a kernel stage whose
+    * coalesced width would otherwise be ~1 on a small input. Use when
+    * the derived frame itself cannot be probed (probing a shuffled
+    * plan materializes its AQE stages).
+    */
+  private[graft] def spreadWidth(input: DataFrame): Int = {
+    val target = input.sparkSession.sparkContext.defaultParallelism
+    if (input.rdd.getNumPartitions >= target) 0 else target
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
