@@ -480,12 +480,14 @@ object SparkEntry {
         regexp_replace(norm, " [a-z0-9]+$", "").as("text"))
     val exact = d.filter($"doc_id" % 7 === 0)
       .select(($"doc_id" + 2000000).as("doc_id"), $"text")
-    // round-12: every consumer (shingling, winnowing, span harvest)
-    // does heavy per-row text work in this frame's scan stage — spread
-    // the 3-branch narrow union once here (no-op on a wide corpus;
-    // operator-level fanOuts downstream then see ≥ cores partitions
-    // and no-op too)
-    fanOut(d.unionByName(near).unionByName(exact), $"doc_id")
+    // round-12: measured BOTH ways — a fanOut here parallelized the
+    // heavy consumers but taxed the light ones (q_dedup_exact /
+    // q_dedup_incremental pay one md5 per row; the exchange alone
+    // +0.2-0.5s each). The spread lives in the HEAVY operators'
+    // input boundaries instead (docShingles, minhash*, simhash,
+    // winnowPairs, SetSim, ngramJaccardPairs), where it no-ops on
+    // already-wide inputs.
+    d.unionByName(near).unionByName(exact)
   }
 
   /** Profiling hook (tools.Profile3) — not part of the driver contract. */

@@ -28,7 +28,9 @@ object Dedup {
     */
   def docShingles(df: DataFrame, textCol: String, idCol: String,
                   n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    // round-12: shingling runs in the input's scan stage — spread an
+    // under-parallelized input (no-op on a wide scan)
+    graft.fanOut(df, col(idCol)).select(col(idCol).as("id"),
         explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
       .distinct()
 
@@ -178,7 +180,8 @@ object Dedup {
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    df.select(col(idCol).as("id"),
+    // round-12: shingle+md5 kernel runs in the scan stage — spread it
+    graft.fanOut(df, col(idCol)).select(col(idCol).as("id"),
         explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
       .withColumn("hb", shingleBase48(col("sh")))
       .groupBy(col("id"))
@@ -288,7 +291,7 @@ object Dedup {
     // the same md5-prefix space bit-for-bit — exact parity, not
     // approximate. Per-seed mins come from array_min over the mixed
     // set: identical values to a grouped min aggregate.
-    val sig = df.select(col(idCol).as("id"),
+    val sig = graft.fanOut(df, col(idCol)).select(col(idCol).as("id"),
         explode(TextFunctions.shingles(col(textCol), n)).as("sh"))
       .select(col("id"), shingleBase48(col("sh")).as("hb"))
       .groupBy(col("id"))
@@ -380,7 +383,8 @@ object Dedup {
     */
   def simhashNearPairs(df: DataFrame, textCol: String, idCol: String,
                        maxDist: Int): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
+    // round-12: the native simhash kernel runs in the scan stage
+    val sigs = graft.fanOut(df, col(idCol)).select(col(idCol).as("id"),
       simhash(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
         explode(array((0 until 4).map { i =>
@@ -427,7 +431,7 @@ object Dedup {
     import graft.plans.TextNativeFunctions
     // the exploded fp stream feeds the df aggregate AND the rare join —
     // persist it so the (scan + normalize + winnow) extraction runs once
-    val fps = df.select(col(idCol).as("id"),
+    val fps = graft.fanOut(df, col(idCol)).select(col(idCol).as("id"),
         explode(TextNativeFunctions.winnowFingerprints(
           TextFunctions.normalizeText(col(textCol)), k, w)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

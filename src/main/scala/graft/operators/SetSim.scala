@@ -56,7 +56,7 @@ object SetSim {
     // distinct token set per doc; feeds df counts, sizes, the prefix
     // join AND the verify arrays — materialize once (the
     // persist-the-shingle-table step of any similarity pipeline)
-    val tok = df
+    val tok = graft.fanOut(df, col(idCol))
       .select(col(idCol).cast("long").as("id"),
         explode(array_distinct(tokens(col(textCol)))).as("token"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -130,7 +130,8 @@ object SetSim {
                             TextFunctions.words): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be a rational in (0,1]: $tauNum/$tauDen")
-    val tok = df.select(col(idCol).cast("long").as("id"),
+    val tok = graft.fanOut(df, col(idCol))
+      .select(col(idCol).cast("long").as("id"),
         explode(array_distinct(tokens(col(textCol)))).as("token"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))

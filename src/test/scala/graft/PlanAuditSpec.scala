@@ -685,8 +685,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_ann_pq" -> ((Set(6), 3)), "q_hard_negatives" -> ((Set(4), 1)),
       "q_jaro_winkler" -> ((Set(2), 1)),
       "q_assortativity" -> ((Set(5), 3)),
-      "q_ks_test" -> ((Set(4), 2)), "q_ppr" -> ((Set(4), 3)),
-      "q_ktruss" -> ((Set(3), 3)), "q_link_predict" -> ((Set(2), 0)))
+      "q_ks_test" -> ((Set(4), 2)), "q_ppr" -> ((Set(3), 3)),
+      "q_ktruss" -> ((Set(2), 3)), "q_link_predict" -> ((Set(2), 0)))
     // MEASUREMENT ISOLATION (VERDICT r10 #1): all suites share one
     // forked JVM and one SparkSession, and QueryExecutionListeners on
     // that session receive events for EVERY execution it runs — so a
